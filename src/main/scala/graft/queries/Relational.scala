@@ -1,0 +1,548 @@
+package graft.queries
+
+import graft.Engine._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational core (SURVEY §2.3 joins, §2.4 aggregations, §2.5 windows,
+  * §2.6 set ops) as registered queries with DuckDB oracle SQL.
+  *
+  * Determinism conventions (SURVEY §7.4.1):
+  *  - Money/2-dp doubles are summed via exact decimal(18,2) arithmetic and
+  *    cast back to double, so partial-aggregation order (Spark) vs
+  *    sequential order (DuckDB) cannot produce differing bits.
+  *  - Computed integer columns are cast to long (DuckDB window/len fns
+  *    return BIGINT).
+  *  - Every ranking is ordered by a unique tiebreak key.
+  */
+object Relational {
+
+  /** Exact order-independent sum of a 2-dp double column, as double. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Exact revenue sum: sum(price * (1 - discount)) in decimal, as double. */
+  private def drev(price: Column, disc: Column): Column =
+    sum(price.cast(DecimalType(18, 2)) * (lit(1).cast(DecimalType(4, 2)) - disc.cast(DecimalType(4, 2)))).cast("double")
+
+  private val oraDsum = (x: String) => s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+  private val oraRev =
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- A9: Q1
+  /** Flagship multi-aggregate (SURVEY §7.2; mirrors the reference's per-issue
+    * completeness rollup, /root/reference/src/01-scrape-images.py:456-477).
+    * Scale: partial+final hash agg, no shuffle beyond the 2-key exchange. */
+  def a9MultiAggQ1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"), // integral doubles: exact in any order
+        dsum($"l_extendedprice").as("sum_base_price"),
+        drev($"l_extendedprice", $"l_discount").as("sum_disc_price"),
+        (sum($"l_quantity") / count(lit(1))).as("avg_qty"),
+        (dsum($"l_discount") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  // ---------------------------------------------------------------- joins
+  /** J1: anti-join skip-if-exists (reference :181-188 driven at :462-465). */
+  def j1AntiSkipExists(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val candidates = lineitem(spark, dir).select($"l_orderkey").distinct()
+    val existing = orders(spark, dir).filter($"o_orderstatus" === "F")
+      .select($"o_orderkey".as("l_orderkey"))
+    candidates.join(existing, Seq("l_orderkey"), "left_anti")
+  }
+
+  /** J2: keyed broadcast lookup join (reference :440-443 manifest fetch). */
+  def j2BroadcastLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir)
+      .join(broadcast(part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_items"), drev($"l_extendedprice", $"l_discount").as("revenue"))
+      .orderBy($"p_brand")
+  }
+
+  /** J3: get-or-create dimension join (reference :135-160): existing rows keep
+    * their id, misses get a deterministic generated id. */
+  def j3GetOrCreate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cand = documents(spark, dir).select($"source").distinct()
+    val existing = cand.filter(length($"source") === 4)
+      .select($"source", concat(lit("E_"), md5($"source".cast("binary"))).as("existing_id"))
+    cand.join(existing, Seq("source"), "left")
+      .select($"source",
+        coalesce($"existing_id", concat(lit("G_"), md5(concat(lit("root/"), $"source").cast("binary"))))
+          .as("folder_id"))
+  }
+
+  /** J4: full-outer reconcile of expected vs actual days (verify-month,
+    * reference main.yml:18-23). */
+  def j4FullOuterReconcile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val expected = spark.range(1).select(explode(sequence(
+      lit("2024-01-01").cast("date"), lit("2024-01-31").cast("date"),
+      expr("interval 1 day"))).as("day"))
+    val actual = events(spark, dir)
+      .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("n_events"))
+    expected.join(actual, Seq("day"), "full_outer")
+      .select($"day",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        when($"n_events".isNull, "missing").otherwise("done").as("status"))
+  }
+
+  /** J5: except / retry set (retry-failed, reference main.yml:18-23). */
+  def j5ExceptRetry(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = events(spark, dir).select(to_date($"ts").as("day")).distinct()
+    val withError = events(spark, dir)
+      .filter($"event_type" === "error" && $"value" > 195)
+      .select(to_date($"ts").as("day")).distinct()
+    all.except(withError)
+  }
+
+  /** J6: equi star join over the full dimension chain (broadcast dims). */
+  def j6StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir)
+      .join(orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(drev($"l_extendedprice", $"l_discount").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** J6b: left outer join keeping empty orders (zero-lineitem counts). */
+  def j6LeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, dir)
+      .join(lineitem(spark, dir), $"o_orderkey" === $"l_orderkey", "left")
+      .groupBy($"o_orderkey")
+      .agg(count($"l_orderkey").as("n_items"))
+  }
+
+  /** J6c: left-semi join (EXISTS). */
+  def j6SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    customer(spark, dir)
+      .join(orders(spark, dir), $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+  }
+
+  /** J7: as-of join — latest prior click per purchase (theta/range join +
+    * pick-latest). Scale: equi key user_id bounds the shuffle; the range
+    * predicate rides inside the join, no cartesian product. */
+  def j7AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts".as("p_ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+    val w = Window.partitionBy($"event_id").orderBy($"c_ts".desc)
+    purchases
+      .join(clicks, $"user_id" === $"c_user" && $"c_ts" <= $"p_ts", "left")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"event_id", $"user_id", $"p_ts", $"c_ts".as("last_click_ts"))
+  }
+
+  // ---------------------------------------------------------- aggregations
+  /** A1: counts + per-group distinct count. */
+  def a1Counts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir).groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  /** A2: conditional count (sum of flags, reference :456-477). */
+  def a2CondCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir).groupBy($"l_returnflag")
+      .agg(sum(when($"l_discount" > 0.05, 1L).otherwise(0L)).as("n_disc"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** A3: bool_and/bool_or per group (reference completeness check :477). */
+  def a3BoolAnd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir).groupBy($"l_orderkey")
+      .agg(bool_and($"l_quantity" > 0).as("all_qty_pos"),
+        bool_or($"l_tax" > 0.05).as("any_high_tax"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** A4: group-by-key organization (title/date layout, reference :441-442). */
+  def a4GroupLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir).groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+  }
+
+  /** A5: relational distinct (reference set() dedup :299). */
+  def a5Distinct(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).select("l_returnflag", "l_linestatus").dropDuplicates()
+
+  /** A6: per-group status rollup via pivot (verify-month, main.yml:18-23). */
+  def a6Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy(to_date($"ts").as("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .count()
+      .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
+  }
+
+  /** A7: collect-list with deterministic order (collect_set + sort). */
+  def a7CollectSorted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir).groupBy($"user_id")
+      .agg(array_join(array_sort(collect_set($"event_type")), ",").as("types_seen"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** A8: min/max/avg timing-style rollup (reference :468-472). */
+  def a8MinMax(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir).groupBy($"event_type")
+      .agg(min($"value").as("min_v"), max($"value").as("max_v"),
+        (dsum($"value") / count(lit(1))).as("avg_v"),
+        min($"ts").as("first_ts"), max($"ts").as("last_ts"))
+      .orderBy($"event_type")
+  }
+
+  /** A10a: exact distinct aggregates. */
+  def a10DistinctExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir).agg(
+      countDistinct($"user_id").as("n_users"),
+      countDistinct($"event_type").as("n_types"),
+      count(lit(1)).as("n_rows"))
+  }
+
+  /** A10b: approximate distinct (HLL++). No oracle — sketch values are
+    * engine-specific; driver checks rows/schema only. */
+  def a10ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir).agg(
+      approx_count_distinct($"user_id").as("approx_users"),
+      approx_count_distinct($"event_id").as("approx_events"))
+  }
+
+  /** A11a: rollup with sentinel labels for subtotal rows. */
+  def a11Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    customer(spark, dir)
+      .join(broadcast(nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_cust"))
+      .select(coalesce($"r_name", lit("(all)")).as("r"),
+        coalesce($"n_name", lit("(all)")).as("n"), $"n_cust")
+  }
+
+  /** A11b: cube. */
+  def a11Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce($"l_returnflag", lit("(all)")).as("rf"),
+        coalesce($"l_linestatus", lit("(all)")).as("ls"), $"sum_qty", $"n")
+  }
+
+  // ---------------------------------------------------------------- windows
+  /** W1: ordered day sequence (main.yml:77-80 ascending day processing). */
+  def w1OrderedDays(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir).select(to_date($"ts").as("day")).distinct()
+      .withColumn("day_seq", row_number().over(Window.orderBy($"day")).cast("long"))
+      .orderBy($"day")
+  }
+
+  /** W2: limit over a total order (reference head/slice :346,:409). */
+  def w2Limit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, dir).orderBy($"o_totalprice".desc, $"o_orderkey").limit(10)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  }
+
+  /** W3: first-match-wins as row_number()=1 (reference fallback :270-294). */
+  def w3FirstMatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(spark, dir).withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"event_type".as("first_type"), $"ts".as("first_ts"))
+  }
+
+  /** W4: ranking functions with deterministic tie handling. */
+  def w4Ranking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderpriority")
+    orders(spark, dir)
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .filter($"rnk" <= 2)
+      .select($"o_custkey", $"o_orderkey", $"o_orderpriority", $"rnk", $"drnk")
+  }
+
+  /** W5: analytic lag/lead/running sum per customer over order history. */
+  def w5Analytic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    orders(spark, dir).select($"o_custkey", $"o_orderkey", $"o_orderdate",
+      $"o_totalprice",
+      lag($"o_totalprice", 1).over(w).as("prev_price"),
+      lead($"o_totalprice", 1).over(w).as("next_price"),
+      sum($"o_totalprice".cast(DecimalType(18, 2)))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double").as("running_total"))
+  }
+
+  /** W6: range frame — trailing 24h count/sum per user (second granularity
+    * on both engines so frames agree exactly). */
+  def w6RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".cast("long"))
+      .rangeBetween(-86400, 0)
+    events(spark, dir).select($"event_id", $"user_id", $"ts",
+      count(lit(1)).over(w).as("n_24h"),
+      sum($"value".cast(DecimalType(18, 2))).over(w).cast("double").as("sum_24h"))
+  }
+
+  /** W7: global top-k without full sort (TakeOrderedAndProject). */
+  def w7GlobalTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir).groupBy($"l_partkey")
+      .agg(drev($"l_extendedprice", $"l_discount").as("revenue"))
+      .orderBy($"revenue".desc, $"l_partkey")
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------- set ops
+  def so1Distinct(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir).select("c_mktsegment").distinct()
+
+  /** SO2: except — users who clicked but never purchased (retry-set shape). */
+  def so2Except(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    ev.filter($"event_type" === "click").select($"user_id")
+      .except(ev.filter($"event_type" === "purchase" && $"value" > 150).select($"user_id"))
+  }
+
+  /** SO3: union of two entity sets. */
+  def so3Union(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    supplier(spark, dir).select($"s_suppkey".as("entity_key"), $"s_name".as("entity_name"),
+        lit("supplier").as("kind"))
+      .unionByName(customer(spark, dir).select($"c_custkey".as("entity_key"),
+        $"c_name".as("entity_name"), lit("customer").as("kind")))
+  }
+
+  /** SO4: intersect — calendar days seen both as order and ship dates. */
+  def so4Intersect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, dir).select(to_date($"o_orderdate").as("day"))
+      .intersect(lineitem(spark, dir).select(to_date($"l_shipdate").as("day")))
+  }
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a9_multi_agg_q1" -> (a9MultiAggQ1 _),
+    "j1_anti_skip_exists" -> (j1AntiSkipExists _),
+    "j2_broadcast_lookup" -> (j2BroadcastLookup _),
+    "j3_get_or_create" -> (j3GetOrCreate _),
+    "j4_full_outer_reconcile" -> (j4FullOuterReconcile _),
+    "j5_except_retry" -> (j5ExceptRetry _),
+    "j6_star_join" -> (j6StarJoin _),
+    "j6_left_join" -> (j6LeftJoin _),
+    "j6_semi_join" -> (j6SemiJoin _),
+    "j7_asof_join" -> (j7AsofJoin _),
+    "a1_counts" -> (a1Counts _),
+    "a2_cond_count" -> (a2CondCount _),
+    "a3_bool_and" -> (a3BoolAnd _),
+    "a4_group_layout" -> (a4GroupLayout _),
+    "a5_distinct" -> (a5Distinct _),
+    "a6_pivot" -> (a6Pivot _),
+    "a7_collect_sorted" -> (a7CollectSorted _),
+    "a8_minmax" -> (a8MinMax _),
+    "a10_distinct_exact" -> (a10DistinctExact _),
+    "a10_approx_distinct" -> (a10ApproxDistinct _),
+    "a11_rollup" -> (a11Rollup _),
+    "a11_cube" -> (a11Cube _),
+    "w1_ordered_days" -> (w1OrderedDays _),
+    "w2_limit" -> (w2Limit _),
+    "w3_first_match" -> (w3FirstMatch _),
+    "w4_ranking" -> (w4Ranking _),
+    "w5_analytic" -> (w5Analytic _),
+    "w6_range_frame" -> (w6RangeFrame _),
+    "w7_global_topk" -> (w7GlobalTopk _),
+    "so1_distinct" -> (so1Distinct _),
+    "so2_except" -> (so2Except _),
+    "so3_union" -> (so3Union _),
+    "so4_intersect" -> (so4Intersect _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a9_multi_agg_q1" ->
+      s"""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+         |${oraDsum("l_extendedprice")} AS sum_base_price,
+         |$oraRev AS sum_disc_price,
+         |sum(l_quantity) / count(*) AS avg_qty,
+         |${oraDsum("l_discount")} / count(*) AS avg_disc,
+         |count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "j1_anti_skip_exists" ->
+      """SELECT DISTINCT l_orderkey FROM lineitem
+        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin,
+    "j2_broadcast_lookup" ->
+      s"""SELECT p_brand, count(*) AS n_items, $oraRev AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand""".stripMargin,
+    "j3_get_or_create" ->
+      """SELECT source,
+        |CASE WHEN length(source) = 4 THEN 'E_' || md5(source)
+        |     ELSE 'G_' || md5('root/' || source) END AS folder_id
+        |FROM (SELECT DISTINCT source FROM documents)""".stripMargin,
+    "j4_full_outer_reconcile" ->
+      """WITH expected AS (
+        |  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 DAY)) AS DATE) AS day),
+        |actual AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_events FROM events GROUP BY 1)
+        |SELECT COALESCE(e.day, a.day) AS day,
+        |  COALESCE(a.n_events, 0) AS n_events,
+        |  CASE WHEN a.n_events IS NULL THEN 'missing' ELSE 'done' END AS status
+        |FROM expected e FULL OUTER JOIN actual a ON e.day = a.day""".stripMargin,
+    "j5_except_retry" ->
+      """SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+        |EXCEPT
+        |SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events WHERE event_type = 'error' AND value > 195""".stripMargin,
+    "j6_star_join" ->
+      s"""SELECT r_name, n_name, $oraRev AS revenue, count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name""".stripMargin,
+    "j6_left_join" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_items
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey""".stripMargin,
+    "j6_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "j7_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts AS p_ts,
+        |  (SELECT max(c.ts) FROM events c
+        |   WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts) AS last_click_ts
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+    "a1_counts" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+    "a2_cond_count" ->
+      """SELECT l_returnflag,
+        |CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+        |count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a3_bool_and" ->
+      """SELECT l_orderkey, bool_and(l_quantity > 0) AS all_qty_pos,
+        |bool_or(l_tax > 0.05) AS any_high_tax, count(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "a4_group_layout" ->
+      """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang, source""".stripMargin,
+    "a5_distinct" -> "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "a6_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |count(CASE WHEN event_type = 'view' THEN 1 END) AS "view",
+        |count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY 1""".stripMargin,
+    "a7_collect_sorted" ->
+      """SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_seen,
+        |count(*) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin,
+    "a8_minmax" ->
+      s"""SELECT event_type, min(value) AS min_v, max(value) AS max_v,
+         |${oraDsum("value")} / count(*) AS avg_v,
+         |min(ts) AS first_ts, max(ts) AS last_ts
+         |FROM events GROUP BY event_type""".stripMargin,
+    "a10_distinct_exact" ->
+      """SELECT count(DISTINCT user_id) AS n_users, count(DISTINCT event_type) AS n_types,
+        |count(*) AS n_rows FROM events""".stripMargin,
+    "a11_rollup" ->
+      """SELECT COALESCE(r_name, '(all)') AS r, COALESCE(n_name, '(all)') AS n, count(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "a11_cube" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS rf, COALESCE(l_linestatus, '(all)') AS ls,
+        |sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "w1_ordered_days" ->
+      """SELECT day, row_number() OVER (ORDER BY day) AS day_seq
+        |FROM (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events)""".stripMargin,
+    "w2_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "w3_first_match" ->
+      """SELECT user_id, event_type AS first_type, ts AS first_ts FROM (
+        |  SELECT user_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "w4_ranking" ->
+      """SELECT o_custkey, o_orderkey, o_orderpriority, rnk, drnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderpriority,
+        |    rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS rnk,
+        |    dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS drnk
+        |  FROM orders) WHERE rnk <= 2""".stripMargin,
+    "w5_analytic" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |lag(o_totalprice, 1) OVER w AS prev_price,
+        |lead(o_totalprice, 1) OVER w AS next_price,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "w6_range_frame" ->
+      """SELECT event_id, user_id, ts,
+        |count(*) OVER w AS n_24h,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "w7_global_topk" ->
+      s"""SELECT l_partkey, $oraRev AS revenue FROM lineitem
+         |GROUP BY l_partkey ORDER BY revenue DESC, l_partkey LIMIT 20""".stripMargin,
+    "so1_distinct" -> "SELECT DISTINCT c_mktsegment FROM customer",
+    "so2_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150""".stripMargin,
+    "so3_union" ->
+      """SELECT s_suppkey AS entity_key, s_name AS entity_name, 'supplier' AS kind FROM supplier
+        |UNION ALL
+        |SELECT c_custkey AS entity_key, c_name AS entity_name, 'customer' AS kind FROM customer""".stripMargin,
+    "so4_intersect" ->
+      """SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders
+        |INTERSECT
+        |SELECT DISTINCT CAST(l_shipdate AS DATE) AS day FROM lineitem""".stripMargin
+  )
+}
