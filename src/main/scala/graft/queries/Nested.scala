@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.Engine._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Nested expansion / generators (SURVEY §2.8 G1-G3): the IIIF-manifest
+  * kernel — declared JSON schema, 3-level explode, suffix filter, basename
+  * projection — mirroring /root/reference/src/01-scrape-images.py:319-351,
+  * plus the day-series generator (main.yml:67,77-80).
+  */
+object Nested {
+
+  /** IIIF manifest shape (canvas → annotation-page → annotation → body.id),
+    * reference :332-343. Declared schema: no blind inference (SURVEY §1.3). */
+  val manifestSchema: StructType = StructType.fromDDL(
+    "items ARRAY<STRUCT<items: ARRAY<STRUCT<items: ARRAY<STRUCT<body: STRUCT<id: STRING>>>>>>>")
+
+  /** G1: synthesize a manifest JSON document per row, then parse + triple
+    * explode + `.jp2` filter + basename — the reference's one real query
+    * (SURVEY §3.3). The non-jp2 body and the bodyless annotation must be
+    * dropped without error (:338-340). */
+  def g1ManifestExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Extraction.corpus(spark, dir)
+      .select($"doc_id", concat(
+        lit("{\"items\":[{\"items\":[{\"items\":[{\"body\":{\"id\":\"https://data.kb.se/x/"),
+        $"fn1",
+        lit("\"}},{\"body\":{\"id\":\"https://data.kb.se/x/"),
+        $"fnjpg",
+        lit("\"}},{}]}]}]}")).as("manifest_json"))
+      .select($"doc_id", from_json($"manifest_json", manifestSchema).as("m"))
+      .select($"doc_id", explode($"m.items").as("canvas"))
+      .select($"doc_id", explode($"canvas.items").as("page"))
+      .select($"doc_id", explode($"page.items").as("annotation"))
+      .select($"doc_id", $"annotation.body.id".as("url"))
+      .filter($"url".isNotNull && $"url".endsWith(".jp2"))
+      .select($"doc_id", element_at(split($"url", "/"), -1).as("page_file"))
+  }
+
+  /** G2: explode an extracted array — one row per token (:457 loop shape).
+    * Bounded probe set (doc_id < 100) so output stays proportional at any SF. */
+  def g2ExplodeTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir).filter($"doc_id" < 100)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+  }
+
+  /** G3: day-series generation (sequence + explode), mirroring the per-day
+    * window enumeration in main.yml:67,77-80. */
+  def g3DaySeries(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.range(1)
+      .select(explode(sequence(
+        lit("2024-01-01").cast("date"), lit("2024-01-31").cast("date"),
+        expr("interval 1 day"))).as("day"))
+      .select($"day", dayofmonth($"day").cast("long").as("dom"),
+        weekday($"day").cast("long").as("wd"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g1_manifest_explode" -> (g1ManifestExplode _),
+    "g2_explode_tokens" -> (g2ExplodeTokens _),
+    "g3_day_series" -> (g3DaySeries _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    // independent derivation: only the .jp2 body survives the walk
+    "g1_manifest_explode" -> (Extraction.corpusSql +
+      "SELECT doc_id, fn1 AS page_file FROM corpus"),
+    "g2_explode_tokens" ->
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |FROM documents WHERE doc_id < 100""".stripMargin,
+    "g3_day_series" ->
+      """SELECT day, CAST(day(day) AS BIGINT) AS dom, CAST(isodow(day) - 1 AS BIGINT) AS wd
+        |FROM (SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 DAY)) AS DATE) AS day)""".stripMargin
+  )
+}

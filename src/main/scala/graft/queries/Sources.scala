@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.Engine._
+import graft.sinks.{IncrementalWriter, VerifiedWriter}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+/** Sources and sinks (SURVEY §2.1 S1-S11): pushed-filter scans, keyed
+  * document lookup, binary file source, state/checkpoint source, partitioned
+  * and incremental/verified sinks. Sink queries perform REAL writes to a
+  * temp directory and read their own output back, so the oracle checks the
+  * observable result of the write protocol, not a simulation.
+  */
+object Sources {
+
+  /** Committed fixture dir (state.json + binary payloads). Resolved from the
+    * working directory / classes dir first; classpath URI only if it is a
+    * plain file (a jar-scheme URI is not usable as a filesystem path for
+    * the binaryFile source). */
+  def fixtureDir: String = {
+    val candidates = Seq(
+      s"${sys.props("user.dir")}/src/main/resources/fixtures",
+      s"${sys.props("user.dir")}/target/scala-2.13/classes/fixtures",
+      "/root/repo/src/main/resources/fixtures")
+    candidates.find(p => new java.io.File(p).isDirectory).getOrElse {
+      val url = getClass.getClassLoader.getResource("fixtures")
+      new java.io.File(url.toURI).getPath
+    }
+  }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** S1: parquet scan with the predicate pushed to the source (reference
+    * encodes the date range into the search URL, :482-491). */
+  def s1PushdownScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-07-01").cast("timestamp"))
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+  }
+
+  /** S2: keyed document fetch — per-key manifest lookup as a broadcast join
+    * against a small manifest dimension + JSON body parse (:319-329,:440). */
+  def s2KeyedLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    val manifests = ev.select($"event_type").distinct()
+      .withColumn("manifest_json",
+        concat(lit("{\"pages\": "), length($"event_type"), lit("}")))
+    ev.join(broadcast(manifests), Seq("event_type"))
+      .select($"event_id", $"event_type",
+        get_json_object($"manifest_json", "$.pages").cast("long").as("pages"))
+  }
+
+  /** S3 + L5: binary file source with typed metadata struct
+    * (path, mime, length, md5) per reference :353-385,:110-116,:78-83. */
+  def s3BinarySource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$fixtureDir/bin")
+      .select(element_at(split($"path", "/"), -1).as("file_name"),
+        $"length".as("n_bytes"), md5($"content").as("md5_hex"))
+  }
+
+  /** S4: state/checkpoint source — the scraper_state.json day→status map
+    * (scraper_state.json:1, main.yml:70-74) exploded to rows. */
+  def s4StateSource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(s"$fixtureDir/state.json")
+      .select(from_json($"value", MapType(StringType, StringType)).as("state"))
+      .select(explode($"state").as(Seq("day", "status")))
+  }
+
+  /** S5 + A4: partitioned FS sink — hive-style layout written then read back
+    * (title/date layout, reference :441-442, README.md:92-106). */
+  def s5PartitionedSink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("s5_part")
+    orders(spark, dir).write.mode(SaveMode.Overwrite)
+      .partitionBy("o_orderstatus").parquet(out)
+    spark.read.parquet(out)
+      .groupBy($"o_orderstatus").agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** S6: idempotent incremental sink — second identical batch appends 0
+    * (skip-if-exists, reference :181-188,:462-465). */
+  def s6IncrementalSink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("s6_incr")
+    val writer = new IncrementalWriter(spark, out, Seq("o_orderkey"))
+    val batch = orders(spark, dir)
+    val first = writer.append(batch)
+    val second = writer.append(batch)
+    Seq((1L, first), (2L, second)).toDF("run", "appended")
+  }
+
+  /** S7: verified write — md5 parity between source and sink (:126-129). */
+  def s7VerifiedWrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (n, ok, bad) = VerifiedWriter.writeVerified(
+      spark, documents(spark, dir), tmp("s7_verified"), "doc_id", "text")
+    Seq((n, ok, bad)).toDF("n_written", "n_verified", "n_mismatch")
+  }
+
+  /** S8: get-or-create partition dirs — two appends reuse the same partition
+    * directories; every partition ends up with exactly 2x the rows
+    * (reference get_or_create_drive_folder :135-160). */
+  def s8GetOrCreateDirs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("s8_dirs")
+    val docs = documents(spark, dir)
+    docs.write.mode(SaveMode.Append).partitionBy("lang").parquet(out)
+    docs.write.mode(SaveMode.Append).partitionBy("lang").parquet(out)
+    spark.read.parquet(out).groupBy($"lang").agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** S9: atomic overwrite via the staging-rename commit protocol — the second
+    * write fully replaces the first (reference delete-after-load :474). */
+  def s9OverwriteCommit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("s9_overwrite")
+    val docs = documents(spark, dir)
+    docs.write.mode(SaveMode.Overwrite).parquet(out)
+    docs.filter($"n_chars" > 500).write.mode(SaveMode.Overwrite).parquet(out)
+    spark.read.parquet(out).agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** S11: resumable load — a partial first run plus an anti-join resume pass
+    * lands the complete set exactly once (:357-359 + task retry). */
+  def s11ResumableLoad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("s11_resume")
+    val writer = new IncrementalWriter(spark, out, Seq("o_orderkey"))
+    val all = orders(spark, dir)
+    val partial = writer.append(all.filter($"o_orderkey" % 7 === 0))
+    val resumed = writer.append(all)
+    Seq((1L, partial), (2L, resumed)).toDF("phase", "appended")
+  }
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_pushdown_scan" -> (s1PushdownScan _),
+    "s2_keyed_lookup" -> (s2KeyedLookup _),
+    "s3_binary_source" -> (s3BinarySource _),
+    "s4_state_source" -> (s4StateSource _),
+    "s5_partitioned_sink" -> (s5PartitionedSink _),
+    "s6_incremental_sink" -> (s6IncrementalSink _),
+    "s7_verified_write" -> (s7VerifiedWrite _),
+    "s8_get_or_create_dirs" -> (s8GetOrCreateDirs _),
+    "s9_overwrite_commit" -> (s9OverwriteCommit _),
+    "s11_resumable_load" -> (s11ResumableLoad _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s1_pushdown_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'""".stripMargin,
+    "s2_keyed_lookup" ->
+      """SELECT event_id, event_type, CAST(length(event_type) AS BIGINT) AS pages
+        |FROM events""".stripMargin,
+    "s3_binary_source" ->
+      """SELECT * FROM (VALUES
+        |('bib13991099_18650102_0_1_0001.jp2', CAST(42 AS BIGINT), '7d2467132d4d593af9a6c405418e537c'),
+        |('bib13991099_18650102_0_1_0002.JP2', CAST(44 AS BIGINT), '4acca70dfb9ca02337af4f3926d39d05'),
+        |('notes.bin', CAST(12 AS BIGINT), '96bc106959731774503ad348c825ece3'),
+        |('thumb_13.jpg', CAST(20 AS BIGINT), '7a799380e8bde695ea6db4df12cb8e7a')
+        |) AS t(file_name, n_bytes, md5_hex)""".stripMargin,
+    "s4_state_source" ->
+      """SELECT * FROM (VALUES
+        |('2024-01-01', 'done'), ('2024-01-02', 'done'), ('2024-01-03', 'failed'),
+        |('2024-01-05', 'done'), ('2024-01-07', 'failed')
+        |) AS t(day, status)""".stripMargin,
+    "s5_partitioned_sink" ->
+      "SELECT o_orderstatus, count(*) AS n_orders FROM orders GROUP BY o_orderstatus",
+    "s6_incremental_sink" ->
+      """SELECT CAST(1 AS BIGINT) AS run, count(*) AS appended FROM orders
+        |UNION ALL SELECT 2, 0""".stripMargin,
+    "s7_verified_write" ->
+      """SELECT count(*) AS n_written, count(*) AS n_verified, CAST(0 AS BIGINT) AS n_mismatch
+        |FROM documents""".stripMargin,
+    "s8_get_or_create_dirs" ->
+      "SELECT lang, count(*) * 2 AS n_rows FROM documents GROUP BY lang",
+    "s9_overwrite_commit" ->
+      "SELECT count(*) AS n_rows FROM documents WHERE n_chars > 500",
+    "s11_resumable_load" ->
+      """SELECT CAST(1 AS BIGINT) AS phase,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0) AS appended
+        |UNION ALL
+        |SELECT 2, (SELECT count(*) FROM orders WHERE o_orderkey % 7 <> 0)""".stripMargin
+  )
+}
