@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Extraction.queries ++
       graft.queries.Sources.queries ++
-      graft.queries.Nested.queries
+      graft.queries.Nested.queries ++
+      graft.queries.Llm.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -28,5 +29,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.Extraction.oracle ++
       graft.queries.Sources.oracle ++
-      graft.queries.Nested.oracle
+      graft.queries.Nested.oracle ++
+      graft.queries.Llm.oracle
 }

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions (SURVEY §2.10 L4, north-star text ops).
+  * All pure `Column` compositions over codegen'd builtins — no UDFs — so
+  * they stay inside whole-stage codegen at any scale.
+  */
+object Text {
+
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Word n-gram shingles: one string per window of `n` consecutive tokens.
+    * Guarded: sequence(1, 0) without an explicit step counts DOWN in Spark,
+    * so short texts must short-circuit to an empty array. */
+  def shingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(t) - (n - 1), lit(1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+  }
+
+  def stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "in", "to")
+
+  /** Share of tokens that are stopwords (language-quality signal). */
+  def stopwordRatio(c: Column, stop: Seq[String] = stopwordsEn): Column = {
+    val t = tokens(c)
+    size(filter(t, x => x.isInCollection(stop))).cast("double") / size(t)
+  }
+
+  /** Cosine similarity of two float vectors, computed as a sequential
+    * double-precision fold (deterministic, matches an in-order oracle). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+        lit(0.0), (acc, e) => acc + e)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** 16-bit SimHash from md5 hex-digit top bits: bit i is the sign of the
+    * sum over tokens of ±1 per hex digit i of md5(token). Fully
+    * deterministic and engine-portable (no native hash needed). */
+  def simhashBitContribution(token: Column, i: Int): Column =
+    when(substring(md5(token.cast("binary")), i, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1L)
+      .otherwise(-1L)
+
+  /** Rolling-hash document fingerprint: min md5 over char 32-grams sampled
+    * every 16 chars (winnowing-style), or md5(text) for short docs. */
+  def rollingFingerprint(c: Column): Column =
+    when(length(c) < 32, md5(c.cast("binary")))
+      .otherwise(array_min(transform(
+        sequence(lit(1), greatest(length(c) - 31, lit(1)), lit(16)),
+        i => md5(c.substr(i, lit(32)).cast("binary")))))
+}

@@ -1,0 +1,384 @@
+package graft.queries
+
+import graft.Engine._
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (SURVEY §2.10 + north star):
+  * dedup (exact / banded MinHash / SimHash / n-gram Jaccard / embedding
+  * near-dup), similarity search (brute-force cosine top-k + LSH scale path),
+  * text analysis (metrics, language-ID, token counting, fingerprinting) and
+  * quality filtering.
+  *
+  * Scale design notes (100 TB):
+  *  - Near-dedup is banded: docs shuffle by band signature (|bands| keys),
+  *    candidate pairs only form inside a bucket — never all-pairs.
+  *  - Top-k similarity broadcasts the (small) probe set and computes
+  *    per-partition scores; only k rows per probe survive the window.
+  *  - All text metrics are single-pass projections (no shuffle).
+  */
+object Llm {
+
+  /** Dedup candidate set: every document plus a same-text copy under a
+    * shifted id — gives the exact-dedup operator real duplicates to kill. */
+  private def dupCandidates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, dir).select($"doc_id", $"text", $"source")
+    d.unionByName(d.select(($"doc_id" + 1000000).as("doc_id"), $"text", $"source"))
+  }
+
+  /** L1: exact dedup — group by content hash, keep min id (hash-groupBy;
+    * at scale this is one shuffle on the 128-bit digest). */
+  def l1ExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dupCandidates(spark, dir)
+      .groupBy(md5($"text".cast("binary")).as("content_key"))
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .select($"keeper", $"n_copies")
+  }
+
+  /** Near-dup candidate set: originals plus a perturbed copy (first token
+    * dropped) under a shifted id. */
+  private def nearDupCandidates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, dir)
+    d.select($"doc_id".as("id"), $"text")
+      .unionByName(d.select(($"doc_id" + 1000000).as("id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+
+  /** L2: banded MinHash near-dedup, fully deterministic (md5-based minhash,
+    * 2 bands x 3 rows) so DuckDB derives identical buckets. Pairs only form
+    * within a band bucket — the 100 TB-safe shape (no all-pairs join). */
+  def l2MinhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = nearDupCandidates(spark, dir)
+      .filter($"id" % 5 === 0) // bounded probe subset, proportional at any SF
+      .select($"id", explode(Text.shingles($"text", 3)).as("shingle"))
+    def h(i: Int): Column =
+      min(md5(concat(lit(s"$i|"), $"shingle").cast("binary"))).as(s"h$i")
+    val sigs = sh.groupBy($"id").agg(h(1), h(2), h(3), h(4), h(5), h(6))
+    val bands = sigs.select($"id",
+        md5(concat_ws("|", $"h1", $"h2", $"h3").cast("binary")).as("band"), lit(1).as("bi"))
+      .unionByName(sigs.select($"id",
+        md5(concat_ws("|", $"h4", $"h5", $"h6").cast("binary")).as("band"), lit(2).as("bi")))
+    val b2 = bands.select($"id".as("b_id"), $"band", $"bi")
+    bands.join(b2, Seq("band", "bi")).filter($"id" < $"b_id")
+      .groupBy($"id".as("a_id"), $"b_id")
+      .agg(count(lit(1)).cast("long").as("shared_bands"))
+  }
+
+  /** L2b: MLlib MinHashLSH scale path — bucketed approxSimilarityJoin with a
+    * fixed seed (rows-only check; MLlib hash coefficients are not
+    * reproducible in SQL). */
+  def l2MinhashLshMllib(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    import spark.implicits._
+    val docs = nearDupCandidates(spark, dir).filter($"id" % 25 === 0)
+      .select($"id", split($"text", " ").as("toks"))
+    val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
+      .setNumFeatures(1 << 14).setBinary(true)
+    val feat = tf.transform(docs)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(4).setSeed(42L)
+    val model = lsh.fit(feat)
+    model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
+      .select(col("datasetA.id").as("a_id"), col("datasetB.id").as("b_id"),
+        col("jaccard_dist"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id")
+  }
+
+  /** L3/J8: brute-force cosine top-k — broadcast probe set, partition-local
+    * scoring, per-probe window keeps k. Only ranks are output (the score is
+    * engine-internal float detail). */
+  def l3CosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = embeddings(spark, dir)
+    val probes = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id")
+    emb.join(broadcast(probes), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        Text.cosine($"q_emb", $"embedding").as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"neighbor_id", $"rank")
+  }
+
+  /** L3b: ANN scale path — BucketedRandomProjectionLSH with fixed seed
+    * (rows-only; hash planes are not SQL-reproducible). */
+  def l3AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    import spark.implicits._
+    val emb = embeddings(spark, dir)
+      .select($"vec_id", array_to_vector($"embedding").as("features"))
+    val probes = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"features".as("q_features"))
+    val lsh = new BucketedRandomProjectionLSH().setInputCol("features")
+      .setOutputCol("hashes").setBucketLength(2.0).setNumHashTables(3).setSeed(42L)
+    val model = lsh.fit(emb)
+    model.approxSimilarityJoin(
+        emb, probes.select($"query_id".as("vec_id"), $"q_features".as("features")),
+        5.0, "dist")
+      .select(col("datasetB.vec_id").as("query_id"), col("datasetA.vec_id").as("neighbor_id"),
+        col("dist"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("rank",
+        row_number().over(Window.partitionBy($"query_id").orderBy($"dist", $"neighbor_id"))
+          .cast("long"))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id", $"rank")
+  }
+
+  /** L9: embedding near-dup — originals vs exactly-colinear copies (2x
+    * scaling preserves cosine bit-for-bit), threshold join inside a bounded
+    * probe set. */
+  def l9EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = embeddings(spark, dir)
+    val cands = emb.select($"vec_id", $"embedding")
+      .unionByName(emb.select(($"vec_id" + 1000000).as("vec_id"),
+        transform($"embedding", x => x * lit(2.0f)).as("embedding")))
+    val probes = cands.filter($"vec_id" < 50)
+      .select($"vec_id".as("a_id"), $"embedding".as("a_emb"))
+    cands.join(broadcast(probes), $"a_id" < $"vec_id")
+      .filter(Text.cosine($"a_emb", $"embedding") > 0.999)
+      .select($"a_id", $"vec_id".as("b_id"))
+  }
+
+  /** L4: text metrics — lengths, token counts, uniq ratio, stopword ratio. */
+  def l4TextMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = split($"text", " ")
+    documents(spark, dir).select($"doc_id",
+      length($"text").cast("long").as("n_chars_actual"),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_uniq"),
+      (size(array_distinct(t)).cast("double") / size(t)).as("uniq_ratio"),
+      Text.stopwordRatio($"text").as("stop_ratio"))
+  }
+
+  /** L4b: language-ID by stopword-hit scoring (n-gram heuristic; ties break
+    * by a fixed language priority). */
+  def l4LangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = split($"text", " ")
+    def hits(ws: Seq[String]): Column =
+      size(filter(t, x => x.isInCollection(ws))).cast("long")
+    documents(spark, dir).select($"doc_id", $"lang",
+        hits(Seq("the", "of", "and", "a")).as("en_score"),
+        hits(Seq("der", "die", "das", "und")).as("de_score"),
+        hits(Seq("el", "la", "de", "y")).as("es_score"))
+      .withColumn("predicted_lang",
+        when($"de_score" > $"en_score" && $"de_score" >= $"es_score", "de")
+          .when($"es_score" > $"en_score" && $"es_score" > $"de_score", "es")
+          .otherwise("en"))
+  }
+
+  /** L10: BPE-ish token counting — letter runs, digit runs, punctuation. */
+  def l10TokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    documents(spark, dir).select($"doc_id",
+      size(regexp_extract_all($"text", lit(pat), lit(0))).cast("long").as("n_bpe_tokens"),
+      size(split($"text", " ")).cast("long").as("n_ws_tokens"))
+  }
+
+  /** L11: rolling-hash document fingerprint (winnowing-style). */
+  def l11RollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir).select($"doc_id", Text.rollingFingerprint($"text").as("fingerprint"))
+  }
+
+  /** L7: 16-bit SimHash fingerprint per document. */
+  def l7Simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+    val bitSums = (1 to 16).map(i => sum(Text.simhashBitContribution($"token", i)).as(s"s$i"))
+    val sums = tok.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (1 to 16).map(i => when(col(s"s$i") > 0, lit(1L << (i - 1))).otherwise(0L))
+      .reduce(_ + _)
+    sums.select($"doc_id", fp.as("simhash"))
+  }
+
+  /** L8: n-gram Jaccard similarity — shingle-explode + equi-join on shingle
+    * within a bounded probe set, |A∩B| / |A∪B| from exact distinct counts. */
+  def l8NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = nearDupCandidates(spark, dir).filter($"id" % 10 === 0)
+      .select($"id", explode(Text.shingles($"text", 3)).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy($"id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.join(sh.select($"id".as("b_id"), $"shingle"), Seq("shingle"))
+      .filter($"id" < $"b_id")
+      .groupBy($"id".as("a_id"), $"b_id").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select($"id".as("a_id"), $"n_sh".as("n_a")), Seq("a_id"))
+      .join(sizes.select($"id".as("b_id"), $"n_sh".as("n_b")), Seq("b_id"))
+      .select($"a_id", $"b_id",
+        ($"n_common".cast("double") / ($"n_a" + $"n_b" - $"n_common")).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+  }
+
+  /** L6: quality filtering — predicate stack over the L4 metrics. */
+  def l6QualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    l4TextMetrics(spark, dir)
+      .join(documents(spark, dir).select($"doc_id", $"lang", $"n_chars"), Seq("doc_id"))
+      .withColumn("q_score",
+        (when($"n_chars".between(100, 2000), 1L).otherwise(0L) +
+          when($"n_tokens" >= 10, 1L).otherwise(0L) +
+          when($"uniq_ratio" > 0.2, 1L).otherwise(0L) +
+          when($"lang".isInCollection(Seq("en", "de", "es", "fr")), 1L).otherwise(0L)))
+      .filter($"q_score" >= 3)
+      .select($"doc_id", $"q_score")
+  }
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l1_exact_dedup" -> (l1ExactDedup _),
+    "l2_minhash_neardup" -> (l2MinhashNearDup _),
+    "l2_minhash_lsh_mllib" -> (l2MinhashLshMllib _),
+    "l3_cosine_topk" -> (l3CosineTopk _),
+    "l3_ann_lsh" -> (l3AnnLsh _),
+    "l4_text_metrics" -> (l4TextMetrics _),
+    "l4_lang_id" -> (l4LangId _),
+    "l6_quality_filter" -> (l6QualityFilter _),
+    "l7_simhash" -> (l7Simhash _),
+    "l8_ngram_jaccard" -> (l8NgramJaccard _),
+    "l9_embedding_neardup" -> (l9EmbeddingNearDup _),
+    "l10_token_count" -> (l10TokenCount _),
+    "l11_rolling_fingerprint" -> (l11RollingFingerprint _)
+  )
+
+  private val candSql =
+    """cand AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1) FROM documents)""".stripMargin
+
+  private val shingleSql = (filterMod: Int) =>
+    s"""sh AS (
+       |  SELECT id, unnest(list_transform(
+       |    generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+       |    i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS shingle
+       |  FROM cand WHERE id % $filterMod = 0)""".stripMargin
+
+  private val simhashSums = (1 to 16).map(i =>
+    s"CAST(sum(CASE WHEN substr(md5(token), $i, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS BIGINT) AS s$i")
+    .mkString(",\n")
+  private val simhashFp = (1 to 16).map(i =>
+    s"(CASE WHEN s$i > 0 THEN ${1L << (i - 1)} ELSE 0 END)").mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "l1_exact_dedup" ->
+      """SELECT min(id) AS keeper, count(*) AS n_copies FROM (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |GROUP BY md5(text)""".stripMargin,
+    "l2_minhash_neardup" ->
+      (s"WITH $candSql,\n${shingleSql(5)},\n" +
+        """mh AS (SELECT id,
+          |  min(md5('1|' || shingle)) AS h1, min(md5('2|' || shingle)) AS h2,
+          |  min(md5('3|' || shingle)) AS h3, min(md5('4|' || shingle)) AS h4,
+          |  min(md5('5|' || shingle)) AS h5, min(md5('6|' || shingle)) AS h6
+          |  FROM sh GROUP BY id),
+          |bands AS (
+          |  SELECT id, md5(h1 || '|' || h2 || '|' || h3) AS band, 1 AS bi FROM mh
+          |  UNION ALL
+          |  SELECT id, md5(h4 || '|' || h5 || '|' || h6), 2 FROM mh)
+          |SELECT a.id AS a_id, b.id AS b_id, count(*) AS shared_bands
+          |FROM bands a JOIN bands b ON a.band = b.band AND a.bi = b.bi AND a.id < b.id
+          |GROUP BY a.id, b.id""".stripMargin),
+    "l3_cosine_topk" ->
+      """WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS score
+        |  FROM probes p JOIN embeddings c ON c.vec_id <> p.vec_id)
+        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+        |  FROM scored) WHERE rn <= 5""".stripMargin,
+    "l4_text_metrics" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq,
+        |CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) AS uniq_ratio,
+        |CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','in','to'))) AS DOUBLE)
+        |  / len(string_split(text,' ')) AS stop_ratio
+        |FROM documents""".stripMargin,
+    "l4_lang_id" ->
+      """SELECT doc_id, lang,
+        |CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','of','and','a'))) AS BIGINT) AS en_score,
+        |CAST(len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und'))) AS BIGINT) AS de_score,
+        |CAST(len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','y'))) AS BIGINT) AS es_score,
+        |CASE WHEN len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und'))) > len(list_filter(string_split(text,' '), t -> t IN ('the','of','and','a')))
+        |      AND len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und'))) >= len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','y'))) THEN 'de'
+        |     WHEN len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','y'))) > len(list_filter(string_split(text,' '), t -> t IN ('the','of','and','a')))
+        |      AND len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','y'))) > len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und'))) THEN 'es'
+        |     ELSE 'en' END AS predicted_lang
+        |FROM documents""".stripMargin,
+    "l6_quality_filter" ->
+      """SELECT doc_id,
+        |CAST((CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END)
+        | + (CASE WHEN len(string_split(text,' ')) >= 10 THEN 1 ELSE 0 END)
+        | + (CASE WHEN CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) > 0.2 THEN 1 ELSE 0 END)
+        | + (CASE WHEN lang IN ('en','de','es','fr') THEN 1 ELSE 0 END) AS BIGINT) AS q_score
+        |FROM documents
+        |WHERE (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END)
+        | + (CASE WHEN len(string_split(text,' ')) >= 10 THEN 1 ELSE 0 END)
+        | + (CASE WHEN CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) > 0.2 THEN 1 ELSE 0 END)
+        | + (CASE WHEN lang IN ('en','de','es','fr') THEN 1 ELSE 0 END) >= 3""".stripMargin,
+    "l7_simhash" ->
+      (s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+          |sums AS (SELECT doc_id,
+          |$simhashSums
+          |FROM tok GROUP BY doc_id)
+          |SELECT doc_id, CAST($simhashFp AS BIGINT) AS simhash FROM sums""".stripMargin),
+    "l8_ngram_jaccard" ->
+      (s"WITH $candSql,\n${shingleSql(10)},\n" +
+        """shd AS (SELECT DISTINCT id, shingle FROM sh),
+          |sizes AS (SELECT id, count(*) AS n_sh FROM shd GROUP BY id),
+          |inter AS (
+          |  SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
+          |  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.id < b.id
+          |  GROUP BY a.id, b.id)
+          |SELECT a_id, b_id,
+          |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+          |FROM inter
+          |JOIN sizes sa ON sa.id = a_id
+          |JOIN sizes sb ON sb.id = b_id
+          |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5""".stripMargin),
+    "l9_embedding_neardup" ->
+      """WITH cand AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) FROM embeddings),
+        |probes AS (SELECT vec_id AS a_id, emb AS a_emb FROM cand WHERE vec_id < 50)
+        |SELECT a_id, c.vec_id AS b_id
+        |FROM probes p JOIN cand c ON p.a_id < c.vec_id
+        |WHERE list_dot_product(p.a_emb, c.emb) /
+        |  (sqrt(list_dot_product(p.a_emb, p.a_emb)) * sqrt(list_dot_product(c.emb, c.emb))) > 0.999""".stripMargin,
+    "l10_token_count" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+        |FROM documents""".stripMargin,
+    "l11_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |CASE WHEN length(text) < 32 THEN md5(text)
+        |     ELSE list_aggregate(list_transform(
+        |            generate_series(1, greatest(length(text) - 31, 1), 16),
+        |            i -> md5(substr(text, i, 32))), 'min')
+        |END AS fingerprint
+        |FROM documents""".stripMargin
+  )
+}
