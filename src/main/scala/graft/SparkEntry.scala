@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.Extraction.queries ++
       graft.queries.Sources.queries ++
       graft.queries.Nested.queries ++
-      graft.queries.Llm.queries
+      graft.queries.Llm.queries ++
+      graft.queries.StreamingQ.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.Extraction.oracle ++
       graft.queries.Sources.oracle ++
       graft.queries.Nested.oracle ++
-      graft.queries.Llm.oracle
+      graft.queries.Llm.oracle ++
+      graft.queries.StreamingQ.oracle
 }

@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.Engine._
+import graft.sinks.IncrementalWriter
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+
+/** Streaming semantics (SURVEY §2.9 ST1-ST7). ST2/ST3/ST5 execute REAL
+  * Structured Streaming queries (readStream → stateful agg / foreachBatch →
+  * sink, Trigger.AvailableNow, checkpointed) whose final state is
+  * deterministic, so even the streaming path is oracle-checked. Window
+  * semantics (tumbling/sliding/session) additionally run in batch mode —
+  * same operators, same results — for the DuckDB comparison.
+  */
+object StreamingQ {
+
+  /** ST1: tumbling 1-day window (the per-day slices of main.yml:79-80). */
+  def st1Tumbling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy(window($"ts", "1 day").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select($"w.start".as("w_start"), $"n", $"sum_value")
+  }
+
+  /** ST2: checkpointed streaming aggregation run to completion — real
+    * readStream → window agg → complete-mode memory sink. */
+  def st2CheckpointedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = Streams.stageEvents(spark, dir, 4)
+    val schema = Streams.eventsSchema(spark, dir)
+    val name = s"st2_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val agg = Streams.eventsStream(spark, staged, schema, 1)
+      .groupBy(window($"ts", "1 day").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("w_start"), $"n")
+    Streams.runCompleteToMemory(agg, name)
+    spark.table(name)
+  }
+
+  /** ST3: exactly-once-style sink — streaming foreachBatch into the
+    * idempotent IncrementalWriter; replaying the whole stream appends 0
+    * (mirrors skip-if-exists + state, :462-465, scraper_state.json). */
+  def st3ForeachBatchIdempotent(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = Streams.stageEvents(spark, dir, 4)
+    val schema = Streams.eventsSchema(spark, dir)
+    val sink = java.nio.file.Files.createTempDirectory("st3_sink").toString
+    val writer = new IncrementalWriter(spark, sink, Seq("event_id"))
+    val appended = new java.util.concurrent.atomic.AtomicLong(0L)
+    def runOnce(): Long = {
+      appended.set(0L)
+      val q = Streams.eventsStream(spark, staged, schema, 2)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck_st3").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          appended.addAndGet(writer.append(batch)): Unit
+        }
+        .start()
+      q.awaitTermination()
+      appended.get()
+    }
+    val first = runOnce()
+    val second = runOnce() // fresh checkpoint, same data: anti-join absorbs it
+    Seq((1L, first), (2L, second)).toDF("run", "appended")
+  }
+
+  /** ST4: late/failed-data reprocessing — the retry-failed op: days marked
+    * failed in the state map are re-driven against the source
+    * (main.yml:18-23, README.md:80). */
+  def st4LateReprocess(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val failedDays = Sources.s4StateSource(spark, dir)
+      .filter($"status" === "failed")
+      .select(to_date($"day").as("day"))
+    events(spark, dir)
+      .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("n_events"))
+      .join(failedDays, Seq("day"))
+  }
+
+  /** ST5: rate-limited ingestion — maxFilesPerTrigger=1 over 4 staged files
+    * must yield exactly 4 micro-batches (pacing, :495 + main.yml:94). */
+  def st5RatePaced(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = Streams.stageEvents(spark, dir, 4)
+    val schema = Streams.eventsSchema(spark, dir)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = Streams.eventsStream(spark, staged, schema, 1)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck_st5").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batches.incrementAndGet()
+        rows.addAndGet(batch.count()): Unit
+      }
+      .start()
+    q.awaitTermination()
+    Seq((batches.get(), rows.get())).toDF("n_batches", "n_rows")
+  }
+
+  /** ST6a: sliding window (10 min length, 5 min slide). */
+  def st6Sliding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("w_start"), $"n")
+  }
+
+  /** ST6b: session window (30 min gap) per user. */
+  def st6Session(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"w.start".as("s_start"), $"n")
+  }
+
+  /** ST7: stateful stream dedup — dropDuplicates on the dedup key; batch
+    * analog of dropDuplicatesWithinWatermark (watermark variant exercised
+    * in the MemoryStream test suite). */
+  def st7StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .select($"user_id", $"event_type")
+      .dropDuplicates("user_id", "event_type")
+  }
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_tumbling" -> (st1Tumbling _),
+    "st2_checkpointed_agg" -> (st2CheckpointedAgg _),
+    "st3_foreachbatch_idempotent" -> (st3ForeachBatchIdempotent _),
+    "st4_late_reprocess" -> (st4LateReprocess _),
+    "st5_rate_paced" -> (st5RatePaced _),
+    "st6_sliding" -> (st6Sliding _),
+    "st6_session" -> (st6Session _),
+    "st7_stream_dedup" -> (st7StreamDedup _)
+  )
+
+  private val oraDsumValue = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+
+  val oracle: Map[String, String] = Map(
+    "st1_tumbling" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, count(*) AS n,
+         |$oraDsumValue AS sum_value
+         |FROM events GROUP BY 1""".stripMargin,
+    "st2_checkpointed_agg" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "st3_foreachbatch_idempotent" ->
+      """SELECT CAST(1 AS BIGINT) AS run, count(*) AS appended FROM events
+        |UNION ALL SELECT 2, 0""".stripMargin,
+    "st4_late_reprocess" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_events
+        |FROM events
+        |WHERE CAST(date_trunc('day', ts) AS DATE) IN (DATE '2024-01-03', DATE '2024-01-07')
+        |GROUP BY 1""".stripMargin,
+    "st5_rate_paced" ->
+      "SELECT CAST(4 AS BIGINT) AS n_batches, count(*) AS n_rows FROM events",
+    "st6_sliding" ->
+      """WITH w AS (
+        |  SELECT make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) * 300) * 1000000) AS w_start FROM events
+        |  UNION ALL
+        |  SELECT make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - 300) * 1000000) FROM events)
+        |SELECT w_start, count(*) AS n FROM w GROUP BY w_start""".stripMargin,
+    "st6_session" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS s_start, count(*) AS n
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "st7_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events"
+  )
+}

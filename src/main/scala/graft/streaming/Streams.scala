@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.Engine
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming harness (SURVEY §2.9): the reference is a
+  * checkpointed micro-batch stream over the date axis
+  * (main.yml:70-95 + scraper_state.json) — here expressed as real
+  * `readStream` pipelines run to completion with Trigger.AvailableNow so
+  * results are deterministic and oracle-checkable.
+  */
+object Streams {
+
+  /** Stage the events table as `n` parquet files so maxFilesPerTrigger can
+    * drive a deterministic number of micro-batches (the per-day batch
+    * pacing of main.yml:77-95). Returns the staged dir. */
+  def stageEvents(spark: SparkSession, dir: String, n: Int): String = {
+    val out = java.nio.file.Files.createTempDirectory("events_staged").toString
+    Engine.events(spark, dir).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    out
+  }
+
+  def eventsSchema(spark: SparkSession, dir: String): StructType =
+    Engine.events(spark, dir).schema
+
+  /** Streaming source over the staged events files. */
+  def eventsStream(spark: SparkSession, staged: String, schema: StructType,
+      maxFilesPerTrigger: Int): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(staged)
+
+  /** Run a streaming aggregation to completion into a memory sink (complete
+    * mode) and return the final result table. */
+  def runCompleteToMemory(agg: DataFrame, name: String): Unit = {
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"ck_$name").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}
