@@ -1,8 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
 
 /** Core harness: session factory + fixture-table loaders (SURVEY §7.1 step 1).
   *
@@ -28,26 +26,35 @@ object Engine {
     spark
   }
 
-  /** Timestamp columns stored as parquet TIMESTAMP(NANOS) in the fixtures.
-    * Spark has no nanosecond timestamp type, so these are read as raw nano
-    * longs (legacy nanosAsLong conf) and losslessly narrowed to microsecond
-    * timestamps (the fixture generator emits micro-precision values; checked:
-    * zero rows with sub-micro residue at every SF). */
-  private val nanoTsCols = Map(
-    "orders" -> Seq("o_orderdate"),
-    "lineitem" -> Seq("l_shipdate"),
-    "events" -> Seq("ts"))
-
-  /** Parquet scan for one fixture table under `dir` (see TESTDATA.md). */
+  /** Parquet scan for one fixture table under `dir` (see TESTDATA.md).
+    *
+    * Timestamp storage differs per table: lineitem/orders use parquet
+    * TIMESTAMP(MILLIS), which Spark reads natively as TIMESTAMP_NTZ —
+    * range predicates with [[tsLit]] literals stay cast-free and reach the
+    * scan as PushedFilters (asserted in PlanShapeSpec). `events.ts` is
+    * TIMESTAMP(NANOS), which Spark has no native type for: it is read as a
+    * raw nano long (legacy nanosAsLong conf) and losslessly narrowed to a
+    * microsecond timestamp (generator emits micro precision; zero sub-micro
+    * residue at every SF). The narrowing is a projection, so event-time
+    * range filters do not push to the scan — time pruning for the events
+    * table belongs in partition layout (e.g. day-partitioned ingest), which
+    * is how the streaming path organizes it anyway. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    nanoTsCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
-      if (df.schema.fieldNames.contains(c) && df.schema(c).dataType == LongType)
-        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+    raw.schema.fields.foldLeft(raw) { (df, f) =>
+      if (f.dataType == org.apache.spark.sql.types.LongType && f.name == "ts" && name == "events")
+        df.withColumn(f.name,
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr(s"${f.name} div 1000")))
       else df
     }
   }
+
+  /** NTZ timestamp literal for pushdown-friendly comparisons against the
+    * fixture timestamp columns. */
+  def tsLit(iso: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.lit(iso).cast("timestamp_ntz")
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")

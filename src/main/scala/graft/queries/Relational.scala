@@ -37,7 +37,9 @@ object Relational {
   def a9MultiAggQ1(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     lineitem(spark, dir)
-      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      // NTZ literal keeps the attribute cast-free, so the bound reaches the
+      // parquet scan as a PushedFilter (row-group pruning at scale)
+      .filter($"l_shipdate" <= graft.Engine.tsLit("1998-09-02"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         sum($"l_quantity").as("sum_qty"), // integral doubles: exact in any order

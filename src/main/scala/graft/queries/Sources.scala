@@ -37,8 +37,8 @@ object Sources {
   def s1PushdownScan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     lineitem(spark, dir)
-      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
-        $"l_shipdate" < lit("1996-07-01").cast("timestamp"))
+      .filter($"l_shipdate" >= graft.Engine.tsLit("1996-01-01") &&
+        $"l_shipdate" < graft.Engine.tsLit("1996-07-01"))
       .select($"l_orderkey", $"l_linenumber", $"l_quantity")
   }
 

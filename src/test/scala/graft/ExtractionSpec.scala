@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.Text
+import graft.queries.{Extraction, Nested}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the extraction layer against reference behavior
+  * (/root/reference/src/01-scrape-images.py:270-351,:414-420). */
+class ExtractionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P1: data-src pattern wins over src when both present") {
+    val html = Seq(
+      ("""<img data-src="https://data.kb.se/iiif/2/111/x"> <img src="https://data.kb.se/iiif/2/222/x">""", "111"),
+      ("""<img src="https://data.kb.se/iiif/2/222/x">""", "222"),
+      ("""<div>nothing</div>""", null)).toDF("html", "expected")
+    val got = html.select(
+      coalesce(
+        nullif(regexp_extract($"html", "data-src=\"https://data\\.kb\\.se/iiif/2/([0-9]+)/", 1), lit("")),
+        nullif(regexp_extract($"html", "src=\"https://data\\.kb\\.se/iiif/2/([0-9]+)/", 1), lit("")))
+        .as("got"), $"expected")
+    assert(got.filter(coalesce($"got", lit("∅")) =!= coalesce($"expected", lit("∅"))).isEmpty)
+  }
+
+  test("P2: date fallback chain is first-non-null, empty match is a miss") {
+    val rows = Extraction.p2DateFallback(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every value is either ISO or the default — never an empty string
+    assert(rows.forall { r =>
+      val d = r.getString(1)
+      d == "Unknown_Date" || d.matches("[0-9]{4}-[0-9]{2}-[0-9]{2}")
+    })
+    // the default actually fires (doc_id % 4 == 3 rows have no date source)
+    assert(rows.exists(_.getString(1) == "Unknown_Date"))
+  }
+
+  test("P10: sanitize keeps only word chars, whitespace and dashes") {
+    val out = Extraction.p10Sanitize(spark, sfDir)
+      .select("clean_title").as[String].collect()
+    assert(out.forall(_.matches("[\\w\\s-]*")))
+    assert(out.forall(!_.contains("#")))
+  }
+
+  test("G1: bodyless and non-jp2 annotations are dropped without error") {
+    val out = Nested.g1ManifestExplode(spark, sfDir)
+    val docs = Engine.documents(spark, sfDir).count()
+    assert(out.count() == docs) // exactly one surviving .jp2 per document
+    assert(out.filter(!$"page_file".endsWith(".jp2")).isEmpty)
+  }
+
+  test("shingles: short texts yield empty arrays, not descending garbage") {
+    val df = Seq("one two", "one two three", "a b c d").toDF("t")
+      .select(Text.shingles($"t", 3).as("sh"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0) == Seq())
+    assert(got(1) == Seq("one two three"))
+    assert(got(2) == Seq("a b c", "b c d"))
+  }
+
+  test("rolling fingerprint degrades to md5 for short docs") {
+    val df = Seq("short").toDF("t").select(Text.rollingFingerprint($"t").as("fp"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("short".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(df.as[String].head() == md)
+  }
+
+  test("cosine of a vector with itself is 1.0") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+      .select(Text.cosine($"a", $"b").as("c"))
+    assert(math.abs(df.as[Double].head() - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.queries.{Llm, Nested, Relational, Sources}
+
+/** Plan-shape assertions (SURVEY §5.4 / §4 O1-O3): pushdown, pruning,
+  * broadcast and codegen must actually appear in the executed plan — these
+  * are the properties that keep the engine viable at 100 TB. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("O1: range predicate reaches the parquet scan as a pushed filter") {
+    val plan = planOf(Sources.s1PushdownScan(spark, sfDir))
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan.take(2000))
+  }
+
+  test("O1: flagship Q1 pushes its shipdate bound") {
+    val plan = planOf(Relational.a9MultiAggQ1(spark, sfDir))
+    assert(plan.contains("LessThanOrEqual(l_shipdate"), plan.take(2000))
+  }
+
+  test("O2: column pruning — Q1 scan reads only the needed columns") {
+    val plan = planOf(Relational.a9MultiAggQ1(spark, sfDir))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag"), readSchema)
+    assert(!readSchema.contains("l_partkey"), readSchema)
+    assert(!readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("O2: nested JSON access parses only the referenced field") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Engine.events(spark, sfDir)
+      .select(from_json($"props",
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
+    assert(df.queryExecution.analyzed.schema.fields.length == 1)
+  }
+
+  test("broadcast hint survives to the physical plan (J2/J6)") {
+    val plan = planOf(Relational.j6StarJoin(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("anti-join uses a hash join, not a nested loop (J1)") {
+    val plan = planOf(Relational.j1AntiSkipExists(spark, sfDir))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("global top-k runs as TakeOrderedAndProject, not a full sort (W7)") {
+    val plan = planOf(Relational.w7GlobalTopk(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("aggregation pipeline is whole-stage codegen'd (A9)") {
+    val df = Relational.a9MultiAggQ1(spark, sfDir)
+    df.collect() // finalize the adaptive plan so codegen stages are visible
+    val plan = planOf(df)
+    // final AQE plans render codegen stages as "*(n) Op" prefixes
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1)"), plan.take(3000))
+  }
+
+  test("O3: manifest kernel explodes with GenerateExec and no shuffle") {
+    val plan = planOf(Nested.g1ManifestExplode(spark, sfDir))
+    assert(plan.contains("Generate explode"), plan.take(3000))
+    assert(!plan.contains("Exchange"), plan.take(3000)) // pure map-side pipeline
+  }
+
+  test("L2 near-dedup never builds an all-pairs join") {
+    val plan = planOf(Llm.l2MinhashNearDup(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Streaming semantics with real file-source streams (SURVEY §5.5, ST1-ST7):
+  * watermark-driven late-data drop, checkpointed resume, per-batch pacing.
+  * File sources (not MemoryStream) so only public APIs are exercised.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private val schema = StructType.fromDDL("ts TIMESTAMP, k STRING, v BIGINT")
+
+  private def writeFile(dir: String, name: String, rows: Seq[(String, String, Long)]): Unit =
+    rows.map { case (ts, k, v) => (java.sql.Timestamp.valueOf(ts), k, v) }
+      .toDF("ts", "k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+  test("ST1/ST4: append-mode windowed agg drops events behind the watermark") {
+    val src = tmp("wm_src")
+    // batch 1: one event in the 10:00 window, one at 12:00 (advances watermark to 11:00)
+    writeFile(src, "b1", Seq(("2024-01-01 10:00:10", "a", 1L), ("2024-01-01 12:00:00", "b", 1L)))
+    val out = tmp("wm_out")
+    val ck = tmp("wm_ck")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select($"w.start".as("w_start"), $"n")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", out)
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    def emitted(): Map[String, Long] = spark.read.parquet(out)
+      .select(date_format($"w_start", "HH:mm").as("w"), $"n").as[(String, Long)]
+      .collect().toMap
+    // batch 2 (new file, resumed from checkpoint): a LATE event for the
+    // 10:00 window (behind the 11:00 watermark) plus a 13:00 event
+    writeFile(src, "b2", Seq(("2024-01-01 10:00:20", "late", 1L), ("2024-01-01 13:00:00", "c", 1L)))
+    runOnce()
+    val afterB2 = emitted()
+    // 10:00 window finalized with ONLY the on-time event; late arrival dropped
+    assert(afterB2.get("10:00").contains(1L), afterB2.toString)
+    // 12:00 window (end 12:10) not yet closed: watermark is only 12:00
+    assert(!afterB2.contains("12:00"), afterB2.toString)
+    // batch 3 pushes the watermark past 12:10 and closes the 12:00 window
+    writeFile(src, "b3", Seq(("2024-01-01 14:00:00", "d", 1L)))
+    runOnce()
+    val afterB3 = emitted()
+    assert(afterB3.get("12:00").contains(1L), afterB3.toString)
+  }
+
+  test("ST2: restart from checkpoint does not reprocess absorbed files") {
+    val src = tmp("ck_src")
+    writeFile(src, "b1", Seq(("2024-01-01 00:00:00", "x", 1L), ("2024-01-01 00:00:01", "y", 2L)))
+    val ck = tmp("ck_ck")
+    val out = tmp("ck_out")
+    def total(): Long = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", out)
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out).count()
+    }
+    assert(total() == 2)
+    assert(total() == 2) // second run: checkpoint says nothing new
+    writeFile(src, "b2", Seq(("2024-01-01 00:00:02", "z", 3L)))
+    assert(total() == 3) // resume picks up exactly the new file
+  }
+
+  test("ST7: dropDuplicatesWithinWatermark keeps one row per key in-window") {
+    val src = tmp("dd_src")
+    writeFile(src, "b1", Seq(
+      ("2024-01-01 10:00:00", "k1", 1L), ("2024-01-01 10:00:05", "k1", 2L),
+      ("2024-01-01 10:00:07", "k2", 3L)))
+    val out = tmp("dd_out")
+    val q = spark.readStream.schema(schema).parquet(src)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("dd_ck"))
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(out).select($"k").as[String].collect().sorted
+    assert(rows.toSeq == Seq("k1", "k2"), rows.mkString(","))
+  }
+
+  test("ST5: maxFilesPerTrigger paces ingestion into one batch per file") {
+    val src = tmp("rate_src")
+    (1 to 3).foreach(i =>
+      writeFile(src, s"b$i", Seq((s"2024-01-01 00:00:0$i", s"k$i", i.toLong))))
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("rate_ck"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) batches.incrementAndGet(): Unit
+      }
+      .start()
+    q.awaitTermination()
+    assert(batches.get() == 3)
+  }
+}
