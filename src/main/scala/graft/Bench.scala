@@ -22,6 +22,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // untimed warmup: JVM/codegen/parquet-reader startup otherwise lands on
+    // whichever query happens to sort first
+    spark.range(1000000).selectExpr("sum(id) AS s")
+      .write.format("noop").mode("overwrite").save()
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

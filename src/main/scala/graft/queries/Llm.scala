@@ -245,6 +245,7 @@ object Llm {
     "l2_minhash_neardup" -> (l2MinhashNearDup _),
     "l2_minhash_lsh_mllib" -> (l2MinhashLshMllib _),
     "l3_cosine_topk" -> (l3CosineTopk _),
+    "j8_similarity_topk_join" -> (l3CosineTopk _), // SURVEY J8 = same operator
     "l3_ann_lsh" -> (l3AnnLsh _),
     "l4_text_metrics" -> (l4TextMetrics _),
     "l4_lang_id" -> (l4LangId _),
@@ -295,6 +296,18 @@ object Llm {
           |SELECT a.id AS a_id, b.id AS b_id, count(*) AS shared_bands
           |FROM bands a JOIN bands b ON a.band = b.band AND a.bi = b.bi AND a.id < b.id
           |GROUP BY a.id, b.id""".stripMargin),
+    "j8_similarity_topk_join" ->
+      """WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS score
+        |  FROM probes p JOIN embeddings c ON c.vec_id <> p.vec_id)
+        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+        |  FROM scored) WHERE rn <= 5""".stripMargin,
     "l3_cosine_topk" ->
       """WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
         |scored AS (

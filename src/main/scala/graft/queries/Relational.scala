@@ -51,6 +51,16 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** P6: range predicate (between), pushed to the source (reference encodes
+    * [start, end) into the search URL, :487, main.yml:79-80). */
+  def p6Between(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, dir)
+      .filter($"o_orderdate" >= graft.Engine.tsLit("1997-01-01") &&
+        $"o_orderdate" < graft.Engine.tsLit("1998-01-01"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+  }
+
   // ---------------------------------------------------------------- joins
   /** J1: anti-join skip-if-exists (reference :181-188 driven at :462-465). */
   def j1AntiSkipExists(spark: SparkSession, dir: String): DataFrame = {
@@ -362,6 +372,7 @@ object Relational {
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a9_multi_agg_q1" -> (a9MultiAggQ1 _),
+    "p6_between" -> (p6Between _),
     "j1_anti_skip_exists" -> (j1AntiSkipExists _),
     "j2_broadcast_lookup" -> (j2BroadcastLookup _),
     "j3_get_or_create" -> (j3GetOrCreate _),
@@ -406,6 +417,10 @@ object Relational {
          |count(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "p6_between" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
     "j1_anti_skip_exists" ->
       """SELECT DISTINCT l_orderkey FROM lineitem
         |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin,

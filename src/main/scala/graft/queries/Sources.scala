@@ -139,6 +139,31 @@ object Sources {
     Seq((1L, partial), (2L, resumed)).toDF("phase", "appended")
   }
 
+  /** L5: multimodal decode plumbing — binary payloads flow through a typed
+    * mapPartitions stage producing per-asset features. The actual image
+    * decode is STUBBED with a deterministic function of the byte length
+    * (image/audio codecs are not available in this environment); the
+    * Spark-side contract — schema, encoder, partition-wise batch shape —
+    * is real and oracle-checked against precomputed fixture values. */
+  def l5MultimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assets = s3BinarySource(spark, dir)
+      .withColumn("mime",
+        when(lower($"file_name").endsWith(".jp2"), "image/jp2")
+          .when(lower($"file_name").endsWith(".jpg") || lower($"file_name").endsWith(".jpeg"),
+            "image/jpeg")
+          .otherwise("application/octet-stream"))
+      .as[(String, Long, String, String)] // file_name, n_bytes, md5_hex, mime
+    assets.mapPartitions { it =>
+      it.map { case (name, nBytes, md5hex, mime) =>
+        // ??? real decoder goes here; deterministic fake keeps tests honest
+        val width = (nBytes * 7 % 640 + 1).toInt
+        val height = (nBytes * 13 % 480 + 1).toInt
+        (name, mime, nBytes, width, height)
+      }
+    }.toDF("file_name", "mime", "n_bytes", "width", "height")
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_pushdown_scan" -> (s1PushdownScan _),
@@ -150,7 +175,8 @@ object Sources {
     "s7_verified_write" -> (s7VerifiedWrite _),
     "s8_get_or_create_dirs" -> (s8GetOrCreateDirs _),
     "s9_overwrite_commit" -> (s9OverwriteCommit _),
-    "s11_resumable_load" -> (s11ResumableLoad _)
+    "s11_resumable_load" -> (s11ResumableLoad _),
+    "l5_multimodal_decode" -> (l5MultimodalDecode _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -189,6 +215,13 @@ object Sources {
       """SELECT CAST(1 AS BIGINT) AS phase,
         |  (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0) AS appended
         |UNION ALL
-        |SELECT 2, (SELECT count(*) FROM orders WHERE o_orderkey % 7 <> 0)""".stripMargin
+        |SELECT 2, (SELECT count(*) FROM orders WHERE o_orderkey % 7 <> 0)""".stripMargin,
+    "l5_multimodal_decode" ->
+      """SELECT * FROM (VALUES
+        |('bib13991099_18650102_0_1_0001.jp2', 'image/jp2', CAST(42 AS BIGINT), 295, 67),
+        |('bib13991099_18650102_0_1_0002.JP2', 'image/jp2', CAST(44 AS BIGINT), 309, 93),
+        |('notes.bin', 'application/octet-stream', CAST(12 AS BIGINT), 85, 157),
+        |('thumb_13.jpg', 'image/jpeg', CAST(20 AS BIGINT), 141, 261)
+        |) AS t(file_name, mime, n_bytes, width, height)""".stripMargin
   )
 }
