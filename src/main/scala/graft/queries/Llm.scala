@@ -108,6 +108,25 @@ object Llm {
       .select($"query_id", $"neighbor_id", $"rank")
   }
 
+  /** L3 (native): same top-k as [[l3CosineTopk]] but scored by the fused
+    * codegen'd [[graft.functions.CosineSimilarityExpr]] — one pass, no
+    * per-pair array allocation. Bit-identical to the HOF version and the
+    * oracle, so it shares the same DuckDB SQL. */
+  def l3CosineTopkNative(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineSimilarityExpr.cosineNative
+    import spark.implicits._
+    val emb = embeddings(spark, dir)
+    val probes = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id")
+    emb.join(broadcast(probes), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        cosineNative(spark, $"q_emb", $"embedding").as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"neighbor_id", $"rank")
+  }
+
   /** L3b: ANN scale path — BucketedRandomProjectionLSH with fixed seed
     * (rows-only; hash planes are not SQL-reproducible). */
   def l3AnnLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -246,6 +265,7 @@ object Llm {
     "l2_minhash_lsh_mllib" -> (l2MinhashLshMllib _),
     "l3_cosine_topk" -> (l3CosineTopk _),
     "j8_similarity_topk_join" -> (l3CosineTopk _), // SURVEY J8 = same operator
+    "l3_cosine_topk_native" -> (l3CosineTopkNative _),
     "l3_ann_lsh" -> (l3AnnLsh _),
     "l4_text_metrics" -> (l4TextMetrics _),
     "l4_lang_id" -> (l4LangId _),
@@ -297,6 +317,18 @@ object Llm {
           |FROM bands a JOIN bands b ON a.band = b.band AND a.bi = b.bi AND a.id < b.id
           |GROUP BY a.id, b.id""".stripMargin),
     "j8_similarity_topk_join" ->
+      """WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS score
+        |  FROM probes p JOIN embeddings c ON c.vec_id <> p.vec_id)
+        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+        |  FROM scored) WHERE rn <= 5""".stripMargin,
+    "l3_cosine_topk_native" ->
       """WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
         |scored AS (
         |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
