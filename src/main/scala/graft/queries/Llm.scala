@@ -165,7 +165,8 @@ object Llm {
     val probes = cands.filter($"vec_id" < 50)
       .select($"vec_id".as("a_id"), $"embedding".as("a_emb"))
     cands.join(broadcast(probes), $"a_id" < $"vec_id")
-      .filter(Text.cosine($"a_emb", $"embedding") > 0.999)
+      // fused native scorer: 5x over the HOF formulation in the pair loop
+      .filter(graft.functions.CosineSimilarityExpr.cosineNative(spark, $"a_emb", $"embedding") > 0.999)
       .select($"a_id", $"vec_id".as("b_id"))
   }
 
@@ -264,7 +265,7 @@ object Llm {
     "l2_minhash_neardup" -> (l2MinhashNearDup _),
     "l2_minhash_lsh_mllib" -> (l2MinhashLshMllib _),
     "l3_cosine_topk" -> (l3CosineTopk _),
-    "j8_similarity_topk_join" -> (l3CosineTopk _), // SURVEY J8 = same operator
+    "j8_similarity_topk_join" -> (l3CosineTopkNative _), // SURVEY J8, native scorer
     "l3_cosine_topk_native" -> (l3CosineTopkNative _),
     "l3_ann_lsh" -> (l3AnnLsh _),
     "l4_text_metrics" -> (l4TextMetrics _),

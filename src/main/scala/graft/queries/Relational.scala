@@ -167,6 +167,21 @@ object Relational {
       .select($"event_id", $"user_id", $"p_ts", $"c_ts".as("last_click_ts"))
   }
 
+  /** A2/A3 (typed): the verified-ingest Aggregator — one custom typed
+    * aggregate over the events stream per user (success = non-error event,
+    * bytes = cents of value). */
+  def a3TypedAggregator(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VerifiedIngestAgg.verifiedIngest
+    import spark.implicits._
+    events(spark, dir)
+      .select($"user_id", ($"event_type" =!= "error").as("ok"),
+        ($"value".cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .groupBy($"user_id")
+      .agg(verifiedIngest($"ok", $"cents").as("ingest"))
+      .select($"user_id", $"ingest.n_ok".as("n_ok"), $"ingest.n_fail".as("n_fail"),
+        $"ingest.total_bytes".as("total_cents"), $"ingest.all_ok".as("all_ok"))
+  }
+
   // ---------------------------------------------------------- aggregations
   /** A1: counts + per-group distinct count. */
   def a1Counts(spark: SparkSession, dir: String): DataFrame = {
@@ -385,6 +400,7 @@ object Relational {
     "a1_counts" -> (a1Counts _),
     "a2_cond_count" -> (a2CondCount _),
     "a3_bool_and" -> (a3BoolAnd _),
+    "a3_typed_aggregator" -> (a3TypedAggregator _),
     "a4_group_layout" -> (a4GroupLayout _),
     "a5_distinct" -> (a5Distinct _),
     "a6_pivot" -> (a6Pivot _),
@@ -478,6 +494,13 @@ object Relational {
       """SELECT l_orderkey, bool_and(l_quantity > 0) AS all_qty_pos,
         |bool_or(l_tax > 0.05) AS any_high_tax, count(*) AS n_lines
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "a3_typed_aggregator" ->
+      """SELECT user_id,
+        |CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        |CAST(sum(CASE WHEN event_type <> 'error' THEN 0 ELSE 1 END) AS BIGINT) AS n_fail,
+        |CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents,
+        |bool_and(event_type <> 'error') AS all_ok
+        |FROM events GROUP BY user_id""".stripMargin,
     "a4_group_layout" ->
       """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang, source""".stripMargin,
