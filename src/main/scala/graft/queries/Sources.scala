@@ -139,6 +139,33 @@ object Sources {
     Seq((1L, partial), (2L, resumed)).toDF("phase", "appended")
   }
 
+  /** S5b: partition-pruned read — day-partitioned layout written once, then
+    * a single-day read whose partition predicate prunes directories (the
+    * scan's PartitionFilters, asserted in PlanShapeSpec). This is the time
+    *-pruning strategy for event data at scale (Engine.table scaladoc). */
+  def s5PartitionPrunedRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("s5b_days")
+    events(spark, dir)
+      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+      .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(out)
+    spark.read.parquet(out)
+      .filter($"day" === "2024-01-15")
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+  }
+
+  /** F-map: map construction and access over the JSON props map. */
+  def fMap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .select($"event_id",
+        from_json($"props", MapType(StringType, StringType)).as("m"))
+      .select($"event_id",
+        array_join(map_keys($"m"), ",").as("keys"),
+        element_at($"m", "k").cast("long").as("k_val"),
+        size($"m").cast("long").as("n_entries"))
+  }
+
   /** L5: multimodal decode plumbing — binary payloads flow through a typed
     * mapPartitions stage producing per-asset features. The actual image
     * decode is STUBBED with a deterministic function of the byte length
@@ -176,6 +203,8 @@ object Sources {
     "s8_get_or_create_dirs" -> (s8GetOrCreateDirs _),
     "s9_overwrite_commit" -> (s9OverwriteCommit _),
     "s11_resumable_load" -> (s11ResumableLoad _),
+    "s5_partition_pruned_read" -> (s5PartitionPrunedRead _),
+    "f_map" -> (fMap _),
     "l5_multimodal_decode" -> (l5MultimodalDecode _)
   )
 
@@ -216,6 +245,15 @@ object Sources {
         |  (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0) AS appended
         |UNION ALL
         |SELECT 2, (SELECT count(*) FROM orders WHERE o_orderkey % 7 <> 0)""".stripMargin,
+    "s5_partition_pruned_read" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
+        |GROUP BY event_type""".stripMargin,
+    "f_map" ->
+      """SELECT event_id, 'k' AS keys,
+        |CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k_val,
+        |CAST(1 AS BIGINT) AS n_entries
+        |FROM events""".stripMargin,
     "l5_multimodal_decode" ->
       """SELECT * FROM (VALUES
         |('bib13991099_18650102_0_1_0001.jp2', 'image/jp2', CAST(42 AS BIGINT), 295, 67),

@@ -68,6 +68,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(3000)) // pure map-side pipeline
   }
 
+  test("S5b: day-partitioned read prunes partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("prune").toString
+    Engine.events(spark, sfDir)
+      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    val read = spark.read.parquet(out).filter($"day" === "2024-01-15")
+    val plan = planOf(read)
+    assert(plan.contains("PartitionFilters: [isnotnull(day"), plan.take(2000))
+    // only one of the ~30 day directories is scanned
+    val scanned = read.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanned.contains("day=2024-01-15") || plan.contains("(day#"), scanned.take(500))
+  }
+
+  test("B2 fixture: committed IIIF manifest parses through the declared schema") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pages = spark.read.option("wholetext", "true")
+      .text(s"${queries.Sources.fixtureDir}/manifest.json")
+      .select(from_json($"value", Nested.manifestSchema).as("m"))
+      .select(explode($"m.items").as("canvas"))
+      .select(explode($"canvas.items").as("page"))
+      .select(explode($"page.items").as("annotation"))
+      .select($"annotation.body.id".as("url"))
+      .filter($"url".isNotNull && $"url".endsWith(".jp2"))
+      .select(element_at(split($"url", "/"), -1).as("page_file"))
+      .as[String].collect().sorted
+    assert(pages.toSeq == Seq(
+      "bib13991099_18650102_0_1_0001.jp2", "bib13991099_18650102_0_1_0002.jp2"))
+  }
+
   test("L2 near-dedup never builds an all-pairs join") {
     val plan = planOf(Llm.l2MinhashNearDup(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
