@@ -21,6 +21,9 @@ import org.apache.spark.sql.functions._
   */
 object Llm {
 
+  /** Fixed-schema document record (typed-Dataset surface). */
+  case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+
   /** Dedup candidate set: every document plus a same-text copy under a
     * shifted id — gives the exact-dedup operator real duplicates to kill. */
   private def dupCandidates(spark: SparkSession, dir: String): DataFrame = {
@@ -259,6 +262,19 @@ object Llm {
       .select($"doc_id", $"q_score")
   }
 
+  /** Typed Dataset[T] surface (SURVEY §1.3): case-class encoder, typed
+    * filter, then back to the relational plan — compile-time field checks
+    * where the record shape is fixed (the NewspaperIssue analog). */
+  def tTypedDataset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .as[Llm.Doc]
+      .filter(d => d.n_chars > 500 && d.lang != "zh")
+      .map(d => (d.doc_id, d.source, d.text.split(' ').length.toLong))
+      .toDF("doc_id", "source", "n_tokens")
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup" -> (l1ExactDedup _),
@@ -275,6 +291,7 @@ object Llm {
     "l8_ngram_jaccard" -> (l8NgramJaccard _),
     "l9_embedding_neardup" -> (l9EmbeddingNearDup _),
     "l10_token_count" -> (l10TokenCount _),
+    "t_typed_dataset" -> (tTypedDataset _),
     "l11_rolling_fingerprint" -> (l11RollingFingerprint _)
   )
 
@@ -413,6 +430,9 @@ object Llm {
         |FROM probes p JOIN cand c ON p.a_id < c.vec_id
         |WHERE list_dot_product(p.a_emb, c.emb) /
         |  (sqrt(list_dot_product(p.a_emb, p.a_emb)) * sqrt(list_dot_product(c.emb, c.emb))) > 0.999""".stripMargin,
+    "t_typed_dataset" ->
+      """SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents WHERE n_chars > 500 AND lang <> 'zh'""".stripMargin,
     "l10_token_count" ->
       """SELECT doc_id,
         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,

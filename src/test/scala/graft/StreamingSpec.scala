@@ -101,6 +101,62 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq("k1", "k2"), rows.mkString(","))
   }
 
+  test("custom state: mapGroupsWithState keeps running per-key counts across batches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val src = tmp("mgs_src")
+    writeFile(src, "b1", Seq(
+      ("2024-01-01 00:00:01", "u1", 1L), ("2024-01-01 00:00:02", "u1", 1L),
+      ("2024-01-01 00:00:03", "u2", 1L)))
+    writeFile(src, "b2", Seq(
+      ("2024-01-01 00:01:01", "u1", 1L), ("2024-01-01 00:01:02", "u2", 1L),
+      ("2024-01-01 00:01:03", "u3", 1L)))
+    val name = s"mgs_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .as[(java.sql.Timestamp, String, Long)]
+      .groupByKey(_._2)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(java.sql.Timestamp, String, Long)],
+         state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (key, n)
+      }
+      .toDF("k", "n")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(name)
+      .option("checkpointLocation", tmp("mgs_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // last update per key is the cumulative count across both batches
+    val finalCounts = spark.table(name).groupBy($"k").agg(max($"n").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(finalCounts == Map("u1" -> 3L, "u2" -> 2L, "u3" -> 1L), finalCounts.toString)
+  }
+
+  test("ST6: session windows merge in a real stream run to completion") {
+    val src = tmp("sess_src")
+    writeFile(src, "b1", Seq(
+      ("2024-01-01 10:00:00", "u1", 1L), ("2024-01-01 10:10:00", "u1", 1L), // one session
+      ("2024-01-01 12:00:00", "u1", 1L))) // gap > 30 min: second session
+    val name = s"sess_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = spark.readStream.schema(schema).parquet(src)
+      .groupBy($"k", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"k", $"w.start".as("s_start"), $"n")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .option("checkpointLocation", tmp("sess_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sessions = spark.table(name)
+      .select(date_format($"s_start", "HH:mm").as("s"), $"n")
+      .as[(String, Long)].collect().toMap
+    assert(sessions == Map("10:00" -> 2L, "12:00" -> 1L), sessions.toString)
+  }
+
   test("ST5: maxFilesPerTrigger paces ingestion into one batch per file") {
     val src = tmp("rate_src")
     (1 to 3).foreach(i =>
