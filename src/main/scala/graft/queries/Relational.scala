@@ -149,6 +149,30 @@ object Relational {
       .select($"c_custkey", $"c_name")
   }
 
+  /** J6d: bucketed co-located join — both sides written bucketed+sorted on
+    * the join key, so the sort-merge join needs NO shuffle exchange and no
+    * sort (asserted in PlanShapeSpec). This is the pre-partitioning answer
+    * for repeated large-fact joins at 100 TB: pay the layout cost once at
+    * ingest, join for free afterwards. Forced to SMJ via hint (the fixture
+    * dimension is broadcast-sized, real deployments are not). */
+  def j6BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("bucketed").toString
+    spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+    orders(spark, dir).select($"o_orderkey", $"o_orderstatus")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders").saveAsTable("graft_b_orders")
+    lineitem(spark, dir)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem").saveAsTable("graft_b_lineitem")
+    spark.table("graft_b_lineitem").hint("merge")
+      .join(spark.table("graft_b_orders"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_items"), drev($"l_extendedprice", $"l_discount").as("revenue"))
+  }
+
   /** J7: as-of join — latest prior click per purchase (theta/range join +
     * pick-latest). Scale: equi key user_id bounds the shuffle; the range
     * predicate rides inside the join, no cartesian product. */
@@ -288,6 +312,22 @@ object Relational {
         coalesce($"l_linestatus", lit("(all)")).as("ls"), $"sum_qty", $"n")
   }
 
+  /** A4b: skew-safe two-stage (salted) aggregation. The events table has
+    * only 5 event_type keys — a direct groupBy concentrates all rows on 5
+    * reducers regardless of cluster size. Stage 1 partially aggregates on
+    * (key, salt) spreading each hot key over 16 reducers; stage 2 combines
+    * the partials. Result is identical to the direct aggregation (the
+    * oracle is the plain GROUP BY), shape survives 1000x skew. */
+  def a4SaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .withColumn("salt", pmod(xxhash64($"event_id"), lit(16)))
+      .groupBy($"event_type", $"salt")
+      .agg(count(lit(1)).as("pn"), sum($"value".cast(DecimalType(18, 2))).as("pv"))
+      .groupBy($"event_type")
+      .agg(sum($"pn").as("n"), sum($"pv").cast("double").as("sum_value"))
+  }
+
   // ---------------------------------------------------------------- windows
   /** W1: ordered day sequence (main.yml:77-80 ascending day processing). */
   def w1OrderedDays(spark: SparkSession, dir: String): DataFrame = {
@@ -396,12 +436,14 @@ object Relational {
     "j6_star_join" -> (j6StarJoin _),
     "j6_left_join" -> (j6LeftJoin _),
     "j6_semi_join" -> (j6SemiJoin _),
+    "j6_bucketed_join" -> (j6BucketedJoin _),
     "j7_asof_join" -> (j7AsofJoin _),
     "a1_counts" -> (a1Counts _),
     "a2_cond_count" -> (a2CondCount _),
     "a3_bool_and" -> (a3BoolAnd _),
     "a3_typed_aggregator" -> (a3TypedAggregator _),
     "a4_group_layout" -> (a4GroupLayout _),
+    "a4_salted_agg" -> (a4SaltedAgg _),
     "a5_distinct" -> (a5Distinct _),
     "a6_pivot" -> (a6Pivot _),
     "a7_collect_sorted" -> (a7CollectSorted _),
@@ -477,6 +519,10 @@ object Relational {
     "j6_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "j6_bucketed_join" ->
+      s"""SELECT o_orderstatus, count(*) AS n_items, $oraRev AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus""".stripMargin,
     "j7_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts AS p_ts,
         |  (SELECT max(c.ts) FROM events c
@@ -504,6 +550,9 @@ object Relational {
     "a4_group_layout" ->
       """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang, source""".stripMargin,
+    "a4_salted_agg" ->
+      s"""SELECT event_type, count(*) AS n, ${oraDsum("value")} AS sum_value
+         |FROM events GROUP BY event_type""".stripMargin,
     "a5_distinct" -> "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "a6_pivot" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,

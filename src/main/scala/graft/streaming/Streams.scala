@@ -14,15 +14,19 @@ import org.apache.spark.sql.types.StructType
   */
 object Streams {
 
+  private val stagedCache = new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
   /** Stage the events table as `n` parquet files so maxFilesPerTrigger can
     * drive a deterministic number of micro-batches (the per-day batch
-    * pacing of main.yml:77-95). Returns the staged dir. */
-  def stageEvents(spark: SparkSession, dir: String, n: Int): String = {
-    val out = java.nio.file.Files.createTempDirectory("events_staged").toString
-    Engine.events(spark, dir).repartition(n)
-      .write.mode(SaveMode.Overwrite).parquet(out)
-    out
-  }
+    * pacing of main.yml:77-95). Staged once per (source, n) per JVM — the
+    * streaming queries share the copy instead of re-writing it. */
+  def stageEvents(spark: SparkSession, dir: String, n: Int): String =
+    stagedCache.computeIfAbsent((dir, n), { _ =>
+      val out = java.nio.file.Files.createTempDirectory("events_staged").toString
+      Engine.events(spark, dir).repartition(n)
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      out
+    })
 
   def eventsSchema(spark: SparkSession, dir: String): StructType =
     Engine.events(spark, dir).schema

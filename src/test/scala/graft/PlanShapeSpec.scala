@@ -100,6 +100,20 @@ class PlanShapeSpec extends SparkSpec {
       "bib13991099_18650102_0_1_0001.jp2", "bib13991099_18650102_0_1_0002.jp2"))
   }
 
+  test("J6d: bucketed join has no shuffle exchange between scan and join") {
+    val df = Relational.j6BucketedJoin(spark, sfDir)
+    df.collect() // finalize AQE
+    // inspect the final adaptive plan only (the "Initial Plan" echo repeats
+    // the pre-AQE tree and would false-positive the exchange check)
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin"), plan.take(4000))
+    // no shuffle below the join: both sides stream straight from buckets
+    val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!joinPart.contains("Exchange hashpartitioning"), joinPart.take(3000))
+    assert(joinPart.contains("Bucketed: true"), joinPart.take(3000))
+    assert(joinPart.contains("SelectedBucketsCount: 8 out of 8"), joinPart.take(3000))
+  }
+
   test("L2 near-dedup never builds an all-pairs join") {
     val plan = planOf(Llm.l2MinhashNearDup(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
