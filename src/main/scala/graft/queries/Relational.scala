@@ -328,6 +328,33 @@ object Relational {
       .agg(sum($"pn").as("n"), sum($"pv").cast("double").as("sum_value"))
   }
 
+  /** A11c: explicit GROUPING SETS through the SQL entry point (also
+    * exercises spark.sql + temp-view registration as an API surface). */
+  def a11GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir).createOrReplaceTempView("graft_events")
+    spark.sql(
+      """SELECT COALESCE(event_type, '(all)') AS et,
+        |       COALESCE(CAST(user_id AS STRING), '(all)') AS uid,
+        |       count(*) AS n
+        |FROM graft_events
+        |GROUP BY GROUPING SETS ((event_type), (user_id), ())""".stripMargin)
+  }
+
+  /** O8: bad-record tolerance — PERMISSIVE JSON parsing turns corrupt
+    * documents into nulls instead of failing the job (reference isolates
+    * per-row errors, :513-515). */
+  def o8PermissiveParse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .withColumn("raw",
+        when($"event_id" % 10 === 0, lit("{corrupt")).otherwise($"props"))
+      .select($"event_id",
+        from_json($"raw", org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .agg(count(lit(1)).as("n_rows"), count($"k").as("n_parsed"),
+        sum(when($"k".isNull, 1L).otherwise(0L)).as("n_corrupt"))
+  }
+
   // ---------------------------------------------------------------- windows
   /** W1: ordered day sequence (main.yml:77-80 ascending day processing). */
   def w1OrderedDays(spark: SparkSession, dir: String): DataFrame = {
@@ -452,6 +479,8 @@ object Relational {
     "a10_approx_distinct" -> (a10ApproxDistinct _),
     "a11_rollup" -> (a11Rollup _),
     "a11_cube" -> (a11Cube _),
+    "a11_grouping_sets" -> (a11GroupingSets _),
+    "o8_permissive_parse" -> (o8PermissiveParse _),
     "w1_ordered_days" -> (w1OrderedDays _),
     "w2_limit" -> (w2Limit _),
     "w3_first_match" -> (w3FirstMatch _),
@@ -584,6 +613,15 @@ object Relational {
       """SELECT COALESCE(l_returnflag, '(all)') AS rf, COALESCE(l_linestatus, '(all)') AS ls,
         |sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "a11_grouping_sets" ->
+      """SELECT COALESCE(event_type, '(all)') AS et,
+        |COALESCE(CAST(user_id AS VARCHAR), '(all)') AS uid, count(*) AS n
+        |FROM events GROUP BY GROUPING SETS ((event_type), (user_id), ())""".stripMargin,
+    "o8_permissive_parse" ->
+      """SELECT count(*) AS n_rows,
+        |CAST(sum(CASE WHEN event_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+        |CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
+        |FROM events""".stripMargin,
     "w1_ordered_days" ->
       """SELECT day, row_number() OVER (ORDER BY day) AS day_seq
         |FROM (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events)""".stripMargin,
