@@ -341,6 +341,49 @@ object Extraction {
         (acc, x) => acc + x.cast("double") * x.cast("double")).as("sq_norm"))
   }
 
+  /** F-string (extended): split_part/left/right/ascii/chr/repeat. */
+  def fString2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir).select($"doc_id",
+      expr("split_part(source, 'c', 2)").as("after_c"),
+      expr("left(text, 8)").as("l8"),
+      expr("right(text, 8)").as("r8"),
+      ascii($"source").cast("long").as("first_code"),
+      expr("char(65 + cast(doc_id % 26 as int))").as("letter"),
+      expr("repeat(lang, 3)").as("lang3"))
+  }
+
+  /** F-date (extended): add_months/trunc/quarter/weekofyear. */
+  def fDate2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir).select($"event_id",
+      add_months(to_date($"ts"), 1).as("next_month"),
+      trunc(to_date($"ts"), "month").as("month_start"),
+      quarter($"ts").cast("long").as("q"),
+      weekofyear($"ts").cast("long").as("iso_week"))
+  }
+
+  /** F-array (extended): exists/forall/filter/array_max/array_min HOFs. */
+  def fArray2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    embeddings(spark, dir).select($"vec_id",
+      size(filter($"embedding", x => x > 0)).cast("long").as("n_pos"),
+      exists($"embedding", x => abs(x) > lit(0.3f)).as("has_big"),
+      forall($"embedding", x => abs(x) < lit(1.0f)).as("all_small"),
+      array_max($"embedding").as("max_elem"),
+      array_min($"embedding").as("min_elem"))
+  }
+
+  /** A8b: exact interpolated percentiles (linear, matches quantile_cont). */
+  def a8Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir).groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        min($"value").as("p0"), max($"value").as("p100"))
+      .orderBy($"event_type")
+  }
+
   /** F-cond family: case/nullif/coalesce (:270-294,:415-420,:110-116). */
   def fCond(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -373,7 +416,11 @@ object Extraction {
     "p18_json_prune" -> (p18JsonPrune _),
     "s10_mime_dispatch" -> (s10MimeDispatch _),
     "f_string" -> (fString _),
+    "f_string2" -> (fString2 _),
     "f_date" -> (fDate _),
+    "f_date2" -> (fDate2 _),
+    "f_array2" -> (fArray2 _),
+    "a8_percentiles" -> (a8Percentiles _),
     "f_math" -> (fMath _),
     "f_array" -> (fArray _),
     "f_cond" -> (fCond _)
@@ -477,6 +524,34 @@ object Extraction {
         |reverse(source) AS src_rev,
         |source || '|' || lang AS joined
         |FROM documents""".stripMargin,
+    "f_string2" ->
+      """SELECT doc_id,
+        |split_part(source, 'c', 2) AS after_c,
+        |left(text, 8) AS l8, right(text, 8) AS r8,
+        |CAST(ascii(source) AS BIGINT) AS first_code,
+        |chr(65 + CAST(doc_id % 26 AS INTEGER)) AS letter,
+        |repeat(lang, 3) AS lang3
+        |FROM documents""".stripMargin,
+    "f_date2" ->
+      """SELECT event_id,
+        |CAST(CAST(date_trunc('day', ts) AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month,
+        |CAST(date_trunc('month', ts) AS DATE) AS month_start,
+        |CAST(quarter(ts) AS BIGINT) AS q,
+        |CAST(week(ts) AS BIGINT) AS iso_week
+        |FROM events""".stripMargin,
+    "f_array2" ->
+      """SELECT vec_id,
+        |CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        |len(list_filter(embedding, x -> abs(x) > 0.3)) > 0 AS has_big,
+        |len(list_filter(embedding, x -> abs(x) >= 1.0)) = 0 AS all_small,
+        |list_aggregate(embedding, 'max') AS max_elem,
+        |list_aggregate(embedding, 'min') AS min_elem
+        |FROM embeddings""".stripMargin,
+    "a8_percentiles" ->
+      """SELECT event_type,
+        |quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90,
+        |min(value) AS p0, max(value) AS p100
+        |FROM events GROUP BY event_type""".stripMargin,
     "f_date" ->
       """SELECT event_id,
         |CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS mo,

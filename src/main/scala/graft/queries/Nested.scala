@@ -47,6 +47,24 @@ object Nested {
       .select($"doc_id", explode(split($"text", " ")).as("token"))
   }
 
+  /** G2b: positional explode — (pos, token) pairs, pos 0-based. */
+  def g2bPosexplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir).filter($"doc_id" < 100)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "token")))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"token")
+  }
+
+  /** G2c: outer explode — rows whose array is empty survive with null
+    * (the reference treats a no-match findall as "issue with no files",
+    * not a dropped issue). */
+  def g2cExplodeOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir).filter($"doc_id" < 200)
+      .select($"doc_id", graft.functions.Text.shingles($"text", 60).as("sh"))
+      .select($"doc_id", explode_outer($"sh").as("shingle60"))
+  }
+
   /** G3: day-series generation (sequence + explode), mirroring the per-day
     * window enumeration in main.yml:67,77-80. */
   def g3DaySeries(spark: SparkSession, dir: String): DataFrame = {
@@ -62,6 +80,8 @@ object Nested {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_manifest_explode" -> (g1ManifestExplode _),
     "g2_explode_tokens" -> (g2ExplodeTokens _),
+    "g2b_posexplode" -> (g2bPosexplode _),
+    "g2c_explode_outer" -> (g2cExplodeOuter _),
     "g3_day_series" -> (g3DaySeries _)
   )
 
@@ -72,6 +92,20 @@ object Nested {
     "g2_explode_tokens" ->
       """SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |FROM documents WHERE doc_id < 100""".stripMargin,
+    "g2b_posexplode" ->
+      """SELECT doc_id,
+        |CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
+        |unnest(string_split(text, ' ')) AS token
+        |FROM documents WHERE doc_id < 100""".stripMargin,
+    "g2c_explode_outer" ->
+      """SELECT d.doc_id, u.shingle60
+        |FROM (SELECT doc_id,
+        |        CASE WHEN len(string_split(text,' ')) < 60 THEN []
+        |             ELSE list_transform(
+        |               generate_series(1, len(string_split(text,' ')) - 59),
+        |               i -> array_to_string((string_split(text,' '))[i:i+59], ' ')) END AS sh
+        |      FROM documents WHERE doc_id < 200) d
+        |LEFT JOIN LATERAL (SELECT unnest(d.sh) AS shingle60) u ON true""".stripMargin,
     "g3_day_series" ->
       """SELECT day, CAST(day(day) AS BIGINT) AS dom, CAST(isodow(day) - 1 AS BIGINT) AS wd
         |FROM (SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 DAY)) AS DATE) AS day)""".stripMargin
