@@ -60,8 +60,11 @@ object Llm {
     val sh = nearDupCandidates(spark, dir)
       .filter($"id" % 5 === 0) // bounded probe subset, proportional at any SF
       .select($"id", explode(Text.shingles($"text", 3)).as("shingle"))
+      // one digest per shingle; the 6 minhash functions are its 6 disjoint
+      // 5-hex-char slices (standard cheap-family trick: 6x fewer hashes)
+      .withColumn("d", md5($"shingle".cast("binary")))
     def h(i: Int): Column =
-      min(md5(concat(lit(s"$i|"), $"shingle").cast("binary"))).as(s"h$i")
+      min(substring($"d", 1 + (i - 1) * 5, 5)).as(s"h$i")
     val sigs = sh.groupBy($"id").agg(h(1), h(2), h(3), h(4), h(5), h(6))
     val bands = sigs.select($"id",
         md5(concat_ws("|", $"h1", $"h2", $"h3").cast("binary")).as("band"), lit(1).as("bi"))
@@ -323,9 +326,9 @@ object Llm {
     "l2_minhash_neardup" ->
       (s"WITH $candSql,\n${shingleSql(5)},\n" +
         """mh AS (SELECT id,
-          |  min(md5('1|' || shingle)) AS h1, min(md5('2|' || shingle)) AS h2,
-          |  min(md5('3|' || shingle)) AS h3, min(md5('4|' || shingle)) AS h4,
-          |  min(md5('5|' || shingle)) AS h5, min(md5('6|' || shingle)) AS h6
+          |  min(substr(md5(shingle), 1, 5)) AS h1, min(substr(md5(shingle), 6, 5)) AS h2,
+          |  min(substr(md5(shingle), 11, 5)) AS h3, min(substr(md5(shingle), 16, 5)) AS h4,
+          |  min(substr(md5(shingle), 21, 5)) AS h5, min(substr(md5(shingle), 26, 5)) AS h6
           |  FROM sh GROUP BY id),
           |bands AS (
           |  SELECT id, md5(h1 || '|' || h2 || '|' || h3) AS band, 1 AS bi FROM mh

@@ -173,6 +173,39 @@ object Relational {
       .agg(count(lit(1)).as("n_items"), drev($"l_extendedprice", $"l_discount").as("revenue"))
   }
 
+  /** J6e: null-safe equality join (<=>) — null keys match each other,
+    * unlike plain =. Small distinct key sets on both sides. */
+  def j6NullsafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keys = events(spark, dir)
+      .select(nullif($"event_type", lit("error")).as("k")).distinct()
+    val right = keys.select($"k".as("k2"))
+    keys.join(right, $"k" <=> $"k2")
+      .select(coalesce($"k", lit("(null)")).as("matched_key"))
+  }
+
+  /** W4b: distribution-rank window functions (ntile, percent_rank,
+    * cume_dist) with a deterministic total order. */
+  def w4RankStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice", $"o_orderkey")
+    orders(spark, dir).select($"o_custkey", $"o_orderkey",
+      ntile(4).over(w).cast("long").as("quartile"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"))
+  }
+
+  /** W5b: value-navigation window functions (first/last/nth in frame). */
+  def w5ValueNav(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(spark, dir).select($"o_custkey", $"o_orderkey",
+      first($"o_orderkey").over(w).as("first_order"),
+      last($"o_orderkey").over(w).as("last_order"),
+      nth_value($"o_orderkey", 2).over(w).as("second_order"))
+  }
+
   /** J7: as-of join — latest prior click per purchase (theta/range join +
     * pick-latest). Scale: equi key user_id bounds the shuffle; the range
     * predicate rides inside the join, no cartesian product. */
@@ -464,6 +497,9 @@ object Relational {
     "j6_left_join" -> (j6LeftJoin _),
     "j6_semi_join" -> (j6SemiJoin _),
     "j6_bucketed_join" -> (j6BucketedJoin _),
+    "j6_nullsafe_join" -> (j6NullsafeJoin _),
+    "w4_rank_stats" -> (w4RankStats _),
+    "w5_value_nav" -> (w5ValueNav _),
     "j7_asof_join" -> (j7AsofJoin _),
     "a1_counts" -> (a1Counts _),
     "a2_cond_count" -> (a2CondCount _),
@@ -552,6 +588,26 @@ object Relational {
       s"""SELECT o_orderstatus, count(*) AS n_items, $oraRev AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus""".stripMargin,
+    "j6_nullsafe_join" ->
+      """SELECT COALESCE(a.k, '(null)') AS matched_key
+        |FROM (SELECT DISTINCT NULLIF(event_type, 'error') AS k FROM events) a
+        |JOIN (SELECT DISTINCT NULLIF(event_type, 'error') AS k FROM events) b
+        |  ON a.k IS NOT DISTINCT FROM b.k""".stripMargin,
+    "w4_rank_stats" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |percent_rank() OVER w AS pr,
+        |cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+    "w5_value_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |first_value(o_orderkey) OVER w AS first_order,
+        |last_value(o_orderkey) OVER w AS last_order,
+        |nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     "j7_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts AS p_ts,
         |  (SELECT max(c.ts) FROM events c
