@@ -374,6 +374,25 @@ object Extraction {
       array_min($"embedding").as("min_elem"))
   }
 
+  /** F-array (set ops): array_intersect/except/union with canonical
+    * (sorted, distinct) rendering so both engines agree on order. */
+  def fArraySetops(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stop = array(graft.functions.Text.stopwordsEn.map(lit): _*)
+    val t = split($"text", " ")
+    documents(spark, dir).filter($"doc_id" < 200).select($"doc_id",
+      array_sort(array_intersect(t, stop)).as("stop_present"),
+      size(array_except(t, stop)).cast("long").as("n_nonstop_distinct"),
+      size(array_union(t, stop)).cast("long").as("n_union_distinct"))
+  }
+
+  /** Seeded sampling (rows-only: engine RNG streams differ by design). */
+  def oSampleSeeded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir).sample(withReplacement = false, 0.1, seed = 42L)
+      .select($"doc_id", $"source")
+  }
+
   /** A8b: exact interpolated percentiles (linear, matches quantile_cont). */
   def a8Percentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -420,6 +439,8 @@ object Extraction {
     "f_date" -> (fDate _),
     "f_date2" -> (fDate2 _),
     "f_array2" -> (fArray2 _),
+    "f_array_setops" -> (fArraySetops _),
+    "o_sample_seeded" -> (oSampleSeeded _),
     "a8_percentiles" -> (a8Percentiles _),
     "f_math" -> (fMath _),
     "f_array" -> (fArray _),
@@ -547,6 +568,14 @@ object Extraction {
         |list_aggregate(embedding, 'max') AS max_elem,
         |list_aggregate(embedding, 'min') AS min_elem
         |FROM embeddings""".stripMargin,
+    "f_array_setops" ->
+      """SELECT doc_id,
+        |list_sort(list_distinct(list_filter(string_split(text,' '),
+        |  x -> x IN ('the','a','of','and','in','to')))) AS stop_present,
+        |CAST(len(list_distinct(list_filter(string_split(text,' '),
+        |  x -> x NOT IN ('the','a','of','and','in','to')))) AS BIGINT) AS n_nonstop_distinct,
+        |CAST(len(list_distinct(string_split(text,' ') || ['the','a','of','and','in','to'])) AS BIGINT) AS n_union_distinct
+        |FROM documents WHERE doc_id < 200""".stripMargin,
     "a8_percentiles" ->
       """SELECT event_type,
         |quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90,
