@@ -157,6 +157,38 @@ class StreamingSpec extends SparkSpec {
     assert(sessions == Map("10:00" -> 2L, "12:00" -> 1L), sessions.toString)
   }
 
+  test("stream-stream join: matches land across micro-batch boundaries") {
+    val clicksDir = tmp("ssj_clicks")
+    val buysDir = tmp("ssj_buys")
+    // click and purchase arrive in DIFFERENT batches for u2: the join state
+    // must hold the click until the purchase shows up
+    writeFile(clicksDir, "b1", Seq(
+      ("2024-01-01 10:00:00", "u1", 1L), ("2024-01-01 10:05:00", "u2", 2L)))
+    writeFile(buysDir, "b1", Seq(("2024-01-01 10:02:00", "u1", 10L)))
+    writeFile(buysDir, "b2", Seq(("2024-01-01 10:07:00", "u2", 20L)))
+    val clicks = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(clicksDir)
+      .withWatermark("ts", "1 hour")
+      .select($"k".as("c_k"), $"ts".as("c_ts"))
+    val buys = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(buysDir)
+      .withWatermark("ts", "1 hour")
+      .select($"k".as("b_k"), $"ts".as("b_ts"), $"v".as("amount"))
+    val out = tmp("ssj_out")
+    val q = clicks.join(buys,
+        $"c_k" === $"b_k" && $"b_ts" >= $"c_ts" &&
+          $"b_ts" <= $"c_ts" + org.apache.spark.sql.functions.expr("interval 30 minutes"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("ssj_ck"))
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .start()
+    q.awaitTermination()
+    val pairs = spark.read.parquet(out)
+      .select($"c_k", $"amount").as[(String, Long)].collect().sorted
+    assert(pairs.toSeq == Seq(("u1", 10L), ("u2", 20L)), pairs.mkString(","))
+  }
+
   test("ST5: maxFilesPerTrigger paces ingestion into one batch per file") {
     val src = tmp("rate_src")
     (1 to 3).foreach(i =>
