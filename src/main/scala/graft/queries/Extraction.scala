@@ -393,6 +393,29 @@ object Extraction {
       .select($"doc_id", $"source")
   }
 
+  /** F-json/array (extended): json_tuple, to_json, map_values, flatten. */
+  def fJson2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .select($"event_id", $"props", $"user_id",
+        from_json($"props", org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)).as("m"))
+      .select($"event_id",
+        json_tuple($"props", "k").as("k_jt"),
+        to_json(struct($"event_id", $"user_id")).as("as_json"),
+        element_at(map_values($"m"), 1).cast("long").as("first_val"))
+  }
+
+  /** F-array (flatten): rebuilding a vector from its halves. */
+  def fArrayFlatten(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    embeddings(spark, dir).filter($"vec_id" < 100).select($"vec_id",
+      flatten(array(slice($"embedding", 1, 32), slice($"embedding", 33, 32))).as("rebuilt"),
+      (flatten(array(slice($"embedding", 1, 32), slice($"embedding", 33, 32))) === $"embedding")
+        .as("roundtrips"))
+  }
+
   /** A8b: exact interpolated percentiles (linear, matches quantile_cont). */
   def a8Percentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -440,6 +463,8 @@ object Extraction {
     "f_date2" -> (fDate2 _),
     "f_array2" -> (fArray2 _),
     "f_array_setops" -> (fArraySetops _),
+    "f_json2" -> (fJson2 _),
+    "f_array_flatten" -> (fArrayFlatten _),
     "o_sample_seeded" -> (oSampleSeeded _),
     "a8_percentiles" -> (a8Percentiles _),
     "f_math" -> (fMath _),
@@ -568,6 +593,17 @@ object Extraction {
         |list_aggregate(embedding, 'max') AS max_elem,
         |list_aggregate(embedding, 'min') AS min_elem
         |FROM embeddings""".stripMargin,
+    "f_json2" ->
+      """SELECT event_id,
+        |regexp_extract(props, '"k": (-?[0-9]+)', 1) AS k_jt,
+        |printf('{"event_id":%d,"user_id":%d}', event_id, user_id) AS as_json,
+        |CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS first_val
+        |FROM events""".stripMargin,
+    "f_array_flatten" ->
+      """SELECT vec_id,
+        |flatten([embedding[1:32], embedding[33:64]]) AS rebuilt,
+        |flatten([embedding[1:32], embedding[33:64]]) = embedding AS roundtrips
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
     "f_array_setops" ->
       """SELECT doc_id,
         |list_sort(list_distinct(list_filter(string_split(text,' '),
