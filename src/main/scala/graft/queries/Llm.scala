@@ -251,6 +251,29 @@ object Llm {
       .filter($"jaccard" >= 0.5)
   }
 
+  /** L12: fuzzy text match — Levenshtein distance between neighboring docs'
+    * prefixes (the cheap edit-distance screen that precedes expensive
+    * near-dup scoring in text pipelines). */
+  def l12EditDistance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, dir).filter($"doc_id" < 100)
+      .select($"doc_id", substring($"text", 1, 40).as("p"))
+    val d2 = d.select(($"doc_id" - 1).as("doc_id"), $"p".as("p_next"))
+    d.join(d2, Seq("doc_id"))
+      .select($"doc_id", levenshtein($"p", $"p_next").cast("long").as("edit_dist"))
+  }
+
+  /** F-bits: bitwise and/or/xor/shift surface. */
+  def fBits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir).select($"event_id",
+      ($"event_id".bitwiseAND(255L)).as("low8"),
+      ($"event_id".bitwiseOR(16L)).as("or16"),
+      ($"event_id".bitwiseXOR($"user_id")).as("xored"),
+      expr("shiftleft(event_id, 2)").as("shl2"),
+      expr("shiftright(event_id, 3)").as("shr3"))
+  }
+
   /** L6: quality filtering — predicate stack over the L4 metrics. */
   def l6QualityFilter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -295,6 +318,8 @@ object Llm {
     "l9_embedding_neardup" -> (l9EmbeddingNearDup _),
     "l10_token_count" -> (l10TokenCount _),
     "t_typed_dataset" -> (tTypedDataset _),
+    "l12_edit_distance" -> (l12EditDistance _),
+    "f_bits" -> (fBits _),
     "l11_rolling_fingerprint" -> (l11RollingFingerprint _)
   )
 
@@ -433,6 +458,18 @@ object Llm {
         |FROM probes p JOIN cand c ON p.a_id < c.vec_id
         |WHERE list_dot_product(p.a_emb, c.emb) /
         |  (sqrt(list_dot_product(p.a_emb, p.a_emb)) * sqrt(list_dot_product(c.emb, c.emb))) > 0.999""".stripMargin,
+    "l12_edit_distance" ->
+      """SELECT a.doc_id, CAST(levenshtein(substr(a.text,1,40), substr(b.text,1,40)) AS BIGINT) AS edit_dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id < 100 AND b.doc_id < 100""".stripMargin,
+    "f_bits" ->
+      """SELECT event_id,
+        |event_id & 255 AS low8,
+        |event_id | 16 AS or16,
+        |xor(event_id, user_id) AS xored,
+        |event_id << 2 AS shl2,
+        |event_id >> 3 AS shr3
+        |FROM events""".stripMargin,
     "t_typed_dataset" ->
       """SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |FROM documents WHERE n_chars > 500 AND lang <> 'zh'""".stripMargin,
