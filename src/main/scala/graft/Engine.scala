@@ -51,6 +51,27 @@ object Engine {
     }
   }
 
+  /** Events scan with the event-time range predicate pushed to the parquet
+    * scan. The nanos→micros narrowing in [[table]] is a projection, so a
+    * filter on the narrowed `ts` can never reach the source; this loader
+    * instead applies the range to the RAW nano long BEFORE narrowing — a
+    * plain long comparison that lands in the scan's PushedFilters
+    * (asserted in PlanShapeSpec). At 100 TB this is the difference between
+    * a time-pruned read and a full scan, so time-ranged event queries
+    * should come through here (or through a day-partitioned layout, see
+    * Sources.s5PartitionPrunedRead). Bounds are UTC dates, [start, end). */
+  def eventsBetween(spark: SparkSession, dir: String, startDay: String, endDay: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def nanos(day: String): Long =
+      java.time.LocalDate.parse(day).atStartOfDay
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.filter(raw("ts") >= nanos(startDay) && raw("ts") < nanos(endDay))
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+
   /** NTZ timestamp literal for pushdown-friendly comparisons against the
     * fixture timestamp columns. */
   def tsLit(iso: String): org.apache.spark.sql.Column =

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for cosine similarity over float vectors.
   *
@@ -23,8 +24,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs are ArrayType(FloatType) columns; callers go through
-  // CosineSimilarityExpr.cosineNative which only wires float vectors
+  // Typed inputs: exposed as a SQL function (`cosine_native`), so a call on
+  // array<double> must fail at analysis time — ArrayData.getFloat on a
+  // double-backed array would silently read wrong-width bytes.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "cosine_native requires two array<float> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
 
   override def dataType: DataType = DoubleType
 
@@ -78,16 +88,18 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 }
 
 object CosineSimilarityExpr {
-  @volatile private var registered = false
 
-  /** Register as a SQL function once per session; returns a Column-level
-    * entry point via the public call_function API (no Column internals). */
+  /** Register as a SQL function and return a Column-level entry point via
+    * the public call_function API (no Column internals).
+    *
+    * Registration is unconditional and idempotent
+    * (createOrReplaceTempFunction) and targets THIS session's registry —
+    * a JVM-global once-flag would silently skip registration for any
+    * SparkSession created after the first one (newSession(), restart),
+    * breaking every cosine_native query in it. */
   def cosineNative(spark: SparkSession, a: Column, b: Column): Column = {
-    if (!registered) synchronized {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "cosine_native", exprs => CosineSimilarityExpr(exprs.head, exprs(1)), "built-in")
-      registered = true
-    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_native", exprs => CosineSimilarityExpr(exprs.head, exprs(1)), "built-in")
     org.apache.spark.sql.functions.call_function("cosine_native", a, b)
   }
 }

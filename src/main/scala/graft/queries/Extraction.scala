@@ -330,13 +330,17 @@ object Extraction {
       sqrt($"l_quantity").as("qty_sqrt"))
   }
 
-  /** F-array family over embeddings + tokenized text (higher-order fns). */
+  /** F-array family over embeddings + tokenized text (higher-order fns).
+    * Array-valued intermediates (slice) are probed down to scalars in the
+    * final projection: the driver's canonicalizer sorts every output
+    * column and cannot hash array cells, and scalar floats hash
+    * bit-identically across engines where decimal renderings would not. */
   def fArray(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     embeddings(spark, dir).select($"vec_id",
       size($"embedding").cast("long").as("dim"),
       element_at($"embedding", 1).as("first_elem"),
-      slice($"embedding", 1, 3).as("head3"),
+      element_at(slice($"embedding", 1, 3), 3).as("head3_last"),
       aggregate($"embedding", lit(0.0),
         (acc, x) => acc + x.cast("double") * x.cast("double")).as("sq_norm"))
   }
@@ -375,13 +379,14 @@ object Extraction {
   }
 
   /** F-array (set ops): array_intersect/except/union with canonical
-    * (sorted, distinct) rendering so both engines agree on order. */
+    * (sorted, distinct, '|'-joined) rendering so both engines agree on
+    * order AND the driver canonicalizer gets a hashable string cell. */
   def fArraySetops(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val stop = array(graft.functions.Text.stopwordsEn.map(lit): _*)
     val t = split($"text", " ")
     documents(spark, dir).filter($"doc_id" < 200).select($"doc_id",
-      array_sort(array_intersect(t, stop)).as("stop_present"),
+      array_join(array_sort(array_intersect(t, stop)), "|").as("stop_present"),
       size(array_except(t, stop)).cast("long").as("n_nonstop_distinct"),
       size(array_union(t, stop)).cast("long").as("n_union_distinct"))
   }
@@ -407,13 +412,18 @@ object Extraction {
         element_at(map_values($"m"), 1).cast("long").as("first_val"))
   }
 
-  /** F-array (flatten): rebuilding a vector from its halves. */
+  /** F-array (flatten): rebuilding a vector from its halves. The full
+    * array equality is asserted in-engine (`roundtrips`); the cross-engine
+    * check probes scalars because the driver canonicalizer can't hash
+    * array cells. */
   def fArrayFlatten(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val rebuilt = flatten(array(slice($"embedding", 1, 32), slice($"embedding", 33, 32)))
     embeddings(spark, dir).filter($"vec_id" < 100).select($"vec_id",
-      flatten(array(slice($"embedding", 1, 32), slice($"embedding", 33, 32))).as("rebuilt"),
-      (flatten(array(slice($"embedding", 1, 32), slice($"embedding", 33, 32))) === $"embedding")
-        .as("roundtrips"))
+      size(rebuilt).cast("long").as("rebuilt_dim"),
+      element_at(rebuilt, 1).as("rebuilt_first"),
+      element_at(rebuilt, 64).as("rebuilt_last"),
+      (rebuilt === $"embedding").as("roundtrips"))
   }
 
   /** A8b: exact interpolated percentiles (linear, matches quantile_cont). */
@@ -601,13 +611,15 @@ object Extraction {
         |FROM events""".stripMargin,
     "f_array_flatten" ->
       """SELECT vec_id,
-        |flatten([embedding[1:32], embedding[33:64]]) AS rebuilt,
+        |CAST(len(flatten([embedding[1:32], embedding[33:64]])) AS BIGINT) AS rebuilt_dim,
+        |(flatten([embedding[1:32], embedding[33:64]]))[1] AS rebuilt_first,
+        |(flatten([embedding[1:32], embedding[33:64]]))[64] AS rebuilt_last,
         |flatten([embedding[1:32], embedding[33:64]]) = embedding AS roundtrips
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
     "f_array_setops" ->
       """SELECT doc_id,
-        |list_sort(list_distinct(list_filter(string_split(text,' '),
-        |  x -> x IN ('the','a','of','and','in','to')))) AS stop_present,
+        |COALESCE(array_to_string(list_sort(list_distinct(list_filter(string_split(text,' '),
+        |  x -> x IN ('the','a','of','and','in','to')))), '|'), '') AS stop_present,
         |CAST(len(list_distinct(list_filter(string_split(text,' '),
         |  x -> x NOT IN ('the','a','of','and','in','to')))) AS BIGINT) AS n_nonstop_distinct,
         |CAST(len(list_distinct(string_split(text,' ') || ['the','a','of','and','in','to'])) AS BIGINT) AS n_union_distinct
@@ -642,7 +654,7 @@ object Extraction {
     "f_array" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |embedding[1] AS first_elem,
-        |embedding[1:3] AS head3,
+        |(embedding[1:3])[3] AS head3_last,
         |list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS sq_norm
         |FROM embeddings""".stripMargin,
     "f_cond" ->

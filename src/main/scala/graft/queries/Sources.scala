@@ -154,6 +154,19 @@ object Sources {
       .groupBy($"event_type").agg(count(lit(1)).as("n"))
   }
 
+  /** S1b: time-pruned events scan — the [start, end) day-window read the
+    * reference drives per-day (main.yml:77-95), with the range predicate
+    * pushed to the parquet scan via Engine.eventsBetween (raw nano long
+    * comparison, not the post-narrowing projection). */
+  def s1bEventsTimePruned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Engine.eventsBetween(spark, dir, "2024-01-10", "2024-01-12")
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"day")
+  }
+
   /** F-map: map construction and access over the JSON props map. */
   def fMap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -204,6 +217,7 @@ object Sources {
     "s9_overwrite_commit" -> (s9OverwriteCommit _),
     "s11_resumable_load" -> (s11ResumableLoad _),
     "s5_partition_pruned_read" -> (s5PartitionPrunedRead _),
+    "s1b_events_time_pruned" -> (s1bEventsTimePruned _),
     "f_map" -> (fMap _),
     "l5_multimodal_decode" -> (l5MultimodalDecode _)
   )
@@ -249,6 +263,13 @@ object Sources {
       """SELECT event_type, count(*) AS n FROM events
         |WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
         |GROUP BY event_type""".stripMargin,
+    "s1b_events_time_pruned" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |GROUP BY 1""".stripMargin,
     "f_map" ->
       """SELECT event_id, 'k' AS keys,
         |CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k_val,

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Engine._
 import graft.sinks.IncrementalWriter
 import graft.streaming.Streams
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.DecimalType
@@ -28,18 +28,20 @@ object StreamingQ {
   }
 
   /** ST2: checkpointed streaming aggregation run to completion — real
-    * readStream → window agg → complete-mode memory sink. */
+    * readStream → window agg → foreachBatch parquet snapshots (complete
+    * mode, last snapshot wins). No memory sink: the result never buffers
+    * on the driver, so the registered pattern holds when the aggregate is
+    * large at 100 TB scale. */
   def st2CheckpointedAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val staged = Streams.stageEvents(spark, dir, 4)
     val schema = Streams.eventsSchema(spark, dir)
-    val name = s"st2_${java.util.UUID.randomUUID.toString.replace("-", "")}"
     val agg = Streams.eventsStream(spark, staged, schema, 1)
       .groupBy(window($"ts", "1 day").as("w"))
       .agg(count(lit(1)).as("n"))
       .select($"w.start".as("w_start"), $"n")
-    Streams.runCompleteToMemory(agg, name)
-    spark.table(name)
+    val out = Streams.runCompleteToParquet(agg, "st2")
+    spark.read.parquet(out)
   }
 
   /** ST3: exactly-once-style sink — streaming foreachBatch into the
@@ -136,6 +138,73 @@ object StreamingQ {
       .dropDuplicates("user_id", "event_type")
   }
 
+  /** Staged two-file stream for [[st7bWatermarkDedup]]. File `a.parquet` =
+    * all event keys plus a planted probe key (-1,'dup') at a timestamp past
+    * the data range; file `b.parquet` = two duplicates: the probe key again
+    * (lands INSIDE the watermark → must be deduped by state) and the
+    * lexicographically-first real key at the data's start (far BELOW the
+    * watermark after batch A → must be dropped as late). Modification
+    * times force deterministic batch order A→B under maxFilesPerTrigger=1. */
+  private val st7bStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageSt7b(spark: SparkSession, dir: String): String =
+    st7bStaged.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val keyed = events(spark, dir).select($"user_id", $"event_type", $"ts")
+      val probe = Seq(Tuple1(-1L)).toDF("user_id")
+        .select($"user_id", lit("dup").as("event_type"),
+          to_timestamp(lit("2024-02-01 00:00:00")).as("ts"))
+      val lateDup = keyed.orderBy($"user_id", $"event_type").limit(1)
+        .select($"user_id", $"event_type",
+          to_timestamp(lit("2024-01-01 00:00:00")).as("ts"))
+      val out = java.nio.file.Files.createTempDirectory("st7b_src")
+      def stageOne(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"st7b_$name").toString
+        df.repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst.get
+        val dst = out.resolve(s"$name.parquet")
+        java.nio.file.Files.copy(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs)): Unit
+      }
+      stageOne(keyed.union(probe), "a", 1700000000000L)
+      stageOne(lateDup.union(probe), "b", 1700000060000L)
+      out.toString
+    })
+
+  /** ST7b: watermarked streaming dedup — the real §2 ST7 shape:
+    * withWatermark + dropDuplicatesWithinWatermark over a 2-batch file
+    * stream. Batch A emits each key once; batch B replays the probe key
+    * inside the watermark (absorbed by dedup state) and a real key below
+    * the watermark (dropped as late), so the final appended output is
+    * exactly DISTINCT(event keys) + the probe key — deterministic and
+    * oracle-checkable. Sink is foreachBatch→parquet append: no driver-side
+    * buffering, the same shape that scales to an unbounded key space with
+    * state in the checkpoint. */
+  def st7bWatermarkDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stageSt7b(spark, dir)
+    val schema = spark.read.parquet(s"$staged/a.parquet").schema
+    val out = java.nio.file.Files.createTempDirectory("st7b_out").toString
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select($"user_id", $"event_type")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck_st7b").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(SaveMode.Append).parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling" -> (st1Tumbling _),
@@ -145,7 +214,8 @@ object StreamingQ {
     "st5_rate_paced" -> (st5RatePaced _),
     "st6_sliding" -> (st6Sliding _),
     "st6_session" -> (st6Session _),
-    "st7_stream_dedup" -> (st7StreamDedup _)
+    "st7_stream_dedup" -> (st7StreamDedup _),
+    "st7b_watermark_dedup" -> (st7bWatermarkDedup _)
   )
 
   private val oraDsumValue = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
@@ -178,7 +248,7 @@ object StreamingQ {
       """WITH e AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events),
         |s AS (
@@ -188,6 +258,9 @@ object StreamingQ {
         |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS s_start, count(*) AS n
         |FROM s GROUP BY user_id, sid""".stripMargin,
     "st7_stream_dedup" ->
-      "SELECT DISTINCT user_id, event_type FROM events"
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "st7b_watermark_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |UNION ALL SELECT CAST(-1 AS BIGINT) AS user_id, 'dup' AS event_type""".stripMargin
   )
 }

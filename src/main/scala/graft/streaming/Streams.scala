@@ -52,4 +52,25 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** Run a streaming aggregation to completion, materializing each complete
+    * snapshot to parquet via foreachBatch (last batch wins = final state).
+    * Unlike a memory sink this never buffers results on the driver — the
+    * write is a distributed parquet job, so the pattern holds when the
+    * aggregate itself is large (the memory-sink variant above is kept only
+    * for tests). Returns the sink path. */
+  def runCompleteToParquet(agg: DataFrame, ckName: String): String = {
+    val out = java.nio.file.Files.createTempDirectory(s"${ckName}_sink").toString
+    val q = agg.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"ck_$ckName").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(SaveMode.Overwrite).parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    out
+  }
 }

@@ -38,9 +38,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(df.queryExecution.analyzed.schema.fields.length == 1)
   }
 
-  test("broadcast hint survives to the physical plan (J2/J6)") {
-    val plan = planOf(Relational.j6StarJoin(spark, sfDir))
+  test("J6: scale-growing dims broadcast via planner stats/AQE, not hints") {
+    // customer/part carry NO broadcast() hint (a forced broadcast of a
+    // table that grows with SF is an OOM at 100 TB) — the planner must
+    // still pick BroadcastHashJoin at fixture scale from size stats.
+    val df = Relational.j6StarJoin(spark, sfDir)
+    df.collect() // finalize AQE so the asserted plan is the executed one
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan.take(4000))
+  }
+
+  test("J2: un-hinted lookup join still broadcasts at fixture scale") {
+    val df = Relational.j2BroadcastLookup(spark, sfDir)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==")(0)
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("S1b: event-time range pushes to the events scan as a raw-long filter") {
+    val plan = planOf(Engine.eventsBetween(spark, sfDir, "2024-01-10", "2024-01-12"))
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(ts"), plan.take(2000))
+    assert(plan.contains("LessThan(ts"), plan.take(2000))
   }
 
   test("anti-join uses a hash join, not a nested loop (J1)") {

@@ -1,0 +1,56 @@
+package graft
+
+import graft.queries.Llm
+import org.apache.spark.sql.functions._
+
+/** Quality bounds for the no-oracle LSH scale paths (SURVEY §2.10 L2/L3):
+  * the approximate variants are rows-only in the driver compare (their hash
+  * coefficients are not SQL-reproducible), so these tests bound their
+  * QUALITY against exact ground truth instead — the ANN path must overlap
+  * brute-force top-k, and the MinHash LSH path must recover the planted
+  * near-duplicate pairs. Without this, "the scale path exists" would be
+  * unfalsifiable.
+  */
+class RecallSpec extends SparkSpec {
+
+  test("L3b: ANN LSH achieves recall@3 >= 0.7 vs brute-force ground truth") {
+    import spark.implicits._
+    val ann = Llm.l3AnnLsh(spark, sfDir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    // Exact ground truth over the same probe set (query_id < 10), same
+    // metric the ANN ranks by (euclidean), brute force.
+    val emb = Engine.embeddings(spark, sfDir)
+    val probes = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val dist = aggregate(
+      zip_with($"q_emb", $"embedding", (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x.cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"d", $"neighbor_id")
+    val exact = emb.join(broadcast(probes), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"), dist.as("d"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"ANN recall@3 = $recall (ann=${ann.size}, exact=${exact.size})")
+  }
+
+  test("L2b: MinHash LSH recovers the planted near-duplicate pairs") {
+    import spark.implicits._
+    val found = Llm.l2MinhashLshMllib(spark, sfDir)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    // The candidate set plants, for every doc id ≡ 0 (mod 25), a copy under
+    // id+1000000 with only the first token dropped — a near-duplicate the
+    // LSH join at jaccard-distance 0.5 must surface.
+    val planted = Engine.documents(spark, sfDir)
+      .filter($"doc_id" % 25 === 0)
+      .select($"doc_id").as[Long].collect()
+      .map(id => (id, id + 1000000L)).toSet
+    assert(planted.nonEmpty)
+    val recovered = planted.count(found.contains).toDouble / planted.size
+    assert(recovered >= 0.8,
+      s"planted near-dup recovery = $recovered (found=${found.size}, planted=${planted.size})")
+  }
+}
