@@ -436,6 +436,32 @@ object Extraction {
       .orderBy($"event_type")
   }
 
+  /** F-stat family: dispersion/association aggregates (stddev/variance/
+    * corr/covar). Rounded to 4dp on both sides: the one-pass merge order
+    * differs between engines, so raw doubles can differ in the last ulps
+    * while agreeing to any printable precision. */
+  def fStat(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir).groupBy($"l_returnflag")
+      .agg(round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+        round(var_samp($"l_quantity"), 4).as("var_qty"),
+        round(stddev_pop($"l_discount"), 4).as("sdp_disc"),
+        round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qty_price"),
+        round(covar_pop($"l_quantity", $"l_discount"), 4).as("covp_qty_disc"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** A8c: approximate percentiles (t-digest-style sketch; rows-only — the
+    * sketch has no DuckDB analog). Accuracy vs the exact interpolated
+    * percentile is bounded in ExtractionSpec. */
+  def a8ApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir).groupBy($"event_type")
+      .agg(expr("approx_percentile(value, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(value, 0.9, 1000)").as("ap90"))
+      .orderBy($"event_type")
+  }
+
   /** F-cond family: case/nullif/coalesce (:270-294,:415-420,:110-116). */
   def fCond(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -479,7 +505,9 @@ object Extraction {
     "a8_percentiles" -> (a8Percentiles _),
     "f_math" -> (fMath _),
     "f_array" -> (fArray _),
-    "f_cond" -> (fCond _)
+    "f_cond" -> (fCond _),
+    "f_stat" -> (fStat _),
+    "a8_approx_percentiles" -> (a8ApproxPercentiles _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -662,6 +690,14 @@ object Extraction {
         |CASE WHEN o_orderstatus = 'F' THEN 'done' WHEN o_orderstatus = 'O' THEN 'open'
         |     ELSE 'other' END AS status_label,
         |COALESCE(NULLIF(o_orderpriority, '3-MEDIUM'), 'MED') AS prio
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+    "f_stat" ->
+      """SELECT l_returnflag,
+        |round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |round(var_samp(l_quantity), 4) AS var_qty,
+        |round(stddev_pop(l_discount), 4) AS sdp_disc,
+        |round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |round(covar_pop(l_quantity, l_discount), 4) AS covp_qty_disc
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

@@ -159,6 +159,38 @@ object Llm {
       .select($"query_id", $"neighbor_id", $"rank")
   }
 
+  /** L3c: IVF-bucketed ANN — the inverted-file pruning pattern, fully
+    * deterministic (data vectors as coarse centroids, cosine assignment,
+    * ties by centroid id) so it IS oracle-checkable, unlike the
+    * random-plane LSH variant. Scale shape: assignment is a broadcast of C
+    * centroids + one partition-local argmax per vector; the probe join
+    * touches only the probe's cell (1/C of the corpus per probe instead of
+    * all of it), which is the IVF speedup. nprobe=1 here; recall/cost
+    * trades by probing more cells. */
+  def l3IvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = embeddings(spark, dir)
+    val cents = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"cscore".desc, $"cent_id")
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding", $"cent_id",
+        Text.cosine($"embedding", $"cent").as("cscore"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"cent_id")
+    val probes = assigned.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"cent_id")
+    val wRank = Window.partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id")
+    assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        Text.cosine($"q_emb", $"embedding").as("score"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id", $"rank")
+  }
+
   /** L9: embedding near-dup — originals vs exactly-colinear copies (2x
     * scaling preserves cosine bit-for-bit), threshold join inside a bounded
     * probe set. */
@@ -310,6 +342,7 @@ object Llm {
     "j8_similarity_topk_join" -> (l3CosineTopkNative _), // SURVEY J8, native scorer
     "l3_cosine_topk_native" -> (l3CosineTopkNative _),
     "l3_ann_lsh" -> (l3AnnLsh _),
+    "l3_ivf_topk" -> (l3IvfTopk _),
     "l4_text_metrics" -> (l4TextMetrics _),
     "l4_lang_id" -> (l4LangId _),
     "l6_quality_filter" -> (l6QualityFilter _),
@@ -398,6 +431,31 @@ object Llm {
         |  SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
         |  FROM scored) WHERE rn <= 5""".stripMargin,
+    "l3_ivf_topk" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent
+        |  FROM embeddings WHERE vec_id < 4),
+        |vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |scored AS (
+        |  SELECT v.vec_id, v.emb, c.cent_id,
+        |    list_dot_product(v.emb, c.cent) /
+        |    (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.cent, c.cent))) AS cscore
+        |  FROM vecs v CROSS JOIN cents c),
+        |assigned AS (
+        |  SELECT vec_id, emb, cent_id FROM (
+        |    SELECT vec_id, emb, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, emb AS q_emb, cent_id FROM assigned WHERE vec_id < 10),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_dot_product(p.q_emb, a.emb) /
+        |    (sqrt(list_dot_product(p.q_emb, p.q_emb)) * sqrt(list_dot_product(a.emb, a.emb))) AS score
+        |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id)
+        |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+        |  FROM cand) WHERE rn <= 3""".stripMargin,
     "l4_text_metrics" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_actual,
         |CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,

@@ -163,14 +163,15 @@ object Relational {
     * sort (asserted in PlanShapeSpec). This is the pre-partitioning answer
     * for repeated large-fact joins at 100 TB: pay the layout cost once at
     * ingest, join for free afterwards. Forced to SMJ via hint (the fixture
-    * dimension is broadcast-sized, real deployments are not). */
-  /** One-time bucketed-layout staging for [[j6BucketedJoin]], memoized per
+    * dimension is broadcast-sized, real deployments are not).
+    *
+    * One-time bucketed-layout staging, memoized per
     * source dir so the benched query times the JOIN, not the ingest-time
     * layout cost (which at 100 TB is paid once and amortized over every
     * subsequent join). Existence-checked against the catalog so a fresh
     * session re-stages. */
   @volatile private var stagedBucketDir: String = null
-  private def stageBucketedTables(spark: SparkSession, dir: String): Unit =
+  private[graft] def stageBucketedTables(spark: SparkSession, dir: String): Unit =
     synchronized {
       if (stagedBucketDir != dir ||
           !spark.catalog.tableExists("graft_b_orders") ||

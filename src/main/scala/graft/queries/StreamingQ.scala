@@ -4,8 +4,9 @@ import graft.Engine._
 import graft.sinks.IncrementalWriter
 import graft.streaming.Streams
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 import org.apache.spark.sql.types.DecimalType
 
 /** Streaming semantics (SURVEY §2.9 ST1-ST7). ST2/ST3/ST5 execute REAL
@@ -146,7 +147,7 @@ object StreamingQ {
     * watermark after batch A → must be dropped as late). Modification
     * times force deterministic batch order A→B under maxFilesPerTrigger=1. */
   private val st7bStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def stageSt7b(spark: SparkSession, dir: String): String =
+  private[graft] def stageSt7b(spark: SparkSession, dir: String): String =
     st7bStaged.computeIfAbsent(dir, { _ =>
       import spark.implicits._
       val keyed = events(spark, dir).select($"user_id", $"event_type", $"ts")
@@ -205,6 +206,86 @@ object StreamingQ {
     spark.read.parquet(out)
   }
 
+  /** ST8: custom keyed state — mapGroupsWithState running per-user counts,
+    * run to completion over the 4-file staged stream. Each batch emits the
+    * cumulative count for every user present in that batch; the final
+    * answer per user is their LAST emission (the emission after the last
+    * batch containing that user), which equals the total count regardless
+    * of how files split into micro-batches — so the registered result is
+    * deterministic and oracle-checkable. State lives in the checkpoint
+    * (per-key long), the sink is foreachBatch→parquet: nothing buffers on
+    * the driver at any key cardinality. */
+  def st8StatefulCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = Streams.stageEvents(spark, dir, 4)
+    val schema = Streams.eventsSchema(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("st8_out").toString
+    val q = Streams.eventsStream(spark, staged, schema, 1)
+      .select($"user_id").as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (user, n)
+      }
+      .toDF("user_id", "n_events")
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck_st8").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode(SaveMode.Append).parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    val w = Window.partitionBy($"user_id").orderBy($"batch_id".desc)
+    spark.read.parquet(out)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"n_events")
+  }
+
+  /** ST9: stream-stream interval join — purchases joined to the same
+    * user's clicks in the preceding hour, both sides real file streams
+    * with watermarks. The watermark delay (40 days) exceeds the fixture's
+    * whole time range, so no join state is ever evicted and the appended
+    * output is exactly the batch join result — deterministic across any
+    * micro-batch split. At production scale the same query runs with a
+    * tight watermark so state stays bounded; the fixture setting only
+    * widens retention, not semantics. */
+  def st9StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = Streams.stageEvents(spark, dir, 4)
+    val schema = Streams.eventsSchema(spark, dir)
+    val purchases = Streams.eventsStream(spark, staged, schema, 2)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_id"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "40 days")
+    val clicks = Streams.eventsStream(spark, staged, schema, 2)
+      .filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "40 days")
+    val out = java.nio.file.Files.createTempDirectory("st9_out").toString
+    val q = purchases.join(clicks,
+        $"user_id" === $"c_user" &&
+          $"c_ts" >= $"p_ts" - expr("interval 1 hour") && $"c_ts" <= $"p_ts")
+      .select($"user_id", $"p_id", $"c_id")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck_st9").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(SaveMode.Append).parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling" -> (st1Tumbling _),
@@ -215,7 +296,9 @@ object StreamingQ {
     "st6_sliding" -> (st6Sliding _),
     "st6_session" -> (st6Session _),
     "st7_stream_dedup" -> (st7StreamDedup _),
-    "st7b_watermark_dedup" -> (st7bWatermarkDedup _)
+    "st7b_watermark_dedup" -> (st7bWatermarkDedup _),
+    "st8_stateful_counts" -> (st8StatefulCounts _),
+    "st9_stream_stream_join" -> (st9StreamStreamJoin _)
   )
 
   private val oraDsumValue = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
@@ -261,6 +344,14 @@ object StreamingQ {
       "SELECT DISTINCT user_id, event_type FROM events",
     "st7b_watermark_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
-        |UNION ALL SELECT CAST(-1 AS BIGINT) AS user_id, 'dup' AS event_type""".stripMargin
+        |UNION ALL SELECT CAST(-1 AS BIGINT) AS user_id, 'dup' AS event_type""".stripMargin,
+    "st8_stateful_counts" ->
+      "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
+    "st9_stream_stream_join" ->
+      """SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin
   )
 }

@@ -64,6 +64,20 @@ class ExtractionSpec extends SparkSpec {
     assert(df.as[String].head() == md)
   }
 
+  test("A8c: approx_percentile lands within 5% of the exact percentile") {
+    val approx = Extraction.a8ApproxPercentiles(spark, sfDir)
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = Extraction.a8Percentiles(spark, sfDir)
+      .select($"event_type", $"p50", $"p90")
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(approx.nonEmpty && approx.keySet == exact.keySet)
+    approx.foreach { case (k, (a50, a90)) =>
+      val (e50, e90) = exact(k)
+      assert(math.abs(a50 - e50) <= 0.05 * math.abs(e50) + 1e-9, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a90 - e90) <= 0.05 * math.abs(e90) + 1e-9, s"$k p90: $a90 vs $e90")
+    }
+  }
+
   test("cosine of a vector with itself is 1.0") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
       .select(Text.cosine($"a", $"b").as("c"))
