@@ -33,6 +33,7 @@ object Bench {
     queries.Relational.stageBucketedTables(spark, sfDir)
     streaming.Streams.stageEvents(spark, sfDir, 4): Unit
     queries.StreamingQ.stageSt7b(spark, sfDir): Unit
+    queries.Sources.stageDayPartitionedEvents(spark, sfDir): Unit
 
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]

@@ -200,6 +200,43 @@ object Relational {
       .agg(count(lit(1)).as("n_items"), drev($"l_extendedprice", $"l_discount").as("revenue"))
   }
 
+  /** J9: upsert/merge (MERGE INTO semantics by composition) — apply a
+    * deterministic change batch (updates, inserts, deletes) to the customer
+    * dimension via one full-outer join: delete rows drop, update rows take
+    * the new balance, insert rows appear, untouched rows pass through. The
+    * reference's get-or-create + overwrite protocols are special cases of
+    * this shape. Scale: one shuffle on the merge key; the change batch is
+    * typically small → AQE broadcasts it. */
+  def j9UpsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = customer(spark, dir).select($"c_custkey", $"c_name", $"c_acctbal")
+    val changes = base
+      .filter($"c_custkey" % 10 === 0 || $"c_custkey" % 17 === 0)
+      .select($"c_custkey",
+        when($"c_custkey" % 17 === 0, "D").otherwise("U").as("op"),
+        ($"c_acctbal" + 100).as("new_bal"), $"c_name".as("new_name"))
+      .unionByName(base.filter($"c_custkey" % 13 === 0)
+        .select(($"c_custkey" + 1000000).as("c_custkey"), lit("I").as("op"),
+          lit(0.0).as("new_bal"), concat(lit("NEW_"), $"c_name").as("new_name")))
+    base.join(changes, Seq("c_custkey"), "full_outer")
+      .filter($"op".isNull || $"op" =!= "D")
+      .select($"c_custkey",
+        coalesce($"new_name", $"c_name").as("name"),
+        when($"op" === "U", $"new_bal")
+          .when($"op" === "I", $"new_bal")
+          .otherwise($"c_acctbal").as("acctbal"))
+  }
+
+  /** A6b: unpivot/melt — wide measure columns to (measure, value) rows,
+    * the inverse of the A6 pivot. Pure map-side reshape, no shuffle. */
+  def a6bUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir).filter($"l_orderkey" < 100)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount", $"l_tax")
+      .unpivot(Array($"l_orderkey", $"l_linenumber"),
+        Array($"l_quantity", $"l_discount", $"l_tax"), "measure", "value")
+  }
+
   /** J6e: null-safe equality join (<=>) — null keys match each other,
     * unlike plain =. Small distinct key sets on both sides. */
   def j6NullsafeJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -525,6 +562,8 @@ object Relational {
     "j6_semi_join" -> (j6SemiJoin _),
     "j6_bucketed_join" -> (j6BucketedJoin _),
     "j6_nullsafe_join" -> (j6NullsafeJoin _),
+    "j9_upsert_merge" -> (j9UpsertMerge _),
+    "a6b_unpivot" -> (a6bUnpivot _),
     "w4_rank_stats" -> (w4RankStats _),
     "w5_value_nav" -> (w5ValueNav _),
     "j7_asof_join" -> (j7AsofJoin _),
@@ -620,6 +659,30 @@ object Relational {
         |FROM (SELECT DISTINCT NULLIF(event_type, 'error') AS k FROM events) a
         |JOIN (SELECT DISTINCT NULLIF(event_type, 'error') AS k FROM events) b
         |  ON a.k IS NOT DISTINCT FROM b.k""".stripMargin,
+    "j9_upsert_merge" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |changes AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 17 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    c_acctbal + 100 AS new_bal, c_name AS new_name
+        |  FROM base WHERE c_custkey % 10 = 0 OR c_custkey % 17 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'I', 0.0, 'NEW_' || c_name
+        |  FROM base WHERE c_custkey % 13 = 0)
+        |SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
+        |  COALESCE(c.new_name, b.c_name) AS name,
+        |  CASE WHEN c.op IN ('U','I') THEN c.new_bal ELSE b.c_acctbal END AS acctbal
+        |FROM base b FULL OUTER JOIN changes c ON b.c_custkey = c.c_custkey
+        |WHERE c.op IS NULL OR c.op <> 'D'""".stripMargin,
+    "a6b_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+        |FROM lineitem WHERE l_orderkey < 100
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem WHERE l_orderkey < 100
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |FROM lineitem WHERE l_orderkey < 100""".stripMargin,
     "w4_rank_stats" ->
       """SELECT o_custkey, o_orderkey,
         |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
