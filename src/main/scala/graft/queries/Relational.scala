@@ -200,6 +200,26 @@ object Relational {
       .agg(count(lit(1)).as("n_items"), drev($"l_extendedprice", $"l_discount").as("revenue"))
   }
 
+  /** A12: typed per-group logic — KeyValueGroupedDataset.mapGroups, the
+    * Spark-idiomatic replacement for the reference's imperative per-day
+    * loop (:455-470): arbitrary Scala over each group's iterator, here the
+    * max inter-event gap per user. One shuffle on the key; unlike agg there
+    * is no partial aggregation, so this is the escape hatch for logic that
+    * genuinely can't be an aggregate (this one could — the window-lag
+    * formulation is the oracle — which is exactly what makes it checkable). */
+  def a12MapGroups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("us")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (user, it) =>
+        val ts = it.map(_._2).toArray.sorted
+        val maxGap = if (ts.length < 2) 0L else ts.sliding(2).map(a => a(1) - a(0)).max
+        (user, ts.length.toLong, maxGap)
+      }
+      .toDF("user_id", "n_events", "max_gap_us")
+  }
+
   /** J9: upsert/merge (MERGE INTO semantics by composition) — apply a
     * deterministic change batch (updates, inserts, deletes) to the customer
     * dimension via one full-outer join: delete rows drop, update rows take
@@ -564,6 +584,7 @@ object Relational {
     "j6_nullsafe_join" -> (j6NullsafeJoin _),
     "j9_upsert_merge" -> (j9UpsertMerge _),
     "a6b_unpivot" -> (a6bUnpivot _),
+    "a12_map_groups" -> (a12MapGroups _),
     "w4_rank_stats" -> (w4RankStats _),
     "w5_value_nav" -> (w5ValueNav _),
     "j7_asof_join" -> (j7AsofJoin _),
@@ -659,6 +680,15 @@ object Relational {
         |FROM (SELECT DISTINCT NULLIF(event_type, 'error') AS k FROM events) a
         |JOIN (SELECT DISTINCT NULLIF(event_type, 'error') AS k FROM events) b
         |  ON a.k IS NOT DISTINCT FROM b.k""".stripMargin,
+    "a12_map_groups" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) -
+        |      lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(COALESCE(max(gap), 0) AS BIGINT) AS max_gap_us
+        |FROM g GROUP BY user_id""".stripMargin,
     "j9_upsert_merge" ->
       """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
         |changes AS (
