@@ -138,4 +138,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
+
+  test("L3c: IVF probe join is an equi hash join on the cell key") {
+    // the only nested-loop joins allowed are the C-row centroid broadcasts;
+    // the probe↔candidate join must be hash-based on cent_id, never a
+    // similarity cross join over the corpus
+    val plan = planOf(Llm.l3IvfTopk(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
+  test("J9: upsert merge is a single equi join, no nested loop") {
+    val plan = planOf(Relational.j9UpsertMerge(spark, sfDir))
+    assert(plan.contains("FullOuter"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(4000))
+  }
+
+  test("A6b: unpivot runs as a map-side Expand with no shuffle") {
+    val plan = planOf(Relational.a6bUnpivot(spark, sfDir))
+    assert(plan.contains("Expand"), plan.take(3000))
+    assert(!plan.contains("Exchange"), plan.take(3000))
+  }
 }
