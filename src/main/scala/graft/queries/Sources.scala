@@ -199,6 +199,35 @@ object Sources {
       .orderBy($"day")
   }
 
+  /** O10: XML round trip — Spark 4 built-in XML source (the reference's
+    * inputs are XML-ish markup; a complete engine must land and re-read
+    * it). Declared schema on read, aggregate proves value fidelity. */
+  def o10XmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("o10_xml")
+    documents(spark, dir).select($"doc_id", $"lang", $"n_chars")
+      .write.mode(SaveMode.Overwrite).option("rowTag", "doc").format("xml").save(out)
+    spark.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+      .option("rowTag", "doc").format("xml").load(out)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+  }
+
+  /** O11: ORC round trip — the second columnar format the library supports
+    * interchangeably with parquet (same predicate/pruning machinery). */
+  def o11OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("o11_orc")
+    part(spark, dir).select($"p_partkey", $"p_brand", $"p_retailprice")
+      .write.mode(SaveMode.Overwrite).orc(out)
+    spark.read.orc(out)
+      .filter($"p_partkey" % 2 === 0)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        sum($"p_retailprice".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_price"))
+  }
+
   /** F-map: map construction and access over the JSON props map. */
   def fMap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -251,6 +280,8 @@ object Sources {
     "s5_partition_pruned_read" -> (s5PartitionPrunedRead _),
     "s1b_events_time_pruned" -> (s1bEventsTimePruned _),
     "o9_csv_roundtrip" -> (o9CsvRoundtrip _),
+    "o10_xml_roundtrip" -> (o10XmlRoundtrip _),
+    "o11_orc_roundtrip" -> (o11OrcRoundtrip _),
     "f_map" -> (fMap _),
     "l5_multimodal_decode" -> (l5MultimodalDecode _)
   )
@@ -303,6 +334,13 @@ object Sources {
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
         |GROUP BY 1""".stripMargin,
+    "o10_xml_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+    "o11_orc_roundtrip" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        |CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part WHERE p_partkey % 2 = 0 GROUP BY p_brand""".stripMargin,
     "o9_csv_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
         |min(CAST(date_trunc('day', o_orderdate) AS DATE)) AS first_day,
