@@ -273,20 +273,24 @@ object StreamingQ {
       .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts"))
       .withWatermark("c_ts", "40 days")
     val out = java.nio.file.Files.createTempDirectory("st9_out").toString
-    val q = purchases.join(clicks,
-        $"user_id" === $"c_user" &&
-          $"c_ts" >= $"p_ts" - expr("interval 1 hour") && $"c_ts" <= $"p_ts")
-      .select($"user_id", $"p_id", $"c_id")
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("ck_st9").toString)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode(SaveMode.Append).parquet(out)
-      }
-      .start()
-    q.awaitTermination()
+    // 8 state partitions, sized to the bounded key subset: each partition
+    // is 2 state stores (one per join side) committing every batch
+    Streams.withShufflePartitions(spark, 8) {
+      val q = purchases.join(clicks,
+          $"user_id" === $"c_user" &&
+            $"c_ts" >= $"p_ts" - expr("interval 1 hour") && $"c_ts" <= $"p_ts")
+        .select($"user_id", $"p_id", $"c_id")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck_st9").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode(SaveMode.Append).parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
   }
 

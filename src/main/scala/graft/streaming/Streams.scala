@@ -53,6 +53,19 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Run `f` with the session's shuffle-partition count overridden, then
+    * restore. Stateful streaming queries fix their state-partition count at
+    * the first checkpoint, and every partition is a state-store instance
+    * with per-batch commit overhead — so state-heavy operators should size
+    * this to key cardinality/data volume rather than inherit the batch
+    * default (tiny fixtures → fewer, a 100 TB deployment → more; either
+    * way an explicit choice, which is the point). */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   /** Run a streaming aggregation to completion, materializing each complete
     * snapshot to parquet via foreachBatch (last batch wins = final state).
     * Unlike a memory sink this never buffers results on the driver — the
