@@ -295,6 +295,44 @@ object Llm {
       .select($"doc_id", levenshtein($"p", $"p_next").cast("long").as("edit_dist"))
   }
 
+  /** L14: vocabulary table — token frequencies with a deterministic top-k
+    * (the tokenizer-training / frequency-filter input). Partial map-side
+    * counts before the one shuffle; top-k is TakeOrderedAndProject. */
+  def l14Vocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"token").limit(50)
+  }
+
+  /** L15: benchmark decontamination — flag corpus docs sharing any word
+    * 8-gram with a held-out benchmark set (doc_id < 20 here). The overlap
+    * probe is a semi-join on the shingle key: the benchmark shingle set is
+    * small and broadcasts; the corpus side streams — never a doc×doc
+    * comparison. */
+  def l15Contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val benchShingles = documents(spark, dir).filter($"doc_id" < 20)
+      .select(explode(Text.shingles($"text", 8)).as("shingle")).distinct()
+    documents(spark, dir).filter($"doc_id" >= 20)
+      .select($"doc_id", explode(Text.shingles($"text", 8)).as("shingle"))
+      .join(benchShingles, Seq("shingle"), "left_semi")
+      .select($"doc_id").distinct()
+  }
+
+  /** L16: PII scrub — replace email-shaped and long-digit-run substrings
+    * before training (single-pass projection, codegen'd regex). */
+  def l16PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scrubbed = regexp_replace(
+      regexp_replace($"text", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "[0-9]{6,}", "<NUM>")
+    documents(spark, dir).select($"doc_id",
+      (scrubbed =!= $"text").as("was_scrubbed"),
+      length(scrubbed).cast("long").as("n_chars_scrubbed"))
+  }
+
   /** F-bits: bitwise and/or/xor/shift surface. */
   def fBits(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -352,6 +390,9 @@ object Llm {
     "l10_token_count" -> (l10TokenCount _),
     "t_typed_dataset" -> (tTypedDataset _),
     "l12_edit_distance" -> (l12EditDistance _),
+    "l14_vocab" -> (l14Vocab _),
+    "l15_contamination" -> (l15Contamination _),
+    "l16_pii_scrub" -> (l16PiiScrub _),
     "f_bits" -> (fBits _),
     "l11_rolling_fingerprint" -> (l11RollingFingerprint _)
   )
@@ -520,6 +561,31 @@ object Llm {
       """SELECT a.doc_id, CAST(levenshtein(substr(a.text,1,40), substr(b.text,1,40)) AS BIGINT) AS edit_dist
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |WHERE a.doc_id < 100 AND b.doc_id < 100""".stripMargin,
+    "l14_vocab" ->
+      """SELECT token, count(*) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
+    "l15_contamination" ->
+      """WITH bs AS (
+        |  SELECT DISTINCT unnest(list_transform(
+        |    generate_series(1, greatest(len(string_split(text,' ')) - 7, 0)),
+        |    i -> array_to_string((string_split(text,' '))[i:i+7], ' '))) AS shingle
+        |  FROM documents WHERE doc_id < 20),
+        |cs AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(string_split(text,' ')) - 7, 0)),
+        |    i -> array_to_string((string_split(text,' '))[i:i+7], ' '))) AS shingle
+        |  FROM documents WHERE doc_id >= 20)
+        |SELECT DISTINCT doc_id FROM cs WHERE shingle IN (SELECT shingle FROM bs)""".stripMargin,
+    "l16_pii_scrub" ->
+      """SELECT doc_id,
+        |regexp_replace(regexp_replace(text,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '[0-9]{6,}', '<NUM>', 'g') <> text AS was_scrubbed,
+        |CAST(length(regexp_replace(regexp_replace(text,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '[0-9]{6,}', '<NUM>', 'g')) AS BIGINT) AS n_chars_scrubbed
+        |FROM documents""".stripMargin,
     "f_bits" ->
       """SELECT event_id,
         |event_id & 255 AS low8,
