@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based tests promised by SURVEY §5.3 (beyond the incremental-sink
+  * idempotence property in IncrementalWriterSpec): the extraction fallback
+  * chain is exactly first-non-null-non-empty, the anti-join obeys its set
+  * algebra, and the engine's md5 agrees with the JDK digest on arbitrary
+  * input. Each property evaluates one small Spark job per sample.
+  */
+class PropertySpec extends SparkSpec {
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(8)
+
+  // tokens that may be "misses" (empty string) like a failed regex group
+  private val tokenGen: Gen[String] =
+    Gen.oneOf(Gen.const(""), Gen.alphaNumStr.map(_.take(8)))
+
+  test("property: fallback chain returns the first non-empty candidate (P1-P3)") {
+    import spark.implicits._
+    val prop = Prop.forAll(Gen.nonEmptyListOf(Gen.zip(tokenGen, tokenGen, tokenGen))) { rows =>
+      val df = rows.toDF("a", "b", "c").select($"a", $"b", $"c",
+        coalesce(nullif($"a", lit("")), nullif($"b", lit("")), nullif($"c", lit("")))
+          .as("got"))
+      df.collect().forall { r =>
+        val expected = Seq(r.getString(0), r.getString(1), r.getString(2))
+          .find(_.nonEmpty).orNull
+        r.getAs[String]("got") == expected
+      }
+    }
+    val result = SCTest.check(params, prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("property: anti-join output is disjoint from existing and preserves the rest (J1)") {
+    import spark.implicits._
+    val keySet = Gen.listOf(Gen.choose(1L, 50L)).map(_.distinct)
+    val prop = Prop.forAll(Gen.zip(keySet, keySet)) { case (cand, existing) =>
+      val c = cand.toDF("k")
+      val e = existing.toDF("k")
+      val out = c.join(e, Seq("k"), "left_anti").as[Long].collect().toSet
+      val candS = cand.toSet
+      val existS = existing.toSet
+      out.intersect(existS).isEmpty && // nothing already present survives
+        out.union(candS.intersect(existS)) == candS // nothing else is lost
+    }
+    val result = SCTest.check(params, prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("property: engine md5 equals the JDK digest on arbitrary strings (P17)") {
+    import spark.implicits._
+    val prop = Prop.forAll(Gen.nonEmptyListOf(Gen.asciiPrintableStr.map(_.take(64)))) { xs =>
+      val got = xs.toDF("s")
+        .select(md5($"s".cast("binary")).as("h")).as[String].collect()
+      val expected = xs.map { s =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      got.toSeq == expected
+    }
+    val result = SCTest.check(params, prop)
+    assert(result.passed, result.status.toString)
+  }
+}
