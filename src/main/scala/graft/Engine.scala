@@ -44,12 +44,17 @@ object Engine {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     raw.schema.fields.foldLeft(raw) { (df, f) =>
       if (f.dataType == org.apache.spark.sql.types.LongType && f.name == "ts" && name == "events")
-        df.withColumn(f.name,
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr(s"${f.name} div 1000")))
+        df.withColumn(f.name, narrowNanosToTs(f.name))
       else df
     }
   }
+
+  /** The ONE definition of the nanos→micros narrowing for `events.ts` —
+    * shared by [[table]] and [[eventsBetween]] so the two paths can never
+    * narrow differently. */
+  private def narrowNanosToTs(col: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.expr(s"$col div 1000"))
 
   /** Events scan with the event-time range predicate pushed to the parquet
     * scan. The nanos→micros narrowing in [[table]] is a projection, so a
@@ -67,9 +72,7 @@ object Engine {
         .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.filter(raw("ts") >= nanos(startDay) && raw("ts") < nanos(endDay))
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      .withColumn("ts", narrowNanosToTs("ts"))
   }
 
   /** NTZ timestamp literal for pushdown-friendly comparisons against the

@@ -171,6 +171,7 @@ object Relational {
     * subsequent join). Existence-checked against the catalog so a fresh
     * session re-stages. */
   @volatile private var stagedBucketDir: String = null
+  @volatile private var stagedBucketWh: String = null
   private[graft] def stageBucketedTables(spark: SparkSession, dir: String): Unit =
     synchronized {
       if (stagedBucketDir != dir ||
@@ -180,6 +181,10 @@ object Relational {
         val wh = java.nio.file.Files.createTempDirectory("bucketed").toString
         spark.sql("DROP TABLE IF EXISTS graft_b_orders")
         spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+        // DROP TABLE detaches the catalog entry only; reclaim the previous
+        // external warehouse dir so re-staging doesn't orphan full copies
+        if (stagedBucketWh != null)
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stagedBucketWh)): Unit
         orders(spark, dir).select($"o_orderkey", $"o_orderstatus")
           .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .option("path", s"$wh/orders").saveAsTable("graft_b_orders")
@@ -188,6 +193,7 @@ object Relational {
           .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .option("path", s"$wh/lineitem").saveAsTable("graft_b_lineitem")
         stagedBucketDir = dir
+        stagedBucketWh = wh
       }
     }
 
@@ -225,8 +231,11 @@ object Relational {
     * dimension via one full-outer join: delete rows drop, update rows take
     * the new balance, insert rows appear, untouched rows pass through. The
     * reference's get-or-create + overwrite protocols are special cases of
-    * this shape. Scale: one shuffle on the merge key; the change batch is
-    * typically small → AQE broadcasts it. */
+    * this shape. Scale: one full-outer shuffle on the merge key, both
+    * sides — a full-outer join cannot be a broadcast hash join, so the
+    * shuffle is the honest floor for MERGE at any size. Insert keys are
+    * the negated base key: provably disjoint from the (positive) key space
+    * at every SF, unlike any fixed offset. */
   def j9UpsertMerge(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = customer(spark, dir).select($"c_custkey", $"c_name", $"c_acctbal")
@@ -236,7 +245,7 @@ object Relational {
         when($"c_custkey" % 17 === 0, "D").otherwise("U").as("op"),
         ($"c_acctbal" + 100).as("new_bal"), $"c_name".as("new_name"))
       .unionByName(base.filter($"c_custkey" % 13 === 0)
-        .select(($"c_custkey" + 1000000).as("c_custkey"), lit("I").as("op"),
+        .select((-$"c_custkey").as("c_custkey"), lit("I").as("op"),
           lit(0.0).as("new_bal"), concat(lit("NEW_"), $"c_name").as("new_name")))
     base.join(changes, Seq("c_custkey"), "full_outer")
       .filter($"op".isNull || $"op" =!= "D")
@@ -697,7 +706,7 @@ object Relational {
         |    c_acctbal + 100 AS new_bal, c_name AS new_name
         |  FROM base WHERE c_custkey % 10 = 0 OR c_custkey % 17 = 0
         |  UNION ALL
-        |  SELECT c_custkey + 1000000, 'I', 0.0, 'NEW_' || c_name
+        |  SELECT -c_custkey, 'I', 0.0, 'NEW_' || c_name
         |  FROM base WHERE c_custkey % 13 = 0)
         |SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
         |  COALESCE(c.new_name, b.c_name) AS name,

@@ -163,9 +163,10 @@ object StreamingQ {
       def stageOne(df: DataFrame, name: String, mtimeMs: Long): Unit = {
         val tmp = java.nio.file.Files.createTempDirectory(s"st7b_$name").toString
         df.repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .findFirst.get
+        val listing = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        val part =
+          try listing.filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst.get
+          finally listing.close()
         val dst = out.resolve(s"$name.parquet")
         java.nio.file.Files.copy(part, dst)
         java.nio.file.Files.setLastModifiedTime(dst,

@@ -39,20 +39,6 @@ object Streams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(staged)
 
-  /** Run a streaming aggregation to completion into a memory sink (complete
-    * mode) and return the final result table. */
-  def runCompleteToMemory(agg: DataFrame, name: String): Unit = {
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory(s"ck_$name").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
-
   /** Run `f` with the session's shuffle-partition count overridden, then
     * restore. Stateful streaming queries fix their state-partition count at
     * the first checkpoint, and every partition is a state-store instance
@@ -70,8 +56,7 @@ object Streams {
     * snapshot to parquet via foreachBatch (last batch wins = final state).
     * Unlike a memory sink this never buffers results on the driver — the
     * write is a distributed parquet job, so the pattern holds when the
-    * aggregate itself is large (the memory-sink variant above is kept only
-    * for tests). Returns the sink path. */
+    * aggregate itself is large. Returns the sink path. */
   def runCompleteToParquet(agg: DataFrame, ckName: String): String = {
     val out = java.nio.file.Files.createTempDirectory(s"${ckName}_sink").toString
     val q = agg.writeStream
