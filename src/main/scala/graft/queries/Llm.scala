@@ -295,6 +295,42 @@ object Llm {
       .select($"doc_id", levenshtein($"p", $"p_next").cast("long").as("edit_dist"))
   }
 
+  /** L17: dedup clustering — connected components over the near-dup pair
+    * graph (the step that turns L2's candidate PAIRS into canonical
+    * GROUPS, which is what a dedup pipeline actually keys its keep/drop
+    * decision on). Iterative min-label propagation to fixpoint: each round
+    * every node takes the min label among itself and its neighbors — the
+    * unique fixpoint is the component minimum, so the result is
+    * deterministic no matter how iterations interleave. Rounds are
+    * O(graph diameter) ≤ log-ish for dedup graphs; each round is one
+    * shuffle-bounded join, lineage truncated per round (localCheckpoint)
+    * so plans don't grow unboundedly — the standard Pregel-style loop at
+    * any scale. Oracle: DuckDB recursive CTE over the same pairs. */
+  def l17DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = l2MinhashNearDup(spark, dir).select($"a_id", $"b_id")
+    val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
+      .unionByName(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select($"src".as("id")).distinct()
+      .withColumn("label", $"id").localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val neighborMin = edges
+        .join(labels.select($"id".as("dst"), $"label".as("dlabel")), Seq("dst"))
+        .groupBy($"src".as("id")).agg(min($"dlabel").as("nlabel"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select($"id", least($"label", coalesce($"nlabel", $"label")).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select($"id", $"label".as("old")), Seq("id"))
+        .filter($"label" =!= $"old").count()
+      labels = next
+      iter += 1
+    }
+    labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
+  }
+
   /** L14: vocabulary table — token frequencies with a deterministic top-k
     * (the tokenizer-training / frequency-filter input). Partial map-side
     * counts before the one shuffle; top-k is TakeOrderedAndProject. */
@@ -392,6 +428,7 @@ object Llm {
     "l12_edit_distance" -> (l12EditDistance _),
     "l14_vocab" -> (l14Vocab _),
     "l15_contamination" -> (l15Contamination _),
+    "l17_dedup_clusters" -> (l17DedupClusters _),
     "l16_pii_scrub" -> (l16PiiScrub _),
     "f_bits" -> (fBits _),
     "l11_rolling_fingerprint" -> (l11RollingFingerprint _)
@@ -416,26 +453,40 @@ object Llm {
   private val simhashFp = (1 to 16).map(i =>
     s"(CASE WHEN s$i > 0 THEN ${1L << (i - 1)} ELSE 0 END)").mkString(" + ")
 
+  /** The banded-minhash pair query (l2's oracle body) — also embedded as a
+    * subquery by the l17 clustering oracle. */
+  private val l2PairsSql: String =
+    s"WITH $candSql,\n${shingleSql(5)},\n" +
+      """mh AS (SELECT id,
+        |  min(substr(md5(shingle), 1, 5)) AS h1, min(substr(md5(shingle), 6, 5)) AS h2,
+        |  min(substr(md5(shingle), 11, 5)) AS h3, min(substr(md5(shingle), 16, 5)) AS h4,
+        |  min(substr(md5(shingle), 21, 5)) AS h5, min(substr(md5(shingle), 26, 5)) AS h6
+        |  FROM sh GROUP BY id),
+        |bands AS (
+        |  SELECT id, md5(h1 || '|' || h2 || '|' || h3) AS band, 1 AS bi FROM mh
+        |  UNION ALL
+        |  SELECT id, md5(h4 || '|' || h5 || '|' || h6), 2 FROM mh)
+        |SELECT a.id AS a_id, b.id AS b_id, count(*) AS shared_bands
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.bi = b.bi AND a.id < b.id
+        |GROUP BY a.id, b.id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "l1_exact_dedup" ->
       """SELECT min(id) AS keeper, count(*) AS n_copies FROM (
         |  SELECT doc_id AS id, text FROM documents
         |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
         |GROUP BY md5(text)""".stripMargin,
-    "l2_minhash_neardup" ->
-      (s"WITH $candSql,\n${shingleSql(5)},\n" +
-        """mh AS (SELECT id,
-          |  min(substr(md5(shingle), 1, 5)) AS h1, min(substr(md5(shingle), 6, 5)) AS h2,
-          |  min(substr(md5(shingle), 11, 5)) AS h3, min(substr(md5(shingle), 16, 5)) AS h4,
-          |  min(substr(md5(shingle), 21, 5)) AS h5, min(substr(md5(shingle), 26, 5)) AS h6
-          |  FROM sh GROUP BY id),
-          |bands AS (
-          |  SELECT id, md5(h1 || '|' || h2 || '|' || h3) AS band, 1 AS bi FROM mh
-          |  UNION ALL
-          |  SELECT id, md5(h4 || '|' || h5 || '|' || h6), 2 FROM mh)
-          |SELECT a.id AS a_id, b.id AS b_id, count(*) AS shared_bands
-          |FROM bands a JOIN bands b ON a.band = b.band AND a.bi = b.bi AND a.id < b.id
-          |GROUP BY a.id, b.id""".stripMargin),
+    "l2_minhash_neardup" -> l2PairsSql,
+    "l17_dedup_clusters" ->
+      ("WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM (\n" + l2PairsSql + "\n) lp),\n" +
+        """edges AS (
+          |  SELECT a_id AS src, b_id AS dst FROM pairs
+          |  UNION SELECT b_id, a_id FROM pairs),
+          |reach AS (
+          |  SELECT src AS id, src AS label FROM edges
+          |  UNION
+          |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst)
+          |SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id""".stripMargin),
     "j8_similarity_topk_join" ->
       """WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
         |scored AS (
