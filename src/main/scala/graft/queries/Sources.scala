@@ -240,6 +240,22 @@ object Sources {
         size($"m").cast("long").as("n_entries"))
   }
 
+  /** F-map2: map higher-order functions — map_filter / transform_keys /
+    * transform_values over the parsed props map, rendered to checkable
+    * scalars. */
+  def fMap2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .select($"event_id",
+        from_json($"props", MapType(StringType, StringType)).as("m"))
+      .select($"event_id",
+        size(map_filter($"m", (_, v) => v.cast("long") > 0)).cast("long").as("n_pos"),
+        array_join(map_keys(transform_keys($"m", (k, _) => concat(k, lit("_x")))), ",")
+          .as("keys_renamed"),
+        element_at(map_values(transform_values($"m",
+          (_, v) => concat(lit("v="), v))), 1).as("first_tagged"))
+  }
+
   /** L5: multimodal decode plumbing — binary payloads flow through a typed
     * mapPartitions stage producing per-asset features. The actual image
     * decode is STUBBED with a deterministic function of the byte length
@@ -283,6 +299,7 @@ object Sources {
     "o10_xml_roundtrip" -> (o10XmlRoundtrip _),
     "o11_orc_roundtrip" -> (o11OrcRoundtrip _),
     "f_map" -> (fMap _),
+    "f_map2" -> (fMap2 _),
     "l5_multimodal_decode" -> (l5MultimodalDecode _)
   )
 
@@ -350,6 +367,13 @@ object Sources {
       """SELECT event_id, 'k' AS keys,
         |CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k_val,
         |CAST(1 AS BIGINT) AS n_entries
+        |FROM events""".stripMargin,
+    "f_map2" ->
+      """SELECT event_id,
+        |CAST(CASE WHEN CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) > 0
+        |     THEN 1 ELSE 0 END AS BIGINT) AS n_pos,
+        |'k_x' AS keys_renamed,
+        |'v=' || regexp_extract(props, '"k": (-?[0-9]+)', 1) AS first_tagged
         |FROM events""".stripMargin,
     "l5_multimodal_decode" ->
       """SELECT * FROM (VALUES
