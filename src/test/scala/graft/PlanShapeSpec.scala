@@ -160,4 +160,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Expand"), plan.take(3000))
     assert(!plan.contains("Exchange"), plan.take(3000))
   }
+
+  test("AQE splits a skewed join partition and keeps results exact") {
+    // one hot key holding ~90% of the fact side — the shape that stalls a
+    // 1000-executor job on one straggler task unless the planner splits it.
+    // Thresholds are lowered so fixture-scale data trips the same code path
+    // production data trips naturally.
+    import org.apache.spark.sql.functions.{sum, when}
+    import spark.implicits._
+    val restore = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // 90% of the fact lands on key 7 → its shuffle partition is far over
+      // 5x the median, which is what the skew-split code path keys on
+      val fact = spark.range(0, 20000)
+        .select(when($"id" % 10 =!= 0, 7L).otherwise($"id").as("k"), $"id".as("v"))
+      val dim = spark.range(0, 100).select($"id".as("k"), ($"id" * 2).as("w"))
+      val joined = fact.join(dim, Seq("k"))
+      val rows = joined.collect() // this exact DataFrame, so AQE finalizes it
+      // exact expectation: key 7 matches 18000 fact rows (w=14); the cold
+      // keys are multiples of 10, of which 0..90 have a dim row (w=2k)
+      val expected = 18000L * 14L + (0L until 100L by 10).map(_ * 2).sum
+      val total = rows.map(_.getAs[Long]("w")).sum
+      assert(total == expected, s"got $total, want $expected")
+      val plan = planOf(joined).split("== Initial Plan ==")(0)
+      assert(plan.contains("skew=true"), plan.take(4000))
+    } finally restore.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }
