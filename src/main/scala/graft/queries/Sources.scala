@@ -281,6 +281,22 @@ object Sources {
     }.toDF("file_name", "mime", "n_bytes", "width", "height")
   }
 
+  /** L5b: frame sampling — one input asset fans out to N sampled frames
+    * (the video/audio analog of page explosion): a typed flatMap emitting
+    * (frame_idx, byte_offset) rows per asset. The real frame decoder is
+    * stubbed like the rest of L5 (deterministic count from the byte
+    * length); the Spark-side shape — flatMap cardinality change, schema,
+    * partition-local work — is real and oracle-checked. */
+  def l5bFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    s3BinarySource(spark, dir).as[(String, Long, String)]
+      .flatMap { case (name, nBytes, _) =>
+        val n = math.max(math.min(nBytes / 8, 4), 1)
+        (0L until n).map(i => (name, i, i * 8))
+      }
+      .toDF("file_name", "frame_idx", "byte_offset")
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_pushdown_scan" -> (s1PushdownScan _),
@@ -300,7 +316,8 @@ object Sources {
     "o11_orc_roundtrip" -> (o11OrcRoundtrip _),
     "f_map" -> (fMap _),
     "f_map2" -> (fMap2 _),
-    "l5_multimodal_decode" -> (l5MultimodalDecode _)
+    "l5_multimodal_decode" -> (l5MultimodalDecode _),
+    "l5b_frame_sample" -> (l5bFrameSample _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -375,6 +392,17 @@ object Sources {
         |'k_x' AS keys_renamed,
         |'v=' || regexp_extract(props, '"k": (-?[0-9]+)', 1) AS first_tagged
         |FROM events""".stripMargin,
+    "l5b_frame_sample" ->
+      """WITH assets AS (SELECT * FROM (VALUES
+        |('bib13991099_18650102_0_1_0001.jp2', CAST(42 AS BIGINT)),
+        |('bib13991099_18650102_0_1_0002.JP2', CAST(44 AS BIGINT)),
+        |('notes.bin', CAST(12 AS BIGINT)),
+        |('thumb_13.jpg', CAST(20 AS BIGINT))) AS t(file_name, n_bytes))
+        |SELECT file_name,
+        |  CAST(i AS BIGINT) AS frame_idx, CAST(i * 8 AS BIGINT) AS byte_offset
+        |FROM (SELECT file_name,
+        |        unnest(generate_series(0, greatest(least(n_bytes // 8, 4), 1) - 1)) AS i
+        |      FROM assets)""".stripMargin,
     "l5_multimodal_decode" ->
       """SELECT * FROM (VALUES
         |('bib13991099_18650102_0_1_0001.jp2', 'image/jp2', CAST(42 AS BIGINT), 295, 67),
