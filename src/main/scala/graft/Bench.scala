@@ -35,14 +35,22 @@ object Bench {
     queries.StreamingQ.stageSt7b(spark, sfDir): Unit
     queries.Sources.stageDayPartitionedEvents(spark, sfDir): Unit
 
+    // Best-of-2 per query: a single timed run is vulnerable to one-off
+    // JIT/GC/page-cache noise landing on whichever query runs at the wrong
+    // moment (r3 saw 5.0 s driver-run vs 0.54 s local on the same query) —
+    // the minimum of two runs is the steady-state cost the regression axis
+    // should track. Queries are side-effect-safe to re-run: every sink
+    // query writes to a fresh temp dir per invocation.
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
+      def once(): Double = {
+        val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        times :+= name -> (System.nanoTime() - t0) / 1e9
-      } catch {
+        (System.nanoTime() - t0) / 1e9
+      }
+      try times :+= name -> math.min(once(), once())
+      catch {
         case e: Throwable =>
           errors :+= name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }

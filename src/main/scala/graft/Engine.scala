@@ -11,7 +11,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Engine {
 
-  /** Local session with the settings every entry point shares. */
+  /** Local session with the settings every entry point shares.
+    *
+    * EXPLICIT SESSION CONTRACT: `spark.sql.legacy.parquet.nanosAsLong=true`
+    * is part of this engine's session configuration — every graft session
+    * reads parquet TIMESTAMP(NANOS) columns as raw nano longs (the fixture
+    * `events.ts` encoding; Spark has no native nanos type). [[table]] and
+    * [[eventsBetween]] also set it defensively for sessions built elsewhere.
+    * Consequence: any OTHER nano-timestamp parquet column read in a graft
+    * session also arrives as a raw long — callers needing timestamps must
+    * narrow explicitly (see [[table]]'s `events.ts` handling). */
   def session(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val spark = SparkSession
       .builder()
@@ -20,6 +29,7 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -314,20 +314,31 @@ object Llm {
       .localCheckpoint(true)
     var labels = edges.select($"src".as("id")).distinct()
       .withColumn("label", $"id").localCheckpoint(true)
+    // Convergence is a driver-side count(), i.e. one extra job — so it is
+    // checked only every 2 propagation rounds (labels decrease monotonically,
+    // so "unchanged across 2 rounds" implies each round was a no-op). Hitting
+    // the cap without converging is an explicit error, never a silently
+    // wrong clustering: a diameter > cap graph fails loudly here.
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
-      val neighborMin = edges
-        .join(labels.select($"id".as("dst"), $"label".as("dlabel")), Seq("dst"))
-        .groupBy($"src".as("id")).agg(min($"dlabel").as("nlabel"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select($"id", least($"label", coalesce($"nlabel", $"label")).as("label"))
-        .localCheckpoint(true)
-      changed = next.join(labels.select($"id", $"label".as("old")), Seq("id"))
+    val maxIter = 40
+    while (changed > 0 && iter < maxIter) {
+      val before = labels
+      var r = 0
+      while (r < 2 && iter < maxIter) {
+        val neighborMin = edges
+          .join(labels.select($"id".as("dst"), $"label".as("dlabel")), Seq("dst"))
+          .groupBy($"src".as("id")).agg(min($"dlabel").as("nlabel"))
+        labels = labels.join(neighborMin, Seq("id"), "left")
+          .select($"id", least($"label", coalesce($"nlabel", $"label")).as("label"))
+          .localCheckpoint(true)
+        r += 1; iter += 1
+      }
+      changed = labels.join(before.select($"id", $"label".as("old")), Seq("id"))
         .filter($"label" =!= $"old").count()
-      labels = next
-      iter += 1
     }
+    require(changed == 0,
+      s"l17 min-label propagation did not converge within $maxIter rounds (graph diameter > cap)")
     labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
   }
 

@@ -77,7 +77,7 @@ object Relational {
     * picks broadcast at fixture scale on its own (asserted in
     * PlanShapeSpec); at real scale it degrades gracefully to a shuffle
     * join. Hints are reserved for bounded dims (nation/region, ≤25 rows). */
-  def j2BroadcastLookup(spark: SparkSession, dir: String): DataFrame = {
+  def j2KeyedLookup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     lineitem(spark, dir)
       .join(part(spark, dir), $"l_partkey" === $"p_partkey")
@@ -212,7 +212,14 @@ object Relational {
     * max inter-event gap per user. One shuffle on the key; unlike agg there
     * is no partial aggregation, so this is the escape hatch for logic that
     * genuinely can't be an aggregate (this one could — the window-lag
-    * formulation is the oracle — which is exactly what makes it checkable). */
+    * formulation is the oracle — which is exactly what makes it checkable).
+    *
+    * HOT-KEY CAVEAT: mapGroups materializes each group on ONE task (here:
+    * each user's events into one in-memory array). With no partial agg and
+    * no salting possible (the closure needs the whole group), an unbounded
+    * hot key lands the whole group on a single executor — bounded per-user
+    * cardinality is a precondition. For skewed keys use the salted
+    * two-stage aggregate pattern instead (a4SaltedAgg). */
   def a12MapGroups(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     events(spark, dir)
@@ -582,7 +589,7 @@ object Relational {
     "a9_multi_agg_q1" -> (a9MultiAggQ1 _),
     "p6_between" -> (p6Between _),
     "j1_anti_skip_exists" -> (j1AntiSkipExists _),
-    "j2_broadcast_lookup" -> (j2BroadcastLookup _),
+    "j2_keyed_lookup" -> (j2KeyedLookup _),
     "j3_get_or_create" -> (j3GetOrCreate _),
     "j4_full_outer_reconcile" -> (j4FullOuterReconcile _),
     "j5_except_retry" -> (j5ExceptRetry _),
@@ -643,7 +650,7 @@ object Relational {
     "j1_anti_skip_exists" ->
       """SELECT DISTINCT l_orderkey FROM lineitem
         |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin,
-    "j2_broadcast_lookup" ->
+    "j2_keyed_lookup" ->
       s"""SELECT p_brand, count(*) AS n_items, $oraRev AS revenue
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY p_brand""".stripMargin,

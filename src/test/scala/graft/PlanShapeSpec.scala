@@ -49,10 +49,20 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("J2: un-hinted lookup join still broadcasts at fixture scale") {
-    val df = Relational.j2BroadcastLookup(spark, sfDir)
+    val df = Relational.j2KeyedLookup(spark, sfDir)
     df.collect()
     val plan = planOf(df).split("== Initial Plan ==")(0)
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("A12: mapGroups shuffles every row on the full key — no partial agg") {
+    // documents the hot-key caveat: unlike agg there is no map-side combine,
+    // so the exchange carries every event and each key's whole group lands
+    // on one task (see a12MapGroups scaladoc)
+    val plan = planOf(Relational.a12MapGroups(spark, sfDir))
+    assert(plan.contains("MapGroups"), plan.take(3000))
+    assert(plan.contains("Exchange hashpartitioning"), plan.take(3000))
+    assert(!plan.contains("HashAggregate"), plan.take(3000))
   }
 
   test("S1b: event-time range pushes to the events scan as a raw-long filter") {
