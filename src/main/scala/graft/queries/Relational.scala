@@ -584,8 +584,82 @@ object Relational {
       .intersect(lineitem(spark, dir).select(to_date($"l_shipdate").as("day")))
   }
 
+  // ------------------------------------------------------ subqueries (SQL)
+  /** Session-scoped views backing the subquery rows. The SQL entry point is
+    * the surface under test here (Catalyst's subquery rewrites); the views
+    * are plain parquet scans so pushdown/pruning still apply. */
+  private def subqueryViews(spark: SparkSession, dir: String): Unit = {
+    customer(spark, dir).createOrReplaceTempView("graft_customer")
+    orders(spark, dir).createOrReplaceTempView("graft_orders")
+    lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+  }
+
+  /** SQ1: correlated EXISTS + NOT EXISTS via spark.sql (reference's
+    * skip-if-exists / retry-missing checks, 01-scrape-images.py:181-188,
+    * :462-465, expressed declaratively). RewritePredicateSubquery turns both
+    * into semi/anti hash joins on o_custkey — two key shuffles at scale,
+    * never a per-row probe. */
+  def sq1ExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    subqueryViews(spark, dir)
+    spark.sql(
+      """SELECT c_custkey, c_name FROM graft_customer c
+        |WHERE EXISTS (SELECT 1 FROM graft_orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin)
+  }
+
+  /** SQ2: correlated scalar subqueries — customers whose max order exceeds
+    * their market segment's average order value. Catalyst decorrelates both
+    * aggregates (RewriteCorrelatedScalarSubquery) into aggregate-then-join
+    * plans keyed on o_custkey / c_mktsegment; the segment average is
+    * computed once per segment, not once per customer. Decimal-exact sum
+    * cast to double keeps the comparison bit-identical to DuckDB. */
+  def sq2ScalarCorrelated(spark: SparkSession, dir: String): DataFrame = {
+    subqueryViews(spark, dir)
+    spark.sql(
+      """SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+        |  (SELECT max(o.o_totalprice) FROM graft_orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_order
+        |FROM graft_customer c
+        |WHERE (SELECT max(o.o_totalprice) FROM graft_orders o
+        |       WHERE o.o_custkey = c.c_custkey)
+        |    > (SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |       FROM graft_orders o2 JOIN graft_customer c2 ON o2.o_custkey = c2.c_custkey
+        |       WHERE c2.c_mktsegment = c.c_mktsegment)""".stripMargin)
+  }
+
+  /** SQ3: NOT IN subquery via spark.sql — exercises the null-aware anti
+    * join path (the subquery column is non-null here, so Spark and DuckDB
+    * agree; the rewrite is still the NAAJ-capable one). */
+  def sq3NotInSubquery(spark: SparkSession, dir: String): DataFrame = {
+    subqueryViews(spark, dir)
+    spark.sql(
+      """SELECT o_orderkey, o_orderstatus FROM graft_orders
+        |WHERE o_orderkey NOT IN
+        |  (SELECT l_orderkey FROM graft_lineitem WHERE l_quantity >= 48)""".stripMargin)
+  }
+
+  /** SQ4: LATERAL correlated subquery with per-group LIMIT — top-2
+    * customers by balance per market segment. Catalyst plans the lateral as
+    * a correlated join; the per-segment LIMIT bounds work per group (the
+    * window-rank W4 row is the equivalent non-lateral spelling). */
+  def sq4LateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    subqueryViews(spark, dir)
+    spark.sql(
+      """SELECT s.c_mktsegment, t.c_custkey, t.c_acctbal
+        |FROM (SELECT DISTINCT c_mktsegment FROM graft_customer) s,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM graft_customer c
+        |         WHERE c.c_mktsegment = s.c_mktsegment
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sq1_exists_subquery" -> (sq1ExistsSubquery _),
+    "sq2_scalar_correlated" -> (sq2ScalarCorrelated _),
+    "sq3_not_in_subquery" -> (sq3NotInSubquery _),
+    "sq4_lateral_topk" -> (sq4LateralTopk _),
     "a9_multi_agg_q1" -> (a9MultiAggQ1 _),
     "p6_between" -> (p6Between _),
     "j1_anti_skip_exists" -> (j1AntiSkipExists _),
@@ -634,6 +708,32 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "sq1_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin,
+    "sq2_scalar_correlated" ->
+      """SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+        |  (SELECT max(o.o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_order
+        |FROM customer c
+        |WHERE (SELECT max(o.o_totalprice) FROM orders o
+        |       WHERE o.o_custkey = c.c_custkey)
+        |    > (SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |       FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
+        |       WHERE c2.c_mktsegment = c.c_mktsegment)""".stripMargin,
+    "sq3_not_in_subquery" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderkey NOT IN
+        |  (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48)""".stripMargin,
+    "sq4_lateral_topk" ->
+      """SELECT s.c_mktsegment, t.c_custkey, t.c_acctbal
+        |FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |         WHERE c.c_mktsegment = s.c_mktsegment
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin,
     "a9_multi_agg_q1" ->
       s"""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
          |${oraDsum("l_extendedprice")} AS sum_base_price,
