@@ -89,4 +89,32 @@ class ExtractionSpec extends SparkSpec {
       .select(Text.cosine($"a", $"b").as("c"))
     assert(math.abs(df.as[Double].head() - 1.0) < 1e-12)
   }
+
+  test("F-hash KAT: xxhash64/crc32/hash match fixed public-algorithm values") {
+    // f_hash_native is rows-only in the driver (DuckDB has no xxhash64 with
+    // Spark's seed); these known-answer literals bound it instead. crc32
+    // values equal zlib's CRC-32 of the UTF-8 bytes (public algorithm);
+    // xxhash64 is xxHash64(seed=42) over UTF-8 bytes — the empty-string
+    // value is Spark's documented fingerprint of that seeding.
+    val got = Seq("graft", "The quick brown fox", "")
+      .toDF("t")
+      .select(xxhash64($"t").as("xx"), crc32($"t".cast("binary")).as("crc"),
+        hash($"t").as("h32"))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq(
+      (-4815631219266125053L, 31255620L, -1930494102),
+      (-3617261401988713833L, 3074782430L, 1217302703),
+      (-7444071767201028348L, 0L, 142593372)))
+  }
+
+  test("o_sample_seeded: same seed twice yields the identical sample") {
+    // The sample is rows-only vs the oracle (engine RNG streams differ by
+    // design); determinism under a fixed seed is the property that makes it
+    // safe in an incremental pipeline, so pin it explicitly.
+    val a = Extraction.oSampleSeeded(spark, sfDir).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    val b = Extraction.oSampleSeeded(spark, sfDir).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(a.nonEmpty && a == b)
+  }
 }
