@@ -199,6 +199,23 @@ object Sources {
       .orderBy($"day")
   }
 
+  /** S12: read through the custom DSv2 connector ([[graft.sources.KbSearchSource]])
+    * modeling the KB search endpoint (reference :482-522): the day-range and
+    * publication predicates are consumed by the source itself — day bounds
+    * prune whole input partitions at planning time, the pub filter never
+    * leaves the scan, and column pruning drops `pub` from the read schema
+    * entirely (it only appears in a pushed filter). PlanShapeSpec asserts
+    * all three. This is O1's server-side filtering re-expressed as a DSv2
+    * pushdown contract. */
+  def s12Dsv2SearchScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format(classOf[graft.sources.KbSearchSource].getName).load()
+      .filter($"day" >= lit("2024-01-01").cast("date") &&
+        $"day" < lit("2024-01-15").cast("date") &&
+        $"pub".isin("AB", "DN"))
+      .select($"issue_id", $"day", $"n_pages".cast("long").as("n_pages"), $"status")
+  }
+
   /** O10: XML round trip — Spark 4 built-in XML source (the reference's
     * inputs are XML-ish markup; a complete engine must land and re-read
     * it). Declared schema on read, aggregate proves value fidelity. */
@@ -323,6 +340,7 @@ object Sources {
     "s11_resumable_load" -> (s11ResumableLoad _),
     "s5_partition_pruned_read" -> (s5PartitionPrunedRead _),
     "s1b_events_time_pruned" -> (s1bEventsTimePruned _),
+    "s12_dsv2_search_scan" -> (s12Dsv2SearchScan _),
     "o9_csv_roundtrip" -> (o9CsvRoundtrip _),
     "o10_xml_roundtrip" -> (o10XmlRoundtrip _),
     "o11_orc_roundtrip" -> (o11OrcRoundtrip _),
@@ -347,6 +365,16 @@ object Sources {
         |('notes.bin', CAST(12 AS BIGINT), '96bc106959731774503ad348c825ece3'),
         |('thumb_13.jpg', CAST(682 AS BIGINT), 'a58494c9fa0d9e9e6cd4eee614f92720')
         |) AS t(file_name, n_bytes, md5_hex)""".stripMargin,
+    "s12_dsv2_search_scan" ->
+      """WITH days AS (
+        |  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-14', INTERVAL 1 DAY)) AS DATE) AS day)
+        |SELECT p.pub || '_' || strftime(d.day, '%Y%m%d') AS issue_id, d.day,
+        |  CAST((CAST(d.day - DATE '1970-01-01' AS INTEGER) + length(p.pub)) % 8 + 4 AS BIGINT) AS n_pages,
+        |  CASE CAST(d.day AS VARCHAR)
+        |    WHEN '2024-01-01' THEN 'done' WHEN '2024-01-02' THEN 'done'
+        |    WHEN '2024-01-03' THEN 'failed' WHEN '2024-01-05' THEN 'done'
+        |    WHEN '2024-01-07' THEN 'failed' ELSE 'pending' END AS status
+        |FROM (VALUES ('AB'), ('DN')) p(pub) CROSS JOIN days d""".stripMargin,
     "s4_state_source" ->
       """SELECT * FROM (VALUES
         |('2024-01-01', 'done'), ('2024-01-02', 'done'), ('2024-01-03', 'failed'),

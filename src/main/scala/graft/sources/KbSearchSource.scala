@@ -1,0 +1,227 @@
+package graft.sources
+
+import java.time.LocalDate
+import java.util.OptionalLong
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector modeling the reference's KB search endpoint
+  * (SURVEY §2.1 S1 → `SupportsPushDownFilters`; reference encodes the date
+  * range + publication id into the search URL so the SERVER filters,
+  * /root/reference/src/01-scrape-images.py:482-522,:487-491). The "endpoint"
+  * serves one issue row per (publication, day) over a fixed quarter, with
+  * per-day ingest status joined in from the committed `state.json` fixture
+  * (scraper_state.json:1, main.yml:70-74).
+  *
+  * Scale design — the part that matters at 100 TB:
+  *  - Day-range and publication predicates are FULLY consumed by the source
+  *    (`pushFilters` keeps them out of the post-scan set), and day bounds
+  *    prune whole [[InputPartition]]s at planning time, exactly like the
+  *    server-side URL filter: work that is never fetched, not work fetched
+  *    then dropped. Unsupported predicates are returned to Spark and
+  *    evaluated post-scan, so correctness never depends on the pushdown.
+  *  - Column pruning (`SupportsPushDownRequiredColumns`) reaches the row
+  *    emitter: unprojected columns are never materialized (a pushed-out
+  *    `pub` filter leaves `pub` absent from the read schema entirely).
+  *  - Partitions are day-chunks, independent and evenly sized, so a
+  *    1000-executor cluster fans the quarter out without coordination; the
+  *    tiny status map rides along in the serialized partition (a broadcast
+  *    dim, not a join).
+  */
+class KbSearchSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KbSearchTable.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = new KbSearchTable
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object KbSearchTable {
+  val schema: StructType = StructType.fromDDL(
+    "pub STRING, day DATE, issue_id STRING, n_pages INT, status STRING")
+
+  /** The served domain: 4 publication codes x Q1 2024 (91 days). */
+  val pubs: Seq[String] = Seq("AB", "DN", "GP", "SVD")
+  val firstDay: Int = LocalDate.parse("2024-01-01").toEpochDay.toInt
+  val lastDay: Int = LocalDate.parse("2024-03-31").toEpochDay.toInt
+  /** Days per input partition (12 partitions over the quarter). */
+  val chunkDays: Int = 8
+
+  /** Deterministic page count — reproducible in ANSI SQL for the oracle:
+    * (epochDay + length(pub)) % 8 + 4. */
+  def nPages(epochDay: Int, pub: String): Int = (epochDay + pub.length) % 8 + 4
+
+  /** Day→status from the committed state fixture; absent days are pending.
+    * Parsed leniently (the fixture is a flat {"yyyy-MM-dd": "status"} map)
+    * to keep this file free of JSON deps. */
+  lazy val statusByDay: Map[Int, String] = {
+    val raw = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"${graft.queries.Sources.fixtureDir}/state.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    "\"([0-9]{4}-[0-9]{2}-[0-9]{2})\"\\s*:\\s*\"([^\"]+)\"".r
+      .findAllMatchIn(raw)
+      .map(m => LocalDate.parse(m.group(1)).toEpochDay.toInt -> m.group(2))
+      .toMap
+  }
+}
+
+class KbSearchTable extends Table with SupportsRead {
+  override def name(): String = "kb_search"
+  override def schema(): StructType = KbSearchTable.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KbSearchScanBuilder
+}
+
+class KbSearchScanBuilder
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var loDay: Int = KbSearchTable.firstDay
+  private var hiDay: Int = KbSearchTable.lastDay
+  private var selectedPubs: Seq[String] = KbSearchTable.pubs
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = KbSearchTable.schema
+
+  private def toEpochDay(v: Any): Option[Int] = v match {
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toInt)
+    case d: LocalDate => Some(d.toEpochDay.toInt)
+    case s: String => scala.util.Try(LocalDate.parse(s).toEpochDay.toInt).toOption
+    case _ => None
+  }
+
+  /** Consume what the endpoint can evaluate server-side; everything else
+    * goes back to Spark. A filter is only consumed when its value converts
+    * cleanly — a surprising literal type falls back to post-scan rather
+    * than silently mis-filtering. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val postScan = filters.filterNot {
+      case GreaterThanOrEqual("day", v) =>
+        toEpochDay(v).exists { d => loDay = math.max(loDay, d); true }
+      case GreaterThan("day", v) =>
+        toEpochDay(v).exists { d => loDay = math.max(loDay, d + 1); true }
+      case LessThanOrEqual("day", v) =>
+        toEpochDay(v).exists { d => hiDay = math.min(hiDay, d); true }
+      case LessThan("day", v) =>
+        toEpochDay(v).exists { d => hiDay = math.min(hiDay, d - 1); true }
+      case EqualTo("day", v) =>
+        toEpochDay(v).exists { d => loDay = math.max(loDay, d); hiDay = math.min(hiDay, d); true }
+      case EqualTo("pub", v: String) =>
+        selectedPubs = selectedPubs.filter(_ == v); true
+      case In("pub", vs) if vs.forall(_.isInstanceOf[String]) =>
+        val set = vs.map(_.asInstanceOf[String]).toSet
+        selectedPubs = selectedPubs.filter(set); true
+      case _ => false
+    }
+    pushed = filters.diff(postScan)
+    postScan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new KbSearchScan(loDay, hiDay, selectedPubs, required, pushed)
+}
+
+class KbSearchScan(
+    loDay: Int,
+    hiDay: Int,
+    selectedPubs: Seq[String],
+    required: StructType,
+    val pushed: Array[Filter])
+    extends Scan
+    with Batch
+    with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"kb_search PushedFilters: [${pushed.mkString(", ")}], " +
+      s"days [$loDay,$hiDay], pubs ${selectedPubs.mkString("/")}"
+
+  /** Planning-time partition pruning: only day-chunks intersecting the
+    * pushed bounds are planned. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val chunk = KbSearchTable.chunkDays
+    val first = KbSearchTable.firstDay
+    if (loDay > hiDay || selectedPubs.isEmpty) return Array.empty
+    val loChunk = (loDay - first) / chunk
+    val hiChunk = (hiDay - first) / chunk
+    (loChunk to hiChunk).map { c =>
+      val start = math.max(loDay, first + c * chunk)
+      val end = math.min(hiDay, first + (c + 1) * chunk - 1)
+      KbSearchPartition(start, end, selectedPubs,
+        (start to end).flatMap(d => KbSearchTable.statusByDay.get(d).map(d -> _)).toMap)
+        : InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KbSearchReaderFactory(required)
+
+  /** Exact row count from the pruned bounds — lets Catalyst/AQE size the
+    * scan (and pick broadcast sides) without reading anything. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows: Long =
+      math.max(0, hiDay - loDay + 1).toLong * selectedPubs.size
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(rows * 64L)
+    override def numRows(): OptionalLong = OptionalLong.of(rows)
+  }
+}
+
+/** One day-chunk; carries the (tiny) status-fixture slice for its days so
+  * executors never touch the driver filesystem. */
+case class KbSearchPartition(
+    startDay: Int,
+    endDay: Int,
+    pubs: Seq[String],
+    status: Map[Int, String])
+    extends InputPartition
+
+class KbSearchReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new KbSearchReader(partition.asInstanceOf[KbSearchPartition], required)
+}
+
+class KbSearchReader(part: KbSearchPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val rows: Iterator[InternalRow] = for {
+    day <- (part.startDay to part.endDay).iterator
+    pub <- part.pubs.iterator
+  } yield {
+    val date = LocalDate.ofEpochDay(day.toLong)
+    // only materialize what the pruned schema asks for
+    InternalRow.fromSeq(required.fieldNames.toSeq.map {
+      case "pub" => UTF8String.fromString(pub)
+      case "day" => day
+      case "issue_id" => UTF8String.fromString(
+        f"${pub}_${date.getYear}%04d${date.getMonthValue}%02d${date.getDayOfMonth}%02d")
+      case "n_pages" => KbSearchTable.nPages(day, pub)
+      case "status" => UTF8String.fromString(part.status.getOrElse(day, "pending"))
+    })
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = { val has = rows.hasNext; if (has) current = rows.next(); has }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -205,4 +205,25 @@ class PlanShapeSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  test("S12: DSv2 source consumes filters, prunes partitions and columns") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = Sources.s12Dsv2SearchScan(spark, sfDir)
+    val scanExec = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in plan"))
+    val scan = scanExec.scan.asInstanceOf[graft.sources.KbSearchScan]
+    // the day bounds and the pub IN filter were consumed by the source
+    assert(scan.pushed.length == 3, scan.pushed.mkString(", "))
+    // …so no Filter node re-evaluates them (nothing was left post-scan)
+    assert(!df.queryExecution.executedPlan.toString.contains("Filter ("),
+      df.queryExecution.executedPlan.toString.take(2000))
+    // day bounds prune partitions at planning time: 14 days / 8-day chunks
+    // = 2 partitions, vs 12 for the unpruned quarter
+    assert(scan.toBatch.planInputPartitions().length == 2)
+    // column pruning reached the source: `pub` exists only in the pushed
+    // filter, so the emitted schema must not materialize it
+    assert(!scan.readSchema().fieldNames.contains("pub"),
+      scan.readSchema().fieldNames.mkString(","))
+  }
 }
