@@ -216,6 +216,21 @@ object Sources {
       .select($"issue_id", $"day", $"n_pages".cast("long").as("n_pages"), $"status")
   }
 
+  /** S12b: aggregate pushdown through the DSv2 connector — COUNT/MIN/MAX
+    * grouped by publication are answered by the source per day-chunk
+    * (partial pushdown; arithmetic, zero rows materialized) and merged by
+    * Spark's final aggregate. Models the endpoint's result-count responses:
+    * at 100 TB the server counts, the engine merges one tiny row per chunk. */
+  def s12bDsv2AggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format(classOf[graft.sources.KbSearchSource].getName).load()
+      .filter($"day" >= lit("2024-02-01").cast("date") &&
+        $"day" <= lit("2024-02-28").cast("date"))
+      .groupBy($"pub")
+      .agg(count(lit(1)).as("n_issues"),
+        min($"day").as("first_day"), max($"day").as("last_day"))
+  }
+
   /** O10: XML round trip — Spark 4 built-in XML source (the reference's
     * inputs are XML-ish markup; a complete engine must land and re-read
     * it). Declared schema on read, aggregate proves value fidelity. */
@@ -341,6 +356,7 @@ object Sources {
     "s5_partition_pruned_read" -> (s5PartitionPrunedRead _),
     "s1b_events_time_pruned" -> (s1bEventsTimePruned _),
     "s12_dsv2_search_scan" -> (s12Dsv2SearchScan _),
+    "s12b_dsv2_agg_pushdown" -> (s12bDsv2AggPushdown _),
     "o9_csv_roundtrip" -> (o9CsvRoundtrip _),
     "o10_xml_roundtrip" -> (o10XmlRoundtrip _),
     "o11_orc_roundtrip" -> (o11OrcRoundtrip _),
@@ -375,6 +391,13 @@ object Sources {
         |    WHEN '2024-01-03' THEN 'failed' WHEN '2024-01-05' THEN 'done'
         |    WHEN '2024-01-07' THEN 'failed' ELSE 'pending' END AS status
         |FROM (VALUES ('AB'), ('DN')) p(pub) CROSS JOIN days d""".stripMargin,
+    "s12b_dsv2_agg_pushdown" ->
+      """WITH days AS (
+        |  SELECT CAST(unnest(generate_series(DATE '2024-02-01', DATE '2024-02-28', INTERVAL 1 DAY)) AS DATE) AS day)
+        |SELECT p.pub, CAST(count(*) AS BIGINT) AS n_issues,
+        |  min(d.day) AS first_day, max(d.day) AS last_day
+        |FROM (VALUES ('AB'), ('DN'), ('GP'), ('SVD')) p(pub) CROSS JOIN days d
+        |GROUP BY p.pub""".stripMargin,
     "s4_state_source" ->
       """SELECT * FROM (VALUES
         |('2024-01-01', 'done'), ('2024-01-02', 'done'), ('2024-01-03', 'failed'),

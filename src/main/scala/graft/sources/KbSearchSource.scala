@@ -5,7 +5,8 @@ import java.util.OptionalLong
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -89,13 +90,15 @@ class KbSearchTable extends Table with SupportsRead {
 class KbSearchScanBuilder
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var loDay: Int = KbSearchTable.firstDay
   private var hiDay: Int = KbSearchTable.lastDay
   private var selectedPubs: Seq[String] = KbSearchTable.pubs
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = KbSearchTable.schema
+  private var aggCols: Seq[String] = Nil
 
   private def toEpochDay(v: Any): Option[Int] = v match {
     case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toInt)
@@ -110,6 +113,10 @@ class KbSearchScanBuilder
     * than silently mis-filtering. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val postScan = filters.filterNot {
+      // every served column is non-null, so IsNotNull is vacuously true —
+      // consuming it matters: a leftover post-scan filter would block
+      // aggregate pushdown entirely
+      case IsNotNull(col) if KbSearchTable.schema.fieldNames.contains(col) => true
       case GreaterThanOrEqual("day", v) =>
         toEpochDay(v).exists { d => loDay = math.max(loDay, d); true }
       case GreaterThan("day", v) =>
@@ -136,8 +143,50 @@ class KbSearchScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** PARTIAL aggregate pushdown (the endpoint's "result count" responses:
+    * the server reports counts without shipping rows). Each day-chunk
+    * partition answers COUNT(*)/MIN(day)/MAX(day) — optionally grouped by
+    * pub — ARITHMETICALLY from its bounds; Spark's final aggregate merges
+    * the per-partition partials, so overlapping groups across partitions
+    * stay correct. Complete pushdown is declined: partials are always safe
+    * under AQE/speculation, and the merge cost is one tiny row per chunk. */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  private def isDayRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case fr: NamedReference => fr.fieldNames.sameElements(Array("day"))
+      case _ => false
+    }
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val groupOk = aggregation.groupByExpressions.toSeq match {
+      case Nil => true
+      case Seq(fr: NamedReference) if fr.fieldNames.sameElements(Array("pub")) => true
+      case _ => false
+    }
+    if (!groupOk) return false
+    val cols = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      // every served column is non-null, so COUNT(col) == COUNT(*) here
+      case c: Count if !c.isDistinct => Some("count")
+      case m: Min if isDayRef(m.column) => Some("min_day")
+      case m: Max if isDayRef(m.column) => Some("max_day")
+      case _ => None
+    }
+    if (cols.exists(_.isEmpty)) return false
+    val grouped = aggregation.groupByExpressions.nonEmpty
+    aggCols = (if (grouped) Seq("pub") else Nil) ++ cols.flatten
+    // readSchema must mirror groupBy columns ++ aggregate columns, in order
+    required = StructType(aggCols.map {
+      case "pub" => StructField("pub", StringType)
+      case "count" => StructField("count", LongType)
+      case c => StructField(c, DateType)
+    })
+    true
+  }
+
   override def build(): Scan =
-    new KbSearchScan(loDay, hiDay, selectedPubs, required, pushed)
+    new KbSearchScan(loDay, hiDay, selectedPubs, required, pushed, aggCols)
 }
 
 class KbSearchScan(
@@ -145,7 +194,8 @@ class KbSearchScan(
     hiDay: Int,
     selectedPubs: Seq[String],
     required: StructType,
-    val pushed: Array[Filter])
+    val pushed: Array[Filter],
+    val aggCols: Seq[String] = Nil)
     extends Scan
     with Batch
     with SupportsReportStatistics {
@@ -155,6 +205,7 @@ class KbSearchScan(
 
   override def description(): String =
     s"kb_search PushedFilters: [${pushed.mkString(", ")}], " +
+      (if (aggCols.nonEmpty) s"PushedAggregation: [${aggCols.mkString(", ")}], " else "") +
       s"days [$loDay,$hiDay], pubs ${selectedPubs.mkString("/")}"
 
   /** Planning-time partition pruning: only day-chunks intersecting the
@@ -162,7 +213,14 @@ class KbSearchScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val chunk = KbSearchTable.chunkDays
     val first = KbSearchTable.firstDay
-    if (loDay > hiDay || selectedPubs.isEmpty) return Array.empty
+    if (loDay > hiDay || selectedPubs.isEmpty) {
+      // a GLOBAL pushed aggregate must still see one empty partial (count
+      // 0, null min/max) — zero partitions would make the final agg return
+      // null for a count; a grouped agg over nothing correctly has no rows
+      return if (aggCols.nonEmpty && !aggCols.contains("pub"))
+        Array(KbSearchPartition(0, -1, selectedPubs, Map.empty))
+      else Array.empty
+    }
     val loChunk = (loDay - first) / chunk
     val hiChunk = (hiDay - first) / chunk
     (loChunk to hiChunk).map { c =>
@@ -175,7 +233,7 @@ class KbSearchScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KbSearchReaderFactory(required)
+    new KbSearchReaderFactory(required, aggCols)
 
   /** Exact row count from the pruned bounds — lets Catalyst/AQE size the
     * scan (and pick broadcast sides) without reading anything. */
@@ -196,9 +254,41 @@ case class KbSearchPartition(
     status: Map[Int, String])
     extends InputPartition
 
-class KbSearchReaderFactory(required: StructType) extends PartitionReaderFactory {
+class KbSearchReaderFactory(required: StructType, aggCols: Seq[String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new KbSearchReader(partition.asInstanceOf[KbSearchPartition], required)
+    if (aggCols.nonEmpty)
+      new KbSearchAggReader(partition.asInstanceOf[KbSearchPartition], aggCols)
+    else new KbSearchReader(partition.asInstanceOf[KbSearchPartition], required)
+}
+
+/** Pushed-aggregate reader: answers the chunk's partials from arithmetic on
+  * its day bounds — zero rows materialized, the scale point of aggregate
+  * pushdown (the 100 TB analog: the server counts, the engine merges). */
+class KbSearchAggReader(part: KbSearchPartition, aggCols: Seq[String])
+    extends PartitionReader[InternalRow] {
+
+  private val nDays: Long = math.max(0L, (part.endDay - part.startDay + 1).toLong)
+  private val groups: Iterator[InternalRow] =
+    if (aggCols.head == "pub")
+      part.pubs.iterator.map { pub =>
+        InternalRow.fromSeq(aggCols.map {
+          case "pub" => UTF8String.fromString(pub)
+          case "count" => nDays
+          case "min_day" => part.startDay
+          case "max_day" => part.endDay
+        })
+      }
+    else Iterator.single(InternalRow.fromSeq(aggCols.map {
+      case "count" => nDays * part.pubs.size
+      case "min_day" => if (nDays == 0) null else part.startDay
+      case "max_day" => if (nDays == 0) null else part.endDay
+    }))
+
+  private var current: InternalRow = _
+  override def next(): Boolean = { val has = groups.hasNext; if (has) current = groups.next(); has }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 class KbSearchReader(part: KbSearchPartition, required: StructType)

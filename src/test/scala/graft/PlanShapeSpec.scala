@@ -206,15 +206,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("S12: DSv2 source consumes filters, prunes partitions and columns") {
+  /** Finds the DSv2 scan through AQE wrappers (AdaptiveSparkPlanExec and
+    * materialized QueryStageExec nodes are leaf-like and hide their
+    * subtrees from a plain collect). */
+  private def findKbScan(p: org.apache.spark.sql.execution.SparkPlan): Option[graft.sources.KbSearchScan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val here = p.collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[graft.sources.KbSearchScan] =>
+        Seq(b.scan.asInstanceOf[graft.sources.KbSearchScan])
+      case a: AdaptiveSparkPlanExec => findKbScan(a.executedPlan).toSeq
+      case q: QueryStageExec => findKbScan(q.plan).toSeq
+    }
+    here.flatten.headOption
+  }
+
+  test("S12: DSv2 source consumes filters, prunes partitions and columns") {
     val df = Sources.s12Dsv2SearchScan(spark, sfDir)
-    val scanExec = df.queryExecution.executedPlan.collectFirst {
-      case b: BatchScanExec => b
-    }.getOrElse(fail("no BatchScanExec in plan"))
-    val scan = scanExec.scan.asInstanceOf[graft.sources.KbSearchScan]
+    val scan = findKbScan(df.queryExecution.executedPlan)
+      .getOrElse(fail("no KbSearchScan in plan"))
     // the day bounds and the pub IN filter were consumed by the source
-    assert(scan.pushed.length == 3, scan.pushed.mkString(", "))
+    // (plus vacuous IsNotNulls, which must also be consumed or they would
+    // survive post-scan and block aggregate pushdown)
+    assert(scan.pushed.count(_.references.contains("day")) >= 2, scan.pushed.mkString(", "))
+    assert(scan.pushed.exists(_.references.contains("pub")), scan.pushed.mkString(", "))
     // …so no Filter node re-evaluates them (nothing was left post-scan)
     assert(!df.queryExecution.executedPlan.toString.contains("Filter ("),
       df.queryExecution.executedPlan.toString.take(2000))
@@ -225,5 +240,19 @@ class PlanShapeSpec extends SparkSpec {
     // filter, so the emitted schema must not materialize it
     assert(!scan.readSchema().fieldNames.contains("pub"),
       scan.readSchema().fieldNames.mkString(","))
+  }
+
+  test("S12b: COUNT/MIN/MAX group-by is answered by the DSv2 source") {
+    val df = Sources.s12bDsv2AggPushdown(spark, sfDir)
+    df.collect() // finalize AQE so the asserted plan is the executed one
+    val scan = findKbScan(df.queryExecution.executedPlan)
+      .getOrElse(fail("no KbSearchScan in plan"))
+    // the aggregation was pushed: the scan emits (pub, partials), not rows
+    assert(scan.aggCols == Seq("pub", "count", "min_day", "max_day"),
+      scan.aggCols.mkString(","))
+    // Feb 1-28 intersects 5 of the quarter's 12 grid-anchored 8-day chunks
+    // → 5 pruned partitions × 4 pubs = 20 partial rows total, vs 112 data
+    // rows without the pushdown
+    assert(scan.toBatch.planInputPartitions().length == 5)
   }
 }
