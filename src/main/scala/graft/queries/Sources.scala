@@ -216,6 +216,24 @@ object Sources {
       .select($"issue_id", $"day", $"n_pages".cast("long").as("n_pages"), $"status")
   }
 
+  /** S13: state-gated partitioned read — the fact side is the day-partitioned
+    * events layout, the gate is the state fixture filtered to done days
+    * (main.yml:70-74: process only days whose state allows it). The join key
+    * IS the partition column, so Catalyst inserts a dynamic-partition-pruning
+    * subquery: the broadcast state side executes first and only the matching
+    * day directories are ever read (asserted in PlanShapeSpec). At 100 TB
+    * this is the difference between scanning 3 days and scanning all of
+    * them — without hand-writing the day list into the query. */
+  def s13DppGatedRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fact = spark.read.parquet(stageDayPartitionedEvents(spark, dir))
+    val doneDays = s4StateSource(spark, dir)
+      .filter($"status" === "done")
+      .select(to_date($"day").as("day"))
+    fact.join(doneDays, Seq("day"))
+      .groupBy($"day").agg(count(lit(1)).as("n_events"))
+  }
+
   /** S12b: aggregate pushdown through the DSv2 connector — COUNT/MIN/MAX
     * grouped by publication are answered by the source per day-chunk
     * (partial pushdown; arithmetic, zero rows materialized) and merged by
@@ -357,6 +375,7 @@ object Sources {
     "s1b_events_time_pruned" -> (s1bEventsTimePruned _),
     "s12_dsv2_search_scan" -> (s12Dsv2SearchScan _),
     "s12b_dsv2_agg_pushdown" -> (s12bDsv2AggPushdown _),
+    "s13_dpp_gated_read" -> (s13DppGatedRead _),
     "o9_csv_roundtrip" -> (o9CsvRoundtrip _),
     "o10_xml_roundtrip" -> (o10XmlRoundtrip _),
     "o11_orc_roundtrip" -> (o11OrcRoundtrip _),
@@ -391,6 +410,12 @@ object Sources {
         |    WHEN '2024-01-03' THEN 'failed' WHEN '2024-01-05' THEN 'done'
         |    WHEN '2024-01-07' THEN 'failed' ELSE 'pending' END AS status
         |FROM (VALUES ('AB'), ('DN')) p(pub) CROSS JOIN days d""".stripMargin,
+    "s13_dpp_gated_read" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_events
+        |FROM events
+        |WHERE CAST(date_trunc('day', ts) AS DATE) IN
+        |  (DATE '2024-01-01', DATE '2024-01-02', DATE '2024-01-05')
+        |GROUP BY 1""".stripMargin,
     "s12b_dsv2_agg_pushdown" ->
       """WITH days AS (
         |  SELECT CAST(unnest(generate_series(DATE '2024-02-01', DATE '2024-02-28', INTERVAL 1 DAY)) AS DATE) AS day)

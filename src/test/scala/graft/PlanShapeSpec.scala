@@ -255,4 +255,13 @@ class PlanShapeSpec extends SparkSpec {
     // rows without the pushdown
     assert(scan.toBatch.planInputPartitions().length == 5)
   }
+
+  test("S13: state gate prunes day partitions via dynamic partition pruning") {
+    val df = Sources.s13DppGatedRead(spark, sfDir)
+    // DPP shows up as a dynamicpruning expression in the fact scan's
+    // PartitionFilters — the day list comes from the broadcast state side
+    // at runtime, so only matching day directories are read
+    val plan = planOf(df)
+    assert(plan.contains("dynamicpruning"), plan.take(4000))
+  }
 }
