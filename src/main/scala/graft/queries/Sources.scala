@@ -234,6 +234,21 @@ object Sources {
       .groupBy($"day").agg(count(lit(1)).as("n_events"))
   }
 
+  /** S14: runtime (join-driven) filtering through the DSv2 connector — the
+    * done-days state dim is broadcast, executed first, and its distinct day
+    * keys are handed to the scan (SupportsRuntimeFiltering), which then
+    * plans only chunks containing those days: DPP semantics for a custom
+    * source. At 100 TB the endpoint is asked for 3 days, not the quarter. */
+  def s14Dsv2RuntimeFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val issues = spark.read.format(classOf[graft.sources.KbSearchSource].getName).load()
+    val doneDays = s4StateSource(spark, dir)
+      .filter($"status" === "done")
+      .select(to_date($"day").as("day"))
+    issues.join(broadcast(doneDays), Seq("day"))
+      .groupBy($"day").agg(count(lit(1)).as("n_issues"))
+  }
+
   /** S12b: aggregate pushdown through the DSv2 connector — COUNT/MIN/MAX
     * grouped by publication are answered by the source per day-chunk
     * (partial pushdown; arithmetic, zero rows materialized) and merged by
@@ -376,6 +391,7 @@ object Sources {
     "s12_dsv2_search_scan" -> (s12Dsv2SearchScan _),
     "s12b_dsv2_agg_pushdown" -> (s12bDsv2AggPushdown _),
     "s13_dpp_gated_read" -> (s13DppGatedRead _),
+    "s14_dsv2_runtime_filtered" -> (s14Dsv2RuntimeFiltered _),
     "o9_csv_roundtrip" -> (o9CsvRoundtrip _),
     "o10_xml_roundtrip" -> (o10XmlRoundtrip _),
     "o11_orc_roundtrip" -> (o11OrcRoundtrip _),
@@ -416,6 +432,11 @@ object Sources {
         |WHERE CAST(date_trunc('day', ts) AS DATE) IN
         |  (DATE '2024-01-01', DATE '2024-01-02', DATE '2024-01-05')
         |GROUP BY 1""".stripMargin,
+    "s14_dsv2_runtime_filtered" ->
+      """SELECT d.day, CAST(count(*) AS BIGINT) AS n_issues
+        |FROM (VALUES (DATE '2024-01-01'), (DATE '2024-01-02'), (DATE '2024-01-05')) d(day)
+        |CROSS JOIN (VALUES ('AB'), ('DN'), ('GP'), ('SVD')) p(pub)
+        |GROUP BY d.day""".stripMargin,
     "s12b_dsv2_agg_pushdown" ->
       """WITH days AS (
         |  SELECT CAST(unnest(generate_series(DATE '2024-02-01', DATE '2024-02-28', INTERVAL 1 DAY)) AS DATE) AS day)

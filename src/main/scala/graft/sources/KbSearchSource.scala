@@ -198,7 +198,39 @@ class KbSearchScan(
     val aggCols: Seq[String] = Nil)
     extends Scan
     with Batch
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** Runtime (join-driven) pruning state — the DSv2 analog of dynamic
+    * partition pruning: when this scan joins a small dimension on day/pub,
+    * Spark executes the dimension first and hands the distinct join keys
+    * here; [[planInputPartitions]] then skips whole day-chunks. Pruning is
+    * best-effort by contract (the join still filters rows), so an
+    * unconvertible value simply leaves the scan unpruned, never wrong. */
+  @volatile private var runtimeDayWhitelist: Option[Set[Int]] = None
+
+  /** Day-chunks actually planned after runtime filtering (for tests). */
+  def runtimeDays: Option[Set[Int]] = runtimeDayWhitelist
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("day"))
+
+  private def runtimeEpochDay(v: Any): Option[Int] = v match {
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toInt)
+    case d: LocalDate => Some(d.toEpochDay.toInt)
+    case i: java.lang.Integer => Some(i.intValue) // internal DATE encoding
+    case _ => None
+  }
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("day", vs) =>
+      val days = vs.toSeq.map(runtimeEpochDay)
+      if (days.forall(_.isDefined))
+        runtimeDayWhitelist = Some(days.flatten.toSet)
+    case EqualTo("day", v) =>
+      runtimeEpochDay(v).foreach(d => runtimeDayWhitelist = Some(Set(d)))
+    case _ => () // best-effort: unrecognized runtime filters prune nothing
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -223,12 +255,24 @@ class KbSearchScan(
     }
     val loChunk = (loDay - first) / chunk
     val hiChunk = (hiDay - first) / chunk
-    (loChunk to hiChunk).map { c =>
-      val start = math.max(loDay, first + c * chunk)
-      val end = math.min(hiDay, first + (c + 1) * chunk - 1)
-      KbSearchPartition(start, end, selectedPubs,
-        (start to end).flatMap(d => KbSearchTable.statusByDay.get(d).map(d -> _)).toMap)
-        : InputPartition
+    // runtime join-key pruning narrows each chunk to its matching days and
+    // drops chunks with none; NOT applied under aggregate pushdown, where
+    // partials are terminal (no join re-filters them downstream)
+    val whitelist = if (aggCols.isEmpty) runtimeDayWhitelist else None
+    (loChunk to hiChunk).flatMap { c =>
+      val chunkLo = math.max(loDay, first + c * chunk)
+      val chunkHi = math.min(hiDay, first + (c + 1) * chunk - 1)
+      val days = whitelist match {
+        case Some(keep) => (chunkLo to chunkHi).filter(keep)
+        case None => chunkLo to chunkHi
+      }
+      if (days.isEmpty) None
+      else {
+        val (start, end) = (days.min, days.max)
+        Some(KbSearchPartition(start, end, selectedPubs,
+          (start to end).flatMap(d => KbSearchTable.statusByDay.get(d).map(d -> _)).toMap)
+          : InputPartition)
+      }
     }.toArray
   }
 

@@ -256,6 +256,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(scan.toBatch.planInputPartitions().length == 5)
   }
 
+  test("S14: broadcast join keys runtime-prune the DSv2 scan's partitions") {
+    val df = Sources.s14Dsv2RuntimeFiltered(spark, sfDir)
+    df.collect() // runtime filters only exist after execution
+    val scan = findKbScan(df.queryExecution.executedPlan)
+      .getOrElse(fail("no KbSearchScan in plan"))
+    // the three done days (Jan 1, 2, 5 = epoch 19723/19724/19727) arrived
+    // as the scan's runtime whitelist…
+    assert(scan.runtimeDays.contains(Set(19723, 19724, 19727)),
+      scan.runtimeDays.toString)
+    // …so only the single chunk containing them is planned, vs 12 for the
+    // unfiltered quarter
+    assert(scan.toBatch.planInputPartitions().length == 1)
+  }
+
   test("S13: state gate prunes day partitions via dynamic partition pruning") {
     val df = Sources.s13DppGatedRead(spark, sfDir)
     // DPP shows up as a dynamicpruning expression in the fact scan's
