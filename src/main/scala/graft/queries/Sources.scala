@@ -264,6 +264,24 @@ object Sources {
         min($"day").as("first_day"), max($"day").as("last_day"))
   }
 
+  /** S1c: the same [start, end) day-window as [[s1bEventsTimePruned]], but
+    * filtering the NARROWED timestamp like a naive caller would — no
+    * [[graft.Engine.eventsBetween]] knowledge required. The injected
+    * optimizer rule ([[graft.plans.PushFilterThroughNanoNarrowing]])
+    * rewrites the comparisons to raw-nano-long bounds below the narrowing
+    * projection, so they still land in the scan's PushedFilters (plan
+    * test). Oracle identical to s1b: the rewrite must be exact. */
+  def s1cEventsAutoPruned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .filter($"ts" >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        $"ts" < lit("2024-01-12 00:00:00").cast("timestamp"))
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"day")
+  }
+
   /** O10: XML round trip — Spark 4 built-in XML source (the reference's
     * inputs are XML-ish markup; a complete engine must land and re-read
     * it). Declared schema on read, aggregate proves value fidelity. */
@@ -388,6 +406,7 @@ object Sources {
     "s11_resumable_load" -> (s11ResumableLoad _),
     "s5_partition_pruned_read" -> (s5PartitionPrunedRead _),
     "s1b_events_time_pruned" -> (s1bEventsTimePruned _),
+    "s1c_events_auto_pruned" -> (s1cEventsAutoPruned _),
     "s12_dsv2_search_scan" -> (s12Dsv2SearchScan _),
     "s12b_dsv2_agg_pushdown" -> (s12bDsv2AggPushdown _),
     "s13_dpp_gated_read" -> (s13DppGatedRead _),
@@ -471,6 +490,13 @@ object Sources {
         |WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
         |GROUP BY event_type""".stripMargin,
     "s1b_events_time_pruned" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "s1c_events_auto_pruned" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
         |count(*) AS n_events, count(DISTINCT user_id) AS n_users
         |FROM events

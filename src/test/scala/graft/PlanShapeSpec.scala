@@ -256,6 +256,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(scan.toBatch.planInputPartitions().length == 5)
   }
 
+  test("S1c: a filter on the NARROWED timestamp still reaches the scan") {
+    // the injected PushFilterThroughNanoNarrowing rule rewrites the
+    // narrowed-ts comparisons to raw-nano-long bounds below the projection;
+    // without it this plan has NO pushed ts filter (only eventsBetween's
+    // hand-written raw filter achieves it, see S1b)
+    val plan = planOf(Sources.s1cEventsAutoPruned(spark, sfDir))
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(ts"), plan.take(3000))
+    assert(plan.contains("LessThan(ts"), plan.take(3000))
+  }
+
   test("S14: broadcast join keys runtime-prune the DSv2 scan's partitions") {
     val df = Sources.s14Dsv2RuntimeFiltered(spark, sfDir)
     df.collect() // runtime filters only exist after execution
