@@ -107,6 +107,29 @@ class ExtractionSpec extends SparkSpec {
       (-7444071767201028348L, 0L, 142593372)))
   }
 
+  test("nano-narrowing filter rewrite is exact at sub-microsecond boundaries") {
+    // The injected PushFilterThroughNanoNarrowing rule replaces
+    // `timestamp_micros(raw div 1000) <op> literal` with raw-long bounds.
+    // Probe every comparison at ±1ns/±1µs around a literal boundary — the
+    // places an off-by-one in the 1000x scaling would show — against a
+    // plain Scala evaluation of the narrowing.
+    val base = 1704067200000000000L // 2024-01-01 00:00:00 UTC in nanos
+    val nanos = Seq(-1001L, -1000L, -999L, -1L, 0L, 1L, 999L, 1000L, 1001L).map(base + _)
+    val litMicros = base / 1000
+    val df = nanos.toDF("ts_raw")
+      .select($"ts_raw", timestamp_micros(expr("ts_raw div 1000")).as("ts"))
+    val cases: Seq[(String, Long => Boolean)] = Seq(
+      (">=", m => m >= litMicros), (">", m => m > litMicros),
+      ("<", m => m < litMicros), ("<=", m => m <= litMicros),
+      ("=", m => m == litMicros))
+    cases.foreach { case (op, pred) =>
+      val got = df.filter(expr(s"ts $op timestamp'2024-01-01 00:00:00'"))
+        .select("ts_raw").as[Long].collect().toSet
+      val expect = nanos.filter(n => pred(n / 1000)).toSet
+      assert(got == expect, s"op $op: got $got expect $expect")
+    }
+  }
+
   test("o_sample_seeded: same seed twice yields the identical sample") {
     // The sample is rows-only vs the oracle (engine RNG streams differ by
     // design); determinism under a fixed seed is the property that makes it
