@@ -30,15 +30,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * condition, to the exactly-equivalent raw-nano-long comparison, which
   * the parquet strategy then pushes.
   *
-  * Exactness (`c` = raw nanos, `m` = literal micros; `div` truncates and
-  * every operand here is non-negative):
+  * Exactness (`c` = raw nanos, `m` = literal micros). Spark's `div`
+  * (IntegralDivide) truncates toward zero, which equals floor division
+  * only for non-negative `c`; a negative raw (pre-epoch) truncates UP
+  * (e.g. -500 div 1000 = 0). The rule therefore fires only for `m >= 1`:
+  * every negative `c` then lands strictly below the bucket `m` on both
+  * sides of each equivalence, so all five rewrites are exact for raw
+  * values of EITHER sign:
   *   ts >= m  ⇔  c div 1000 >= m    ⇔  c >= 1000m
   *   ts >  m  ⇔  c div 1000 >= m+1  ⇔  c >= 1000(m+1)
   *   ts <  m  ⇔  c < 1000m          ts <= m  ⇔  c < 1000(m+1)
   *   ts == m  ⇔  1000m <= c < 1000(m+1)
-  * Comparisons that do not match (non-literal operand, other shapes) are
-  * left untouched — the rule only ever replaces a predicate with an exact
-  * equivalent, it never drops one.
+  * (For `m <= 0` the truncation/floor mismatch makes e.g. `ts >= epoch`
+  * true for c = -500 while `c >= 0` is false — so those literals are left
+  * untouched rather than risk dropping rows.) Comparisons that do not
+  * match (non-literal operand, other shapes, non-positive or
+  * near-overflow literals) are left untouched — the rule only ever
+  * replaces a predicate with an exact equivalent, it never drops one.
   */
 object PushFilterThroughNanoNarrowing extends Rule[LogicalPlan] {
 
@@ -68,7 +76,12 @@ object PushFilterThroughNanoNarrowing extends Rule[LogicalPlan] {
 
   private def ge(c: Attribute, m: Long) = GreaterThanOrEqual(c, Literal(m * 1000L, LongType))
   private def lt(c: Attribute, m: Long) = LessThan(c, Literal(m * 1000L, LongType))
-  private def ok(m: Long): Boolean = math.abs(m) <= MaxAbsMicros
+
+  /** Sound iff m >= 1 (truncation == floor on the reachable range — see
+    * class doc); the upper bound keeps `1000 * (m + 1)` from wrapping and,
+    * being an explicit range test, is immune to the `math.abs(Long
+    * .MinValue) < 0` trap. */
+  private def ok(m: Long): Boolean = m >= 1L && m <= MaxAbsMicros
 
   private def rewriteComparisons(cond: Expression): Expression = cond.transform {
     case GreaterThanOrEqual(Narrowed(c), TsMicros(m)) if ok(m) => ge(c, m)

@@ -250,29 +250,28 @@ class KbSearchScan(
       // 0, null min/max) — zero partitions would make the final agg return
       // null for a count; a grouped agg over nothing correctly has no rows
       return if (aggCols.nonEmpty && !aggCols.contains("pub"))
-        Array(KbSearchPartition(0, -1, selectedPubs, Map.empty))
+        Array(KbSearchPartition(Seq.empty, selectedPubs, Map.empty))
       else Array.empty
     }
     val loChunk = (loDay - first) / chunk
     val hiChunk = (hiDay - first) / chunk
-    // runtime join-key pruning narrows each chunk to its matching days and
-    // drops chunks with none; NOT applied under aggregate pushdown, where
-    // partials are terminal (no join re-filters them downstream)
+    // runtime join-key pruning narrows each chunk to EXACTLY its matching
+    // days (the partition carries the kept-day set, so days between two
+    // whitelist hits are never materialized) and drops chunks with none;
+    // NOT applied under aggregate pushdown, where partials are terminal
+    // (no join re-filters them downstream)
     val whitelist = if (aggCols.isEmpty) runtimeDayWhitelist else None
     (loChunk to hiChunk).flatMap { c =>
       val chunkLo = math.max(loDay, first + c * chunk)
       val chunkHi = math.min(hiDay, first + (c + 1) * chunk - 1)
-      val days = whitelist match {
+      val days: Seq[Int] = whitelist match {
         case Some(keep) => (chunkLo to chunkHi).filter(keep)
         case None => chunkLo to chunkHi
       }
       if (days.isEmpty) None
-      else {
-        val (start, end) = (days.min, days.max)
-        Some(KbSearchPartition(start, end, selectedPubs,
-          (start to end).flatMap(d => KbSearchTable.statusByDay.get(d).map(d -> _)).toMap)
-          : InputPartition)
-      }
+      else Some(KbSearchPartition(days, selectedPubs,
+        days.flatMap(d => KbSearchTable.statusByDay.get(d).map(d -> _)).toMap)
+        : InputPartition)
     }.toArray
   }
 
@@ -289,11 +288,12 @@ class KbSearchScan(
   }
 }
 
-/** One day-chunk; carries the (tiny) status-fixture slice for its days so
+/** One day-chunk; carries the EXPLICIT day set (≤ chunkDays entries, so
+  * runtime-pruned chunks serialize only their kept days — no range
+  * re-inflation) and the (tiny) status-fixture slice for those days so
   * executors never touch the driver filesystem. */
 case class KbSearchPartition(
-    startDay: Int,
-    endDay: Int,
+    days: Seq[Int],
     pubs: Seq[String],
     status: Map[Int, String])
     extends InputPartition
@@ -312,21 +312,21 @@ class KbSearchReaderFactory(required: StructType, aggCols: Seq[String])
 class KbSearchAggReader(part: KbSearchPartition, aggCols: Seq[String])
     extends PartitionReader[InternalRow] {
 
-  private val nDays: Long = math.max(0L, (part.endDay - part.startDay + 1).toLong)
+  private val nDays: Long = part.days.size.toLong
   private val groups: Iterator[InternalRow] =
     if (aggCols.head == "pub")
       part.pubs.iterator.map { pub =>
         InternalRow.fromSeq(aggCols.map {
           case "pub" => UTF8String.fromString(pub)
           case "count" => nDays
-          case "min_day" => part.startDay
-          case "max_day" => part.endDay
+          case "min_day" => part.days.min
+          case "max_day" => part.days.max
         })
       }
     else Iterator.single(InternalRow.fromSeq(aggCols.map {
       case "count" => nDays * part.pubs.size
-      case "min_day" => if (nDays == 0) null else part.startDay
-      case "max_day" => if (nDays == 0) null else part.endDay
+      case "min_day" => if (nDays == 0) null else part.days.min
+      case "max_day" => if (nDays == 0) null else part.days.max
     }))
 
   private var current: InternalRow = _
@@ -339,7 +339,7 @@ class KbSearchReader(part: KbSearchPartition, required: StructType)
     extends PartitionReader[InternalRow] {
 
   private val rows: Iterator[InternalRow] = for {
-    day <- (part.startDay to part.endDay).iterator
+    day <- part.days.iterator
     pub <- part.pubs.iterator
   } yield {
     val date = LocalDate.ofEpochDay(day.toLong)

@@ -130,6 +130,35 @@ class ExtractionSpec extends SparkSpec {
     }
   }
 
+  test("nano-narrowing rewrite is sound for pre-epoch raws and non-positive literals") {
+    // Spark's `div` truncates toward zero, so negative raws round UP
+    // (-500 div 1000 = 0): with literal micros m <= 0 the naive raw-bound
+    // rewrite would silently drop rows (raw=-500 has ts = epoch, so
+    // `ts >= epoch` keeps it, but `raw >= 0` would not). The rule now
+    // declines m <= 0; verify every comparison against a plain Scala
+    // truncating-division evaluation on a raw set straddling the epoch.
+    val nanos = Seq(-2001L, -2000L, -1500L, -1001L, -1000L, -999L, -500L,
+      -1L, 0L, 1L, 500L, 999L, 1000L, 1500L, 2001L)
+    val df = nanos.toDF("ts_raw")
+      .select($"ts_raw", timestamp_micros(expr("ts_raw div 1000")).as("ts"))
+    for (lit <- Seq("1969-12-31 23:59:59.999999", "1970-01-01 00:00:00",
+                    "1970-01-01 00:00:00.000001")) {
+      val litMicros = java.time.Instant.parse(lit.replace(" ", "T") + "Z")
+        .getEpochSecond * 1000000L +
+        java.time.Instant.parse(lit.replace(" ", "T") + "Z").getNano / 1000L
+      val cases: Seq[(String, Long => Boolean)] = Seq(
+        (">=", m => m >= litMicros), (">", m => m > litMicros),
+        ("<", m => m < litMicros), ("<=", m => m <= litMicros),
+        ("=", m => m == litMicros))
+      cases.foreach { case (op, pred) =>
+        val got = df.filter(expr(s"ts $op timestamp'$lit'"))
+          .select("ts_raw").as[Long].collect().toSet
+        val expect = nanos.filter(n => pred(n / 1000)).toSet
+        assert(got == expect, s"lit $lit op $op: got $got expect $expect")
+      }
+    }
+  }
+
   test("o_sample_seeded: same seed twice yields the identical sample") {
     // The sample is rows-only vs the oracle (engine RNG streams differ by
     // design); determinism under a fixed seed is the property that makes it

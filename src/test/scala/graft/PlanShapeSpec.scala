@@ -278,7 +278,12 @@ class PlanShapeSpec extends SparkSpec {
       scan.runtimeDays.toString)
     // …so only the single chunk containing them is planned, vs 12 for the
     // unfiltered quarter
-    assert(scan.toBatch.planInputPartitions().length == 1)
+    val parts = scan.toBatch.planInputPartitions()
+    assert(parts.length == 1)
+    // and the partition carries EXACTLY the kept days — the non-matching
+    // days between whitelist hits (Jan 3, 4) are never materialized
+    assert(parts.head.asInstanceOf[graft.sources.KbSearchPartition].days.toSet
+      == Set(19723, 19724, 19727))
   }
 
   test("S13: state gate prunes day partitions via dynamic partition pruning") {
