@@ -3,16 +3,26 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line with per-query wall seconds.
+  * prints ONE `{"metric":…}` JSON line with the headline numbers.
   *
   * Materialization is a full noop-format write (not count()) so Catalyst
   * cannot prune projection-heavy work out of the measurement; failures are
   * reported in an explicit "errors" map instead of being folded into times.
+  *
+  * Output protocol: the harness that consumes this keeps only a short tail
+  * of the process output, so the canonical `{"metric":…}` line is printed
+  * LAST and kept compact (total + the slowest queries); the complete
+  * per-query map goes on a preceding `{"detail":…}` line for humans and
+  * for the committed BENCH_local snapshots.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // the bench contract is local[32]-shaped (one executor thread per core);
+    // default to the machine's cores rather than a hard-coded count so the
+    // same main is honest on smaller boxes
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
@@ -65,11 +75,20 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = times.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+    def r3(v: Double): String = f"$v%.3f"
+    def jmap(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val errs = jmap(errors.map { case (k, v) => k -> q(v) })
     val total = times.map(_._2).sum
+    // full per-query map — NOT the canonical metric line (too long for the
+    // consumer's output tail); commit this as the local bench snapshot
+    println(s"""{"detail":${jmap(times.map { case (k, v) => k -> r3(v) })},"errors":$errs}""")
+    // canonical line, kept under ~1500 chars: total + the 40 slowest
+    val slowest = times.sortBy(-_._2).take(40).sortBy(_._1)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${times.size},""" +
+        s""""cpus":$cpus,"queries":${jmap(slowest.map { case (k, v) => k -> r3(v) })},""" +
+        s""""errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -264,6 +264,33 @@ object Sources {
         min($"day").as("first_day"), max($"day").as("last_day"))
   }
 
+  /** S15: top-N pushdown through the DSv2 connector — `ORDER BY day DESC
+    * LIMIT 10` becomes the endpoint's `sort=date&max=N`: the scan plans
+    * only the day-chunks that can contribute to the top N (2 of 12 here)
+    * and Spark's retained Sort+Limit resolves the pub tie-break. At 100 TB
+    * the difference between "fetch the newest week" and "fetch the quarter
+    * then throw 98% away". */
+  def s15Dsv2Topn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format(classOf[graft.sources.KbSearchSource].getName).load()
+      .filter($"pub".isin("AB", "DN"))
+      .select($"pub", $"day", $"issue_id", $"n_pages".cast("long").as("n_pages"))
+      .orderBy($"day".desc, $"pub")
+      .limit(10)
+  }
+
+  /** S15b: plain limit pushdown — a bare LIMIT (no order) caps the scan at
+    * the source: only enough day-chunks to supply the rows are planned,
+    * Spark's retained GlobalLimit makes the exact cut. Wrapped in a count
+    * so the result is deterministic (which 10 rows a bare limit returns is
+    * not a contract; that there are exactly 10 is). */
+  def s15bDsv2LimitCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format(classOf[graft.sources.KbSearchSource].getName).load()
+      .limit(10)
+      .agg(count(lit(1)).as("n_fetched"))
+  }
+
   /** S1c: the same [start, end) day-window as [[s1bEventsTimePruned]], but
     * filtering the NARROWED timestamp like a naive caller would — no
     * [[graft.Engine.eventsBetween]] knowledge required. The injected
@@ -411,6 +438,8 @@ object Sources {
     "s12b_dsv2_agg_pushdown" -> (s12bDsv2AggPushdown _),
     "s13_dpp_gated_read" -> (s13DppGatedRead _),
     "s14_dsv2_runtime_filtered" -> (s14Dsv2RuntimeFiltered _),
+    "s15_dsv2_topn" -> (s15Dsv2Topn _),
+    "s15b_dsv2_limit_count" -> (s15bDsv2LimitCount _),
     "o9_csv_roundtrip" -> (o9CsvRoundtrip _),
     "o10_xml_roundtrip" -> (o10XmlRoundtrip _),
     "o11_orc_roundtrip" -> (o11OrcRoundtrip _),
@@ -456,6 +485,14 @@ object Sources {
         |FROM (VALUES (DATE '2024-01-01'), (DATE '2024-01-02'), (DATE '2024-01-05')) d(day)
         |CROSS JOIN (VALUES ('AB'), ('DN'), ('GP'), ('SVD')) p(pub)
         |GROUP BY d.day""".stripMargin,
+    "s15_dsv2_topn" ->
+      """WITH days AS (
+        |  SELECT CAST(unnest(generate_series(DATE '2024-03-27', DATE '2024-03-31', INTERVAL 1 DAY)) AS DATE) AS day)
+        |SELECT p.pub, d.day, p.pub || '_' || strftime(d.day, '%Y%m%d') AS issue_id,
+        |  CAST((CAST(d.day - DATE '1970-01-01' AS INTEGER) + length(p.pub)) % 8 + 4 AS BIGINT) AS n_pages
+        |FROM (VALUES ('AB'), ('DN')) p(pub) CROSS JOIN days d""".stripMargin,
+    "s15b_dsv2_limit_count" ->
+      "SELECT CAST(10 AS BIGINT) AS n_fetched",
     "s12b_dsv2_agg_pushdown" ->
       """WITH days AS (
         |  SELECT CAST(unnest(generate_series(DATE '2024-02-01', DATE '2024-02-28', INTERVAL 1 DAY)) AS DATE) AS day)

@@ -5,7 +5,7 @@ import java.util.OptionalLong
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
@@ -91,7 +91,9 @@ class KbSearchScanBuilder
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var loDay: Int = KbSearchTable.firstDay
   private var hiDay: Int = KbSearchTable.lastDay
@@ -99,6 +101,8 @@ class KbSearchScanBuilder
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = KbSearchTable.schema
   private var aggCols: Seq[String] = Nil
+  private var pushedLimit: Int = -1
+  private var topNDesc: Boolean = false
 
   private def toEpochDay(v: Any): Option[Int] = v match {
     case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toInt)
@@ -185,8 +189,41 @@ class KbSearchScanBuilder
     true
   }
 
+  /** PARTIAL limit pushdown (the endpoint's page-size parameter: ask the
+    * server for the first N results instead of all of them). The scan plans
+    * only enough day-chunks to supply `limit` rows — work never fetched —
+    * and Spark's retained GlobalLimit makes the final cut, so correctness
+    * never depends on the cap. Declined under aggregate pushdown: the
+    * limit sits above the aggregate there, and capping partials would be
+    * wrong. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (aggCols.nonEmpty) return false
+    pushedLimit = limit
+    true
+  }
+
+  /** PARTIAL top-N pushdown, honored when the PRIMARY sort key is `day`:
+    * rows are generated day-major, and every day contributes exactly
+    * |pubs| rows, so the global top-N by (day, …) lives inside the
+    * ceil(N / |pubs|) extreme days — the scan keeps whole days from the
+    * sorted end and Spark's retained Sort+Limit resolves any tie-break
+    * keys. The server-side analog is `sort=date&max=N` on the search URL. */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    if (aggCols.nonEmpty) return false
+    orders.headOption match {
+      case Some(o) if isDayRef(o.expression) =>
+        topNDesc = o.direction == SortDirection.DESCENDING
+        pushedLimit = limit
+        true
+      case _ => false
+    }
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan =
-    new KbSearchScan(loDay, hiDay, selectedPubs, required, pushed, aggCols)
+    new KbSearchScan(loDay, hiDay, selectedPubs, required, pushed, aggCols,
+      pushedLimit, topNDesc)
 }
 
 class KbSearchScan(
@@ -195,7 +232,9 @@ class KbSearchScan(
     selectedPubs: Seq[String],
     required: StructType,
     val pushed: Array[Filter],
-    val aggCols: Seq[String] = Nil)
+    val aggCols: Seq[String] = Nil,
+    val pushedLimit: Int = -1,
+    topNDesc: Boolean = false)
     extends Scan
     with Batch
     with SupportsReportStatistics
@@ -238,6 +277,9 @@ class KbSearchScan(
   override def description(): String =
     s"kb_search PushedFilters: [${pushed.mkString(", ")}], " +
       (if (aggCols.nonEmpty) s"PushedAggregation: [${aggCols.mkString(", ")}], " else "") +
+      (if (pushedLimit >= 0)
+        s"PushedLimit: $pushedLimit (${if (topNDesc) "day DESC" else "day ASC"}), "
+      else "") +
       s"days [$loDay,$hiDay], pubs ${selectedPubs.mkString("/")}"
 
   /** Planning-time partition pruning: only day-chunks intersecting the
@@ -261,13 +303,30 @@ class KbSearchScan(
     // NOT applied under aggregate pushdown, where partials are terminal
     // (no join re-filters them downstream)
     val whitelist = if (aggCols.isEmpty) runtimeDayWhitelist else None
-    (loChunk to hiChunk).flatMap { c =>
+    val chunkDaysKept: Seq[Seq[Int]] = (loChunk to hiChunk).map { c =>
       val chunkLo = math.max(loDay, first + c * chunk)
       val chunkHi = math.min(hiDay, first + (c + 1) * chunk - 1)
-      val days: Seq[Int] = whitelist match {
+      whitelist match {
         case Some(keep) => (chunkLo to chunkHi).filter(keep)
         case None => chunkLo to chunkHi
       }
+    }
+    // limit/top-N pushdown: keep whole days from the sorted end until the
+    // kept days can supply `limit` rows (each day yields |pubs| rows, so
+    // ceil(limit/|pubs|) days suffice and full-day granularity leaves any
+    // secondary tie-break keys to Spark's retained Sort+Limit). Chunks that
+    // cannot contribute are never planned — the pushdown's scale point.
+    val capped: Seq[Seq[Int]] =
+      if (pushedLimit < 0 || aggCols.nonEmpty) chunkDaysKept
+      else {
+        var need = (pushedLimit + selectedPubs.size - 1) / selectedPubs.size
+        val ordered = if (topNDesc) chunkDaysKept.reverse.map(_.reverse) else chunkDaysKept
+        val kept = ordered.map { ds =>
+          val take = ds.take(need); need -= take.size; take
+        }
+        if (topNDesc) kept.reverse.map(_.reverse) else kept
+      }
+    capped.flatMap { days =>
       if (days.isEmpty) None
       else Some(KbSearchPartition(days, selectedPubs,
         days.flatMap(d => KbSearchTable.statusByDay.get(d).map(d -> _)).toMap)

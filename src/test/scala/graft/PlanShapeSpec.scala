@@ -286,6 +286,36 @@ class PlanShapeSpec extends SparkSpec {
       == Set(19723, 19724, 19727))
   }
 
+  test("S15: top-N by day is pushed — only contributing day-chunks planned") {
+    val df = Sources.s15Dsv2Topn(spark, sfDir)
+    val scan = findKbScan(df.queryExecution.executedPlan)
+      .getOrElse(fail("no KbSearchScan in plan"))
+    assert(scan.pushedLimit == 10, scan.description())
+    val parts = scan.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.KbSearchPartition])
+    // ceil(10 rows / 2 pubs) = 5 days from the DESC end of the quarter:
+    // the clipped last chunk (Mar 29-31) plus 2 days of the previous one —
+    // 2 partitions and 5 days planned, vs 12 partitions / 91 days unpushed
+    assert(parts.length == 2, parts.mkString("; "))
+    val days = parts.flatMap(_.days)
+    assert(days.length == 5 && days.max == graft.sources.KbSearchTable.lastDay,
+      days.mkString(","))
+    // Spark keeps the final Sort+Limit (partial pushdown): tie-breaks stay exact
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      df.queryExecution.executedPlan.toString.take(2000))
+  }
+
+  test("S15b: a bare LIMIT caps planned partitions at the source") {
+    val df = Sources.s15bDsv2LimitCount(spark, sfDir)
+    val scan = findKbScan(df.queryExecution.executedPlan)
+      .getOrElse(fail("no KbSearchScan in plan"))
+    assert(scan.pushedLimit == 10, scan.description())
+    val parts = scan.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.KbSearchPartition])
+    // ceil(10 / 4 pubs) = 3 days → a single chunk supplies them
+    assert(parts.length == 1 && parts.head.days.length == 3, parts.mkString("; "))
+  }
+
   test("S13: state gate prunes day partitions via dynamic partition pruning") {
     val df = Sources.s13DppGatedRead(spark, sfDir)
     // DPP shows up as a dynamicpruning expression in the fact scan's
