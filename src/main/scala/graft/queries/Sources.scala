@@ -291,6 +291,33 @@ object Sources {
       .agg(count(lit(1)).as("n_fetched"))
   }
 
+  /** S16: DSv2 WRITE path — the archive sink's full commit protocol
+    * (task-streamed md5 digests, driver-side verify, staging rename,
+    * manifest publish; [[graft.sources.KbArchiveSink]]). Three phases:
+    * two appends that must MERGE into the manifest, then an overwrite
+    * (V2 truncate) that must replace it. Each phase reports the manifest's
+    * row total and an independent re-read of the committed data files —
+    * the two agreeing is the sink's whole contract. */
+  def s16Dsv2ArchiveWrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("s16_archive")
+    def slice(r: Int): DataFrame =
+      orders(spark, dir).filter($"o_orderkey" % 3 === r)
+        .select($"o_orderkey".cast("string").as("key"),
+          concat_ws(",", $"o_orderstatus", $"o_totalprice".cast("string")).as("payload"))
+    def write(df: DataFrame, mode: String): Unit =
+      df.write.format(classOf[graft.sources.KbArchiveSink].getName)
+        .option("path", out).mode(mode).save()
+    def observed(): (Long, Long) =
+      (graft.sources.KbArchive.readManifest(out).map(_.rows).sum,
+        spark.read.text(out).count()) // _manifest/_staging are invisible to readers
+    write(slice(0), "append"); val p1 = observed()
+    write(slice(1), "append"); val p2 = observed()
+    write(slice(2), "overwrite"); val p3 = observed()
+    Seq((1L, p1._1, p1._2), (2L, p2._1, p2._2), (3L, p3._1, p3._2))
+      .toDF("phase", "manifest_rows", "data_rows")
+  }
+
   /** S1c: the same [start, end) day-window as [[s1bEventsTimePruned]], but
     * filtering the NARROWED timestamp like a naive caller would — no
     * [[graft.Engine.eventsBetween]] knowledge required. The injected
@@ -440,6 +467,7 @@ object Sources {
     "s14_dsv2_runtime_filtered" -> (s14Dsv2RuntimeFiltered _),
     "s15_dsv2_topn" -> (s15Dsv2Topn _),
     "s15b_dsv2_limit_count" -> (s15bDsv2LimitCount _),
+    "s16_dsv2_archive_write" -> (s16Dsv2ArchiveWrite _),
     "o9_csv_roundtrip" -> (o9CsvRoundtrip _),
     "o10_xml_roundtrip" -> (o10XmlRoundtrip _),
     "o11_orc_roundtrip" -> (o11OrcRoundtrip _),
@@ -493,6 +521,16 @@ object Sources {
         |FROM (VALUES ('AB'), ('DN')) p(pub) CROSS JOIN days d""".stripMargin,
     "s15b_dsv2_limit_count" ->
       "SELECT CAST(10 AS BIGINT) AS n_fetched",
+    "s16_dsv2_archive_write" ->
+      """SELECT CAST(1 AS BIGINT) AS phase,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0) AS manifest_rows,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0) AS data_rows
+        |UNION ALL SELECT 2,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 <= 1),
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 <= 1)
+        |UNION ALL SELECT 3,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 2),
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 2)""".stripMargin,
     "s12b_dsv2_agg_pushdown" ->
       """WITH days AS (
         |  SELECT CAST(unnest(generate_series(DATE '2024-02-01', DATE '2024-02-28', INTERVAL 1 DAY)) AS DATE) AS day)

@@ -1,0 +1,212 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 WRITE connector modeling the reference's verified archive
+  * upload (SURVEY §2.1 S7/S9: per-file md5 verify after upload,
+  * /root/reference/src/01-scrape-images.py:126-129, and staging-rename
+  * commit, :462-475) as a real Spark commit protocol instead of a
+  * driver-side loop:
+  *
+  *  - each task writes its partition to a STAGING file, digesting md5 as
+  *    it streams (no second pass), and reports (file, md5, rows, bytes) in
+  *    its [[WriterCommitMessage]];
+  *  - the driver commits by re-verifying each staged file's md5 against
+  *    the task's digest, renaming into the target, and writing a
+  *    `_manifest.json` of committed files — so readers (and reruns) see
+  *    either the whole write or none of it;
+  *  - speculative/retried task attempts are naturally fenced: the commit
+  *    coordinator admits one attempt per partition, only files named in
+  *    admitted messages are renamed, and `abort` deletes the staging dir.
+  *
+  * Scale notes: the verify pass re-reads what was just written (the
+  * reference's download-and-check, done here with one streaming read per
+  * file at commit); a 100 TB deployment would swap it for the FS's own
+  * checksum facility but keep the same message/manifest flow. Appends
+  * MERGE into the manifest; `mode("overwrite")` maps to
+  * [[SupportsTruncate]] and replaces it. The archive row shape is
+  * deliberately opaque — `key STRING, payload STRING` — the connector
+  * archives keyed blobs (the reference archives files by name), it does
+  * not interpret them.
+  */
+class KbArchiveSink extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KbArchive.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new KbArchiveTable(properties.get("path"))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object KbArchive {
+  val schema: StructType = StructType.fromDDL("key STRING, payload STRING")
+  val ManifestName = "_manifest.json"
+
+  case class Entry(name: String, md5: String, rows: Long, bytes: Long)
+
+  private val entryRe =
+    """\{"name":"([^"]+)","md5":"([0-9a-f]{32})","rows":(\d+),"bytes":(\d+)\}""".r
+
+  def renderManifest(entries: Seq[Entry]): String =
+    entries.sortBy(_.name)
+      .map(e => s"""{"name":"${e.name}","md5":"${e.md5}","rows":${e.rows},"bytes":${e.bytes}}""")
+      .mkString("{\"files\":[", ",", "]}")
+
+  def parseManifest(s: String): Seq[Entry] =
+    entryRe.findAllMatchIn(s)
+      .map(m => Entry(m.group(1), m.group(2), m.group(3).toLong, m.group(4).toLong))
+      .toSeq
+
+  /** Committed manifest of `dir`, empty if none. */
+  def readManifest(dir: String): Seq[Entry] = {
+    val fs = FileSystem.get(new java.net.URI(dir), new Configuration())
+    val p = new Path(dir, ManifestName)
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      try parseManifest(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  private[graft] def md5Of(fs: FileSystem, p: Path): String = {
+    val digest = MessageDigest.getInstance("MD5")
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) digest.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    digest.digest().map("%02x".format(_)).mkString
+  }
+}
+
+class KbArchiveTable(path: String) extends Table with SupportsWrite {
+  require(path != null && path.nonEmpty, "kb_archive requires a 'path' option")
+  override def name(): String = s"kb_archive($path)"
+  override def schema(): StructType = KbArchive.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(info.schema().fieldNames.sameElements(Array("key", "payload")),
+      s"kb_archive expects (key, payload), got ${info.schema().fieldNames.mkString(",")}")
+    new KbArchiveWriteBuilder(path, info.queryId(), truncate = false)
+  }
+}
+
+class KbArchiveWriteBuilder(path: String, queryId: String, truncate: Boolean)
+    extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder =
+    new KbArchiveWriteBuilder(path, queryId, truncate = true)
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new KbArchiveBatchWrite(path, queryId, truncate)
+    override def description(): String =
+      s"kb_archive path=$path ${if (truncate) "truncate" else "append"}"
+  }
+}
+
+class KbArchiveBatchWrite(path: String, queryId: String, truncate: Boolean)
+    extends BatchWrite {
+
+  private def stagingDir = new Path(path, s"_staging-$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new KbArchiveWriterFactory(path, queryId)
+
+  /** Driver-side commit: verify each admitted file's md5 against the
+    * digest its writer computed while streaming, then rename into the
+    * target and publish the merged manifest. Any mismatch fails the whole
+    * job BEFORE anything is renamed — the archive never holds a corrupt
+    * file (reference :126-129 deletes and retries on mismatch). */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val admitted = messages.collect {
+      case m: KbArchiveCommitMessage if m.rows > 0 => m
+    }
+    admitted.foreach { m =>
+      val staged = new Path(stagingDir, m.file)
+      val actual = KbArchive.md5Of(fs, staged)
+      if (actual != m.md5)
+        throw new java.io.IOException(
+          s"kb_archive verify failed for ${m.file}: task digest ${m.md5}, stored $actual")
+    }
+    val existing = if (truncate) {
+      KbArchive.readManifest(path).foreach(e => fs.delete(new Path(path, e.name), false))
+      Nil
+    } else KbArchive.readManifest(path)
+    admitted.foreach(m => fs.rename(new Path(stagingDir, m.file), new Path(path, m.file)))
+    val entries = existing ++ admitted.map(m => KbArchive.Entry(m.file, m.md5, m.rows, m.bytes))
+    val out = fs.create(new Path(path, KbArchive.ManifestName), true)
+    try out.write(KbArchive.renderManifest(entries).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(stagingDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    fs.delete(stagingDir, true): Unit
+  }
+}
+
+class KbArchiveWriterFactory(path: String, queryId: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KbArchiveWriter(path, queryId, partitionId, taskId)
+}
+
+/** Task-side writer: streams `key\tpayload\n` lines into one staging file,
+  * updating the md5 digest per buffer — the digest the driver verifies at
+  * commit. The attempt-unique taskId in the file name fences concurrent
+  * speculative attempts writing the same partition. */
+class KbArchiveWriter(path: String, queryId: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val fileName = f"part-$partitionId%05d-$taskId.kbar"
+  private val filePath = new Path(new Path(path, s"_staging-$queryId"), fileName)
+  private val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+  private val out = fs.create(filePath, true)
+  private val digest = MessageDigest.getInstance("MD5")
+  private var rows = 0L
+  private var bytes = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val line = s"${row.getUTF8String(0)}\t${row.getUTF8String(1)}\n"
+      .getBytes(StandardCharsets.UTF_8)
+    digest.update(line)
+    out.write(line)
+    rows += 1
+    bytes += line.length
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    if (rows == 0) fs.delete(filePath, false) // empty partitions leave no file
+    KbArchiveCommitMessage(fileName, digest.digest().map("%02x".format(_)).mkString,
+      rows, bytes)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(filePath, false): Unit
+  }
+
+  override def close(): Unit = ()
+}
+
+case class KbArchiveCommitMessage(file: String, md5: String, rows: Long, bytes: Long)
+    extends WriterCommitMessage

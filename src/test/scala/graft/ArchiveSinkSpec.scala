@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{KbArchive, KbArchiveBatchWrite, KbArchiveCommitMessage}
+
+class ArchiveSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"graft_$tag").toString
+
+  private def writeArchive(rows: Seq[(String, String)], path: String, mode: String): Unit =
+    rows.toDF("key", "payload")
+      .write.format(classOf[graft.sources.KbArchiveSink].getName)
+      .option("path", path).mode(mode).save()
+
+  test("manifest renders and parses round-trip, sorted by file name") {
+    val entries = Seq(
+      KbArchive.Entry("part-00001-7.kbar", "0" * 32, 3L, 42L),
+      KbArchive.Entry("part-00000-3.kbar", "ab" * 16, 1L, 7L))
+    val parsed = KbArchive.parseManifest(KbArchive.renderManifest(entries))
+    assert(parsed == entries.sortBy(_.name))
+  }
+
+  test("archive write publishes a manifest whose md5s match the stored files") {
+    val dir = freshDir("arch")
+    writeArchive(Seq("a" -> "1,x", "b" -> "2,y", "c" -> "3,z"), dir, "append")
+    val manifest = KbArchive.readManifest(dir)
+    assert(manifest.nonEmpty && manifest.map(_.rows).sum == 3)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), new org.apache.hadoop.conf.Configuration())
+    manifest.foreach { e =>
+      val stored = KbArchive.md5Of(fs, new org.apache.hadoop.fs.Path(dir, e.name))
+      assert(stored == e.md5, s"${e.name}: manifest ${e.md5}, stored $stored")
+    }
+    // appends merge; overwrite (V2 truncate) replaces
+    writeArchive(Seq("d" -> "4,w"), dir, "append")
+    assert(KbArchive.readManifest(dir).map(_.rows).sum == 4)
+    writeArchive(Seq("e" -> "5,v"), dir, "overwrite")
+    val after = KbArchive.readManifest(dir)
+    assert(after.map(_.rows).sum == 1)
+    // truncate really deleted the replaced data files, not just the manifest
+    assert(spark.read.text(dir).count() == 1)
+  }
+
+  test("commit verifies staged md5s and refuses to publish a corrupt file") {
+    val dir = freshDir("arch_bad")
+    val queryId = "q-corrupt"
+    val staged = Paths.get(dir, s"_staging-$queryId", "part-00000-1.kbar")
+    Files.createDirectories(staged.getParent)
+    Files.write(staged, "k\tv\n".getBytes(StandardCharsets.UTF_8))
+    val lying = KbArchiveCommitMessage("part-00000-1.kbar", "f" * 32, 1L, 4L)
+    val ex = intercept[java.io.IOException] {
+      new KbArchiveBatchWrite(dir, queryId, truncate = false)
+        .commit(Array(lying))
+    }
+    assert(ex.getMessage.contains("verify failed"))
+    // nothing was renamed into the target and no manifest was published
+    assert(KbArchive.readManifest(dir).isEmpty)
+    assert(!Files.exists(Paths.get(dir, "part-00000-1.kbar")))
+  }
+
+  test("empty partitions leave no files behind") {
+    val dir = freshDir("arch_empty")
+    // 4-thread session + 1 row => at least 3 empty writers
+    spark.range(1).select(lit("only").as("key"), lit("row").as("payload"))
+      .repartition(4)
+      .write.format(classOf[graft.sources.KbArchiveSink].getName)
+      .option("path", dir).mode("append").save()
+    val manifest = KbArchive.readManifest(dir)
+    assert(manifest.size == 1 && manifest.head.rows == 1)
+    assert(spark.read.text(dir).count() == 1)
+    assert(!Files.list(Paths.get(dir)).iterator().asScala.exists(
+      _.getFileName.toString.startsWith("_staging")))
+  }
+
+  private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+}
