@@ -295,6 +295,40 @@ object StreamingQ {
     spark.read.parquet(out)
   }
 
+  /** ST10: incremental harvest through the DSv2 connector's micro-batch
+    * stream ([[graft.sources.KbSearchMicroBatchStream]]): the day cursor is
+    * the checkpointed streaming offset, `maxDaysPerTrigger=10` is the
+    * per-run window (main.yml:77-95 processes bounded day-windows per
+    * run), and `Trigger.AvailableNow` drains the 91-day quarter in exactly
+    * ceil(91/10) = 10 micro-batches, each appended to the sink. The final
+    * per-pub totals must equal what one batch read of the source yields —
+    * incrementality changes the schedule, never the data. */
+  def st10Dsv2Incremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("st10_sink").toString
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = spark.readStream
+      .format(classOf[graft.sources.KbSearchSource].getName)
+      .option("maxDaysPerTrigger", 10)
+      .load()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck_st10").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batches.incrementAndGet()
+        batch.write.mode(SaveMode.Append).parquet(sink): Unit
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+      .groupBy($"pub")
+      .agg(count(lit(1)).as("n_issues"),
+        sum($"n_pages".cast("long")).as("total_pages"))
+      .withColumn("n_batches", lit(batches.get()))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling" -> (st1Tumbling _),
@@ -307,7 +341,8 @@ object StreamingQ {
     "st7_stream_dedup" -> (st7StreamDedup _),
     "st7b_watermark_dedup" -> (st7bWatermarkDedup _),
     "st8_stateful_counts" -> (st8StatefulCounts _),
-    "st9_stream_stream_join" -> (st9StreamStreamJoin _)
+    "st9_stream_stream_join" -> (st9StreamStreamJoin _),
+    "st10_dsv2_incremental" -> (st10Dsv2Incremental _)
   )
 
   private val oraDsumValue = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
@@ -362,6 +397,14 @@ object StreamingQ {
         |  ON c.user_id = p.user_id
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
-        |  AND p.user_id % 4 = 0 AND c.user_id % 4 = 0""".stripMargin
+        |  AND p.user_id % 4 = 0 AND c.user_id % 4 = 0""".stripMargin,
+    "st10_dsv2_incremental" ->
+      """WITH days AS (
+        |  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-03-31', INTERVAL 1 DAY)) AS DATE) AS day)
+        |SELECT p.pub, CAST(count(*) AS BIGINT) AS n_issues,
+        |  CAST(sum((CAST(d.day - DATE '1970-01-01' AS INTEGER) + length(p.pub)) % 8 + 4) AS BIGINT) AS total_pages,
+        |  CAST(10 AS BIGINT) AS n_batches
+        |FROM (VALUES ('AB'), ('DN'), ('GP'), ('SVD')) p(pub) CROSS JOIN days d
+        |GROUP BY p.pub""".stripMargin
   )
 }

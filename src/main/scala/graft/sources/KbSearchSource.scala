@@ -82,12 +82,12 @@ class KbSearchTable extends Table with SupportsRead {
   override def name(): String = "kb_search"
   override def schema(): StructType = KbSearchTable.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KbSearchScanBuilder
+    new KbSearchScanBuilder(options.getInt("maxDaysPerTrigger", 7))
 }
 
-class KbSearchScanBuilder
+class KbSearchScanBuilder(maxDaysPerTrigger: Int = 7)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -223,7 +223,7 @@ class KbSearchScanBuilder
 
   override def build(): Scan =
     new KbSearchScan(loDay, hiDay, selectedPubs, required, pushed, aggCols,
-      pushedLimit, topNDesc)
+      pushedLimit, topNDesc, maxDaysPerTrigger)
 }
 
 class KbSearchScan(
@@ -234,7 +234,8 @@ class KbSearchScan(
     val pushed: Array[Filter],
     val aggCols: Seq[String] = Nil,
     val pushedLimit: Int = -1,
-    topNDesc: Boolean = false)
+    topNDesc: Boolean = false,
+    maxDaysPerTrigger: Int = 7)
     extends Scan
     with Batch
     with SupportsReportStatistics
@@ -273,6 +274,9 @@ class KbSearchScan(
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new KbSearchMicroBatchStream(loDay, hiDay, selectedPubs, required, maxDaysPerTrigger)
 
   override def description(): String =
     s"kb_search PushedFilters: [${pushed.mkString(", ")}], " +
@@ -345,6 +349,95 @@ class KbSearchScan(
     override def sizeInBytes(): OptionalLong = OptionalLong.of(rows * 64L)
     override def numRows(): OptionalLong = OptionalLong.of(rows)
   }
+}
+
+/** Exclusive-end day offset for the incremental read: `untilDay` is the
+  * first epoch day NOT yet served. */
+case class KbDayOffset(untilDay: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"untilDay":$untilDay}"""
+}
+
+object KbDayOffset {
+  private val re = """\{"untilDay":(-?\d+)\}""".r
+  def fromJson(s: String): KbDayOffset = s.trim match {
+    case re(d) => KbDayOffset(d.toInt)
+    case other => throw new IllegalArgumentException(s"bad kb_search offset: $other")
+  }
+}
+
+/** Incremental (micro-batch) read of the search endpoint — the reference's
+  * daily-harvest mode: its workflow processes a bounded day-window per run
+  * and records progress in a state file (main.yml:77-95, :70-74). Here the
+  * day cursor IS the streaming offset, so progress tracking, restart, and
+  * exactly-once hand-off to the sink ride Spark's checkpoint machinery
+  * instead of a hand-rolled state file.
+  *
+  *  - Admission control: at most `maxDaysPerTrigger` days per micro-batch
+  *    (the workflow's per-run window). `Trigger.AvailableNow` drains the
+  *    pushed day-range batch-by-batch and terminates — the "catch up the
+  *    backlog tonight" run.
+  *  - Pushdown carries over: the day bounds and pub set consumed by
+  *    [[KbSearchScanBuilder]] bound the stream, and column pruning reaches
+  *    the row emitter — a streaming read fetches no more than the batch
+  *    read would.
+  *  - Partitions within a batch are the same grid-aligned day-chunks as
+  *    the batch scan, so a 1000-executor cluster fans each micro-batch out
+  *    identically. Offsets are day-granular, deterministic and replayable:
+  *    re-planning [start, end) yields identical rows, which is what makes
+  *    a failed batch safely re-runnable. */
+class KbSearchMicroBatchStream(
+    loDay: Int,
+    hiDay: Int,
+    selectedPubs: Seq[String],
+    required: StructType,
+    maxDaysPerTrigger: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  require(maxDaysPerTrigger >= 1, "maxDaysPerTrigger must be >= 1")
+
+  override def initialOffset(): Offset = KbDayOffset(loDay)
+  override def deserializeOffset(json: String): Offset = KbDayOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  /** Rate control is day-granular via `maxDaysPerTrigger`; row/file limits
+    * don't map to the domain, so the default is all-available. */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def prepareForTriggerAvailableNow(): Unit = () // domain already bounded
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "kb_search is admission-controlled; latestOffset(start, limit) is used")
+
+  /** The true end of available data — how the engine knows batches remain
+    * even though each admission-controlled batch stops short of it. */
+  override def reportLatestOffset(): Offset = KbDayOffset(hiDay + 1)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[KbDayOffset].untilDay
+    KbDayOffset(math.min(hiDay + 1, from + maxDaysPerTrigger))
+  }
+
+  /** Serve days [start, end) as the batch scan's grid-aligned chunks. */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[KbDayOffset].untilDay
+    val until = end.asInstanceOf[KbDayOffset].untilDay
+    if (from >= until || selectedPubs.isEmpty) return Array.empty
+    (from until until)
+      .groupBy(d => (d - KbSearchTable.firstDay) / KbSearchTable.chunkDays)
+      .toSeq.sortBy(_._1)
+      .map { case (_, days) =>
+        KbSearchPartition(days, selectedPubs,
+          days.flatMap(d => KbSearchTable.statusByDay.get(d).map(d -> _)).toMap)
+          : InputPartition
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KbSearchReaderFactory(required, Nil)
 }
 
 /** One day-chunk; carries the EXPLICIT day set (≤ chunkDays entries, so

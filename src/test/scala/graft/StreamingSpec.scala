@@ -189,6 +189,39 @@ class StreamingSpec extends SparkSpec {
     assert(pairs.toSeq == Seq(("u1", 10L), ("u2", 20L)), pairs.mkString(","))
   }
 
+  test("ST10: DSv2 micro-batch stream paces by days and resumes from checkpoint") {
+    val sink = tmp("st10s_sink")
+    val ckpt = tmp("st10s_ck")
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    def drain(): Long = {
+      batches.set(0L)
+      val q = spark.readStream
+        .format(classOf[graft.sources.KbSearchSource].getName)
+        .option("maxDaysPerTrigger", 40)
+        .load()
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.incrementAndGet()
+          b.write.mode("append").parquet(sink): Unit
+        }
+        .start()
+      q.awaitTermination()
+      batches.get()
+    }
+    // 91 days at 40/trigger: 40 + 40 + 11
+    assert(drain() == 3L)
+    val rows = spark.read.parquet(sink)
+    assert(rows.count() == 91L * 4)
+    assert(rows.select("pub", "day").distinct().count() == 91L * 4,
+      "incremental read must not duplicate (pub, day) issues")
+    // SAME checkpoint, same source: the cursor is exhausted, nothing replays
+    assert(drain() == 0L)
+    assert(spark.read.parquet(sink).count() == 91L * 4)
+  }
+
   test("ST5: maxFilesPerTrigger paces ingestion into one batch per file") {
     val src = tmp("rate_src")
     (1 to 3).foreach(i =>
