@@ -405,6 +405,65 @@ object Llm {
       .select($"doc_id", $"q_score")
   }
 
+  /** L18: repetition metrics — the Gopher-rule family of quality signals
+    * (duplicate-token and duplicate-bigram fractions; heavily repetitive
+    * documents are boilerplate/spam in a pretraining corpus). Pure
+    * codegen'd column functions: bigrams come from a `transform` over the
+    * token index range, no explode and no shuffle — per-row work that
+    * scales linearly at 100 TB. */
+  def l18Repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = split($"text", " ")
+    val bigrams = expr(
+      "transform(sequence(0, size(split(text, ' ')) - 2), " +
+        "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))")
+    documents(spark, dir).select($"doc_id",
+      size(t).cast("long").as("n_tokens"),
+      (lit(1.0) - size(array_distinct(t)).cast("double") / size(t))
+        .as("dup_token_frac"),
+      // sequence(0, -1) would count DOWN for a 1-token doc; guard to 0.0
+      when(size(t) >= 2,
+        lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams))
+        .otherwise(0.0).as("dup_bigram_frac"))
+  }
+
+  /** L19: deterministic stratified sampling — per-language keep rates
+    * applied via an md5 bucket of the doc id (content-addressed, so the
+    * SAME docs are kept on every run, on any cluster, with no RNG state to
+    * coordinate: the property that makes a 100 TB sampling job resumable
+    * and its output reproducible). Rates: en 50%, de 25%, rest 10%. */
+  def l19StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 4),
+      16, 10).cast("long") % 100
+    val rate = when($"lang" === "en", 50L).when($"lang" === "de", 25L).otherwise(10L)
+    documents(spark, dir)
+      .withColumn("bucket", bucket)
+      .filter($"bucket" < rate)
+      .select($"doc_id", $"lang", $"bucket")
+  }
+
+  /** L20: domain-mixture planner — given target mixture weights per source
+    * domain, derive each domain's sampling/repetition factor from its
+    * actual share of the corpus (the "data recipe" step of a pretraining
+    * run). One tiny aggregate plus arithmetic; the factor is what a
+    * downstream weighted sampler (L19-style) would consume. */
+  def l20MixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val target = when($"source" === "src0", 0.2)
+      .when($"source" === "src1", 0.1)
+      .otherwise(lit(0.7) / 18) // remaining 18 domains share the rest evenly
+    val counts = documents(spark, dir).groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"))
+    // the global window runs over the ALREADY-AGGREGATED per-domain rows
+    // (tens of rows at any corpus size), not the corpus itself
+    counts
+      .withColumn("actual_frac",
+        $"n_docs".cast("double") / sum($"n_docs").over())
+      .withColumn("target_w", target)
+      .withColumn("repeat_factor", $"target_w" / $"actual_frac")
+  }
+
   /** Typed Dataset[T] surface (SURVEY §1.3): case-class encoder, typed
     * filter, then back to the relational plan — compile-time field checks
     * where the record shape is fixed (the NewspaperIssue analog). */
@@ -441,6 +500,9 @@ object Llm {
     "l15_contamination" -> (l15Contamination _),
     "l17_dedup_clusters" -> (l17DedupClusters _),
     "l16_pii_scrub" -> (l16PiiScrub _),
+    "l18_repetition" -> (l18Repetition _),
+    "l19_stratified_sample" -> (l19StratifiedSample _),
+    "l20_mixture_plan" -> (l20MixturePlan _),
     "f_bits" -> (fBits _),
     "l11_rolling_fingerprint" -> (l11RollingFingerprint _)
   )
@@ -648,6 +710,31 @@ object Llm {
         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |  '[0-9]{6,}', '<NUM>', 'g')) AS BIGINT) AS n_chars_scrubbed
         |FROM documents""".stripMargin,
+    "l18_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks,
+        |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bg
+        |      FROM t)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_token_frac,
+        |  CASE WHEN len(toks) >= 2
+        |       THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+        |       ELSE 0.0 END AS dup_bigram_frac
+        |FROM b""".stripMargin,
+    "l19_stratified_sample" ->
+      """SELECT doc_id, lang, bucket FROM (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END""".stripMargin,
+    "l20_mixture_plan" ->
+      """SELECT source, n_docs, actual_frac, target_w, target_w / actual_frac AS repeat_factor
+        |FROM (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents) AS actual_frac,
+        |    CAST(CASE source WHEN 'src0' THEN 0.2 WHEN 'src1' THEN 0.1
+        |         ELSE CAST(0.7 AS DOUBLE) / 18 END AS DOUBLE) AS target_w
+        |  FROM documents GROUP BY source)""".stripMargin,
     "f_bits" ->
       """SELECT event_id,
         |event_id & 255 AS low8,
