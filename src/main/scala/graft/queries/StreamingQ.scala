@@ -329,6 +329,38 @@ object StreamingQ {
       .withColumn("n_batches", lit(batches.get()))
   }
 
+  /** ST11: the reference pipeline end-to-end as pure connector code —
+    * incremental harvest from the DSv2 search stream INTO the DSv2 archive
+    * sink. Each micro-batch (30 days) lands as one verified, epoch-fenced
+    * archive commit ([[graft.sources.KbArchiveStreamingWrite]]); after the
+    * AvailableNow drain the archive's data files and manifest must both
+    * hold exactly one copy of every issue in the quarter. */
+  def st11StreamToArchive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("st11_archive").toString
+    val q = spark.readStream
+      .format(classOf[graft.sources.KbSearchSource].getName)
+      .option("maxDaysPerTrigger", 30)
+      .load()
+      .select($"issue_id".as("key"),
+        concat_ws(",", $"pub", $"day".cast("string"), $"n_pages".cast("string"))
+          .as("payload"))
+      .writeStream
+      .outputMode("append")
+      .format(classOf[graft.sources.KbArchiveSink].getName)
+      .option("path", out)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck_st11").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val manifestRows = graft.sources.KbArchive.readManifest(out).map(_.rows).sum
+    spark.read.text(out)
+      .select(split(split($"value", "\t")(1), ",")(0).as("pub"))
+      .groupBy($"pub").agg(count(lit(1)).as("n_issues"))
+      .withColumn("manifest_rows", lit(manifestRows))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling" -> (st1Tumbling _),
@@ -342,7 +374,8 @@ object StreamingQ {
     "st7b_watermark_dedup" -> (st7bWatermarkDedup _),
     "st8_stateful_counts" -> (st8StatefulCounts _),
     "st9_stream_stream_join" -> (st9StreamStreamJoin _),
-    "st10_dsv2_incremental" -> (st10Dsv2Incremental _)
+    "st10_dsv2_incremental" -> (st10Dsv2Incremental _),
+    "st11_stream_to_archive" -> (st11StreamToArchive _)
   )
 
   private val oraDsumValue = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
@@ -405,6 +438,9 @@ object StreamingQ {
         |  CAST(sum((CAST(d.day - DATE '1970-01-01' AS INTEGER) + length(p.pub)) % 8 + 4) AS BIGINT) AS total_pages,
         |  CAST(10 AS BIGINT) AS n_batches
         |FROM (VALUES ('AB'), ('DN'), ('GP'), ('SVD')) p(pub) CROSS JOIN days d
-        |GROUP BY p.pub""".stripMargin
+        |GROUP BY p.pub""".stripMargin,
+    "st11_stream_to_archive" ->
+      """SELECT pub, CAST(91 AS BIGINT) AS n_issues, CAST(364 AS BIGINT) AS manifest_rows
+        |FROM (VALUES ('AB'), ('DN'), ('GP'), ('SVD')) t(pub)""".stripMargin
   )
 }

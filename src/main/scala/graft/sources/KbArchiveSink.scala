@@ -94,6 +94,34 @@ object KbArchive {
     } finally in.close()
     digest.digest().map("%02x".format(_)).mkString
   }
+
+  /** Shared commit path for batch and per-epoch streaming commits: verify
+    * every admitted file's md5 against its task digest (all-or-nothing,
+    * BEFORE any rename), optionally clear the previous archive (truncate),
+    * rename admitted files in, publish the merged manifest, drop staging. */
+  private[sources] def publish(
+      fs: FileSystem,
+      path: String,
+      staging: Path,
+      admitted: Seq[KbArchiveCommitMessage],
+      truncate: Boolean): Unit = {
+    admitted.foreach { m =>
+      val actual = md5Of(fs, new Path(staging, m.file))
+      if (actual != m.md5)
+        throw new java.io.IOException(
+          s"kb_archive verify failed for ${m.file}: task digest ${m.md5}, stored $actual")
+    }
+    val existing = if (truncate) {
+      readManifest(path).foreach(e => fs.delete(new Path(path, e.name), false))
+      Nil
+    } else readManifest(path)
+    admitted.foreach(m => fs.rename(new Path(staging, m.file), new Path(path, m.file)))
+    val entries = existing ++ admitted.map(m => Entry(m.file, m.md5, m.rows, m.bytes))
+    val out = fs.create(new Path(path, ManifestName), true)
+    try out.write(renderManifest(entries).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(staging, true): Unit
+  }
 }
 
 class KbArchiveTable(path: String) extends Table with SupportsWrite {
@@ -101,7 +129,8 @@ class KbArchiveTable(path: String) extends Table with SupportsWrite {
   override def name(): String = s"kb_archive($path)"
   override def schema(): StructType = KbArchive.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(info.schema().fieldNames.sameElements(Array("key", "payload")),
@@ -116,6 +145,8 @@ class KbArchiveWriteBuilder(path: String, queryId: String, truncate: Boolean)
     new KbArchiveWriteBuilder(path, queryId, truncate = true)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new KbArchiveBatchWrite(path, queryId, truncate)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new KbArchiveStreamingWrite(path, queryId)
     override def description(): String =
       s"kb_archive path=$path ${if (truncate) "truncate" else "append"}"
   }
@@ -139,23 +170,7 @@ class KbArchiveBatchWrite(path: String, queryId: String, truncate: Boolean)
     val admitted = messages.collect {
       case m: KbArchiveCommitMessage if m.rows > 0 => m
     }
-    admitted.foreach { m =>
-      val staged = new Path(stagingDir, m.file)
-      val actual = KbArchive.md5Of(fs, staged)
-      if (actual != m.md5)
-        throw new java.io.IOException(
-          s"kb_archive verify failed for ${m.file}: task digest ${m.md5}, stored $actual")
-    }
-    val existing = if (truncate) {
-      KbArchive.readManifest(path).foreach(e => fs.delete(new Path(path, e.name), false))
-      Nil
-    } else KbArchive.readManifest(path)
-    admitted.foreach(m => fs.rename(new Path(stagingDir, m.file), new Path(path, m.file)))
-    val entries = existing ++ admitted.map(m => KbArchive.Entry(m.file, m.md5, m.rows, m.bytes))
-    val out = fs.create(new Path(path, KbArchive.ManifestName), true)
-    try out.write(KbArchive.renderManifest(entries).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(stagingDir, true)
+    KbArchive.publish(fs, path, stagingDir, admitted.toSeq, truncate)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -164,20 +179,69 @@ class KbArchiveBatchWrite(path: String, queryId: String, truncate: Boolean)
   }
 }
 
+/** Streaming (per-epoch) writes into the archive — the reference pipeline's
+  * steady state: each micro-batch of harvested issues lands as one verified,
+  * manifest-tracked commit. Exactly-once across engine restarts: a marker
+  * file per committed epoch makes the commit IDEMPOTENT — when a failed-
+  * before-checkpoint batch is replayed, its re-staged files are discarded
+  * instead of re-published, so the archive never double-counts (the
+  * connector-level analog of the reference's skip-if-exists state file,
+  * :462-465). */
+class KbArchiveStreamingWrite(path: String, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private def fs = FileSystem.get(new java.net.URI(path), new Configuration())
+  private def epochStaging(epochId: Long) =
+    new Path(path, s"_staging-$queryId/epoch-$epochId")
+  private def epochMarker(epochId: Long) =
+    new Path(path, s"_epochs/$queryId/$epochId")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new KbArchiveStreamingWriterFactory(path, queryId)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs
+    if (f.exists(epochMarker(epochId))) {
+      // replayed epoch (failure after commit, before checkpoint advance):
+      // already published — drop the duplicate staging, change nothing
+      f.delete(epochStaging(epochId), true)
+      return
+    }
+    val admitted = messages.collect {
+      case m: KbArchiveCommitMessage if m.rows > 0 => m
+    }
+    KbArchive.publish(f, path, epochStaging(epochId), admitted.toSeq, truncate = false)
+    f.mkdirs(epochMarker(epochId).getParent)
+    f.create(epochMarker(epochId), true).close()
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    fs.delete(epochStaging(epochId), true): Unit
+  }
+}
+
+class KbArchiveStreamingWriterFactory(path: String, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new KbArchiveWriter(path, s"_staging-$queryId/epoch-$epochId",
+      f"part-$epochId-$partitionId%05d-$taskId.kbar")
+}
+
 class KbArchiveWriterFactory(path: String, queryId: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KbArchiveWriter(path, queryId, partitionId, taskId)
+    new KbArchiveWriter(path, s"_staging-$queryId", f"part-$partitionId%05d-$taskId.kbar")
 }
 
 /** Task-side writer: streams `key\tpayload\n` lines into one staging file,
   * updating the md5 digest per buffer — the digest the driver verifies at
   * commit. The attempt-unique taskId in the file name fences concurrent
   * speculative attempts writing the same partition. */
-class KbArchiveWriter(path: String, queryId: String, partitionId: Int, taskId: Long)
+class KbArchiveWriter(path: String, stagingSubdir: String, fileName: String)
     extends DataWriter[InternalRow] {
 
-  private val fileName = f"part-$partitionId%05d-$taskId.kbar"
-  private val filePath = new Path(new Path(path, s"_staging-$queryId"), fileName)
+  private val filePath = new Path(new Path(path, stagingSubdir), fileName)
   private val fs = FileSystem.get(new java.net.URI(path), new Configuration())
   private val out = fs.create(filePath, true)
   private val digest = MessageDigest.getInstance("MD5")

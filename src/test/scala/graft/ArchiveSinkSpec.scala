@@ -64,6 +64,32 @@ class ArchiveSinkSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(dir, "part-00000-1.kbar")))
   }
 
+  test("streaming commit is epoch-fenced: a replayed epoch publishes nothing twice") {
+    val dir = freshDir("arch_epoch")
+    val qid = "q-replay"
+    val sw = new graft.sources.KbArchiveStreamingWrite(dir, qid)
+    def stage(epoch: Long, content: String): KbArchiveCommitMessage = {
+      val name = s"part-$epoch-00000-1.kbar"
+      val p = Paths.get(dir, s"_staging-$qid", s"epoch-$epoch", name)
+      Files.createDirectories(p.getParent)
+      val bytes = content.getBytes(StandardCharsets.UTF_8)
+      Files.write(p, bytes)
+      val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+      KbArchiveCommitMessage(name, md5, content.linesIterator.size.toLong, bytes.length.toLong)
+    }
+    sw.commit(0L, Array(stage(0L, "a\t1\n")))
+    sw.commit(1L, Array(stage(1L, "b\t2\nc\t3\n")))
+    assert(KbArchive.readManifest(dir).map(_.rows).sum == 3)
+    // epoch 1 replayed after a crash-before-checkpoint: same epoch id,
+    // freshly re-staged files — must be discarded, not re-published
+    sw.commit(1L, Array(stage(1L, "b\t2\nc\t3\n")))
+    assert(KbArchive.readManifest(dir).map(_.rows).sum == 3)
+    assert(spark.read.text(dir).count() == 3)
+    // and the duplicate staging is cleaned up
+    assert(!Files.exists(Paths.get(dir, s"_staging-$qid", "epoch-1")))
+  }
+
   test("empty partitions leave no files behind") {
     val dir = freshDir("arch_empty")
     // 4-thread session + 1 row => at least 3 empty writers
