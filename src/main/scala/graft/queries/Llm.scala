@@ -464,6 +464,24 @@ object Llm {
       .withColumn("repeat_factor", $"target_w" / $"actual_frac")
   }
 
+  /** L21: symmetric int8 embedding quantization — the memory side of
+    * similarity search at scale: 4× smaller vectors means 4× more corpus
+    * per executor before the ANN index spills. Per-vector scale =
+    * max|x_i| (guarded against all-zero vectors), q_i = round(x_i · 127 /
+    * scale) ∈ [-127, 127]; everything is codegen'd array HOFs, one pass,
+    * no shuffle. Values are emitted as a joined string so the oracle can
+    * compare them exactly; RecallSpec bounds the reconstruction error and
+    * cosine distortion. */
+  def l21Quantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scaleSql =
+      "greatest(array_max(transform(embedding, y -> abs(cast(y as double)))), 1e-12d)"
+    embeddings(spark, dir).select($"vec_id",
+      expr(scaleSql).as("scale"),
+      expr("array_join(transform(embedding, x -> cast(cast(round(" +
+        s"cast(x as double) * 127 / $scaleSql) as int) as string)), ',')").as("q8"))
+  }
+
   /** Typed Dataset[T] surface (SURVEY §1.3): case-class encoder, typed
     * filter, then back to the relational plan — compile-time field checks
     * where the record shape is fixed (the NewspaperIssue analog). */
@@ -503,6 +521,7 @@ object Llm {
     "l18_repetition" -> (l18Repetition _),
     "l19_stratified_sample" -> (l19StratifiedSample _),
     "l20_mixture_plan" -> (l20MixturePlan _),
+    "l21_quantize" -> (l21Quantize _),
     "f_bits" -> (fBits _),
     "l11_rolling_fingerprint" -> (l11RollingFingerprint _)
   )
@@ -735,6 +754,15 @@ object Llm {
         |    CAST(CASE source WHEN 'src0' THEN 0.2 WHEN 'src1' THEN 0.1
         |         ELSE CAST(0.7 AS DOUBLE) / 18 END AS DOUBLE) AS target_w
         |  FROM documents GROUP BY source)""".stripMargin,
+    "l21_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |s AS (SELECT vec_id, emb,
+        |        greatest(list_max(list_transform(emb, y -> abs(y))), 1e-12) AS scale
+        |      FROM e)
+        |SELECT vec_id, scale,
+        |  array_to_string(list_transform(emb,
+        |    x -> CAST(CAST(round(x * 127 / scale) AS INTEGER) AS VARCHAR)), ',') AS q8
+        |FROM s""".stripMargin,
     "f_bits" ->
       """SELECT event_id,
         |event_id & 255 AS low8,

@@ -13,6 +13,28 @@ import org.apache.spark.sql.functions._
   */
 class RecallSpec extends SparkSpec {
 
+  test("L21: int8 quantization bounds per-element error and preserves cosine") {
+    // Reconstruction x̂ = q · scale / 127 can be off by at most half a
+    // quantization step (scale / 254) per element; cosine between the
+    // original and reconstructed vector must stay essentially 1 — the
+    // property that makes searching over int8 vectors sound.
+    val stats = Engine.embeddings(spark, sfDir)
+      .selectExpr(
+        "transform(embedding, x -> cast(x as double)) AS ed",
+        "greatest(array_max(transform(embedding, y -> abs(cast(y as double)))), 1e-12d) AS scale")
+      .selectExpr("ed", "scale",
+        "transform(ed, x -> round(x * 127 / scale) * scale / 127) AS dq")
+      .selectExpr(
+        "array_max(zip_with(ed, dq, (a, b) -> abs(a - b))) / (scale / 254) AS err_steps",
+        "aggregate(zip_with(ed, dq, (a, b) -> a * b), 0d, (s, x) -> s + x) / " +
+          "(sqrt(aggregate(transform(ed, x -> x * x), 0d, (s, x) -> s + x)) * " +
+          " sqrt(aggregate(transform(dq, x -> x * x), 0d, (s, x) -> s + x))) AS cos")
+      .agg(max(col("err_steps")).as("max_err_steps"), min(col("cos")).as("min_cos"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).head
+    assert(stats._1 <= 1.0 + 1e-9, s"max error ${stats._1} half-steps")
+    assert(stats._2 >= 0.995, s"worst cosine ${stats._2}")
+  }
+
   test("L3b: ANN LSH achieves recall@3 >= 0.7 vs brute-force ground truth") {
     import spark.implicits._
     val ann = Llm.l3AnnLsh(spark, sfDir)
