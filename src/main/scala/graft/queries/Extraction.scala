@@ -253,6 +253,21 @@ object Extraction {
         .getField("k").as("k_parsed"))
   }
 
+  /** P19: error-safe arithmetic/cast surface (`try_*`) — the robustness
+    * the reference gets from its try/except wrappers (:54-74), expressed as
+    * null-on-failure expressions instead of task-killing exceptions: a bad
+    * row yields a null to filter or default, never a failed 100 TB job.
+    * try_divide is null on a zero divisor, try_cast on a non-numeric
+    * string, try_add on long overflow. */
+  def p19TrySurface(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, dir).select($"o_orderkey",
+      expr("try_divide(cast(o_totalprice as double), cast(o_orderkey % 3 as double))")
+        .as("per_bucket"),
+      expr("try_cast(o_orderstatus as int)").as("status_num"),
+      expr("try_add(9223372036854775800L, o_orderkey)").as("near_overflow"))
+  }
+
   /** S10: MIME dispatch by (lowercased) extension (:110-116). */
   def s10MimeDispatch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -492,6 +507,7 @@ object Extraction {
     "p17_md5" -> (p17Md5 _),
     "f_hash_native" -> (fHashNative _),
     "p18_json_prune" -> (p18JsonPrune _),
+    "p19_try_surface" -> (p19TrySurface _),
     "s10_mime_dispatch" -> (s10MimeDispatch _),
     "f_string" -> (fString _),
     "f_string2" -> (fString2 _),
@@ -590,6 +606,13 @@ object Extraction {
         |CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k_str,
         |CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k_parsed
         |FROM events""".stripMargin,
+    "p19_try_surface" ->
+      """SELECT o_orderkey,
+        |  CAST(o_totalprice AS DOUBLE) / CAST(o_orderkey % 3 AS DOUBLE) AS per_bucket,
+        |  TRY_CAST(o_orderstatus AS INTEGER) AS status_num,
+        |  CASE WHEN o_orderkey > 7 THEN NULL
+        |       ELSE 9223372036854775800 + o_orderkey END AS near_overflow
+        |FROM orders""".stripMargin,
     "s10_mime_dispatch" ->
       s"""SELECT doc_id, file_name,
          |CASE WHEN lower(file_name) LIKE '%.jp2' THEN 'image/jp2'

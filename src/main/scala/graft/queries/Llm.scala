@@ -413,18 +413,21 @@ object Llm {
     * scales linearly at 100 TB. */
   def l18Repetition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val t = split($"text", " ")
-    val bigrams = expr(
-      "transform(sequence(0, size(split(text, ' ')) - 2), " +
-        "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))")
-    documents(spark, dir).select($"doc_id",
-      size(t).cast("long").as("n_tokens"),
-      (lit(1.0) - size(array_distinct(t)).cast("double") / size(t))
-        .as("dup_token_frac"),
-      // sequence(0, -1) would count DOWN for a 1-token doc; guard to 0.0
-      when(size(t) >= 2,
-        lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams))
-        .otherwise(0.0).as("dup_bigram_frac"))
+    // materialize the token array ONCE: a lambda body re-evaluates its
+    // subexpressions per element, so indexing split(text) inside transform
+    // would re-split the whole string per bigram — O(n²) per doc
+    val bigrams = expr("transform(sequence(0, size(t) - 2), " +
+      "i -> concat(t[i], ' ', t[i + 1]))")
+    documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .select($"doc_id",
+        size($"t").cast("long").as("n_tokens"),
+        (lit(1.0) - size(array_distinct($"t")).cast("double") / size($"t"))
+          .as("dup_token_frac"),
+        // sequence(0, -1) would count DOWN for a 1-token doc; guard to 0.0
+        when(size($"t") >= 2,
+          lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams))
+          .otherwise(0.0).as("dup_bigram_frac"))
   }
 
   /** L19: deterministic stratified sampling — per-language keep rates

@@ -318,6 +318,30 @@ object Sources {
       .toDF("phase", "manifest_rows", "data_rows")
   }
 
+  /** O12: observed metrics (`Dataset.observe`) — data-quality gates
+    * collected DURING the job's one pass over the input, not by a second
+    * scan: the ETL writes its partitioned output while row counts and
+    * rule-violation counts accumulate per task and merge on the driver.
+    * At 100 TB a separate validation query doubles the read; observe
+    * makes validation free. Mirrors the reference's completeness check
+    * (:477), which re-lists everything it just downloaded. */
+  def o12ObservedMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = new org.apache.spark.sql.Observation("o12")
+    val out = tmp("o12_sink")
+    orders(spark, dir)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when($"o_totalprice" <= 0, 1L).otherwise(0L)).as("n_nonpos_price"),
+        sum($"o_orderkey".isNull.cast("long")).as("n_null_keys"))
+      .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(out) // the REAL job; metrics ride along
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long], m("n_nonpos_price").asInstanceOf[Long],
+      m("n_null_keys").asInstanceOf[Long]))
+      .toDF("n_rows", "n_nonpos_price", "n_null_keys")
+  }
+
   /** S1c: the same [start, end) day-window as [[s1bEventsTimePruned]], but
     * filtering the NARROWED timestamp like a naive caller would — no
     * [[graft.Engine.eventsBetween]] knowledge required. The injected
@@ -468,6 +492,7 @@ object Sources {
     "s15_dsv2_topn" -> (s15Dsv2Topn _),
     "s15b_dsv2_limit_count" -> (s15bDsv2LimitCount _),
     "s16_dsv2_archive_write" -> (s16Dsv2ArchiveWrite _),
+    "o12_observed_metrics" -> (o12ObservedMetrics _),
     "o9_csv_roundtrip" -> (o9CsvRoundtrip _),
     "o10_xml_roundtrip" -> (o10XmlRoundtrip _),
     "o11_orc_roundtrip" -> (o11OrcRoundtrip _),
@@ -521,6 +546,11 @@ object Sources {
         |FROM (VALUES ('AB'), ('DN')) p(pub) CROSS JOIN days d""".stripMargin,
     "s15b_dsv2_limit_count" ->
       "SELECT CAST(10 AS BIGINT) AS n_fetched",
+    "o12_observed_metrics" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpos_price,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys
+        |FROM orders""".stripMargin,
     "s16_dsv2_archive_write" ->
       """SELECT CAST(1 AS BIGINT) AS phase,
         |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0) AS manifest_rows,
