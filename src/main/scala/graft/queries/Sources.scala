@@ -342,6 +342,20 @@ object Sources {
       .toDF("n_rows", "n_nonpos_price", "n_null_keys")
   }
 
+  /** S17: the connector through plain SQL — `kb.search` resolves via the
+    * registered [[graft.sources.KbCatalog]] (a V2 TableCatalog), so a
+    * warehouse user writes ordinary SQL and still gets the full pushdown
+    * stack: the day range and pub IN-list are consumed by the source, the
+    * grouped COUNT is answered per-chunk by aggregate pushdown, and only
+    * tiny partials reach the final aggregate. */
+  def s17CatalogSql(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      """SELECT pub, count(*) AS n_issues
+        |FROM kb.search
+        |WHERE day >= DATE'2024-02-01' AND day <= DATE'2024-02-28'
+        |  AND pub IN ('AB', 'GP')
+        |GROUP BY pub""".stripMargin)
+
   /** S1c: the same [start, end) day-window as [[s1bEventsTimePruned]], but
     * filtering the NARROWED timestamp like a naive caller would — no
     * [[graft.Engine.eventsBetween]] knowledge required. The injected
@@ -493,6 +507,7 @@ object Sources {
     "s15b_dsv2_limit_count" -> (s15bDsv2LimitCount _),
     "s16_dsv2_archive_write" -> (s16Dsv2ArchiveWrite _),
     "o12_observed_metrics" -> (o12ObservedMetrics _),
+    "s17_catalog_sql" -> (s17CatalogSql _),
     "o9_csv_roundtrip" -> (o9CsvRoundtrip _),
     "o10_xml_roundtrip" -> (o10XmlRoundtrip _),
     "o11_orc_roundtrip" -> (o11OrcRoundtrip _),
@@ -546,6 +561,9 @@ object Sources {
         |FROM (VALUES ('AB'), ('DN')) p(pub) CROSS JOIN days d""".stripMargin,
     "s15b_dsv2_limit_count" ->
       "SELECT CAST(10 AS BIGINT) AS n_fetched",
+    "s17_catalog_sql" ->
+      """SELECT p.pub, CAST(28 AS BIGINT) AS n_issues
+        |FROM (VALUES ('AB'), ('GP')) p(pub)""".stripMargin,
     "o12_observed_metrics" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpos_price,

@@ -286,6 +286,17 @@ class PlanShapeSpec extends SparkSpec {
       == Set(19723, 19724, 19727))
   }
 
+  test("S17: kb.search resolved through the SQL catalog keeps aggregate pushdown") {
+    val df = Sources.s17CatalogSql(spark, sfDir)
+    df.collect() // finalize AQE so the asserted plan is the executed one
+    val scan = findKbScan(df.queryExecution.executedPlan)
+      .getOrElse(fail("no KbSearchScan in plan"))
+    // the SQL entry point must lose nothing: grouped COUNT answered at the
+    // source, day/pub filters consumed (nothing survives post-scan)
+    assert(scan.aggCols == Seq("pub", "count"), scan.aggCols.mkString(","))
+    assert(scan.pushed.nonEmpty)
+  }
+
   test("S15: top-N by day is pushed — only contributing day-chunks planned") {
     val df = Sources.s15Dsv2Topn(spark, sfDir)
     val scan = findKbScan(df.queryExecution.executedPlan)
