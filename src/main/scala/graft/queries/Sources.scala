@@ -356,6 +356,20 @@ object Sources {
         |  AND pub IN ('AB', 'GP')
         |GROUP BY pub""".stripMargin)
 
+  /** S18: a connector-provided function from plain SQL — `kb.cosine` binds
+    * through the V2 FunctionCatalog ([[graft.sources.CosineUnbound]]) and
+    * executes via its magic-method fast path inside codegen. One probe
+    * vector scored against the corpus: the SQL-only rendition of the
+    * engine's similarity scorer. */
+  def s18FunctionCatalog(spark: SparkSession, dir: String): DataFrame = {
+    embeddings(spark, dir).createOrReplaceTempView("emb_s18")
+    spark.sql(
+      """SELECT e.vec_id, kb.cosine(e.embedding, p.embedding) AS score_vs_probe
+        |FROM emb_s18 e
+        |CROSS JOIN (SELECT embedding FROM emb_s18 WHERE vec_id = 0) p
+        |WHERE e.vec_id < 100""".stripMargin)
+  }
+
   /** S1c: the same [start, end) day-window as [[s1bEventsTimePruned]], but
     * filtering the NARROWED timestamp like a naive caller would — no
     * [[graft.Engine.eventsBetween]] knowledge required. The injected
@@ -508,6 +522,7 @@ object Sources {
     "s16_dsv2_archive_write" -> (s16Dsv2ArchiveWrite _),
     "o12_observed_metrics" -> (o12ObservedMetrics _),
     "s17_catalog_sql" -> (s17CatalogSql _),
+    "s18_function_catalog" -> (s18FunctionCatalog _),
     "o9_csv_roundtrip" -> (o9CsvRoundtrip _),
     "o10_xml_roundtrip" -> (o10XmlRoundtrip _),
     "o11_orc_roundtrip" -> (o11OrcRoundtrip _),
@@ -564,6 +579,14 @@ object Sources {
     "s17_catalog_sql" ->
       """SELECT p.pub, CAST(28 AS BIGINT) AS n_issues
         |FROM (VALUES ('AB'), ('GP')) p(pub)""".stripMargin,
+    "s18_function_catalog" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |p AS (SELECT emb FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  list_dot_product(e.emb, p.emb) /
+        |  (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(p.emb, p.emb)))
+        |    AS score_vs_probe
+        |FROM e CROSS JOIN p WHERE e.vec_id < 100""".stripMargin,
     "o12_observed_metrics" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpos_price,

@@ -1,7 +1,11 @@
 package graft.sources
 
-import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** V2 `TableCatalog` plugin exposing the search connector to plain SQL:
@@ -18,7 +22,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * path-parameterized per job, which a static catalog identifier cannot
   * express.
   */
-class KbCatalog extends TableCatalog {
+class KbCatalog extends TableCatalog with FunctionCatalog {
   private var catalogName: String = "kb"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -48,4 +52,66 @@ class KbCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("kb catalog is read-only")
+
+  // ------------------------------------------------- FunctionCatalog half
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "cosine"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name == "cosine") CosineUnbound
+    else throw new NoSuchFunctionException(ident)
+}
+
+/** `kb.cosine(a, b)` — cosine similarity of two float vectors, callable
+  * from plain SQL via the V2 FunctionCatalog. The bound function carries
+  * the MAGIC-METHOD fast path (`invoke(ArrayData, ArrayData)`): Spark
+  * compiles the call to a direct StaticInvoke-style dispatch inside
+  * whole-stage codegen — no row boxing, the same performance class as the
+  * engine's native [[graft.functions.CosineSimilarityExpr]], but reachable
+  * by a SQL-only user. Accumulation is index-ordered over per-element
+  * float→double widenings, matching the DuckDB oracle's
+  * `list_dot_product(CAST(.. AS DOUBLE[]))` bit-for-bit. */
+object CosineUnbound extends UnboundFunction {
+  override def name(): String = "cosine"
+  override def description(): String =
+    "cosine(a ARRAY<FLOAT>, b ARRAY<FLOAT>): cosine similarity in [-1, 1]"
+  override def bind(inputType: StructType): BoundFunction = {
+    val ok = inputType.fields.length == 2 && inputType.fields.forall { f =>
+      f.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+    }
+    if (!ok) throw new UnsupportedOperationException(
+      s"kb.cosine expects (ARRAY<FLOAT>, ARRAY<FLOAT>), got $inputType")
+    CosineBound
+  }
+}
+
+object CosineBound extends ScalarFunction[java.lang.Double] {
+  override def name(): String = "cosine"
+  override def canonicalName(): String = "kb.cosine"
+  override def inputTypes(): Array[DataType] =
+    Array(ArrayType(FloatType), ArrayType(FloatType))
+  override def resultType(): DataType = DoubleType
+  override def isResultNullable: Boolean = true
+
+  /** Magic-method fast path; null (not an exception) on length mismatch,
+    * consistent with the engine's null-on-bad-row posture. */
+  def invoke(a: ArrayData, b: ArrayData): java.lang.Double = {
+    if (a == null || b == null || a.numElements() != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  override def produceResult(input: InternalRow): java.lang.Double =
+    invoke(input.getArray(0), input.getArray(1))
 }

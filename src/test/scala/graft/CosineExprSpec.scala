@@ -8,6 +8,32 @@ import org.apache.spark.sql.functions._
 class CosineExprSpec extends SparkSpec {
   import spark.implicits._
 
+  test("kb.cosine (SQL FunctionCatalog): identity, orthogonality, null edges") {
+    def one(sql: String): Option[Double] = {
+      val r = spark.sql(s"SELECT $sql AS v").collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    val f1 = "array(cast(1.0 as float), cast(0.0 as float))"
+    val f2 = "array(cast(0.0 as float), cast(2.0 as float))"
+    assert(one(s"kb.cosine($f1, $f1)").contains(1.0))
+    assert(one(s"kb.cosine($f1, $f2)").contains(0.0))
+    // length mismatch and zero vectors yield null, not an exception
+    assert(one(s"kb.cosine($f1, array(cast(1.0 as float)))").isEmpty)
+    assert(one(s"kb.cosine($f1, array(cast(0.0 as float), cast(0.0 as float)))").isEmpty)
+  }
+
+  test("kb.cosine agrees bitwise with the native codegen expression") {
+    CosineSimilarityExpr.cosineNative(spark, lit(null), lit(null)) // ensure registered
+    val emb = Engine.embeddings(spark, sfDir).limit(100)
+    emb.createOrReplaceTempView("emb_fc")
+    val diff = spark.sql(
+      """SELECT kb.cosine(a.embedding, b.embedding) AS fc,
+        |       cosine_native(a.embedding, b.embedding) AS native
+        |FROM emb_fc a JOIN emb_fc b ON a.vec_id < 5 AND b.vec_id < 50""".stripMargin)
+      .filter("fc <> native OR (fc IS NULL) <> (native IS NULL)")
+    assert(diff.count() == 0)
+  }
+
   test("native expression matches the HOF cosine bitwise on fixtures") {
     val emb = Engine.embeddings(spark, sfDir).limit(200)
     val b = emb.select($"vec_id".as("b_id"), $"embedding".as("b_emb"))
