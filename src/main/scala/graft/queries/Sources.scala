@@ -370,6 +370,19 @@ object Sources {
         |WHERE e.vec_id < 100""".stripMargin)
   }
 
+  /** S19: connector metadata column — `_chunk` (the day-chunk a row was
+    * served from) is hidden from `SELECT *` but materializes when selected,
+    * like `_metadata.file_path` on file sources: per-row provenance for
+    * debugging a scan without widening the data schema. Grouping by it
+    * exposes exactly how the pushed day range mapped onto planned chunks. */
+  def s19MetadataColumn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format(classOf[graft.sources.KbSearchSource].getName).load()
+      .filter($"day" < lit("2024-01-17").cast("date"))
+      .select($"pub", $"day", col("_chunk"))
+      .groupBy(col("_chunk")).agg(count(lit(1)).as("n_issues"))
+  }
+
   /** S1c: the same [start, end) day-window as [[s1bEventsTimePruned]], but
     * filtering the NARROWED timestamp like a naive caller would — no
     * [[graft.Engine.eventsBetween]] knowledge required. The injected
@@ -523,6 +536,7 @@ object Sources {
     "o12_observed_metrics" -> (o12ObservedMetrics _),
     "s17_catalog_sql" -> (s17CatalogSql _),
     "s18_function_catalog" -> (s18FunctionCatalog _),
+    "s19_metadata_column" -> (s19MetadataColumn _),
     "o9_csv_roundtrip" -> (o9CsvRoundtrip _),
     "o10_xml_roundtrip" -> (o10XmlRoundtrip _),
     "o11_orc_roundtrip" -> (o11OrcRoundtrip _),
@@ -579,6 +593,9 @@ object Sources {
     "s17_catalog_sql" ->
       """SELECT p.pub, CAST(28 AS BIGINT) AS n_issues
         |FROM (VALUES ('AB'), ('GP')) p(pub)""".stripMargin,
+    "s19_metadata_column" ->
+      """SELECT CAST(c AS INTEGER) AS _chunk, CAST(32 AS BIGINT) AS n_issues
+        |FROM (VALUES (0), (1)) t(c)""".stripMargin,
     "s18_function_catalog" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |p AS (SELECT emb FROM e WHERE vec_id = 0)

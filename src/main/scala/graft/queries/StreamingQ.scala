@@ -361,6 +361,25 @@ object StreamingQ {
       .withColumn("manifest_rows", lit(manifestRows))
   }
 
+  /** ST12: offline state-store inspection — the checkpointed aggregation
+    * state read back as a TABLE via Spark's state data source (the ops
+    * surface for debugging a stuck 100 TB streaming job: inspect exactly
+    * what the state stores hold without touching the running query). The
+    * windowed counts recovered from state must equal the per-day counts
+    * computed from the raw events — state is not an opaque blob, it is
+    * queryable data. */
+  def st12StateStoreRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = Streams.stageEvents(spark, dir, 4)
+    val schema = Streams.eventsSchema(spark, dir)
+    val agg = Streams.eventsStream(spark, staged, schema, 2)
+      .groupBy(window($"ts", "1 day").as("w"))
+      .agg(count(lit(1)).as("n"))
+    val (_, ck) = Streams.runCompleteToParquetCk(agg, "st12")
+    spark.read.format("statestore").load(ck)
+      .select($"key.window.start".as("w_start"), $"value.count".as("n"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling" -> (st1Tumbling _),
@@ -375,7 +394,8 @@ object StreamingQ {
     "st8_stateful_counts" -> (st8StatefulCounts _),
     "st9_stream_stream_join" -> (st9StreamStreamJoin _),
     "st10_dsv2_incremental" -> (st10Dsv2Incremental _),
-    "st11_stream_to_archive" -> (st11StreamToArchive _)
+    "st11_stream_to_archive" -> (st11StreamToArchive _),
+    "st12_statestore_read" -> (st12StateStoreRead _)
   )
 
   private val oraDsumValue = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
@@ -441,6 +461,9 @@ object StreamingQ {
         |GROUP BY p.pub""".stripMargin,
     "st11_stream_to_archive" ->
       """SELECT pub, CAST(91 AS BIGINT) AS n_issues, CAST(364 AS BIGINT) AS manifest_rows
-        |FROM (VALUES ('AB'), ('DN'), ('GP'), ('SVD')) t(pub)""".stripMargin
+        |FROM (VALUES ('AB'), ('DN'), ('GP'), ('SVD')) t(pub)""".stripMargin,
+    "st12_statestore_read" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin
   )
 }

@@ -78,13 +78,27 @@ object KbSearchTable {
   }
 }
 
-class KbSearchTable extends Table with SupportsRead {
+class KbSearchTable extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = "kb_search"
   override def schema(): StructType = KbSearchTable.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KbSearchScanBuilder(options.getInt("maxDaysPerTrigger", 7))
+
+  /** Provenance metadata (`_chunk` = the day-chunk an issue was served
+    * from — the connector analog of `_metadata.file_path` on file sources):
+    * hidden from `SELECT *`, materialized only when explicitly selected,
+    * and derived arithmetically in the row emitter (no storage). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_chunk"
+      override def dataType(): org.apache.spark.sql.types.DataType = IntegerType
+      override def isNullable: Boolean = false
+      override def comment(): String = "planning-time day-chunk index this row was served from"
+    })
 }
 
 class KbSearchScanBuilder(maxDaysPerTrigger: Int = 7)
@@ -503,6 +517,7 @@ class KbSearchReader(part: KbSearchPartition, required: StructType)
         f"${pub}_${date.getYear}%04d${date.getMonthValue}%02d${date.getDayOfMonth}%02d")
       case "n_pages" => KbSearchTable.nPages(day, pub)
       case "status" => UTF8String.fromString(part.status.getOrElse(day, "pending"))
+      case "_chunk" => (day - KbSearchTable.firstDay) / KbSearchTable.chunkDays
     })
   }
 

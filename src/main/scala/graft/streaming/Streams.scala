@@ -57,18 +57,23 @@ object Streams {
     * Unlike a memory sink this never buffers results on the driver — the
     * write is a distributed parquet job, so the pattern holds when the
     * aggregate itself is large. Returns the sink path. */
-  def runCompleteToParquet(agg: DataFrame, ckName: String): String = {
+  def runCompleteToParquet(agg: DataFrame, ckName: String): String =
+    runCompleteToParquetCk(agg, ckName)._1
+
+  /** Like [[runCompleteToParquet]] but also returns the checkpoint dir, for
+    * callers that inspect the retained state afterwards (state source). */
+  def runCompleteToParquetCk(agg: DataFrame, ckName: String): (String, String) = {
     val out = java.nio.file.Files.createTempDirectory(s"${ckName}_sink").toString
+    val ck = java.nio.file.Files.createTempDirectory(s"ck_$ckName").toString
     val q = agg.writeStream
       .outputMode("complete")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory(s"ck_$ckName").toString)
+      .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode(SaveMode.Overwrite).parquet(out)
       }
       .start()
     q.awaitTermination()
-    out
+    (out, ck)
   }
 }
