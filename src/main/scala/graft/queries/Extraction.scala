@@ -274,6 +274,20 @@ object Extraction {
         .as("near_overflow"))
   }
 
+  /** F-variant: semi-structured data through the VARIANT type — parse
+    * once into Spark's binary variant encoding, then typed path access
+    * (`variant_get`) without re-parsing per field: the scale answer to
+    * "json string column extracted five times per query". Missing paths
+    * yield SQL NULL, not an error. */
+  def fVariant(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir).select($"event_id",
+      expr("variant_get(parse_json(props), '$.k', 'long')").as("k_long"),
+      expr("variant_get(parse_json(props), '$.k', 'string')").as("k_str"),
+      expr("variant_get(parse_json(props), '$.absent', 'long')").as("absent_long"),
+      expr("schema_of_variant(parse_json(props))").as("v_schema"))
+  }
+
   /** S10: MIME dispatch by (lowercased) extension (:110-116). */
   def s10MimeDispatch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -514,6 +528,7 @@ object Extraction {
     "f_hash_native" -> (fHashNative _),
     "p18_json_prune" -> (p18JsonPrune _),
     "p19_try_surface" -> (p19TrySurface _),
+    "f_variant" -> (fVariant _),
     "s10_mime_dispatch" -> (s10MimeDispatch _),
     "f_string" -> (fString _),
     "f_string2" -> (fString2 _),
@@ -611,6 +626,13 @@ object Extraction {
       """SELECT event_id,
         |CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k_str,
         |CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k_parsed
+        |FROM events""".stripMargin,
+    "f_variant" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k_long,
+        |  regexp_extract(props, '"k": (-?[0-9]+)', 1) AS k_str,
+        |  CAST(NULL AS BIGINT) AS absent_long,
+        |  'OBJECT<k: BIGINT>' AS v_schema
         |FROM events""".stripMargin,
     "p19_try_surface" ->
       """SELECT o_orderkey,
