@@ -33,6 +33,39 @@ class PropertySpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("property: nano-narrowing rewrite preserves filter semantics for ANY literal/raw") {
+    import spark.implicits._
+    // The injected PushFilterThroughNanoNarrowing rule fires on every
+    // session; soundness means: for arbitrary raw nanos (either sign) and
+    // arbitrary timestamp literals (negative / zero / positive micros),
+    // filtering the narrowed timestamp gives exactly the rows a plain
+    // Scala evaluation of `raw div 1000 <op> m` keeps (div = Spark's
+    // truncate-toward-zero semantics, which for Long is Scala's /).
+    val rawGen: Gen[Long] = Gen.oneOf(
+      Gen.choose(-2000L, 2000L), // straddle the epoch at ns granularity
+      Gen.choose(-5L, 5L).map(_ * 1000L), // exact µs boundaries
+      Gen.choose(-316224000000000000L, 316224000000000000L)) // ±10 years
+    val microsGen: Gen[Long] = Gen.oneOf(
+      Gen.const(0L), Gen.choose(-3L, 3L), Gen.choose(-5L, 5L).map(_ * 1000000L),
+      Gen.choose(-316224000000000L, 316224000000000L))
+    val ops: Seq[(String, (Long, Long) => Boolean)] = Seq(
+      (">=", _ >= _), (">", _ > _), ("<", _ < _), ("<=", _ <= _), ("=", _ == _))
+    val prop = Prop.forAll(Gen.zip(Gen.nonEmptyListOf(rawGen), microsGen)) {
+      case (raws, m) =>
+        val df = raws.toDF("ts_raw")
+          .select($"ts_raw", timestamp_micros(expr("ts_raw div 1000")).as("ts"))
+        ops.forall { case (op, pred) =>
+          val got = df
+            .filter(expr(s"ts $op timestamp_micros(${m}L)"))
+            .select("ts_raw").as[Long].collect().toSet
+          val expect = raws.filter(n => pred(n / 1000, m)).toSet
+          got == expect
+        }
+    }
+    val result = SCTest.check(params, prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("property: anti-join output is disjoint from existing and preserves the rest (J1)") {
     import spark.implicits._
     val keySet = Gen.listOf(Gen.choose(1L, 50L)).map(_.distinct)
