@@ -485,6 +485,23 @@ object Llm {
         s"cast(x as double) * 127 / $scaleSql) as int) as string)), ',')").as("q8"))
   }
 
+  /** L22: deterministic per-group top-k sampling — exactly k docs per
+    * language, chosen by content-hash order (the fixed-size-per-stratum
+    * complement of [[l19StratifiedSample]]'s fixed-rate sampling; same
+    * reproducible, RNG-free property). One shuffle on the group key plus a
+    * per-partition sort; a skewed stratum lands on one reducer, so at
+    * 100 TB pair it with the salted two-phase pattern (a4_salted_agg) or
+    * pre-filter with an l19-style rate to bound group size first. */
+  def l22GroupTopkSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .withColumn("h", md5($"doc_id".cast("string").cast("binary")))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"lang").orderBy($"h", $"doc_id")))
+      .filter($"rn" <= 20)
+      .select($"doc_id", $"lang", $"rn".cast("long").as("rn"))
+  }
+
   /** Typed Dataset[T] surface (SURVEY §1.3): case-class encoder, typed
     * filter, then back to the relational plan — compile-time field checks
     * where the record shape is fixed (the NewspaperIssue analog). */
@@ -525,6 +542,7 @@ object Llm {
     "l19_stratified_sample" -> (l19StratifiedSample _),
     "l20_mixture_plan" -> (l20MixturePlan _),
     "l21_quantize" -> (l21Quantize _),
+    "l22_group_topk_sample" -> (l22GroupTopkSample _),
     "f_bits" -> (fBits _),
     "l11_rolling_fingerprint" -> (l11RollingFingerprint _)
   )
@@ -766,6 +784,13 @@ object Llm {
         |  array_to_string(list_transform(emb,
         |    x -> CAST(CAST(round(x * 127 / scale) AS INTEGER) AS VARCHAR)), ',') AS q8
         |FROM s""".stripMargin,
+    "l22_group_topk_sample" ->
+      """SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20""".stripMargin,
     "f_bits" ->
       """SELECT event_id,
         |event_id & 255 AS low8,
