@@ -654,8 +654,27 @@ object Relational {
         |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
   }
 
+  /** SQ5: recursive CTE (Spark 4 `WITH RECURSIVE`) — the reference's
+    * exponential retry-backoff schedule (:54-74, doubling delays) expanded
+    * declaratively and crossed with the failed-day state
+    * (main.yml:18-23): one schedule row per (failed day, attempt). The
+    * recursion is acyclic and bounded (5 attempts), the shape Spark's
+    * UNION ALL recursive execution supports; cyclic closures (dedup
+    * clustering) use the iterative Pregel form in l17 instead. */
+  def sq5RecursiveBackoff(spark: SparkSession, dir: String): DataFrame = {
+    Sources.s4StateSource(spark, dir).createOrReplaceTempView("graft_state_sq5")
+    spark.sql(
+      """WITH RECURSIVE sched(attempt, delay_ms) AS (
+        |  SELECT 1, CAST(100 AS BIGINT)
+        |  UNION ALL SELECT attempt + 1, delay_ms * 2 FROM sched WHERE attempt < 5)
+        |SELECT s.day, CAST(sched.attempt AS BIGINT) AS attempt, sched.delay_ms
+        |FROM graft_state_sq5 s CROSS JOIN sched
+        |WHERE s.status = 'failed'""".stripMargin)
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sq5_recursive_backoff" -> (sq5RecursiveBackoff _),
     "sq1_exists_subquery" -> (sq1ExistsSubquery _),
     "sq2_scalar_correlated" -> (sq2ScalarCorrelated _),
     "sq3_not_in_subquery" -> (sq3NotInSubquery _),
@@ -728,6 +747,12 @@ object Relational {
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderkey NOT IN
         |  (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48)""".stripMargin,
+    "sq5_recursive_backoff" ->
+      """WITH RECURSIVE sched(attempt, delay_ms) AS (
+        |  SELECT 1, CAST(100 AS BIGINT)
+        |  UNION ALL SELECT attempt + 1, delay_ms * 2 FROM sched WHERE attempt < 5)
+        |SELECT s.day, CAST(sched.attempt AS BIGINT) AS attempt, sched.delay_ms
+        |FROM (VALUES ('2024-01-03'), ('2024-01-07')) s(day) CROSS JOIN sched""".stripMargin,
     "sq4_lateral_topk" ->
       """SELECT s.c_mktsegment, t.c_custkey, t.c_acctbal
         |FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
