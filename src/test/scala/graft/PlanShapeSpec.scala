@@ -327,6 +327,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(parts.length == 1 && parts.head.days.length == 3, parts.mkString("; "))
   }
 
+  test("S19: _chunk metadata column materializes only when selected") {
+    import spark.implicits._
+    // selected: the metadata column reaches the row emitter's schema
+    val withMeta = Sources.s19MetadataColumn(spark, sfDir)
+    val metaScan = findKbScan(withMeta.queryExecution.executedPlan)
+      .getOrElse(fail("no KbSearchScan in plan"))
+    assert(metaScan.readSchema().fieldNames.contains("_chunk"))
+    // not selected (and absent from SELECT *): never materialized
+    val plain = spark.read
+      .format(classOf[graft.sources.KbSearchSource].getName).load()
+      .select($"pub", $"day")
+    assert(!plain.columns.contains("_chunk"))
+    val plainScan = findKbScan(plain.queryExecution.executedPlan)
+      .getOrElse(fail("no KbSearchScan in plan"))
+    assert(!plainScan.readSchema().fieldNames.contains("_chunk"),
+      plainScan.readSchema().fieldNames.mkString(","))
+  }
+
   test("S13: state gate prunes day partitions via dynamic partition pruning") {
     val df = Sources.s13DppGatedRead(spark, sfDir)
     // DPP shows up as a dynamicpruning expression in the fact scan's
