@@ -485,6 +485,41 @@ object Llm {
         s"cast(x as double) * 127 / $scaleSql) as int) as string)), ',')").as("q8"))
   }
 
+  /** L24: SimHash-banded near-dedup — the third dedup family beside banded
+    * MinHash (L2) and embedding cosine (L9): band the per-doc SimHash into
+    * 4 nibbles, candidate pairs form ONLY inside same-(band, value)
+    * buckets (pigeonhole: hamming ≤ 3 guarantees one intact band), then an
+    * exact `bit_count(xor)` filter keeps pairs within distance 2 — which
+    * recovers the planted near-duplicates, whose one-word edit flips few
+    * fingerprint bits. The fixture fingerprint is 16-bit for oracle
+    * parity, so buckets are n/16 and the probe set is bounded (id%10)
+    * like L8; a production deployment uses a 64-bit SimHash with 16-bit
+    * bands (buckets ≈ n/65536) — same plan shape, never all-pairs. */
+  def l24SimhashBandedDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = nearDupCandidates(spark, dir).filter($"id" % 10 === 0)
+      .select($"id", explode(split($"text", " ")).as("token"))
+    val bitSums = (1 to 16).map(i => sum(Text.simhashBitContribution($"token", i)).as(s"s$i"))
+    val sums = tok.groupBy($"id").agg(bitSums.head, bitSums.tail: _*)
+    val fpCol = (1 to 16).map(i => when(col(s"s$i") > 0, lit(1L << (i - 1))).otherwise(0L))
+      .reduce(_ + _)
+    val fp = sums.select($"id", fpCol.as("fp"))
+    val banded = fp.select($"id", $"fp",
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), expr(s"shiftright(fp, ${b * 4}) & 15").as("bval"))): _*))
+        .as("bd"))
+      .select($"id", $"fp", $"bd.band".as("band"), $"bd.bval".as("bval"))
+    banded.join(
+        banded.select($"id".as("b_id"), $"fp".as("b_fp"), $"band", $"bval"),
+        Seq("band", "bval"))
+      .filter($"id" < $"b_id")
+      .select($"id".as("a_id"), $"b_id", $"fp".as("a_fp"), $"b_fp")
+      .distinct()
+      .select($"a_id", $"b_id",
+        expr("bit_count(a_fp ^ b_fp)").cast("long").as("hamming"))
+      .filter($"hamming" <= 2)
+  }
+
   /** L22: deterministic per-group top-k sampling — exactly k docs per
     * language, chosen by content-hash order (the fixed-size-per-stratum
     * complement of [[l19StratifiedSample]]'s fixed-rate sampling; same
@@ -543,6 +578,7 @@ object Llm {
     "l20_mixture_plan" -> (l20MixturePlan _),
     "l21_quantize" -> (l21Quantize _),
     "l22_group_topk_sample" -> (l22GroupTopkSample _),
+    "l24_simhash_banded_dedup" -> (l24SimhashBandedDedup _),
     "f_bits" -> (fBits _),
     "l11_rolling_fingerprint" -> (l11RollingFingerprint _)
   )
@@ -784,6 +820,23 @@ object Llm {
         |  array_to_string(list_transform(emb,
         |    x -> CAST(CAST(round(x * 127 / scale) AS INTEGER) AS VARCHAR)), ',') AS q8
         |FROM s""".stripMargin,
+    "l24_simhash_banded_dedup" ->
+      (s"WITH $candSql,\n" +
+        s"""tok AS (SELECT id, unnest(string_split(text, ' ')) AS token
+           |        FROM cand WHERE id % 10 = 0),
+           |sums AS (SELECT id,
+           |$simhashSums
+           |FROM tok GROUP BY id),
+           |fp AS (SELECT id, CAST($simhashFp AS BIGINT) AS fp FROM sums),
+           |banded AS (
+           |  SELECT id, fp, b.band, (fp >> (b.band * 4)) & 15 AS bval
+           |  FROM fp CROSS JOIN (VALUES (0), (1), (2), (3)) b(band)),
+           |cands AS (
+           |  SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.fp AS a_fp, b.fp AS b_fp
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.bval = b.bval AND a.id < b.id)
+           |SELECT a_id, b_id, CAST(bit_count(xor(a_fp, b_fp)) AS BIGINT) AS hamming
+           |FROM cands WHERE bit_count(xor(a_fp, b_fp)) <= 2""".stripMargin),
     "l22_group_topk_sample" ->
       """SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
         |  SELECT doc_id, lang,
