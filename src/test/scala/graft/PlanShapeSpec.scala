@@ -149,6 +149,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("L24 simhash dedup joins only on band buckets, never all-pairs") {
+    val plan = planOf(Llm.l24SimhashBandedDedup(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("L3c: IVF probe join is an equi hash join on the cell key") {
     // the only nested-loop joins allowed are the C-row centroid broadcasts;
     // the probe↔candidate join must be hash-based on cent_id, never a
