@@ -380,6 +380,47 @@ object StreamingQ {
       .select($"key.window.start".as("w_start"), $"value.count".as("n"))
   }
 
+  /** ST13: per-key running aggregates on the NEW arbitrary-state API
+    * (`transformWithState`, Spark 4) — typed ValueState slots on the
+    * RocksDB store instead of mapGroupsWithState's single state object
+    * (st8 keeps the classic API for comparison). Update-mode emissions are
+    * cumulative, so the max over all emissions per key is the final
+    * total, which must equal the batch truth. */
+  def st13TransformWithState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = Streams.stageEvents(spark, dir, 4)
+    val schema = Streams.eventsSchema(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("st13_out").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = Streams.eventsStream(spark, staged, schema, 2)
+        .select($"user_id".as[Long], $"value".as[Double])
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.CountMaxProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("user_id", "n_events", "max_value")
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck_st13").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode(SaveMode.Append).parquet(out): Unit
+        }
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    spark.read.parquet(out).groupBy($"user_id")
+      .agg(max($"n_events").as("n_events"), max($"max_value").as("max_value"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling" -> (st1Tumbling _),
@@ -395,7 +436,8 @@ object StreamingQ {
     "st9_stream_stream_join" -> (st9StreamStreamJoin _),
     "st10_dsv2_incremental" -> (st10Dsv2Incremental _),
     "st11_stream_to_archive" -> (st11StreamToArchive _),
-    "st12_statestore_read" -> (st12StateStoreRead _)
+    "st12_statestore_read" -> (st12StateStoreRead _),
+    "st13_transform_with_state" -> (st13TransformWithState _)
   )
 
   private val oraDsumValue = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
@@ -464,6 +506,9 @@ object StreamingQ {
         |FROM (VALUES ('AB'), ('DN'), ('GP'), ('SVD')) t(pub)""".stripMargin,
     "st12_statestore_read" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, count(*) AS n
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    "st13_transform_with_state" ->
+      """SELECT user_id, count(*) AS n_events, max(value) AS max_value
+        |FROM events GROUP BY user_id""".stripMargin
   )
 }

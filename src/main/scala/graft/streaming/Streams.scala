@@ -6,6 +6,40 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
+/** Per-user running (count, max) via the NEW arbitrary-state API
+  * (`transformWithState`, Spark 4): typed ValueState slots replace
+  * mapGroupsWithState's single state object — independently evolvable,
+  * TTL-capable, and backed by the RocksDB state store. Emits the
+  * cumulative totals for each key seen in a batch (update semantics). */
+class CountMaxProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), (Long, Long, Double)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+
+  @transient private var count: ValueState[Long] = _
+  @transient private var maxV: ValueState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    count = getHandle.getValueState[Long]("count",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    maxV = getHandle.getValueState[Double]("maxv",
+      org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Double)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Double)] = {
+    var c = if (count.exists()) count.get() else 0L
+    var m = if (maxV.exists()) maxV.get() else Double.NegativeInfinity
+    rows.foreach { case (_, v) => c += 1; if (v > m) m = v }
+    count.update(c)
+    maxV.update(m)
+    Iterator.single((key, c, m))
+  }
+}
+
 /** Structured Streaming harness (SURVEY §2.9): the reference is a
   * checkpointed micro-batch stream over the date axis
   * (main.yml:70-95 + scraper_state.json) — here expressed as real
