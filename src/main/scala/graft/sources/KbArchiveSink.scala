@@ -116,7 +116,12 @@ object KbArchive {
       Nil
     } else readManifest(path)
     admitted.foreach(m => fs.rename(new Path(staging, m.file), new Path(path, m.file)))
-    val entries = existing ++ admitted.map(m => Entry(m.file, m.md5, m.rows, m.bytes))
+    // names are collision-free by construction (queryId fragment); if one
+    // ever repeats anyway, the rename above replaced the file, so the new
+    // entry must replace the old one rather than double-count
+    val admittedNames = admitted.map(_.file).toSet
+    val entries = existing.filterNot(e => admittedNames(e.name)) ++
+      admitted.map(m => Entry(m.file, m.md5, m.rows, m.bytes))
     val out = fs.create(new Path(path, ManifestName), true)
     try out.write(renderManifest(entries).getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -226,12 +231,17 @@ class KbArchiveStreamingWriterFactory(path: String, queryId: String)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new KbArchiveWriter(path, s"_staging-$queryId/epoch-$epochId",
-      f"part-$epochId-$partitionId%05d-$taskId.kbar")
+      f"part-${queryId.take(8)}-$epochId-$partitionId%05d-$taskId.kbar")
 }
 
 class KbArchiveWriterFactory(path: String, queryId: String) extends DataWriterFactory {
+  // the queryId fragment makes names collision-free across writes from
+  // DIFFERENT drivers appending to one archive: task ids are only unique
+  // within a SparkContext, so without it a later append could rename over
+  // an earlier file while the manifest lists the name twice
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KbArchiveWriter(path, s"_staging-$queryId", f"part-$partitionId%05d-$taskId.kbar")
+    new KbArchiveWriter(path, s"_staging-$queryId",
+      f"part-${queryId.take(8)}-$partitionId%05d-$taskId.kbar")
 }
 
 /** Task-side writer: streams `key\tpayload\n` lines into one staging file,
