@@ -423,6 +423,23 @@ object Relational {
       approx_count_distinct($"event_id").as("approx_events"))
   }
 
+  /** A13: RE-AGGREGATABLE distinct-count sketches (DataSketches HLL) —
+    * the 100 TB pattern approx_count_distinct cannot express: build one
+    * sketch per day AT INGEST, persist it, and answer any later period's
+    * distinct-user question by MERGING sketches (`hll_union_agg`) instead
+    * of rescanning raw events. Rows-only vs the oracle (the sketch binary
+    * is engine-specific); ExtractionSpec bounds the merged estimate within
+    * 5% of the exact distinct count. */
+  def a13HllMergeSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dailySketches = events(spark, dir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk")) // the persisted artifact
+    dailySketches
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long")
+        .as("approx_month_users"))
+  }
+
   /** A11a: rollup with sentinel labels for subtotal rows. */
   def a11Rollup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -709,6 +726,7 @@ object Relational {
     "a8_minmax" -> (a8MinMax _),
     "a10_distinct_exact" -> (a10DistinctExact _),
     "a10_approx_distinct" -> (a10ApproxDistinct _),
+    "a13_hll_merge_sketch" -> (a13HllMergeSketch _),
     "a11_rollup" -> (a11Rollup _),
     "a11_cube" -> (a11Cube _),
     "a11_grouping_sets" -> (a11GroupingSets _),

@@ -64,6 +64,18 @@ class ExtractionSpec extends SparkSpec {
     assert(df.as[String].head() == md)
   }
 
+  test("A13: merged daily HLL sketches estimate within 5% of exact distinct users") {
+    // The merge path (per-day sketches -> hll_union_agg -> estimate) must
+    // agree with a direct count distinct over the same rows: the property
+    // that makes persisted sketches a safe substitute for rescans.
+    val approx = graft.queries.Relational.a13HllMergeSketch(spark, sfDir)
+      .as[Long].head()
+    val exact = Engine.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(math.abs(approx - exact) <= math.max(0.05 * exact, 2.0),
+      s"merged estimate $approx vs exact $exact")
+  }
+
   test("A8c: approx_percentile lands within 5% of the exact percentile") {
     val approx = Extraction.a8ApproxPercentiles(spark, sfDir)
       .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
