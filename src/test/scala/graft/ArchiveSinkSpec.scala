@@ -90,6 +90,21 @@ class ArchiveSinkSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(dir, s"_staging-$qid", "epoch-1")))
   }
 
+  test("abort removes staged files and leaves the committed archive untouched") {
+    val dir = freshDir("arch_abort")
+    writeArchive(Seq("a" -> "1,x"), dir, "append")
+    val before = KbArchive.readManifest(dir)
+    // an in-flight write that fails: staged file exists, then the driver aborts
+    val qid = "q-abort"
+    val staged = Paths.get(dir, s"_staging-$qid", "part-x.kbar")
+    Files.createDirectories(staged.getParent)
+    Files.write(staged, "z\t9\n".getBytes(StandardCharsets.UTF_8))
+    new KbArchiveBatchWrite(dir, qid, truncate = false).abort(Array.empty)
+    assert(!Files.exists(Paths.get(dir, s"_staging-$qid")))
+    assert(KbArchive.readManifest(dir) == before)
+    assert(spark.read.text(dir).count() == 1)
+  }
+
   test("empty partitions leave no files behind") {
     val dir = freshDir("arch_empty")
     // 4-thread session + 1 row => at least 3 empty writers
