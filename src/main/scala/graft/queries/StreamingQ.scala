@@ -223,7 +223,11 @@ object StreamingQ {
     val staged = Streams.stageEvents(spark, dir, 4)
     val schema = Streams.eventsSchema(spark, dir)
     val out = java.nio.file.Files.createTempDirectory("st8_out").toString
-    val q = Streams.eventsStream(spark, staged, schema, 2)
+    // ~100 distinct users at fixture SF: 8 state partitions, not the batch
+    // default (conf must stay overridden until the AvailableNow drain ends —
+    // state partition count locks in when the first batch plans)
+    Streams.withShufflePartitions(spark, 8) {
+      val q = Streams.eventsStream(spark, staged, schema, 2)
       .select($"user_id").as[Long]
       .groupByKey(identity)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
@@ -243,7 +247,8 @@ object StreamingQ {
           .write.mode(SaveMode.Append).parquet(out)
       }
       .start()
-    q.awaitTermination()
+      q.awaitTermination()
+    }
     val w = Window.partitionBy($"user_id").orderBy($"batch_id".desc)
     spark.read.parquet(out)
       .withColumn("rn", row_number().over(w))
@@ -375,7 +380,11 @@ object StreamingQ {
     val agg = Streams.eventsStream(spark, staged, schema, 2)
       .groupBy(window($"ts", "1 day").as("w"))
       .agg(count(lit(1)).as("n"))
-    val (_, ck) = Streams.runCompleteToParquetCk(agg, "st12")
+    // ~90 distinct day windows: 8 state partitions, not the batch default
+    // (each partition is a state-store instance committed per batch)
+    val (_, ck) = Streams.withShufflePartitions(spark, 8) {
+      Streams.runCompleteToParquetCk(agg, "st12")
+    }
     spark.read.format("statestore").load(ck)
       .select($"key.window.start".as("w_start"), $"value.count".as("n"))
   }
@@ -395,7 +404,10 @@ object StreamingQ {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    try Streams.withShufflePartitions(spark, 8) {
+      // a RocksDB instance per state partition per batch: size to the key
+      // cardinality (~100 users at fixture SF), not the batch default —
+      // 32 partitions × 2 batches = 64 RocksDB open/commit cycles, 8 ⇒ 16
       val q = Streams.eventsStream(spark, staged, schema, 2)
         .select($"user_id".as[Long], $"value".as[Double])
         .groupByKey(_._1)
