@@ -520,6 +520,99 @@ object Llm {
       .filter($"hamming" <= 2)
   }
 
+  /** L25: ranked full-text retrieval over an inverted index — the
+    * tokenize → postings → document-frequency → weighted-overlap shape of
+    * a search engine (the query side of the reference's newspaper corpus:
+    * reference searches data.kb.se by query term, 01-scrape-images.py:72),
+    * expressed relationally. Term weights are integer TF-IDF
+    * (`1e6 div df`) and the score is length-normalized with one integer
+    * division, so ranking is bit-reproducible in any engine — no
+    * float-summation order sensitivity, which is what lets a relevance
+    * score be oracle-checked exactly.
+    *
+    * Scale: postings shuffle once on token (the inverted index); the
+    * query-term set is tiny and broadcast; df comes from the postings
+    * already restricted to query terms (never a full-vocabulary agg); only
+    * k rows per query survive the rank window. */
+  def l25RankedRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qTerms = Seq(
+      (1L, "spark window merge"),
+      (2L, "vector hash join"),
+      (3L, "slow filter scan"))
+      .toDF("query_id", "q_text")
+      .select($"query_id", explode(split($"q_text", " ")).as("token"))
+      .distinct()
+    val postings = documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+    // per-(doc, term) frequency, restricted to query terms up front — the
+    // broadcast semi-ish join prunes the postings before any wide agg
+    val hits = postings.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      .join(broadcast(qTerms.select($"token").distinct()), Seq("token"))
+    val dfreq = hits.groupBy($"token").agg(count(lit(1)).as("df"))
+    val dl = postings.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
+    hits
+      .join(broadcast(qTerms), Seq("token"))
+      .join(broadcast(dfreq), Seq("token"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(expr("sum(tf * (1000000 div df))").as("tfw"))
+      .join(dl, Seq("doc_id"))
+      .select($"query_id", $"doc_id", expr("(tfw * 1000) div dl").as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 5)
+      .select($"query_id", $"doc_id", $"score", $"rnk")
+  }
+
+  /** L26: semantic clustering — Lloyd's k-means over the embedding column
+    * with DETERMINISTIC seeding (initial centroids = the k lowest vec_ids)
+    * and a fixed iteration count, the grouping step of semantic dedup /
+    * corpus mixing. Each iteration is one broadcast of k centroids + one
+    * shuffle-bounded average per cluster — never point×point. Rows-only vs
+    * the oracle (float centroid math has no exact SQL twin); bounded by a
+    * KMeansSpec test: assignment is total, cluster count = k, and inertia
+    * is non-increasing across iterations. */
+  /** Nearest-centroid assignment: (vec_id, v, cid, d2) — one row per
+    * vector. The crossJoin is against the k-row broadcast centroid set
+    * (the IVF-assignment shape, l3_ivf_topk), never point×point. */
+  private def kmeansAssign(
+      emb: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.crossJoin(broadcast(centroids.toDF("cid", "c")))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, e) -> acc + e)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"d2", $"cid")))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"v", $"cid", $"d2")
+  }
+
+  /** Run `iters` Lloyd's rounds from the deterministic seed (the k lowest
+    * vec_ids) and return the final assignment. Exposed at this granularity
+    * so KMeansSpec can bound quality: inertia(3 rounds) <= inertia(seed). */
+  private[graft] def kmeansAssignment(
+      spark: SparkSession, dir: String, iters: Int): DataFrame = {
+    import spark.implicits._
+    val k = 4
+    val emb = embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    var centroids: Seq[(Int, Seq[Double])] = emb.filter($"vec_id" < k)
+      .orderBy($"vec_id").collect().toSeq
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+    for (_ <- 1 to iters)
+      centroids = kmeansAssign(emb, centroids).groupBy($"cid")
+        .agg(array((0 until 64).map(i => avg($"v"(i))): _*).as("c"))
+        .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Double](1)))
+    kmeansAssign(emb, centroids)
+  }
+
+  def l26KmeansClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    kmeansAssignment(spark, dir, 3)
+      .groupBy($"cid").agg(count(lit(1)).as("n_members"))
+      .select($"cid".cast("long").as("cluster_id"), $"n_members")
+  }
+
   /** L22: deterministic per-group top-k sampling — exactly k docs per
     * language, chosen by content-hash order (the fixed-size-per-stratum
     * complement of [[l19StratifiedSample]]'s fixed-rate sampling; same
@@ -579,6 +672,8 @@ object Llm {
     "l21_quantize" -> (l21Quantize _),
     "l22_group_topk_sample" -> (l22GroupTopkSample _),
     "l24_simhash_banded_dedup" -> (l24SimhashBandedDedup _),
+    "l25_ranked_retrieval" -> (l25RankedRetrieval _),
+    "l26_kmeans_clusters" -> (l26KmeansClusters _),
     "f_bits" -> (fBits _),
     "l11_rolling_fingerprint" -> (l11RollingFingerprint _)
   )
@@ -837,6 +932,30 @@ object Llm {
            |    ON a.band = b.band AND a.bval = b.bval AND a.id < b.id)
            |SELECT a_id, b_id, CAST(bit_count(xor(a_fp, b_fp)) AS BIGINT) AS hamming
            |FROM cands WHERE bit_count(xor(a_fp, b_fp)) <= 2""".stripMargin),
+    "l25_ranked_retrieval" ->
+      """WITH q(query_id, q_text) AS (VALUES
+        |  (1, 'spark window merge'), (2, 'vector hash join'), (3, 'slow filter scan')),
+        |qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+        |         unnest(string_split(q_text, ' ')) AS token FROM q),
+        |postings AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM postings GROUP BY 1, 2),
+        |hits AS (SELECT tf.* FROM tf
+        |         JOIN (SELECT DISTINCT token FROM qt) t USING (token)),
+        |dfreq AS (SELECT token, count(*) AS df FROM hits GROUP BY 1),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM postings GROUP BY 1),
+        |scored AS (
+        |  SELECT qt.query_id, h.doc_id,
+        |         CAST(sum(h.tf * (1000000 // d.df)) AS BIGINT) AS tfw
+        |  FROM hits h JOIN qt USING (token) JOIN dfreq d USING (token)
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT s.query_id, s.doc_id, (s.tfw * 1000) // dl.dl AS score,
+        |         row_number() OVER (PARTITION BY s.query_id
+        |           ORDER BY (s.tfw * 1000) // dl.dl DESC, s.doc_id) AS rnk
+        |  FROM scored s JOIN dl USING (doc_id))
+        |SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 5""".stripMargin,
     "l22_group_topk_sample" ->
       """SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
         |  SELECT doc_id, lang,

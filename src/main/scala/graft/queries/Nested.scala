@@ -77,7 +77,45 @@ object Nested {
         weekday($"day").cast("long").as("wd"))
   }
 
+  /** G4: PageRank over the customer→supplier trade graph (who supplies the
+    * most-connected buyers), the iterative-graph-analytics shape: N fixed
+    * rounds, each one equi-join (rank flows along edges) + one aggregate
+    * (sum of incoming mass). All arithmetic is scaled-integer (rank ×1e6,
+    * integer division for the out-degree split and the 0.85 damping), so
+    * every engine computes bit-identical ranks — float summation order
+    * never enters. Lineage is truncated per round (localCheckpoint), the
+    * same Pregel hygiene as l17's connected components; dangling-node mass
+    * is deliberately not redistributed (simplified PageRank, mirrored
+    * exactly by the oracle's unrolled iterations). */
+  def g4PageRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = orders(spark, dir).select($"o_orderkey", $"o_custkey")
+      .join(lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(concat(lit("c"), $"o_custkey").as("src"),
+        concat(lit("s"), $"l_suppkey").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("od"))
+    val nodes = edges.select($"src".as("node"))
+      .union(edges.select($"dst".as("node"))).distinct()
+    var pr = nodes.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select($"dst", expr("pr div od").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("s"))
+      pr = nodes.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select($"node",
+          expr("150000L + (85L * coalesce(s, 0L)) div 100L").as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.orderBy($"pr".desc, $"node").limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g4_pagerank" -> (g4PageRank _),
     "g1_manifest_explode" -> (g1ManifestExplode _),
     "g2_explode_tokens" -> (g2ExplodeTokens _),
     "g2b_posexplode" -> (g2bPosexplode _),
@@ -86,6 +124,30 @@ object Nested {
   )
 
   val oracle: Map[String, String] = Map(
+    "g4_pagerank" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+        |c1 AS (SELECT e.dst, CAST(sum(p.pr // o.od) AS BIGINT) AS s
+        |       FROM edges e JOIN pr0 p ON e.src = p.node
+        |       JOIN outdeg o ON e.src = o.src GROUP BY 1),
+        |pr1 AS (SELECT n.node, 150000 + (85 * COALESCE(c.s, 0)) // 100 AS pr
+        |        FROM nodes n LEFT JOIN c1 c ON n.node = c.dst),
+        |c2 AS (SELECT e.dst, CAST(sum(p.pr // o.od) AS BIGINT) AS s
+        |       FROM edges e JOIN pr1 p ON e.src = p.node
+        |       JOIN outdeg o ON e.src = o.src GROUP BY 1),
+        |pr2 AS (SELECT n.node, 150000 + (85 * COALESCE(c.s, 0)) // 100 AS pr
+        |        FROM nodes n LEFT JOIN c2 c ON n.node = c.dst),
+        |c3 AS (SELECT e.dst, CAST(sum(p.pr // o.od) AS BIGINT) AS s
+        |       FROM edges e JOIN pr2 p ON e.src = p.node
+        |       JOIN outdeg o ON e.src = o.src GROUP BY 1),
+        |pr3 AS (SELECT n.node, 150000 + (85 * COALESCE(c.s, 0)) // 100 AS pr
+        |        FROM nodes n LEFT JOIN c3 c ON n.node = c.dst)
+        |SELECT node, pr FROM pr3 ORDER BY pr DESC, node LIMIT 20""".stripMargin,
     // independent derivation: only the .jp2 body survives the walk
     "g1_manifest_explode" -> (Extraction.corpusSql +
       "SELECT doc_id, fn1 AS page_file FROM corpus"),

@@ -689,8 +689,73 @@ object Relational {
         |WHERE s.status = 'failed'""".stripMargin)
   }
 
+  /** A14: incremental aggregate maintenance — yesterday's stored per-key
+    * aggregate merged with today's delta batch WITHOUT recomputing history.
+    * count/sum/min/max are re-aggregatable (the algebraic-aggregate
+    * property the HLL-merge row a13 exercises for sketches), so the merge
+    * is `agg(stored ∪ delta-partial)`: at 100 TB this turns a daily
+    * full-corpus recompute into a partial agg over the new data plus a
+    * key-count-sized merge. Oracle: the full recompute — incrementality
+    * must never change the answer. */
+  def a14IncrementalAggMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast(DecimalType(18, 2))).as("pq"),
+        min($"l_quantity").as("mn"), max($"l_quantity").as("mx"))
+    val li = lineitem(spark, dir)
+    val stored = partial(li.filter($"l_orderkey" % 4 =!= 0)) // history
+    val delta = partial(li.filter($"l_orderkey" % 4 === 0)) // new batch
+    stored.unionByName(delta)
+      .groupBy($"l_returnflag")
+      .agg(sum($"n").as("n"), sum($"pq").cast("double").as("sum_qty"),
+        min($"mn").as("min_qty"), max($"mx").as("max_qty"))
+  }
+
+  /** J10: selective-dimension join, the runtime-bloom-filter shape — a
+    * huge fact (lineitem) joined to a dimension reduced by a selective
+    * non-key predicate. At warehouse scale Spark injects a bloom filter of
+    * the dim's join keys into the fact scan
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`, size-gated by
+    * creation/application thresholds, so it arms at 100 TB and not on
+    * fixtures — PlanShapeSpec lowers the gates and pins the
+    * BloomFilterMightContain plan). Semantics are threshold-independent:
+    * the oracle checks the plain join answer. */
+  def j10BloomRuntimeFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir)
+      .join(orders(spark, dir).filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), drev($"l_extendedprice", $"l_discount").as("revenue"))
+  }
+
+  /** J11: manually salted skew join — the fact side appends a salt in
+    * [0,16), the (small, hot-keyed) dimension is replicated across all 16
+    * salt values, and the join key becomes (key, salt): one hot key fans
+    * out over 16 tasks instead of one straggler. AQE skew-split (tested in
+    * PlanShapeSpec) is the automatic fix for batch SMJ; explicit salting is
+    * the fix that also works where AQE can't reach (streaming state,
+    * pre-Spark-3 engines, bucketed layouts). Salt must never change the
+    * answer: the oracle is the unsalted join. */
+  def j11SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = events(spark, dir).groupBy($"event_type")
+      .agg((sum($"value".cast(DecimalType(18, 2))).cast("double") / count(lit(1)))
+        .as("type_avg"))
+    val dimSalted = dim.withColumn("salt", explode(sequence(lit(0L), lit(15L))))
+    events(spark, dir)
+      .withColumn("salt", pmod(xxhash64($"event_id"), lit(16)))
+      .join(dimSalted, Seq("event_type", "salt"))
+      .select($"event_id", $"event_type", $"type_avg")
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a14_incremental_agg_merge" -> (a14IncrementalAggMerge _),
+    "j10_bloom_runtime_filter" -> (j10BloomRuntimeFilter _),
+    "j11_salted_join" -> (j11SaltedJoin _),
     "sq5_recursive_backoff" -> (sq5RecursiveBackoff _),
     "sq1_exists_subquery" -> (sq1ExistsSubquery _),
     "sq2_scalar_correlated" -> (sq2ScalarCorrelated _),
@@ -745,6 +810,23 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "a14_incremental_agg_merge" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "j10_bloom_runtime_filter" ->
+      s"""SELECT l_returnflag, count(*) AS n, $oraRev AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY l_returnflag""".stripMargin,
+    "j11_salted_join" ->
+      """WITH dim AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS type_avg
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, d.type_avg
+        |FROM events e JOIN dim d ON e.event_type = d.event_type""".stripMargin,
     "sq1_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

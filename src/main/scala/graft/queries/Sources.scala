@@ -165,6 +165,45 @@ object Sources {
       .groupBy($"event_type").agg(count(lit(1)).as("n"))
   }
 
+  /** S20: small-file compaction — the maintenance operator every long-lived
+    * 100 TB table needs: a day-partitioned layout fragmented into many tiny
+    * files (here 8 writers per day, the steady-state debris of incremental
+    * ingest) rewritten partition-aligned so each day lands in one
+    * right-sized file (`repartition(day)` routes every day to one task;
+    * with AQE at real scale each task then splits by
+    * maxPartitionBytes-sized output, so "one file per day" generalizes to
+    * "target-sized files per day"). Compaction must be invisible to
+    * readers: the oracle is the per-day content summary, identical before
+    * and after; CompactionSpec asserts the file count actually shrank. */
+  /** Write the fragmented layout and its compacted rewrite; returns both
+    * roots (split out so CompactionSpec can count the physical files). */
+  private[graft] def compactLayout(spark: SparkSession, dir: String): (String, String) = {
+    import spark.implicits._
+    val frag = tmp("s20_frag")
+    events(spark, dir)
+      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+      .repartition(8) // simulate 8 ingest writers => ~8 files per day dir
+      .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(frag)
+    val compacted = tmp("s20_compact")
+    spark.read.parquet(frag)
+      .repartition($"day")
+      .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(compacted)
+    (frag, compacted)
+  }
+
+  def s20Compaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, compacted) = compactLayout(spark, dir)
+    spark.read.parquet(compacted)
+      // partition-column type inference reads `day` back as DATE; pin the
+      // string form so the summary schema is layout-independent
+      .groupBy($"day".cast("string").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum($"event_id").as("id_sum"),
+        sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("value_sum"))
+  }
+
   /** O9: CSV round trip — schema-declared read of a header CSV written by
     * the engine itself (the reference's tabular side-files), then an
     * aggregate proving values survive the text round trip. The read uses an
@@ -537,6 +576,7 @@ object Sources {
     "s17_catalog_sql" -> (s17CatalogSql _),
     "s18_function_catalog" -> (s18FunctionCatalog _),
     "s19_metadata_column" -> (s19MetadataColumn _),
+    "s20_compaction" -> (s20Compaction _),
     "o9_csv_roundtrip" -> (o9CsvRoundtrip _),
     "o10_xml_roundtrip" -> (o10XmlRoundtrip _),
     "o11_orc_roundtrip" -> (o11OrcRoundtrip _),
@@ -547,6 +587,11 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    "s20_compaction" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1""".stripMargin,
     "s1_pushdown_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

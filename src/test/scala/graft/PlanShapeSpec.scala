@@ -164,6 +164,57 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(4000))
   }
 
+  test("L25: ranked retrieval joins postings on the term key, never doc×doc") {
+    // the inverted-index contract: candidate (query, doc) pairs form only
+    // through the token equi join; the query-term side broadcasts
+    val plan = planOf(Llm.l25RankedRetrieval(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+  }
+
+  test("J10: bloom runtime filter arms once the size gates open") {
+    // at fixture scale the 10 GB application-side gate keeps the filter
+    // off (and AQE broadcasts the dim anyway); drop both gates and the
+    // optimizer must inject might_contain(bloom_agg(o_orderkey)) into the
+    // lineitem side — the row-level runtime filter a 100 TB shuffle join
+    // relies on
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set(keys(0), "true")
+      conf.set(keys(1), "0")
+      conf.set(keys(2), "-1")
+      val plan = Relational.j10BloomRuntimeFilter(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"), plan.take(4000))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
+  test("J11: salted join result is identical to the unsalted join") {
+    // salt is pure mechanics: same rows, any distribution
+    val salted = Relational.j11SaltedJoin(spark, sfDir)
+      .collect().map(_.toString).sorted
+    val plain = {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val dim = Engine.events(spark, sfDir).groupBy($"event_type")
+        .agg((sum($"value".cast(DecimalType(18, 2))).cast("double") / count(lit(1)))
+          .as("type_avg"))
+      Engine.events(spark, sfDir).join(dim, Seq("event_type"))
+        .select($"event_id", $"event_type", $"type_avg")
+        .collect().map(_.toString).sorted
+    }
+    assert(salted.sameElements(plain))
+  }
+
   test("J9: upsert merge is a single equi join, no nested loop") {
     val plan = planOf(Relational.j9UpsertMerge(spark, sfDir))
     assert(plan.contains("FullOuter"), plan.take(4000))
