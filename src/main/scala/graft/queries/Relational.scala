@@ -689,6 +689,68 @@ object Relational {
         |WHERE s.status = 'failed'""".stripMargin)
   }
 
+  /** A15: count-min sketch heavy hitters — the re-aggregatable frequency
+    * sketch (depth 4 × width 64). Every event increments one cell per row
+    * (a partial-aggregable groupBy on (row, col): sketches from shards
+    * merge by cell addition, the same algebraic property as a13's HLL);
+    * a key's estimate is the min over its 4 cells, which can only
+    * OVER-count — the query also emits the exact count so the oracle pins
+    * both the sketch arithmetic and the `est >= true` invariant. The hash
+    * is md5-nibble-based so the oracle reproduces every cell exactly. */
+  def a15CountminHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def colExpr(row: Int): Column = {
+      def nibble(i: Int): String =
+        s"(locate(substring(md5(cast(concat('$row|', event_type) AS BINARY)), $i, 1), " +
+          s"'0123456789abcdef') - 1)"
+      expr(s"((${nibble(1)} * 16 + ${nibble(2)}) % 64)")
+    }
+    val ev = events(spark, dir)
+    val cells = ev
+      .select($"event_type", explode(array((0 until 4).map(lit(_)): _*)).as("row"))
+      .withColumn("col",
+        when($"row" === 0, colExpr(0)).when($"row" === 1, colExpr(1))
+          .when($"row" === 2, colExpr(2)).otherwise(colExpr(3)))
+      .groupBy($"row", $"col").agg(count(lit(1)).as("cell_n"))
+    val probes = ev.select($"event_type").distinct()
+      .select($"event_type", explode(array((0 until 4).map(lit(_)): _*)).as("row"))
+      .withColumn("col",
+        when($"row" === 0, colExpr(0)).when($"row" === 1, colExpr(1))
+          .when($"row" === 2, colExpr(2)).otherwise(colExpr(3)))
+    val est = probes.join(cells, Seq("row", "col"))
+      .groupBy($"event_type").agg(min($"cell_n").as("est_n"))
+    val exact = ev.groupBy($"event_type").agg(count(lit(1)).as("true_n"))
+    est.join(exact, Seq("event_type"))
+      .select($"event_type", $"est_n", $"true_n")
+  }
+
+  /** W8: time-series gap fill — the dense per-(key, day) grid every
+    * downstream forecast/report expects: day series × key set, missing
+    * days get n=0 and carry the last seen daily average forward
+    * (`last(..., ignoreNulls)` over an ordered frame). The grid build is
+    * a 1-row-driven generator crossed with the tiny key dim — never a
+    * shuffle of the fact side beyond its own daily partial agg. */
+  def w8GapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .filter($"event_id" % 3 === 0) // thin the stream so real gaps exist
+      .groupBy($"event_type", date_trunc("day", $"ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("pn"),
+        (sum($"value".cast(DecimalType(18, 2))).cast("double") / count(lit(1)))
+          .as("day_avg"))
+    val days = spark.range(1).select(explode(sequence(
+      lit("2024-01-01").cast("date"), lit("2024-01-30").cast("date"),
+      expr("interval 1 day"))).as("day"))
+    val keys = events(spark, dir).select($"event_type").distinct()
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keys.crossJoin(days)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day",
+        coalesce($"pn", lit(0L)).as("n"),
+        last($"day_avg", ignoreNulls = true).over(w).as("filled_avg"))
+  }
+
   /** A14: incremental aggregate maintenance — yesterday's stored per-key
     * aggregate merged with today's delta batch WITHOUT recomputing history.
     * count/sum/min/max are re-aggregatable (the algebraic-aggregate
@@ -754,6 +816,8 @@ object Relational {
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a14_incremental_agg_merge" -> (a14IncrementalAggMerge _),
+    "a15_countmin_heavy_hitters" -> (a15CountminHeavyHitters _),
+    "w8_gap_fill" -> (w8GapFill _),
     "j10_bloom_runtime_filter" -> (j10BloomRuntimeFilter _),
     "j11_salted_join" -> (j11SaltedJoin _),
     "sq5_recursive_backoff" -> (sq5RecursiveBackoff _),
@@ -810,6 +874,41 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "a15_countmin_heavy_hitters" ->
+      """WITH rows4(r) AS (VALUES (0), (1), (2), (3)),
+        |hashed AS (
+        |  SELECT event_type, r,
+        |    ((strpos('0123456789abcdef',
+        |        substr(md5(CAST(r AS VARCHAR) || '|' || event_type), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(CAST(r AS VARCHAR) || '|' || event_type), 2, 1)) - 1)) % 64
+        |      AS col
+        |  FROM events CROSS JOIN rows4),
+        |cells AS (SELECT r, col, count(*) AS cell_n FROM hashed GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT event_type, r, col FROM hashed),
+        |est AS (
+        |  SELECT p.event_type, CAST(min(c.cell_n) AS BIGINT) AS est_n
+        |  FROM probes p JOIN cells c ON p.r = c.r AND p.col = c.col
+        |  GROUP BY 1),
+        |exact AS (SELECT event_type, count(*) AS true_n FROM events GROUP BY 1)
+        |SELECT e.event_type, e.est_n, x.true_n
+        |FROM est e JOIN exact x ON e.event_type = x.event_type""".stripMargin,
+    "w8_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS pn,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS day_avg
+        |  FROM events WHERE event_id % 3 = 0 GROUP BY 1, 2),
+        |days AS (SELECT CAST(unnest(generate_series(
+        |    DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day),
+        |keys AS (SELECT DISTINCT event_type FROM events)
+        |SELECT k.event_type, d.day,
+        |  COALESCE(x.pn, 0) AS n,
+        |  last_value(x.day_avg IGNORE NULLS) OVER (
+        |    PARTITION BY k.event_type ORDER BY d.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+        |FROM keys k CROSS JOIN days d
+        |LEFT JOIN daily x ON x.event_type = k.event_type AND x.day = d.day""".stripMargin,
     "a14_incremental_agg_merge" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -204,6 +204,49 @@ object Sources {
           .cast("double").as("value_sum"))
   }
 
+  /** O13: schema evolution — two batches of the same table written with
+    * different schemas (the later one adds a column, the way a long-lived
+    * ingest dataset actually evolves), read back through `mergeSchema`:
+    * old rows surface the new column as NULL instead of failing the scan.
+    * (mergeSchema is a read-time footer merge across files — at 100 TB
+    * keep it off for steady-state reads and declare the superset schema;
+    * this query exercises the migration-window path where it earns its
+    * extra footer pass.) */
+  def o13MergeSchema(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("o13_evolve")
+    val docs = documents(spark, dir)
+    docs.select($"doc_id", $"lang")
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/batch=1")
+    docs.select($"doc_id", $"lang", $"n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/batch=2")
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .select($"batch".cast("long").as("batch"), $"doc_id", $"lang", $"n_chars")
+  }
+
+  /** S21: Z-order clustering — interleave the low 8 bits of two scan
+    * dimensions (user, day-of-month) into one sort key so a range-sorted
+    * file layout is simultaneously selective on BOTH columns (multi-
+    * dimensional data skipping: after `repartitionByRange(zval) + sort`,
+    * parquet min/max row-group stats prune either predicate; a 1-D sort
+    * would only skip on its leading column). The interleave is pure
+    * integer bit arithmetic — identical in any engine, so the key itself
+    * is oracle-checked. */
+  def s21ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zbits = (0 until 8).map(i =>
+      s"(shiftleft((a >> $i) & 1, ${2 * i}) + shiftleft((b >> $i) & 1, ${2 * i + 1}))")
+      .mkString(" + ")
+    events(spark, dir)
+      .select($"event_id",
+        ($"user_id" % 256).as("a"),
+        dayofmonth($"ts").cast("long").as("b"))
+      .withColumn("zval", expr(zbits))
+      .repartitionByRange(8, $"zval")
+      .sortWithinPartitions($"zval", $"event_id")
+      .select($"event_id", $"a", $"b", $"zval")
+  }
+
   /** O9: CSV round trip — schema-declared read of a header CSV written by
     * the engine itself (the reference's tabular side-files), then an
     * aggregate proving values survive the text round trip. The read uses an
@@ -577,6 +620,8 @@ object Sources {
     "s18_function_catalog" -> (s18FunctionCatalog _),
     "s19_metadata_column" -> (s19MetadataColumn _),
     "s20_compaction" -> (s20Compaction _),
+    "s21_zorder_layout" -> (s21ZorderLayout _),
+    "o13_merge_schema" -> (o13MergeSchema _),
     "o9_csv_roundtrip" -> (o9CsvRoundtrip _),
     "o10_xml_roundtrip" -> (o10XmlRoundtrip _),
     "o11_orc_roundtrip" -> (o11OrcRoundtrip _),
@@ -587,6 +632,19 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    "o13_merge_schema" ->
+      """SELECT CAST(1 AS BIGINT) AS batch, doc_id, lang,
+        |  CAST(NULL AS BIGINT) AS n_chars FROM documents
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), doc_id, lang, n_chars FROM documents""".stripMargin,
+    "s21_zorder_layout" ->
+      ("""SELECT event_id, a, b, """ +
+        (0 until 8).map(i =>
+          s"((((a >> $i) & 1) << ${2 * i}) + (((b >> $i) & 1) << ${2 * i + 1}))")
+          .mkString(" + ") +
+        """ AS zval
+          |FROM (SELECT event_id, user_id % 256 AS a,
+          |        CAST(day(ts) AS BIGINT) AS b FROM events)""".stripMargin),
     "s20_compaction" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS id_sum,
