@@ -813,11 +813,43 @@ object Relational {
       .select($"event_id", $"event_type", $"type_avg")
   }
 
+  /** J12: SCD type-2 dimension maintenance — a new snapshot of a slowly
+    * changing dimension merged into its history table: unchanged keys keep
+    * their open row, changed keys get the old row CLOSED (valid_to set)
+    * plus a new open row with the new attribute. Three branches, each one
+    * anti/semi equi join against the (small) changed-key set — the
+    * standard warehouse pattern, and at 100 TB each branch stays a
+    * key-partitioned hash join with no full-history rewrite. The fixture
+    * change set is deterministic (every 10th key flips segment), so the
+    * whole versioned output is oracle-checkable. */
+  def j12Scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v1 = customer(spark, dir).select($"c_custkey", $"c_mktsegment".as("seg"))
+    val v2 = customer(spark, dir).select($"c_custkey",
+      when($"c_custkey" % 10 === 0, concat($"c_mktsegment", lit("_X")))
+        .otherwise($"c_mktsegment").as("seg"))
+    val changed = v1.join(v2.withColumnRenamed("seg", "seg2"), Seq("c_custkey"))
+      .filter($"seg" =!= $"seg2").select($"c_custkey")
+    val cut = lit("2024-06-01").cast("date")
+    val keptOpen = v1.join(changed, Seq("c_custkey"), "left_anti")
+      .select($"c_custkey", $"seg",
+        lit("2024-01-01").cast("date").as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+    val closedOld = v1.join(changed, Seq("c_custkey"), "left_semi")
+      .select($"c_custkey", $"seg",
+        lit("2024-01-01").cast("date").as("valid_from"), cut.as("valid_to"))
+    val openedNew = v2.join(changed, Seq("c_custkey"), "left_semi")
+      .select($"c_custkey", $"seg", cut.as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+    keptOpen.unionByName(closedOld).unionByName(openedNew)
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a14_incremental_agg_merge" -> (a14IncrementalAggMerge _),
     "a15_countmin_heavy_hitters" -> (a15CountminHeavyHitters _),
     "w8_gap_fill" -> (w8GapFill _),
+    "j12_scd2_merge" -> (j12Scd2Merge _),
     "j10_bloom_runtime_filter" -> (j10BloomRuntimeFilter _),
     "j11_salted_join" -> (j11SaltedJoin _),
     "sq5_recursive_backoff" -> (sq5RecursiveBackoff _),
@@ -909,6 +941,22 @@ object Relational {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
         |FROM keys k CROSS JOIN days d
         |LEFT JOIN daily x ON x.event_type = k.event_type AND x.day = d.day""".stripMargin,
+    "j12_scd2_merge" ->
+      """WITH v1 AS (SELECT c_custkey, c_mktsegment AS seg FROM customer),
+        |v2 AS (SELECT c_custkey,
+        |         CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment || '_X'
+        |              ELSE c_mktsegment END AS seg FROM customer),
+        |changed AS (SELECT a.c_custkey FROM v1 a JOIN v2 b USING (c_custkey)
+        |            WHERE a.seg <> b.seg)
+        |SELECT c_custkey, seg, DATE '2024-01-01' AS valid_from,
+        |       CAST(NULL AS DATE) AS valid_to
+        |FROM v1 WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+        |UNION ALL
+        |SELECT c_custkey, seg, DATE '2024-01-01', DATE '2024-06-01'
+        |FROM v1 WHERE c_custkey IN (SELECT c_custkey FROM changed)
+        |UNION ALL
+        |SELECT c_custkey, seg, DATE '2024-06-01', CAST(NULL AS DATE)
+        |FROM v2 WHERE c_custkey IN (SELECT c_custkey FROM changed)""".stripMargin,
     "a14_incremental_agg_merge" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
