@@ -114,7 +114,44 @@ object Nested {
     pr.orderBy($"pr".desc, $"node").limit(20)
   }
 
+  /** G6: triangle counting over the supplier co-occurrence graph (two
+    * suppliers are adjacent when both ship a high-quantity line of the
+    * same order). The naive closed-wedge join explodes on hub vertices:
+    * wedge count is Σ deg², and one hub dominates the sum. The MapReduce
+    * remedy (Suri & Vassilvitskii, WWW'11) is DEGREE-ORDERED orientation —
+    * direct every edge from its lower-(degree, id) endpoint to the higher,
+    * which caps every out-degree at O(√m), bounds total wedges by
+    * O(m^1.5), and counts each triangle exactly once (at its lowest-order
+    * apex). Everything is equi-join + agg: partitionable, no NLJ, AQE
+    * handles any residual skew. Oracle = the orientation-free canonical
+    * (u<v) triangle join — orientation must not change the count. */
+  def g6TriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = lineitem(spark, dir).filter($"l_quantity" >= 45)
+    val a = li.select($"l_orderkey", $"l_suppkey".as("u"))
+    val b = li.select($"l_orderkey", $"l_suppkey".as("v"))
+    val und = a.join(b, Seq("l_orderkey")).filter($"u" < $"v")
+      .select($"u", $"v").distinct()
+    val deg = und.select(explode(array($"u", $"v")).as("n"))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    val lowFirst = deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du")
+    val highFirst = deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv")
+    val e = und.join(lowFirst, Seq("u")).join(highFirst, Seq("v"))
+      .select(
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
+          .otherwise($"v").as("src"),
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
+          .otherwise($"u").as("dst"))
+    e.as("e1")
+      .join(e.as("e2"), $"e1.src" === $"e2.src" && $"e1.dst" =!= $"e2.dst")
+      .select($"e1.dst".as("x"), $"e2.dst".as("y"))
+      .join(e.withColumnRenamed("src", "x").withColumnRenamed("dst", "y"),
+        Seq("x", "y"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g6_triangle_count" -> (g6TriangleCount _),
     "g4_pagerank" -> (g4PageRank _),
     "g1_manifest_explode" -> (g1ManifestExplode _),
     "g2_explode_tokens" -> (g2ExplodeTokens _),
@@ -124,6 +161,18 @@ object Nested {
   )
 
   val oracle: Map[String, String] = Map(
+    "g6_triangle_count" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |  WHERE l_quantity >= 45),
+        |edges AS (
+        |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey)
+        |SELECT count(*) AS n_triangles
+        |FROM edges e1
+        |JOIN edges e2 ON e1.v = e2.u
+        |JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
     "g4_pagerank" ->
       """WITH edges AS (
         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,

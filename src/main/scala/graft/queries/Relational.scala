@@ -844,8 +844,60 @@ object Relational {
     keptOpen.unionByName(closedOld).unionByName(openedNew)
   }
 
+  /** W9: batch sessionization — the gap-rule the streaming session window
+    * (st6_session) applies in state, expressed over data at rest: a new
+    * session starts when a user's inter-event gap exceeds 30 min, the
+    * session id is the running count of session starts, then one agg per
+    * (user, session). Scale: a single hash partition on user_id serves both
+    * window passes AND the final agg (Exchange reuse) — no second shuffle;
+    * per-user ordering is the sort within each partition. */
+  def w9BatchSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000 * 1000
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("is_new",
+        when(($"us" - lag($"us", 1).over(w)) > gapUs ||
+          lag($"us", 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"us").as("start_us"), max($"us").as("end_us"))
+  }
+
+  /** J13: interval (range) join, bucket-accelerated — events matched to
+    * overlapping campaign windows. The naive plan is a broadcast
+    * nested-loop theta join (every event × every campaign); the scale
+    * shape used here maps each interval to the day buckets it covers and
+    * each event to its day, so the join is a plain EQUI join on the day
+    * key with a residual range predicate — shuffle-partitionable on both
+    * sides, no NLJ anywhere. An interval covers each day bucket at most
+    * once, so no pair dedup is needed. */
+  def j13IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val camp = spark.range(10).select(
+      $"id".as("campaign_id"),
+      date_add(lit("2024-01-01").cast("date"), ($"id" * 3).cast("int"))
+        .as("start_day"))
+      .select($"campaign_id", $"start_day",
+        $"start_day".cast("timestamp_ntz").as("start_ts"),
+        date_add($"start_day", 5).cast("timestamp_ntz").as("end_ts"))
+    val chunks = camp.select($"campaign_id", $"start_ts", $"end_ts",
+      explode(sequence($"start_day", date_add($"start_day", 4))).as("day"))
+    events(spark, dir)
+      .select($"ts", $"value", date_trunc("day", $"ts").cast("date").as("day"))
+      .join(chunks, Seq("day"))
+      .filter($"ts" >= $"start_ts" && $"ts" < $"end_ts")
+      .groupBy($"campaign_id")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w9_batch_sessionize" -> (w9BatchSessionize _),
+    "j13_interval_join" -> (j13IntervalJoin _),
     "a14_incremental_agg_merge" -> (a14IncrementalAggMerge _),
     "a15_countmin_heavy_hitters" -> (a15CountminHeavyHitters _),
     "w8_gap_fill" -> (w8GapFill _),
@@ -906,6 +958,37 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "w9_batch_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 30 * 60 * 1000 * 1000
+        |         THEN 1 ELSE 0 END AS is_new,
+        |    event_id
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT user_id, us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(us) AS start_us, max(us) AS end_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "j13_interval_join" ->
+      """WITH camp AS (
+        |  SELECT CAST(i AS BIGINT) AS campaign_id,
+        |    CAST(DATE '2024-01-01' + CAST(i * 3 AS INTEGER) AS TIMESTAMP) AS start_ts,
+        |    CAST(DATE '2024-01-01' + CAST(i * 3 + 5 AS INTEGER) AS TIMESTAMP) AS end_ts
+        |  FROM generate_series(0, 9) t(i))
+        |SELECT c.campaign_id, count(*) AS n_events,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN camp c
+        |  ON CAST(e.ts AS TIMESTAMP) >= c.start_ts
+        | AND CAST(e.ts AS TIMESTAMP) < c.end_ts
+        |GROUP BY 1""".stripMargin,
     "a15_countmin_heavy_hitters" ->
       """WITH rows4(r) AS (VALUES (0), (1), (2), (3)),
         |hashed AS (

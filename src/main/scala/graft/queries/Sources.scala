@@ -247,6 +247,39 @@ object Sources {
       .select($"event_id", $"a", $"b", $"zval")
   }
 
+  /** S22: dynamic partition overwrite — the restatement operator for
+    * partitioned tables: a corrected recompute of a FEW days is written
+    * with `partitionOverwriteMode=dynamic`, which replaces exactly the
+    * partitions present in the incoming batch and leaves every other
+    * day's directories untouched. At 100 TB this is the difference
+    * between rewriting 6 day-directories and truncating the whole table
+    * (static overwrite semantics) or reading-merging-rewriting it.
+    * Oracle: the merged end state — restated days carry the corrected
+    * doubled value, all other days the original. */
+  def s22DynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("s22_dyn")
+    val base = events(spark, dir)
+      .select($"event_id", $"value", date_format($"ts", "yyyy-MM-dd").as("day"))
+    base.write.mode(SaveMode.Overwrite).partitionBy("day").parquet(out)
+    val restated = base
+      .filter($"day" >= "2024-01-05" && $"day" <= "2024-01-10")
+      .withColumn("value", $"value" * 2)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try restated.write.mode(SaveMode.Overwrite).partitionBy("day").parquet(out)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    spark.read.parquet(out)
+      .groupBy($"day".cast("string").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("value_sum"))
+  }
+
   /** O9: CSV round trip — schema-declared read of a header CSV written by
     * the engine itself (the reference's tabular side-files), then an
     * aggregate proving values survive the text round trip. The read uses an
@@ -621,6 +654,7 @@ object Sources {
     "s19_metadata_column" -> (s19MetadataColumn _),
     "s20_compaction" -> (s20Compaction _),
     "s21_zorder_layout" -> (s21ZorderLayout _),
+    "s22_dynamic_overwrite" -> (s22DynamicOverwrite _),
     "o13_merge_schema" -> (o13MergeSchema _),
     "o9_csv_roundtrip" -> (o9CsvRoundtrip _),
     "o10_xml_roundtrip" -> (o10XmlRoundtrip _),
@@ -649,6 +683,13 @@ object Sources {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS id_sum,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1""".stripMargin,
+    "s22_dynamic_overwrite" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+        |  CAST(sum(CAST(
+        |    CASE WHEN strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-10'
+        |         THEN value * 2 ELSE value END AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS value_sum
         |FROM events GROUP BY 1""".stripMargin,
     "s1_pushdown_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

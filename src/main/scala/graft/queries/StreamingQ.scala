@@ -404,10 +404,13 @@ object StreamingQ {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try Streams.withShufflePartitions(spark, 8) {
-      // a RocksDB instance per state partition per batch: size to the key
-      // cardinality (~100 users at fixture SF), not the batch default —
-      // 32 partitions × 2 batches = 64 RocksDB open/commit cycles, 8 ⇒ 16
+    try Streams.withShufflePartitions(spark, 4) {
+      // a RocksDB instance per state partition per batch, and each instance
+      // costs an open/commit cycle (~0.5 s of native setup at any data
+      // size): size to the key cardinality (~100 users at fixture SF), not
+      // the batch default — 32 partitions × 2 batches = 64 cycles, 4 ⇒ 8,
+      // with 25 keys per store. A 100 TB deployment inverts the math (keys
+      // ≫ cycle overhead) and sizes partitions UP for state volume.
       val q = Streams.eventsStream(spark, staged, schema, 2)
         .select($"user_id".as[Long], $"value".as[Double])
         .groupByKey(_._1)
@@ -433,8 +436,42 @@ object StreamingQ {
       .agg(max($"n_events").as("n_events"), max($"max_value").as("max_value"))
   }
 
+  /** ST14: stream-static enrichment join — each micro-batch of the event
+    * stream joins a dimension table at rest (customer → segment) with NO
+    * streaming state: the static side is re-planned per batch and, being
+    * small, broadcasts, so the stream is never shuffled for the lookup —
+    * the standard enrichment shape at 100 TB (st9 covers the stateful
+    * stream-STREAM case). AvailableNow delivers every input row exactly
+    * once across batches, so the appended output equals the batch join —
+    * which is the oracle. */
+  def st14StreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = Streams.stageEvents(spark, dir, 4)
+    val schema = Streams.eventsSchema(spark, dir)
+    val dim = customer(spark, dir).select($"c_custkey", $"c_mktsegment")
+    val out = java.nio.file.Files.createTempDirectory("st14_out").toString
+    val q = Streams.eventsStream(spark, staged, schema, 2)
+      .join(dim, $"user_id" === $"c_custkey")
+      .select($"event_id", $"c_mktsegment", $"value")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck_st14").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(SaveMode.Append).parquet(out): Unit
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st14_stream_static_join" -> (st14StreamStaticJoin _),
     "st1_tumbling" -> (st1Tumbling _),
     "st2_checkpointed_agg" -> (st2CheckpointedAgg _),
     "st3_foreachbatch_idempotent" -> (st3ForeachBatchIdempotent _),
@@ -455,6 +492,11 @@ object StreamingQ {
   private val oraDsumValue = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "st14_stream_static_join" ->
+      """SELECT c.c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1""".stripMargin,
     "st1_tumbling" ->
       s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, count(*) AS n,
          |$oraDsumValue AS sum_value

@@ -28,6 +28,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sizes() == sizes())
   }
 
+  test("S22: dynamic overwrite rewrites only the restated day partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val out = java.nio.file.Files.createTempDirectory("s22_test").toString
+    val base = Engine.events(spark, sfDir)
+      .select($"event_id", $"value", date_format($"ts", "yyyy-MM-dd").as("day"))
+    base.write.mode(SaveMode.Overwrite).partitionBy("day").parquet(out)
+    def files(day: String) = new java.io.File(s"$out/day=$day").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val keptBefore = files("2024-01-15")
+    val restatedBefore = files("2024-01-05")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try base.filter($"day" === "2024-01-05")
+      .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(out)
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    assert(files("2024-01-15") == keptBefore,
+      "untouched partition must keep its exact files")
+    assert(files("2024-01-05") != restatedBefore,
+      "restated partition must be rewritten")
+  }
+
   test("S20: compaction rewrites each day to one file and keeps every day") {
     val (frag, compact) = Sources.compactLayout(spark, sfDir)
     def filesPerDay(root: String): Map[String, Int] =

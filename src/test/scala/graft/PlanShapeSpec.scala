@@ -402,6 +402,18 @@ class PlanShapeSpec extends SparkSpec {
       plainScan.readSchema().fieldNames.mkString(","))
   }
 
+  test("J13: interval join runs as an equi join on the day bucket, no NLJ") {
+    val plan = planOf(Relational.j13IntervalJoin(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("G6: degree-oriented triangle count never goes cartesian") {
+    val plan = planOf(Nested.g6TriangleCount(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("S13: state gate prunes day partitions via dynamic partition pruning") {
     val df = Sources.s13DppGatedRead(spark, sfDir)
     // DPP shows up as a dynamicpruning expression in the fact scan's
