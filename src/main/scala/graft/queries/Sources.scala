@@ -485,6 +485,19 @@ object Sources {
         |WHERE e.vec_id < 100""".stripMargin)
   }
 
+  /** S18b: V2 catalog AGGREGATE function — `kb.sum_sq` binds to a
+    * connector AggregateFunction whose update/merge contract Spark plans
+    * as a partial + final hash aggregate (map-side combine, state merged
+    * across the shuffle), exactly like a built-in agg. The SQL-only path
+    * to a custom distributed aggregation; integer arithmetic makes the
+    * result hash-checkable against any engine. */
+  def s18bCatalogUdaf(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir).createOrReplaceTempView("events_s18b")
+    spark.sql(
+      """SELECT event_type, kb.sum_sq(user_id) AS sum_sq_user, count(*) AS n
+        |FROM events_s18b GROUP BY event_type""".stripMargin)
+  }
+
   /** S19: connector metadata column — `_chunk` (the day-chunk a row was
     * served from) is hidden from `SELECT *` but materializes when selected,
     * like `_metadata.file_path` on file sources: per-row provenance for
@@ -651,6 +664,7 @@ object Sources {
     "o12_observed_metrics" -> (o12ObservedMetrics _),
     "s17_catalog_sql" -> (s17CatalogSql _),
     "s18_function_catalog" -> (s18FunctionCatalog _),
+    "s18b_catalog_udaf" -> (s18bCatalogUdaf _),
     "s19_metadata_column" -> (s19MetadataColumn _),
     "s20_compaction" -> (s20Compaction _),
     "s21_zorder_layout" -> (s21ZorderLayout _),
@@ -748,6 +762,11 @@ object Sources {
         |  (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(p.emb, p.emb)))
         |    AS score_vs_probe
         |FROM e CROSS JOIN p WHERE e.vec_id < 100""".stripMargin,
+    "s18b_catalog_udaf" ->
+      """SELECT event_type,
+        |  CAST(sum(user_id * user_id) AS BIGINT) AS sum_sq_user,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
     "o12_observed_metrics" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpos_price,

@@ -4,8 +4,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StructType}
+import org.apache.spark.sql.connector.catalog.functions.{AggregateFunction, BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** V2 `TableCatalog` plugin exposing the search connector to plain SQL:
@@ -55,10 +55,12 @@ class KbCatalog extends TableCatalog with FunctionCatalog {
 
   // ------------------------------------------------- FunctionCatalog half
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(Array.empty, "cosine"))
+    Array(Identifier.of(Array.empty, "cosine"),
+      Identifier.of(Array.empty, "sum_sq"))
 
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.namespace.isEmpty && ident.name == "cosine") CosineUnbound
+    else if (ident.namespace.isEmpty && ident.name == "sum_sq") SumSqUnbound
     else throw new NoSuchFunctionException(ident)
 }
 
@@ -114,4 +116,47 @@ object CosineBound extends ScalarFunction[java.lang.Double] {
 
   override def produceResult(input: InternalRow): java.lang.Double =
     invoke(input.getArray(0), input.getArray(1))
+}
+
+/** `kb.sum_sq(x BIGINT)` — sum of squares as a V2 catalog AGGREGATE
+  * function: the UnboundFunction binds to an
+  * [[org.apache.spark.sql.connector.catalog.functions.AggregateFunction]]
+  * whose update/merge/produceResult contract Spark wraps in a partial +
+  * final hash aggregate — the state is combined map-side per partition and
+  * merged across the shuffle exactly like a built-in agg, so a SQL-only
+  * user gets a distributed custom aggregation with no UDAF class on the
+  * session. Integer arithmetic end to end: bit-identical in any engine. */
+object SumSqUnbound extends UnboundFunction {
+  override def name(): String = "sum_sq"
+  override def description(): String =
+    "sum_sq(x BIGINT): sum of x*x over the group, nulls skipped"
+  override def bind(inputType: StructType): BoundFunction = {
+    val ok = inputType.fields.length == 1 &&
+      inputType.fields.head.dataType == LongType
+    if (!ok) throw new UnsupportedOperationException(
+      s"kb.sum_sq expects (BIGINT), got $inputType")
+    SumSqBound
+  }
+}
+
+object SumSqBound extends AggregateFunction[java.lang.Long, java.lang.Long] {
+  override def name(): String = "sum_sq"
+  override def canonicalName(): String = "kb.sum_sq"
+  override def inputTypes(): Array[DataType] = Array(LongType)
+  override def resultType(): DataType = LongType
+  override def isResultNullable: Boolean = false
+
+  override def newAggregationState(): java.lang.Long = 0L
+
+  override def update(state: java.lang.Long, input: InternalRow): java.lang.Long =
+    if (input.isNullAt(0)) state
+    else {
+      val v = input.getLong(0)
+      state + v * v
+    }
+
+  override def merge(left: java.lang.Long, right: java.lang.Long): java.lang.Long =
+    left + right
+
+  override def produceResult(state: java.lang.Long): java.lang.Long = state
 }

@@ -402,6 +402,16 @@ class PlanShapeSpec extends SparkSpec {
       plainScan.readSchema().fieldNames.mkString(","))
   }
 
+  test("S18b: catalog UDAF plans as partial + final aggregate") {
+    // map-side combine must run BEFORE the exchange — the property that
+    // makes a custom aggregation shuffle state, not rows, at scale
+    val plan = planOf(Sources.s18bCatalogUdaf(spark, sfDir))
+    assert(plan.contains("partial_v2aggregator"), plan.take(3000))
+    val partialAt = plan.indexOf("partial_v2aggregator")
+    val exchangeAt = plan.indexOf("Exchange")
+    assert(exchangeAt >= 0 && exchangeAt < partialAt, plan.take(3000))
+  }
+
   test("J13: interval join runs as an equi join on the day bucket, no NLJ") {
     val plan = planOf(Relational.j13IntervalJoin(spark, sfDir))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
