@@ -43,7 +43,11 @@ object StreamingQ {
       .groupBy(window($"ts", "1 day").as("w"))
       .agg(count(lit(1)).as("n"))
       .select($"w.start".as("w_start"), $"n")
-    val out = Streams.runCompleteToParquet(agg, "st2")
+    // ~30 day windows of state: 8 state partitions (= 16 store commits over
+    // 2 batches), not the batch default's 64 — same sizing rule as st12/st13
+    val out = Streams.withShufflePartitions(spark, 8) {
+      Streams.runCompleteToParquet(agg, "st2")
+    }
     spark.read.parquet(out)
   }
 
