@@ -130,8 +130,15 @@ object Nested {
     val li = lineitem(spark, dir).filter($"l_quantity" >= 45)
     val a = li.select($"l_orderkey", $"l_suppkey".as("u"))
     val b = li.select($"l_orderkey", $"l_suppkey".as("v"))
-    val und = a.join(b, Seq("l_orderkey")).filter($"u" < $"v")
-      .select($"u", $"v").distinct()
+    triangles(a.join(b, Seq("l_orderkey")).filter($"u" < $"v")
+      .select($"u", $"v").distinct())
+  }
+
+  /** Triangle-count core over a canonical (u < v, distinct) edge set —
+    * split out so PropertySpec can check orientation invariance on
+    * arbitrary random graphs. */
+  private[graft] def triangles(und: DataFrame): DataFrame = {
+    import und.sparkSession.implicits._
     val deg = und.select(explode(array($"u", $"v")).as("n"))
       .groupBy($"n").agg(count(lit(1)).as("d"))
     val lowFirst = deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du")

@@ -853,10 +853,18 @@ object Relational {
     * per-user ordering is the sort within each partition. */
   def w9BatchSessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val gapUs = 30L * 60 * 1000 * 1000
+    sessionize(events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us")),
+      30L * 60 * 1000 * 1000)
+  }
+
+  /** Sessionization core over (user_id, event_id, us): gap > `gapUs` starts
+    * a new session. Split out so PropertySpec can drive it with arbitrary
+    * generated timelines. */
+  private[graft] def sessionize(ev: DataFrame, gapUs: Long): DataFrame = {
+    import ev.sparkSession.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
-    events(spark, dir)
-      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+    ev
       .withColumn("is_new",
         when(($"us" - lag($"us", 1).over(w)) > gapUs ||
           lag($"us", 1).over(w).isNull, 1L).otherwise(0L))

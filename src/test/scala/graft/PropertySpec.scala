@@ -96,4 +96,50 @@ class PropertySpec extends SparkSpec {
     val result = SCTest.check(params, prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("property: sessionization splits exactly at gaps > threshold (W9)") {
+    import spark.implicits._
+    val gapUs = 100L
+    // arbitrary per-user timelines, duplicates and unsorted order included
+    val timelineGen = Gen.nonEmptyListOf(Gen.choose(0L, 2000L))
+    val prop = Prop.forAll(Gen.nonEmptyListOf(timelineGen)) { users =>
+      val rows = users.zipWithIndex.flatMap { case (ts, uid) =>
+        ts.zipWithIndex.map { case (t, i) => (uid.toLong, (uid * 10000 + i).toLong, t) }
+      }
+      val got = graft.queries.Relational
+        .sessionize(rows.toDF("user_id", "event_id", "us"), gapUs)
+        .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"),
+          sum($"n_events").as("n_events"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      users.zipWithIndex.forall { case (ts, uid) =>
+        val sorted = ts.sorted
+        val expectedSessions =
+          1L + sorted.sliding(2).count(p => p.length == 2 && p(1) - p(0) > gapUs)
+        got(uid.toLong) == ((expectedSessions, ts.length.toLong))
+      }
+    }
+    val result = SCTest.check(params, prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("property: degree-ordered triangle count equals brute force (G6)") {
+    import spark.implicits._
+    val edgeGen = Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L))
+      .suchThat { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val prop = Prop.forAll(Gen.nonEmptyListOf(edgeGen)) { rawEdges =>
+      val edges = rawEdges.distinct
+      val got = graft.queries.Nested.triangles(edges.toDF("u", "v"))
+        .collect().head.getLong(0)
+      val set = edges.toSet
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val expected = (for {
+        a <- nodes; b <- nodes if a < b && set((a, b))
+        c <- nodes if b < c && set((b, c)) && set((a, c))
+      } yield 1).size.toLong
+      got == expected
+    }
+    val result = SCTest.check(params, prop)
+    assert(result.passed, result.status.toString)
+  }
 }
