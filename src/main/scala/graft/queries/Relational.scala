@@ -875,6 +875,24 @@ object Relational {
         min($"us").as("start_us"), max($"us").as("end_us"))
   }
 
+  /** W10: cumulative distinct count — the user-growth curve: users counted
+    * on their FIRST active day (one shuffle-partitioned min-agg per user),
+    * then a running total over the per-day counts. The global window runs
+    * over |days| rows, not |events| — the per-user agg has already
+    * collapsed the data, so the single-partition ordered window is
+    * scale-free (the pattern that makes "running distinct" viable at
+    * 100 TB: never window the raw stream). */
+  def w10CumulativeDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val newPerDay = orders(spark, dir)
+      .groupBy($"o_custkey").agg(min(to_date($"o_orderdate")).as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("new_customers"))
+    newPerDay.select($"day", $"new_customers",
+      sum($"new_customers").over(Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("cum_customers"))
+  }
+
   /** J13: interval (range) join, bucket-accelerated — events matched to
     * overlapping campaign windows. The naive plan is a broadcast
     * nested-loop theta join (every event × every campaign); the scale
@@ -905,6 +923,7 @@ object Relational {
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w9_batch_sessionize" -> (w9BatchSessionize _),
+    "w10_cumulative_distinct" -> (w10CumulativeDistinct _),
     "j13_interval_join" -> (j13IntervalJoin _),
     "a14_incremental_agg_merge" -> (a14IncrementalAggMerge _),
     "a15_countmin_heavy_hitters" -> (a15CountminHeavyHitters _),
@@ -985,6 +1004,16 @@ object Relational {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  count(*) AS n_events, min(us) AS start_us, max(us) AS end_us
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "w10_cumulative_distinct" ->
+      """WITH fd AS (
+        |  SELECT o_custkey, CAST(min(date_trunc('day', o_orderdate)) AS DATE) AS day
+        |  FROM orders GROUP BY 1),
+        |npd AS (SELECT day, count(*) AS new_customers FROM fd GROUP BY 1)
+        |SELECT day, new_customers,
+        |  CAST(sum(new_customers) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_customers
+        |FROM npd""".stripMargin,
     "j13_interval_join" ->
       """WITH camp AS (
         |  SELECT CAST(i AS BIGINT) AS campaign_id,
