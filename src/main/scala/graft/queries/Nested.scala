@@ -100,7 +100,7 @@ object Nested {
     val nodes = edges.select($"src".as("node"))
       .union(edges.select($"dst".as("node"))).distinct()
     var pr = nodes.withColumn("pr", lit(1000000L))
-    for (_ <- 1 to 3) {
+    for (round <- 1 to 3) {
       val contrib = edges
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
@@ -109,7 +109,12 @@ object Nested {
       pr = nodes.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select($"node",
           expr("150000L + (85L * coalesce(s, 0L)) div 100L").as("pr"))
-        .localCheckpoint(true)
+      // truncate lineage every 4th round, not every round: each eager
+      // localCheckpoint is a full materialization job, and up to 4 unrolled
+      // join+agg rounds are still a shallow plan. A fixed 3-round run pays
+      // zero truncation jobs; a deep (say 20-round) run gets one per 4 —
+      // the same every-K cadence l17's convergence check uses
+      if (round % 4 == 0) pr = pr.localCheckpoint(true)
     }
     pr.orderBy($"pr".desc, $"node").limit(20)
   }
