@@ -195,21 +195,25 @@ object StreamingQ {
     val staged = stageSt7b(spark, dir)
     val schema = spark.read.parquet(s"$staged/a.parquet").schema
     val out = java.nio.file.Files.createTempDirectory("st7b_out").toString
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(staged)
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("user_id", "event_type")
-      .select($"user_id", $"event_type")
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("ck_st7b").toString)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode(SaveMode.Append).parquet(out)
-      }
-      .start()
-    q.awaitTermination()
+    // dedup state is ~(users × types) keys at fixture SF: 8 state
+    // partitions instead of the batch default's 32 — the st2/st8/st13 rule
+    Streams.withShufflePartitions(spark, 8) {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select($"user_id", $"event_type")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck_st7b").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode(SaveMode.Append).parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
   }
 
