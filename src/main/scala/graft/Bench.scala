@@ -46,6 +46,7 @@ object Bench {
     streaming.Streams.stageEvents(spark, sfDir, 4): Unit
     queries.StreamingQ.stageSt7b(spark, sfDir): Unit
     queries.Sources.stageDayPartitionedEvents(spark, sfDir): Unit
+    queries.Sources.stageFragmentedEvents(spark, sfDir): Unit
 
     // Best-of-2 per query: a single timed run is vulnerable to one-off
     // JIT/GC/page-cache noise landing on whichever query runs at the wrong
