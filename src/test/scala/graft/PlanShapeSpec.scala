@@ -402,6 +402,11 @@ class PlanShapeSpec extends SparkSpec {
       plainScan.readSchema().fieldNames.mkString(","))
   }
 
+  test("L27: char diversity is one shuffle-free projection pass") {
+    val plan = planOf(Llm.l27CharDiversity(spark, sfDir))
+    assert(!plan.contains("Exchange"), plan.take(3000))
+  }
+
   test("S18b: catalog UDAF plans as partial + final aggregate") {
     // map-side combine must run BEFORE the exchange — the property that
     // makes a custom aggregation shuffle state, not rows, at scale
