@@ -636,6 +636,64 @@ object Sources {
     }.toDF("file_name", "mime", "n_bytes", "width", "height")
   }
 
+  private val jpegStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Synthesize 8 REAL JPEGs with index-determined dimensions (staged once
+    * per JVM): deterministic pixel pattern, encoded by the JDK's ImageIO —
+    * no byte literal fixtures, no external codec. */
+  private[graft] def stageJpegs(): String =
+    jpegStaged.computeIfAbsent("jpegs", { _ =>
+      val dir = tmp("l5c_jpegs")
+      (0 until 8).foreach { i =>
+        val w = 40 + (17 * i) % 113
+        val h = 30 + (23 * i) % 89
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w)
+          img.setRGB(x, y, (x * 31 + y * 7 + i * 131) % 0xffffff)
+        javax.imageio.ImageIO.write(img, "jpg", new java.io.File(s"$dir/img_$i.jpg"))
+      }
+      dir
+    })
+
+  /** L5c: thumbnail pipeline — the full decode → TRANSFORM → encode chain
+    * over real images, all JDK (the step the reference performs by
+    * requesting pre-scaled IIIF thumbnails, :110-116): each JPEG is
+    * decoded, resized so its long edge is 64 (integer arithmetic,
+    * `max(1, d*64 div max(w,h))`), re-encoded as PNG, and the THUMBNAIL IS
+    * DECODED AGAIN — the emitted dimensions come from the re-decoded
+    * bytes, so a fake resize or encode cannot pass. Dimensions are pure
+    * functions of the image index, hence the whole chain is oracle-checked
+    * by DuckDB arithmetic. Partition-local typed stage, like the rest of
+    * L5: pixels travel to executors, only small features return. */
+  def l5cThumbnail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stageJpegs()
+    spark.read.format("binaryFile").load(staged)
+      .select(element_at(split($"path", "/"), -1).as("file_name"), $"content")
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (name, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val m = math.max(w, h)
+          val tw = math.max(1, w * 64 / m)
+          val th = math.max(1, h * 64 / m)
+          val scaled = new java.awt.image.BufferedImage(
+            tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = scaled.createGraphics()
+          g.drawImage(img, 0, 0, tw, th, null)
+          g.dispose()
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(scaled, "png", baos)
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(baos.toByteArray))
+          (name, w.toLong, h.toLong, back.getWidth.toLong, back.getHeight.toLong)
+        }
+      }
+      .toDF("file_name", "width", "height", "thumb_w", "thumb_h")
+  }
+
   /** L5b: frame sampling — one input asset fans out to N sampled frames
     * (the video/audio analog of page explosion): a typed flatMap emitting
     * (frame_idx, byte_offset) rows per asset. The real frame decoder is
@@ -682,6 +740,7 @@ object Sources {
     "s20_compaction" -> (s20Compaction _),
     "s21_zorder_layout" -> (s21ZorderLayout _),
     "s22_dynamic_overwrite" -> (s22DynamicOverwrite _),
+    "l5c_thumbnail" -> (l5cThumbnail _),
     "o13_merge_schema" -> (o13MergeSchema _),
     "o9_csv_roundtrip" -> (o9CsvRoundtrip _),
     "o10_xml_roundtrip" -> (o10XmlRoundtrip _),
@@ -711,6 +770,15 @@ object Sources {
         |  CAST(sum(event_id) AS BIGINT) AS id_sum,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1""".stripMargin,
+    "l5c_thumbnail" ->
+      """WITH imgs AS (
+        |  SELECT i, 40 + (17 * i) % 113 AS w, 30 + (23 * i) % 89 AS h
+        |  FROM generate_series(0, 7) t(i))
+        |SELECT 'img_' || i || '.jpg' AS file_name,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(GREATEST(1, w * 64 // GREATEST(w, h)) AS BIGINT) AS thumb_w,
+        |  CAST(GREATEST(1, h * 64 // GREATEST(w, h)) AS BIGINT) AS thumb_h
+        |FROM imgs""".stripMargin,
     "s22_dynamic_overwrite" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
         |  CAST(sum(CAST(
