@@ -694,6 +694,68 @@ object Sources {
       .toDF("file_name", "width", "height", "thumb_w", "thumb_h")
   }
 
+  private val wavStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Synthesize 4 REAL 16-bit mono PCM WAVs (staged once per JVM): sample
+    * k of file i is `((k * 37 + i * 11) % 2048) - 1024` — integer-exact
+    * and index-determined, so decoded features are oracle arithmetic. */
+  private[graft] def stageWavs(): String =
+    wavStaged.computeIfAbsent("wavs", { _ =>
+      val dir = tmp("l5d_wavs")
+      (0 until 4).foreach { i =>
+        val n = 4000 + i * 1000
+        val pcm = new Array[Byte](n * 2)
+        (0 until n).foreach { k =>
+          val s = ((k * 37 + i * 11) % 2048) - 1024
+          pcm(2 * k) = (s & 0xff).toByte          // little-endian 16-bit
+          pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE,
+          new java.io.File(s"$dir/clip_$i.wav"))
+      }
+      dir
+    })
+
+  /** L5d: audio feature extraction — the audio leg of the multimodal tier:
+    * REAL WAV decode through `javax.sound.sampled` (PCM is lossless, so
+    * the samples round-trip bit-exactly), then per-clip features computed
+    * from the decoded frames: sample count, integer sum of squares (the
+    * energy numerator), and peak amplitude. Every emitted number is a pure
+    * function of the synthesis formula, so the WHOLE encode → container →
+    * decode → feature chain hash-matches a DuckDB generate_series oracle —
+    * a faked decoder cannot pass. Same partition-local typed shape as the
+    * image legs (L5/L5c). */
+  def l5dAudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stageWavs()
+    spark.read.format("binaryFile").load(staged)
+      .select(element_at(split($"path", "/"), -1).as("file_name"), $"content")
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (name, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2
+          var sumSq = 0L
+          var peak = 0L
+          var k = 0
+          while (k < n) {
+            val s = ((pcm(2 * k) & 0xff) | (pcm(2 * k + 1).toInt << 8)).toShort.toLong
+            sumSq += s * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            k += 1
+          }
+          (name, n.toLong, sumSq, peak)
+        }
+      }
+      .toDF("file_name", "n_samples", "sum_sq", "peak")
+  }
+
   /** L5b: frame sampling — one input asset fans out to N sampled frames
     * (the video/audio analog of page explosion): a typed flatMap emitting
     * (frame_idx, byte_offset) rows per asset. The real frame decoder is
@@ -741,6 +803,7 @@ object Sources {
     "s21_zorder_layout" -> (s21ZorderLayout _),
     "s22_dynamic_overwrite" -> (s22DynamicOverwrite _),
     "l5c_thumbnail" -> (l5cThumbnail _),
+    "l5d_audio_features" -> (l5dAudioFeatures _),
     "o13_merge_schema" -> (o13MergeSchema _),
     "o9_csv_roundtrip" -> (o9CsvRoundtrip _),
     "o10_xml_roundtrip" -> (o10XmlRoundtrip _),
@@ -779,6 +842,16 @@ object Sources {
         |  CAST(GREATEST(1, w * 64 // GREATEST(w, h)) AS BIGINT) AS thumb_w,
         |  CAST(GREATEST(1, h * 64 // GREATEST(w, h)) AS BIGINT) AS thumb_h
         |FROM imgs""".stripMargin,
+    "l5d_audio_features" ->
+      """WITH clips AS (SELECT i, 4000 + i * 1000 AS n FROM generate_series(0, 3) t(i)),
+        |samples AS (
+        |  SELECT c.i, ((k * 37 + c.i * 11) % 2048) - 1024 AS s
+        |  FROM clips c, LATERAL (SELECT unnest(generate_series(0, c.n - 1)) AS k) u)
+        |SELECT 'clip_' || i || '.wav' AS file_name,
+        |  count(*) AS n_samples,
+        |  CAST(sum(s * s) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak
+        |FROM samples GROUP BY 1""".stripMargin,
     "s22_dynamic_overwrite" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
         |  CAST(sum(CAST(
