@@ -571,6 +571,30 @@ object Sources {
           .cast("double").as("sum_price"))
   }
 
+  /** O14: line-delimited text round trip — the lowest-common-denominator
+    * interchange format (one record per line, fields packed by the
+    * writer): docs serialized as `doc_id|lang|n_chars` lines via the text
+    * sink, read back with the text source and re-parsed by split. The
+    * parse is schema-on-read the hard way — exactly what a 100 TB landing
+    * zone of legacy line files needs, with the same pushdown-free scan
+    * economics made explicit. */
+  def o14TextRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("o14_text")
+    documents(spark, dir)
+      .select(concat($"doc_id", lit("|"), $"lang", lit("|"), $"n_chars").as("value"))
+      .write.mode(SaveMode.Overwrite).text(out)
+    spark.read.text(out)
+      .select(split($"value", "\\|").as("f"))
+      .select(element_at($"f", 1).cast("long").as("doc_id"),
+        element_at($"f", 2).as("lang"),
+        element_at($"f", 3).cast("long").as("n_chars"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        min($"doc_id").as("min_doc"))
+  }
+
   /** F-map: map construction and access over the JSON props map. */
   def fMap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -808,6 +832,7 @@ object Sources {
     "o9_csv_roundtrip" -> (o9CsvRoundtrip _),
     "o10_xml_roundtrip" -> (o10XmlRoundtrip _),
     "o11_orc_roundtrip" -> (o11OrcRoundtrip _),
+    "o14_text_roundtrip" -> (o14TextRoundtrip _),
     "f_map" -> (fMap _),
     "f_map2" -> (fMap2 _),
     "l5_multimodal_decode" -> (l5MultimodalDecode _),
@@ -985,6 +1010,11 @@ object Sources {
         |GROUP BY 1""".stripMargin,
     "o10_xml_roundtrip" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+    "o14_text_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc
         |FROM documents GROUP BY lang""".stripMargin,
     "o11_orc_roundtrip" ->
       """SELECT p_brand, count(*) AS n_parts,
