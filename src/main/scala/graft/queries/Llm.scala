@@ -457,6 +457,39 @@ object Llm {
         .otherwise(0.0).as("char_diversity"))
   }
 
+  /** L28: the curation pipeline END TO END — the nightly corpus build as
+    * one registered query: token/uniqueness quality gate (L4/L6) → exact
+    * dedup keeping the lowest doc id per content digest (L1) →
+    * deterministic per-language stratified sample (L19's md5-bucket
+    * convention) → per-language corpus stats. Every stage is an operator
+    * proven elsewhere; registering the composition proves they CHAIN with
+    * the same shuffle economics as the pieces — one digest exchange for
+    * the dedup window, one lang exchange for the final agg, nothing
+    * driver-side between stages. The corpus-level uniqueness ratio is
+    * computed as exact integer sums divided once, so the whole chain
+    * hash-matches the oracle. */
+  def l28CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val metrics = documents(spark, dir).select($"doc_id", $"lang", $"text",
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_uniq"))
+    val quality = metrics.filter($"n_tokens" >= 20 &&
+      $"n_uniq".cast("double") / $"n_tokens" >= 0.3)
+    val deduped = quality
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5($"text".cast("binary"))).orderBy($"doc_id")))
+      .filter($"rn" === 1)
+    val bucket = conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 4),
+      16, 10).cast("long") % 100
+    val rate = when($"lang" === "en", 50L).when($"lang" === "de", 25L).otherwise(10L)
+    deduped.filter(bucket < rate)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        (sum($"n_uniq").cast("double") / sum($"n_tokens")).as("corpus_uniq_ratio"))
+  }
+
   /** L19: deterministic stratified sampling — per-language keep rates
     * applied via an md5 bucket of the doc id (content-addressed, so the
     * SAME docs are kept on every run, on any cluster, with no RNG state to
@@ -696,6 +729,7 @@ object Llm {
     "l18_repetition" -> (l18Repetition _),
     "l27_char_diversity" -> (l27CharDiversity _),
     "l19_stratified_sample" -> (l19StratifiedSample _),
+    "l28_curation_pipeline" -> (l28CurationPipeline _),
     "l20_mixture_plan" -> (l20MixturePlan _),
     "l21_quantize" -> (l21Quantize _),
     "l22_group_topk_sample" -> (l22GroupTopkSample _),
@@ -932,6 +966,24 @@ object Llm {
         |       THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
         |       ELSE 0.0 END AS dup_bigram_frac
         |FROM b""".stripMargin,
+    "l28_curation_pipeline" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+        |  FROM documents),
+        |q AS (SELECT * FROM m
+        |      WHERE n_tokens >= 20 AND CAST(n_uniq AS DOUBLE) / n_tokens >= 0.3),
+        |d AS (SELECT *, row_number() OVER (
+        |        PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q),
+        |u AS (SELECT * FROM d WHERE rn = 1),
+        |s AS (SELECT * FROM u
+        |      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+        |            < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_uniq) AS DOUBLE) / sum(n_tokens) AS corpus_uniq_ratio
+        |FROM s GROUP BY lang""".stripMargin,
     "l19_stratified_sample" ->
       """SELECT doc_id, lang, bucket FROM (
         |  SELECT doc_id, lang,
