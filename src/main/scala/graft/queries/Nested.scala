@@ -162,7 +162,41 @@ object Nested {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** G7: bounded-hop BFS — min-distance from a seed set over the directed
+    * customer→supplier trade graph (3 rounds, the frontier-expansion shape
+    * of every reachability/impact analysis): each round is one equi join
+    * (frontier × edges) + one min-agg, so distance-k vertices are found by
+    * round k with no driver-side frontier and no visited-set broadcast —
+    * the min-agg absorbs revisits. Distances are small integers: the
+    * whole reachability table hash-matches unrolled oracle CTEs. */
+  def g7BfsReachability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // one join builds the forward edge set; the reverse direction (needed
+    // so multi-hop paths exist in the bipartite trade graph) is a free
+    // projection flip of the SAME checkpointed set — never a second join
+    val fwd = orders(spark, dir).select($"o_orderkey", $"o_custkey")
+      .join(lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(concat(lit("c"), $"o_custkey").as("src"),
+        concat(lit("s"), $"l_suppkey").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val edges = fwd.unionByName(fwd.select($"dst".as("src"), $"src".as("dst")))
+    val seeds = Seq("c1", "c2", "c3").toDF("node")
+      .withColumn("dist", lit(0L))
+    var reach = seeds
+    for (k <- 1 to 3) {
+      val next = reach.withColumnRenamed("node", "src")
+        .join(edges, Seq("src"))
+        .select($"dst".as("node"), lit(k.toLong).as("dist"))
+      reach = reach.unionByName(next)
+        .groupBy($"node").agg(min($"dist").as("dist"))
+    }
+    reach
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g7_bfs_reachability" -> (g7BfsReachability _),
     "g6_triangle_count" -> (g6TriangleCount _),
     "g4_pagerank" -> (g4PageRank _),
     "g1_manifest_explode" -> (g1ManifestExplode _),
@@ -173,6 +207,27 @@ object Nested {
   )
 
   val oracle: Map[String, String] = Map(
+    "g7_bfs_reachability" ->
+      """WITH fwd AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
+        |r0 AS (SELECT node, CAST(0 AS BIGINT) AS dist
+        |       FROM (VALUES ('c1'), ('c2'), ('c3')) v(node)),
+        |r1 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        |         SELECT node, dist FROM r0 UNION ALL
+        |         SELECT e.dst, 1 FROM r0 JOIN edges e ON r0.node = e.src)
+        |       GROUP BY node),
+        |r2 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        |         SELECT node, dist FROM r1 UNION ALL
+        |         SELECT e.dst, 2 FROM r1 JOIN edges e ON r1.node = e.src)
+        |       GROUP BY node),
+        |r3 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        |         SELECT node, dist FROM r2 UNION ALL
+        |         SELECT e.dst, 3 FROM r2 JOIN edges e ON r2.node = e.src)
+        |       GROUP BY node)
+        |SELECT node, dist FROM r3""".stripMargin,
     "g6_triangle_count" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
