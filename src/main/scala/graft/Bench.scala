@@ -45,6 +45,7 @@ object Bench {
     queries.Relational.stageBucketedTables(spark, sfDir)
     streaming.Streams.stageEvents(spark, sfDir, 4): Unit
     queries.StreamingQ.stageSt7b(spark, sfDir): Unit
+    queries.StreamingQ.stageSt15(spark, sfDir): Unit
     queries.Sources.stageDayPartitionedEvents(spark, sfDir): Unit
     queries.Sources.stageFragmentedEvents(spark, sfDir): Unit
 

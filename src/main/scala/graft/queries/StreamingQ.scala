@@ -477,8 +477,66 @@ object StreamingQ {
         sum($"value".cast(DecimalType(18, 2))).cast("double").as("sum_value"))
   }
 
+  /** ST15: incremental curation — the corpus build (l28's shape) run as a
+    * checkpointed stream with CONTENT-level dedup against the sink itself:
+    * each micro-batch passes the quality gate, then the IncrementalWriter
+    * anti-joins on the content digest before appending — so duplicates are
+    * dropped across batches against ALL history, not just watermarked
+    * stream state (st7b). That is the pattern for a corpus that outlives
+    * any one stream: state = the sink, no checkpoint retention window.
+    * The staged source plants a full duplicate copy of every doc under
+    * shifted ids, split deterministically so each batch carries one copy;
+    * kept-per-language counts and token totals are copy-invariant, hence
+    * oracle-checkable. */
+  private val st15Staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def stageSt15(spark: SparkSession, dir: String): String =
+    st15Staged.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val docs = documents(spark, dir).select($"doc_id", $"lang", $"text")
+      val planted = docs.unionByName(
+        docs.select(($"doc_id" + 1000000).as("doc_id"), $"lang", $"text"))
+      val out = java.nio.file.Files.createTempDirectory("st15_src").toString
+      // one copy per file => one copy per micro-batch: the second batch's
+      // rows are ALL content-duplicates of the first and must append 0 rows
+      planted.withColumn("half", ($"doc_id" >= 1000000).cast("int"))
+        .repartition($"half") // one file per half-directory => 2 batches
+        .write.mode(SaveMode.Overwrite).partitionBy("half").parquet(out)
+      out
+    })
+
+  def st15StreamingCuration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val staged = stageSt15(spark, dir)
+    val sink = java.nio.file.Files.createTempDirectory("st15_sink").toString
+    val writer = new IncrementalWriter(spark, sink, Seq("content_key"))
+    val q = spark.readStream
+      .schema(spark.read.parquet(staged).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+      .select($"doc_id", $"lang", $"text",
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"))
+      .filter($"n_tokens" >= 20 && $"n_uniq".cast("double") / $"n_tokens" >= 0.3)
+      .withColumn("content_key", md5($"text".cast("binary")))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck_st15").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writer.append(batch): Unit
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_tokens").as("total_tokens"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st15_streaming_curation" -> (st15StreamingCuration _),
     "st14_stream_static_join" -> (st14StreamStaticJoin _),
     "st1_tumbling" -> (st1Tumbling _),
     "st2_checkpointed_agg" -> (st2CheckpointedAgg _),
@@ -500,6 +558,17 @@ object StreamingQ {
   private val oraDsumValue = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "st15_streaming_curation" ->
+      """WITH m AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_kept,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM m
+        |WHERE n_tokens >= 20 AND CAST(n_uniq AS DOUBLE) / n_tokens >= 0.3
+        |GROUP BY lang""".stripMargin,
     "st14_stream_static_join" ->
       """SELECT c.c_mktsegment, count(*) AS n,
         |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
