@@ -441,11 +441,24 @@ object Llm {
     * any engine — a log-based entropy would differ in the last ulp. */
   def l27CharDiversity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // one fused byte-loop pass (native codegen expression) instead of 27
+    // length(regexp_replace(...)) probes — 6× at sf0.1, same exact counts
+    // (ExtractionSpec pins bit-equality against the composed formulation)
+    val s = graft.functions.CharStatsExpr.charStatsNative(spark, lower($"text"))
+    documents(spark, dir).select($"doc_id", s.as("s"))
+      .select($"doc_id",
+        $"s.n_alpha".as("n_alpha"),
+        when($"s.n_alpha" > 0, lit(1.0) -
+          $"s.sum_sq".cast("double") / ($"s.n_alpha" * $"s.n_alpha").cast("double"))
+          .otherwise(0.0).as("char_diversity"))
+  }
+
+  /** The composed 27-probe formulation l27 replaced — kept (unregistered)
+    * as the differential-test partner for the native expression. */
+  private[graft] def l27Composed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val alphabet = ('a' to 'z').map(_.toString) :+ " "
     val lo = lower($"text")
-    // regexp_replace, measured FASTER than translate here (2.3 s vs 3.9 s
-    // at sf0.1): a single-char pattern compiles to a trivial matcher, while
-    // translate rebuilds its char dictionary per row
     val counts = alphabet.map(c =>
       (length(lo) - length(regexp_replace(lo, if (c == " ") "\\ " else c, "")))
         .cast("long"))

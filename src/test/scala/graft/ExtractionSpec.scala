@@ -171,6 +171,25 @@ class ExtractionSpec extends SparkSpec {
     }
   }
 
+  test("l27: native char-stats expression equals the 27-probe composition bit-for-bit") {
+    val native = queries.Llm.l27CharDiversity(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val composed = queries.Llm.l27Composed(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(native == composed)
+  }
+
+  test("l27: byte-loop counting is exact on multi-byte UTF-8 input") {
+    import spark.implicits._
+    // continuation bytes are >= 0x80, so 'é'/'ü'/CJK must never inflate the
+    // a-z/space counts; only the ASCII letters and spaces below count
+    val s = graft.functions.CharStatsExpr.charStatsNative(spark, $"t")
+    val row = Seq("héllo wörld 東京 abc").toDF("t").select(s.as("s"))
+      .select($"s.n_alpha", $"s.sum_sq").head()
+    // ASCII alphabet chars: h,l,l,o,w,r,l,d,a,b,c + 3 spaces = 14
+    assert(row.getLong(0) == 14L, row.toString)
+  }
+
   test("o_sample_seeded: same seed twice yields the identical sample") {
     // The sample is rows-only vs the oracle (engine RNG streams differ by
     // design); determinism under a fixed seed is the property that makes it
