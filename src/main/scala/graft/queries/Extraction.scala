@@ -377,7 +377,8 @@ object Extraction {
       element_at($"embedding", 1).as("first_elem"),
       element_at(slice($"embedding", 1, 3), 3).as("head3_last"),
       aggregate($"embedding", lit(0.0),
-        (acc, x) => acc + x.cast("double") * x.cast("double")).as("sq_norm"))
+        (acc, x) => acc + x.cast("double") * x.cast("double")).as("sq_norm"),
+      array_contains(sequence(lit(0L), $"vec_id" % 10), lit(3L)).as("has_3"))
   }
 
   /** F-string (extended): split_part/left/right/ascii/chr/repeat. */
@@ -398,6 +399,8 @@ object Extraction {
     events(spark, dir).select($"event_id",
       add_months(to_date($"ts"), 1).as("next_month"),
       trunc(to_date($"ts"), "month").as("month_start"),
+      months_between(trunc(to_date($"ts"), "month"),
+        lit("2023-01-01").cast("date")).as("months_since"),
       quarter($"ts").cast("long").as("q"),
       weekofyear($"ts").cast("long").as("iso_week"))
   }
@@ -504,7 +507,8 @@ object Extraction {
       when($"o_orderstatus" === "F", "done")
         .when($"o_orderstatus" === "O", "open")
         .otherwise("other").as("status_label"),
-      coalesce(nullif($"o_orderpriority", lit("3-MEDIUM")), lit("MED")).as("prio"))
+      coalesce(nullif($"o_orderpriority", lit("3-MEDIUM")), lit("MED")).as("prio"),
+      expr("nvl(nullif(o_orderstatus, 'P'), 'PENDING')").as("status_nvl"))
   }
 
   // ------------------------------------------------------------- registry
@@ -671,6 +675,7 @@ object Extraction {
       """SELECT event_id,
         |CAST(CAST(date_trunc('day', ts) AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month,
         |CAST(date_trunc('month', ts) AS DATE) AS month_start,
+        |CAST((year(ts) - 2023) * 12 + month(ts) - 1 AS DOUBLE) AS months_since,
         |CAST(quarter(ts) AS BIGINT) AS q,
         |CAST(week(ts) AS BIGINT) AS iso_week
         |FROM events""".stripMargin,
@@ -734,13 +739,15 @@ object Extraction {
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |embedding[1] AS first_elem,
         |(embedding[1:3])[3] AS head3_last,
-        |list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS sq_norm
+        |list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS sq_norm,
+        |list_contains(generate_series(0, vec_id % 10), 3) AS has_3
         |FROM embeddings""".stripMargin,
     "f_cond" ->
       """SELECT o_orderkey,
         |CASE WHEN o_orderstatus = 'F' THEN 'done' WHEN o_orderstatus = 'O' THEN 'open'
         |     ELSE 'other' END AS status_label,
-        |COALESCE(NULLIF(o_orderpriority, '3-MEDIUM'), 'MED') AS prio
+        |COALESCE(NULLIF(o_orderpriority, '3-MEDIUM'), 'MED') AS prio,
+        |COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_nvl
         |FROM orders""".stripMargin,
     "f_stat" ->
       """SELECT l_returnflag,
