@@ -907,17 +907,29 @@ object Relational {
       $"id".as("campaign_id"),
       date_add(lit("2024-01-01").cast("date"), ($"id" * 3).cast("int"))
         .as("start_day"))
-      .select($"campaign_id", $"start_day",
+      .select($"campaign_id",
         $"start_day".cast("timestamp_ntz").as("start_ts"),
         date_add($"start_day", 5).cast("timestamp_ntz").as("end_ts"))
-    val chunks = camp.select($"campaign_id", $"start_ts", $"end_ts",
-      explode(sequence($"start_day", date_add($"start_day", 4))).as("day"))
-    events(spark, dir)
-      .select($"ts", $"value", date_trunc("day", $"ts").cast("date").as("day"))
-      .join(chunks, Seq("day"))
-      .filter($"ts" >= $"start_ts" && $"ts" < $"end_ts")
+    intervalJoinCore(
+      events(spark, dir).select($"ts", $"value"), camp)
       .groupBy($"campaign_id")
       .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+  }
+
+  /** Bucketed interval-join core: rows with `ts` matched to intervals
+    * `[start_ts, end_ts)` via an EQUI join on the covered day buckets plus
+    * the residual range predicate. An interval covers each day at most
+    * once, so no pair dedup is needed — a claim PropertySpec checks on
+    * random interval sets against a brute-force theta join. */
+  private[graft] def intervalJoinCore(ev: DataFrame, camp: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    val chunks = camp.select($"campaign_id", $"start_ts", $"end_ts",
+      explode(sequence(to_date($"start_ts"),
+        to_date($"end_ts" - expr("interval 1 microsecond")))).as("day"))
+    ev.withColumn("day", date_trunc("day", $"ts").cast("date"))
+      .join(chunks, Seq("day"))
+      .filter($"ts" >= $"start_ts" && $"ts" < $"end_ts")
+      .drop("day")
   }
 
   // ------------------------------------------------------------- registry

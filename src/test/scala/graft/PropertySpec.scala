@@ -122,6 +122,37 @@ class PropertySpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("property: day-bucketed interval join equals the theta join (J13)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val hourMs = 3600L * 1000
+    // arbitrary event times and arbitrary (possibly overlapping) intervals
+    // with intra-day boundaries — the residual predicate must do real work
+    val tsGen = Gen.choose(0L, 60L * 24).map(h => new Timestamp(base + h * hourMs))
+    val ivGen = Gen.zip(Gen.choose(0L, 50L * 24), Gen.choose(1L, 10L * 24))
+      .map { case (s, len) =>
+        (new Timestamp(base + s * hourMs), new Timestamp(base + (s + len) * hourMs))
+      }
+    val prop = Prop.forAll(Gen.zip(
+      Gen.nonEmptyListOf(tsGen), Gen.nonEmptyListOf(ivGen))) { case (ts, ivs) =>
+      val ev = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("event_id", "ts")
+      val camp = ivs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("campaign_id", "start_ts", "end_ts")
+      val got = graft.queries.Relational.intervalJoinCore(ev, camp)
+        .select("event_id", "campaign_id").as[(Long, Long)].collect().sorted.toSeq
+      val expect = (for {
+        ((t, ei), _) <- ts.zipWithIndex.map(x => (x, ()))
+        ((s, e), ci) <- ivs.zipWithIndex
+        if !t.before(s) && t.before(e)
+      } yield (ei.toLong, ci.toLong)).sorted
+      got == expect
+    }
+    val result = SCTest.check(params, prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("property: degree-ordered triangle count equals brute force (G6)") {
     import spark.implicits._
     val edgeGen = Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L))
