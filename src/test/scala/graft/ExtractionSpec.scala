@@ -190,6 +190,20 @@ class ExtractionSpec extends SparkSpec {
     assert(row.getLong(0) == 14L, row.toString)
   }
 
+  test("current_timestamp is query-stable: every row sees the same instant") {
+    import spark.implicits._
+    // SURVEY §2.7 pins this by test rather than oracle (wall-clock values
+    // cannot hash-match): Spark evaluates current_timestamp ONCE per query,
+    // so distributed tasks must all see the identical instant — the
+    // property that makes ingest-time stamping reproducible within a run
+    val before = System.currentTimeMillis() - 1000
+    val vals = spark.range(1000).repartition(8)
+      .select(unix_millis(current_timestamp()).as("t")).as[Long].collect()
+    val after = System.currentTimeMillis() + 1000
+    assert(vals.toSet.size == 1, s"expected one instant, got ${vals.toSet.size}")
+    assert(vals.head >= before && vals.head <= after)
+  }
+
   test("o_sample_seeded: same seed twice yields the identical sample") {
     // The sample is rows-only vs the oracle (engine RNG streams differ by
     // design); determinism under a fixed seed is the property that makes it
