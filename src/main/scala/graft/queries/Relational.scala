@@ -893,6 +893,23 @@ object Relational {
         .as("cum_customers"))
   }
 
+  /** W11: rolling 7-day distinct users — the windowed-distinct metric that
+    * has NO window-function form (count distinct over a range frame is
+    * unsupported in any engine, for good reason: per-frame distinct state).
+    * The scale shape is bounded fan-out: each (user, active-day) pair
+    * contributes to exactly the 7 window-end days it can influence
+    * (explode of a 7-element sequence), then one two-phase
+    * count-distinct per day. Fan-out ×7 beats the range self-join
+    * (|days| × |activity| pairs) that the naive formulation shuffles. */
+  def w11RollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+      .select($"user_id", explode(sequence($"d", date_add($"d", 6))).as("day"))
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("active_7d"))
+  }
+
   /** J13: interval (range) join, bucket-accelerated — events matched to
     * overlapping campaign windows. The naive plan is a broadcast
     * nested-loop theta join (every event × every campaign); the scale
@@ -936,6 +953,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w9_batch_sessionize" -> (w9BatchSessionize _),
     "w10_cumulative_distinct" -> (w10CumulativeDistinct _),
+    "w11_rolling_distinct" -> (w11RollingDistinct _),
     "j13_interval_join" -> (j13IntervalJoin _),
     "a14_incremental_agg_merge" -> (a14IncrementalAggMerge _),
     "a15_countmin_heavy_hitters" -> (a15CountminHeavyHitters _),
@@ -1026,6 +1044,16 @@ object Relational {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_customers
         |FROM npd""".stripMargin,
+    "w11_rolling_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM ud)
+        |SELECT day, count(DISTINCT user_id) AS active_7d
+        |FROM c GROUP BY 1""".stripMargin,
     "j13_interval_join" ->
       """WITH camp AS (
         |  SELECT CAST(i AS BIGINT) AS campaign_id,
