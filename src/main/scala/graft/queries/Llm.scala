@@ -391,6 +391,21 @@ object Llm {
       expr("shiftright(event_id, 3)").as("shr3"))
   }
 
+  /** F-bitagg: bitwise AGGREGATES — the order-independent reductions that
+    * build per-group membership bitmaps (bit_or) and common-mask checks
+    * (bit_and) distributively: each is a partial-merge agg, so the bitmap
+    * assembles map-side at 100 TB like any sum. */
+  def fBitagg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .select($"event_type", pmod($"user_id", lit(60L)).as("slot"))
+      .withColumn("mask", expr("shiftleft(1L, cast(slot AS INT))"))
+      .groupBy($"event_type")
+      .agg(expr("bit_or(mask)").as("user_bitmap"),
+        expr("bit_and(mask)").as("common_mask"),
+        expr("bit_count(bit_or(mask))").cast("long").as("n_slots"))
+  }
+
   /** L6: quality filtering — predicate stack over the L4 metrics. */
   def l6QualityFilter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -750,6 +765,7 @@ object Llm {
     "l25_ranked_retrieval" -> (l25RankedRetrieval _),
     "l26_kmeans_clusters" -> (l26KmeansClusters _),
     "f_bits" -> (fBits _),
+    "f_bitagg" -> (fBitagg _),
     "l11_rolling_fingerprint" -> (l11RollingFingerprint _)
   )
 
@@ -1068,6 +1084,16 @@ object Llm {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20""".stripMargin,
+    "f_bitagg" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    (1::BIGINT << CAST(user_id % 60 AS INTEGER)) AS mask
+        |  FROM events)
+        |SELECT event_type,
+        |  bit_or(mask) AS user_bitmap,
+        |  bit_and(mask) AS common_mask,
+        |  CAST(bit_count(bit_or(mask)) AS BIGINT) AS n_slots
+        |FROM m GROUP BY event_type""".stripMargin,
     "f_bits" ->
       """SELECT event_id,
         |event_id & 255 AS low8,
