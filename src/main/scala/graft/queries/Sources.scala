@@ -623,6 +623,24 @@ object Sources {
           (_, v) => concat(lit("v="), v))), 1).as("first_tagged"))
   }
 
+  /** F-map3: map construction/combination — map_concat, map_from_arrays and
+    * map_zip_with (the three builders f_map/f_map2 don't reach), rendered
+    * to deterministic scalars like the rest of the family. */
+  def fMap3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .select($"event_id",
+        from_json($"props", MapType(StringType, StringType)).as("m"))
+      .select($"event_id",
+        array_join(array_sort(map_keys(
+          map_concat($"m", map(lit("tag"), lit("x"))))), ",").as("keys_concat"),
+        element_at(map_from_arrays(
+          array(lit("a"), lit("b")),
+          array($"event_id", $"event_id" * 2)), "b").as("b_val"),
+        array_join(map_values(map_zip_with($"m", $"m",
+          (_, v1, v2) => concat(v1, lit("+"), v2))), ",").as("zipped_vals"))
+  }
+
   /** L5: multimodal decode — binary payloads flow through a typed
     * mapPartitions stage producing per-asset features (reference downloads
     * and verifies JPEG thumbnails, :110-116,:353-385). JPEG decode is REAL:
@@ -835,6 +853,7 @@ object Sources {
     "o14_text_roundtrip" -> (o14TextRoundtrip _),
     "f_map" -> (fMap _),
     "f_map2" -> (fMap2 _),
+    "f_map3" -> (fMap3 _),
     "l5_multimodal_decode" -> (l5MultimodalDecode _),
     "l5b_frame_sample" -> (l5bFrameSample _)
   )
@@ -1025,6 +1044,12 @@ object Sources {
         |min(CAST(date_trunc('day', o_orderdate) AS DATE)) AS first_day,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "f_map3" ->
+      """SELECT event_id, 'k,tag' AS keys_concat,
+        |CAST(event_id * 2 AS BIGINT) AS b_val,
+        |regexp_extract(props, '"k": (-?[0-9]+)', 1) || '+' ||
+        |  regexp_extract(props, '"k": (-?[0-9]+)', 1) AS zipped_vals
+        |FROM events""".stripMargin,
     "f_map" ->
       """SELECT event_id, 'k' AS keys,
         |CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k_val,
