@@ -49,13 +49,19 @@ object Bench {
     queries.Sources.stageDayPartitionedEvents(spark, sfDir): Unit
     queries.Sources.stageFragmentedEvents(spark, sfDir): Unit
 
-    // Best-of-2 per query: a single timed run is vulnerable to one-off
+    // Best-of-N per query: a single timed run is vulnerable to one-off
     // JIT/GC/page-cache noise landing on whichever query runs at the wrong
-    // moment (r3 saw 5.0 s driver-run vs 0.54 s local on the same query) —
-    // the minimum of two runs is the steady-state cost the regression axis
-    // should track. Queries are side-effect-safe to re-run: every sink
-    // query writes to a fresh temp dir per invocation.
+    // moment (r3 saw 5.0 s driver-run vs 0.54 s local; r6 saw j2 at 7.5 s
+    // driver vs 1.0 s local even under best-of-2). Two samples always; when
+    // they disagree by >2x on a non-trivial query, a third sample breaks the
+    // tie so one pause can never dominate both kept numbers. The headline
+    // value per query is the minimum (steady-state cost — the regression
+    // axis); all raw samples are emitted so a future round can tell noise
+    // from a real plan change without re-running. Queries are
+    // side-effect-safe to re-run: every sink query writes to a fresh temp
+    // dir per invocation.
     var times = Vector.empty[(String, Double)]
+    var samples = Vector.empty[(String, Seq[Double])]
     var errors = Vector.empty[(String, String)]
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run for local iteration; the
     // driver never sets it, so the contract run always covers everything
@@ -68,8 +74,13 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      try times :+= name -> math.min(once(), once())
-      catch {
+      try {
+        val two = Seq(once(), once())
+        val runs =
+          if (two.max > 2 * two.min && two.min > 0.25) two :+ once() else two
+        times :+= name -> runs.min
+        samples :+= name -> runs
+      } catch {
         case e: Throwable =>
           errors :+= name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
@@ -89,12 +100,23 @@ object Bench {
     val errs = jmap(errors.map { case (k, v) => k -> q(v) })
     val total = times.map(_._2).sum
     // full per-query map — NOT the canonical metric line (too long for the
-    // consumer's output tail); commit this as the local bench snapshot
-    println(s"""{"detail":${jmap(times.map { case (k, v) => k -> r3(v) })},"errors":$errs}""")
-    // canonical line, kept under ~1500 chars: total + the 40 slowest
+    // consumer's output tail); commit this as the local bench snapshot.
+    // "samples" carries every raw timing so variance is diagnosable after
+    // the fact (min vs median tells noise from plan change).
+    println(s"""{"detail":${jmap(times.map { case (k, v) => k -> r3(v) })},""" +
+      s""""samples":${jmap(samples.map { case (k, vs) =>
+        k -> vs.map(r3).mkString("[", ",", "]") })},"errors":$errs}""")
+    // canonical line, kept under ~1500 chars: total + the 40 slowest.
+    // value = sum of per-query minima (steady state); value_median = sum of
+    // per-query medians — a large gap between the two flags a noisy run.
+    def median(vs: Seq[Double]): Double = {
+      val s = vs.sorted; s(s.size / 2)
+    }
+    val totalMedian = samples.map { case (_, vs) => median(vs) }.sum
     val slowest = times.sortBy(-_._2).take(40).sortBy(_._1)
     println(
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${times.size},""" +
+        s""""value_median":${r3(totalMedian)},"runs":"best-of-2-or-3",""" +
         s""""cpus":$cpus,"queries":${jmap(slowest.map { case (k, v) => k -> r3(v) })},""" +
         s""""errors":$errs,"sf":"$sfDir"}""")
     spark.stop()

@@ -88,7 +88,13 @@ object CharStatsExpr {
     * [[CosineSimilarityExpr.cosineNative]]) and return a Column entry. */
   def charStatsNative(spark: SparkSession, c: Column): Column = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "char_stats_native", exprs => CharStatsExpr(exprs.head), "built-in")
+      "char_stats_native",
+      exprs => {
+        require(exprs.length == 1,
+          s"char_stats_native expects exactly 1 argument, got ${exprs.length}")
+        CharStatsExpr(exprs.head)
+      },
+      "built-in")
     org.apache.spark.sql.functions.call_function("char_stats_native", c)
   }
 }

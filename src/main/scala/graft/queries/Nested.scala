@@ -87,7 +87,13 @@ object Nested {
     * same Pregel hygiene as l17's connected components; dangling-node mass
     * is deliberately not redistributed (simplified PageRank, mirrored
     * exactly by the oracle's unrolled iterations). */
-  def g4PageRank(spark: SparkSession, dir: String): DataFrame = {
+  def g4PageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRank(spark, dir, rounds = 3)
+
+  /** Parameterized body of G4: a deep run (rounds >= 4) exercises the
+    * every-4th-round localCheckpoint cadence that the registered 3-round
+    * query intentionally never pays (see GraphDepthSpec). */
+  def pageRank(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
     import spark.implicits._
     val edges = orders(spark, dir).select($"o_orderkey", $"o_custkey")
       .join(lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
@@ -100,7 +106,7 @@ object Nested {
     val nodes = edges.select($"src".as("node"))
       .union(edges.select($"dst".as("node"))).distinct()
     var pr = nodes.withColumn("pr", lit(1000000L))
-    for (round <- 1 to 3) {
+    for (round <- 1 to rounds) {
       val contrib = edges
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .join(outdeg, Seq("src"))

@@ -813,6 +813,31 @@ object Relational {
       .select($"event_id", $"event_type", $"type_avg")
   }
 
+  /** J14: planted-skew join left to AQE's skew-split — the automatic
+    * counterpart of J11's manual salting. ~90% of the fact side is mapped
+    * onto one hot key, the shape that stalls a 1000-executor sort-merge
+    * join on a single straggler task; with
+    * `spark.sql.adaptive.skewJoin.enabled` (default on) the planner splits
+    * the oversized partition into advisory-sized slices and replicates the
+    * matching dim rows, so no salt column ever enters the schema and the
+    * answer is byte-identical to the unskewed plan (that equality IS the
+    * oracle). PlanShapeSpec pins `skew=true` in the executed plan with
+    * fixture-trippable thresholds; at 100 TB the default 256 MB threshold
+    * arms on its own. */
+  def j14AqeSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fact = lineitem(spark, dir).select(
+      when($"l_orderkey" % 10 < 9, 0L).otherwise($"l_partkey" % 1000).as("k"),
+      $"l_quantity")
+    val dim = part(spark, dir)
+      .groupBy(($"p_partkey" % 1000).as("k"))
+      .agg(count(lit(1)).as("n_parts"))
+    fact.join(dim, Seq("k"))
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n_li"), dsum($"l_quantity").as("sum_qty"),
+        min($"n_parts").as("n_parts"))
+  }
+
   /** J12: SCD type-2 dimension maintenance — a new snapshot of a slowly
     * changing dimension merged into its history table: unchanged keys keep
     * their open row, changed keys get the old row CLOSED (valid_to set)
@@ -961,6 +986,7 @@ object Relational {
     "j12_scd2_merge" -> (j12Scd2Merge _),
     "j10_bloom_runtime_filter" -> (j10BloomRuntimeFilter _),
     "j11_salted_join" -> (j11SaltedJoin _),
+    "j14_aqe_skew_join" -> (j14AqeSkewJoin _),
     "sq5_recursive_backoff" -> (sq5RecursiveBackoff _),
     "sq1_exists_subquery" -> (sq1ExistsSubquery _),
     "sq2_scalar_correlated" -> (sq2ScalarCorrelated _),
@@ -1134,6 +1160,19 @@ object Relational {
         |  FROM events GROUP BY event_type)
         |SELECT e.event_id, e.event_type, d.type_avg
         |FROM events e JOIN dim d ON e.event_type = d.event_type""".stripMargin,
+    "j14_aqe_skew_join" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0
+        |              ELSE l_partkey % 1000 END AS k, l_quantity
+        |  FROM lineitem),
+        |dim AS (
+        |  SELECT p_partkey % 1000 AS k, count(*) AS n_parts
+        |  FROM part GROUP BY 1)
+        |SELECT f.k, count(*) AS n_li,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  min(n_parts) AS n_parts
+        |FROM fact f JOIN dim d ON f.k = d.k
+        |GROUP BY f.k""".stripMargin,
     "sq1_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

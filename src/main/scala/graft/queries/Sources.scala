@@ -278,14 +278,12 @@ object Sources {
     val restated = base
       .filter($"day" >= "2024-01-05" && $"day" <= "2024-01-10")
       .withColumn("value", $"value" * 2)
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try restated.write.mode(SaveMode.Overwrite).partitionBy("day").parquet(out)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    // Writer-scoped option (takes precedence over the session conf) so a
+    // concurrent query in the same session can never inherit dynamic
+    // overwrite semantics from a temporarily mutated global.
+    restated.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(out)
     spark.read.parquet(out)
       .groupBy($"day".cast("string").as("day"))
       .agg(count(lit(1)).as("n"),

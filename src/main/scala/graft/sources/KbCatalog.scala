@@ -148,15 +148,18 @@ object SumSqBound extends AggregateFunction[java.lang.Long, java.lang.Long] {
 
   override def newAggregationState(): java.lang.Long = 0L
 
+  // Math.*Exact so a domain wide enough to overflow 64-bit sum-of-squares
+  // fails loudly (ArithmeticException) instead of silently wrapping where
+  // an oracle engine would promote to a wider type.
   override def update(state: java.lang.Long, input: InternalRow): java.lang.Long =
     if (input.isNullAt(0)) state
     else {
       val v = input.getLong(0)
-      state + v * v
+      Math.addExact(state, Math.multiplyExact(v, v))
     }
 
   override def merge(left: java.lang.Long, right: java.lang.Long): java.lang.Long =
-    left + right
+    Math.addExact(left, right)
 
   override def produceResult(state: java.lang.Long): java.lang.Long = state
 }

@@ -263,6 +263,29 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("J14: the registered skew query trips AQE skew-split on fixtures") {
+    // same threshold-lowering as the synthetic test above, but through the
+    // REGISTERED query, so the CORRECTNESS row and the plan evidence are
+    // about the same code path
+    val restore = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Relational.j14AqeSkewJoin(spark, sfDir)
+      val n = df.collect().length // finalize AQE on this exact DataFrame
+      assert(n > 0)
+      val plan = planOf(df).split("== Initial Plan ==")(0)
+      assert(plan.contains("skew=true"), plan.take(4000))
+    } finally restore.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   /** Finds the DSv2 scan through AQE wrappers (AdaptiveSparkPlanExec and
     * materialized QueryStageExec nodes are leaf-like and hide their
     * subtrees from a plain collect). */
