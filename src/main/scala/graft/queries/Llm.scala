@@ -312,16 +312,29 @@ object Llm {
     val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
       .unionByName(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
       .localCheckpoint(true)
+    minLabelPropagate(edges, maxIter = 40)
+      .select($"id".as("doc_id"), $"label".as("cluster_id"))
+  }
+
+  /** Min-label propagation core over undirected edges (`src`,`dst` with
+    * both directions present): each round every node takes the min label
+    * among itself and its neighbors, to fixpoint — the unique fixpoint is
+    * the component minimum. Split out so PropertySpec can drive it with
+    * generated graphs of arbitrary diameter (the registered l17 fixture
+    * graph converges in a handful of rounds and never stresses the cap).
+    *
+    * Convergence is a driver-side count(), i.e. one extra job — so it is
+    * checked only every 2 propagation rounds (labels decrease
+    * monotonically, so "unchanged across 2 rounds" implies each round was
+    * a no-op). Hitting the cap without converging is an explicit error,
+    * never a silently wrong clustering: a diameter > cap graph fails
+    * loudly here. */
+  private[graft] def minLabelPropagate(edges: DataFrame, maxIter: Int): DataFrame = {
+    import edges.sparkSession.implicits._
     var labels = edges.select($"src".as("id")).distinct()
       .withColumn("label", $"id").localCheckpoint(true)
-    // Convergence is a driver-side count(), i.e. one extra job — so it is
-    // checked only every 2 propagation rounds (labels decrease monotonically,
-    // so "unchanged across 2 rounds" implies each round was a no-op). Hitting
-    // the cap without converging is an explicit error, never a silently
-    // wrong clustering: a diameter > cap graph fails loudly here.
     var changed = 1L
     var iter = 0
-    val maxIter = 40
     while (changed > 0 && iter < maxIter) {
       val before = labels
       var r = 0
@@ -338,8 +351,8 @@ object Llm {
         .filter($"label" =!= $"old").count()
     }
     require(changed == 0,
-      s"l17 min-label propagation did not converge within $maxIter rounds (graph diameter > cap)")
-    labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
+      s"min-label propagation did not converge within $maxIter rounds (graph diameter > cap)")
+    labels
   }
 
   /** L14: vocabulary table — token frequencies with a deterministic top-k

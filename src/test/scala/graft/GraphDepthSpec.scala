@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Nested
+
+/** Deep-iteration evidence for g4 PageRank: the registered query runs 3
+  * rounds and deliberately never pays a lineage truncation; this spec runs
+  * 12 rounds so the every-4th-round localCheckpoint cadence executes three
+  * times, and checks (a) the final plan is flat (the last checkpoint left
+  * a leaf scan, not 12 unrolled join+agg rounds) and (b) the ranks equal a
+  * driver-side simulation using the identical scaled-integer arithmetic —
+  * truncation must never change the numbers.
+  */
+class GraphDepthSpec extends SparkSpec {
+
+  test("g4 at 12 rounds: checkpoint cadence fires, plan stays flat, ranks exact") {
+    import spark.implicits._
+    val df = Nested.pageRank(spark, sfDir, rounds = 12)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+    // round 12 is a cadence round (12 % 4 == 0), so the final plan reads
+    // the checkpointed RDD: no Join may survive into the optimized plan
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), plan.take(2000))
+
+    // driver-side reference with the same integer arithmetic
+    val edges = Engine.table(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+      .join(Engine.table(spark, sfDir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey"), $"o_orderkey" === $"l_orderkey")
+      .select(concat(lit("c"), $"o_custkey").as("src"),
+        concat(lit("s"), $"l_suppkey").as("dst"))
+      .distinct()
+      .as[(String, String)].collect().toSeq
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var pr = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 12) {
+      val incoming = edges
+        .groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => pr(s) / outdeg(s) }.sum).toMap
+      pr = nodes.map(n => n -> (150000L + (85L * incoming.getOrElse(n, 0L)) / 100L)).toMap
+    }
+    val expected = nodes.map(n => (n, pr(n)))
+      .sortBy { case (n, p) => (-p, n) }.take(20)
+    assert(got == expected)
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+
+import graft.queries.Relational
+
+/** Spill-under-pressure evidence — the one 100 TB claim nothing else
+  * tests: when a blocking operator's state exceeds what it may hold in
+  * memory, it must DEGRADE to disk (spill) and keep the answer
+  * byte-identical, not OOM.
+  *
+  * Executor memory is fixed at JVM launch in local mode, so the tests
+  * lower the operators' row-count spill thresholds instead — that drives
+  * the exact same code path (ExternalAppendOnlyUnsafeRowArray →
+  * UnsafeExternalSorter spill files) that memory-manager pressure forces
+  * at production scale; only the trigger differs. Each test asserts
+  * (a) nonzero spill metrics were recorded and (b) the spilled run's
+  * result equals the unconstrained run's.
+  */
+class MemorySpec extends SparkSpec {
+
+  /** Sum of spill metrics across all tasks run inside `body`. */
+  private def withSpilledBytes[T](body: => T): (T, Long) = {
+    val spilled = new AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          spilled.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+          ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = body
+      // listener delivery is async; poll briefly for the metrics to land
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (spilled.get == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      (r, spilled.get)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def withConfs[T](kvs: (String, String)*)(body: => T): T = {
+    val restore = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally restore.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("window (sessionize) spills to disk under pressure, same answer") {
+    val expected = canon(Relational.w9BatchSessionize(spark, sfDir))
+    val (got, spilled) = withConfs(
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "2",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "2") {
+      withSpilledBytes(canon(Relational.w9BatchSessionize(spark, sfDir)))
+    }
+    assert(spilled > 0, "expected nonzero spill metrics from the window buffer")
+    assert(got == expected)
+  }
+
+  test("shuffle under real memory pressure spills, same checksum (512m JVM)") {
+    // fork a 512 MB JVM and push ~430 MB of rows through a hash exchange:
+    // the shuffle writer cannot hold the map output and MUST spill. This
+    // is genuine memory-manager pressure (the thing lowered thresholds
+    // only imitate) — the probe either spills and returns the right
+    // checksum, or the test fails.
+    val rows = 6000000L
+    val (wantChecksum, wantRows) = SpillProbe.checksum(spark, rows)
+    val java = sys.props("java.home") + "/bin/java"
+    val cp = sys.props("java.class.path")
+    val pb = new ProcessBuilder(
+      java, "-Xmx512m", "-cp", cp, "graft.SpillProbe", rows.toString)
+    pb.redirectErrorStream(false)
+    val proc = pb.start()
+    // drain stderr concurrently or a full pipe buffer deadlocks the probe
+    val errBuf = new StringBuilder
+    val errThread = new Thread(() =>
+      scala.io.Source.fromInputStream(proc.getErrorStream)
+        .foreach(c => errBuf.synchronized { errBuf.append(c); () }))
+    errThread.setDaemon(true)
+    errThread.start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+    val code = proc.waitFor()
+    errThread.join(2000)
+    val err = errBuf.synchronized(errBuf.toString)
+    assert(code == 0, s"probe exited $code; stderr tail: ${err.takeRight(800)}")
+    val line = out.linesIterator.find(_.startsWith("""{"spilled":""")).getOrElse(
+      fail(s"no probe output line; stdout: ${out.takeRight(800)}"))
+    val nums = """-?\d+""".r.findAllIn(line).map(_.toLong).toSeq
+    val (spilled, checksum, nRows) = (nums(0), nums(1), nums(2))
+    assert(spilled > 0, s"expected spill under a 512m heap, got $line")
+    assert(nRows == wantRows)
+    assert(checksum == wantChecksum,
+      s"spilled run changed the answer: $checksum != $wantChecksum")
+  }
+}

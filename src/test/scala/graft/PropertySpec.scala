@@ -173,4 +173,42 @@ class PropertySpec extends SparkSpec {
     val result = SCTest.check(params, prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("property: min-label propagation converges below cap on path graphs " +
+    "and labels every node with its component minimum (l17)") {
+    import spark.implicits._
+    // a path is the worst case for a given node count (diameter = n-1),
+    // so convergence on random-length paths up to the cap bounds every
+    // realistic dedup graph of that size
+    val prop = Prop.forAll(Gen.choose(2, 16)) { n =>
+      val ids = (0 until n).map(i => f"d$i%03d")
+      val undirected = (0 until n - 1).flatMap { i =>
+        Seq((ids(i), ids(i + 1)), (ids(i + 1), ids(i)))
+      }
+      val labels = graft.queries.Llm
+        .minLabelPropagate(undirected.toDF("src", "dst"), maxIter = 40)
+        .collect()
+      labels.length == n && labels.forall(_.getString(1) == "d000")
+    }
+    val result = SCTest.check(params.withMinSuccessfulTests(4), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("min-label propagation FAILS LOUDLY past the round cap (l17)") {
+    import spark.implicits._
+    // diameter 19 > cap 10: must throw, never return a wrong clustering.
+    // (The cap is a parameter, so a small cap exercises the identical
+    // failure path the production cap of 40 guards.)
+    val n = 20
+    val ids = (0 until n).map(i => f"d$i%03d")
+    val undirected = (0 until n - 1).flatMap { i =>
+      Seq((ids(i), ids(i + 1)), (ids(i + 1), ids(i)))
+    }
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.Llm
+        .minLabelPropagate(undirected.toDF("src", "dst"), maxIter = 10)
+        .collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }
