@@ -823,19 +823,47 @@ object Relational {
     * answer is byte-identical to the unskewed plan (that equality IS the
     * oracle). PlanShapeSpec pins `skew=true` in the executed plan with
     * fixture-trippable thresholds; at 100 TB the default 256 MB threshold
-    * arms on its own. */
-  def j14AqeSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    * arms on its own.
+    *
+    * Shape note: BOTH join inputs are plain projected scans — AQE's
+    * OptimizeSkewedJoin only matches a sort-merge join whose children are
+    * sort+shuffle stages, so an aggregate (or any other operator) between
+    * the exchange and the join would silently disable the skew split.
+    * That constraint is exactly what this query documents. */
+  def j14AqeSkewJoin(spark: SparkSession, dir: String): DataFrame =
+    j14SkewJoinCore(j14Fact(spark, dir), j14Dim(spark, dir))
+
+  /** Fact side of J14: ~90% of lineitem mapped onto hot key 0. */
+  private[graft] def j14Fact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val fact = lineitem(spark, dir).select(
+    lineitem(spark, dir).select(
       when($"l_orderkey" % 10 < 9, 0L).otherwise($"l_partkey" % 1000).as("k"),
       $"l_quantity")
-    val dim = part(spark, dir)
-      .groupBy(($"p_partkey" % 1000).as("k"))
-      .agg(count(lit(1)).as("n_parts"))
+  }
+
+  private[graft] def j14Dim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    part(spark, dir)
+      .select(($"p_partkey" % 1000).as("k"), $"p_size".cast("long").as("p_size"))
+  }
+
+  /** Join+agg core of J14, split out for the plan test. Two shape
+    * constraints this query deliberately documents:
+    *   - AQE can only SLICE a skewed reduce partition along mapper
+    *     boundaries, and every fixture parquet is one row group = one
+    *     mapper — so the local test feeds this core a multi-mapper
+    *     (repartitioned) fact side, the shape any production input has;
+    *   - the downstream aggregate keys on `p_size`, NOT the join key: an
+    *     agg on the join key would be satisfied by the join's own
+    *     partitioning, and OptimizeSkewedJoin refuses to split when that
+    *     would force an extra exchange (unless forceOptimizeSkewedJoin).
+    *     Aggregating on a different key needs its own shuffle regardless,
+    *     so the skew split is free. */
+  private[graft] def j14SkewJoinCore(fact: DataFrame, dim: DataFrame): DataFrame = {
+    import fact.sparkSession.implicits._
     fact.join(dim, Seq("k"))
-      .groupBy($"k")
-      .agg(count(lit(1)).as("n_li"), dsum($"l_quantity").as("sum_qty"),
-        min($"n_parts").as("n_parts"))
+      .groupBy($"p_size")
+      .agg(count(lit(1)).as("n_li"), dsum($"l_quantity").as("sum_qty"))
   }
 
   /** J12: SCD type-2 dimension maintenance — a new snapshot of a slowly
@@ -1166,13 +1194,12 @@ object Relational {
         |              ELSE l_partkey % 1000 END AS k, l_quantity
         |  FROM lineitem),
         |dim AS (
-        |  SELECT p_partkey % 1000 AS k, count(*) AS n_parts
-        |  FROM part GROUP BY 1)
-        |SELECT f.k, count(*) AS n_li,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  min(n_parts) AS n_parts
+        |  SELECT p_partkey % 1000 AS k, CAST(p_size AS BIGINT) AS p_size
+        |  FROM part)
+        |SELECT d.p_size, count(*) AS n_li,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM fact f JOIN dim d ON f.k = d.k
-        |GROUP BY f.k""".stripMargin,
+        |GROUP BY d.p_size""".stripMargin,
     "sq1_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

@@ -645,11 +645,13 @@ object Sources {
     * the JDK's built-in `javax.imageio` reads the bytes and reports true
     * pixel dimensions, partition-locally on the executor — the shape a
     * 100 TB image pipeline needs (decode travels to the data; only small
-    * typed features come back). JP2 and opaque payloads keep a clearly
-    * deterministic STUB (no JPEG 2000 codec ships with the JDK and this
-    * environment has no external codec libs); the Spark-side contract —
-    * schema, encoder, partition-wise batch shape — is identical for both
-    * paths and oracle-checked against fixture values. */
+    * typed features come back). JP2 dimensions are parsed from the REAL
+    * container header ([[graft.sources.Jp2Box]] — signature/jp2h/ihdr
+    * boxes, pure byte arithmetic); only the entropy-coded JP2 payload
+    * remains out of scope (no JPEG 2000 codec ships with the JDK or this
+    * environment). Non-image payloads report (-1, -1) — flagged, never
+    * faked. The Spark-side contract — schema, encoder, partition-wise
+    * batch shape — is identical for every path and oracle-checked. */
   def l5MultimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val assets = spark.read.format("binaryFile").load(s"$fixtureDir/bin")
@@ -663,14 +665,15 @@ object Sources {
       .as[(String, Long, Array[Byte], String)]
     assets.mapPartitions { it =>
       it.map { case (name, nBytes, bytes, mime) =>
-        val (width, height) =
-          if (mime == "image/jpeg")
+        val (width, height) = mime match {
+          case "image/jpeg" =>
             Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
               .map(img => (img.getWidth, img.getHeight))
               .getOrElse((-1, -1)) // undecodable jpeg: flagged, not faked
-          else
-            // STUB (documented above): deterministic function of byte length
-            ((nBytes * 7 % 640 + 1).toInt, (nBytes * 13 % 480 + 1).toInt)
+          case "image/jp2" =>
+            graft.sources.Jp2Box.parseDims(bytes).getOrElse((-1, -1))
+          case _ => (-1, -1) // not an image: no dimensions to report
+        }
         (name, mime, nBytes, width, height)
       }
     }.toDF("file_name", "mime", "n_bytes", "width", "height")
@@ -910,8 +913,8 @@ object Sources {
         |FROM events""".stripMargin,
     "s3_binary_source" ->
       """SELECT * FROM (VALUES
-        |('bib13991099_18650102_0_1_0001.jp2', CAST(42 AS BIGINT), '7d2467132d4d593af9a6c405418e537c'),
-        |('bib13991099_18650102_0_1_0002.JP2', CAST(44 AS BIGINT), '4acca70dfb9ca02337af4f3926d39d05'),
+        |('bib13991099_18650102_0_1_0001.jp2', CAST(112 AS BIGINT), '8839c3a3610d597bce0e46a3373dfa51'),
+        |('bib13991099_18650102_0_1_0002.JP2', CAST(114 AS BIGINT), 'da41817ee4b28dafffd9476f2d613f0a'),
         |('notes.bin', CAST(12 AS BIGINT), '96bc106959731774503ad348c825ece3'),
         |('thumb_13.jpg', CAST(682 AS BIGINT), 'a58494c9fa0d9e9e6cd4eee614f92720')
         |) AS t(file_name, n_bytes, md5_hex)""".stripMargin,
@@ -1062,8 +1065,8 @@ object Sources {
         |FROM events""".stripMargin,
     "l5b_frame_sample" ->
       """WITH assets AS (SELECT * FROM (VALUES
-        |('bib13991099_18650102_0_1_0001.jp2', CAST(42 AS BIGINT)),
-        |('bib13991099_18650102_0_1_0002.JP2', CAST(44 AS BIGINT)),
+        |('bib13991099_18650102_0_1_0001.jp2', CAST(112 AS BIGINT)),
+        |('bib13991099_18650102_0_1_0002.JP2', CAST(114 AS BIGINT)),
         |('notes.bin', CAST(12 AS BIGINT)),
         |('thumb_13.jpg', CAST(682 AS BIGINT))) AS t(file_name, n_bytes))
         |SELECT file_name,
@@ -1073,9 +1076,9 @@ object Sources {
         |      FROM assets)""".stripMargin,
     "l5_multimodal_decode" ->
       """SELECT * FROM (VALUES
-        |('bib13991099_18650102_0_1_0001.jp2', 'image/jp2', CAST(42 AS BIGINT), 295, 67),
-        |('bib13991099_18650102_0_1_0002.JP2', 'image/jp2', CAST(44 AS BIGINT), 309, 93),
-        |('notes.bin', 'application/octet-stream', CAST(12 AS BIGINT), 85, 157),
+        |('bib13991099_18650102_0_1_0001.jp2', 'image/jp2', CAST(112 AS BIGINT), 2479, 3508),
+        |('bib13991099_18650102_0_1_0002.JP2', 'image/jp2', CAST(114 AS BIGINT), 1860, 2631),
+        |('notes.bin', 'application/octet-stream', CAST(12 AS BIGINT), -1, -1),
         |('thumb_13.jpg', 'image/jpeg', CAST(682 AS BIGINT), 24, 16)
         |) AS t(file_name, mime, n_bytes, width, height)""".stripMargin
   )

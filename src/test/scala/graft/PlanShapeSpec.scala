@@ -269,14 +269,23 @@ class PlanShapeSpec extends SparkSpec {
     // about the same code path
     val restore = Seq(
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",
       "spark.sql.autoBroadcastJoinThreshold"
     ).map(k => k -> spark.conf.getOption(k)).toMap
     try {
-      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
-      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      // fixture shuffle partitions are KB-sized, so both gates (absolute
+      // threshold and median multiple) come down to fixture scale
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val df = Relational.j14AqeSkewJoin(spark, sfDir)
+      // single-row-group fixture = one mapper, and AQE slices skewed
+      // partitions along mapper boundaries — so give the core the
+      // multi-mapper fact side every production input naturally has
+      val df = Relational.j14SkewJoinCore(
+        Relational.j14Fact(spark, sfDir).repartition(8),
+        Relational.j14Dim(spark, sfDir))
       val n = df.collect().length // finalize AQE on this exact DataFrame
       assert(n > 0)
       val plan = planOf(df).split("== Initial Plan ==")(0)
