@@ -355,6 +355,41 @@ object Llm {
     labels
   }
 
+  /** L29: document-length histogram by language — the distribution a
+    * curation pass reads BEFORE choosing its length filter thresholds
+    * (l6 applies them). Integer bucketing (`len div 250`, capped at 15)
+    * instead of a float histogram function so every engine computes the
+    * identical bucket; pure map + one (lang,bucket) agg shuffle — the
+    * whole 100 TB corpus reduces to |langs|×16 rows. */
+  def l29LengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .select($"lang", least(expr("length(text) div 250"), lit(15L)).as("bucket"))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** L30: vocabulary coverage — per-doc out-of-vocabulary rate against
+    * the corpus top-50 vocabulary (the cheap LM-free proxy for perplexity
+    * filtering: junk text has low coverage of the head vocabulary). The
+    * vocab is a deterministic top-k (freq desc, token asc — same rule as
+    * l14) and BROADCASTS to the token stream: one explode, one broadcast
+    * left join, one per-doc agg; never a doc×vocab shuffle. The rate is a
+    * single bigint division, so the double hash-matches any IEEE engine. */
+  def l30VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+    val vocab = toks.groupBy($"token").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"token").limit(50)
+      .select($"token", lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", $"n_oov".cast("double") / $"n_tokens")
+  }
+
   /** L14: vocabulary table — token frequencies with a deterministic top-k
     * (the tokenizer-training / frequency-filter input). Partial map-side
     * counts before the one shuffle; top-k is TakeOrderedAndProject. */
@@ -779,7 +814,9 @@ object Llm {
     "l26_kmeans_clusters" -> (l26KmeansClusters _),
     "f_bits" -> (fBits _),
     "f_bitagg" -> (fBitagg _),
-    "l11_rolling_fingerprint" -> (l11RollingFingerprint _)
+    "l11_rolling_fingerprint" -> (l11RollingFingerprint _),
+    "l29_length_histogram" -> (l29LengthHistogram _),
+    "l30_vocab_coverage" -> (l30VocabCoverage _)
   )
 
   private val candSql =
@@ -946,6 +983,25 @@ object Llm {
           |JOIN sizes sa ON sa.id = a_id
           |JOIN sizes sb ON sb.id = b_id
           |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5""".stripMargin),
+    "l29_length_histogram" ->
+      """SELECT lang, least(length(text) // 250, 15) AS bucket,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "l30_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS freq FROM toks GROUP BY 1
+        |    ORDER BY freq DESC, token LIMIT 50)),
+        |per AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM toks t LEFT JOIN vocab v ON t.token = v.token
+        |  GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate FROM per""".stripMargin,
     "l9_embedding_neardup" ->
       """WITH cand AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

@@ -295,6 +295,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("L30: vocab joins the token stream by broadcast, never a shuffle join") {
+    val plan = planOf(graft.queries.Llm.l30VocabCoverage(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("L29: histogram is one partial-agg shuffle, nothing else") {
+    val plan = planOf(graft.queries.Llm.l29LengthHistogram(spark, sfDir))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    // exactly one exchange: the (lang, bucket) agg
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(3000))
+  }
+
   /** Finds the DSv2 scan through AQE wrappers (AdaptiveSparkPlanExec and
     * materialized QueryStageExec nodes are leaf-like and hide their
     * subtrees from a plain collect). */
