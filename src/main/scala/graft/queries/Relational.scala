@@ -897,6 +897,33 @@ object Relational {
     keptOpen.unionByName(closedOld).unionByName(openedNew)
   }
 
+  /** A17: mergeable-sketch aggregation — the reaggregation pattern behind
+    * every warehouse percentile sketch (t-digest/KLL), demonstrated with a
+    * FIXED-BIN INTEGER histogram so the whole chain stays exactly
+    * oracle-checkable: stage 1 builds constant-size per-day partials
+    * (20 buckets), stage 2 merges partials by summing counts — the
+    * mergeable-state property that lets 100 TB of daily history collapse
+    * into month/era quantiles without ever re-reading raw rows — and
+    * stage 3 extracts p50/p90 by integer cumulative walk. Every value is
+    * a count or a bucket id; no float quantile interpolation anywhere. */
+  def a17HistogramMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val partials = events(spark, dir)
+      .select($"event_type", to_date($"ts").as("day"),
+        least(floor($"value" / 20).cast("long"), lit(19L)).as("bucket"))
+      .groupBy($"event_type", $"day", $"bucket")
+      .agg(count(lit(1)).as("c"))
+    val merged = partials.groupBy($"event_type", $"bucket").agg(sum($"c").as("c"))
+    val w = Window.partitionBy($"event_type").orderBy($"bucket")
+    merged
+      .withColumn("cum", sum($"c").over(w))
+      .withColumn("total", sum($"c").over(Window.partitionBy($"event_type")))
+      .groupBy($"event_type")
+      .agg(max($"total").as("n"),
+        min(when($"cum" * 2 >= $"total", $"bucket")).as("p50_bucket"),
+        min(when($"cum" * 10 >= $"total" * 9, $"bucket")).as("p90_bucket"))
+  }
+
   /** W9: batch sessionization — the gap-rule the streaming session window
     * (st6_session) applies in state, expressed over data at rest: a new
     * session starts when a user's inter-event gap exceeds 30 min, the
@@ -1010,6 +1037,7 @@ object Relational {
     "j13_interval_join" -> (j13IntervalJoin _),
     "a14_incremental_agg_merge" -> (a14IncrementalAggMerge _),
     "a15_countmin_heavy_hitters" -> (a15CountminHeavyHitters _),
+    "a17_histogram_merge" -> (a17HistogramMerge _),
     "w8_gap_fill" -> (w8GapFill _),
     "j12_scd2_merge" -> (j12Scd2Merge _),
     "j10_bloom_runtime_filter" -> (j10BloomRuntimeFilter _),
@@ -1171,6 +1199,24 @@ object Relational {
         |UNION ALL
         |SELECT c_custkey, seg, DATE '2024-06-01', CAST(NULL AS DATE)
         |FROM v2 WHERE c_custkey IN (SELECT c_custkey FROM changed)""".stripMargin,
+    "a17_histogram_merge" ->
+      """WITH partials AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    least(CAST(floor(value / 20) AS BIGINT), 19) AS bucket,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |merged AS (
+        |  SELECT event_type, bucket, CAST(sum(c) AS BIGINT) AS c
+        |  FROM partials GROUP BY 1, 2),
+        |walked AS (
+        |  SELECT event_type, bucket, c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        |  FROM merged)
+        |SELECT event_type, max(total) AS n,
+        |  min(CASE WHEN cum * 2 >= total THEN bucket END) AS p50_bucket,
+        |  min(CASE WHEN cum * 10 >= total * 9 THEN bucket END) AS p90_bucket
+        |FROM walked GROUP BY event_type""".stripMargin,
     "a14_incremental_agg_merge" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
