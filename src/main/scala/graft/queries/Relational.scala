@@ -841,10 +841,14 @@ object Relational {
       $"l_quantity")
   }
 
+  /** Dim side of J14: one row per key, made unique by a pure pushed
+    * FILTER (p_partkey < 1000), never an aggregate — an agg here would
+    * both disable the skew-split pattern match and, with `%`-folded
+    * duplicate keys, make the join output grow as SF² instead of SF. */
   private[graft] def j14Dim(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    part(spark, dir)
-      .select(($"p_partkey" % 1000).as("k"), $"p_size".cast("long").as("p_size"))
+    part(spark, dir).filter($"p_partkey" < 1000)
+      .select($"p_partkey".as("k"), $"p_size".cast("long").as("p_size"))
   }
 
   /** Join+agg core of J14, split out for the plan test. Two shape
@@ -1240,8 +1244,8 @@ object Relational {
         |              ELSE l_partkey % 1000 END AS k, l_quantity
         |  FROM lineitem),
         |dim AS (
-        |  SELECT p_partkey % 1000 AS k, CAST(p_size AS BIGINT) AS p_size
-        |  FROM part)
+        |  SELECT p_partkey AS k, CAST(p_size AS BIGINT) AS p_size
+        |  FROM part WHERE p_partkey < 1000)
         |SELECT d.p_size, count(*) AS n_li,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM fact f JOIN dim d ON f.k = d.k
