@@ -110,7 +110,9 @@ object Bench {
     // value = sum of per-query minima (steady state); value_median = sum of
     // per-query medians — a large gap between the two flags a noisy run.
     def median(vs: Seq[Double]): Double = {
-      val s = vs.sorted; s(s.size / 2)
+      val s = vs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val totalMedian = samples.map { case (_, vs) => median(vs) }.sum
     val slowest = times.sortBy(-_._2).take(40).sortBy(_._1)
