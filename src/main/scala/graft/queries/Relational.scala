@@ -901,6 +901,34 @@ object Relational {
     keptOpen.unionByName(closedOld).unionByName(openedNew)
   }
 
+  /** W12: ordered funnel — the sequential-pattern analytic (the shape
+    * MATCH_RECOGNIZE serves in engines that have it): per user, the
+    * earliest `view`, the earliest `click` AFTER that view, and the
+    * earliest `purchase` AFTER that click, then one row per funnel stage
+    * with the converted-user count. No self-joins: each stage is a
+    * conditional running min over the SAME user-partitioned sort, so the
+    * whole funnel costs ONE shuffle on user_id (Exchange reuse across the
+    * three window passes), and the final stage agg runs on |users| rows,
+    * not |events|. */
+  def w12Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("t_view", min(when($"event_type" === "view", $"us")).over(w))
+      .withColumn("t_click", min(when($"event_type" === "click" &&
+        $"t_view".isNotNull && $"us" > $"t_view", $"us")).over(w))
+      .withColumn("t_purchase", min(when($"event_type" === "purchase" &&
+        $"t_click".isNotNull && $"us" > $"t_click", $"us")).over(w))
+    val perUser = staged.groupBy($"user_id")
+      .agg(min($"t_view").as("v"), min($"t_click").as("c"), min($"t_purchase").as("p"))
+    perUser.select(
+      sum(when($"v".isNotNull, 1L).otherwise(0L)).as("viewed"),
+      sum(when($"c".isNotNull, 1L).otherwise(0L)).as("clicked_after_view"),
+      sum(when($"p".isNotNull, 1L).otherwise(0L)).as("purchased_after_click"))
+  }
+
   /** A17: mergeable-sketch aggregation — the reaggregation pattern behind
     * every warehouse percentile sketch (t-digest/KLL), demonstrated with a
     * FIXED-BIN INTEGER histogram so the whole chain stays exactly
@@ -1042,6 +1070,7 @@ object Relational {
     "a14_incremental_agg_merge" -> (a14IncrementalAggMerge _),
     "a15_countmin_heavy_hitters" -> (a15CountminHeavyHitters _),
     "a17_histogram_merge" -> (a17HistogramMerge _),
+    "w12_funnel" -> (w12Funnel _),
     "w8_gap_fill" -> (w8GapFill _),
     "j12_scd2_merge" -> (j12Scd2Merge _),
     "j10_bloom_runtime_filter" -> (j10BloomRuntimeFilter _),
@@ -1221,6 +1250,37 @@ object Relational {
         |  min(CASE WHEN cum * 2 >= total THEN bucket END) AS p50_bucket,
         |  min(CASE WHEN cum * 10 >= total * 9 THEN bucket END) AS p90_bucket
         |FROM walked GROUP BY event_type""".stripMargin,
+    "w12_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |s1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS t_view
+        |  FROM ev),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click'
+        |                      AND t_view IS NOT NULL AND us > t_view THEN us END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS t_click
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase'
+        |                      AND t_click IS NOT NULL AND us > t_click THEN us END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS t_purchase
+        |  FROM s2),
+        |pu AS (
+        |  SELECT user_id, min(t_view) AS v, min(t_click) AS c,
+        |    min(t_purchase) AS p
+        |  FROM s3 GROUP BY 1)
+        |SELECT
+        |  CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+        |  CAST(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+        |  CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+        |FROM pu""".stripMargin,
     "a14_incremental_agg_merge" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -76,6 +76,26 @@ class ExtractionSpec extends SparkSpec {
       s"merged estimate $approx vs exact $exact")
   }
 
+  test("A17: the merged-histogram quantile bucket contains the exact percentile") {
+    // links the mergeable-sketch path to the exact path: the p50/p90
+    // bucket ids from the per-day-partials merge must be the buckets the
+    // exact interpolated percentiles fall into (bucket width 20, cap 19)
+    val hist = graft.queries.Relational.a17HistogramMerge(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> (r._3, r._4)).toMap
+    val exact = Extraction.a8Percentiles(spark, sfDir)
+      .select($"event_type", $"p50", $"p90")
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(hist.nonEmpty && hist.keySet == exact.keySet)
+    def bucketOf(v: Double): Long = math.min(math.floor(v / 20).toLong, 19L)
+    hist.foreach { case (k, (b50, b90)) =>
+      val (e50, e90) = exact(k)
+      // the exact interpolated value can straddle a bucket edge; the
+      // histogram bucket must be within one bucket of it
+      assert(math.abs(b50 - bucketOf(e50)) <= 1, s"$k p50: bucket $b50 vs exact $e50")
+      assert(math.abs(b90 - bucketOf(e90)) <= 1, s"$k p90: bucket $b90 vs exact $e90")
+    }
+  }
+
   test("A8c: approx_percentile lands within 5% of the exact percentile") {
     val approx = Extraction.a8ApproxPercentiles(spark, sfDir)
       .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap

@@ -295,6 +295,13 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("W12: the three funnel window passes share one user_id exchange") {
+    val plan = planOf(Relational.w12Funnel(spark, sfDir))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      plan.take(4000))
+    assert("Window".r.findAllIn(plan).size >= 3, plan.take(4000))
+  }
+
   test("L30: vocab joins the token stream by broadcast, never a shuffle join") {
     val plan = planOf(graft.queries.Llm.l30VocabCoverage(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
