@@ -534,8 +534,56 @@ object StreamingQ {
       .agg(count(lit(1)).as("n_kept"), sum($"n_tokens").as("total_tokens"))
   }
 
+  /** ST16: dead-letter routing — the dual-sink split every production
+    * ingest needs: each micro-batch is evaluated ONCE (persist), then
+    * accepted rows append to the main sink while rejected rows append to
+    * a quarantine sink carrying an explicit reason column, both inside
+    * the same foreachBatch epoch (same failure domain: a crash between
+    * the writes replays the whole batch, it can never route half).
+    * Rejection rule is deterministic (error events, outlier values), so
+    * the read-back per-route counts hash-match a batch oracle. At scale
+    * the split is two filters over one cached batch — no second source
+    * scan, no state. */
+  def st16DeadLetter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = Streams.stageEvents(spark, dir, 4)
+    val schema = Streams.eventsSchema(spark, dir)
+    val mainSink = java.nio.file.Files.createTempDirectory("st16_main").toString
+    val dlqSink = java.nio.file.Files.createTempDirectory("st16_dlq").toString
+    val bad = $"event_type" === "error" || $"value" >= 300.0
+    val q = Streams.eventsStream(spark, staged, schema, 2)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck_st16").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cached = batch.persist()
+        try {
+          cached.filter(!bad)
+            .write.mode(SaveMode.Append).parquet(mainSink)
+          cached.filter(bad)
+            .withColumn("reason", when($"event_type" === "error", "error_type")
+              .otherwise("outlier_value"))
+            .write.mode(SaveMode.Append).parquet(dlqSink)
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+    q.awaitTermination()
+    val accepted = spark.read.parquet(mainSink)
+      .groupBy($"event_type".as("key"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("route", lit("accepted"))
+    val quarantined = spark.read.parquet(dlqSink)
+      .groupBy($"reason".as("key"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("route", lit("quarantined"))
+    accepted.unionByName(quarantined).select($"route", $"key", $"n")
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st16_dead_letter" -> (st16DeadLetter _),
     "st15_streaming_curation" -> (st15StreamingCuration _),
     "st14_stream_static_join" -> (st14StreamStaticJoin _),
     "st1_tumbling" -> (st1Tumbling _),
@@ -558,6 +606,16 @@ object StreamingQ {
   private val oraDsumValue = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "st16_dead_letter" ->
+      """SELECT 'accepted' AS route, event_type AS key, count(*) AS n
+        |FROM events WHERE NOT (event_type = 'error' OR value >= 300.0)
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT 'quarantined',
+        |  CASE WHEN event_type = 'error' THEN 'error_type'
+        |       ELSE 'outlier_value' END, count(*)
+        |FROM events WHERE event_type = 'error' OR value >= 300.0
+        |GROUP BY 2""".stripMargin,
     "st15_streaming_curation" ->
       """WITH m AS (
         |  SELECT lang,

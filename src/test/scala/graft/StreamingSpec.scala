@@ -239,4 +239,16 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination()
     assert(batches.get() == 3)
   }
+
+  test("ST16: dead-letter routing partitions the stream exactly (no loss, no dup)") {
+    import spark.implicits._
+    val routed = graft.queries.StreamingQ.st16DeadLetter(spark, sfDir)
+      .groupBy($"route").agg(org.apache.spark.sql.functions.sum($"n").as("n"))
+      .as[(String, Long)].collect().toMap
+    val total = Engine.events(spark, sfDir).count()
+    assert(routed.values.sum == total,
+      s"routed ${routed.values.sum} of $total rows: $routed")
+    assert(routed.keySet == Set("accepted", "quarantined"))
+    assert(routed.values.forall(_ > 0))
+  }
 }
