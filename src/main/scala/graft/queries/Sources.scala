@@ -291,6 +291,31 @@ object Sources {
           .cast("double").as("value_sum"))
   }
 
+  /** S26: rebalanced write — the small-file/straggler-file fix on the
+    * write path: a REBALANCE hint lets AQE both coalesce tiny shuffle
+    * partitions and SPLIT oversized ones
+    * (OptimizeSkewInRebalancePartitions) so every output file lands near
+    * `advisoryPartitionSizeInBytes` — unlike repartition(n), which pins a
+    * file count that is wrong at every other scale, and unlike coalesce,
+    * which can only merge. At 100 TB this is the difference between a
+    * table of uniform ~128 MB files and a mix of KB-shards and multi-GB
+    * stragglers. Content is oracle-checked via read-back aggregation;
+    * the plan shape (REBALANCE shuffle origin) is pinned in
+    * PlanShapeSpec. */
+  def s26RebalanceWrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tmp("s26_rebal")
+    events(spark, dir)
+      .select($"event_id", $"event_type", $"value")
+      .hint("rebalance")
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    spark.read.parquet(out)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("value_sum"))
+  }
+
   /** O9: CSV round trip — schema-declared read of a header CSV written by
     * the engine itself (the reference's tabular side-files), then an
     * aggregate proving values survive the text round trip. The read uses an
@@ -845,6 +870,7 @@ object Sources {
     "s20_compaction" -> (s20Compaction _),
     "s21_zorder_layout" -> (s21ZorderLayout _),
     "s22_dynamic_overwrite" -> (s22DynamicOverwrite _),
+    "s26_rebalance_write" -> (s26RebalanceWrite _),
     "l5c_thumbnail" -> (l5cThumbnail _),
     "l5d_audio_features" -> (l5dAudioFeatures _),
     "o13_merge_schema" -> (o13MergeSchema _),
@@ -903,6 +929,10 @@ object Sources {
         |    CASE WHEN strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-10'
         |         THEN value * 2 ELSE value END AS DECIMAL(18,2))) AS DOUBLE)
         |    AS value_sum
+        |FROM events GROUP BY 1""".stripMargin,
+    "s26_rebalance_write" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1""".stripMargin,
     "s1_pushdown_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

@@ -295,6 +295,45 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("S26: REBALANCE sizes output files to the advisory in both directions") {
+    import org.apache.spark.sql.SaveMode
+    val restoreKeys = Seq(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val saved = restoreKeys.map(k => k -> spark.conf.getOption(k))
+    def restoreAll(): Unit = saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+    def writeAndCount(): Int = {
+      val out = java.nio.file.Files.createTempDirectory("s26_test").toString
+      Engine.events(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.col("value"))
+        // same mapper-boundary constraint as J14: AQE slices a shuffle
+        // partition along mapper contributions, and the single-row-group
+        // fixture scan is one mapper — production inputs have thousands
+        .repartition(8)
+        .hint("rebalance")
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      new java.io.File(out).listFiles.count(_.getName.endsWith(".parquet"))
+    }
+    try {
+      // tiny advisory (compressed shuffle bytes for the whole fixture are
+      // only ~8 KB): the write must fan out into multiple advisory-sized
+      // files instead of one. minPartitionSize (default 1 MB) would
+      // otherwise floor every partition above the whole fixture's size.
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
+      val split = writeAndCount()
+      assert(split >= 3, s"expected the skew-split direction, got $split files")
+      // default advisory: the same data COALESCES back to one file
+      restoreAll()
+      val merged = writeAndCount()
+      assert(merged == 1, s"expected the coalesce direction, got $merged files")
+    } finally restoreAll()
+  }
+
   test("W12: the three funnel window passes share one user_id exchange") {
     val plan = planOf(Relational.w12Funnel(spark, sfDir))
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
