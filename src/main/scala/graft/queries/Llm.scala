@@ -390,6 +390,49 @@ object Llm {
       .withColumn("oov_rate", $"n_oov".cast("double") / $"n_tokens")
   }
 
+  /** L31: document chunking — long documents split into fixed 40-token
+    * windows with a 10-token overlap (stride 30), the step every training
+    * pipeline runs between curation and tokenization. Pure
+    * generate-and-slice: sequence → explode → slice/array_join, shuffle
+    * count ZERO (plan test) — chunking 100 TB is map-only, so it scales
+    * with input bandwidth, not cluster coordination. Chunk text and
+    * boundaries are exact string matches against the oracle. */
+  def l31DocChunking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0), greatest(size($"toks") - 1, lit(0)), lit(30)))
+          .as("start"))
+      .filter($"start" < size($"toks"))
+      .select($"doc_id",
+        ($"start" / 30).cast("long").as("chunk_idx"),
+        array_join(slice($"toks", $"start" + 1, lit(40)), " ").as("chunk_text"),
+        least(size($"toks") - $"start", lit(40)).cast("long").as("n_chunk"))
+  }
+
+  /** L32: sequence packing — documents packed into 500-token context
+    * bins by contiguous fill in deterministic doc order, PER SOURCE
+    * SHARD: the scalable form of training-batch packing (a global
+    * greedy FFD is inherently sequential; per-shard contiguous fill is
+    * what large pipelines actually run, and it parallelizes as one
+    * window pass per shard + one agg — both on the same source
+    * partitioning, so ONE shuffle total). Bin id is an integer division
+    * of the running token count, so the whole layout hash-matches the
+    * oracle. */
+  def l32SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(spark, dir)
+      .select($"source", $"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum($"n_tok").over(w), lit(0L)))
+      .withColumn("bin", expr("cum_before div 500"))
+      .groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("bin_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+  }
+
   /** L14: vocabulary table — token frequencies with a deterministic top-k
     * (the tokenizer-training / frequency-filter input). Partial map-side
     * counts before the one shuffle; top-k is TakeOrderedAndProject. */
@@ -816,7 +859,9 @@ object Llm {
     "f_bitagg" -> (fBitagg _),
     "l11_rolling_fingerprint" -> (l11RollingFingerprint _),
     "l29_length_histogram" -> (l29LengthHistogram _),
-    "l30_vocab_coverage" -> (l30VocabCoverage _)
+    "l30_vocab_coverage" -> (l30VocabCoverage _),
+    "l31_doc_chunking" -> (l31DocChunking _),
+    "l32_sequence_packing" -> (l32SequencePacking _)
   )
 
   private val candSql =
@@ -983,6 +1028,32 @@ object Llm {
           |JOIN sizes sa ON sa.id = a_id
           |JOIN sizes sb ON sb.id = b_id
           |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5""".stripMargin),
+    "l32_sequence_packing" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tok,
+        |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM d)
+        |SELECT source, cum_before // 500 AS bin, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "l31_doc_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, greatest(len(toks) - 1, 0), 30)) AS start
+        |  FROM t)
+        |SELECT doc_id, CAST(start // 30 AS BIGINT) AS chunk_idx,
+        |  array_to_string(toks[start + 1 : start + 40], ' ') AS chunk_text,
+        |  CAST(least(len(toks) - start, 40) AS BIGINT) AS n_chunk
+        |FROM s WHERE start < len(toks)""".stripMargin,
     "l29_length_histogram" ->
       """SELECT lang, least(length(text) // 250, 15) AS bucket,
         |  count(*) AS n_docs

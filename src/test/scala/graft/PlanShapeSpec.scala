@@ -341,6 +341,18 @@ class PlanShapeSpec extends SparkSpec {
     assert("Window".r.findAllIn(plan).size >= 3, plan.take(4000))
   }
 
+  test("L31: chunking is map-only — zero exchanges") {
+    val plan = planOf(graft.queries.Llm.l31DocChunking(spark, sfDir))
+    assert(!plan.contains("Exchange"), plan.take(3000))
+    assert(plan.contains("Generate"), plan.take(3000))
+  }
+
+  test("L32: packing reuses one source exchange for the window and the agg") {
+    val plan = planOf(graft.queries.Llm.l32SequencePacking(spark, sfDir))
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(plan).size == 1,
+      plan.take(4000))
+  }
+
   test("L30: vocab joins the token stream by broadcast, never a shuffle join") {
     val plan = planOf(graft.queries.Llm.l30VocabCoverage(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
