@@ -912,10 +912,17 @@ object Relational {
     * not |events|. */
   def w12Funnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    funnelCore(events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us")))
+  }
+
+  /** Funnel core over (user_id, event_id, event_type, us), split out so
+    * PropertySpec can drive it with arbitrary generated timelines. */
+  private[graft] def funnelCore(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val staged = events(spark, dir)
-      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+    val staged = ev
       .withColumn("t_view", min(when($"event_type" === "view", $"us")).over(w))
       .withColumn("t_click", min(when($"event_type" === "click" &&
         $"t_view".isNotNull && $"us" > $"t_view", $"us")).over(w))

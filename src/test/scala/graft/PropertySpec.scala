@@ -194,6 +194,38 @@ class PropertySpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("property: funnel stage counts equal brute force on adversarial timelines (W12)") {
+    import spark.implicits._
+    // tiny timestamp domain forces the tie cases the strict ordering is
+    // about: view and click at the same instant must NOT convert
+    val evGen = Gen.zip(Gen.choose(0L, 2L),
+      Gen.oneOf("view", "click", "purchase", "error"), Gen.choose(0L, 5L))
+    val prop = Prop.forAll(Gen.nonEmptyListOf(evGen)) { raw =>
+      val events = raw.zipWithIndex.map { case ((u, t, us), i) =>
+        (u, i.toLong, t, us)
+      }
+      val got = graft.queries.Relational
+        .funnelCore(events.toDF("user_id", "event_id", "event_type", "us"))
+        .as[(Long, Long, Long)].collect().head
+      val expected = {
+        var v = 0L; var c = 0L; var p = 0L
+        events.groupBy(_._1).values.foreach { es =>
+          val tv = es.filter(_._3 == "view").map(_._4).minOption
+          if (tv.isDefined) v += 1
+          val tc = es.filter(_._3 == "click").map(_._4)
+            .filter(us => tv.exists(_ < us)).minOption
+          if (tc.isDefined) c += 1
+          if (es.filter(_._3 == "purchase").map(_._4)
+            .exists(us => tc.exists(_ < us))) p += 1
+        }
+        (v, c, p)
+      }
+      got == expected
+    }
+    val result = SCTest.check(params, prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("min-label propagation FAILS LOUDLY past the round cap (l17)") {
     import spark.implicits._
     // diameter 19 > cap 10: must throw, never return a wrong clustering.
