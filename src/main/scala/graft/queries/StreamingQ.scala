@@ -536,14 +536,17 @@ object StreamingQ {
 
   /** ST16: dead-letter routing — the dual-sink split every production
     * ingest needs: each micro-batch is evaluated ONCE (persist), then
-    * accepted rows append to the main sink while rejected rows append to
-    * a quarantine sink carrying an explicit reason column, both inside
-    * the same foreachBatch epoch (same failure domain: a crash between
-    * the writes replays the whole batch, it can never route half).
-    * Rejection rule is deterministic (error events, outlier values), so
-    * the read-back per-route counts hash-match a batch oracle. At scale
-    * the split is two filters over one cached batch — no second source
-    * scan, no state. */
+    * accepted rows go to the main sink while rejected rows go to a
+    * quarantine sink carrying an explicit reason column. Replay safety
+    * comes from WHERE each batch lands, not from hoping batches never
+    * replay: every write targets a deterministic `batch_id=<n>`
+    * directory in Overwrite mode, so a crash between the two writes (or
+    * after either) replays the batch and overwrites the same
+    * directories — routing is idempotent, never duplicated and never
+    * half-done. Rejection rule is deterministic (error events, outlier
+    * values), so the read-back per-route counts hash-match a batch
+    * oracle. At scale the split is two filters over one cached batch —
+    * no second source scan, no state. */
   def st16DeadLetter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val staged = Streams.stageEvents(spark, dir, 4)
@@ -557,15 +560,17 @@ object StreamingQ {
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("ck_st16").toString)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.persist()
         try {
           cached.filter(!bad)
-            .write.mode(SaveMode.Append).parquet(mainSink)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$mainSink/batch_id=$batchId")
           cached.filter(bad)
             .withColumn("reason", when($"event_type" === "error", "error_type")
               .otherwise("outlier_value"))
-            .write.mode(SaveMode.Append).parquet(dlqSink)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$dlqSink/batch_id=$batchId")
         } finally { cached.unpersist(); () }
       }
       .start()

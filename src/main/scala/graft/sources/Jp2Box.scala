@@ -75,7 +75,11 @@ object Jp2Box {
         val xo = be32(b, i + 14)
         val yo = be32(b, i + 18)
         val (w, h) = (xsiz - xo, ysiz - yo)
-        return if (w > 0 && h > 0) Some((w.toInt, h.toInt)) else None
+        // same overflow guard as findIhdr: u32 sizes above Int.MaxValue
+        // must read as unparseable, not truncate into wrong Ints
+        return if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+          Some((w.toInt, h.toInt))
+        else None
       }
       i += 2 + be16(b, i + 2) // next marker: 2-byte marker + segment length
     }

@@ -1,8 +1,5 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicLong
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.DataFrame
 
 import graft.queries.Relational
@@ -22,46 +19,15 @@ import graft.queries.Relational
   */
 class MemorySpec extends SparkSpec {
 
-  /** Sum of spill metrics across all tasks run inside `body`. */
-  private def withSpilledBytes[T](body: => T): (T, Long) = {
-    val spilled = new AtomicLong(0)
-    val listener = new SparkListener {
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-        val m = e.taskMetrics
-        if (m != null) {
-          spilled.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
-          ()
-        }
-      }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      val r = body
-      // listener delivery is async; poll briefly for the metrics to land
-      val deadline = System.nanoTime() + 10_000_000_000L
-      while (spilled.get == 0 && System.nanoTime() < deadline) Thread.sleep(50)
-      (r, spilled.get)
-    } finally spark.sparkContext.removeSparkListener(listener)
-  }
-
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
-
-  private def withConfs[T](kvs: (String, String)*)(body: => T): T = {
-    val restore = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally restore.foreach { case (k, v) =>
-      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
-    }
-  }
 
   test("window (sessionize) spills to disk under pressure, same answer") {
     val expected = canon(Relational.w9BatchSessionize(spark, sfDir))
     val (got, spilled) = withConfs(
       "spark.sql.windowExec.buffer.in.memory.threshold" -> "2",
       "spark.sql.windowExec.buffer.spill.threshold" -> "2") {
-      withSpilledBytes(canon(Relational.w9BatchSessionize(spark, sfDir)))
+      SpillProbe.measureSpill(spark)(canon(Relational.w9BatchSessionize(spark, sfDir)))
     }
     assert(spilled > 0, "expected nonzero spill metrics from the window buffer")
     assert(got == expected)

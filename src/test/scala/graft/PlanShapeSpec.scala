@@ -235,15 +235,10 @@ class PlanShapeSpec extends SparkSpec {
     // production data trips naturally.
     import org.apache.spark.sql.functions.{sum, when}
     import spark.implicits._
-    val restore = Seq(
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      "spark.sql.autoBroadcastJoinThreshold"
-    ).map(k => k -> spark.conf.getOption(k)).toMap
-    try {
-      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
-      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    withConfs(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1" /* force SMJ */) {
       // 90% of the fact lands on key 7 → its shuffle partition is far over
       // 5x the median, which is what the skew-split code path keys on
       val fact = spark.range(0, 20000)
@@ -258,8 +253,6 @@ class PlanShapeSpec extends SparkSpec {
       assert(total == expected, s"got $total, want $expected")
       val plan = planOf(joined).split("== Initial Plan ==")(0)
       assert(plan.contains("skew=true"), plan.take(4000))
-    } finally restore.foreach { case (k, v) =>
-      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
 
@@ -267,19 +260,13 @@ class PlanShapeSpec extends SparkSpec {
     // same threshold-lowering as the synthetic test above, but through the
     // REGISTERED query, so the CORRECTNESS row and the plan evidence are
     // about the same code path
-    val restore = Seq(
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      "spark.sql.autoBroadcastJoinThreshold"
-    ).map(k => k -> spark.conf.getOption(k)).toMap
-    try {
-      // fixture shuffle partitions are KB-sized, so both gates (absolute
-      // threshold and median multiple) come down to fixture scale
-      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
-      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // fixture shuffle partitions are KB-sized, so both gates (absolute
+    // threshold and median multiple) come down to fixture scale
+    withConfs(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       // single-row-group fixture = one mapper, and AQE slices skewed
       // partitions along mapper boundaries — so give the core the
       // multi-mapper fact side every production input naturally has
@@ -290,20 +277,11 @@ class PlanShapeSpec extends SparkSpec {
       assert(n > 0)
       val plan = planOf(df).split("== Initial Plan ==")(0)
       assert(plan.contains("skew=true"), plan.take(4000))
-    } finally restore.foreach { case (k, v) =>
-      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
 
   test("S26: REBALANCE sizes output files to the advisory in both directions") {
     import org.apache.spark.sql.SaveMode
-    val restoreKeys = Seq(
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
-    val saved = restoreKeys.map(k => k -> spark.conf.getOption(k))
-    def restoreAll(): Unit = saved.foreach { case (k, v) =>
-      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
-    }
     def writeAndCount(): Int = {
       val out = java.nio.file.Files.createTempDirectory("s26_test").toString
       Engine.events(spark, sfDir)
@@ -318,20 +296,19 @@ class PlanShapeSpec extends SparkSpec {
         .write.mode(SaveMode.Overwrite).parquet(out)
       new java.io.File(out).listFiles.count(_.getName.endsWith(".parquet"))
     }
-    try {
-      // tiny advisory (compressed shuffle bytes for the whole fixture are
-      // only ~8 KB): the write must fan out into multiple advisory-sized
-      // files instead of one. minPartitionSize (default 1 MB) would
-      // otherwise floor every partition above the whole fixture's size.
-      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
-      val split = writeAndCount()
-      assert(split >= 3, s"expected the skew-split direction, got $split files")
-      // default advisory: the same data COALESCES back to one file
-      restoreAll()
-      val merged = writeAndCount()
-      assert(merged == 1, s"expected the coalesce direction, got $merged files")
-    } finally restoreAll()
+    // tiny advisory (compressed shuffle bytes for the whole fixture are
+    // only ~8 KB): the write must fan out into multiple advisory-sized
+    // files instead of one. minPartitionSize (default 1 MB) would
+    // otherwise floor every partition above the whole fixture's size.
+    val split = withConfs(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB") {
+      writeAndCount()
+    }
+    assert(split >= 3, s"expected the skew-split direction, got $split files")
+    // default advisory: the same data COALESCES back to one file
+    val merged = writeAndCount()
+    assert(merged == 1, s"expected the coalesce direction, got $merged files")
   }
 
   test("W12: the three funnel window passes share one user_id exchange") {
