@@ -65,7 +65,34 @@ object Llm {
       .withColumn("d", md5($"shingle".cast("binary")))
     def h(i: Int): Column =
       min(substring($"d", 1 + (i - 1) * 5, 5)).as(s"h$i")
-    val sigs = sh.groupBy($"id").agg(h(1), h(2), h(3), h(4), h(5), h(6))
+    bandedPairs(sh.groupBy($"id").agg(h(1), h(2), h(3), h(4), h(5), h(6)))
+  }
+
+  /** L2c: the same banded near-dedup with the signature phase fused into
+    * [[graft.functions.MinhashSigExpr]] — ONE map-only pass per document
+    * instead of a corpus-sized shingle explode plus a corpus-sized
+    * groupBy shuffle. Signatures are byte-identical to l2's, so the pairs
+    * hash-match the SAME oracle; MinhashExprSpec pins the equivalence
+    * per document and the plan test pins that the signature phase carries
+    * no Generate and no extra exchange. */
+  def l2cMinhashNative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = nearDupCandidates(spark, dir)
+      .filter($"id" % 5 === 0)
+      .select($"id",
+        graft.functions.MinhashSigExpr.minhashSigNative(spark, $"text").as("sig"))
+      .filter($"sig".isNotNull)
+      .select($"id", element_at($"sig", 1).as("h1"), element_at($"sig", 2).as("h2"),
+        element_at($"sig", 3).as("h3"), element_at($"sig", 4).as("h4"),
+        element_at($"sig", 5).as("h5"), element_at($"sig", 6).as("h6"))
+    bandedPairs(sigs)
+  }
+
+  /** Banded candidate pairing over per-doc signatures (id, h1..h6):
+    * 2 bands x 3 rows, pairs only within a band bucket — the
+    * 100 TB-safe shape (no all-pairs join). */
+  private def bandedPairs(sigs: DataFrame): DataFrame = {
+    import sigs.sparkSession.implicits._
     val bands = sigs.select($"id",
         md5(concat_ws("|", $"h1", $"h2", $"h3").cast("binary")).as("band"), lit(1).as("bi"))
       .unionByName(sigs.select($"id",
@@ -826,6 +853,7 @@ object Llm {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup" -> (l1ExactDedup _),
     "l2_minhash_neardup" -> (l2MinhashNearDup _),
+    "l2c_minhash_native" -> (l2cMinhashNative _),
     "l2_minhash_lsh_mllib" -> (l2MinhashLshMllib _),
     "l3_cosine_topk" -> (l3CosineTopk _),
     "j8_similarity_topk_join" -> (l3CosineTopkNative _), // SURVEY J8, native scorer
@@ -907,6 +935,7 @@ object Llm {
         |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
         |GROUP BY md5(text)""".stripMargin,
     "l2_minhash_neardup" -> l2PairsSql,
+    "l2c_minhash_native" -> l2PairsSql,
     "l17_dedup_clusters" ->
       ("WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM (\n" + l2PairsSql + "\n) lp),\n" +
         """edges AS (

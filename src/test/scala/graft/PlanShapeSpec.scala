@@ -318,6 +318,17 @@ class PlanShapeSpec extends SparkSpec {
     assert("Window".r.findAllIn(plan).size >= 3, plan.take(4000))
   }
 
+  test("L2c: fused minhash signature phase has no Generate and fewer exchanges") {
+    val composed = planOf(graft.queries.Llm.l2MinhashNearDup(spark, sfDir))
+    val fused = planOf(graft.queries.Llm.l2cMinhashNative(spark, sfDir))
+    // composed pays a shingle explode (Generate) + a signature groupBy
+    // shuffle before banding; fused streams signatures out of the scan
+    assert(composed.contains("Generate"), composed.take(3000))
+    assert(!fused.contains("Generate"), fused.take(3000))
+    val ex = (p: String) => "Exchange".r.findAllIn(p).size
+    assert(ex(fused) < ex(composed), s"fused ${ex(fused)} vs composed ${ex(composed)}")
+  }
+
   test("L31: chunking is map-only — zero exchanges") {
     val plan = planOf(graft.queries.Llm.l31DocChunking(spark, sfDir))
     assert(!plan.contains("Exchange"), plan.take(3000))
