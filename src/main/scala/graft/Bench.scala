@@ -17,7 +17,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // args override env (env vars don't reach a forked runMain through the
+    // sbt client): [sfDir] [comma-separated query subset]
+    val sfDir = args.headOption
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     // the bench contract is local[32]-shaped (one executor thread per core);
     // default to the machine's cores rather than a hard-coded count so the
     // same main is honest on smaller boxes
@@ -65,7 +68,8 @@ object Bench {
     var errors = Vector.empty[(String, String)]
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run for local iteration; the
     // driver never sets it, so the contract run always covers everything
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = args.lift(1).orElse(sys.env.get("SPARK_GRAFT_ONLY"))
+      .map(_.split(",").toSet)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

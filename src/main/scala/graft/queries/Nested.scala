@@ -102,7 +102,10 @@ object Nested {
         concat(lit("s"), $"l_suppkey").as("dst"))
       .distinct()
       .localCheckpoint(true)
+    // materialized once: every round joins against outdeg, and without the
+    // checkpoint each round's plan re-runs this aggregate from the edge set
     val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("od"))
+      .localCheckpoint(true)
     val nodes = edges.select($"src".as("node"))
       .union(edges.select($"dst".as("node"))).distinct()
     var pr = nodes.withColumn("pr", lit(1000000L))
@@ -195,8 +198,13 @@ object Nested {
       val next = reach.withColumnRenamed("node", "src")
         .join(edges, Seq("src"))
         .select($"dst".as("node"), lit(k.toLong).as("dist"))
+      // reach is referenced TWICE per round (carried + expanded), so an
+      // unchecked plan doubles every round — 2^k copies of the base join
+      // by round k. The per-round frontier is tiny; materializing it
+      // keeps the plan linear in rounds.
       reach = reach.unionByName(next)
         .groupBy($"node").agg(min($"dist").as("dist"))
+        .localCheckpoint(true)
     }
     reach
   }
