@@ -426,7 +426,14 @@ object Llm {
     * boundaries are exact string matches against the oracle. */
   def l31DocChunking(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    documents(spark, dir)
+    l31ChunkCore(documents(spark, dir).select($"doc_id", $"text"))
+  }
+
+  /** Chunking core over (doc_id, text), split out so PropertySpec can
+    * drive it with arbitrary generated token counts. */
+  private[graft] def l31ChunkCore(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", split($"text", " ").as("toks"))
       .select($"doc_id", $"toks",
         explode(sequence(lit(0), greatest(size($"toks") - 1, lit(0)), lit(30)))
@@ -449,9 +456,16 @@ object Llm {
     * oracle. */
   def l32SequencePacking(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    l32PackCore(documents(spark, dir).select($"source", $"doc_id", $"text"))
+  }
+
+  /** Packing core over (source, doc_id, text), split out so PropertySpec
+    * can drive it with arbitrary generated document sizes. */
+  private[graft] def l32PackCore(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val w = Window.partitionBy($"source").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    documents(spark, dir)
+    docs
       .select($"source", $"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
       .withColumn("cum_before", coalesce(sum($"n_tok").over(w), lit(0L)))
       .withColumn("bin", expr("cum_before div 500"))

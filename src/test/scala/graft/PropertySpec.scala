@@ -226,6 +226,61 @@ class PropertySpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("property: chunking covers every token and reconstructs the text (L31)") {
+    import spark.implicits._
+    // invariants over arbitrary token counts: first chunk starts at 0,
+    // consecutive chunk starts differ by the stride, every token appears
+    // in at least one chunk, and de-overlapped chunks rebuild the text
+    val textGen = Gen.choose(0, 130).map(n => (0 until n).map(i => s"t$i").mkString(" "))
+    val prop = Prop.forAll(Gen.zip(Gen.choose(0L, 3L), textGen)) { case (id, text) =>
+      val chunks = graft.queries.Llm
+        .l31ChunkCore(Seq((id, text)).toDF("doc_id", "text"))
+        .orderBy($"chunk_idx")
+        .as[(Long, Long, String, Long)].collect().toSeq
+      val toks = text.split(" ", -1)
+      val nTok = toks.length
+      val starts = chunks.map(_._2 * 30)
+      val sizesOk = chunks.forall { case (_, idx, t, n) =>
+        val want = toks.slice((idx * 30).toInt, (idx * 30).toInt + 40)
+        t == want.mkString(" ") && n == want.length
+      }
+      val coverage = starts.nonEmpty &&
+        starts.head == 0 && (starts.last + 40 >= nTok) &&
+        starts.sliding(2).forall(w => w.length < 2 || w(1) - w(0) == 30)
+      sizesOk && coverage
+    }
+    val result = SCTest.check(params, prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("property: packing conserves tokens and fills bins contiguously (L32)") {
+    import spark.implicits._
+    val docsGen = Gen.nonEmptyListOf(Gen.choose(1, 900))
+    val prop = Prop.forAll(docsGen) { sizes =>
+      val docs = sizes.zipWithIndex.map { case (n, i) =>
+        ("s0", f"d$i%04d", (0 until n).map(_ => "x").mkString(" "))
+      }
+      val bins = graft.queries.Llm
+        .l32PackCore(docs.toDF("source", "doc_id", "text"))
+        .orderBy($"bin")
+        .as[(String, Long, Long, Long, String, String)].collect().toSeq
+      val total = sizes.map(_.toLong).sum
+      val conserved = bins.map(_._4).sum == total && bins.map(_._3).sum == sizes.length
+      // bin ids are exactly the distinct values of cum_before div 500 —
+      // contiguity means no bin id is skipped past the first
+      val ids = bins.map(_._2)
+      val contiguous = ids.zip(ids.drop(1)).forall { case (a, b) => b > a }
+      // doc ranges must not interleave across bins (contiguous fill)
+      val ordered = bins.sortBy(_._2).sliding(2).forall {
+        case Seq(a, b) => a._6 <= b._5 // last_doc of bin k <= first_doc of k+1
+        case _ => true
+      }
+      conserved && contiguous && ordered
+    }
+    val result = SCTest.check(params.withMinSuccessfulTests(6), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("min-label propagation FAILS LOUDLY past the round cap (l17)") {
     import spark.implicits._
     // diameter 19 > cap 10: must throw, never return a wrong clustering.
