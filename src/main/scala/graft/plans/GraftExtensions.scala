@@ -6,13 +6,15 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
-/** Session extensions (SURVEY §2 extension-point ladder: custom `Rule
-  * [LogicalPlan]` via `SparkSessionExtensions`, the step between a custom
-  * Expression and a custom strategy). Installed by every engine session
-  * ([[graft.Engine.session]]). */
+/** Session extensions — the full SURVEY §2 extension-point ladder:
+  * a custom `Rule[LogicalPlan]` (predicate rewriting) AND a custom
+  * planner `Strategy` backing the [[TopKPerKey]] whole-operator node.
+  * Installed by every engine session ([[graft.Engine.session]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PushFilterThroughNanoNarrowing)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+  }
 }
 
 /** Makes event-time predicates on the nanos→micros narrowing pushable.

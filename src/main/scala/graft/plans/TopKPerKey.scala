@@ -1,0 +1,119 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Grouped top-k as a first-class operator — the whole-operator rung of
+  * the extension ladder (custom LogicalPlan + Strategy + SparkPlan via
+  * SparkSessionExtensions), used where composition genuinely can't reach:
+  * the window formulation (`rank() OVER (PARTITION BY k ORDER BY o) <= n`)
+  * must SORT every group's full row set inside each shuffle partition
+  * before it can rank, buffering rows proportional to partition size. At
+  * 100 TB that sort is the cost; top-k needs none of it. This operator
+  * keeps one bounded k-buffer per key and streams input in O(n log k),
+  * memory O(keys × k) — and declares only ClusteredDistribution, so
+  * EnsureRequirements plans the single hash exchange and NO SortExec
+  * (pinned by the plan test).
+  *
+  * Determinism contract: callers must pass a TOTAL ordering (tie columns
+  * down to a unique key), same as they must for the window formulation to
+  * be oracle-stable. */
+case class TopKPerKey(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"top-k needs k > 0, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+object TopKPerKey {
+  /** User API: top `k` rows per `keys` group under `order`. */
+  def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    val plan = df.queryExecution.analyzed
+    val keyExprs = keys.map(c => GraftBridge.expression(spark, c))
+    val sortExprs = order.map { c =>
+      GraftBridge.expression(spark, c) match {
+        case so: SortOrder => so
+        case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+      }
+    }
+    GraftBridge.ofRows(spark, TopKPerKey(keyExprs, sortExprs, k, plan))
+  }
+}
+
+/** Physical operator: per input partition, one bounded k-buffer per key. */
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  // the ONLY requirement is co-location of each key: one hash exchange,
+  // no child ordering — the point of the operator is that no sort exists
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keys, childOutput)
+      // codegen'd row comparator for the SortOrder set: cmp(a,b) < 0
+      // means `a` sorts before `b`, i.e. `a` ranks higher
+      val cmp = new LazilyGeneratedOrdering(order, childOutput)
+      val buffers = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      // heap keeps the WORST retained row on top (reverse of the sort
+      // order), so replacing the head maintains the best k
+      val heapOrd = new java.util.Comparator[UnsafeRow] {
+        override def compare(a: UnsafeRow, b: UnsafeRow): Int = cmp.compare(b, a)
+      }
+      while (iter.hasNext) {
+        val row = iter.next().asInstanceOf[UnsafeRow]
+        val key = keyProj(row)
+        var heap = buffers.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[UnsafeRow](k, heapOrd)
+          buffers.put(key.copy(), heap)
+        }
+        if (heap.size < k) { heap.add(row.copy()); () }
+        else if (cmp.compare(row, heap.peek()) < 0) {
+          // `row` sorts before the current worst retained row -> keep it
+          heap.poll()
+          heap.add(row.copy())
+          ()
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[UnsafeRow]()
+      buffers.forEach { (_, heap) =>
+        val rows = new Array[UnsafeRow](heap.size)
+        var i = rows.length - 1
+        while (i >= 0) { rows(i) = heap.poll(); i -= 1 }
+        out ++= rows
+      }
+      out.iterator
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Planner strategy mapping the logical node to the exec. */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}

@@ -936,6 +936,25 @@ object Relational {
       sum(when($"p".isNotNull, 1L).otherwise(0L)).as("purchased_after_click"))
   }
 
+  /** W13: grouped top-k through the custom [[graft.plans.TopKPerKey]]
+    * operator — the whole-operator extension rung (LogicalPlan + Strategy
+    * + SparkPlan via SparkSessionExtensions). The window formulation
+    * (w7-style rank <= k) must sort every group's full row set; this
+    * operator keeps a bounded k-buffer per key after one hash exchange
+    * and sorts NOTHING (plan test: no SortExec below the operator).
+    * Ordering is total (price desc, then the unique line id), so the
+    * selected rows hash-match the window-rank oracle exactly. */
+  def w13TopkNative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = lineitem(spark, dir).select($"l_returnflag", $"l_orderkey",
+      $"l_linenumber".cast("long").as("l_linenumber"), $"l_extendedprice")
+    graft.plans.TopKPerKey.topKPerKey(
+      li,
+      keys = Seq($"l_returnflag"),
+      order = Seq($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc),
+      k = 3)
+  }
+
   /** A17: mergeable-sketch aggregation — the reaggregation pattern behind
     * every warehouse percentile sketch (t-digest/KLL), demonstrated with a
     * FIXED-BIN INTEGER histogram so the whole chain stays exactly
@@ -1078,6 +1097,7 @@ object Relational {
     "a15_countmin_heavy_hitters" -> (a15CountminHeavyHitters _),
     "a17_histogram_merge" -> (a17HistogramMerge _),
     "w12_funnel" -> (w12Funnel _),
+    "w13_topk_native" -> (w13TopkNative _),
     "w8_gap_fill" -> (w8GapFill _),
     "j12_scd2_merge" -> (j12Scd2Merge _),
     "j10_bloom_runtime_filter" -> (j10BloomRuntimeFilter _),
@@ -1257,6 +1277,15 @@ object Relational {
         |  min(CASE WHEN cum * 2 >= total THEN bucket END) AS p50_bucket,
         |  min(CASE WHEN cum * 10 >= total * 9 THEN bucket END) AS p90_bucket
         |FROM walked GROUP BY event_type""".stripMargin,
+    "w13_topk_native" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (
+        |  SELECT l_returnflag, l_orderkey,
+        |    CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3""".stripMargin,
     "w12_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type,

@@ -311,6 +311,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(merged == 1, s"expected the coalesce direction, got $merged files")
   }
 
+  test("W13: custom top-k operator plans one exchange and NO sort anywhere") {
+    val df = Relational.w13TopkNative(spark, sfDir)
+    df.collect(): Unit // finalize AQE
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    assert(plan.contains("TopKPerKey"), plan.take(3000))
+    // the whole point: grouped top-k without any SortExec in the plan
+    assert(!plan.contains("Sort ["), plan.take(3000))
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(3000))
+  }
+
+  test("W13: custom top-k equals the window-rank formulation row for row") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{col, row_number}
+    import spark.implicits._
+    val got = Relational.w13TopkNative(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val li = Engine.table(spark, sfDir, "lineitem")
+      .select($"l_returnflag", $"l_orderkey",
+        $"l_linenumber".cast("long").as("l_linenumber"), $"l_extendedprice")
+    val w = W.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+    val expected = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expected)
+  }
+
   test("W12: the three funnel window passes share one user_id exchange") {
     val plan = planOf(Relational.w12Funnel(spark, sfDir))
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
