@@ -474,6 +474,122 @@ object Llm {
         min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
   }
 
+  /** L33: leakage-free train/val/test split — the split key is a CONTENT
+    * hash (md5 of the text), not the doc id, so byte-identical documents
+    * can never straddle split boundaries: the eval set stays clean even
+    * when the corpus still carries exact duplicates (dedup-aware
+    * splitting, the assignment every training run needs before anything
+    * else). 90/5/5 by hash bucket — deterministic, resumable, RNG-free
+    * (same property as l19's sampler), and a pure map-only projection:
+    * splitting 100 TB costs one scan, zero shuffles. PipelineOpsSpec pins
+    * the leakage guarantee (equal text ⇒ equal split) and that the splits
+    * partition the corpus. */
+  def l33TrainSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    l33SplitCore(documents(spark, dir).select($"doc_id", $"lang", $"text"))
+  }
+
+  /** Split core over (doc_id, lang, text), split out for the property
+    * test. */
+  private[graft] def l33SplitCore(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bucket = conv(substring(md5($"text".cast("binary")), 1, 4), 16, 10)
+      .cast("long") % 100
+    docs.select($"doc_id", $"lang",
+      when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+        .as("split"))
+  }
+
+  /** L34: unicode normalization (accent stripping) through the native
+    * [[graft.functions.UnaccentExpr]] — NFD-decompose + drop combining
+    * marks, the per-row cleanup multilingual corpora run before
+    * tokenization. The fixture text is ASCII, so the query first plants
+    * accents deterministically (`translate` vowels → accented forms, the
+    * same call in DuckDB) and then strips them back: the oracle computes
+    * the identical plant+strip with its own `strip_accents`, and
+    * `roundtrip_ok` pins that strip∘plant is the identity on this corpus.
+    * Map-only: zero shuffles at any scale; ASCII rows take the zero-copy
+    * fast path inside the expression. */
+  def l34UnicodeNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val accented = translate($"text", "aeiou", "áéíóú")
+    documents(spark, dir)
+      .select($"doc_id",
+        graft.functions.UnaccentExpr.unaccentNative(spark, accented).as("clean"),
+        (graft.functions.UnaccentExpr.unaccentNative(spark, accented) === $"text")
+          .as("roundtrip_ok"))
+  }
+
+  /** L35: bigram-LM quality score — the LM-free stand-in for perplexity
+    * filtering one rung above l30's OOV rate: score each document by the
+    * mean MLE conditional probability of its token bigrams,
+    * P(w2|w1) = count(w1 w2) / count(w1 ·), estimated from the corpus
+    * itself and kept in scaled-integer arithmetic (×1e6, integer
+    * division) so every score hash-matches the oracle exactly.
+    * Fluent/common phrasing scores high; shuffled or boilerplate-glued
+    * text scores low. Scale shape: bigram and prefix counts are two
+    * partial-agg shuffles on token keys (vocabulary-sized, not
+    * corpus-sized output), then the stats JOIN BACK to the bigram stream
+    * by key — the "ship statistics to the data" pattern; nothing is ever
+    * collected, and no doc×doc or doc×vocab product exists anywhere. */
+  def l35BigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    l35ScoreCore(documents(spark, dir).select($"doc_id", $"text"))
+  }
+
+  /** Scoring core over (doc_id, text), split out so PipelineOpsSpec can
+    * plant fluent vs scrambled documents and assert the ordering. */
+  private[graft] def l35ScoreCore(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bi = docs
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 2) // sequence(1,0) would run DESCENDING, not empty
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+        .as("z"))
+      .select($"doc_id", $"z.w1".as("w1"), $"z.w2".as("w2"))
+    val uni = bi.groupBy($"w1").agg(count(lit(1)).as("uc"))
+    val big = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("bc"))
+    bi.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .select($"doc_id", expr("bc * 1000000 div uc").as("s"))
+      .groupBy($"doc_id")
+      .agg(expr("sum(s) div count(*)").as("lm_score"))
+  }
+
+  /** L36: incremental near-dedup — a NEW batch deduplicated against the
+    * EXISTING corpus, the shape production ingest actually runs (l2
+    * dedups a corpus against itself; a daily crawl must ask "which of
+    * these N new docs near-duplicate the 100 TB already ingested?").
+    * Signatures on both sides come from the fused native
+    * [[graft.functions.MinhashSigExpr]] (map-only, byte-identical to the
+    * md5-slice family the oracle derives); candidate pairs form ONLY via
+    * the banded bucket join of batch bands against corpus bands — cost
+    * scales with |batch| + matching buckets, never |corpus|², and the
+    * corpus side's signatures are exactly what an ingest pipeline keeps
+    * as its persistent dedup index (store 6 hashes per doc, not the
+    * text). The planted batch (first token dropped) must land on its
+    * source doc. */
+  def l36IncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, dir).filter($"doc_id" % 5 === 0)
+    val corpus = d.select($"doc_id".as("id"), $"text")
+    val batch = d.select(($"doc_id" + 1000000).as("id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    def sigs(df: DataFrame): DataFrame = df
+      .select($"id", graft.functions.MinhashSigExpr.minhashSigNative(spark, $"text").as("sig"))
+      .filter($"sig".isNotNull)
+      .select($"id" +: (1 to 6).map(i => element_at($"sig", i).as(s"h$i")): _*)
+    def bands(s: DataFrame): DataFrame = s
+      .select($"id", md5(concat_ws("|", $"h1", $"h2", $"h3").cast("binary")).as("band"),
+        lit(1).as("bi"))
+      .unionByName(s.select($"id",
+        md5(concat_ws("|", $"h4", $"h5", $"h6").cast("binary")).as("band"), lit(2).as("bi")))
+    val corpusIdx = bands(sigs(corpus)).select($"id".as("dup_of"), $"band", $"bi")
+    bands(sigs(batch)).join(corpusIdx, Seq("band", "bi"))
+      .groupBy($"id".as("batch_id"))
+      .agg(min($"dup_of").as("dup_of"))
+  }
+
   /** L14: vocabulary table — token frequencies with a deterministic top-k
     * (the tokenizer-training / frequency-filter input). Partial map-side
     * counts before the one shuffle; top-k is TakeOrderedAndProject. */
@@ -903,7 +1019,11 @@ object Llm {
     "l29_length_histogram" -> (l29LengthHistogram _),
     "l30_vocab_coverage" -> (l30VocabCoverage _),
     "l31_doc_chunking" -> (l31DocChunking _),
-    "l32_sequence_packing" -> (l32SequencePacking _)
+    "l32_sequence_packing" -> (l32SequencePacking _),
+    "l33_train_split" -> (l33TrainSplit _),
+    "l34_unicode_normalize" -> (l34UnicodeNormalize _),
+    "l35_bigram_lm_score" -> (l35BigramLmScore _),
+    "l36_incremental_neardup" -> (l36IncrementalNeardup _)
   )
 
   private val candSql =
@@ -1097,6 +1217,70 @@ object Llm {
         |  array_to_string(toks[start + 1 : start + 40], ' ') AS chunk_text,
         |  CAST(least(len(toks) - start, 40) AS BIGINT) AS n_chunk
         |FROM s WHERE start < len(toks)""".stripMargin,
+    "l33_train_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END
+        |    AS split
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(text), 1, 4))::BIGINT % 100 AS b
+        |  FROM documents)""".stripMargin,
+    "l34_unicode_normalize" ->
+      """SELECT doc_id,
+        |  strip_accents(translate(text, 'aeiou', 'áéíóú')) AS clean,
+        |  strip_accents(translate(text, 'aeiou', 'áéíóú')) = text AS roundtrip_ok
+        |FROM documents""".stripMargin,
+    "l35_bigram_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> {'w1': t[i], 'w2': t[i+1]})) AS z
+        |  FROM t),
+        |b2 AS (SELECT doc_id, z.w1 AS w1, z.w2 AS w2 FROM bi),
+        |uni AS (SELECT w1, count(*) AS uc FROM b2 GROUP BY 1),
+        |big AS (SELECT w1, w2, count(*) AS bc FROM b2 GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT b2.doc_id, bg.bc * 1000000 // un.uc AS s
+        |  FROM b2 JOIN big bg USING (w1, w2) JOIN uni un USING (w1))
+        |SELECT doc_id, CAST(sum(s) // count(*) AS BIGINT) AS lm_score
+        |FROM sc GROUP BY 1""".stripMargin,
+    "l36_incremental_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 5 = 0),
+        |batch AS (
+        |  SELECT doc_id + 1000000 AS id, substr(text, strpos(text, ' ') + 1) AS text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |csh AS (
+        |  SELECT id, unnest(list_transform(
+        |    generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+        |    i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS shingle
+        |  FROM corpus),
+        |bsh AS (
+        |  SELECT id, unnest(list_transform(
+        |    generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+        |    i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS shingle
+        |  FROM batch),
+        |cmh AS (SELECT id,
+        |  min(substr(md5(shingle), 1, 5)) AS h1, min(substr(md5(shingle), 6, 5)) AS h2,
+        |  min(substr(md5(shingle), 11, 5)) AS h3, min(substr(md5(shingle), 16, 5)) AS h4,
+        |  min(substr(md5(shingle), 21, 5)) AS h5, min(substr(md5(shingle), 26, 5)) AS h6
+        |  FROM csh GROUP BY id),
+        |bmh AS (SELECT id,
+        |  min(substr(md5(shingle), 1, 5)) AS h1, min(substr(md5(shingle), 6, 5)) AS h2,
+        |  min(substr(md5(shingle), 11, 5)) AS h3, min(substr(md5(shingle), 16, 5)) AS h4,
+        |  min(substr(md5(shingle), 21, 5)) AS h5, min(substr(md5(shingle), 26, 5)) AS h6
+        |  FROM bsh GROUP BY id),
+        |cbands AS (
+        |  SELECT id, md5(h1 || '|' || h2 || '|' || h3) AS band, 1 AS bi FROM cmh
+        |  UNION ALL SELECT id, md5(h4 || '|' || h5 || '|' || h6), 2 FROM cmh),
+        |bbands AS (
+        |  SELECT id, md5(h1 || '|' || h2 || '|' || h3) AS band, 1 AS bi FROM bmh
+        |  UNION ALL SELECT id, md5(h4 || '|' || h5 || '|' || h6), 2 FROM bmh)
+        |SELECT b.id AS batch_id, min(c.id) AS dup_of
+        |FROM bbands b JOIN cbands c ON b.band = c.band AND b.bi = c.bi
+        |GROUP BY b.id""".stripMargin,
     "l29_length_histogram" ->
       """SELECT lang, least(length(text) // 250, 15) AS bucket,
         |  count(*) AS n_docs

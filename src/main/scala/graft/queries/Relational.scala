@@ -1087,8 +1087,32 @@ object Relational {
       .drop("day")
   }
 
+  /** W14: cohort retention — the acquisition-cohort × month-offset matrix
+    * (the canonical product-analytics rollup; mirrors the reference's
+    * month-completeness bookkeeping, /root/reference/src/01-scrape-images.py
+    * :456-477, generalized to per-cohort survival). Scale shape: the
+    * per-customer first-month agg and the distinct (customer, month)
+    * activity set BOTH collapse the raw orders before anything global
+    * happens, the cohort join is a plain equi join on the customer key
+    * (AQE-broadcastable once collapsed, shuffle join at 100 TB), and the
+    * final agg runs on |customers × active-months| rows, never raw orders.
+    * Months are integer-encoded (year*12+month) so the offset arithmetic
+    * is exact in any engine. */
+  def w14CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def monthNum(c: Column): Column = (year(c) * 12 + month(c)).cast("long")
+    val first = orders(spark, dir).groupBy($"o_custkey")
+      .agg(min(monthNum($"o_orderdate")).as("cohort_m"))
+    val active = orders(spark, dir)
+      .select($"o_custkey", monthNum($"o_orderdate").as("active_m")).distinct()
+    active.join(first, Seq("o_custkey"))
+      .groupBy($"cohort_m", ($"active_m" - $"cohort_m").as("offset_m"))
+      .agg(count(lit(1)).as("retained"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w14_cohort_retention" -> (w14CohortRetention _),
     "w9_batch_sessionize" -> (w9BatchSessionize _),
     "w10_cumulative_distinct" -> (w10CumulativeDistinct _),
     "w11_rolling_distinct" -> (w11RollingDistinct _),
@@ -1157,6 +1181,20 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "w14_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT o_custkey,
+        |    min(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+        |  FROM orders GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT o_custkey,
+        |    year(o_orderdate) * 12 + month(o_orderdate) AS active_m
+        |  FROM orders)
+        |SELECT CAST(f.cohort_m AS BIGINT) AS cohort_m,
+        |  CAST(a.active_m - f.cohort_m AS BIGINT) AS offset_m,
+        |  count(*) AS retained
+        |FROM a JOIN f USING (o_custkey)
+        |GROUP BY 1, 2""".stripMargin,
     "w9_batch_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us

@@ -62,4 +62,58 @@ class PipelineOpsSpec extends SparkSpec {
     assert(before.values.sum > after.values.sum,
       s"fragmented=$before compacted=$after")
   }
+
+  test("L33: content-hash split is leakage-free and partitions the corpus") {
+    import spark.implicits._
+    // plant exact duplicates under fresh ids: the content hash must send
+    // every copy to the SAME split, whatever its id — the leakage guarantee
+    val d = Engine.documents(spark, sfDir).select($"doc_id", $"lang", $"text")
+    val planted = d.unionByName(
+      d.limit(20).select(($"doc_id" + 777000).as("doc_id"), $"lang", $"text"))
+    val split = graft.queries.Llm.l33SplitCore(planted).cache()
+    try {
+      val n = planted.count()
+      assert(split.count() == n, "every doc gets exactly one split row")
+      val perText = split.join(planted, Seq("doc_id"))
+        .groupBy($"text").agg(countDistinct($"split").as("n_splits"))
+        .filter($"n_splits" > 1).count()
+      assert(perText == 0, "identical text must never straddle splits")
+      val sizes = split.groupBy($"split").count().as[(String, Long)].collect().toMap
+      assert(sizes.keySet == Set("train", "val", "test"), s"got $sizes")
+      assert(sizes("train") > sizes("val") && sizes("train") > sizes("test"),
+        s"90/5/5 buckets must make train the largest: $sizes")
+    } finally split.unpersist()
+  }
+
+  test("L35: fluent text outscores its scrambled-token counterpart") {
+    import spark.implicits._
+    // corpus: many copies of a fluent phrase (so its bigrams are common)
+    // plus one doc made of the SAME tokens in scrambled order — the bigram
+    // LM must rank the fluent doc strictly higher
+    val fluent = "the quick brown fox jumps over the lazy dog"
+    val scrambled = "dog the over quick lazy fox the brown jumps"
+    val docs = ((1L to 20L).map(i => (i, fluent)) :+ (99L, scrambled))
+      .toDF("doc_id", "text")
+    val scores = graft.queries.Llm.l35ScoreCore(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(scores.keySet.size == 21, "every doc with >=2 tokens is scored")
+    assert(scores(1L) > scores(99L),
+      s"fluent=${scores(1L)} must beat scrambled=${scores(99L)}")
+    assert(scores.values.forall(s => s > 0L && s <= 1000000L),
+      "MLE x 1e6 scores live in (0, 1e6]")
+  }
+
+  test("L36: incremental near-dedup maps every planted batch doc to its source") {
+    import spark.implicits._
+    val out = graft.queries.Llm.l36IncrementalNeardup(spark, sfDir)
+      .as[(Long, Long)].collect()
+    assert(out.nonEmpty, "planted near-dups must surface")
+    // every reported match points at a real corpus doc, and the planted
+    // perturbation (first token dropped) lands on its own source doc for
+    // the overwhelming majority of the batch
+    assert(out.forall { case (b, c) => b >= 1000000L && c < 1000000L })
+    val exact = out.count { case (b, c) => c == b - 1000000L }
+    assert(exact.toDouble / out.length >= 0.9,
+      s"only $exact/${out.length} batch docs matched their source")
+  }
 }
