@@ -47,7 +47,12 @@ object PlanAudit {
       "w12_funnel" -> "funnel: three conditional running-min window passes over one shared user_id exchange",
       "a17_histogram_merge" -> "mergeable histogram: per-day partials, merge agg, integer cumulative walk",
       "s26_rebalance_write" -> "rebalanced write: AQE sizes output files to the advisory in both directions",
-      "w13_topk_native" -> "custom whole-operator top-k: TopKPerKey node, one hash exchange, no SortExec")
+      "w13_topk_native" -> "custom whole-operator top-k: TopKPerKey node, one hash exchange, no SortExec",
+      "w14_cohort_retention" -> "cohort retention: per-customer collapse before the cohort join, final agg on cohort keys",
+      "l33_train_split" -> "train/val/test split: content-hash bucket projection, map-only, zero exchanges",
+      "l34_unicode_normalize" -> "unicode normalize: native unaccent_native inside one WholeStageCodegen span, zero exchanges",
+      "l35_bigram_lm_score" -> "bigram LM score: vocabulary-sized stat aggs joined back to the bigram stream, no doc-level product",
+      "l36_incremental_neardup" -> "incremental near-dedup: fused native signatures both sides, batch bands equi-join corpus bands")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries (sf0.01)\n\n")
     sb.append("Generated by `graft.PlanAudit`; re-run after plan-affecting changes.\n")
