@@ -575,19 +575,28 @@ object Llm {
     val corpus = d.select($"doc_id".as("id"), $"text")
     val batch = d.select(($"doc_id" + 1000000).as("id"),
       expr("substring(text, instr(text, ' ') + 1)").as("text"))
-    def sigs(df: DataFrame): DataFrame = df
-      .select($"id", graft.functions.MinhashSigExpr.minhashSigNative(spark, $"text").as("sig"))
+    val corpusIdx = minhashBands(corpus).select($"id".as("dup_of"), $"band", $"bi")
+    minhashBands(batch).join(corpusIdx, Seq("band", "bi"))
+      .groupBy($"id".as("batch_id"))
+      .agg(min($"dup_of").as("dup_of"))
+  }
+
+  /** Banded-MinHash index rows for (id, text) documents: 2 bands × 3 rows
+    * over the fused native signature (same family as l2/l2c, so any
+    * consumer hash-matches the md5-slice oracle). Docs with too few
+    * shingles emit no bands (they can never near-dup match). Shared by
+    * l36 and the streaming twin st17. */
+  private[graft] def minhashBands(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val s = docs
+      .select($"id", graft.functions.MinhashSigExpr
+        .minhashSigNative(docs.sparkSession, $"text").as("sig"))
       .filter($"sig".isNotNull)
       .select($"id" +: (1 to 6).map(i => element_at($"sig", i).as(s"h$i")): _*)
-    def bands(s: DataFrame): DataFrame = s
-      .select($"id", md5(concat_ws("|", $"h1", $"h2", $"h3").cast("binary")).as("band"),
+    s.select($"id", md5(concat_ws("|", $"h1", $"h2", $"h3").cast("binary")).as("band"),
         lit(1).as("bi"))
       .unionByName(s.select($"id",
         md5(concat_ws("|", $"h4", $"h5", $"h6").cast("binary")).as("band"), lit(2).as("bi")))
-    val corpusIdx = bands(sigs(corpus)).select($"id".as("dup_of"), $"band", $"bi")
-    bands(sigs(batch)).join(corpusIdx, Seq("band", "bi"))
-      .groupBy($"id".as("batch_id"))
-      .agg(min($"dup_of").as("dup_of"))
   }
 
   /** L14: vocabulary table — token frequencies with a deterministic top-k

@@ -586,8 +586,88 @@ object StreamingQ {
     accepted.unionByName(quarantined).select($"route", $"key", $"n")
   }
 
+  /** Staged source for ST17: the full corpus first (half 0), then a
+    * re-crawl batch (half 1) of near-dup perturbations (first token
+    * dropped, +1M ids) plus token-reversed rewrites (+2M ids — disjoint
+    * shingle sets, so they must SURVIVE the dedup). One file per half =
+    * one micro-batch per half under maxFilesPerTrigger=1. */
+  private val st17Staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def stageSt17(spark: SparkSession, dir: String): String =
+    st17Staged.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val d = documents(spark, dir).select($"doc_id", $"lang", $"text")
+      val probes = d.filter($"doc_id" % 5 === 0)
+      val batch2 = probes.select(($"doc_id" + 1000000).as("doc_id"), $"lang",
+          expr("substring(text, instr(text, ' ') + 1)").as("text"))
+        .unionByName(probes.select(($"doc_id" + 2000000).as("doc_id"), $"lang",
+          array_join(reverse(split($"text", " ")), " ").as("text")))
+      val out = java.nio.file.Files.createTempDirectory("st17_src").toString
+      d.unionByName(batch2)
+        .withColumn("half", ($"doc_id" >= 1000000).cast("int"))
+        .repartition($"half") // one file per half-directory => 2 batches
+        .write.mode(SaveMode.Overwrite).partitionBy("half").parquet(out)
+      out
+    })
+
+  /** ST17: streaming near-dedup against a persistent signature index —
+    * the streaming twin of l36 and the fuzzy upgrade of st15's exact
+    * sink-dedup. Per micro-batch: (1) banded MinHash signatures via the
+    * fused native expression (map-only), (2) drop every doc whose band
+    * hits the index accumulated from all previously KEPT docs, (3) append
+    * survivors to the corpus sink and their bands to the index. State
+    * lives ON THE SINK as the band index (2 band rows per doc, never the
+    * text, no checkpoint retention window) — exactly the persistent dedup
+    * index a 100 TB ingest keeps, and the stream's state store holds
+    * nothing at all. Replay safety is st16's fencing: both writes land in
+    * deterministic batch_id=<n> directories in Overwrite mode, so a
+    * replayed batch overwrites itself. The index join is against
+    * PRE-batch history (within-batch dups are l1/l2's job); batch order
+    * is deterministic, so the kept set — originals, then reversed
+    * rewrites but not the near-dup perturbations — hash-matches a
+    * two-stage SQL oracle. */
+  def st17StreamingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stageSt17(spark, dir)
+    val sink = java.nio.file.Files.createTempDirectory("st17_sink").toString
+    val idx = java.nio.file.Files.createTempDirectory("st17_idx").toString
+    val q = spark.readStream
+      .schema(spark.read.parquet(staged).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+      .select($"doc_id", $"lang", $"text")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck_st17").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val cached = batch.persist()
+        try {
+          val priorBatches = new java.io.File(idx).listFiles()
+          val kept =
+            if (priorBatches == null || priorBatches.isEmpty) cached
+            else {
+              val bands = Llm.minhashBands(cached.select($"doc_id".as("id"), $"text"))
+              val dup = bands.join(sp.read.parquet(idx), Seq("band", "bi"))
+                .select($"id").distinct()
+              cached.join(dup, cached("doc_id") === dup("id"), "left_anti")
+            }
+          kept.select($"doc_id", $"lang")
+            .write.mode(SaveMode.Overwrite).parquet(s"$sink/batch_id=$batchId")
+          Llm.minhashBands(kept.select($"doc_id".as("id"), $"text"))
+            .select($"band", $"bi")
+            .write.mode(SaveMode.Overwrite).parquet(s"$idx/batch_id=$batchId")
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink).select($"doc_id", $"lang")
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st17_streaming_neardup" -> (st17StreamingNeardup _),
     "st16_dead_letter" -> (st16DeadLetter _),
     "st15_streaming_curation" -> (st15StreamingCuration _),
     "st14_stream_static_join" -> (st14StreamStaticJoin _),
@@ -611,6 +691,48 @@ object StreamingQ {
   private val oraDsumValue = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "st17_streaming_neardup" ->
+      """WITH b2 AS (
+        |  SELECT doc_id + 1000000 AS doc_id, lang,
+        |    substr(text, strpos(text, ' ') + 1) AS text
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, lang,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |csh AS (
+        |  SELECT doc_id AS id, unnest(list_transform(
+        |    generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+        |    i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS shingle
+        |  FROM documents),
+        |bsh AS (
+        |  SELECT doc_id AS id, unnest(list_transform(
+        |    generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+        |    i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS shingle
+        |  FROM b2),
+        |cmh AS (SELECT id,
+        |  min(substr(md5(shingle), 1, 5)) AS h1, min(substr(md5(shingle), 6, 5)) AS h2,
+        |  min(substr(md5(shingle), 11, 5)) AS h3, min(substr(md5(shingle), 16, 5)) AS h4,
+        |  min(substr(md5(shingle), 21, 5)) AS h5, min(substr(md5(shingle), 26, 5)) AS h6
+        |  FROM csh GROUP BY id),
+        |bmh AS (SELECT id,
+        |  min(substr(md5(shingle), 1, 5)) AS h1, min(substr(md5(shingle), 6, 5)) AS h2,
+        |  min(substr(md5(shingle), 11, 5)) AS h3, min(substr(md5(shingle), 16, 5)) AS h4,
+        |  min(substr(md5(shingle), 21, 5)) AS h5, min(substr(md5(shingle), 26, 5)) AS h6
+        |  FROM bsh GROUP BY id),
+        |cbands AS (
+        |  SELECT id, md5(h1 || '|' || h2 || '|' || h3) AS band, 1 AS bi FROM cmh
+        |  UNION ALL SELECT id, md5(h4 || '|' || h5 || '|' || h6), 2 FROM cmh),
+        |bbands AS (
+        |  SELECT id, md5(h1 || '|' || h2 || '|' || h3) AS band, 1 AS bi FROM bmh
+        |  UNION ALL SELECT id, md5(h4 || '|' || h5 || '|' || h6), 2 FROM bmh),
+        |dups AS (
+        |  SELECT DISTINCT b.id FROM bbands b
+        |  JOIN cbands c ON b.band = c.band AND b.bi = c.bi)
+        |SELECT doc_id, lang FROM documents
+        |UNION ALL
+        |SELECT doc_id, lang FROM b2
+        |WHERE doc_id NOT IN (SELECT id FROM dups)""".stripMargin,
     "st16_dead_letter" ->
       """SELECT 'accepted' AS route, event_type AS key, count(*) AS n
         |FROM events WHERE NOT (event_type = 'error' OR value >= 300.0)

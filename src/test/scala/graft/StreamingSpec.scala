@@ -251,4 +251,21 @@ class StreamingSpec extends SparkSpec {
     assert(routed.keySet == Set("accepted", "quarantined"))
     assert(routed.values.forall(_ > 0))
   }
+
+  test("ST17: streaming near-dedup keeps history, drops near-dups, admits novel text") {
+    import spark.implicits._
+    val kept = graft.queries.StreamingQ.st17StreamingNeardup(spark, sfDir)
+      .as[(Long, String)].collect().map(_._1)
+    val nDocs = Engine.documents(spark, sfDir).count()
+    val nProbes = Engine.documents(spark, sfDir)
+      .filter($"doc_id" % 5 === 0).count()
+    val originals = kept.count(_ < 1000000L)
+    val perturbed = kept.count(id => id >= 1000000L && id < 2000000L)
+    val reversed = kept.count(_ >= 2000000L)
+    assert(originals == nDocs, "batch 1 must be kept in full (empty index)")
+    assert(perturbed <= nProbes / 10,
+      s"near-dup perturbations must be dropped against the index, kept $perturbed of $nProbes")
+    assert(reversed >= nProbes * 9 / 10,
+      s"token-reversed docs have disjoint shingles and must survive, kept $reversed of $nProbes")
+  }
 }
