@@ -824,6 +824,98 @@ object Sources {
       .toDF("file_name", "n_samples", "sum_sq", "peak")
   }
 
+  private val phashStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Synthesize REAL JPEGs for the perceptual-hash dedup (staged once per
+    * JVM): each base image is an 8×8 block pattern scaled up (block
+    * brightness a per-image integer formula — coarse structure survives
+    * JPEG quantization), and each `dup_i` is its decode → re-encode
+    * near-duplicate: pixel-drifted by a second lossy pass, NOT
+    * byte-identical, which is exactly what exact-hash dedup (l1) misses
+    * and perceptual hashing must catch. */
+  private[graft] def stagePhashJpegs(): String =
+    phashStaged.computeIfAbsent("phash", { _ =>
+      val dir = tmp("l5e_phash")
+      (0 until 8).foreach { i =>
+        val (w, h) = (96 + 8 * i, 80 + 8 * ((i * 3) % 5))
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val bx = x * 8 / w
+          val by = y * 8 / h
+          val v = ((bx * 13 + by * 29) * (i + 3) + i * 97) % 251
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        javax.imageio.ImageIO.write(img, "jpg", new java.io.File(s"$dir/img_$i.jpg"))
+        val back = javax.imageio.ImageIO.read(new java.io.File(s"$dir/img_$i.jpg"))
+        javax.imageio.ImageIO.write(back, "jpg", new java.io.File(s"$dir/dup_$i.jpg"))
+      }
+      dir
+    })
+
+  /** L5e: image near-dedup by perceptual hash — the image leg of the
+    * dedup families (exact l1, text-MinHash l2, SimHash l24, embedding
+    * l9): REAL JPEG decode (JDK ImageIO) → 8×8 grayscale average → 64-bit
+    * aHash (bit = cell above mean) inside a typed partition-local stage —
+    * pixels never leave the executor, 8 bytes per image do. Candidate
+    * pairs form ONLY inside 16-bit band buckets (4 bands; pigeonhole:
+    * hamming ≤ 3 guarantees an intact band), then the exact
+    * `bit_count(xor)` filter keeps pairs within distance 10 — the same
+    * never-all-pairs shape as l24 at 100 TB. Re-encoded near-duplicates
+    * land at hamming ≈ 0-3, distinct block patterns at ≈ 32: planted
+    * `dup_i ↔ img_i` pairs and nothing else (pinned by RecallSpec; the
+    * decode step has no SQL equivalent, so the driver check is rows-only
+    * by design). */
+  def l5eImagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stagePhashJpegs()
+    val hashes = spark.read.format("binaryFile").load(staged)
+      .select(element_at(split($"path", "/"), -1).as("file_name"), $"content")
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (name, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val sums = new Array[Long](64)
+          val counts = new Array[Long](64)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val gray = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              val cell = (y * 8 / h) * 8 + (x * 8 / w)
+              sums(cell) += gray
+              counts(cell) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val avgs = Array.tabulate(64)(c => sums(c).toDouble / counts(c))
+          val mean = avgs.sum / 64
+          var hash = 0L
+          var c = 0
+          while (c < 64) {
+            if (avgs(c) > mean) hash |= (1L << c)
+            c += 1
+          }
+          (name, hash)
+        }
+      }
+      .toDF("file_name", "phash")
+    val banded = hashes.select($"file_name", $"phash",
+      explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("bval", expr("shiftrightunsigned(phash, cast(b * 16 as int)) & 65535"))
+    val other = banded.select($"file_name".as("b_name"), $"phash".as("b_hash"),
+      $"b", $"bval")
+    banded.join(other, Seq("b", "bval"))
+      .filter($"file_name" < $"b_name")
+      .select($"file_name".as("a_name"), $"b_name",
+        expr("cast(bit_count(phash ^ b_hash) as bigint)").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 10)
+  }
+
   /** L5b: frame sampling — one input asset fans out to N sampled frames
     * (the video/audio analog of page explosion): a typed flatMap emitting
     * (frame_idx, byte_offset) rows per asset. The real frame decoder is
@@ -873,6 +965,7 @@ object Sources {
     "s26_rebalance_write" -> (s26RebalanceWrite _),
     "l5c_thumbnail" -> (l5cThumbnail _),
     "l5d_audio_features" -> (l5dAudioFeatures _),
+    "l5e_image_phash" -> (l5eImagePhash _),
     "o13_merge_schema" -> (o13MergeSchema _),
     "o9_csv_roundtrip" -> (o9CsvRoundtrip _),
     "o10_xml_roundtrip" -> (o10XmlRoundtrip _),

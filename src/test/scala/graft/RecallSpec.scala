@@ -75,4 +75,16 @@ class RecallSpec extends SparkSpec {
     assert(recovered >= 0.8,
       s"planted near-dup recovery = $recovered (found=${found.size}, planted=${planted.size})")
   }
+
+  test("L5e: perceptual hash pairs exactly the re-encoded image duplicates") {
+    import spark.implicits._
+    val pairs = graft.queries.Sources.l5eImagePhash(spark, sfDir)
+      .select($"a_name", $"b_name").as[(String, String)].collect().toSet
+    // staging plants dup_i.jpg as the decode->re-encode (pixel-drifted,
+    // NOT byte-identical) twin of img_i.jpg; the block patterns of
+    // different i sit ~32 bits apart, so the matcher must return exactly
+    // the 8 planted pairs — no misses, no false positives
+    val planted = (0 until 8).map(i => (s"dup_$i.jpg", s"img_$i.jpg")).toSet
+    assert(pairs == planted, s"got $pairs")
+  }
 }
