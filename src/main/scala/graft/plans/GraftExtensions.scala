@@ -7,13 +7,15 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Session extensions — the full SURVEY §2 extension-point ladder:
-  * a custom `Rule[LogicalPlan]` (predicate rewriting) AND a custom
-  * planner `Strategy` backing the [[TopKPerKey]] whole-operator node.
+  * a custom `Rule[LogicalPlan]` (predicate rewriting), a custom planner
+  * `Strategy` backing the [[TopKPerKey]] whole-operator node, AND a
+  * custom table-valued function ([[DaySpineTvf]]).
   * Installed by every engine session ([[graft.Engine.session]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PushFilterThroughNanoNarrowing)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    ext.injectTableFunction(DaySpineTvf.description)
   }
 }
 

@@ -77,6 +77,24 @@ object Nested {
         weekday($"day").cast("long").as("wd"))
   }
 
+  /** G5: the same calendar spine through the custom `day_spine` TABLE
+    * FUNCTION ([[graft.plans.DaySpineTvf]], injected via
+    * `SparkSessionExtensions.injectTableFunction`) — the TVF rung of the
+    * extension ladder, addressable from plain SQL like any builtin
+    * (`FROM day_spine(...)`). Unlike g3's one-row explode, the TVF plans
+    * as a catalyst `Range` — distributed and splittable, nothing
+    * driver-materialized (plan test pins the Range node) — joined here to
+    * per-day event counts, the reconcile shape j4 runs. */
+  def g5DaySpineTvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spine = spark.sql(
+      "SELECT day FROM day_spine(DATE'2024-01-01', DATE'2024-01-31')")
+    val actual = events(spark, dir)
+      .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("n_events"))
+    spine.join(actual, Seq("day"), "left")
+      .select($"day", coalesce($"n_events", lit(0L)).as("n_events"))
+  }
+
   /** G4: PageRank over the customer→supplier trade graph (who supplies the
     * most-connected buyers), the iterative-graph-analytics shape: N fixed
     * rounds, each one equi-join (rank flows along edges) + one aggregate
@@ -217,10 +235,21 @@ object Nested {
     "g2_explode_tokens" -> (g2ExplodeTokens _),
     "g2b_posexplode" -> (g2bPosexplode _),
     "g2c_explode_outer" -> (g2cExplodeOuter _),
-    "g3_day_series" -> (g3DaySeries _)
+    "g3_day_series" -> (g3DaySeries _),
+    "g5_day_spine_tvf" -> (g5DaySpineTvf _)
   )
 
   val oracle: Map[String, String] = Map(
+    "g5_day_spine_tvf" ->
+      """WITH spine AS (
+        |  SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+        |    DATE '2024-01-31', INTERVAL 1 DAY)) AS DATE) AS day),
+        |actual AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT s.day, coalesce(a.n_events, 0) AS n_events
+        |FROM spine s LEFT JOIN actual a USING (day)""".stripMargin,
     "g7_bfs_reachability" ->
       """WITH fwd AS (
         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,

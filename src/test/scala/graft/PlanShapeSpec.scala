@@ -555,4 +555,19 @@ class PlanShapeSpec extends SparkSpec {
     val plan = planOf(df)
     assert(plan.contains("dynamicpruning"), plan.take(4000))
   }
+
+  test("G5: day_spine TVF plans as a distributed Range, not a local relation") {
+    val df = spark.sql(
+      "SELECT day FROM day_spine(DATE'2024-01-01', DATE'2024-03-31')")
+    val plan = planOf(df)
+    assert(plan.contains("Range ("), plan.take(2000))
+    assert(!plan.contains("LocalTableScan"), plan.take(2000))
+    assert(df.count() == 91)
+    // loud failures: wrong arity, non-literal bound, inverted bounds
+    val e1 = intercept[Exception](spark.sql("SELECT * FROM day_spine(DATE'2024-01-01')"))
+    assert(e1.getMessage.contains("start_date, end_date"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM day_spine(DATE'2024-02-01', DATE'2024-01-01')"))
+    assert(e2.getMessage.contains("precedes"), e2.getMessage)
+  }
 }
