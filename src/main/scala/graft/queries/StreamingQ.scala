@@ -665,8 +665,67 @@ object StreamingQ {
     spark.read.parquet(sink).select($"doc_id", $"lang")
   }
 
+  /** ST18: streaming heavy hitters under BOUNDED state — the answer to
+    * "who are the top talkers?" on a stream whose key space cannot fit in
+    * memory: a Misra-Gries sketch (capacity 16) per shard, held in a
+    * typed `MapState` via `transformWithState`
+    * ([[graft.streaming.MisraGriesProcessor]]). Where st8/st13 keep one
+    * state slot PER KEY (state grows with the key space), this keeps at
+    * most k counters per shard NO MATTER how many distinct keys flow
+    * through — the only shape that survives an adversarial 100 TB stream.
+    * Four shards (user_id mod 4) parallelize the sketch; shard sketches
+    * merge by summation, preserving the MG bound: counts underestimate by
+    * at most n/(k+1) and every key above that frequency is guaranteed
+    * present (both asserted in StreamingSpec). Counter values depend on
+    * arrival order (inherent to MG; rows-only in the driver by design);
+    * the BOUNDS hold for every order. Final sketch = the last batch's
+    * update-mode emission, read back from its batch_id directory. */
+  def st18StreamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = Streams.stageEvents(spark, dir, 4)
+    val schema = Streams.eventsSchema(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("st18_out").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try Streams.withShufflePartitions(spark, 4) {
+      val q = Streams.eventsStream(spark, staged, schema, 2)
+        .select(($"user_id" % 4).cast("long").as("shard"),
+          $"user_id".cast("long").as("item"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.MisraGriesProcessor(16),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("shard", "user_id", "est_in_shard")
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck_st18").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // each batch re-emits every live shard's FULL sketch, so the
+          // highest batch directory alone is the final state (and the
+          // Overwrite fencing keeps replays idempotent, st16-style)
+          batch.write.mode(SaveMode.Overwrite).parquet(s"$out/batch_id=$batchId")
+        }
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val all = spark.read.parquet(out)
+    val lastBatch = all.agg(max($"batch_id")).head().getAs[Number](0).intValue()
+    all.filter($"batch_id" === lastBatch)
+      .groupBy($"user_id")
+      .agg(sum($"est_in_shard").as("est_n"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st18_stream_heavy_hitters" -> (st18StreamHeavyHitters _),
     "st17_streaming_neardup" -> (st17StreamingNeardup _),
     "st16_dead_letter" -> (st16DeadLetter _),
     "st15_streaming_curation" -> (st15StreamingCuration _),

@@ -40,6 +40,53 @@ class CountMaxProcessor
   }
 }
 
+/** Bounded-state streaming heavy hitters: Misra-Gries with capacity `k`
+  * PER SHARD, held in a typed `MapState` on the RocksDB store. The scale
+  * contract this demonstrates is the one that matters on an unbounded
+  * stream: state NEVER grows with the key space — at most k counters per
+  * shard survive, however many distinct items flow through. Classic MG
+  * update per item: increment if tracked, insert if a slot is free, else
+  * decrement every counter (evicting zeros). Counters therefore
+  * UNDERestimate by at most n_shard/(k+1) — shard sketches merge by
+  * summing, preserving the bound (asserted in StreamingSpec); every item
+  * with true frequency above the bound is guaranteed to survive. Emits
+  * the shard's full sketch each batch (update semantics — the final
+  * batch's emission IS the final sketch). */
+class MisraGriesProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TTLConfig}
+
+  @transient private var sketch: MapState[Long, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    sketch = getHandle.getMapState[Long, Long]("mg",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Long)] = {
+    rows.foreach { case (_, item) =>
+      if (sketch.containsKey(item)) {
+        sketch.updateValue(item, sketch.getValue(item) + 1)
+      } else if (sketch.keys().size < k) {
+        sketch.updateValue(item, 1L)
+      } else {
+        // decrement-all admission: k+1 distinct items each give up one
+        // count; zeroed counters free their slot
+        sketch.iterator().toList.foreach { case (it, c) =>
+          if (c <= 1L) sketch.removeKey(it) else sketch.updateValue(it, c - 1L)
+        }
+      }
+    }
+    sketch.iterator().toList.map { case (it, c) => (key, it, c) }.iterator
+  }
+}
+
 /** Structured Streaming harness (SURVEY §2.9): the reference is a
   * checkpointed micro-batch stream over the date axis
   * (main.yml:70-95 + scraper_state.json) — here expressed as real

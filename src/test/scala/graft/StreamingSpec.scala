@@ -268,4 +268,24 @@ class StreamingSpec extends SparkSpec {
     assert(reversed >= nProbes * 9 / 10,
       s"token-reversed docs have disjoint shingles and must survive, kept $reversed of $nProbes")
   }
+
+  test("ST18: Misra-Gries stream sketch honors the frequency-error guarantees") {
+    import spark.implicits._
+    val est = graft.queries.StreamingQ.st18StreamHeavyHitters(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val truth = Engine.events(spark, sfDir)
+      .groupBy($"user_id".cast("long").as("u")).count()
+      .as[(Long, Long)].collect().toMap
+    val n = truth.values.sum
+    val bound = n / 17 // k = 16: merged shards underestimate by <= n/(k+1)
+    assert(est.nonEmpty)
+    est.foreach { case (u, e) =>
+      val t = truth(u)
+      assert(e <= t, s"MG must never overcount: user $u est $e > true $t")
+      assert(t - e <= bound, s"user $u err ${t - e} beyond bound $bound")
+    }
+    val guaranteed = truth.filter(_._2 > bound).keySet
+    assert(guaranteed.subsetOf(est.keySet),
+      s"heavy users ${guaranteed -- est.keySet} above n/(k+1)=$bound missing")
+  }
 }
