@@ -70,20 +70,30 @@ class MisraGriesProcessor(k: Int)
       rows: Iterator[(Long, Long)],
       timerValues: org.apache.spark.sql.streaming.TimerValues)
       : Iterator[(Long, Long, Long)] = {
+    // State-store discipline: the sketch is loaded into a (bounded, ≤ k
+    // entries) heap map ONCE, every row of the batch is applied in memory,
+    // and the store sees exactly one clear + ≤ k puts at the end. The
+    // naive formulation (a containsKey/getValue/updateValue round-trip per
+    // ROW) costs a RocksDB call per event and turned a 1.5 s stream into
+    // 35 s at sf0.1 — per-batch state I/O must be O(k), never O(rows).
+    val local = scala.collection.mutable.HashMap.empty[Long, Long]
+    sketch.iterator().foreach { case (it, c) => local(it) = c }
     rows.foreach { case (_, item) =>
-      if (sketch.containsKey(item)) {
-        sketch.updateValue(item, sketch.getValue(item) + 1)
-      } else if (sketch.keys().size < k) {
-        sketch.updateValue(item, 1L)
-      } else {
-        // decrement-all admission: k+1 distinct items each give up one
-        // count; zeroed counters free their slot
-        sketch.iterator().toList.foreach { case (it, c) =>
-          if (c <= 1L) sketch.removeKey(it) else sketch.updateValue(it, c - 1L)
-        }
+      local.get(item) match {
+        case Some(c) => local(item) = c + 1L
+        case None if local.size < k => local(item) = 1L
+        case None =>
+          // decrement-all admission: k+1 distinct items each give up one
+          // count; zeroed counters free their slot
+          local.keysIterator.toArray.foreach { it =>
+            val c = local(it)
+            if (c <= 1L) local.remove(it) else local(it) = c - 1L
+          }
       }
     }
-    sketch.iterator().toList.map { case (it, c) => (key, it, c) }.iterator
+    sketch.clear()
+    local.foreach { case (it, c) => sketch.updateValue(it, c) }
+    local.toList.map { case (it, c) => (key, it, c) }.iterator
   }
 }
 
