@@ -751,6 +751,56 @@ object Relational {
         last($"day_avg", ignoreNulls = true).over(w).as("filled_avg"))
   }
 
+  /** W15: linear interpolation over a gapped time series — the resample
+    * step beside w8's carry-forward: missing days get the straight-line
+    * value between their known neighbors, the standard treatment for
+    * sensor/metric series before any windowed model sees them. Mechanics:
+    * bracket every day with its previous and next OBSERVED (day, count)
+    * via `last(..., ignoreNulls)` / `first(..., ignoreNulls)` over
+    * mirrored frames of the SAME event_type ordering — one hash exchange
+    * feeds both window passes (the w9/w12 exchange-reuse shape) — then
+    * one integer-scaled division (count ×1000) so every interpolated
+    * value hash-matches the oracle exactly. Series edges (no neighbor on
+    * one side) fall back to the available side, matching the oracle's
+    * COALESCE. */
+  def w15LinearInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .filter($"event_id" % 3 === 0) // thin the stream so real gaps exist
+      .groupBy($"event_type", date_trunc("day", $"ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("pn"))
+    val days = spark.range(1).select(explode(sequence(
+      lit("2024-01-01").cast("date"), lit("2024-01-30").cast("date"),
+      expr("interval 1 day"))).as("day"))
+    val keys = events(spark, dir).select($"event_type").distinct()
+    interpolateCore(keys.crossJoin(days)
+      .join(daily, Seq("event_type", "day"), "left"))
+  }
+
+  /** Interpolation core over a (event_type, day, pn-nullable) grid, split
+    * out so PropertySpec can drive it with arbitrary gapped series. */
+  private[graft] def interpolateCore(grid: DataFrame): DataFrame = {
+    import grid.sparkSession.implicits._
+    val wPrev = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid
+      .withColumn("pv", last($"pn" * 1000, ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(when($"pn".isNotNull, $"day"), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first($"pn" * 1000, ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(when($"pn".isNotNull, $"day"), ignoreNulls = true).over(wNext))
+      .select($"event_type", $"day",
+        // convex-combination form (pv·right + nv·left) div span: the
+        // numerator is provably non-negative, so Spark's truncating `div`
+        // and DuckDB's flooring `//` agree on every row — the
+        // (nv-pv)·frac form would diverge on descending segments
+        when($"pn".isNotNull, $"pn" * 1000)
+          .when($"pv".isNotNull && $"nv".isNotNull, expr(
+            "(pv * datediff(nd, day) + nv * datediff(day, pd)) div datediff(nd, pd)"))
+          .otherwise(coalesce($"pv", $"nv")).as("interp_n1000"))
+  }
+
   /** A14: incremental aggregate maintenance — yesterday's stored per-key
     * aggregate merged with today's delta batch WITHOUT recomputing history.
     * count/sum/min/max are re-aggregatable (the algebraic-aggregate
@@ -1112,6 +1162,7 @@ object Relational {
 
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w15_linear_interpolate" -> (w15LinearInterpolate _),
     "w14_cohort_retention" -> (w14CohortRetention _),
     "w9_batch_sessionize" -> (w9BatchSessionize _),
     "w10_cumulative_distinct" -> (w10CumulativeDistinct _),
@@ -1181,6 +1232,39 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "w15_linear_interpolate" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS pn
+        |  FROM events WHERE event_id % 3 = 0 GROUP BY 1, 2),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+        |    DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day),
+        |grid AS (
+        |  SELECT k.event_type, d.day, daily.pn
+        |  FROM (SELECT DISTINCT event_type FROM events) k
+        |  CROSS JOIN days d
+        |  LEFT JOIN daily ON daily.event_type = k.event_type AND daily.day = d.day),
+        |br AS (
+        |  SELECT event_type, day, pn,
+        |    last_value(pn * 1000 IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN pn IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wp AS pd,
+        |    first_value(pn * 1000 IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN pn IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wn AS nd
+        |  FROM grid
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, day,
+        |  CAST(CASE WHEN pn IS NOT NULL THEN pn * 1000
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |      (pv * datediff('day', day, nd) + nv * datediff('day', pd, day))
+        |        // datediff('day', pd, nd)
+        |    ELSE coalesce(pv, nv) END AS BIGINT) AS interp_n1000
+        |FROM br""".stripMargin,
     "w14_cohort_retention" ->
       """WITH f AS (
         |  SELECT o_custkey,

@@ -298,4 +298,50 @@ class PropertySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("property: linear interpolation brackets gaps and is exact on ramps (W15)") {
+    import java.sql.Date
+    import spark.implicits._
+    // arbitrary observed subset of a 20-day axis with arbitrary counts
+    val obsGen = Gen.mapOf(Gen.zip(Gen.choose(0, 19), Gen.choose(0L, 50L)))
+    val prop = Prop.forAll(obsGen) { obs =>
+      val grid = (0 until 20).map { d =>
+        ("k", Date.valueOf(s"2024-01-${"%02d".format(d + 1)}"),
+          obs.get(d).map(long2Long).orNull)
+      }.toDF("event_type", "day", "pn")
+      val out = graft.queries.Relational.interpolateCore(grid)
+        .as[(String, Date, Option[Long])].collect()
+        .map(r => (r._2.toLocalDate.getDayOfMonth - 1, r._3)).toMap
+      (0 until 20).forall { d =>
+        out(d) match {
+          case Some(v) if obs.contains(d) => v == obs(d) * 1000 // observed kept
+          case v =>
+            val prev = (d to 0 by -1).find(obs.contains).map(obs)
+            val next = (d until 20).find(obs.contains).map(obs)
+            (prev, next) match {
+              case (Some(p), Some(n)) => // bracketed by the neighbor values
+                val (lo, hi) = (math.min(p, n) * 1000, math.max(p, n) * 1000)
+                v.exists(x => x >= lo && x <= hi)
+              case (p, n) => v == p.orElse(n).map(_ * 1000) // edge fallback
+            }
+        }
+      }
+    }
+    val result = SCTest.check(params, prop)
+    assert(result.passed, result.status.toString)
+    // exactness: a pure ramp with interior gaps is reproduced exactly
+    val ramp = Seq(0, 5, 10, 15).map(d =>
+      ("k", Date.valueOf(s"2024-01-${"%02d".format(d + 1)}"), long2Long(d * 4L)))
+    val grid = (0 until 16).map { d =>
+      ("k", Date.valueOf(s"2024-01-${"%02d".format(d + 1)}"),
+        if (d % 5 == 0) long2Long(d * 4L) else null)
+    }.toDF("event_type", "day", "pn")
+    assert(ramp.nonEmpty) // the observed anchor points above
+    val out = graft.queries.Relational.interpolateCore(grid)
+      .as[(String, Date, Long)].collect()
+      .map(r => (r._2.toLocalDate.getDayOfMonth - 1, r._3)).toMap
+    (0 until 16).foreach { d =>
+      assert(out(d) == d * 4000L, s"day $d: ${out(d)} != ${d * 4000L}")
+    }
+  }
 }
