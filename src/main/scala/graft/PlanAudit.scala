@@ -52,7 +52,10 @@ object PlanAudit {
       "l33_train_split" -> "train/val/test split: content-hash bucket projection, map-only, zero exchanges",
       "l34_unicode_normalize" -> "unicode normalize: native unaccent_native inside one WholeStageCodegen span, zero exchanges",
       "l35_bigram_lm_score" -> "bigram LM score: vocabulary-sized stat aggs joined back to the bigram stream, no doc-level product",
-      "l36_incremental_neardup" -> "incremental near-dedup: fused native signatures both sides, batch bands equi-join corpus bands")
+      "l36_incremental_neardup" -> "incremental near-dedup: fused native signatures both sides, batch bands equi-join corpus bands",
+      "w15_linear_interpolate" -> "linear interpolation: prev/next ignore-nulls brackets over one event_type exchange, integer convex combination",
+      "g5_day_spine_tvf" -> "custom table function: day_spine plans a distributed catalyst Range, joined to per-day counts",
+      "l5e_image_phash" -> "image near-dedup: decoded aHash, 16-bit band buckets, exact hamming filter — never all-pairs")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries (sf0.01)\n\n")
     sb.append("Generated by `graft.PlanAudit`; re-run after plan-affecting changes.\n")
