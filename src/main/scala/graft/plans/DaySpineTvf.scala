@@ -28,10 +28,18 @@ object DaySpineTvf {
     new ExpressionInfo(getClass.getName, "day_spine"),
     (exprs: Seq[Expression]) => build(exprs))
 
-  /** Folds one bound to days-since-epoch (dates are Int-encoded). */
+  /** Folds one bound to days-since-epoch (dates are Int-encoded). Under
+    * the default ANSI mode a malformed string makes Cast.eval THROW
+    * rather than return null, so the cast is wrapped to keep the
+    * descriptive day_spine error in both modes. */
   private def evalDateDays(e: Expression, which: String): Int = {
     require(e.foldable, s"day_spine: the $which bound must be a literal, got $e")
-    val v = Cast(e, DateType, Some("UTC")).eval()
+    val v =
+      try Cast(e, DateType, Some("UTC")).eval()
+      catch {
+        case ex: Exception => throw new IllegalArgumentException(
+          s"day_spine: the $which bound is not a valid date: $e", ex)
+      }
     require(v != null, s"day_spine: the $which bound is not a valid date: $e")
     v.asInstanceOf[Int]
   }

@@ -513,11 +513,14 @@ object Llm {
   def l34UnicodeNormalize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val accented = translate($"text", "aeiou", "áéíóú")
+    // ONE unaccent tree; roundtrip_ok derives from the named column, so
+    // the NFD+regex work is never double-evaluated even where codegen
+    // subexpression elimination doesn't reach
     documents(spark, dir)
-      .select($"doc_id",
-        graft.functions.UnaccentExpr.unaccentNative(spark, accented).as("clean"),
-        (graft.functions.UnaccentExpr.unaccentNative(spark, accented) === $"text")
-          .as("roundtrip_ok"))
+      .select($"doc_id", $"text",
+        graft.functions.UnaccentExpr.unaccentNative(spark, accented).as("clean"))
+      .withColumn("roundtrip_ok", $"clean" === $"text")
+      .drop("text")
   }
 
   /** L35: bigram-LM quality score — the LM-free stand-in for perplexity
@@ -585,18 +588,22 @@ object Llm {
     * over the fused native signature (same family as l2/l2c, so any
     * consumer hash-matches the md5-slice oracle). Docs with too few
     * shingles emit no bands (they can never near-dup match). Shared by
-    * l36 and the streaming twin st17. */
+    * l36 and the streaming twin st17. Both band rows are derived from ONE
+    * signature pass via an array explode — a unionByName of two selects
+    * over the projection would execute the fused signature expression
+    * (and its source scan) twice. */
   private[graft] def minhashBands(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val s = docs
+    def bandOf(sig: Column, lo: Int, bi: Int): Column = struct(
+      md5(concat_ws("|", (lo to lo + 2).map(i => element_at(sig, i)): _*)
+        .cast("binary")).as("band"),
+      lit(bi).as("bi"))
+    docs
       .select($"id", graft.functions.MinhashSigExpr
         .minhashSigNative(docs.sparkSession, $"text").as("sig"))
       .filter($"sig".isNotNull)
-      .select($"id" +: (1 to 6).map(i => element_at($"sig", i).as(s"h$i")): _*)
-    s.select($"id", md5(concat_ws("|", $"h1", $"h2", $"h3").cast("binary")).as("band"),
-        lit(1).as("bi"))
-      .unionByName(s.select($"id",
-        md5(concat_ws("|", $"h4", $"h5", $"h6").cast("binary")).as("band"), lit(2).as("bi")))
+      .select($"id", explode(array(bandOf($"sig", 1, 1), bandOf($"sig", 4, 2))).as("bb"))
+      .select($"id", $"bb.band".as("band"), $"bb.bi".as("bi"))
   }
 
   /** L14: vocabulary table — token frequencies with a deterministic top-k

@@ -769,9 +769,10 @@ object Relational {
       .filter($"event_id" % 3 === 0) // thin the stream so real gaps exist
       .groupBy($"event_type", date_trunc("day", $"ts").cast("date").as("day"))
       .agg(count(lit(1)).as("pn"))
-    val days = spark.range(1).select(explode(sequence(
-      lit("2024-01-01").cast("date"), lit("2024-01-30").cast("date"),
-      expr("interval 1 day"))).as("day"))
+    // the spine comes from the injected day_spine TVF (g5) — the
+    // distributed Range form, not another inline one-row explode
+    val days = spark.sql(
+      "SELECT day FROM day_spine(DATE'2024-01-01', DATE'2024-01-30')")
     val keys = events(spark, dir).select($"event_type").distinct()
     interpolateCore(keys.crossJoin(days)
       .join(daily, Seq("event_type", "day"), "left"))

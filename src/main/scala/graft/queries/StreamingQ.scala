@@ -606,6 +606,14 @@ object StreamingQ {
         .withColumn("half", ($"doc_id" >= 1000000).cast("int"))
         .repartition($"half") // one file per half-directory => 2 batches
         .write.mode(SaveMode.Overwrite).partitionBy("half").parquet(out)
+      // FileStreamSource orders files by MODIFICATION TIME, not path — pin
+      // mtimes explicitly (half 0 strictly older) or batch order is at the
+      // mercy of task completion order (same discipline as stageSt7b)
+      Seq(0, 1).foreach { h =>
+        new java.io.File(s"$out/half=$h").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(f => { f.setLastModified(1600000000000L + h * 60000L): Unit })
+      }
       out
     })
 
@@ -643,22 +651,37 @@ object StreamingQ {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
         val cached = batch.persist()
+        // signatures are computed ONCE per batch: `bands` is persisted, the
+        // dup probe and the index write both read the memoized rows
+        val bands = Llm.minhashBands(cached.select($"doc_id".as("id"), $"text"))
+          .persist()
         try {
-          val priorBatches = new java.io.File(idx).listFiles()
-          val kept =
-            if (priorBatches == null || priorBatches.isEmpty) cached
-            else {
-              val bands = Llm.minhashBands(cached.select($"doc_id".as("id"), $"text"))
-              val dup = bands.join(sp.read.parquet(idx), Seq("band", "bi"))
-                .select($"id").distinct()
-              cached.join(dup, cached("doc_id") === dup("id"), "left_anti")
+          // replay fencing: only batches STRICTLY BEFORE this one are
+          // history — a replayed batch must not see its own previously
+          // written bands or every kept doc would match itself and the
+          // replay would overwrite the batch with an empty kept set
+          val hasPrior = {
+            val fs = new java.io.File(idx).listFiles()
+            fs != null && fs.exists { f =>
+              f.getName.startsWith("batch_id=") &&
+                f.getName.stripPrefix("batch_id=").toLong < batchId
             }
+          }
+          val dup =
+            if (!hasPrior) null
+            else bands.join(sp.read.parquet(idx).filter($"batch_id" < batchId),
+              Seq("band", "bi")).select($"id").distinct()
+          val kept =
+            if (dup == null) cached
+            else cached.join(dup, cached("doc_id") === dup("id"), "left_anti")
           kept.select($"doc_id", $"lang")
             .write.mode(SaveMode.Overwrite).parquet(s"$sink/batch_id=$batchId")
-          Llm.minhashBands(kept.select($"doc_id".as("id"), $"text"))
-            .select($"band", $"bi")
+          val keptBands =
+            if (dup == null) bands
+            else bands.join(dup, Seq("id"), "left_anti")
+          keptBands.select($"band", $"bi")
             .write.mode(SaveMode.Overwrite).parquet(s"$idx/batch_id=$batchId")
-        } finally { cached.unpersist(); () }
+        } finally { bands.unpersist(); cached.unpersist(); () }
       }
       .start()
     q.awaitTermination()
@@ -705,9 +728,10 @@ object StreamingQ {
           java.nio.file.Files.createTempDirectory("ck_st18").toString)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // each batch re-emits every live shard's FULL sketch, so the
-          // highest batch directory alone is the final state (and the
-          // Overwrite fencing keeps replays idempotent, st16-style)
+          // each batch re-emits the FULL sketch of every shard it touched,
+          // so a shard's latest batch directory is its final state (the
+          // read-back ranks per shard; Overwrite fencing keeps replays
+          // idempotent, st16-style)
           batch.write.mode(SaveMode.Overwrite).parquet(s"$out/batch_id=$batchId")
         }
         .start()
@@ -716,9 +740,14 @@ object StreamingQ {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
+    // final sketch PER SHARD = that shard's latest emission: a shard with
+    // no input rows in the final micro-batch emits nothing there, so
+    // filtering to the global max batch_id would silently drop its entire
+    // sketch — rank batches within each shard instead
     val all = spark.read.parquet(out)
-    val lastBatch = all.agg(max($"batch_id")).head().getAs[Number](0).intValue()
-    all.filter($"batch_id" === lastBatch)
+    val latest = Window.partitionBy($"shard").orderBy($"batch_id".desc)
+    all.withColumn("rk", dense_rank().over(latest))
+      .filter($"rk" === 1)
       .groupBy($"user_id")
       .agg(sum($"est_in_shard").as("est_n"))
   }

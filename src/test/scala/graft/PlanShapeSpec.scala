@@ -569,5 +569,10 @@ class PlanShapeSpec extends SparkSpec {
     val e2 = intercept[Exception](
       spark.sql("SELECT * FROM day_spine(DATE'2024-02-01', DATE'2024-01-01')"))
     assert(e2.getMessage.contains("precedes"), e2.getMessage)
+    // ANSI mode makes Cast.eval throw on malformed strings — the TVF must
+    // still surface its own descriptive message, not a raw cast error
+    val e3 = intercept[Exception](
+      spark.sql("SELECT * FROM day_spine('2024-13-99', DATE'2024-01-31')"))
+    assert(e3.getMessage.contains("not a valid date"), e3.getMessage)
   }
 }

@@ -329,14 +329,12 @@ class PropertySpec extends SparkSpec {
     }
     val result = SCTest.check(params, prop)
     assert(result.passed, result.status.toString)
-    // exactness: a pure ramp with interior gaps is reproduced exactly
-    val ramp = Seq(0, 5, 10, 15).map(d =>
-      ("k", Date.valueOf(s"2024-01-${"%02d".format(d + 1)}"), long2Long(d * 4L)))
+    // exactness: anchors every 5th day carry the linear value d*4 — the
+    // interpolated days in between must land exactly on the same line
     val grid = (0 until 16).map { d =>
       ("k", Date.valueOf(s"2024-01-${"%02d".format(d + 1)}"),
         if (d % 5 == 0) long2Long(d * 4L) else null)
     }.toDF("event_type", "day", "pn")
-    assert(ramp.nonEmpty) // the observed anchor points above
     val out = graft.queries.Relational.interpolateCore(grid)
       .as[(String, Date, Long)].collect()
       .map(r => (r._2.toLocalDate.getDayOfMonth - 1, r._3)).toMap
