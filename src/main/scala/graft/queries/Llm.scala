@@ -606,6 +606,36 @@ object Llm {
       .select($"id", $"bb.band".as("band"), $"bb.bi".as("bi"))
   }
 
+  /** L37: HTML boilerplate stripping — the markup-removal pass between
+    * crawl and every text operator above: drop script/style blocks
+    * WITH their contents, replace remaining tags with spaces, collapse
+    * whitespace, decode the common entities. The fixture wraps each doc
+    * in a deterministic page skeleton (nav div, script, footer) so the
+    * whole extract chain is oracle-checkable. Regex subset chosen to
+    * mean the same thing in Java regex and RE2: NO backreferences
+    * (`</\1>` silently matches nothing in DuckDB's RE2 — the
+    * script-block pattern is spelled as an explicit alternation) and
+    * dotall via Java's inline `(?s)` = RE2's `s` flag. Map-only: one
+    * codegen'd projection chain, zero exchanges at any scale. */
+  def l37HtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val markup = expr(
+      """concat('<html><head><title>doc</title><script>var x=1;</script></head>',
+        |'<body><div class="nav">menu &amp; links</div><p>',
+        |replace(text, ' ', ' &nbsp;'),
+        |'</p><footer>&copy; 2024</footer></body></html>')""".stripMargin)
+    documents(spark, dir)
+      .select($"doc_id", markup.as("markup"))
+      .select($"doc_id", trim(regexp_replace(regexp_replace(regexp_replace(
+        $"markup",
+        "(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", ""),
+        "<[^>]+>", " "),
+        "\\s+", " ")).as("no_tags"))
+      .select($"doc_id", expr(
+        "replace(replace(replace(no_tags, '&nbsp;', ''), '&amp;', '&'), '&copy;', '(c)')")
+        .as("clean"))
+  }
+
   /** L14: vocabulary table — token frequencies with a deterministic top-k
     * (the tokenizer-training / frequency-filter input). Partial map-side
     * counts before the one shuffle; top-k is TakeOrderedAndProject. */
@@ -1039,7 +1069,8 @@ object Llm {
     "l33_train_split" -> (l33TrainSplit _),
     "l34_unicode_normalize" -> (l34UnicodeNormalize _),
     "l35_bigram_lm_score" -> (l35BigramLmScore _),
-    "l36_incremental_neardup" -> (l36IncrementalNeardup _)
+    "l36_incremental_neardup" -> (l36IncrementalNeardup _),
+    "l37_html_extract" -> (l37HtmlExtract _)
   )
 
   private val candSql =
@@ -1297,6 +1328,25 @@ object Llm {
         |SELECT b.id AS batch_id, min(c.id) AS dup_of
         |FROM bbands b JOIN cbands c ON b.band = c.band AND b.bi = c.bi
         |GROUP BY b.id""".stripMargin,
+    "l37_html_extract" ->
+      """WITH html AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>doc</title><script>var x=1;</script></head>' ||
+        |    '<body><div class="nav">menu &amp; links</div><p>' ||
+        |    replace(text, ' ', ' &nbsp;') ||
+        |    '</p><footer>&copy; 2024</footer></body></html>' AS markup
+        |  FROM documents),
+        |stripped AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(markup,
+        |      '<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', '', 'gs'),
+        |      '<[^>]+>', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS no_tags
+        |  FROM html)
+        |SELECT doc_id,
+        |  replace(replace(replace(no_tags, '&nbsp;', ''), '&amp;', '&'),
+        |    '&copy;', '(c)') AS clean
+        |FROM stripped""".stripMargin,
     "l29_length_histogram" ->
       """SELECT lang, least(length(text) // 250, 15) AS bucket,
         |  count(*) AS n_docs
