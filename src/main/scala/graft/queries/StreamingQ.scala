@@ -632,7 +632,12 @@ object StreamingQ {
     * PRE-batch history (within-batch dups are l1/l2's job); batch order
     * is deterministic, so the kept set — originals, then reversed
     * rewrites but not the near-dup perturbations — hash-matches a
-    * two-stage SQL oracle. */
+    * two-stage SQL oracle. At production scale the per-batch index read
+    * does not stay a full scan: the index is tiny relative to the corpus
+    * (2 × 16-byte rows per doc), and partitioning it by a band-hash
+    * prefix turns each batch's probe into a pruned read of only the
+    * buckets the batch's own bands touch, with s20-style compaction
+    * keeping bucket file counts flat. */
   def st17StreamingNeardup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val staged = stageSt17(spark, dir)
