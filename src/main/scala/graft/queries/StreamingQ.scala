@@ -654,43 +654,53 @@ object StreamingQ {
         java.nio.file.Files.createTempDirectory("ck_st17").toString)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sp = batch.sparkSession
-        val cached = batch.persist()
-        // signatures are computed ONCE per batch: `bands` is persisted, the
-        // dup probe and the index write both read the memoized rows
-        val bands = Llm.minhashBands(cached.select($"doc_id".as("id"), $"text"))
-          .persist()
-        try {
-          // replay fencing: only batches STRICTLY BEFORE this one are
-          // history — a replayed batch must not see its own previously
-          // written bands or every kept doc would match itself and the
-          // replay would overwrite the batch with an empty kept set
-          val hasPrior = {
-            val fs = new java.io.File(idx).listFiles()
-            fs != null && fs.exists { f =>
-              f.getName.startsWith("batch_id=") &&
-                f.getName.stripPrefix("batch_id=").toLong < batchId
-            }
-          }
-          val dup =
-            if (!hasPrior) null
-            else bands.join(sp.read.parquet(idx).filter($"batch_id" < batchId),
-              Seq("band", "bi")).select($"id").distinct()
-          val kept =
-            if (dup == null) cached
-            else cached.join(dup, cached("doc_id") === dup("id"), "left_anti")
-          kept.select($"doc_id", $"lang")
-            .write.mode(SaveMode.Overwrite).parquet(s"$sink/batch_id=$batchId")
-          val keptBands =
-            if (dup == null) bands
-            else bands.join(dup, Seq("id"), "left_anti")
-          keptBands.select($"band", $"bi")
-            .write.mode(SaveMode.Overwrite).parquet(s"$idx/batch_id=$batchId")
-        } finally { bands.unpersist(); cached.unpersist(); () }
+        st17ProcessBatch(batch, batchId, sink, idx)
       }
       .start()
     q.awaitTermination()
     spark.read.parquet(sink).select($"doc_id", $"lang")
+  }
+
+  /** One st17 micro-batch: dedup against the PRE-batch index, append
+    * survivors + their bands into batch_id-fenced directories. Split out
+    * so StreamingSpec can REPLAY a batch and assert idempotence — the
+    * property the fencing exists for. */
+  private[graft] def st17ProcessBatch(
+      batch: DataFrame, batchId: Long, sink: String, idx: String): Unit = {
+    import batch.sparkSession.implicits._
+    val sp = batch.sparkSession
+    val cached = batch.persist()
+    // signatures are computed ONCE per batch: `bands` is persisted, the
+    // dup probe and the index write both read the memoized rows
+    val bands = Llm.minhashBands(cached.select($"doc_id".as("id"), $"text"))
+      .persist()
+    try {
+      // replay fencing: only batches STRICTLY BEFORE this one are
+      // history — a replayed batch must not see its own previously
+      // written bands or every kept doc would match itself and the
+      // replay would overwrite the batch with an empty kept set
+      val hasPrior = {
+        val fs = new java.io.File(idx).listFiles()
+        fs != null && fs.exists { f =>
+          f.getName.startsWith("batch_id=") &&
+            f.getName.stripPrefix("batch_id=").toLong < batchId
+        }
+      }
+      val dup =
+        if (!hasPrior) null
+        else bands.join(sp.read.parquet(idx).filter($"batch_id" < batchId),
+          Seq("band", "bi")).select($"id").distinct()
+      val kept =
+        if (dup == null) cached
+        else cached.join(dup, cached("doc_id") === dup("id"), "left_anti")
+      kept.select($"doc_id", $"lang")
+        .write.mode(SaveMode.Overwrite).parquet(s"$sink/batch_id=$batchId")
+      val keptBands =
+        if (dup == null) bands
+        else bands.join(dup, Seq("id"), "left_anti")
+      keptBands.select($"band", $"bi")
+        .write.mode(SaveMode.Overwrite).parquet(s"$idx/batch_id=$batchId")
+    } finally { bands.unpersist(); cached.unpersist(); () }
   }
 
   /** ST18: streaming heavy hitters under BOUNDED state — the answer to

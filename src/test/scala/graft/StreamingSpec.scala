@@ -269,6 +269,30 @@ class StreamingSpec extends SparkSpec {
       s"token-reversed docs have disjoint shingles and must survive, kept $reversed of $nProbes")
   }
 
+  test("ST17: a replayed micro-batch is idempotent, never self-deduped") {
+    import spark.implicits._
+    val docs = Engine.documents(spark, sfDir).select($"doc_id", $"lang", $"text")
+    val b0 = docs.filter($"doc_id" < 50)
+    val b1 = docs.filter($"doc_id" >= 50 && $"doc_id" < 100)
+    val sink = java.nio.file.Files.createTempDirectory("st17r_sink").toString
+    val idx = java.nio.file.Files.createTempDirectory("st17r_idx").toString
+    graft.queries.StreamingQ.st17ProcessBatch(b0, 0L, sink, idx)
+    graft.queries.StreamingQ.st17ProcessBatch(b1, 1L, sink, idx)
+    def batchRows(n: Int): Set[Long] =
+      spark.read.parquet(s"$sink/batch_id=$n").select($"doc_id")
+        .as[Long].collect().toSet
+    val (r0, r1) = (batchRows(0), batchRows(1))
+    assert(r0.nonEmpty && r1.nonEmpty)
+    // replay both batches (crash-after-write, before checkpoint commit):
+    // each must overwrite itself with IDENTICAL contents — before the
+    // batch_id fence on the index read, a replayed batch matched its own
+    // previously written bands and emptied its own output
+    graft.queries.StreamingQ.st17ProcessBatch(b1, 1L, sink, idx)
+    assert(batchRows(1) == r1, "replayed batch 1 must reproduce itself")
+    graft.queries.StreamingQ.st17ProcessBatch(b0, 0L, sink, idx)
+    assert(batchRows(0) == r0, "replayed batch 0 must reproduce itself")
+  }
+
   test("ST18: Misra-Gries stream sketch honors the frequency-error guarantees") {
     import spark.implicits._
     val est = graft.queries.StreamingQ.st18StreamHeavyHitters(spark, sfDir)
