@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Grouped top-k as a first-class operator — the whole-operator rung of
@@ -15,11 +15,24 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * the window formulation (`rank() OVER (PARTITION BY k ORDER BY o) <= n`)
   * must SORT every group's full row set inside each shuffle partition
   * before it can rank, buffering rows proportional to partition size. At
-  * 100 TB that sort is the cost; top-k needs none of it. This operator
-  * keeps one bounded k-buffer per key and streams input in O(n log k),
-  * memory O(keys × k) — and declares only ClusteredDistribution, so
-  * EnsureRequirements plans the single hash exchange and NO SortExec
-  * (pinned by the plan test).
+  * 100 TB that sort is the cost; top-k needs none of it.
+  *
+  * Two-phase plan, because top-k is a semigroup (top-k of a union = top-k
+  * over the per-part top-ks): a PARTIAL pass runs before the exchange and
+  * keeps a local k-buffer per key, so at most mappers × keys × k rows ever
+  * cross the wire — the map-side-combine shape hash aggregation gets for
+  * free; the FINAL pass after the single hash exchange merges survivors in
+  * O(n log k). Neither phase sorts anything (plan test pins no SortExec,
+  * one Exchange).
+  *
+  * Memory posture: the partial phase caps its hash state at
+  * [[TopKPerKeyExec.PartialKeyCap]] distinct keys — past the cap, rows of
+  * unseen keys PASS THROUGH unfiltered (never wrong, never OOM: the final
+  * phase re-filters), the same degrade-don't-die contract as hash
+  * aggregation's spill fallback. The final phase holds the exact
+  * keys-in-partition × k state any grouped aggregate holds; cardinality
+  * beyond that is sized with `spark.sql.shuffle.partitions` like every
+  * keyed agg.
   *
   * Determinism contract: callers must pass a TOTAL ordering (tie columns
   * down to a unique key), same as they must for the window formulation to
@@ -51,22 +64,32 @@ object TopKPerKey {
   }
 }
 
-/** Physical operator: per input partition, one bounded k-buffer per key. */
+/** Physical operator: one bounded k-buffer per key.
+  * `partial = true` is the pre-exchange combine (bounded key state,
+  * overflow keys pass through); `partial = false` is the exact post-
+  * exchange merge. */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  // the ONLY requirement is co-location of each key: one hash exchange,
-  // no child ordering — the point of the operator is that no sort exists
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
+
+  // the final phase's ONLY requirement is co-location of each key: one
+  // hash exchange, no child ordering — the point of the operator is that
+  // no sort exists. The partial phase runs wherever the data already is.
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
+    val isPartial = partial
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keys, childOutput)
       // codegen'd row comparator for the SortOrder set: cmp(a,b) < 0
@@ -78,15 +101,24 @@ case class TopKPerKeyExec(
       val heapOrd = new java.util.Comparator[UnsafeRow] {
         override def compare(a: UnsafeRow, b: UnsafeRow): Int = cmp.compare(b, a)
       }
+      val passThrough = new scala.collection.mutable.ArrayBuffer[UnsafeRow]()
       while (iter.hasNext) {
         val row = iter.next().asInstanceOf[UnsafeRow]
         val key = keyProj(row)
         var heap = buffers.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](k, heapOrd)
-          buffers.put(key.copy(), heap)
-        }
-        if (heap.size < k) { heap.add(row.copy()); () }
+          if (isPartial && buffers.size >= TopKPerKeyExec.PartialKeyCap) {
+            // degrade, don't die: past the key cap the partial stops
+            // filtering NEW keys — their rows flow to the exact final
+            // phase unfiltered (cap bounds heap state; correctness is
+            // unaffected because the final phase re-filters everything)
+            passThrough += row.copy()
+          } else {
+            heap = new java.util.PriorityQueue[UnsafeRow](k, heapOrd)
+            buffers.put(key.copy(), heap)
+            heap.add(row.copy()); ()
+          }
+        } else if (heap.size < k) { heap.add(row.copy()); () }
         else if (cmp.compare(row, heap.peek()) < 0) {
           // `row` sorts before the current worst retained row -> keep it
           heap.poll()
@@ -101,6 +133,7 @@ case class TopKPerKeyExec(
         while (i >= 0) { rows(i) = heap.poll(); i -= 1 }
         out ++= rows
       }
+      out ++= passThrough
       out.iterator
     }, preservesPartitioning = true)
   }
@@ -109,11 +142,20 @@ case class TopKPerKeyExec(
     copy(child = newChild)
 }
 
-/** Planner strategy mapping the logical node to the exec. */
+object TopKPerKeyExec {
+  /** Max distinct keys the PARTIAL phase buffers per task before new keys
+    * pass through unfiltered. 16k keys × k rows is a few MB of heap at
+    * typical widths — the same order as a map-side combine buffer. */
+  val PartialKeyCap: Int = 1 << 14
+}
+
+/** Planner strategy: final merge over a pre-exchange partial combine —
+  * EnsureRequirements inserts the one hash exchange between them. */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -316,9 +316,32 @@ class PlanShapeSpec extends SparkSpec {
     df.collect(): Unit // finalize AQE
     val plan = planOf(df).split("== Initial Plan ==")(0)
     assert(plan.contains("TopKPerKey"), plan.take(3000))
+    // two-phase: map-side partial combine BEFORE the exchange caps what
+    // crosses the wire at keys x k rows per mapper
+    assert(plan.contains("TopKPerKeyPartial"), plan.take(3000))
     // the whole point: grouped top-k without any SortExec in the plan
     assert(!plan.contains("Sort ["), plan.take(3000))
     assert("Exchange".r.findAllIn(plan).size == 1, plan.take(3000))
+  }
+
+  test("W13: partial key-cap overflow degrades to pass-through, results unchanged") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{col, row_number}
+    import spark.implicits._
+    // 20k distinct keys > PartialKeyCap (16k): the partial phase must hit
+    // the cap, route overflow keys through unfiltered, and the final phase
+    // must still produce exactly the window-rank answer
+    assert(20000 > graft.plans.TopKPerKeyExec.PartialKeyCap / 1.25)
+    val df = spark.range(50000)
+      .select(($"id" % 20000).as("k"), ($"id" * 37 % 1000).as("v"), $"id")
+    val got = graft.plans.TopKPerKey.topKPerKey(
+      df, Seq($"k"), Seq($"v".desc, $"id".asc), k = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val w = W.partitionBy($"k").orderBy($"v".desc, $"id".asc)
+    val expected = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expected)
   }
 
   test("W13: custom top-k equals the window-rank formulation row for row") {
