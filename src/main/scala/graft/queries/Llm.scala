@@ -606,6 +606,43 @@ object Llm {
       .select($"id", $"bb.band".as("band"), $"bb.bi".as("bi"))
   }
 
+  /** L38: mixture execution — l20 PLANS per-domain repeat factors; this
+    * op EXECUTES them: every doc is emitted floor(r) times, plus one more
+    * copy for the deterministic md5-bucket fraction of docs that covers
+    * the fractional part — "2.4× domain X" becomes 2 copies of every doc
+    * and a 3rd for the 40% of docs whose content bucket falls below the
+    * cutoff. No RNG anywhere (resumable, reproducible, same property as
+    * l19), and the repeat factor is computed in EXACT integer arithmetic
+    * (target weights as rationals over a common denominator), so the full
+    * replicated layout hash-matches the oracle. Scale shape: the domain
+    * stats collapse first (tiny agg), broadcast back to the doc stream,
+    * then a map-side sequence explode — fan-out happens AFTER the join,
+    * so nothing corpus-sized ever shuffles. */
+  def l38MixtureExecute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // target weights over denominator 180: src0=36/180, src1=18/180,
+    // the remaining 18 domains share 0.7 evenly = 7/180 each (l20's plan)
+    val num = when($"source" === "src0", 36L)
+      .when($"source" === "src1", 18L).otherwise(7L)
+    val d = documents(spark, dir)
+    val counts = d.groupBy($"source").agg(count(lit(1)).as("n_d"))
+      .withColumn("total", sum($"n_d").over())
+      .withColumn("num", num)
+      // copies*10000 in basis points, all-integer: floor == trunc, exact
+      .withColumn("bp", expr("(total * num * 10000) div (180 * n_d)"))
+      .select($"source", expr("bp div 10000").as("n_full"),
+        expr("bp % 10000").as("frac_bp"))
+    val bucket = conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 4),
+      16, 10).cast("long") % 10000
+    d.select($"doc_id", $"source")
+      .join(broadcast(counts), Seq("source"))
+      .withColumn("copies",
+        $"n_full" + when(bucket < $"frac_bp", 1L).otherwise(0L))
+      .filter($"copies" >= 1) // sequence(1,0) runs DESCENDING, never empty
+      .select($"source", $"doc_id",
+        explode(sequence(lit(1L), $"copies")).as("copy_idx"))
+  }
+
   /** L37: HTML boilerplate stripping — the markup-removal pass between
     * crawl and every text operator above: drop script/style blocks
     * WITH their contents, replace remaining tags with spaces, collapse
@@ -1070,7 +1107,8 @@ object Llm {
     "l34_unicode_normalize" -> (l34UnicodeNormalize _),
     "l35_bigram_lm_score" -> (l35BigramLmScore _),
     "l36_incremental_neardup" -> (l36IncrementalNeardup _),
-    "l37_html_extract" -> (l37HtmlExtract _)
+    "l37_html_extract" -> (l37HtmlExtract _),
+    "l38_mixture_execute" -> (l38MixtureExecute _)
   )
 
   private val candSql =
@@ -1328,6 +1366,27 @@ object Llm {
         |SELECT b.id AS batch_id, min(c.id) AS dup_of
         |FROM bbands b JOIN cbands c ON b.band = c.band AND b.bi = c.bi
         |GROUP BY b.id""".stripMargin,
+    "l38_mixture_execute" ->
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n_d,
+        |    (SELECT count(*) FROM documents) AS total,
+        |    CASE source WHEN 'src0' THEN 36 WHEN 'src1' THEN 18 ELSE 7 END AS num
+        |  FROM documents GROUP BY source),
+        |factors AS (
+        |  SELECT source,
+        |    ((total * num * 10000) // (180 * n_d)) // 10000 AS n_full,
+        |    ((total * num * 10000) // (180 * n_d)) % 10000 AS frac_bp
+        |  FROM counts),
+        |docs AS (
+        |  SELECT d.source, d.doc_id,
+        |    f.n_full + CASE WHEN
+        |      ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT % 10000
+        |        < f.frac_bp THEN 1 ELSE 0 END AS copies
+        |  FROM documents d JOIN factors f USING (source))
+        |SELECT source, doc_id,
+        |  CAST(unnest(generate_series(1, CAST(copies AS INTEGER))) AS BIGINT)
+        |    AS copy_idx
+        |FROM docs WHERE copies >= 1""".stripMargin,
     "l37_html_extract" ->
       """WITH html AS (
         |  SELECT doc_id,
