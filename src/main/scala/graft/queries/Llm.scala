@@ -1062,6 +1062,63 @@ object Llm {
       .toDF("doc_id", "source", "n_tokens")
   }
 
+  /** L39: repeated-span detection — the exact-substring-dedup shape from
+    * the dedup-training-data literature (find spans of ≥ k tokens that
+    * recur across documents, so the repeated region itself can be cut
+    * rather than dropping whole near-dup docs). Plan: positional 8-gram
+    * hashes (map-only rolling projection, one md5 per position), one
+    * shuffle keyed by gram hash to find grams seen in ≥ 2 distinct docs,
+    * an equi semi-join back to the positions, then a per-doc window that
+    * merges overlapping hits into maximal spans via the pos − row_number
+    * island trick. No all-pairs join anywhere: candidate volume is
+    * O(total tokens) and every shuffle key (gram hash, doc id) is
+    * uniformly distributed, so the shape holds at corpus scale. Operates
+    * on the near-dup candidate corpus (originals + first-token-dropped
+    * copies) so real multi-token spans exist to find. */
+  def l39SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = nearDupCandidates(spark, dir)
+      .filter($"id" % 4 === 0) // bounded subset; 1e6 ≡ 0 (mod 4) keeps orig+copy together
+      .select($"id", Text.tokens($"text").as("t"))
+    val grams = toks
+      .select($"id", posexplode(
+        when(size($"t") < 8, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size($"t") - 7, lit(1)),
+            i => md5(concat_ws(" ", slice($"t", i, lit(8))).cast("binary"))))))
+      .select($"id", ($"pos" + 1).cast("long").as("pos"), $"col".as("g"))
+    val dup = grams.groupBy($"g")
+      .agg(countDistinct($"id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"g")
+    val hits = grams.join(dup, "g").select($"id", $"pos")
+    val w = Window.partitionBy($"id").orderBy($"pos")
+    hits.withColumn("k", $"pos" - row_number().over(w))
+      .groupBy($"id", $"k")
+      .agg(min($"pos").as("span_start"), (max($"pos") + 7).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select($"id".as("doc_id"), $"span_start", $"span_end", $"n_grams")
+  }
+
+  /** L40: deterministic global shuffle + shard assignment — the "shuffle
+    * the corpus before training" step. Shard = hash-prefix of a seeded
+    * per-doc md5 (uniform, resumable, RNG-free — re-running yields byte-
+    * identical shards); position-in-shard = row_number over the full hash
+    * WITHIN the shard, so there is ONE exchange keyed by shard and a
+    * partition-local sort, never a global total order. At 100 TB this is
+    * exactly the write shape wanted: shard count = output file count,
+    * each reducer sorts only its own shard. The fixture uses 8 shards; a
+    * real deployment raises the constant to thousands. */
+  def l40ShuffleShard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = md5(concat($"doc_id".cast("string"), lit(":42")).cast("binary"))
+    documents(spark, dir)
+      .select($"doc_id", key.as("skey"))
+      .withColumn("shard", conv(substring($"skey", 1, 4), 16, 10).cast("long") % 8)
+      .withColumn("pos_in_shard", row_number()
+        .over(Window.partitionBy($"shard").orderBy($"skey", $"doc_id")).cast("long"))
+      .select($"doc_id", $"shard", $"pos_in_shard")
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup" -> (l1ExactDedup _),
@@ -1108,7 +1165,9 @@ object Llm {
     "l35_bigram_lm_score" -> (l35BigramLmScore _),
     "l36_incremental_neardup" -> (l36IncrementalNeardup _),
     "l37_html_extract" -> (l37HtmlExtract _),
-    "l38_mixture_execute" -> (l38MixtureExecute _)
+    "l38_mixture_execute" -> (l38MixtureExecute _),
+    "l39_span_dedup" -> (l39SpanDedup _),
+    "l40_shuffle_shard" -> (l40ShuffleShard _)
   )
 
   private val candSql =
@@ -1387,6 +1446,32 @@ object Llm {
         |  CAST(unnest(generate_series(1, CAST(copies AS INTEGER))) AS BIGINT)
         |    AS copy_idx
         |FROM docs WHERE copies >= 1""".stripMargin,
+    "l39_span_dedup" ->
+      (s"WITH $candSql,\n" +
+        """toks AS (SELECT id, string_split(text, ' ') AS t FROM cand WHERE id % 4 = 0),
+          |grams AS (
+          |  SELECT id,
+          |    unnest(generate_series(1, greatest(len(t) - 7, 0))) AS pos,
+          |    unnest(list_transform(generate_series(1, greatest(len(t) - 7, 0)),
+          |      i -> md5(array_to_string(t[i:i+7], ' ')))) AS g
+          |  FROM toks),
+          |dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT id) >= 2),
+          |hits AS (SELECT id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+          |isl AS (SELECT id, pos,
+          |          pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS k
+          |        FROM hits)
+          |SELECT id AS doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+          |  count(*) AS n_grams
+          |FROM isl GROUP BY id, k""".stripMargin),
+    "l40_shuffle_shard" ->
+      """SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+        |    AS BIGINT) AS pos_in_shard
+        |FROM (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS skey,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 4))::BIGINT % 8
+        |      AS shard
+        |  FROM documents)""".stripMargin,
     "l37_html_extract" ->
       """WITH html AS (
         |  SELECT doc_id,

@@ -767,8 +767,98 @@ object StreamingQ {
       .agg(sum($"est_in_shard").as("est_n"))
   }
 
+  private val st19StagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage the events table as 3 parquet files plus a strictly-later
+    * "sentinel" file holding one far-future purchase + click. The sentinel
+    * is what makes an OUTER stream-stream join deterministic under
+    * AvailableNow: once it is processed, both sides' watermarks jump past
+    * every real row's join window, so ALL unmatched rows are flushed in
+    * the trailing no-data micro-batch instead of being stranded in state.
+    * FileStreamSource orders files by modification time, so the mtimes are
+    * pinned explicitly — the sentinel must never be read before the data
+    * (rows behind the watermark would be dropped as late). */
+  private def stageWithSentinel(spark: SparkSession, dir: String): String =
+    st19StagedCache.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val out = java.nio.file.Files.createTempDirectory("st19_staged").toString
+      val ev = events(spark, dir)
+      ev.repartition(3).write.mode(SaveMode.Overwrite).parquet(out)
+      val dataFiles = new java.io.File(out).listFiles
+        .filter(_.getName.endsWith(".parquet"))
+      val maxTs = ev.agg(max($"ts")).head.getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 60L * 86400000L)
+      // key passes the stream's user_id % 4 = 0 subset (so it reaches the
+      // watermark node) but sits outside the fixture id domain, so the
+      // read-back filter can drop anything it produced
+      def sentinel(tpe: String, id: Long) = ev.limit(1)
+        .select(ev.schema.fieldNames.map {
+          case "event_id" => lit(id).as("event_id")
+          case "ts" => lit(sentTs).as("ts")
+          case "user_id" => lit(999999996L).as("user_id")
+          case "event_type" => lit(tpe).as("event_type")
+          case c => col(c)
+        }: _*)
+      sentinel("purchase", -901L).unionByName(sentinel("click", -902L))
+        .coalesce(1).write.mode(SaveMode.Append).parquet(out)
+      val dataNames = dataFiles.map(_.getName).toSet
+      val t0 = 1700000000000L
+      new java.io.File(out).listFiles
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach { f =>
+          f.setLastModified(if (dataNames(f.getName)) t0 else t0 + 600000L)
+        }
+      out
+    })
+
+  /** ST19: stream-stream LEFT OUTER join with watermarked state eviction —
+    * the semantics st9's inner join cannot express: a purchase with NO
+    * click in the preceding hour must still be emitted (with a null
+    * c_id), and Structured Streaming may only emit it once the watermark
+    * proves no matching click can still arrive. The sentinel staging
+    * ([[stageWithSentinel]]) closes every real row's window, so the
+    * appended output equals the batch LEFT JOIN exactly — checked by the
+    * DuckDB oracle. State is bounded by the watermark delay at any scale;
+    * the fixture's 40-day delay merely exceeds the fixture's time span so
+    * eviction happens only at the sentinel flush (order-independence =
+    * determinism across any micro-batch split). */
+  def st19OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stageWithSentinel(spark, dir)
+    val schema = Streams.eventsSchema(spark, dir)
+    val purchases = Streams.eventsStream(spark, staged, schema, 2)
+      .filter($"event_type" === "purchase" && $"user_id" % 4 === 0)
+      .select($"user_id", $"event_id".as("p_id"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "40 days")
+    val clicks = Streams.eventsStream(spark, staged, schema, 2)
+      .filter($"event_type" === "click" && $"user_id" % 4 === 0)
+      .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "40 days")
+    val out = java.nio.file.Files.createTempDirectory("st19_out").toString
+    Streams.withShufflePartitions(spark, 8) {
+      val q = purchases.join(clicks,
+          $"user_id" === $"c_user" &&
+            $"c_ts" >= $"p_ts" - expr("interval 1 hour") && $"c_ts" <= $"p_ts",
+          "left_outer")
+        .select($"user_id", $"p_id", $"c_id")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck_st19").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode(SaveMode.Append).parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out).filter($"user_id" < 999999000L)
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st19_outer_join" -> (st19OuterJoin _),
     "st18_stream_heavy_hitters" -> (st18StreamHeavyHitters _),
     "st17_streaming_neardup" -> (st17StreamingNeardup _),
     "st16_dead_letter" -> (st16DeadLetter _),
@@ -794,6 +884,15 @@ object StreamingQ {
   private val oraDsumValue = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "st19_outer_join" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id % 4 = 0),
+        |p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM ev
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user, event_id AS c_id, ts AS c_ts FROM ev
+        |      WHERE event_type = 'click')
+        |SELECT p.user_id, p.p_id, c.c_id
+        |FROM p LEFT JOIN c ON c.c_user = p.user_id
+        |  AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts""".stripMargin,
     "st17_streaming_neardup" ->
       """WITH b2 AS (
         |  SELECT doc_id + 1000000 AS doc_id, lang,

@@ -103,6 +103,43 @@ class PipelineOpsSpec extends SparkSpec {
       "MLE x 1e6 scores live in (0, 1e6]")
   }
 
+  test("L39: spans are maximal islands and every planted orig/copy pair surfaces") {
+    import spark.implicits._
+    val spans = Llm.l39SpanDedup(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(spans.nonEmpty, "planted duplicated spans must be found")
+    // a span of consecutive duplicated 8-gram positions [start, max] covers
+    // tokens [start, max+7]: n_grams == span_end - 7 - span_start + 1
+    spans.foreach { case (id, s, e, n) =>
+      assert(n == e - 6 - s, s"doc $id span [$s,$e] not a contiguous island ($n grams)")
+    }
+    // each doc that has its perturbed copy in the candidate set (both ids
+    // ≡ 0 mod 4) shares its almost-whole text with the copy → both sides
+    // must report at least one span
+    val ids = spans.map(_._1).toSet
+    val docIds = Engine.documents(spark, sfDir)
+      .select($"doc_id").as[Long].collect().filter(_ % 4 == 0)
+    docIds.foreach { d =>
+      assert(ids.contains(d), s"original doc $d has no span")
+      assert(ids.contains(d + 1000000L), s"perturbed copy of $d has no span")
+    }
+  }
+
+  test("L40: shuffle-shard is a deterministic permutation with dense shard positions") {
+    import spark.implicits._
+    def run() = Llm.l40ShuffleShard(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    val rows = run()
+    val n = Engine.documents(spark, sfDir).count()
+    assert(rows.size == n, "every doc lands in exactly one shard slot")
+    assert(rows.map(_._2).forall(s => s >= 0 && s < 8))
+    // positions within each shard are dense 1..|shard| (a true permutation)
+    rows.groupBy(_._2).foreach { case (s, g) =>
+      assert(g.map(_._3) == (1L to g.size).toSet, s"shard $s positions not dense")
+    }
+    assert(run() == rows, "same seed => byte-identical shuffle")
+  }
+
   test("L36: incremental near-dedup maps every planted batch doc to its source") {
     import spark.implicits._
     val out = graft.queries.Llm.l36IncrementalNeardup(spark, sfDir)

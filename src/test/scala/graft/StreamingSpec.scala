@@ -293,6 +293,29 @@ class StreamingSpec extends SparkSpec {
     assert(batchRows(0) == r0, "replayed batch 0 must reproduce itself")
   }
 
+  test("ST19: streamed left-outer join equals the batch left join, nulls included") {
+    import spark.implicits._
+    val streamed = graft.queries.StreamingQ.st19OuterJoin(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted
+    val ev = Engine.events(spark, sfDir).filter($"user_id" % 4 === 0)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_id"), $"ts".as("p_ts"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts"))
+    val batch = p.join(c, $"user_id" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - org.apache.spark.sql.functions.expr("interval 1 hour") &&
+        $"c_ts" <= $"p_ts", "left_outer")
+      .select($"user_id", $"p_id", $"c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted
+    assert(streamed.sameElements(batch),
+      s"streamed ${streamed.length} rows != batch ${batch.length}")
+    // the outer path must actually be exercised: unmatched purchases exist
+    assert(streamed.exists(_._3 == -1L), "no null-extended rows — outer semantics untested")
+    assert(streamed.exists(_._3 != -1L), "no matched rows")
+  }
+
   test("ST18: Misra-Gries stream sketch honors the frequency-error guarantees") {
     import spark.implicits._
     val est = graft.queries.StreamingQ.st18StreamHeavyHitters(spark, sfDir)
