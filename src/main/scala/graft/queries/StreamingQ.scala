@@ -779,12 +779,12 @@ object StreamingQ {
     * FileStreamSource orders files by modification time, so the mtimes are
     * pinned explicitly — the sentinel must never be read before the data
     * (rows behind the watermark would be dropped as late). */
-  private def stageWithSentinel(spark: SparkSession, dir: String): String =
+  def stageSt19(spark: SparkSession, dir: String): String =
     st19StagedCache.computeIfAbsent(dir, { _ =>
       import spark.implicits._
       val out = java.nio.file.Files.createTempDirectory("st19_staged").toString
       val ev = events(spark, dir)
-      ev.repartition(3).write.mode(SaveMode.Overwrite).parquet(out)
+      ev.repartition(2).write.mode(SaveMode.Overwrite).parquet(out)
       val dataFiles = new java.io.File(out).listFiles
         .filter(_.getName.endsWith(".parquet"))
       val maxTs = ev.agg(max($"ts")).head.getTimestamp(0)
@@ -817,7 +817,7 @@ object StreamingQ {
     * click in the preceding hour must still be emitted (with a null
     * c_id), and Structured Streaming may only emit it once the watermark
     * proves no matching click can still arrive. The sentinel staging
-    * ([[stageWithSentinel]]) closes every real row's window, so the
+    * ([[stageSt19]]) closes every real row's window, so the
     * appended output equals the batch LEFT JOIN exactly — checked by the
     * DuckDB oracle. State is bounded by the watermark delay at any scale;
     * the fixture's 40-day delay merely exceeds the fixture's time span so
@@ -825,7 +825,7 @@ object StreamingQ {
     * determinism across any micro-batch split). */
   def st19OuterJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val staged = stageWithSentinel(spark, dir)
+    val staged = stageSt19(spark, dir)
     val schema = Streams.eventsSchema(spark, dir)
     val purchases = Streams.eventsStream(spark, staged, schema, 2)
       .filter($"event_type" === "purchase" && $"user_id" % 4 === 0)
@@ -836,7 +836,10 @@ object StreamingQ {
       .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts"))
       .withWatermark("c_ts", "40 days")
     val out = java.nio.file.Files.createTempDirectory("st19_out").toString
-    Streams.withShufflePartitions(spark, 8) {
+    // 4 state partitions: an interval join commits FOUR stores per
+    // partition per micro-batch (keyToNumValues + keyWithIndexToValue on
+    // each side), so partition count is the dominant fixture-scale cost
+    Streams.withShufflePartitions(spark, 4) {
       val q = purchases.join(clicks,
           $"user_id" === $"c_user" &&
             $"c_ts" >= $"p_ts" - expr("interval 1 hour") && $"c_ts" <= $"p_ts",
