@@ -1119,6 +1119,61 @@ object Llm {
       .select($"doc_id", $"shard", $"pos_in_shard")
   }
 
+  /** L41: BPE merge learning — the tokenizer-training step of a data
+    * pipeline, shaped the way production BPE trainers work at scale: ONE
+    * corpus-sized job counts word frequencies (map-side partial agg, one
+    * shuffle on the word), and every merge round after that runs on the
+    * small distinct-vocab table, never rescanning the corpus. Each round
+    * counts adjacent symbol pairs weighted by word frequency, takes the
+    * globally most frequent pair (ties broken lexicographically, so the
+    * learned merges are fully deterministic), collects that ONE row to the
+    * driver (the k-means-style bounded driver step) and applies the merge
+    * with a left-to-right non-overlapping string replace — identical
+    * greedy semantics in Spark and DuckDB, so the whole 4-round learn is
+    * oracle-checked. */
+  def l41BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wf = documents(spark, dir)
+      .select(explode(Text.tokens($"text")).as("word"))
+      .filter(length($"word") >= 2)
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+    bpeCore(wf, 4)
+  }
+
+  /** The merge-learning loop over a (word, cnt) frequency table; symbols
+    * are '|'-joined so a merge is a plain non-overlapping replace. */
+  private[graft] def bpeCore(wordFreq: DataFrame, rounds: Int): DataFrame = {
+    val spark = wordFreq.sparkSession
+    import spark.implicits._
+    // the vocab table is small by construction — pin it so each round's
+    // pair count reads a local snapshot instead of re-running the corpus agg
+    var syms = wordFreq
+      .select($"cnt", array_join(split($"word", ""), "|").as("sym"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = syms.select($"cnt", split($"sym", "\\|").as("t"))
+        .filter(size($"t") >= 2)
+        .select($"cnt", explode(transform(
+          sequence(lit(1), size($"t") - 1, lit(1)),
+          i => struct(element_at($"t", i).as("l"),
+            element_at($"t", i + 1).as("r")))).as("p"))
+        .groupBy($"p.l".as("lhs"), $"p.r".as("rhs"))
+        .agg(sum($"cnt").as("weight"))
+        .orderBy(desc("weight"), $"lhs", $"rhs")
+        .limit(1)
+        .head()
+      val (l, rr, w) = (top.getString(0), top.getString(1), top.getLong(2))
+      // symbols here are fixture-alphanumeric; fail loudly before splicing
+      // anything surprising into an expression
+      require((l + rr).matches("[A-Za-z0-9]+"), s"unexpected symbol chars: '$l'+'$rr'")
+      merges += ((r.toLong, l, rr, l + rr, w))
+      syms = syms.select($"cnt",
+        expr(s"replace(sym, '$l|$rr', '$l$rr')").as("sym"))
+    }
+    merges.result().toDF("round", "lhs", "rhs", "merged", "weight")
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup" -> (l1ExactDedup _),
@@ -1167,7 +1222,8 @@ object Llm {
     "l37_html_extract" -> (l37HtmlExtract _),
     "l38_mixture_execute" -> (l38MixtureExecute _),
     "l39_span_dedup" -> (l39SpanDedup _),
-    "l40_shuffle_shard" -> (l40ShuffleShard _)
+    "l40_shuffle_shard" -> (l40ShuffleShard _),
+    "l41_bpe_merges" -> (l41BpeMerges _)
   )
 
   private val candSql =
@@ -1205,6 +1261,36 @@ object Llm {
         |SELECT a.id AS a_id, b.id AS b_id, count(*) AS shared_bands
         |FROM bands a JOIN bands b ON a.band = b.band AND a.bi = b.bi AND a.id < b.id
         |GROUP BY a.id, b.id""".stripMargin
+
+  /** The 4-round BPE learn, unrolled: each round recounts pairs over the
+    * current symbol table, keeps the (weight DESC, lhs, rhs) top-1, and
+    * applies it with the same non-overlapping replace Spark uses. */
+  private val l41OracleSql: String = {
+    val s0 =
+      """s0 AS (
+        |  SELECT count(*) AS cnt,
+        |    array_to_string(string_split(word, ''), '|') AS sym
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) >= 2 GROUP BY word)""".stripMargin
+    val rounds = (1 to 4).map { i =>
+      s"""p$i AS (
+         |  SELECT q.cnt,
+         |    unnest(list_transform(generate_series(1, len(q.t) - 1), k -> q.t[k])) AS lhs,
+         |    unnest(list_transform(generate_series(1, len(q.t) - 1), k -> q.t[k+1])) AS rhs
+         |  FROM (SELECT cnt, string_split(sym, '|') AS t FROM s${i - 1}) q
+         |  WHERE len(q.t) >= 2),
+         |t$i AS (
+         |  SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS weight
+         |  FROM p$i GROUP BY lhs, rhs
+         |  ORDER BY weight DESC, lhs, rhs LIMIT 1),
+         |s$i AS (
+         |  SELECT cnt, replace(sym, lhs || '|' || rhs, lhs || rhs) AS sym
+         |  FROM s${i - 1}, t$i)""".stripMargin
+    }
+    val finals = (1 to 4).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS round, lhs, rhs, lhs || rhs AS merged, weight FROM t$i")
+    s"WITH $s0,\n${rounds.mkString(",\n")}\n${finals.mkString("\nUNION ALL\n")}"
+  }
 
   val oracle: Map[String, String] = Map(
     "l1_exact_dedup" ->
@@ -1463,6 +1549,7 @@ object Llm {
           |SELECT id AS doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
           |  count(*) AS n_grams
           |FROM isl GROUP BY id, k""".stripMargin),
+    "l41_bpe_merges" -> l41OracleSql,
     "l40_shuffle_shard" ->
       """SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)

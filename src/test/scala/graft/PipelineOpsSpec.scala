@@ -140,6 +140,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(run() == rows, "same seed => byte-identical shuffle")
   }
 
+  test("L41: BPE core reproduces hand-computed merges; corpus weights never increase") {
+    import spark.implicits._
+    // corpus: "aaab" x2, "ab" x5.
+    // round 1 pairs: (a,a)=4, (a,b)=7          -> merge (a,b), w=7
+    // round 2 over {a|a|ab x2, ab x5}: (a,a)=2, (a,ab)=2 -> tie, (a,a) wins
+    // round 3 over {aa|ab x2}: (aa,ab)=2       -> merge, w=2
+    val wf = Seq(("aaab", 2L), ("ab", 5L)).toDF("word", "cnt")
+    val got = graft.queries.Llm.bpeCore(wf, 3)
+      .as[(Long, String, String, String, Long)].collect().toList
+    assert(got == List(
+      (1L, "a", "b", "ab", 7L),
+      (2L, "a", "a", "aa", 2L),
+      (3L, "aa", "ab", "aaab", 2L)))
+    // on the real corpus: merging the max pair can only shrink pair counts,
+    // so the learned weights must be non-increasing round over round
+    val ws = graft.queries.Llm.l41BpeMerges(spark, sfDir)
+      .orderBy("round").select("weight").as[Long].collect()
+    assert(ws.length == 4 && ws.sliding(2).forall(p => p(0) >= p(1)),
+      s"weights must not increase: ${ws.mkString(",")}")
+  }
+
   test("L36: incremental near-dedup maps every planted batch doc to its source") {
     import spark.implicits._
     val out = graft.queries.Llm.l36IncrementalNeardup(spark, sfDir)
