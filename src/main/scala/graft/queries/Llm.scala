@@ -1140,15 +1140,42 @@ object Llm {
     bpeCore(wf, 4)
   }
 
+  /** L42: BPE encode — applying l41's learned merges back to the corpus
+    * vocabulary (the tokenizer's encode step) and reporting the corpus
+    * compression it buys per language: token counts shrink from
+    * chars-per-word to merged-symbols-per-word. All integer sums, so the
+    * result is oracle-exact; the encode itself is the same 4 replaces the
+    * learner applied, run map-only over the vocab table — at corpus scale
+    * the encode broadcasts the (tiny) merge list and never shuffles. */
+  def l42BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wf = documents(spark, dir)
+      .select(explode(Text.tokens($"text")).as("word"))
+      .filter(length($"word") >= 2)
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+    val encoded = bpeEncoded(wf, 4)
+    encoded.agg(
+      sum($"cnt" * length($"word")).as("total_chars"),
+      sum($"cnt" * size(split($"sym", "\\|"))).as("total_tokens"),
+      count(lit(1)).as("n_words"))
+  }
+
   /** The merge-learning loop over a (word, cnt) frequency table; symbols
     * are '|'-joined so a merge is a plain non-overlapping replace. */
-  private[graft] def bpeCore(wordFreq: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def bpeCore(wordFreq: DataFrame, rounds: Int): DataFrame =
+    bpeLearn(wordFreq, rounds)._1
+
+  private[graft] def bpeEncoded(wordFreq: DataFrame, rounds: Int): DataFrame =
+    bpeLearn(wordFreq, rounds)._2
+
+  /** Returns (merge table, encoded vocab (word, cnt, sym)). */
+  private def bpeLearn(wordFreq: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     val spark = wordFreq.sparkSession
     import spark.implicits._
     // the vocab table is small by construction — pin it so each round's
     // pair count reads a local snapshot instead of re-running the corpus agg
     var syms = wordFreq
-      .select($"cnt", array_join(split($"word", ""), "|").as("sym"))
+      .select($"word", $"cnt", array_join(split($"word", ""), "|").as("sym"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     for (r <- 1 to rounds) {
@@ -1168,10 +1195,10 @@ object Llm {
       // anything surprising into an expression
       require((l + rr).matches("[A-Za-z0-9]+"), s"unexpected symbol chars: '$l'+'$rr'")
       merges += ((r.toLong, l, rr, l + rr, w))
-      syms = syms.select($"cnt",
+      syms = syms.select($"word", $"cnt",
         expr(s"replace(sym, '$l|$rr', '$l$rr')").as("sym"))
     }
-    merges.result().toDF("round", "lhs", "rhs", "merged", "weight")
+    (merges.result().toDF("round", "lhs", "rhs", "merged", "weight"), syms)
   }
 
   // ------------------------------------------------------------- registry
@@ -1223,7 +1250,8 @@ object Llm {
     "l38_mixture_execute" -> (l38MixtureExecute _),
     "l39_span_dedup" -> (l39SpanDedup _),
     "l40_shuffle_shard" -> (l40ShuffleShard _),
-    "l41_bpe_merges" -> (l41BpeMerges _)
+    "l41_bpe_merges" -> (l41BpeMerges _),
+    "l42_bpe_encode" -> (l42BpeEncode _)
   )
 
   private val candSql =
@@ -1264,11 +1292,13 @@ object Llm {
 
   /** The 4-round BPE learn, unrolled: each round recounts pairs over the
     * current symbol table, keeps the (weight DESC, lhs, rhs) top-1, and
-    * applies it with the same non-overlapping replace Spark uses. */
-  private val l41OracleSql: String = {
+    * applies it with the same non-overlapping replace Spark uses. The
+    * chain is shared by l41 (reads the merge CTEs) and l42 (reads the
+    * final encoded vocab s4). */
+  private val bpeOracleChain: String = {
     val s0 =
       """s0 AS (
-        |  SELECT count(*) AS cnt,
+        |  SELECT word, count(*) AS cnt,
         |    array_to_string(string_split(word, ''), '|') AS sym
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |  WHERE len(word) >= 2 GROUP BY word)""".stripMargin
@@ -1284,13 +1314,24 @@ object Llm {
          |  FROM p$i GROUP BY lhs, rhs
          |  ORDER BY weight DESC, lhs, rhs LIMIT 1),
          |s$i AS (
-         |  SELECT cnt, replace(sym, lhs || '|' || rhs, lhs || rhs) AS sym
+         |  SELECT word, cnt, replace(sym, lhs || '|' || rhs, lhs || rhs) AS sym
          |  FROM s${i - 1}, t$i)""".stripMargin
     }
+    s"WITH $s0,\n${rounds.mkString(",\n")}"
+  }
+
+  private val l41OracleSql: String = {
     val finals = (1 to 4).map(i =>
       s"SELECT CAST($i AS BIGINT) AS round, lhs, rhs, lhs || rhs AS merged, weight FROM t$i")
-    s"WITH $s0,\n${rounds.mkString(",\n")}\n${finals.mkString("\nUNION ALL\n")}"
+    s"$bpeOracleChain\n${finals.mkString("\nUNION ALL\n")}"
   }
+
+  private val l42OracleSql: String =
+    s"""$bpeOracleChain
+       |SELECT CAST(sum(cnt * len(word)) AS BIGINT) AS total_chars,
+       |  CAST(sum(cnt * len(string_split(sym, '|'))) AS BIGINT) AS total_tokens,
+       |  count(*) AS n_words
+       |FROM s4""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "l1_exact_dedup" ->
@@ -1550,6 +1591,7 @@ object Llm {
           |  count(*) AS n_grams
           |FROM isl GROUP BY id, k""".stripMargin),
     "l41_bpe_merges" -> l41OracleSql,
+    "l42_bpe_encode" -> l42OracleSql,
     "l40_shuffle_shard" ->
       """SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
