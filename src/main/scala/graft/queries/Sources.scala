@@ -139,6 +139,40 @@ object Sources {
     Seq((1L, partial), (2L, resumed)).toDF("phase", "appended")
   }
 
+  /** Bloom-filtered events layout for [[s27BloomFilterScan]], memoized per
+    * source dir. Written with a Parquet bloom filter on user_id sized to
+    * the key domain — the point-lookup layout lever: at 100 TB a reader
+    * probing one key skips every row group whose bloom filter rejects it,
+    * without any sort or partitioning by that key. */
+  private val bloomStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def stageBloomEvents(spark: SparkSession, dir: String): String =
+    bloomStaged.computeIfAbsent(dir, { _ =>
+      val out = tmp("s27_bloom")
+      events(spark, dir)
+        .write.mode(SaveMode.Overwrite)
+        .option("parquet.bloom.filter.enabled#user_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#user_id", "4096")
+        // parquet-mr skips the bloom filter when a chunk stays fully
+        // dictionary-encoded (the dictionary is already an exact filter);
+        // the fixture's small key domain would hit that, a production
+        // high-cardinality key falls out of dictionary on its own
+        .option("parquet.enable.dictionary#user_id", "false")
+        .parquet(out)
+      out
+    })
+
+  /** S27: bloom-filtered point lookup — equality probe on the bloom'd key
+    * over the staged layout; ArchiveSinkSpec asserts the footers actually
+    * carry a bloom filter for user_id (and none for unconfigured columns),
+    * so the skip machinery is real, not just an accepted option. */
+  def s27BloomFilterScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(stageBloomEvents(spark, dir))
+      .filter($"user_id" === 17L)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Day-partitioned events layout for [[s5PartitionPrunedRead]], memoized
     * per source dir (at scale this layout is written once at ingest; the
     * pruned read is the recurring cost worth measuring). */
@@ -963,6 +997,7 @@ object Sources {
     "s21_zorder_layout" -> (s21ZorderLayout _),
     "s22_dynamic_overwrite" -> (s22DynamicOverwrite _),
     "s26_rebalance_write" -> (s26RebalanceWrite _),
+    "s27_bloom_filter_scan" -> (s27BloomFilterScan _),
     "l5c_thumbnail" -> (l5cThumbnail _),
     "l5d_audio_features" -> (l5dAudioFeatures _),
     "l5e_image_phash" -> (l5eImagePhash _),
@@ -979,6 +1014,9 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    "s27_bloom_filter_scan" ->
+      """SELECT user_id, event_type, count(*) AS n FROM events
+        |WHERE user_id = 17 GROUP BY user_id, event_type""".stripMargin,
     "o13_merge_schema" ->
       """SELECT CAST(1 AS BIGINT) AS batch, doc_id, lang,
         |  CAST(NULL AS BIGINT) AS n_chars FROM documents

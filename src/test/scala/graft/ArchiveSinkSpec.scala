@@ -125,4 +125,32 @@ class ArchiveSinkSpec extends SparkSpec {
       def next(): A = it.next()
     }
   }
+
+  test("S27: staged parquet carries a real user_id bloom filter, probe-true for present keys") {
+    import scala.jdk.CollectionConverters._
+    val dir = graft.queries.Sources.stageBloomEvents(spark, sfDir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        new org.apache.hadoop.conf.Configuration()))
+    try {
+      val block = reader.getFooter.getBlocks.get(0)
+      val byCol = block.getColumns.asScala.map(c => c.getPath.toDotString -> c).toMap
+      assert(byCol("user_id").getBloomFilterOffset >= 0,
+        "user_id chunk must record a bloom filter offset")
+      assert(byCol("event_id").getBloomFilterOffset < 0,
+        "unconfigured columns must not pay for bloom filters")
+      val bf = reader.getBloomFilterDataReader(block)
+        .readBloomFilter(byCol("user_id"))
+      assert(bf != null, "bloom filter bytes must be readable")
+      // no false negatives: every key actually in this file must probe true
+      val present = spark.read.parquet(file.getAbsolutePath)
+        .select($"user_id").distinct().as[Long].collect()
+      present.foreach { u =>
+        assert(bf.findHash(bf.hash(u)), s"present key $u probed false")
+      }
+    } finally reader.close()
+  }
 }
