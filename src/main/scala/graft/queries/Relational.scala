@@ -689,6 +689,28 @@ object Relational {
         |WHERE s.status = 'failed'""".stripMargin)
   }
 
+  /** SQ6: recursive CTE whose recursive step JOINS a real table — the
+    * hierarchy-walk shape (org charts, folder trees, category paths)
+    * that sq5's pure generator recursion never exercises. The nation
+    * table carries an implicit binary tree (parent(k) = k div 2, root 0);
+    * the CTE walks it level by level, each iteration a join between the
+    * previous frontier and the table — Spark 4 executes this as
+    * UnionLoopExec with the per-level join planned like any other equi
+    * join, so the pattern scales to real dimension hierarchies. Bounded
+    * by the tree depth; result is each node's depth. */
+  def sq6RecursiveHierarchy(spark: SparkSession, dir: String): DataFrame = {
+    nation(spark, dir).createOrReplaceTempView("graft_nation_sq6")
+    spark.sql(
+      """WITH RECURSIVE h(key, depth) AS (
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM graft_nation_sq6 WHERE n_nationkey = 0
+        |  UNION ALL
+        |  SELECT CAST(n.n_nationkey AS BIGINT), h.depth + 1
+        |  FROM graft_nation_sq6 n JOIN h
+        |    ON n.n_nationkey div 2 = h.key AND n.n_nationkey > 0)
+        |SELECT key, depth FROM h""".stripMargin)
+  }
+
   /** A15: count-min sketch heavy hitters — the re-aggregatable frequency
     * sketch (depth 4 × width 64). Every event increments one cell per row
     * (a partial-aggregable groupBy on (row, col): sketches from shards
@@ -1180,6 +1202,7 @@ object Relational {
     "j11_salted_join" -> (j11SaltedJoin _),
     "j14_aqe_skew_join" -> (j14AqeSkewJoin _),
     "sq5_recursive_backoff" -> (sq5RecursiveBackoff _),
+    "sq6_recursive_cte" -> (sq6RecursiveHierarchy _),
     "sq1_exists_subquery" -> (sq1ExistsSubquery _),
     "sq2_scalar_correlated" -> (sq2ScalarCorrelated _),
     "sq3_not_in_subquery" -> (sq3NotInSubquery _),
@@ -1489,6 +1512,14 @@ object Relational {
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderkey NOT IN
         |  (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48)""".stripMargin,
+    "sq6_recursive_cte" ->
+      """WITH RECURSIVE h(key, depth) AS (
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM nation WHERE n_nationkey = 0
+        |  UNION ALL
+        |  SELECT CAST(n.n_nationkey AS BIGINT), h.depth + 1
+        |  FROM nation n JOIN h ON n.n_nationkey // 2 = h.key AND n.n_nationkey > 0)
+        |SELECT key, depth FROM h""".stripMargin,
     "sq5_recursive_backoff" ->
       """WITH RECURSIVE sched(attempt, delay_ms) AS (
         |  SELECT 1, CAST(100 AS BIGINT)
