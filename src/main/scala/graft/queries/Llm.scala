@@ -1201,6 +1201,26 @@ object Llm {
     (merges.result().toDF("round", "lhs", "rhs", "merged", "weight"), syms)
   }
 
+  /** L43: per-label embedding centroids in mergeable partial-sum form —
+    * the coarse-quantizer training step behind l3_ivf's probe lists (and
+    * k-means' update step) as a first-class relational op. posexplode
+    * turns each vector into (dim, value) rows, map-side partial sums
+    * combine before the one shuffle on (label, dim), and the output keeps
+    * (sum, n) rather than the mean: partial sums are exactly mergeable
+    * across shards/days (the a14 incremental-agg property) and avoid the
+    * integer-division floor-vs-trunc oracle trap on negative sums. Values
+    * are scaled 1e6 in double then rounded to long, so the result
+    * hash-matches bit-for-bit. */
+  def l43LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    embeddings(spark, dir)
+      .select($"label", posexplode($"embedding"))
+      .select($"label", ($"pos" + 1).cast("long").as("dim"),
+        round($"col".cast("double") * 1000000).cast("long").as("v"))
+      .groupBy($"label", $"dim")
+      .agg(sum($"v").as("sum_scaled"), count(lit(1)).as("n"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup" -> (l1ExactDedup _),
@@ -1251,7 +1271,8 @@ object Llm {
     "l39_span_dedup" -> (l39SpanDedup _),
     "l40_shuffle_shard" -> (l40ShuffleShard _),
     "l41_bpe_merges" -> (l41BpeMerges _),
-    "l42_bpe_encode" -> (l42BpeEncode _)
+    "l42_bpe_encode" -> (l42BpeEncode _),
+    "l43_label_centroids" -> (l43LabelCentroids _)
   )
 
   private val candSql =
@@ -1591,6 +1612,15 @@ object Llm {
           |  count(*) AS n_grams
           |FROM isl GROUP BY id, k""".stripMargin),
     "l41_bpe_merges" -> l41OracleSql,
+    "l43_label_centroids" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |x AS (SELECT label,
+        |        unnest(generate_series(1, len(emb))) AS dim,
+        |        unnest(list_transform(emb, v -> CAST(round(v * 1000000) AS BIGINT))) AS v
+        |      FROM e)
+        |SELECT label, CAST(dim AS BIGINT) AS dim,
+        |  CAST(sum(v) AS BIGINT) AS sum_scaled, count(*) AS n
+        |FROM x GROUP BY label, dim""".stripMargin,
     "l42_bpe_encode" -> l42OracleSql,
     "l40_shuffle_shard" ->
       """SELECT doc_id, shard,
