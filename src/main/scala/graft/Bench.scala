@@ -52,6 +52,7 @@ object Bench {
     queries.Sources.stageDayPartitionedEvents(spark, sfDir): Unit
     queries.Sources.stageFragmentedEvents(spark, sfDir): Unit
     queries.StreamingQ.stageSt19(spark, sfDir): Unit
+    queries.Sources.stageBloomEvents(spark, sfDir): Unit
 
     // Best-of-N per query: a single timed run is vulnerable to one-off
     // JIT/GC/page-cache noise landing on whichever query runs at the wrong

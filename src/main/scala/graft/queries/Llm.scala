@@ -1077,15 +1077,11 @@ object Llm {
     * copies) so real multi-token spans exist to find. */
   def l39SpanDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = nearDupCandidates(spark, dir)
+    val grams = nearDupCandidates(spark, dir)
       .filter($"id" % 4 === 0) // bounded subset; 1e6 ≡ 0 (mod 4) keeps orig+copy together
-      .select($"id", Text.tokens($"text").as("t"))
-    val grams = toks
-      .select($"id", posexplode(
-        when(size($"t") < 8, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), size($"t") - 7, lit(1)),
-            i => md5(concat_ws(" ", slice($"t", i, lit(8))).cast("binary"))))))
-      .select($"id", ($"pos" + 1).cast("long").as("pos"), $"col".as("g"))
+      .select($"id", posexplode(Text.shingles($"text", 8)))
+      .select($"id", ($"pos" + 1).cast("long").as("pos"),
+        md5($"col".cast("binary")).as("g"))
     val dup = grams.groupBy($"g")
       .agg(countDistinct($"id").as("nd"))
       .filter($"nd" >= 2)
@@ -1189,14 +1185,25 @@ object Llm {
         .agg(sum($"cnt").as("weight"))
         .orderBy(desc("weight"), $"lhs", $"rhs")
         .limit(1)
-        .head()
+        .take(1).headOption
+        .getOrElse(sys.error(
+          s"BPE round $r: no adjacent pairs left — lower `rounds` for this corpus"))
       val (l, rr, w) = (top.getString(0), top.getString(1), top.getLong(2))
       // symbols here are fixture-alphanumeric; fail loudly before splicing
       // anything surprising into an expression
       require((l + rr).matches("[A-Za-z0-9]+"), s"unexpected symbol chars: '$l'+'$rr'")
       merges += ((r.toLong, l, rr, l + rr, w))
+      // exact greedy left-to-right merge as a fold over the SYMBOLS, not a
+      // substring replace: a plain replace(sym, 'h|e', 'he') also matches
+      // where 'h' is merely the tail of a longer symbol ('th|e' would glue
+      // into 'the'), merging a pair that was never counted. The fold keys
+      // on the separator-delimited last symbol (acc ends with '|h') so
+      // boundaries can't be crossed, and appending without a separator
+      // makes the merged symbol immune to re-matching within the pass.
       syms = syms.select($"word", $"cnt",
-        expr(s"replace(sym, '$l|$rr', '$l$rr')").as("sym"))
+        expr(s"substring(aggregate(split(sym, '\\\\|'), '', (acc, x) -> " +
+          s"CASE WHEN endswith(acc, '|$l') AND x = '$rr' THEN concat(acc, x) " +
+          s"ELSE concat(acc, '|', x) END), 2)").as("sym"))
     }
     (merges.result().toDF("round", "lhs", "rhs", "merged", "weight"), syms)
   }
@@ -1335,7 +1342,10 @@ object Llm {
          |  FROM p$i GROUP BY lhs, rhs
          |  ORDER BY weight DESC, lhs, rhs LIMIT 1),
          |s$i AS (
-         |  SELECT word, cnt, replace(sym, lhs || '|' || rhs, lhs || rhs) AS sym
+         |  SELECT word, cnt,
+         |    substr(list_reduce(list_prepend('', string_split(sym, '|')),
+         |      (acc, x) -> CASE WHEN ends_with(acc, '|' || lhs) AND x = rhs
+         |                  THEN acc || x ELSE acc || '|' || x END), 2) AS sym
          |  FROM s${i - 1}, t$i)""".stripMargin
     }
     s"WITH $s0,\n${rounds.mkString(",\n")}"

@@ -804,10 +804,15 @@ object StreamingQ {
         .coalesce(1).write.mode(SaveMode.Append).parquet(out)
       val dataNames = dataFiles.map(_.getName).toSet
       val t0 = 1700000000000L
+      // fail-loud mtime pinning (setLastModified only returns false): if
+      // the sentinel were ever read FIRST, the watermark jump would drop
+      // every real row as late — ordering is correctness here
       new java.io.File(out).listFiles
         .filter(_.getName.endsWith(".parquet"))
         .foreach { f =>
-          f.setLastModified(if (dataNames(f.getName)) t0 else t0 + 600000L)
+          java.nio.file.Files.setLastModifiedTime(f.toPath,
+            java.nio.file.attribute.FileTime.fromMillis(
+              if (dataNames(f.getName)) t0 else t0 + 600000L)): Unit
         }
       out
     })

@@ -161,6 +161,24 @@ class PipelineOpsSpec extends SparkSpec {
       s"weights must not increase: ${ws.mkString(",")}")
   }
 
+  test("L41: a merge never fires across symbol boundaries (th|e stays split)") {
+    import spark.implicits._
+    // round 1 learns (t,h)->th (w30); round 2 learns (h,e) (w12, tie vs
+    // (s,h) broken by lhs) — at that point "the" is [th, e], and a naive
+    // substring replace of 'h|e' would match the tail of 'th', gluing
+    // [th,e] into [the] although (th,e) was never the learned pair
+    val wf = Seq(("th", 20L), ("the", 10L), ("she", 12L)).toDF("word", "cnt")
+    val merges = graft.queries.Llm.bpeCore(wf, 3)
+      .as[(Long, String, String, String, Long)].collect().toList
+    assert(merges == List(
+      (1L, "t", "h", "th", 30L),
+      (2L, "h", "e", "he", 12L),
+      (3L, "s", "he", "she", 12L)))
+    val syms = graft.queries.Llm.bpeEncoded(wf, 3)
+      .select($"word", $"sym").as[(String, String)].collect().toMap
+    assert(syms == Map("th" -> "th", "the" -> "th|e", "she" -> "she"))
+  }
+
   test("L36: incremental near-dedup maps every planted batch doc to its source") {
     import spark.implicits._
     val out = graft.queries.Llm.l36IncrementalNeardup(spark, sfDir)
