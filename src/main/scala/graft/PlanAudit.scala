@@ -55,7 +55,12 @@ object PlanAudit {
       "l36_incremental_neardup" -> "incremental near-dedup: fused native signatures both sides, batch bands equi-join corpus bands",
       "w15_linear_interpolate" -> "linear interpolation: prev/next ignore-nulls brackets over one event_type exchange, integer convex combination",
       "g5_day_spine_tvf" -> "custom table function: day_spine plans a distributed catalyst Range, joined to per-day counts",
-      "l5e_image_phash" -> "image near-dedup: decoded aHash, 16-bit band buckets, exact hamming filter — never all-pairs")
+      "l5e_image_phash" -> "image near-dedup: decoded aHash, 16-bit band buckets, exact hamming filter — never all-pairs",
+      "l39_span_dedup" -> "repeated-span dedup: positional gram hashes, dup-gram semi-join, per-doc island window — no all-pairs",
+      "l40_shuffle_shard" -> "deterministic shuffle-shard: one exchange on the shard key, partition-local sort, no global order",
+      "l43_label_centroids" -> "embedding centroids: posexplode to (dim, v), map-side partial sums, one (label, dim) exchange",
+      "sq6_recursive_cte" -> "recursive CTE hierarchy walk: UnionLoop with a per-level equi join against the table",
+      "s27_bloom_filter_scan" -> "bloom-filtered point lookup: equality probe over the bloom'd layout, one agg exchange")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries (sf0.01)\n\n")
     sb.append("Generated by `graft.PlanAudit`; re-run after plan-affecting changes.\n")
