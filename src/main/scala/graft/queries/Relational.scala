@@ -824,6 +824,95 @@ object Relational {
           .otherwise(coalesce($"pv", $"nv")).as("interp_n1000"))
   }
 
+  /** Daily event counts per type — the shared metric series behind
+    * w16/w17/w18 (one partial-agg exchange; integer counts keep every
+    * downstream statistic oracle-exact). */
+  private def dailyCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** W16: anomaly detection over a metric series in EXACT integer
+    * arithmetic — flag days whose traffic deviates from the per-type mean
+    * by more than one standard deviation. The test |x − μ| > σ is
+    * cross-multiplied to (n·x − s)² > n·(n·ss − s²) with s = Σx,
+    * ss = Σx², so no division or sqrt ever happens and the boolean
+    * hash-matches any engine bit-for-bit (float z-scores would round
+    * differently under Spark's partial-agg summation order). Scale: the
+    * per-type stats table is |event types| rows → broadcast back onto the
+    * daily series; the only corpus-sized exchange is the daily partial
+    * agg. Tighten to kσ by scaling the RHS by k². Longs overflow only
+    * past ~sf1000 (day counts ~2^21); [[zscoreCore]] is split out so
+    * PropertySpec can plant outliers and compare against brute force. */
+  def w16ZscoreOutliers(spark: SparkSession, dir: String): DataFrame =
+    zscoreCore(dailyCounts(spark, dir))
+
+  private[graft] def zscoreCore(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    val stats = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cnt").as("s"),
+        sum($"cnt" * $"cnt").as("ss"))
+    daily.join(broadcast(stats), Seq("event_type"))
+      .select($"event_type", $"day", $"cnt",
+        (($"n" * $"cnt" - $"s") * ($"n" * $"cnt" - $"s") >
+          $"n" * ($"n" * $"ss" - $"s" * $"s")).as("is_outlier"))
+  }
+
+  /** W17: exponentially weighted moving average with α = 1/2 — the
+    * smoothing pass monitoring pipelines run before alerting, normally
+    * impossible to oracle-check because y_n = αx_n + (1−α)y_{n−1} compounds
+    * float error. With α = 1/2 every quantity is DYADIC: the closed form
+    * y_n = 2^{−(n+1)}·Σ x_i·2^i needs one running sum of exact dyadic
+    * doubles (terms ≤ 2^47 for ≤30 days of 2^12-count days, far inside the
+    * 53-bit mantissa), and scaling by a power of two is lossless — so the
+    * double output is bit-identical in ANY summation order and
+    * hash-matches DuckDB. The exactness window is ~43 days of 2^10-scale
+    * counts; a multi-year deployment rebases the exponent per 30-day
+    * block, carrying the previous block's y in as one extra term (the
+    * fixture spans 30 days, one block). One window partitioning serves
+    * row_number and the running sum. [[ewmaCore]] split out for the
+    * recurrence test. */
+  def w17Ewma(spark: SparkSession, dir: String): DataFrame =
+    ewmaCore(dailyCounts(spark, dir))
+
+  private[graft] def ewmaCore(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sn", sum($"cnt" * pow(lit(2.0), $"rn")).over(wCum))
+      .select($"event_type", $"day", $"cnt",
+        ($"sn" * pow(lit(2.0), -($"rn" + lit(1)))).as("ewma"))
+  }
+
+  /** W18: exact rolling median — a HOLISTIC aggregate over a moving
+    * 7-day frame, which no engine evaluates incrementally (median is not
+    * a semigroup; contrast a17's mergeable histogram quantiles). The
+    * frame's values are collected per row (bounded ×7 fan-out, the same
+    * bound w11 exploits), sorted, and the two middle elements summed:
+    * `med2` = 2×median stays integer, dodging the even-count .5
+    * interpolation that would make the hash depend on float formatting.
+    * Scale: memory per row is the frame width, never the partition; the
+    * one exchange is the shared per-type day partitioning. */
+  def w18WindowMedian(spark: SparkSession, dir: String): DataFrame =
+    medianCore(dailyCounts(spark, dir))
+
+  private[graft] def medianCore(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    val w7 = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("win", sort_array(collect_list($"cnt").over(w7)))
+      .select($"event_type", $"day", $"cnt",
+        // `div`, not `/`: the DSL's / promotes to double, and element_at
+        // demands an integral index
+        expr("element_at(win, cast((size(win) + 1) div 2 as int)) + " +
+          "element_at(win, cast((size(win) + 2) div 2 as int))").as("med2"))
+  }
+
   /** A14: incremental aggregate maintenance — yesterday's stored per-key
     * aggregate merged with today's delta batch WITHOUT recomputing history.
     * count/sum/min/max are re-aggregatable (the algebraic-aggregate
@@ -1186,6 +1275,9 @@ object Relational {
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w15_linear_interpolate" -> (w15LinearInterpolate _),
+    "w16_zscore_outliers" -> (w16ZscoreOutliers _),
+    "w17_ewma" -> (w17Ewma _),
+    "w18_window_median" -> (w18WindowMedian _),
     "w14_cohort_retention" -> (w14CohortRetention _),
     "w9_batch_sessionize" -> (w9BatchSessionize _),
     "w10_cumulative_distinct" -> (w10CumulativeDistinct _),
@@ -1289,6 +1381,43 @@ object Relational {
         |        // datediff('day', pd, nd)
         |    ELSE coalesce(pv, nv) END AS BIGINT) AS interp_n1000
         |FROM br""".stripMargin,
+    "w16_zscore_outliers" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cnt) AS BIGINT) AS s,
+        |    CAST(sum(cnt * cnt) AS BIGINT) AS ss
+        |  FROM daily GROUP BY 1)
+        |SELECT d.event_type, d.day, d.cnt,
+        |  (s.n * d.cnt - s.s) * (s.n * d.cnt - s.s)
+        |    > s.n * (s.n * s.ss - s.s * s.s) AS is_outlier
+        |FROM daily d JOIN stats s USING (event_type)""".stripMargin,
+    "w17_ewma" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |rn AS (
+        |  SELECT event_type, day, cnt,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily)
+        |SELECT event_type, day, cnt,
+        |  sum(cnt * power(2.0, rn)) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    * power(2.0, -(rn + 1)) AS ewma
+        |FROM rn""".stripMargin,
+    "w18_window_median" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, cnt,
+        |  CAST(2 * median(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS med2
+        |FROM daily""".stripMargin,
     "w14_cohort_retention" ->
       """WITH f AS (
         |  SELECT o_custkey,

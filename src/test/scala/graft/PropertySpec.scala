@@ -342,4 +342,77 @@ class PropertySpec extends SparkSpec {
       assert(out(d) == d * 4000L, s"day $d: ${out(d)} != ${d * 4000L}")
     }
   }
+
+  // shared series generator for the w16/w17/w18 cores: an arbitrary
+  // dense run of daily counts, including planted spikes so the outlier
+  // branch actually fires. Capped at 35 days: w17's dyadic-exactness
+  // window (sum range must stay inside the 53-bit mantissa) covers ~43
+  // days — past that, production rebases the exponent per 30-day block.
+  private val seriesGen: Gen[List[Long]] = (for {
+    base <- Gen.nonEmptyListOf(Gen.choose(0L, 40L))
+    spikes <- Gen.someOf(base.indices)
+  } yield base.zipWithIndex.map { case (v, i) =>
+    if (spikes.contains(i)) v + 500L else v
+  }).map(_.take(35))
+
+  private def seriesDf(xs: List[Long]) = {
+    import java.sql.Date
+    import spark.implicits._
+    xs.zipWithIndex.map { case (v, d) =>
+      ("k", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)), v)
+    }.toDF("event_type", "day", "cnt")
+  }
+
+  test("property: integer z-score flags exactly the >1-sigma days (W16)") {
+    import spark.implicits._
+    val prop = Prop.forAll(seriesGen) { xs =>
+      // brute force |x − μ| > σ in EXACT rational arithmetic:
+      // n²(x−μ)² > n²σ² ⟺ (n·x − s)² > n·(n·ss − s²), evaluated in BigInt
+      // so the comparison has no rounding at all
+      val n = BigInt(xs.size)
+      val s = BigInt(xs.sum)
+      val ss = xs.map(x => BigInt(x) * BigInt(x)).sum
+      val expect = xs.map { x =>
+        val d = n * BigInt(x) - s
+        d * d > n * (n * ss - s * s)
+      }
+      val got = graft.queries.Relational.zscoreCore(seriesDf(xs))
+        .orderBy($"day")
+        .as[(String, java.sql.Date, Long, Boolean)].collect().map(_._4)
+      got.toList == expect
+    }
+    val result = SCTest.check(params, prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("property: dyadic EWMA equals the direct recurrence bit-for-bit (W17)") {
+    import spark.implicits._
+    val prop = Prop.forAll(seriesGen) { xs =>
+      // y_n = (x_n + y_{n-1}) / 2 with y_0 = 0 — the textbook recurrence,
+      // evaluated sequentially in plain doubles
+      val expect = xs.scanLeft(0.0)((y, x) => (x + y) / 2.0).drop(1)
+      val got = graft.queries.Relational.ewmaCore(seriesDf(xs))
+        .orderBy($"day")
+        .as[(String, java.sql.Date, Long, Double)].collect().map(_._4)
+      got.toList == expect // bit-exact, not approximate
+    }
+    val result = SCTest.check(params, prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("property: rolling med2 equals brute-force 2x median over each frame (W18)") {
+    import spark.implicits._
+    val prop = Prop.forAll(seriesGen) { xs =>
+      val got = graft.queries.Relational.medianCore(seriesDf(xs))
+        .orderBy($"day")
+        .as[(String, java.sql.Date, Long, Long)].collect().map(_._4)
+      val expect = xs.indices.map { i =>
+        val frame = xs.slice(math.max(0, i - 6), i + 1).sorted
+        frame((frame.size - 1) / 2) + frame(frame.size / 2)
+      }
+      got.toList == expect.toList
+    }
+    val result = SCTest.check(params, prop)
+    assert(result.passed, result.status.toString)
+  }
 }
