@@ -1228,6 +1228,73 @@ object Llm {
       .agg(sum($"v").as("sum_scaled"), count(lit(1)).as("n"))
   }
 
+  /** L44: corpus-overlap estimation via a bottom-k (KMV) sketch — "how
+    * much does corpus B duplicate corpus A?" answered WITHOUT the exact
+    * distinct-intersection, whose shuffle is the size of both corpora.
+    * Each corpus is reduced to its k smallest content hashes (md5 order;
+    * distinct-then-TakeOrdered = map-side partial top-k, so each mapper
+    * ships at most k rows); the k smallest of the union form an unbiased
+    * uniform sample of A ∪ B, and the fraction of them present in both
+    * sides estimates Jaccard within ~1/√k. Everything is deterministic
+    * (hashes, not RNG), so the ESTIMATE ITSELF hash-matches the DuckDB
+    * oracle — rare for a sketch (contrast the rows-only HLL rows).
+    * RecallSpec bounds the estimate against the exact Jaccard. */
+  def l44KmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    kmvOverlapCore(
+      documents(spark, dir).filter($"doc_id" % 3 =!= 0).select($"text"),
+      documents(spark, dir).filter($"doc_id" % 2 =!= 0).select($"text"),
+      k = 256)
+  }
+
+  private[graft] def kmvOverlapCore(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    import a.sparkSession.implicits._
+    val ha = a.select(md5($"text").as("h")).distinct()
+      .select($"h", lit(1L).as("ina"), lit(0L).as("inb"))
+    val hb = b.select(md5($"text").as("h")).distinct()
+      .select($"h", lit(0L).as("ina"), lit(1L).as("inb"))
+    ha.union(hb)
+      .groupBy($"h").agg(max($"ina").as("ina"), max($"inb").as("inb"))
+      .orderBy($"h").limit(k) // TakeOrderedAndProject: partial top-k per mapper
+      .agg(count(lit(1)).as("k_actual"),
+        sum($"ina" * $"inb").as("n_both"),
+        sum($"ina").as("n_a"), sum($"inb").as("n_b"))
+      .select($"k_actual", $"n_both", $"n_a", $"n_b",
+        expr(s"1000000 * n_both div $k").as("jaccard_ppm"))
+  }
+
+  /** L45: sentence-aware chunking — l31 cuts every 40 tokens mid-thought;
+    * RAG/embedding pipelines want chunks that never split a sentence.
+    * The fixture text has no punctuation, so a deterministic prologue
+    * plants a period every 5 words (fixed-shape regex, identical
+    * non-overlapping global-replace semantics in Java regex and RE2);
+    * the operator itself then splits on sentence enders and assigns each
+    * sentence to the chunk its STARTING character offset falls in
+    * (offset div 400) — a pure window + groupBy with no sequential scan:
+    * one exchange on doc_id serves the offset window and the ordered
+    * reassembly (a7's sorted-collect), map-parallel at any corpus size.
+    * Chunk text is compared exactly, so a boundary off by one character
+    * fails the oracle. */
+  def l45SentenceChunk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sented = documents(spark, dir).select($"doc_id",
+      regexp_replace($"text", "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1. ").as("t2"))
+    val sents = sented.select($"doc_id",
+      posexplode(split($"t2", "(?<=\\.) "))) // sentence list, enders kept
+      .select($"doc_id", ($"pos" + 1).as("sidx"), $"col".as("sent"))
+    val w = Window.partitionBy($"doc_id").orderBy($"sidx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sents
+      .withColumn("before_chars",
+        coalesce(sum(length($"sent") + 1).over(w), lit(0L)))
+      .withColumn("chunk_id", expr("before_chars div 400"))
+      .groupBy($"doc_id", $"chunk_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct($"sidx", $"sent"))),
+          x => x.getField("sent")), " ").as("chunk_text"),
+        count(lit(1)).as("n_sentences"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup" -> (l1ExactDedup _),
@@ -1279,7 +1346,9 @@ object Llm {
     "l40_shuffle_shard" -> (l40ShuffleShard _),
     "l41_bpe_merges" -> (l41BpeMerges _),
     "l42_bpe_encode" -> (l42BpeEncode _),
-    "l43_label_centroids" -> (l43LabelCentroids _)
+    "l43_label_centroids" -> (l43LabelCentroids _),
+    "l44_kmv_overlap" -> (l44KmvOverlap _),
+    "l45_sentence_chunk" -> (l45SentenceChunk _)
   )
 
   private val candSql =
@@ -1631,7 +1700,47 @@ object Llm {
         |SELECT label, CAST(dim AS BIGINT) AS dim,
         |  CAST(sum(v) AS BIGINT) AS sum_scaled, count(*) AS n
         |FROM x GROUP BY label, dim""".stripMargin,
-    "l42_bpe_encode" -> l42OracleSql,
+    "l44_kmv_overlap" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0),
+        |hb AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 <> 0),
+        |u AS (
+        |  SELECT h, max(ina) AS ina, max(inb) AS inb FROM (
+        |    SELECT h, 1 AS ina, 0 AS inb FROM ha
+        |    UNION ALL SELECT h, 0, 1 FROM hb) t
+        |  GROUP BY h),
+        |k AS (SELECT * FROM u ORDER BY h LIMIT 256)
+        |SELECT count(*) AS k_actual,
+        |  CAST(sum(ina * inb) AS BIGINT) AS n_both,
+        |  CAST(sum(ina) AS BIGINT) AS n_a,
+        |  CAST(sum(inb) AS BIGINT) AS n_b,
+        |  CAST(1000000 * sum(ina * inb) // 256 AS BIGINT) AS jaccard_ppm
+        |FROM k""".stripMargin,
+    "l45_sentence_chunk" ->
+      """WITH sented AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ', '\1. ', 'g') AS t2
+        |  FROM documents),
+        |sents AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(t2, '\. ', '.' || chr(1), 'g'), chr(1))
+        |      AS ss
+        |  FROM sented),
+        |e AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(ss))) AS sidx, ss
+        |  FROM sents),
+        |x AS (
+        |  SELECT doc_id, sidx, ss[sidx] AS sent,
+        |    CAST(COALESCE(sum(length(ss[sidx]) + 1) OVER (
+        |      PARTITION BY doc_id ORDER BY sidx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS before_chars
+        |  FROM e)
+        |SELECT doc_id, CAST(before_chars // 400 AS BIGINT) AS chunk_id,
+        |  string_agg(sent, ' ' ORDER BY sidx) AS chunk_text,
+        |  count(*) AS n_sentences
+        |FROM x GROUP BY doc_id, CAST(before_chars // 400 AS BIGINT)""".stripMargin,
     "l40_shuffle_shard" ->
       """SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)

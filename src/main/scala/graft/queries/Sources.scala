@@ -527,6 +527,34 @@ object Sources {
       .toDF("n_rows", "n_nonpos_price", "n_null_keys")
   }
 
+  /** O15: declarative data-quality constraint suite — the Deequ /
+    * great-expectations shape: volume, completeness, exact uniqueness,
+    * domain and range rules evaluated together and unpivoted into the
+    * (check_name, metric, passed) report a pipeline gates deploys on.
+    * Cost at 100 TB: ONE scan — every rule is a conditional aggregate in
+    * a single partial+final agg; only the exact-uniqueness rule adds the
+    * unavoidable distinct on the key column (swap in
+    * approx_count_distinct to make even that scan-local, the a10
+    * trade-off). The `value_le_250` rule genuinely FAILS on the fixture,
+    * so the report exercises the violation path, not just green rows. */
+  def o15QualityConstraints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum($"props".isNull.cast("long")).as("n_null_props"),
+      count_distinct($"event_id").as("n_distinct_ids"),
+      sum((!$"event_type".rlike("^[a-z_]+$")).cast("long")).as("n_bad_type"),
+      sum(($"value" < 0 || $"value" > 250).cast("long")).as("n_value_gt250"))
+    .select(expr(
+      """stack(5,
+        |  'row_count_min_1000', n_rows, n_rows >= 1000,
+        |  'props_complete', n_null_props, n_null_props = 0,
+        |  'event_id_unique', n_rows - n_distinct_ids, n_distinct_ids = n_rows,
+        |  'event_type_wellformed', n_bad_type, n_bad_type = 0,
+        |  'value_le_250', n_value_gt250, n_value_gt250 = 0
+        |) AS (check_name, metric, passed)""".stripMargin))
+  }
+
   /** S17: the connector through plain SQL — `kb.search` resolves via the
     * registered [[graft.sources.KbCatalog]] (a V2 TableCatalog), so a
     * warehouse user writes ordinary SQL and still gets the full pushdown
@@ -989,6 +1017,7 @@ object Sources {
     "s15b_dsv2_limit_count" -> (s15bDsv2LimitCount _),
     "s16_dsv2_archive_write" -> (s16Dsv2ArchiveWrite _),
     "o12_observed_metrics" -> (o12ObservedMetrics _),
+    "o15_quality_constraints" -> (o15QualityConstraints _),
     "s17_catalog_sql" -> (s17CatalogSql _),
     "s18_function_catalog" -> (s18FunctionCatalog _),
     "s18b_catalog_udaf" -> (s18bCatalogUdaf _),
@@ -1132,6 +1161,24 @@ object Sources {
         |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpos_price,
         |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys
         |FROM orders""".stripMargin,
+    "o15_quality_constraints" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null_props,
+        |    CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids,
+        |    CAST(sum(CASE WHEN NOT regexp_matches(event_type, '^[a-z_]+$')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_type,
+        |    CAST(sum(CASE WHEN value < 0 OR value > 250 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_value_gt250
+        |  FROM events)
+        |SELECT 'row_count_min_1000' AS check_name, n_rows AS metric,
+        |  n_rows >= 1000 AS passed FROM m
+        |UNION ALL SELECT 'props_complete', n_null_props, n_null_props = 0 FROM m
+        |UNION ALL SELECT 'event_id_unique', n_rows - n_distinct_ids,
+        |  n_distinct_ids = n_rows FROM m
+        |UNION ALL SELECT 'event_type_wellformed', n_bad_type, n_bad_type = 0 FROM m
+        |UNION ALL SELECT 'value_le_250', n_value_gt250, n_value_gt250 = 0 FROM m""".stripMargin,
     "s16_dsv2_archive_write" ->
       """SELECT CAST(1 AS BIGINT) AS phase,
         |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0) AS manifest_rows,

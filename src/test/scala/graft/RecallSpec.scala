@@ -76,6 +76,31 @@ class RecallSpec extends SparkSpec {
       s"planted near-dup recovery = $recovered (found=${found.size}, planted=${planted.size})")
   }
 
+  test("L44: KMV overlap estimate lands within the sketch's error bound") {
+    import spark.implicits._
+    // exact Jaccard of the two corpora's distinct-text sets, computed the
+    // expensive way the sketch exists to avoid
+    val a = Engine.documents(spark, sfDir).filter($"doc_id" % 3 =!= 0)
+      .select(md5($"text").as("h")).distinct()
+    val b = Engine.documents(spark, sfDir).filter($"doc_id" % 2 =!= 0)
+      .select(md5($"text").as("h")).distinct()
+    val nBoth = a.join(b, Seq("h"), "left_semi").count().toDouble
+    val nUnion = a.union(b).distinct().count().toDouble
+    val exact = nBoth / nUnion
+    val est = Llm.l44KmvOverlap(spark, sfDir)
+      .select($"jaccard_ppm").as[Long].head() / 1e6
+    // k = 256 → standard error ~ sqrt(J(1-J)/k) ≈ 0.03; allow 5 sigma
+    assert(math.abs(est - exact) < 0.16,
+      s"KMV estimate $est vs exact $exact")
+    // and the sketch never invents overlap on disjoint corpora
+    val disjoint = Llm.kmvOverlapCore(
+      Engine.documents(spark, sfDir).select(concat(lit("A:"), $"text").as("text")),
+      Engine.documents(spark, sfDir).select(concat(lit("B:"), $"text").as("text")),
+      k = 64)
+      .select($"n_both").as[Long].head()
+    assert(disjoint == 0L, s"disjoint corpora reported $disjoint shared hashes")
+  }
+
   test("L5e: perceptual hash pairs exactly the re-encoded image duplicates") {
     import spark.implicits._
     val pairs = graft.queries.Sources.l5eImagePhash(spark, sfDir)
