@@ -310,6 +310,55 @@ object Llm {
       .filter($"jaccard" >= 0.5)
   }
 
+  /** L46: prefix-filtered set-similarity join — l8's threshold join made
+    * scale-safe by the prefix-filter principle (Chaudhuri/Bayardo): under
+    * ANY global token order, two sets with overlap ≥ α must share a token
+    * within the first n−α+1 tokens of each. Ordering shingles
+    * rarest-first (df, then shingle as tiebreak) means candidate pairs
+    * can only form on RARE shingles, killing the frequent-shingle
+    * quadratic blowup that l8's join-on-every-shared-shingle risks at
+    * corpus scale; for Jaccard ≥ t the per-doc α is ⌈t·n⌉, so the probed
+    * prefix shrinks as t rises. Survivors verify with the exact Jaccard.
+    * Output is IDENTICAL to l8 (same oracle; PipelineOpsSpec pins
+    * row-for-row equality and that the candidate set genuinely shrinks). */
+  def l46PrefixFilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = nearDupCandidates(spark, dir).filter($"id" % 10 === 0)
+      .select($"id", explode(Text.shingles($"text", 3)).as("shingle"))
+      .distinct()
+    val cand = prefixCandidates(sh, 0.5)
+    val sizes = sh.groupBy($"id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select($"id".as("a_id"), $"shingle"), Seq("a_id"))
+      .join(sh.select($"id".as("b_id"), $"shingle"), Seq("b_id", "shingle"))
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select($"id".as("a_id"), $"n_sh".as("n_a")), Seq("a_id"))
+      .join(sizes.select($"id".as("b_id"), $"n_sh".as("n_b")), Seq("b_id"))
+      .select($"a_id", $"b_id",
+        ($"n_common".cast("double") / ($"n_a" + $"n_b" - $"n_common")).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+  }
+
+  /** Candidate pairs that can reach Jaccard ≥ t, by prefix filtering:
+    * rank each doc's tokens rarest-first, keep the first n − ⌈t·n⌉ + 1,
+    * and pair docs sharing a kept token. Sound (never drops a true pair)
+    * because overlap ≥ ⌈t·max(na,nb)⌉ ≥ both per-doc α's. */
+  private[graft] def prefixCandidates(sh: DataFrame, t: Double): DataFrame = {
+    import sh.sparkSession.implicits._
+    val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy($"id")
+    val ranked = sh.join(dfreq, Seq("shingle"))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("rk",
+        row_number().over(wDoc.orderBy($"df", $"shingle")))
+      .filter($"rk" <= $"n" - expr(s"cast(ceil(n * $t) as bigint)") + 1)
+      .select($"id", $"shingle")
+    ranked.join(ranked.select($"id".as("b_id"), $"shingle"), Seq("shingle"))
+      .filter($"id" < $"b_id")
+      .select($"id".as("a_id"), $"b_id").distinct()
+  }
+
   /** L12: fuzzy text match — Levenshtein distance between neighboring docs'
     * prefixes (the cheap edit-distance screen that precedes expensive
     * near-dup scoring in text pipelines). */
@@ -1348,7 +1397,8 @@ object Llm {
     "l42_bpe_encode" -> (l42BpeEncode _),
     "l43_label_centroids" -> (l43LabelCentroids _),
     "l44_kmv_overlap" -> (l44KmvOverlap _),
-    "l45_sentence_chunk" -> (l45SentenceChunk _)
+    "l45_sentence_chunk" -> (l45SentenceChunk _),
+    "l46_prefix_filter_join" -> (l46PrefixFilterJoin _)
   )
 
   private val candSql =
@@ -1363,6 +1413,23 @@ object Llm {
        |    generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
        |    i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS shingle
        |  FROM cand WHERE id % $filterMod = 0)""".stripMargin
+
+  // shared by l8 and l46: the prefix filter changes the JOIN STRATEGY,
+  // never the result, so both hash-match the same direct-join oracle
+  private lazy val l8JaccardOracle =
+    s"WITH $candSql,\n${shingleSql(10)},\n" +
+      """shd AS (SELECT DISTINCT id, shingle FROM sh),
+        |sizes AS (SELECT id, count(*) AS n_sh FROM shd GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
+        |  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY a.id, b.id)
+        |SELECT a_id, b_id,
+        |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.id = a_id
+        |JOIN sizes sb ON sb.id = b_id
+        |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5""".stripMargin
 
   private val simhashSums = (1 to 16).map(i =>
     s"CAST(sum(CASE WHEN substr(md5(token), $i, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS BIGINT) AS s$i")
@@ -1548,20 +1615,8 @@ object Llm {
           |$simhashSums
           |FROM tok GROUP BY doc_id)
           |SELECT doc_id, CAST($simhashFp AS BIGINT) AS simhash FROM sums""".stripMargin),
-    "l8_ngram_jaccard" ->
-      (s"WITH $candSql,\n${shingleSql(10)},\n" +
-        """shd AS (SELECT DISTINCT id, shingle FROM sh),
-          |sizes AS (SELECT id, count(*) AS n_sh FROM shd GROUP BY id),
-          |inter AS (
-          |  SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
-          |  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.id < b.id
-          |  GROUP BY a.id, b.id)
-          |SELECT a_id, b_id,
-          |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
-          |FROM inter
-          |JOIN sizes sa ON sa.id = a_id
-          |JOIN sizes sb ON sb.id = b_id
-          |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5""".stripMargin),
+    "l8_ngram_jaccard" -> l8JaccardOracle,
+    "l46_prefix_filter_join" -> l8JaccardOracle,
     "l32_sequence_packing" ->
       """WITH d AS (
         |  SELECT source, doc_id,

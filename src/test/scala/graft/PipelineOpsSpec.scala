@@ -179,6 +179,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(syms == Map("th" -> "th", "the" -> "th|e", "she" -> "she"))
   }
 
+  test("L46: prefix filter equals the direct join and strictly prunes candidates") {
+    import spark.implicits._
+    // same corpus slice both queries use
+    val sh = Engine.documents(spark, sfDir)
+      .select($"doc_id".as("id"), $"text")
+      .unionByName(Engine.documents(spark, sfDir)
+        .select(($"doc_id" + 1000000).as("id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text")))
+      .filter($"id" % 10 === 0)
+      .select($"id", explode(graft.functions.Text.shingles($"text", 3)).as("shingle"))
+      .distinct()
+    // soundness + exactness: identical result sets
+    val direct = Llm.l8NgramJaccard(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filtered = Llm.l46PrefixFilterJoin(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filtered == direct,
+      s"prefix filter changed the result: ${filtered.size} vs ${direct.size} pairs")
+    assert(direct.nonEmpty, "fixture must produce at least one near-dup pair")
+    // the point of the exercise: the candidate set actually shrinks vs
+    // pairing on EVERY shared shingle
+    val allPairs = sh.join(sh.select($"id".as("b_id"), $"shingle"), Seq("shingle"))
+      .filter($"id" < $"b_id")
+      .select($"id", $"b_id").distinct().count()
+    val prefixPairs = Llm.prefixCandidates(sh, 0.5).count()
+    assert(prefixPairs < allPairs,
+      s"prefix candidates $prefixPairs not below naive $allPairs")
+    assert(prefixPairs >= direct.size.toLong, "candidates must cover all true pairs")
+  }
+
   test("L36: incremental near-dedup maps every planted batch doc to its source") {
     import spark.implicits._
     val out = graft.queries.Llm.l36IncrementalNeardup(spark, sfDir)
