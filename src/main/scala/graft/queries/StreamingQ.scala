@@ -864,8 +864,78 @@ object StreamingQ {
     spark.read.parquet(out).filter($"user_id" < 999999000L)
   }
 
+  /** ST20: sessions finalized by EVENT-TIME TIMEOUT — the semantics none
+    * of st6 (session_window agg), st8 (NoTimeout running state) or w9
+    * (batch sessionize) express: a user's session is emitted exactly once,
+    * as a single closed record, when the WATERMARK proves the 30-minute
+    * gap has passed — the session-completion callback shape real pipelines
+    * use to fire downstream actions. flatMapGroupsWithState buffers only
+    * the OPEN session per user (timeout fires once wm > last event + gap,
+    * emits the closed sessions and clears — any later event must be a new
+    * session or below-watermark late, so state is bounded by session
+    * length, never history). The st19 sentinel staging closes every
+    * session at end-of-stream; buffered micros are sorted before
+    * splitting, so the result is identical across any micro-batch split
+    * and hash-matches the batch sessionize oracle. */
+  def st20TimeoutSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val staged = stageSt19(spark, dir)
+    val schema = Streams.eventsSchema(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("st20_out").toString
+    val gapUs = 30L * 60 * 1000 * 1000
+    Streams.withShufflePartitions(spark, 8) {
+      val q = Streams.eventsStream(spark, staged, schema, 2)
+        .filter($"user_id" % 4 === 0) // sentinel user also passes → flush
+        .select($"user_id", $"ts", unix_micros($"ts").as("us"))
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, java.sql.Timestamp, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[List[Long], (Long, Long, Long, Long)](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+          (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+           state: GroupState[List[Long]]) =>
+            if (state.hasTimedOut) {
+              // close out: sort the buffered open-session micros, split at
+              // >30-min gaps (the buffer may span several sessions only
+              // when the watermark jumped past multiple gaps at once)
+              val buf = state.get.sorted
+              state.remove()
+              val sessions = buf.foldLeft(List.empty[List[Long]]) {
+                case (acc, t) => acc match {
+                  case cur :: rest if t - cur.head <= gapUs => (t :: cur) :: rest
+                  case _ => List(t) :: acc
+                }
+              }
+              sessions.reverseIterator.map { s =>
+                (user, s.last, s.head, s.length.toLong)
+              }
+            } else {
+              val buf = state.getOption.getOrElse(Nil) ++ rows.map(_._3)
+              state.update(buf)
+              // fire once the watermark passes the newest event + gap
+              state.setTimeoutTimestamp(buf.max / 1000 + gapUs / 1000)
+              Iterator.empty
+            }
+        }
+        .toDF("user_id", "start_us", "end_us", "n_events")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck_st20").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode(SaveMode.Append).parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out).filter($"user_id" < 999999000L)
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st20_timeout_sessions" -> (st20TimeoutSessions _),
     "st19_outer_join" -> (st19OuterJoin _),
     "st18_stream_heavy_hitters" -> (st18StreamHeavyHitters _),
     "st17_streaming_neardup" -> (st17StreamingNeardup _),
@@ -892,6 +962,25 @@ object StreamingQ {
   private val oraDsumValue = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "st20_timeout_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE user_id % 4 = 0),
+        |f AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 30 * 60 * 1000 * 1000
+        |         THEN 1 ELSE 0 END AS is_new,
+        |    event_id
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT user_id, us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "st19_outer_join" ->
       """WITH ev AS (SELECT * FROM events WHERE user_id % 4 = 0),
         |p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM ev

@@ -316,6 +316,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(_._3 != -1L), "no matched rows")
   }
 
+  test("ST20: timeout-emitted sessions equal batch sessionization exactly") {
+    import spark.implicits._
+    val streamed = graft.queries.StreamingQ.st20TimeoutSessions(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    // batch ground truth: 30-min-gap sessionize of the same key subset
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"us", $"event_id")
+    val batch = Engine.events(spark, sfDir).filter($"user_id" % 4 === 0)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("is_new",
+        when(lag($"us", 1).over(w).isNull ||
+          $"us" - lag($"us", 1).over(w) > 30L * 60 * 1000 * 1000, 1L).otherwise(0L))
+      .withColumn("sid", sum($"is_new").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"us").as("start_us"), max($"us").as("end_us"),
+        count(lit(1)).as("n_events"))
+      .select($"user_id", $"start_us", $"end_us", $"n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    assert(streamed.sameElements(batch),
+      s"streamed ${streamed.length} sessions != batch ${batch.length}")
+    // the split path must be real: some user has more than one session
+    assert(streamed.groupBy(_._1).exists(_._2.length > 1),
+      "every user produced one session — the gap split was never exercised")
+  }
+
   test("ST18: Misra-Gries stream sketch honors the frequency-error guarantees") {
     import spark.implicits._
     val est = graft.queries.StreamingQ.st18StreamHeavyHitters(spark, sfDir)
