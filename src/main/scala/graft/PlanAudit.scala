@@ -60,7 +60,14 @@ object PlanAudit {
       "l40_shuffle_shard" -> "deterministic shuffle-shard: one exchange on the shard key, partition-local sort, no global order",
       "l43_label_centroids" -> "embedding centroids: posexplode to (dim, v), map-side partial sums, one (label, dim) exchange",
       "sq6_recursive_cte" -> "recursive CTE hierarchy walk: UnionLoop with a per-level equi join against the table",
-      "s27_bloom_filter_scan" -> "bloom-filtered point lookup: equality probe over the bloom'd layout, one agg exchange")
+      "s27_bloom_filter_scan" -> "bloom-filtered point lookup: equality probe over the bloom'd layout, one agg exchange",
+      "w16_zscore_outliers" -> "integer z-score outliers: tiny per-type stats broadcast back onto the daily series",
+      "w18_window_median" -> "rolling exact median: holistic agg over a bounded 7-row frame, one event_type exchange",
+      "l44_kmv_overlap" -> "KMV overlap sketch: distinct + TakeOrderedAndProject bottom-k, ≤k rows per mapper",
+      "l45_sentence_chunk" -> "sentence chunking: one doc_id exchange serves the offset window and ordered reassembly",
+      "l46_prefix_filter_join" -> "prefix-filtered similarity join: candidates only on rare prefix shingles, exact verify after",
+      "o15_quality_constraints" -> "constraint suite: every rule a conditional agg in one scan, stack unpivot to the report",
+      "sq7_sql_udf" -> "SQL-defined function: body inlined at analysis time, decimal arithmetic inside codegen, no UDF node")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries (sf0.01)\n\n")
     sb.append("Generated by `graft.PlanAudit`; re-run after plan-affecting changes.\n")

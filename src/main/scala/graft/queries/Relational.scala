@@ -711,6 +711,48 @@ object Relational {
         |SELECT key, depth FROM h""".stripMargin)
   }
 
+  /** SQ7: SQL-DEFINED scalar function (Spark 4 `CREATE FUNCTION … RETURN`)
+    * — the warehouse-user extension rung BELOW a catalyst Expression: the
+    * body is pure SQL, registered from SQL, and INLINED into the plan at
+    * analysis time, so unlike a Scala/Python UDF it costs nothing at any
+    * scale — no call boundary, no serialization, full whole-stage codegen,
+    * and filters/pushdown see through it. The body computes the l-item
+    * margin in exact decimal arithmetic (the dsum discipline), so the
+    * summed output hash-matches DuckDB, which evaluates the same
+    * expression written out inline. */
+  def sq7SqlUdf(spark: SparkSession, dir: String): DataFrame = {
+    lineitem(spark, dir).createOrReplaceTempView("graft_li_sq7")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_margin(
+        |  price DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS DECIMAL(28, 6)
+        |RETURN CAST(price AS DECIMAL(18,2))
+        |  * (1 - CAST(disc AS DECIMAL(4,2)))
+        |  * (1 + CAST(tax AS DECIMAL(4,2)))""".stripMargin)
+    spark.sql(
+      """SELECT l_returnflag,
+        |  CAST(sum(graft_margin(l_extendedprice, l_discount, l_tax))
+        |    AS DOUBLE) AS margin,
+        |  count(*) AS n
+        |FROM graft_li_sq7
+        |GROUP BY l_returnflag""".stripMargin)
+  }
+
+  /** SQ8: parameterized SQL — named parameter markers bound server-side
+    * (`spark.sql(text, args)`), the injection-safe templating surface a
+    * query service exposes instead of string concatenation. The literals
+    * reach the plan as foldable constants, so pushdown and partition
+    * pruning work exactly as if they were inlined. */
+  def sq8Parameterized(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir).createOrReplaceTempView("graft_orders_sq8")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM graft_orders_sq8
+        |WHERE o_orderstatus = :status AND o_totalprice > :floor
+        |GROUP BY o_orderpriority""".stripMargin,
+      Map("status" -> "F", "floor" -> 1000))
+  }
+
   /** A15: count-min sketch heavy hitters — the re-aggregatable frequency
     * sketch (depth 4 × width 64). Every event increments one cell per row
     * (a partial-aggregable groupBy on (row, col): sketches from shards
@@ -1295,6 +1337,8 @@ object Relational {
     "j14_aqe_skew_join" -> (j14AqeSkewJoin _),
     "sq5_recursive_backoff" -> (sq5RecursiveBackoff _),
     "sq6_recursive_cte" -> (sq6RecursiveHierarchy _),
+    "sq7_sql_udf" -> (sq7SqlUdf _),
+    "sq8_parameterized" -> (sq8Parameterized _),
     "sq1_exists_subquery" -> (sq1ExistsSubquery _),
     "sq2_scalar_correlated" -> (sq2ScalarCorrelated _),
     "sq3_not_in_subquery" -> (sq3NotInSubquery _),
@@ -1649,6 +1693,19 @@ object Relational {
         |  SELECT CAST(n.n_nationkey AS BIGINT), h.depth + 1
         |  FROM nation n JOIN h ON n.n_nationkey // 2 = h.key AND n.n_nationkey > 0)
         |SELECT key, depth FROM h""".stripMargin,
+    "sq7_sql_udf" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS margin,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "sq8_parameterized" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 1000
+        |GROUP BY o_orderpriority""".stripMargin,
     "sq5_recursive_backoff" ->
       """WITH RECURSIVE sched(attempt, delay_ms) AS (
         |  SELECT 1, CAST(100 AS BIGINT)

@@ -72,6 +72,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("LessThan(ts"), plan.take(2000))
   }
 
+  test("SQ7: the SQL-defined function is inlined — no UDF node survives") {
+    val df = Relational.sq7SqlUdf(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the body must have been folded into ordinary expressions at analysis
+    // time: a surviving ScalaUDF/PythonUDF call boundary would break
+    // whole-stage codegen and mark a real (not inlined) function call
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      plan.take(2000))
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    // codegen stage markers (`*(n)`) prove the inlined body runs inside
+    // whole-stage codegen; the AQE string form doesn't spell the name out
+    assert(plan.contains("*(1)"), plan.take(2000))
+    // and the body's decimal arithmetic really was substituted into the agg
+    assert(plan.contains("decimal(4,2)"), plan.take(2000))
+  }
+
   test("anti-join uses a hash join, not a nested loop (J1)") {
     val plan = planOf(Relational.j1AntiSkipExists(spark, sfDir))
     assert(plan.contains("LeftAnti"), plan.take(3000))
