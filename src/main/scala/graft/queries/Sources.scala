@@ -294,6 +294,40 @@ object Sources {
       .select($"event_id", $"a", $"b", $"zval")
   }
 
+  /** Write the events table as a range-partitioned, internally sorted
+    * layout and return the directory. Split out so the spec can inspect
+    * the physical files the query read. */
+  private[graft] def rangeLayoutWrite(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val out = tmp("s28_range")
+    events(spark, dir)
+      .select($"event_id", $"user_id", $"value")
+      .repartitionByRange(8, $"user_id", $"event_id")
+      .sortWithinPartitions($"user_id", $"event_id")
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    out
+  }
+
+  /** S28: range-partitioned sorted layout — the 1-D ordered-table shape
+    * beside s21's Z-order: `repartitionByRange` SAMPLES the key
+    * distribution (RangePartitioner), so the cut points adapt to skew and
+    * every output file covers a DISJOINT user_id range; within each file
+    * rows are sorted. That layout is what makes a point/range predicate
+    * on the key prune to the few overlapping files via parquet min/max
+    * stats, and gives merge-style consumers sorted runs for free. The
+    * registered result re-reads the written layout and aggregates back to
+    * a layout-independent form (data invariance = the oracle); the
+    * physical claims — pairwise-disjoint file ranges, in-file sortedness —
+    * are asserted on the actual files in PipelineOpsSpec. */
+  def s28RangeLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = rangeLayoutWrite(spark, dir)
+    spark.read.parquet(out)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+  }
+
   /** S22: dynamic partition overwrite — the restatement operator for
     * partitioned tables: a corrected recompute of a FEW days is written
     * with `partitionOverwriteMode=dynamic`, which replaces exactly the
@@ -1018,6 +1052,7 @@ object Sources {
     "s16_dsv2_archive_write" -> (s16Dsv2ArchiveWrite _),
     "o12_observed_metrics" -> (o12ObservedMetrics _),
     "o15_quality_constraints" -> (o15QualityConstraints _),
+    "s28_range_layout" -> (s28RangeLayout _),
     "s17_catalog_sql" -> (s17CatalogSql _),
     "s18_function_catalog" -> (s18FunctionCatalog _),
     "s18b_catalog_udaf" -> (s18bCatalogUdaf _),
@@ -1161,6 +1196,10 @@ object Sources {
         |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpos_price,
         |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys
         |FROM orders""".stripMargin,
+    "s28_range_layout" ->
+      """SELECT user_id, count(*) AS n,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY user_id""".stripMargin,
     "o15_quality_constraints" ->
       """WITH m AS (
         |  SELECT count(*) AS n_rows,

@@ -179,6 +179,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(syms == Map("th" -> "th", "the" -> "th|e", "she" -> "she"))
   }
 
+  test("S28: range layout yields disjoint per-file key ranges, sorted in-file") {
+    import spark.implicits._
+    val out = Sources.rangeLayoutWrite(spark, sfDir)
+    val files = new java.io.File(out).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length > 1, "need multiple files to demonstrate a layout")
+    // per-file (min, max) user_id ranges must be pairwise disjoint — the
+    // property parquet min/max skipping needs to prune key predicates
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min($"user_id"), max($"user_id")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"overlapping file ranges: hi=$hi lo2=$lo2")
+      case _ =>
+    }
+    // in-file sortedness: the physical row order equals the sorted order
+    files.foreach { f =>
+      val ids = spark.read.parquet(f)
+        .select($"user_id", $"event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(ids.sameElements(ids.sorted), s"file $f is not sorted")
+    }
+    // nothing lost, nothing invented
+    val total = files.map(f => spark.read.parquet(f).count()).sum
+    assert(total == Engine.events(spark, sfDir).count())
+  }
+
   test("L46: prefix filter equals the direct join and strictly prunes candidates") {
     import spark.implicits._
     // same corpus slice both queries use
