@@ -1074,6 +1074,62 @@ object Llm {
     kmeansAssign(emb, centroids)
   }
 
+  /** Per-subspace PQ state after `iters` Lloyd's rounds: (vec_id, sub,
+    * cid, d2). All m subspaces train in ONE DataFrame (sub is just a key
+    * column), so the rounds cost the same shuffles as plain k-means; the
+    * codebook (m·k rows of sd doubles) broadcasts. Deterministic: seeds
+    * are the k lowest vec_ids' subvectors, ties in assignment break by
+    * cid. */
+  private[graft] def pqAssignment(
+      spark: SparkSession, dir: String, iters: Int): DataFrame = {
+    import spark.implicits._
+    val m = 4; val sd = 16; val k = 16
+    val subs = embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .select($"vec_id", explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"), slice($"v", s * sd + 1, sd).as("sv"))): _*)))
+      .select($"vec_id", $"col.sub".as("sub"), $"col.sv".as("sv"))
+
+    def assign(code: Seq[(Int, Int, Seq[Double])]): DataFrame =
+      subs.join(broadcast(code.toDF("sub", "cid", "c")), Seq("sub"))
+        .withColumn("d2", expr(
+          "aggregate(zip_with(sv, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, e) -> acc + e)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"vec_id", $"sub").orderBy($"d2", $"cid")))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"sub", $"sv", $"cid", $"d2")
+
+    var code: Seq[(Int, Int, Seq[Double])] = subs.filter($"vec_id" < k)
+      .orderBy($"sub", $"vec_id").collect().toSeq
+      .map(r => (r.getInt(1), r.getLong(0).toInt, r.getSeq[Double](2)))
+    for (_ <- 1 to iters)
+      code = assign(code).groupBy($"sub", $"cid")
+        .agg(array((0 until sd).map(i => avg($"sv"(i))): _*).as("c"))
+        .collect().toSeq.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    assign(code).select($"vec_id", $"sub", $"cid", $"d2")
+  }
+
+  /** L47: product quantization — the embedding-compression step that makes
+    * billion-vector ANN serving feasible: each 64-dim vector becomes m=4
+    * one-byte codes (one per 16-dim subspace, k=16 centroids each), a
+    * 64× compression with distances approximable from per-subspace
+    * lookup tables. Training is l26's deterministic Lloyd's run per
+    * subspace, all subspaces as one keyed DataFrame (no per-subspace
+    * jobs); the bounded driver step is the m·k-row codebook, exactly
+    * k-means' contract. Rows-only by design (codebooks aren't SQL);
+    * PipelineOpsSpec pins determinism, totality, inertia descent AND
+    * that PQ beats the k=1 (subspace-mean) quantizer — the invariant
+    * form of 'the codes actually carry information'. */
+  def l47PqQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pqAssignment(spark, dir, 2)
+      .groupBy($"vec_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct($"sub", $"cid"))),
+          x => x.getField("cid").cast("string")), ",").as("codes"),
+        sum($"d2").as("recon_err"))
+  }
+
   def l26KmeansClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     kmeansAssignment(spark, dir, 3)
@@ -1398,7 +1454,8 @@ object Llm {
     "l43_label_centroids" -> (l43LabelCentroids _),
     "l44_kmv_overlap" -> (l44KmvOverlap _),
     "l45_sentence_chunk" -> (l45SentenceChunk _),
-    "l46_prefix_filter_join" -> (l46PrefixFilterJoin _)
+    "l46_prefix_filter_join" -> (l46PrefixFilterJoin _),
+    "l47_pq_quantize" -> (l47PqQuantize _)
   )
 
   private val candSql =

@@ -179,6 +179,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(syms == Map("th" -> "th", "the" -> "th|e", "she" -> "she"))
   }
 
+  test("L47: PQ codes are deterministic, total, and beat the mean quantizer") {
+    import spark.implicits._
+    val n = Engine.embeddings(spark, sfDir).count()
+    val a = Llm.l47PqQuantize(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val b = Llm.l47PqQuantize(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(a.sameElements(b), "PQ must be run-to-run deterministic")
+    assert(a.length == n, "every vector must receive codes")
+    assert(a.forall(_._2.split(",").length == 4), "m = 4 codes per vector")
+    // Lloyd's invariant per subspace: 2 trained rounds never exceed the
+    // raw seed assignment's inertia
+    val e0 = Llm.pqAssignment(spark, sfDir, 0).agg(sum($"d2")).head.getDouble(0)
+    val e2 = Llm.pqAssignment(spark, sfDir, 2).agg(sum($"d2")).head.getDouble(0)
+    assert(e2 <= e0 + 1e-9, s"inertia rose: $e0 -> $e2")
+    // information check: PQ must beat collapsing each subspace to its
+    // mean (the k=1 quantizer), i.e. capture structure beyond variance
+    val meanErr = Engine.embeddings(spark, sfDir)
+      .select(explode(expr(
+        "transform(embedding, x -> cast(x as double))")).as("x"))
+      .agg(sum($"x" * $"x") - sum($"x") * sum($"x") / count(lit(1))).head.getDouble(0)
+    assert(e2 < meanErr, s"PQ $e2 not below mean-quantizer $meanErr")
+  }
+
   test("S28: range layout yields disjoint per-file key ranges, sorted in-file") {
     import spark.implicits._
     val out = Sources.rangeLayoutWrite(spark, sfDir)
