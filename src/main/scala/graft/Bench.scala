@@ -14,6 +14,13 @@ import org.apache.spark.sql.SparkSession
   * LAST and kept compact (total + the slowest queries); the complete
   * per-query map goes on a preceding `{"detail":…}` line for humans and
   * for the committed BENCH_local snapshots.
+  *
+  * File record: stdout scraping truncates (r7's BENCH.json carried
+  * `"parsed": null` because the consumer's tail cut its own input), so the
+  * COMPLETE record — detail, samples, errors, canonical metric — is also
+  * written atomically to `bench_out.json` in the working directory
+  * (override with SPARK_GRAFT_BENCH_OUT or arg 3). Machine consumers
+  * should read the file, not the scrape.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -109,9 +116,11 @@ object Bench {
     // consumer's output tail); commit this as the local bench snapshot.
     // "samples" carries every raw timing so variance is diagnosable after
     // the fact (min vs median tells noise from plan change).
-    println(s"""{"detail":${jmap(times.map { case (k, v) => k -> r3(v) })},""" +
-      s""""samples":${jmap(samples.map { case (k, vs) =>
-        k -> vs.map(r3).mkString("[", ",", "]") })},"errors":$errs}""")
+    val detailLine =
+      s"""{"detail":${jmap(times.map { case (k, v) => k -> r3(v) })},""" +
+        s""""samples":${jmap(samples.map { case (k, vs) =>
+          k -> vs.map(r3).mkString("[", ",", "]") })},"errors":$errs}"""
+    println(detailLine)
     // canonical line, kept under ~1500 chars: total + the 40 slowest.
     // value = sum of per-query minima (steady state); value_median = sum of
     // per-query medians — a large gap between the two flags a noisy run.
@@ -122,11 +131,29 @@ object Bench {
     }
     val totalMedian = samples.map { case (_, vs) => median(vs) }.sum
     val slowest = times.sortBy(-_._2).take(40).sortBy(_._1)
-    println(
+    val metricLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${times.size},""" +
         s""""value_median":${r3(totalMedian)},"runs":"best-of-2-or-3",""" +
         s""""cpus":$cpus,"queries":${jmap(slowest.map { case (k, v) => k -> r3(v) })},""" +
-        s""""errors":$errs,"sf":"$sfDir"}""")
+        s""""errors":$errs,"sf":"$sfDir"}"""
+    println(metricLine)
+    // machine-readable record: ONE well-formed JSON object holding the
+    // complete per-query map + the canonical summary, written via
+    // temp-file rename so a reader never sees a half-written file
+    val outPath = args.lift(2)
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .getOrElse("bench_out.json")
+    val fileJson =
+      s"""{"summary":$metricLine,"queries_all":${
+        jmap(times.map { case (k, v) => k -> r3(v) })},"samples":${
+        jmap(samples.map { case (k, vs) => k -> vs.map(r3).mkString("[", ",", "]") })}}"""
+    val target = java.nio.file.Paths.get(outPath)
+    val tmp = java.nio.file.Paths.get(outPath + ".tmp")
+    java.nio.file.Files.write(tmp, (fileJson + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    println(s"bench record written to ${target.toAbsolutePath}")
     spark.stop()
   }
 }

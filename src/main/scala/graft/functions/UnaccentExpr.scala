@@ -50,8 +50,13 @@ object UnaccentExpr {
 
   private val Marks = Pattern.compile("\\p{M}+")
 
-  /** NFD → strip combining marks. Pure-ASCII inputs return the input
-    * object unchanged (no allocation). Called from generated code. */
+  /** NFD → strip combining marks → NFC recompose. The recompose step is a
+    * no-op on the Latin accent range the oracle verifies (mark-stripped
+    * Latin is already composed) but matters for scripts with canonical
+    * compositions — e.g. Hangul syllables decompose to Jamo under NFD and
+    * must recompose or downstream byte/equality comparisons silently
+    * diverge from composed-form corpora. Pure-ASCII inputs return the
+    * input object unchanged (no allocation). Called from generated code. */
   def unaccent(s: UTF8String): UTF8String = {
     val nb = s.numBytes()
     var i = 0
@@ -62,8 +67,10 @@ object UnaccentExpr {
     }
     if (ascii) s
     else UTF8String.fromString(
-      Marks.matcher(Normalizer.normalize(s.toString, Normalizer.Form.NFD))
-        .replaceAll(""))
+      Normalizer.normalize(
+        Marks.matcher(Normalizer.normalize(s.toString, Normalizer.Form.NFD))
+          .replaceAll(""),
+        Normalizer.Form.NFC))
   }
 
   /** Register per session (idempotent, session-scoped — same rationale as

@@ -29,10 +29,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * [[TopKPerKeyExec.PartialKeyCap]] distinct keys — past the cap, rows of
   * unseen keys PASS THROUGH unfiltered (never wrong, never OOM: the final
   * phase re-filters), the same degrade-don't-die contract as hash
-  * aggregation's spill fallback. The final phase holds the exact
-  * keys-in-partition × k state any grouped aggregate holds; cardinality
-  * beyond that is sized with `spark.sql.shuffle.partitions` like every
-  * keyed agg.
+  * aggregation's spill fallback. Overflow rows are STREAMED to the parent
+  * as they arrive (like FilterExec — no copy, no buffering), so partial
+  * heap state is the only memory the phase ever holds even when every key
+  * overflows. The final phase holds the exact keys-in-partition × k state
+  * any grouped aggregate holds; cardinality beyond that is sized with
+  * `spark.sql.shuffle.partitions` like every keyed agg.
   *
   * Determinism contract: callers must pass a TOTAL ordering (tie columns
   * down to a unique key), same as they must for the window formulation to
@@ -101,9 +103,14 @@ case class TopKPerKeyExec(
       val heapOrd = new java.util.Comparator[UnsafeRow] {
         override def compare(a: UnsafeRow, b: UnsafeRow): Int = cmp.compare(b, a)
       }
-      val passThrough = new scala.collection.mutable.ArrayBuffer[UnsafeRow]()
-      while (iter.hasNext) {
-        val row = iter.next().asInstanceOf[UnsafeRow]
+      // Overflow rows past the key cap are EMITTED IMMEDIATELY (no copy,
+      // no buffering — the parent is either the shuffle writer, which
+      // serializes each row before pulling the next, or the final phase,
+      // which copies on retention; same streaming contract as FilterExec).
+      // Rows absorbed into a heap produce nothing now; the retained
+      // k-per-key survivors drain lazily after the input is exhausted.
+      val streamed: Iterator[UnsafeRow] = iter.flatMap { r =>
+        val row = r.asInstanceOf[UnsafeRow]
         val key = keyProj(row)
         var heap = buffers.get(key)
         if (heap == null) {
@@ -112,29 +119,35 @@ case class TopKPerKeyExec(
             // filtering NEW keys — their rows flow to the exact final
             // phase unfiltered (cap bounds heap state; correctness is
             // unaffected because the final phase re-filters everything)
-            passThrough += row.copy()
+            Iterator.single(row)
           } else {
             heap = new java.util.PriorityQueue[UnsafeRow](k, heapOrd)
             buffers.put(key.copy(), heap)
-            heap.add(row.copy()); ()
+            heap.add(row.copy())
+            Iterator.empty
           }
-        } else if (heap.size < k) { heap.add(row.copy()); () }
+        } else if (heap.size < k) { heap.add(row.copy()); Iterator.empty }
         else if (cmp.compare(row, heap.peek()) < 0) {
           // `row` sorts before the current worst retained row -> keep it
           heap.poll()
           heap.add(row.copy())
-          ()
+          Iterator.empty
+        } else Iterator.empty
+      }
+      def drainHeaps(): Iterator[UnsafeRow] = {
+        val out = new scala.collection.mutable.ArrayBuffer[UnsafeRow]()
+        buffers.forEach { (_, heap) =>
+          val rows = new Array[UnsafeRow](heap.size)
+          var i = rows.length - 1
+          while (i >= 0) { rows(i) = heap.poll(); i -= 1 }
+          out ++= rows
         }
+        out.iterator
       }
-      val out = new scala.collection.mutable.ArrayBuffer[UnsafeRow]()
-      buffers.forEach { (_, heap) =>
-        val rows = new Array[UnsafeRow](heap.size)
-        var i = rows.length - 1
-        while (i >= 0) { rows(i) = heap.poll(); i -= 1 }
-        out ++= rows
-      }
-      out ++= passThrough
-      out.iterator
+      // Iterator.++ takes its argument by name: the heaps drain only after
+      // every input row has been seen (required — a heap row can be
+      // evicted by a later, better row).
+      streamed ++ drainHeaps()
     }, preservesPartitioning = true)
   }
 

@@ -291,9 +291,22 @@ object Llm {
     sums.select($"doc_id", fp.as("simhash"))
   }
 
-  /** L8: n-gram Jaccard similarity — shingle-explode + equi-join on shingle
-    * within a bounded probe set, |A∩B| / |A∪B| from exact distinct counts. */
-  def l8NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** L8: n-gram Jaccard similarity — |A∩B| / |A∪B| over 3-shingle sets
+    * from exact distinct counts. EXECUTES via the prefix-filtered
+    * candidate plan (identical code path to [[l46PrefixFilterJoin]]): the
+    * textbook join-on-every-shared-shingle formulation is only the
+    * semantic SPEC here — at corpus scale one frequent shingle makes its
+    * candidate set quadratic, so no registered query may run it. The
+    * naive form survives as [[ngramJaccardDirect]] (test-only), and
+    * PipelineOpsSpec pins that the two are row-identical while the
+    * candidate set strictly shrinks. */
+  def l8NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    l46PrefixFilterJoin(spark, dir)
+
+  /** The naive every-shared-shingle join — the semantic specification of
+    * l8/l46, NOT a registered execution path (quadratic on frequent
+    * shingles). Kept only for PipelineOpsSpec's equality proof. */
+  private[graft] def ngramJaccardDirect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = nearDupCandidates(spark, dir).filter($"id" % 10 === 0)
       .select($"id", explode(Text.shingles($"text", 3)).as("shingle"))
@@ -1803,6 +1816,7 @@ object Llm {
           |  count(*) AS n_grams
           |FROM isl GROUP BY id, k""".stripMargin),
     "l41_bpe_merges" -> l41OracleSql,
+    "l42_bpe_encode" -> l42OracleSql,
     "l43_label_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |x AS (SELECT label,

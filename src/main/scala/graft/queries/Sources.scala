@@ -569,8 +569,10 @@ object Sources {
     * a single partial+final agg; only the exact-uniqueness rule adds the
     * unavoidable distinct on the key column (swap in
     * approx_count_distinct to make even that scan-local, the a10
-    * trade-off). The `value_le_250` rule genuinely FAILS on the fixture,
-    * so the report exercises the violation path, not just green rows. */
+    * trade-off). The range rule is split into separate lower/upper-bound
+    * checks (`value_ge_0` / `value_le_250`) so each violation count means
+    * what its name says; at least one genuinely FAILS on the fixture, so
+    * the report exercises the violation path, not just green rows. */
   def o15QualityConstraints(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     events(spark, dir).agg(
@@ -578,13 +580,15 @@ object Sources {
       sum($"props".isNull.cast("long")).as("n_null_props"),
       count_distinct($"event_id").as("n_distinct_ids"),
       sum((!$"event_type".rlike("^[a-z_]+$")).cast("long")).as("n_bad_type"),
-      sum(($"value" < 0 || $"value" > 250).cast("long")).as("n_value_gt250"))
+      sum(($"value" < 0).cast("long")).as("n_value_neg"),
+      sum(($"value" > 250).cast("long")).as("n_value_gt250"))
     .select(expr(
-      """stack(5,
+      """stack(6,
         |  'row_count_min_1000', n_rows, n_rows >= 1000,
         |  'props_complete', n_null_props, n_null_props = 0,
         |  'event_id_unique', n_rows - n_distinct_ids, n_distinct_ids = n_rows,
         |  'event_type_wellformed', n_bad_type, n_bad_type = 0,
+        |  'value_ge_0', n_value_neg, n_value_neg = 0,
         |  'value_le_250', n_value_gt250, n_value_gt250 = 0
         |) AS (check_name, metric, passed)""".stripMargin))
   }
@@ -1208,7 +1212,9 @@ object Sources {
         |    CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids,
         |    CAST(sum(CASE WHEN NOT regexp_matches(event_type, '^[a-z_]+$')
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_type,
-        |    CAST(sum(CASE WHEN value < 0 OR value > 250 THEN 1 ELSE 0 END)
+        |    CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_value_neg,
+        |    CAST(sum(CASE WHEN value > 250 THEN 1 ELSE 0 END)
         |      AS BIGINT) AS n_value_gt250
         |  FROM events)
         |SELECT 'row_count_min_1000' AS check_name, n_rows AS metric,
@@ -1217,6 +1223,7 @@ object Sources {
         |UNION ALL SELECT 'event_id_unique', n_rows - n_distinct_ids,
         |  n_distinct_ids = n_rows FROM m
         |UNION ALL SELECT 'event_type_wellformed', n_bad_type, n_bad_type = 0 FROM m
+        |UNION ALL SELECT 'value_ge_0', n_value_neg, n_value_neg = 0 FROM m
         |UNION ALL SELECT 'value_le_250', n_value_gt250, n_value_gt250 = 0 FROM m""".stripMargin,
     "s16_dsv2_archive_write" ->
       """SELECT CAST(1 AS BIGINT) AS phase,

@@ -484,6 +484,11 @@ object StreamingQ {
     * dropped across batches against ALL history, not just watermarked
     * stream state (st7b). That is the pattern for a corpus that outlives
     * any one stream: state = the sink, no checkpoint retention window.
+    * The writer runs with `keyIndex = true`: the probe anti-joins the
+    * key SIDECAR (`<sink>.keys`, key-sorted + bloom-filtered), so the
+    * per-batch dedup cost scales with the key set, never with re-scanning
+    * the full corpus data — the 100 TB upgrade the r7 plan audit called
+    * for (crash-torn appends rebuild the sidecar, never double-append).
     * The staged source plants a full duplicate copy of every doc under
     * shifted ids, split deterministically so each batch carries one copy;
     * kept-per-language counts and token totals are copy-invariant, hence
@@ -509,7 +514,7 @@ object StreamingQ {
     val toks = split($"text", " ")
     val staged = stageSt15(spark, dir)
     val sink = java.nio.file.Files.createTempDirectory("st15_sink").toString
-    val writer = new IncrementalWriter(spark, sink, Seq("content_key"))
+    val writer = new IncrementalWriter(spark, sink, Seq("content_key"), keyIndex = true)
     val q = spark.readStream
       .schema(spark.read.parquet(staged).schema)
       .option("maxFilesPerTrigger", 1)
@@ -869,14 +874,38 @@ object StreamingQ {
     * (batch sessionize) express: a user's session is emitted exactly once,
     * as a single closed record, when the WATERMARK proves the 30-minute
     * gap has passed — the session-completion callback shape real pipelines
-    * use to fire downstream actions. flatMapGroupsWithState buffers only
-    * the OPEN session per user (timeout fires once wm > last event + gap,
-    * emits the closed sessions and clears — any later event must be a new
-    * session or below-watermark late, so state is bounded by session
-    * length, never history). The st19 sentinel staging closes every
-    * session at end-of-stream; buffered micros are sorted before
-    * splitting, so the result is identical across any micro-batch split
-    * and hash-matches the batch sessionize oracle. */
+    * use to fire downstream actions. flatMapGroupsWithState keeps only
+    * RUN-COMPRESSED (start_us, end_us, n) segments per user — NOT the raw
+    * event timestamps — so state is O(open segments), constant for a
+    * pathological always-active key where buffering every micro would grow
+    * without bound. An arriving event merges into every segment whose
+    * gap-padded interval it touches (bridging merges two); the segment
+    * invariant (internal consecutive gaps ≤ 30 min by induction over
+    * merges) makes this exactly the gap-connected components the sorted
+    * consecutive-difference split computes, so the result is identical
+    * across any micro-batch split / arrival order and hash-matches the
+    * batch sessionize oracle. Timeout fires once wm > max segment end +
+    * gap, emits the closed sessions and clears — any later event must be
+    * a new session or below-watermark late. The st19 sentinel staging
+    * closes every session at end-of-stream. */
+  /** st20's state transition: fold event micro `t` into the run-compressed
+    * (start, end, n) segment list — merging every segment whose gap-padded
+    * interval contains `t` (an event within gap of two segments bridges
+    * them). Pure so StreamingSpec can pin the two contract properties:
+    * components identical to the sorted consecutive-difference split, and
+    * state size = number of gap-components (never the event count). */
+  private[graft] def mergeSegment(
+      segs: List[(Long, Long, Long)], t: Long, gapUs: Long): List[(Long, Long, Long)] = {
+    val (touch, rest) = segs.partition { case (s, e, _) =>
+      t >= s - gapUs && t <= e + gapUs
+    }
+    val merged = touch.foldLeft((t, t, 1L)) {
+      case ((ms, me, mn), (s, e, n)) =>
+        (math.min(ms, s), math.max(me, e), mn + n)
+    }
+    merged :: rest
+  }
+
   def st20TimeoutSessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
@@ -891,30 +920,27 @@ object StreamingQ {
         .withWatermark("ts", "0 seconds")
         .as[(Long, java.sql.Timestamp, Long)]
         .groupByKey(_._1)
-        .flatMapGroupsWithState[List[Long], (Long, Long, Long, Long)](
+        .flatMapGroupsWithState[List[(Long, Long, Long)], (Long, Long, Long, Long)](
           OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
           (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
-           state: GroupState[List[Long]]) =>
+           state: GroupState[List[(Long, Long, Long)]]) =>
             if (state.hasTimedOut) {
-              // close out: sort the buffered open-session micros, split at
-              // >30-min gaps (the buffer may span several sessions only
-              // when the watermark jumped past multiple gaps at once)
-              val buf = state.get.sorted
+              // close out: every open segment is a finished session (the
+              // state may hold several only when the watermark jumped past
+              // multiple gaps at once); emit chronologically
+              val segs = state.get
               state.remove()
-              val sessions = buf.foldLeft(List.empty[List[Long]]) {
-                case (acc, t) => acc match {
-                  case cur :: rest if t - cur.head <= gapUs => (t :: cur) :: rest
-                  case _ => List(t) :: acc
-                }
-              }
-              sessions.reverseIterator.map { s =>
-                (user, s.last, s.head, s.length.toLong)
-              }
+              segs.sortBy(_._1).iterator.map { case (s, e, n) => (user, s, e, n) }
             } else {
-              val buf = state.getOption.getOrElse(Nil) ++ rows.map(_._3)
-              state.update(buf)
+              // merge each event into the gap-padded segments it touches;
+              // an event landing between two segments within gap of both
+              // BRIDGES them into one (same components as the sorted
+              // consecutive-difference split — see the query doc)
+              var segs = state.getOption.getOrElse(Nil)
+              rows.foreach { r => segs = mergeSegment(segs, r._3, gapUs) }
+              state.update(segs)
               // fire once the watermark passes the newest event + gap
-              state.setTimeoutTimestamp(buf.max / 1000 + gapUs / 1000)
+              state.setTimeoutTimestamp(segs.map(_._2).max / 1000 + gapUs / 1000)
               Iterator.empty
             }
         }

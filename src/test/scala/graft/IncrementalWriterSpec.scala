@@ -52,6 +52,39 @@ class IncrementalWriterSpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("key-indexed writer: idempotent, probes the sidecar, survives a torn append") {
+    import spark.implicits._
+    val dir = freshDir("iwk")
+    val w = new IncrementalWriter(spark, dir, Seq("k"), keyIndex = true)
+    val b1 = (1 to 60).map(i => (i.toLong, "a")).toDF("k", "v")
+    val b2 = (41 to 100).map(i => (i.toLong, "b")).toDF("k", "v")
+    assert(w.append(b1) == 60)
+    // sidecar exists, holds exactly the sink's distinct keys, and carries
+    // only the key column (the whole point: probe reads keys, not data)
+    val idx = spark.read.parquet(dir + ".keys")
+    assert(idx.columns.toSeq == Seq("k"))
+    assert(idx.distinct().count() == 60)
+    assert(w.append(b1) == 0, "identical re-append must be a no-op via the index")
+    assert(w.append(b2) == 40)
+    assert(spark.read.parquet(dir).count() == 100)
+    assert(spark.read.parquet(dir + ".keys").distinct().count() == 100)
+
+    // torn append: data files land but the index write never happens
+    // (crash between the two). Simulate by appending data OUT OF BAND,
+    // leaving the marker behind the sink's file count.
+    val b3 = (101 to 120).map(i => (i.toLong, "c")).toDF("k", "v")
+    b3.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    // the writer must detect the stale index, rebuild, and NOT re-append
+    // the out-of-band keys (idempotence never trades for the fast probe)
+    assert(w.append(b3) == 0,
+      "stale sidecar was trusted — torn append broke idempotence")
+    assert(spark.read.parquet(dir).count() == 120)
+    // rebuilt index is in sync again: next probe accepts genuinely new keys
+    val b4 = (115 to 130).map(i => (i.toLong, "d")).toDF("k", "v")
+    assert(w.append(b4) == 10)
+    assert(spark.read.parquet(dir + ".keys").distinct().count() == 130)
+  }
+
   test("verified write reports zero mismatches for a faithful sink") {
     val docs = Engine.documents(spark, sfDir)
     val (n, ok, bad) = VerifiedWriter.writeVerified(

@@ -244,8 +244,10 @@ class PipelineOpsSpec extends SparkSpec {
       .filter($"id" % 10 === 0)
       .select($"id", explode(graft.functions.Text.shingles($"text", 3)).as("shingle"))
       .distinct()
-    // soundness + exactness: identical result sets
-    val direct = Llm.l8NgramJaccard(spark, sfDir)
+    // soundness + exactness: identical result sets. ngramJaccardDirect is
+    // the naive every-shared-shingle SPEC (test-only — the registered l8
+    // executes via the prefix-filtered plan, same as l46)
+    val direct = Llm.ngramJaccardDirect(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val filtered = Llm.l46PrefixFilterJoin(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -364,4 +364,49 @@ class StreamingSpec extends SparkSpec {
     assert(guaranteed.subsetOf(est.keySet),
       s"heavy users ${guaranteed -- est.keySet} above n/(k+1)=$bound missing")
   }
+
+  test("ST20: run-compressed segment state matches the sorted gap split and stays O(components)") {
+    val gap = 30L
+    val rnd = new scala.util.Random(42)
+    // reference: sort, split at consecutive diff > gap -> (start, end, n)
+    def reference(ts: Seq[Long]): Set[(Long, Long, Long)] = {
+      val s = ts.sorted
+      val groups = s.tail.foldLeft(List(List(s.head))) { (acc, t) =>
+        if (t - acc.head.head <= gap) (t :: acc.head) :: acc.tail
+        else List(t) :: acc
+      }
+      groups.map(g => (g.last, g.head, g.length.toLong)).toSet
+    }
+    for (trial <- 1 to 200) {
+      // clustered timestamps so multi-event sessions AND multi-session
+      // users both occur; then a random ARRIVAL order (the property the
+      // incremental merge must be invariant to)
+      val nClusters = 1 + rnd.nextInt(4)
+      val ts = (0 until nClusters).flatMap { c =>
+        val base = c * 1000L
+        (0 until 1 + rnd.nextInt(6)).map(_ => base + rnd.nextInt(80))
+      }
+      val arrival = rnd.shuffle(ts)
+      val segs = arrival.foldLeft(List.empty[(Long, Long, Long)]) {
+        (acc, t) => graft.queries.StreamingQ.mergeSegment(acc, t, gap)
+      }
+      val ref = reference(ts)
+      assert(segs.toSet == ref,
+        s"trial $trial: incremental $segs != reference $ref (arrival $arrival)")
+      // the bounded-state contract: state size is the component count,
+      // never the event count
+      assert(segs.length == ref.size,
+        s"trial $trial: ${segs.length} segments for ${ref.size} components")
+    }
+    // pathological always-active key: 10k events, every consecutive pair
+    // within the gap -> exactly ONE constant-size segment, where the old
+    // List[Long] buffer held all 10k micros
+    val busy = (0 until 10000).map(i => i * 5L)
+    val busySegs = rnd.shuffle(busy.toList)
+      .foldLeft(List.empty[(Long, Long, Long)]) {
+        (acc, t) => graft.queries.StreamingQ.mergeSegment(acc, t, gap)
+      }
+    assert(busySegs == List((0L, 49995L, 10000L)),
+      s"always-active key must compress to one segment, got $busySegs")
+  }
 }
