@@ -70,7 +70,24 @@ object PlanAudit {
       "sq7_sql_udf" -> "SQL-defined function: body inlined at analysis time, decimal arithmetic inside codegen, no UDF node")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries (sf0.01)\n\n")
-    sb.append("Generated by `graft.PlanAudit`; re-run after plan-affecting changes.\n")
+    sb.append("Generated by `graft.PlanAudit`; re-run after plan-affecting changes.\n\n")
+    sb.append(
+      """## Sink-probe cost (IncrementalWriter key index)
+        |
+        |The idempotent sink's existence probe is a left-anti join against the
+        |sink's keys. Without an index that probe re-reads the key column of
+        |EVERY sink data file per batch — O(|sink|) I/O that dominates once the
+        |corpus outgrows the batch. With `keyIndex = true` (st15 runs this way)
+        |the probe instead reads the key SIDECAR `<sink>.keys/`: key-sorted
+        |files with parquet bloom filters on the leading key, holding only key
+        |bytes. Probe I/O is then O(|distinct keys|) worst case, with row-group
+        |min/max + bloom pruning cutting the scan toward O(|batch|) when the
+        |batch's key range is narrow. Consistency: data commits before the
+        |index; a `_synced` marker pins the sink's data-file count, and any
+        |mismatch (torn append) triggers a rebuild from the sink rather than a
+        |stale probe — IncrementalWriterSpec pins both the idempotence and the
+        |torn-append recovery.
+        |""".stripMargin)
     headline.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect() // finalize AQE so the executed plan is the real one

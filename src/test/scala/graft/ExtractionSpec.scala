@@ -76,6 +76,22 @@ class ExtractionSpec extends SparkSpec {
       s"merged estimate $approx vs exact $exact")
   }
 
+  test("A10b: approx_count_distinct lands within 5% of the exact counts") {
+    // bounds the rows-only HLL++ estimates against the oracle-checked
+    // exact query over the same table
+    val a = graft.queries.Relational.a10ApproxDistinct(spark, sfDir)
+      .collect().head
+    val (approxUsers, approxEvents) = (a.getLong(0), a.getLong(1))
+    val exactUsers = Engine.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    val exactEvents = Engine.events(spark, sfDir)
+      .select("event_id").distinct().count()
+    assert(math.abs(approxUsers - exactUsers) <= math.max(0.05 * exactUsers, 2.0),
+      s"users: approx $approxUsers vs exact $exactUsers")
+    assert(math.abs(approxEvents - exactEvents) <= math.max(0.05 * exactEvents, 2.0),
+      s"events: approx $approxEvents vs exact $exactEvents")
+  }
+
   test("A17: the merged-histogram quantile bucket contains the exact percentile") {
     // links the mergeable-sketch path to the exact path: the p50/p90
     // bucket ids from the per-day-partials merge must be the buckets the
