@@ -67,7 +67,10 @@ object PlanAudit {
       "l45_sentence_chunk" -> "sentence chunking: one doc_id exchange serves the offset window and ordered reassembly",
       "l46_prefix_filter_join" -> "prefix-filtered similarity join: candidates only on rare prefix shingles, exact verify after",
       "o15_quality_constraints" -> "constraint suite: every rule a conditional agg in one scan, stack unpivot to the report",
-      "sq7_sql_udf" -> "SQL-defined function: body inlined at analysis time, decimal arithmetic inside codegen, no UDF node")
+      "sq7_sql_udf" -> "SQL-defined function: body inlined at analysis time, decimal arithmetic inside codegen, no UDF node",
+      "l48_tfidf_topterms" -> "TF-IDF top terms: token-sized df agg joined back, broadcast 1-row corpus size, native TopKPerKey per-doc top-3 with no sort",
+      "w19_scd2_history" -> "SCD-2 historization: change-detect, run-number, collapse and close-out over one user_id exchange",
+      "l5f_vad_segments" -> "VAD segmentation: decode-local frame energies, integer above-mean gate, gaps-and-islands on one file exchange")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries (sf0.01)\n\n")
     sb.append("Generated by `graft.PlanAudit`; re-run after plan-affecting changes.\n\n")

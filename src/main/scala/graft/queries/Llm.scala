@@ -1413,6 +1413,41 @@ object Llm {
         count(lit(1)).as("n_sentences"))
   }
 
+  /** L48: TF-IDF top terms per document — the keyword-extraction pass a
+    * corpus pipeline runs for indexing/labeling, expressed so EVERY stage
+    * is the scale shape: tf is one (doc, token) partial+final agg, df is a
+    * token-sized agg joined back onto the token stream (never a doc×vocab
+    * product), and the per-doc top-3 runs on the native [[graft.plans
+    * .TopKPerKey]] operator — bounded k-buffers after one hash exchange,
+    * no per-doc sort (the same operator w13 proves relationally, here
+    * doing real pipeline work). Scoring uses the integer idf surrogate
+    * `tf × (N div df)` (the l35 integer-MLE discipline): floor division
+    * agrees between Spark `div` and DuckDB `//` on non-negatives, so the
+    * result hash-matches exactly where float ln() would flake at the ulp.
+    * Ordering (score desc, token asc) is total within a doc (tokens are
+    * distinct per group), the w13 determinism contract. */
+  def l48TfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = documents(spark, dir)
+    // corpus size as a broadcast 1-row frame, not a driver count(): no
+    // extra synchronous scan, and the join stays a broadcast nested-loop
+    // over one row
+    val nDf = docs.agg(count_distinct($"doc_id").as("n_docs"))
+    val tf = docs
+      .select($"doc_id", explode(Text.tokens($"text")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("token"))
+      .crossJoin(broadcast(nDf))
+      .select($"doc_id", $"token",
+        ($"tf" * expr("n_docs div df")).as("score"))
+    graft.plans.TopKPerKey.topKPerKey(
+      scored,
+      keys = Seq($"doc_id"),
+      order = Seq($"score".desc, $"token".asc),
+      k = 3)
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup" -> (l1ExactDedup _),
@@ -1464,6 +1499,7 @@ object Llm {
     "l40_shuffle_shard" -> (l40ShuffleShard _),
     "l41_bpe_merges" -> (l41BpeMerges _),
     "l42_bpe_encode" -> (l42BpeEncode _),
+    "l48_tfidf_topterms" -> (l48TfidfTopTerms _),
     "l43_label_centroids" -> (l43LabelCentroids _),
     "l44_kmv_overlap" -> (l44KmvOverlap _),
     "l45_sentence_chunk" -> (l45SentenceChunk _),
@@ -1817,6 +1853,24 @@ object Llm {
           |FROM isl GROUP BY id, k""".stripMargin),
     "l41_bpe_merges" -> l41OracleSql,
     "l42_bpe_encode" -> l42OracleSql,
+    "l48_tfidf_topterms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tfc AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY doc_id, token),
+        |dfc AS (
+        |  SELECT token, count(*) AS df FROM tfc GROUP BY token),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (
+        |  SELECT tfc.doc_id, tfc.token, tfc.tf * (n.n // dfc.df) AS score
+        |  FROM tfc JOIN dfc USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, score FROM (
+        |  SELECT doc_id, token, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, token) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3""".stripMargin,
     "l43_label_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |x AS (SELECT label,

@@ -955,6 +955,38 @@ object Relational {
           "element_at(win, cast((size(win) + 2) div 2 as int))").as("med2"))
   }
 
+  /** W19: SCD-2 historization — the slowly-changing-dimension type-2
+    * build every warehouse runs to give a mutable attribute a validity
+    * timeline: per user, consecutive runs of the same `event_type` (the
+    * tracked attribute) collapse into one row carrying
+    * `[valid_from_us, valid_to_us)` and an `is_current` flag, where
+    * `valid_to_us` is the NEXT run's start (the SCD2 close-out) and the
+    * open run has `valid_to_us` NULL. Shape at scale: gaps-and-islands
+    * over ONE `user_id` exchange — change detection (lag), run numbering
+    * (running sum), run collapse (group-by), and close-out (lead over the
+    * already-collapsed runs, user-count-sized input) reuse the same
+    * partitioning; nothing re-shuffles. Total order (ts, event_id) makes
+    * runs deterministic under timestamp ties; all times integer micros. */
+  def w19Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"), $"event_id")
+    val wOrd = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val runs = ev
+      .withColumn("chg",
+        when(lag($"event_type", 1).over(wOrd).isNull ||
+          lag($"event_type", 1).over(wOrd) =!= $"event_type", 1L).otherwise(0L))
+      .withColumn("run_id", sum($"chg").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"run_id", $"event_type")
+      .agg(min($"us").as("valid_from_us"), count(lit(1)).as("n_events"))
+    val wRun = Window.partitionBy($"user_id").orderBy($"valid_from_us", $"run_id")
+    runs
+      .withColumn("valid_to_us", lead($"valid_from_us", 1).over(wRun))
+      .select($"user_id", $"event_type", $"valid_from_us", $"valid_to_us",
+        $"valid_to_us".isNull.as("is_current"), $"n_events")
+  }
+
   /** A14: incremental aggregate maintenance — yesterday's stored per-key
     * aggregate merged with today's delta batch WITHOUT recomputing history.
     * count/sum/min/max are re-aggregatable (the algebraic-aggregate
@@ -1320,6 +1352,7 @@ object Relational {
     "w16_zscore_outliers" -> (w16ZscoreOutliers _),
     "w17_ewma" -> (w17Ewma _),
     "w18_window_median" -> (w18WindowMedian _),
+    "w19_scd2_history" -> (w19Scd2History _),
     "w14_cohort_retention" -> (w14CohortRetention _),
     "w9_batch_sessionize" -> (w9BatchSessionize _),
     "w10_cumulative_distinct" -> (w10CumulativeDistinct _),
@@ -1462,6 +1495,29 @@ object Relational {
         |  CAST(2 * median(cnt) OVER (PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS med2
         |FROM daily""".stripMargin,
+    "w19_scd2_history" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |  FROM events),
+        |chg AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |runs0 AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM chg),
+        |runs AS (
+        |  SELECT user_id, run_id, event_type,
+        |    min(us) AS valid_from_us, count(*) AS n_events
+        |  FROM runs0 GROUP BY user_id, run_id, event_type)
+        |SELECT user_id, event_type, valid_from_us,
+        |  lead(valid_from_us) OVER w2 AS valid_to_us,
+        |  lead(valid_from_us) OVER w2 IS NULL AS is_current,
+        |  n_events
+        |FROM runs WINDOW w2 AS (PARTITION BY user_id
+        |  ORDER BY valid_from_us, run_id)""".stripMargin,
     "w14_cohort_retention" ->
       """WITH f AS (
         |  SELECT o_custkey,

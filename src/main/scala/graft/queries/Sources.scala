@@ -924,6 +924,56 @@ object Sources {
       .toDF("file_name", "n_samples", "sum_sq", "peak")
   }
 
+  /** L5f: voice-activity segmentation — the audio-structure leg of the
+    * multimodal tier (l5d extracts per-clip scalars; this finds WHERE the
+    * signal is, the pre-step to ASR/caption alignment in a training
+    * pipeline): REAL WAV decode (same javax.sound path as l5d), 200-sample
+    * frames with integer energy computed partition-locally (samples never
+    * leave the decoder stage — 35 frame rows per corpus do, the decode →
+    * frame-metric contraction that makes audio tractable relationally),
+    * then activity = frame energy above the clip mean (integer
+    * cross-multiplication `fss × n_frames > total_ss`, no division) and
+    * gaps-and-islands over one file exchange turns active frames into
+    * `[seg_start, seg_end]` segments. Every number is a pure function of
+    * the synthesis formula, so the full encode → decode → frame → segment
+    * chain hash-matches a DuckDB generate_series oracle. */
+  def l5fVadSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stageWavs()
+    val frames = spark.read.format("binaryFile").load(staged)
+      .select(element_at(split($"path", "/"), -1).as("file_name"), $"content")
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (name, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2
+          (0 until n).grouped(200).zipWithIndex.map { case (ks, fi) =>
+            var fss = 0L
+            ks.foreach { k =>
+              val s = ((pcm(2 * k) & 0xff) | (pcm(2 * k + 1).toInt << 8)).toShort.toLong
+              fss += s * s
+            }
+            (name, fi.toLong, fss)
+          }
+        }
+      }
+      .toDF("file_name", "frame_idx", "frame_ss")
+    val wFile = org.apache.spark.sql.expressions.Window.partitionBy($"file_name")
+    val active = frames
+      .withColumn("total_ss", sum($"frame_ss").over(wFile))
+      .withColumn("n_frames", count(lit(1)).over(wFile))
+      .filter($"frame_ss" * $"n_frames" > $"total_ss")
+    val wOrd = wFile.orderBy($"frame_idx")
+    active
+      .withColumn("grp", $"frame_idx" - row_number().over(wOrd))
+      .groupBy($"file_name", $"grp")
+      .agg(min($"frame_idx").as("seg_start"), max($"frame_idx").as("seg_end"),
+        count(lit(1)).as("n_active_frames"))
+      .select($"file_name", $"seg_start", $"seg_end", $"n_active_frames")
+  }
+
   private val phashStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Synthesize REAL JPEGs for the perceptual-hash dedup (staged once per
@@ -1068,6 +1118,7 @@ object Sources {
     "s27_bloom_filter_scan" -> (s27BloomFilterScan _),
     "l5c_thumbnail" -> (l5cThumbnail _),
     "l5d_audio_features" -> (l5dAudioFeatures _),
+    "l5f_vad_segments" -> (l5fVadSegments _),
     "l5e_image_phash" -> (l5eImagePhash _),
     "o13_merge_schema" -> (o13MergeSchema _),
     "o9_csv_roundtrip" -> (o9CsvRoundtrip _),
@@ -1122,6 +1173,28 @@ object Sources {
         |  CAST(sum(s * s) AS BIGINT) AS sum_sq,
         |  CAST(max(abs(s)) AS BIGINT) AS peak
         |FROM samples GROUP BY 1""".stripMargin,
+    "l5f_vad_segments" ->
+      """WITH clips AS (SELECT i, 4000 + i * 1000 AS n FROM generate_series(0, 3) t(i)),
+        |samples AS (
+        |  SELECT c.i, k, ((k * 37 + c.i * 11) % 2048) - 1024 AS s
+        |  FROM clips c, LATERAL (SELECT unnest(generate_series(0, c.n - 1)) AS k) u),
+        |frames AS (
+        |  SELECT i, k // 200 AS frame_idx, CAST(sum(s * s) AS BIGINT) AS fss
+        |  FROM samples GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT i, CAST(sum(fss) AS BIGINT) AS tss, count(*) AS nf
+        |  FROM frames GROUP BY 1),
+        |act AS (
+        |  SELECT f.i, f.frame_idx FROM frames f JOIN tot USING (i)
+        |  WHERE f.fss * tot.nf > tot.tss),
+        |isl AS (
+        |  SELECT i, frame_idx,
+        |    frame_idx - row_number() OVER (PARTITION BY i ORDER BY frame_idx) AS grp
+        |  FROM act)
+        |SELECT 'clip_' || i || '.wav' AS file_name,
+        |  min(frame_idx) AS seg_start, max(frame_idx) AS seg_end,
+        |  count(*) AS n_active_frames
+        |FROM isl GROUP BY i, grp""".stripMargin,
     "s22_dynamic_overwrite" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
         |  CAST(sum(CAST(

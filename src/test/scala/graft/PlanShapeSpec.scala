@@ -341,6 +341,20 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1, plan.take(3000))
   }
 
+  test("L48: TF-IDF top-terms runs on TopKPerKey with no per-doc sort") {
+    val df = graft.queries.Llm.l48TfidfTopTerms(spark, sfDir)
+    df.collect(): Unit // finalize AQE
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    // the per-doc top-3 is the native operator (bounded k-buffers), not a
+    // window rank: no SortExec anywhere in the final plan
+    assert(plan.contains("TopKPerKey"), plan.take(3000))
+    assert(plan.contains("TopKPerKeyPartial"), plan.take(3000))
+    assert(!plan.contains("Sort ["), plan.take(3000))
+    // the 1-row corpus-size frame joins by broadcast, never an exchange
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(3000))
+  }
+
   test("W13: partial key-cap overflow degrades to pass-through, results unchanged") {
     import org.apache.spark.sql.expressions.{Window => W}
     import org.apache.spark.sql.functions.{col, row_number}
