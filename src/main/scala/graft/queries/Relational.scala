@@ -969,8 +969,18 @@ object Relational {
     * runs deterministic under timestamp ties; all times integer micros. */
   def w19Scd2History(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = events(spark, dir)
-      .select($"user_id", $"event_type", unix_micros($"ts").as("us"), $"event_id")
+    scd2Runs(events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"), $"event_id"))
+      .select($"user_id", $"event_type", $"valid_from_us", $"valid_to_us",
+        $"valid_to_us".isNull.as("is_current"), $"n_events")
+  }
+
+  /** w19's core as a reusable transform (the streaming twin st21 runs it
+    * per micro-batch): (user_id, event_type, us, event_id) → runs with
+    * (user_id, run_id, event_type, valid_from_us, valid_to_us, n_events),
+    * valid_to_us NULL on each user's open (last) run. */
+  private[graft] def scd2Runs(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
     val wOrd = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
     val runs = ev
       .withColumn("chg",
@@ -981,10 +991,9 @@ object Relational {
       .groupBy($"user_id", $"run_id", $"event_type")
       .agg(min($"us").as("valid_from_us"), count(lit(1)).as("n_events"))
     val wRun = Window.partitionBy($"user_id").orderBy($"valid_from_us", $"run_id")
-    runs
-      .withColumn("valid_to_us", lead($"valid_from_us", 1).over(wRun))
-      .select($"user_id", $"event_type", $"valid_from_us", $"valid_to_us",
-        $"valid_to_us".isNull.as("is_current"), $"n_events")
+    runs.withColumn("valid_to_us", lead($"valid_from_us", 1).over(wRun))
+      .select($"user_id", $"run_id", $"event_type", $"valid_from_us",
+        $"valid_to_us", $"n_events")
   }
 
   /** A14: incremental aggregate maintenance — yesterday's stored per-key

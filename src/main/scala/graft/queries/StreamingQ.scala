@@ -539,6 +539,162 @@ object StreamingQ {
       .agg(count(lit(1)).as("n_kept"), sum($"n_tokens").as("total_tokens"))
   }
 
+  private val st21Staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Time-split 2-batch staging for st21: batch 0 = events strictly before
+    * the (min+max)/2 micro midpoint, batch 1 = the rest — the
+    * append-in-event-time arrival every warehouse CDC/ingest feed
+    * guarantees, which is the precondition for merge-style SCD2 (an
+    * out-of-order split like st19's would demand retraction, a different
+    * op). File mtimes are pinned fail-loud so FileStreamSource replays the
+    * halves in time order (the r7 staging trap). */
+  private[graft] def stageSt21(spark: SparkSession, dir: String): String =
+    st21Staged.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val out = java.nio.file.Files.createTempDirectory("st21_src").toString
+      val ev = events(spark, dir)
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"), $"event_id")
+      val mm = ev.agg(min($"us"), max($"us")).head()
+      val bnd = (mm.getLong(0) + mm.getLong(1)) / 2
+      val t0 = 1700000000000L
+      Seq(ev.filter($"us" < bnd), ev.filter($"us" >= bnd)).zipWithIndex.foreach {
+        case (half, i) =>
+          val tmpDir = java.nio.file.Files.createTempDirectory(s"st21_h$i").toString
+          half.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpDir)
+          val part = new java.io.File(tmpDir).listFiles
+            .filter(_.getName.endsWith(".parquet")).head
+          val target = new java.io.File(out, s"batch_$i.parquet")
+          require(part.renameTo(target), s"staging rename failed for $target")
+          require(target.setLastModified(t0 + i * 60000L),
+            s"mtime pin failed for $target — batch order would be luck")
+      }
+      out
+    })
+
+  /** st21's per-batch merge, extracted so StreamingSpec can REPLAY a batch
+    * and assert the sink is unchanged. Bucket-granular fencing: every row
+    * a batch writes carries `applied_bid`; a bucket whose stored max
+    * `applied_bid` ≥ this batch's id already absorbed it (a crash between
+    * dynamic-overwrite bucket swaps leaves some buckets applied and some
+    * not — the fence is per bucket precisely so a replay completes the
+    * stragglers without double-applying the finished ones). The merge
+    * itself: a user's open row EXTENDS when the batch's first run
+    * continues the same attribute value (validity start + accumulated
+    * count carry over) or CLOSES at the new run's start; later runs land
+    * as-is. Merge inputs are localCheckpoint-pinned before the write so
+    * the dynamic overwrite never reads the files it is replacing. */
+  private[graft] def scd2MergeBatch(
+      spark: SparkSession, sink: String, nBuckets: Int)(
+      batch: DataFrame, bid: Long): Unit = {
+    import spark.implicits._
+    val runsB = Relational.scd2Runs(batch)
+      .withColumn("pb", pmod($"user_id", lit(nBuckets)))
+      .localCheckpoint() // runs-sized (tiny); read several times below
+    val sinkHasData = {
+      val f = new java.io.File(sink)
+      f.exists && f.listFiles != null && f.listFiles.exists(_.getName.startsWith("pb="))
+    }
+    val merged = if (!sinkHasData) {
+      runsB.drop("run_id").withColumn("applied_bid", lit(bid))
+    } else {
+      // only the buckets this batch touches are read or rewritten; the
+      // collect is ≤ nBuckets scalars, never data-sized
+      val touchedPb = runsB.select($"pb").distinct().as[Long].collect().toSeq
+      val curAll = spark.read.parquet(sink).filter($"pb".isin(touchedPb: _*))
+      // bucket fence: a bucket that already saw this bid is dropped from
+      // the rewrite set entirely (dynamic overwrite leaves it untouched)
+      val fenced = curAll.groupBy($"pb").agg(max($"applied_bid").as("mx"))
+        .filter($"mx" >= bid).select($"pb").as[Long].collect().toSet
+      val cur = curAll.filter(!$"pb".isin(fenced.toSeq: _*))
+      val runs = runsB.filter(!$"pb".isin(fenced.toSeq: _*))
+      val open = cur.filter($"valid_to_us".isNull)
+      val closedRows = cur.filter($"valid_to_us".isNotNull)
+        .select($"user_id", $"event_type", $"valid_from_us",
+          $"valid_to_us", $"n_events", $"pb")
+      val firstB = runs.filter($"run_id" === 1L).drop("run_id")
+      val restB = runs.filter($"run_id" > 1L).drop("run_id")
+      val j = open.as("o").join(firstB.as("b"), Seq("user_id", "pb"), "full_outer")
+      // open row without batch activity: carries over untouched
+      val carried = j.filter($"b.valid_from_us".isNull)
+        .select($"user_id", $"o.event_type".as("event_type"),
+          $"o.valid_from_us".as("valid_from_us"),
+          $"o.valid_to_us".as("valid_to_us"),
+          $"o.n_events".as("n_events"), $"pb")
+      // same attribute continues: EXTEND (validity start + count carry)
+      val extended = j.filter($"o.valid_from_us".isNotNull &&
+          $"b.valid_from_us".isNotNull && $"o.event_type" === $"b.event_type")
+        .select($"user_id", $"o.event_type".as("event_type"),
+          $"o.valid_from_us".as("valid_from_us"),
+          $"b.valid_to_us".as("valid_to_us"),
+          ($"o.n_events" + $"b.n_events").as("n_events"), $"pb")
+      // attribute changed: CLOSE the old row at the new run's start
+      val closedOut = j.filter($"o.valid_from_us".isNotNull &&
+          $"b.valid_from_us".isNotNull && $"o.event_type" =!= $"b.event_type")
+        .select($"user_id", $"o.event_type".as("event_type"),
+          $"o.valid_from_us".as("valid_from_us"),
+          $"b.valid_from_us".as("valid_to_us"),
+          $"o.n_events".as("n_events"), $"pb")
+      // ... and the changed/new first runs land as themselves
+      val landedFirst = j.filter($"b.valid_from_us".isNotNull &&
+          ($"o.valid_from_us".isNull || $"o.event_type" =!= $"b.event_type"))
+        .select($"user_id", $"b.event_type".as("event_type"),
+          $"b.valid_from_us".as("valid_from_us"),
+          $"b.valid_to_us".as("valid_to_us"),
+          $"b.n_events".as("n_events"), $"pb")
+      closedRows
+        .unionByName(carried).unionByName(extended)
+        .unionByName(closedOut).unionByName(landedFirst)
+        .unionByName(restB.select($"user_id", $"event_type",
+          $"valid_from_us", $"valid_to_us", $"n_events", $"pb"))
+        .withColumn("applied_bid", lit(bid))
+    }
+    // pin the merge result BEFORE overwriting the directory it was read
+    // from (self-overwrite trap), then swap only the touched buckets
+    val out = merged.localCheckpoint()
+    if (out.take(1).nonEmpty)
+      out.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pb")
+        .parquet(sink)
+  }
+
+  /** ST21: streaming SCD-2 merge — w19's historization maintained
+    * INCREMENTALLY by a stream, the warehouse-dimension upkeep pattern
+    * (close-out + insert per micro-batch) rather than a nightly rebuild:
+    * each batch computes its own runs (the exact [[Relational.scd2Runs]]
+    * transform) and merges them against the dimension table ON THE SINK
+    * via [[scd2MergeBatch]]. Scale design: the sink is hash-bucketed by
+    * user (`pb`), the merge reads and rewrites ONLY the buckets the batch
+    * touches (writer-scoped dynamic partition overwrite — copy-on-write
+    * confined to touched buckets, the Delta/Iceberg merge shape without a
+    * table format), every join is user-keyed, and replays are
+    * bucket-fenced by `applied_bid`. Requires event-time-ordered batch
+    * arrival (see [[stageSt21]]); the final table hash-matches the batch
+    * w19 oracle over the same events — incrementality never changes the
+    * answer. */
+  def st21StreamingScd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stageSt21(spark, dir)
+    val sink = java.nio.file.Files.createTempDirectory("st21_sink").toString
+    Streams.withShufflePartitions(spark, 8) {
+      val q = spark.readStream
+        .schema(spark.read.parquet(staged).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck_st21").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(scd2MergeBatch(spark, sink, nBuckets = 8) _)
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(sink)
+      .select($"user_id", $"event_type", $"valid_from_us", $"valid_to_us",
+        $"valid_to_us".isNull.as("is_current"), $"n_events")
+  }
+
   /** ST16: dead-letter routing — the dual-sink split every production
     * ingest needs: each micro-batch is evaluated ONCE (persist), then
     * accepted rows go to the main sink while rejected rows go to a
@@ -962,6 +1118,7 @@ object StreamingQ {
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st20_timeout_sessions" -> (st20TimeoutSessions _),
+    "st21_streaming_scd2" -> (st21StreamingScd2 _),
     "st19_outer_join" -> (st19OuterJoin _),
     "st18_stream_heavy_hitters" -> (st18StreamHeavyHitters _),
     "st17_streaming_neardup" -> (st17StreamingNeardup _),
@@ -988,6 +1145,31 @@ object StreamingQ {
   private val oraDsumValue = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    // identical to w19's oracle: the incremental merge must reproduce the
+    // batch historization exactly
+    "st21_streaming_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |  FROM events),
+        |chg AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |runs0 AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM chg),
+        |runs AS (
+        |  SELECT user_id, run_id, event_type,
+        |    min(us) AS valid_from_us, count(*) AS n_events
+        |  FROM runs0 GROUP BY user_id, run_id, event_type)
+        |SELECT user_id, event_type, valid_from_us,
+        |  lead(valid_from_us) OVER w2 AS valid_to_us,
+        |  lead(valid_from_us) OVER w2 IS NULL AS is_current,
+        |  n_events
+        |FROM runs WINDOW w2 AS (PARTITION BY user_id
+        |  ORDER BY valid_from_us, run_id)""".stripMargin,
     "st20_timeout_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us

@@ -365,6 +365,45 @@ class StreamingSpec extends SparkSpec {
       s"heavy users ${guaranteed -- est.keySet} above n/(k+1)=$bound missing")
   }
 
+  test("ST21: SCD2 merge extends/closes correctly and a replayed batch is a no-op") {
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("st21_test").toString
+    val merge = graft.queries.StreamingQ.scd2MergeBatch(spark, sink, nBuckets = 4) _
+    // batch 0: u1 has a run of 'a' then 'b' (open); u2 a single open 'a'
+    val b0 = Seq(
+      (1L, "a", 100L, 1L), (1L, "a", 200L, 2L), (1L, "b", 300L, 3L),
+      (2L, "a", 150L, 4L)).toDF("user_id", "event_type", "us", "event_id")
+    // batch 1 (later event time): u1 continues 'b' (EXTEND) then changes
+    // to 'c' (CLOSE + land); u2 changes to 'b' (CLOSE + land); u3 is new
+    val b1 = Seq(
+      (1L, "b", 400L, 5L), (1L, "c", 500L, 6L),
+      (2L, "b", 450L, 7L),
+      (3L, "a", 420L, 8L)).toDF("user_id", "event_type", "us", "event_id")
+    merge(b0, 0L)
+    merge(b1, 1L)
+    def snap() = spark.read.parquet(sink)
+      .select($"user_id", $"event_type", $"valid_from_us", $"valid_to_us", $"n_events")
+      .collect().map(_.toString).sorted.toSeq
+    val after = snap()
+    // u1: a[100,300) n=2 · b[300,500) n=2 (extended across the batch
+    // boundary, counts merged) · c[500,∞) n=1
+    val expected = Seq(
+      (1L, "a", 100L, Some(300L), 2L), (1L, "b", 300L, Some(500L), 2L),
+      (1L, "c", 500L, None, 1L),
+      (2L, "a", 150L, Some(450L), 1L), (2L, "b", 450L, None, 1L),
+      (3L, "a", 420L, None, 1L))
+      .map { case (u, t, f, to, n) =>
+        org.apache.spark.sql.Row(u, t, f, to.orNull, n).toString }
+      .sorted
+    assert(after == expected, s"merge result\n$after\nvs expected\n$expected")
+    // replay batch 1 (crash-recovery path): bucket fence must make it a no-op
+    merge(b1, 1L)
+    assert(snap() == after, "replayed batch changed the sink — fence failed")
+    // replay batch 0 out of order (stale retry): also fenced
+    merge(b0, 0L)
+    assert(snap() == after, "stale batch replay changed the sink")
+  }
+
   test("ST20: run-compressed segment state matches the sorted gap split and stays O(components)") {
     val gap = 30L
     val rnd = new scala.util.Random(42)
