@@ -593,6 +593,58 @@ object Sources {
         |) AS (check_name, metric, passed)""".stripMargin))
   }
 
+  /** S30: SQL `MERGE INTO` against the connector's writable dimension
+    * table (`kb.dim`, a [[graft.sources.KbDimTable]] implementing
+    * `SupportsRowLevelOperations` — the Delta/Iceberg contract): the
+    * statement a warehouse user reaches for to upsert a dimension, here
+    * exercising all three branches — MATCHED UPDATE (accumulate),
+    * NOT MATCHED INSERT (new keys), NOT MATCHED BY SOURCE DELETE (keys
+    * the source stopped mentioning). Spark rewrites the MERGE into a
+    * ReplaceData plan over the connector's scan + replace-write; commit
+    * is an atomic manifest swap, so a failed merge leaves the old table
+    * intact. Seeded deterministically from orders each run (INSERT
+    * OVERWRITE), so re-runs are idempotent and the final table is pure
+    * integer arithmetic — hash-checked against a DuckDB rendition of the
+    * same merge semantics. */
+  def s30MergeInto(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir).createOrReplaceTempView("orders_s30")
+    // seed: one dim row per key 0..499, v = count of orders in the key's
+    // residue class, tag = 'seed'
+    spark.sql(
+      """INSERT OVERWRITE kb.dim
+        |SELECT o_orderkey % 500 AS k, count(*) AS v, 'seed' AS tag
+        |FROM orders_s30 GROUP BY o_orderkey % 500""".stripMargin)
+    // source: keys 250..749 — half overlap (update), half new (insert),
+    // and seed keys 0..249 are absent from it (not-matched-by-source)
+    spark.sql(
+      """MERGE INTO kb.dim t
+        |USING (
+        |  SELECT 250 + o_orderkey % 500 AS k, count(*) AS v, 'merged' AS tag
+        |  FROM orders_s30 GROUP BY 250 + o_orderkey % 500) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = t.v + s.v, tag = s.tag
+        |WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (s.k, s.v, s.tag)
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    spark.sql("SELECT k, v, tag FROM kb.dim")
+  }
+
+  /** S31: SQL `DELETE FROM` + `UPDATE` on the same row-level-operation
+    * contract — the two simpler DML verbs a writable V2 table owes its
+    * users, each planned by Spark as a ReplaceData rewrite (matched rows
+    * dropped/transformed, the rest carried over) against the connector's
+    * single replacement group. Same deterministic seed; final state is
+    * integer-exact. */
+  def s31RowLevelDml(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir).createOrReplaceTempView("orders_s31")
+    spark.sql(
+      """INSERT OVERWRITE kb.dim
+        |SELECT o_orderkey % 400 AS k, count(*) AS v, 'seed' AS tag
+        |FROM orders_s31 GROUP BY o_orderkey % 400""".stripMargin)
+    spark.sql("DELETE FROM kb.dim WHERE k % 7 = 3")
+    spark.sql("UPDATE kb.dim SET v = v * 10, tag = 'boosted' WHERE k < 100")
+    spark.sql("SELECT k, v, tag FROM kb.dim")
+  }
+
   /** S17: the connector through plain SQL — `kb.search` resolves via the
     * registered [[graft.sources.KbCatalog]] (a V2 TableCatalog), so a
     * warehouse user writes ordinary SQL and still gets the full pushdown
@@ -1106,6 +1158,8 @@ object Sources {
     "s16_dsv2_archive_write" -> (s16Dsv2ArchiveWrite _),
     "o12_observed_metrics" -> (o12ObservedMetrics _),
     "o15_quality_constraints" -> (o15QualityConstraints _),
+    "s30_merge_into" -> (s30MergeInto _),
+    "s31_row_level_dml" -> (s31RowLevelDml _),
     "s28_range_layout" -> (s28RangeLayout _),
     "s17_catalog_sql" -> (s17CatalogSql _),
     "s18_function_catalog" -> (s18FunctionCatalog _),
@@ -1277,6 +1331,23 @@ object Sources {
       """SELECT user_id, count(*) AS n,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events GROUP BY user_id""".stripMargin,
+    "s30_merge_into" ->
+      """WITH seed AS (
+        |  SELECT o_orderkey % 500 AS k, count(*) AS v
+        |  FROM orders GROUP BY o_orderkey % 500),
+        |src AS (
+        |  SELECT 250 + o_orderkey % 500 AS k, count(*) AS v
+        |  FROM orders GROUP BY 250 + o_orderkey % 500)
+        |SELECT s.k, CAST(s.v + COALESCE(t.v, 0) AS BIGINT) AS v,
+        |  'merged' AS tag
+        |FROM src s LEFT JOIN seed t ON t.k = s.k""".stripMargin,
+    "s31_row_level_dml" ->
+      """WITH seed AS (
+        |  SELECT o_orderkey % 400 AS k, count(*) AS v
+        |  FROM orders GROUP BY o_orderkey % 400)
+        |SELECT k, CAST(CASE WHEN k < 100 THEN v * 10 ELSE v END AS BIGINT) AS v,
+        |  CASE WHEN k < 100 THEN 'boosted' ELSE 'seed' END AS tag
+        |FROM seed WHERE k % 7 <> 3""".stripMargin,
     "o15_quality_constraints" ->
       """WITH m AS (
         |  SELECT count(*) AS n_rows,

@@ -16,25 +16,34 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * entry point a warehouse user expects from a connector (SURVEY §2.1 S8
   * maps the drive-catalog analog to a DSv2 catalog surface).
   *
-  * Read-only by design: the served domain is the endpoint's, not the
-  * engine's, so DDL (create/alter/drop/rename) is rejected rather than
-  * silently accepted. The archive sink stays on the DataFrame API — it is
-  * path-parameterized per job, which a static catalog identifier cannot
-  * express.
+  * `kb.search` is read-only by design (the served domain is the
+  * endpoint's, not the engine's); `kb.dim` is the WRITABLE counterpart —
+  * a [[SupportsRowLevelOperations]] dimension table giving SQL users
+  * INSERT / INSERT OVERWRITE / DELETE / UPDATE / MERGE INTO (see
+  * [[KbDimTable]]). DDL (create/alter/drop/rename) stays rejected: the
+  * catalog serves a fixed domain. The archive sink stays on the DataFrame
+  * API — it is path-parameterized per job, which a static catalog
+  * identifier cannot express.
   */
 class KbCatalog extends TableCatalog with FunctionCatalog {
   private var catalogName: String = "kb"
+  private var dimDir: String = _
 
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    // `spark.sql.catalog.kb.dimDir` overrides; default is per-JVM temp
+    dimDir = Option(options.get("dimDir")).getOrElse(KbDim.defaultDir)
+  }
 
   override def name(): String = catalogName
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(Array.empty, "search"))
+    Array(Identifier.of(Array.empty, "search"),
+      Identifier.of(Array.empty, "dim"))
 
   override def loadTable(ident: Identifier): Table =
     if (ident.namespace.isEmpty && ident.name == "search") new KbSearchTable
+    else if (ident.namespace.isEmpty && ident.name == "dim") new KbDimTable(dimDir)
     else throw new NoSuchTableException(ident)
 
   override def createTable(

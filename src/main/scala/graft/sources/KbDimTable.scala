@@ -1,0 +1,267 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `kb.dim` — a WRITABLE keyed dimension table on the V2 catalog, the
+  * counterpart to the read-only `kb.search`: it exists to give the SQL
+  * surface the row-level DML a warehouse user expects — `INSERT`,
+  * `INSERT OVERWRITE`, `DELETE FROM`, `UPDATE`, and `MERGE INTO` — backed
+  * by [[SupportsRowLevelOperations]], the same connector contract
+  * Delta/Iceberg implement. Spark's rewrite rules turn each DML statement
+  * into a ReplaceData plan (matched rows transformed, unmatched rows
+  * carried over) executed against this connector's scan + write.
+  *
+  * Group model: the whole table is ONE replacement group — the scan always
+  * reads everything and the row-level write REPLACES everything (the
+  * correct degenerate case of group-based copy-on-write; a partitioned
+  * production table would report file/partition groups and runtime-filter
+  * the scan so only touched groups rewrite, exactly st21's bucket
+  * confinement — same contract, finer groups). Commit is staging-rename +
+  * an atomically republished `_files` manifest, so readers see the old
+  * table or the new one, never a mix; aborted/failed jobs leave only
+  * unreferenced staging files.
+  *
+  * Storage is `k\tv\ttag` lines — deliberately trivial: the point of the
+  * class is the COMMIT PROTOCOL and the row-level plumbing, not a file
+  * format. Cites the reference's rewrite-in-place state updates
+  * (/root/reference/src/01-scrape-images.py:462-475) re-expressed as a
+  * transactional table operation. */
+object KbDim {
+  val schema: StructType = StructType.fromDDL("k BIGINT, v BIGINT, tag STRING")
+  val ManifestName = "_files"
+
+  /** The group-identity metadata column. Row-level operations REQUIRE it
+    * (`requiredMetadataAttributes`): that is what makes Spark build the
+    * metadata projection and hand the connector writer clean
+    * data-schema rows through `DataWriter.write(metadata, row)` — with no
+    * required metadata attribute, ReplaceDataExec degrades to the plain
+    * writing task and the writer would see raw pre-projection rows
+    * (`__row_operation`, …), which is why group-based connectors
+    * (Iceberg's `_file`/`_partition`) always declare one. Ours is the
+    * source file — the natural replacement-group id a finer-grained
+    * commit would key on. */
+  val FileCol = "_file"
+
+  /** Per-JVM default location (the catalog option `dimDir` overrides). */
+  lazy val defaultDir: String =
+    java.nio.file.Files.createTempDirectory("kb_dim").toString
+
+  private[sources] def fs(dir: String): FileSystem =
+    FileSystem.get(new java.net.URI(dir), new Configuration())
+
+  /** Committed file list; empty table if no manifest yet. */
+  private[sources] def manifest(dir: String): Seq[String] = {
+    val f = fs(dir)
+    val p = new Path(dir, ManifestName)
+    if (!f.exists(p)) Nil
+    else {
+      val in = f.open(p)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
+      finally in.close()
+    }
+  }
+
+  private[sources] def writeManifest(dir: String, files: Seq[String]): Unit = {
+    val f = fs(dir)
+    val out = f.create(new Path(dir, ManifestName), true)
+    try out.write(files.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}
+
+class KbDimTable(dir: String) extends Table
+    with SupportsRead with SupportsWrite with SupportsRowLevelOperations
+    with SupportsMetadataColumns {
+  override def name(): String = s"kb.dim($dir)"
+  override def schema(): StructType = KbDim.schema
+
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = KbDim.FileCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "source data file (replacement-group id)"
+    })
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KbDimScanBuilder(dir)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(info.schema().fieldNames.sameElements(KbDim.schema.fieldNames),
+      s"kb.dim expects (k, v, tag), got ${info.schema().fieldNames.mkString(",")}")
+    new KbDimWriteBuilder(dir, info.queryId(), replace = false)
+  }
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new KbDimRowLevelOperation(dir, info.command())
+}
+
+/** DELETE/UPDATE/MERGE all plan as: scan the (single) group, compute its
+  * replacement rows, REPLACE the group on commit. */
+class KbDimRowLevelOperation(dir: String, cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+  override def command(): RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KbDimScanBuilder(dir)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(info.schema().fieldNames.sameElements(KbDim.schema.fieldNames),
+      s"kb.dim row-level write expects (k, v, tag), got " +
+        s"${info.schema().map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")}")
+    new KbDimWriteBuilder(dir, info.queryId(), replace = true)
+  }
+  // group identity: requiring `_file` selects the projecting write task
+  // (see [[KbDim.FileCol]]) and is what a finer-grained commit would use
+  // to replace only touched files
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(KbDim.FileCol))
+  override def description(): String = s"kb.dim row-level $cmd (whole-table group)"
+}
+
+// ------------------------------------------------------------------ read
+/** Column-pruned scan; understands the `_file` metadata column (group
+  * identity) alongside the three data columns. */
+class KbDimScanBuilder(dir: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = KbDim.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val schema = required
+    new Scan with Batch {
+      override def readSchema(): StructType = schema
+      override def toBatch: Batch = this
+      override def description(): String =
+        s"kb.dim scan $dir cols=${schema.fieldNames.mkString(",")}"
+      override def planInputPartitions(): Array[InputPartition] =
+        KbDim.manifest(dir).map(f => KbDimInputPartition(s"$dir/$f")).toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new KbDimReaderFactory(schema.fieldNames)
+    }
+  }
+}
+
+case class KbDimInputPartition(file: String) extends InputPartition
+
+class KbDimReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[KbDimInputPartition].file
+    val fileName = UTF8String.fromString(file.substring(file.lastIndexOf('/') + 1))
+    new PartitionReader[InternalRow] {
+      private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        KbDim.fs(file).open(new Path(file)), StandardCharsets.UTF_8))
+      private var line: String = _
+      override def next(): Boolean = { line = in.readLine(); line != null }
+      override def get(): InternalRow = {
+        val parts = line.split("\t", 3)
+        InternalRow.fromSeq(fields.toIndexedSeq.map {
+          case "k" => parts(0).toLong
+          case "v" => parts(1).toLong
+          case "tag" => UTF8String.fromString(parts(2))
+          case KbDim.FileCol => fileName
+          case other => sys.error(s"kb.dim: unknown column '$other'")
+        })
+      }
+      override def close(): Unit = in.close()
+    }
+  }
+}
+
+// ----------------------------------------------------------------- write
+/** `replace = true` (row-level ops, truncate, overwrite-all) swaps the
+  * manifest to exactly the new files; append merges them in. */
+class KbDimWriteBuilder(dir: String, queryId: String, replace: Boolean)
+    extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
+  override def truncate(): WriteBuilder =
+    new KbDimWriteBuilder(dir, queryId, replace = true)
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    require(filters.forall(_.isInstanceOf[AlwaysTrue]),
+      s"kb.dim supports only whole-table overwrite, got ${filters.mkString(",")}")
+    new KbDimWriteBuilder(dir, queryId, replace = true)
+  }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new KbDimBatchWrite(dir, queryId, replace)
+    override def description(): String =
+      s"kb.dim ${if (replace) "replace" else "append"} $dir"
+  }
+}
+
+class KbDimBatchWrite(dir: String, queryId: String, replace: Boolean)
+    extends BatchWrite {
+  private def staging = new Path(dir, s"_staging-$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new KbDimWriterFactory(dir, queryId)
+
+  /** Staged files rename in, then ONE manifest write publishes the new
+    * table state — replace swaps the file list wholesale (the old files
+    * become unreferenced garbage, collected below best-effort), append
+    * unions it. Readers resolve through the manifest only, so a crash
+    * before the manifest write changes nothing. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val f = KbDim.fs(dir)
+    val admitted = messages.collect { case m: KbDimCommitMessage if m.rows > 0 => m }
+    val old = KbDim.manifest(dir)
+    admitted.foreach(m => f.rename(new Path(staging, m.file), new Path(dir, m.file)))
+    val files =
+      if (replace) admitted.map(_.file).toSeq
+      else old ++ admitted.map(_.file)
+    KbDim.writeManifest(dir, files)
+    if (replace) old.filterNot(files.contains).foreach(n =>
+      f.delete(new Path(dir, n), false))
+    f.delete(staging, true): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    KbDim.fs(dir).delete(staging, true): Unit
+  }
+}
+
+class KbDimWriterFactory(dir: String, queryId: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KbDimWriter(dir, s"_staging-$queryId",
+      f"part-${queryId.take(8)}-$partitionId%05d-$taskId.kbd")
+}
+
+class KbDimWriter(dir: String, stagingSubdir: String, fileName: String)
+    extends DataWriter[InternalRow] {
+  private val filePath = new Path(new Path(dir, stagingSubdir), fileName)
+  private val out = KbDim.fs(dir).create(filePath, true)
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val line = s"${row.getLong(0)}\t${row.getLong(1)}\t${row.getUTF8String(2)}\n"
+    out.write(line.getBytes(StandardCharsets.UTF_8))
+    rows += 1
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    if (rows == 0) KbDim.fs(dir).delete(filePath, false)
+    KbDimCommitMessage(fileName, rows)
+  }
+  override def abort(): Unit = {
+    out.close()
+    KbDim.fs(dir).delete(filePath, false): Unit
+  }
+  override def close(): Unit = ()
+}
+
+case class KbDimCommitMessage(file: String, rows: Long) extends WriterCommitMessage

@@ -1,0 +1,63 @@
+package graft
+
+/** The writable catalog table's row-level DML contract (kb.dim,
+  * SupportsRowLevelOperations): every SQL verb a warehouse user runs
+  * against a dimension, plus the manifest-commit guarantees. */
+class KbDimSpec extends SparkSpec {
+
+  private def reset(): Unit =
+    spark.sql("INSERT OVERWRITE kb.dim VALUES (1L, 10L, 'a'), (2L, 20L, 'b'), (3L, 30L, 'c')")
+
+  private def snap(): Set[(Long, Long, String)] =
+    spark.sql("SELECT k, v, tag FROM kb.dim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+  test("INSERT OVERWRITE replaces, INSERT appends") {
+    reset()
+    assert(snap() == Set((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c")))
+    spark.sql("INSERT INTO kb.dim VALUES (4L, 40L, 'd')")
+    assert(snap() == Set((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"), (4L, 40L, "d")))
+    reset()
+    assert(snap() == Set((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c")))
+  }
+
+  test("DELETE FROM and UPDATE rewrite matched rows and carry the rest") {
+    reset()
+    spark.sql("DELETE FROM kb.dim WHERE k = 2")
+    assert(snap() == Set((1L, 10L, "a"), (3L, 30L, "c")))
+    spark.sql("UPDATE kb.dim SET v = v + 5, tag = 'up' WHERE k >= 3")
+    assert(snap() == Set((1L, 10L, "a"), (3L, 35L, "up")))
+  }
+
+  test("MERGE INTO exercises update, insert, and not-matched-by-source delete") {
+    reset()
+    spark.sql(
+      """MERGE INTO kb.dim t
+        |USING (SELECT * FROM VALUES (2L, 200L, 's'), (9L, 900L, 's') AS s(k, v, tag)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = t.v + s.v, tag = s.tag
+        |WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (s.k, s.v, s.tag)
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(snap() == Set((2L, 220L, "s"), (9L, 900L, "s")))
+  }
+
+  test("the _file metadata column exposes the replacement-group id") {
+    reset()
+    val files = spark.sql("SELECT _file FROM kb.dim")
+      .collect().map(_.getString(0)).toSet
+    assert(files.nonEmpty && files.forall(_.endsWith(".kbd")), files.toString)
+    // data columns never include it unless asked
+    assert(spark.sql("SELECT * FROM kb.dim").columns.toSeq == Seq("k", "v", "tag"))
+  }
+
+  test("commits are manifest-atomic: unreferenced staging never leaks into reads") {
+    reset()
+    val dir = graft.sources.KbDim.defaultDir
+    // drop a garbage file into the table directory WITHOUT touching the
+    // manifest: readers must ignore it (manifest is the commit point)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-orphan-junk.kbd"), "99\t99\tjunk\n")
+    assert(!snap().contains((99L, 99L, "junk")),
+      "reader picked up a file the manifest never committed")
+  }
+}
