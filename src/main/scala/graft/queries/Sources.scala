@@ -645,6 +645,32 @@ object Sources {
     spark.sql("SELECT k, v, tag FROM kb.dim")
   }
 
+  /** S32: time travel — `VERSION AS OF` against the versioned dimension
+    * table: every kb.dim commit publishes an immutable `_files.v<N>`
+    * snapshot alongside the live manifest, and the catalog's
+    * version-aware `loadTable` pins a scan to it, so a SQL user can read
+    * the table as it stood before any later DML (audit, rollback-diff,
+    * reproducible training-set pinning). The query captures the snapshot
+    * ids the seed and the update actually produced (relative, so re-runs
+    * are deterministic) and reads BOTH versions in one statement; the
+    * before-image must be byte-identical to the seed even though the
+    * update rewrote the live table. */
+  def s32TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir).createOrReplaceTempView("orders_s32")
+    spark.sql(
+      """INSERT OVERWRITE kb.dim
+        |SELECT o_orderkey % 300 AS k, count(*) AS v, 'seed' AS tag
+        |FROM orders_s32 GROUP BY o_orderkey % 300""".stripMargin)
+    val dimDir = graft.sources.KbDim.defaultDir
+    val vSeed = graft.sources.KbDim.latestVersion(dimDir)
+    spark.sql("UPDATE kb.dim SET v = v * 3, tag = 'x3' WHERE k % 2 = 0")
+    val vUpd = graft.sources.KbDim.latestVersion(dimDir)
+    spark.sql(
+      s"""SELECT 'before' AS snap, k, v, tag FROM kb.dim VERSION AS OF $vSeed
+         |UNION ALL
+         |SELECT 'after' AS snap, k, v, tag FROM kb.dim VERSION AS OF $vUpd""".stripMargin)
+  }
+
   /** S17: the connector through plain SQL — `kb.search` resolves via the
     * registered [[graft.sources.KbCatalog]] (a V2 TableCatalog), so a
     * warehouse user writes ordinary SQL and still gets the full pushdown
@@ -1160,6 +1186,7 @@ object Sources {
     "o15_quality_constraints" -> (o15QualityConstraints _),
     "s30_merge_into" -> (s30MergeInto _),
     "s31_row_level_dml" -> (s31RowLevelDml _),
+    "s32_time_travel" -> (s32TimeTravel _),
     "s28_range_layout" -> (s28RangeLayout _),
     "s17_catalog_sql" -> (s17CatalogSql _),
     "s18_function_catalog" -> (s18FunctionCatalog _),
@@ -1341,6 +1368,17 @@ object Sources {
         |SELECT s.k, CAST(s.v + COALESCE(t.v, 0) AS BIGINT) AS v,
         |  'merged' AS tag
         |FROM src s LEFT JOIN seed t ON t.k = s.k""".stripMargin,
+    "s32_time_travel" ->
+      """WITH seed AS (
+        |  SELECT o_orderkey % 300 AS k, count(*) AS v
+        |  FROM orders GROUP BY o_orderkey % 300)
+        |SELECT 'before' AS snap, k, CAST(v AS BIGINT) AS v, 'seed' AS tag
+        |FROM seed
+        |UNION ALL
+        |SELECT 'after' AS snap, k,
+        |  CAST(CASE WHEN k % 2 = 0 THEN v * 3 ELSE v END AS BIGINT) AS v,
+        |  CASE WHEN k % 2 = 0 THEN 'x3' ELSE 'seed' END AS tag
+        |FROM seed""".stripMargin,
     "s31_row_level_dml" ->
       """WITH seed AS (
         |  SELECT o_orderkey % 400 AS k, count(*) AS v

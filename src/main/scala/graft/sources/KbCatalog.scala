@@ -46,6 +46,13 @@ class KbCatalog extends TableCatalog with FunctionCatalog {
     else if (ident.namespace.isEmpty && ident.name == "dim") new KbDimTable(dimDir)
     else throw new NoSuchTableException(ident)
 
+  /** Time travel: `SELECT … FROM kb.dim VERSION AS OF n` pins the table
+    * to immutable snapshot manifest `_files.vn` (read-only). */
+  override def loadTable(ident: Identifier, version: String): Table =
+    if (ident.namespace.isEmpty && ident.name == "dim")
+      new KbDimTable(dimDir, Some(version.toLong))
+    else throw new NoSuchTableException(ident)
+
   override def createTable(
       ident: Identifier,
       schema: org.apache.spark.sql.types.StructType,

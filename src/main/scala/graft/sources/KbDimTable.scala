@@ -61,12 +61,16 @@ object KbDim {
   private[sources] def fs(dir: String): FileSystem =
     FileSystem.get(new java.net.URI(dir), new Configuration())
 
-  /** Committed file list; empty table if no manifest yet. */
-  private[sources] def manifest(dir: String): Seq[String] = {
+  /** Committed file list; empty table if no manifest yet. `name` selects
+    * a historical snapshot (`_files.v<N>`) for time travel. */
+  private[sources] def manifest(dir: String, name: String = ManifestName): Seq[String] = {
     val f = fs(dir)
-    val p = new Path(dir, ManifestName)
-    if (!f.exists(p)) Nil
-    else {
+    val p = new Path(dir, name)
+    if (!f.exists(p)) {
+      if (name != ManifestName)
+        throw new IllegalArgumentException(s"kb.dim: no snapshot '$name' in $dir")
+      Nil
+    } else {
       val in = f.open(p)
       try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
         StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
@@ -74,19 +78,45 @@ object KbDim {
     }
   }
 
+  /** Highest committed snapshot number (0 when the table is empty) — the
+    * public "current version" handle a time-travel user pins. */
+  def latestVersion(dir: String): Long = {
+    val f = fs(dir)
+    val d = new Path(dir)
+    if (!f.exists(d)) 0L
+    else f.listStatus(d).map(_.getPath.getName)
+      .collect { case n if n.startsWith(s"$ManifestName.v") =>
+        n.stripPrefix(s"$ManifestName.v").toLong }
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Every commit publishes the live manifest AND an immutable
+    * `_files.v<N>` snapshot; replaced data files are never deleted, so
+    * any historical version stays readable (time travel). A production
+    * table would expire old snapshots + unreferenced files by retention
+    * policy — the VACUUM trade-off every versioned table format makes. */
   private[sources] def writeManifest(dir: String, files: Seq[String]): Unit = {
     val f = fs(dir)
+    val body = files.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8)
+    val snap = f.create(new Path(dir, s"$ManifestName.v${latestVersion(dir) + 1}"), false)
+    try snap.write(body) finally snap.close()
     val out = f.create(new Path(dir, ManifestName), true)
-    try out.write(files.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    try out.write(body) finally out.close()
   }
 }
 
-class KbDimTable(dir: String) extends Table
+/** `pinnedVersion` makes the table a read-only historical snapshot
+  * (`SELECT … FROM kb.dim VERSION AS OF n` — the catalog routes the
+  * version string here). */
+class KbDimTable(dir: String, pinnedVersion: Option[Long] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsRowLevelOperations
     with SupportsMetadataColumns {
-  override def name(): String = s"kb.dim($dir)"
+  override def name(): String =
+    s"kb.dim($dir${pinnedVersion.fold("")(v => s"@v$v")})"
   override def schema(): StructType = KbDim.schema
+
+  private def manifestName: String =
+    pinnedVersion.fold(KbDim.ManifestName)(v => s"${KbDim.ManifestName}.v$v")
 
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {
@@ -100,17 +130,22 @@ class KbDimTable(dir: String) extends Table
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KbDimScanBuilder(dir)
+    new KbDimScanBuilder(dir, manifestName)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"kb.dim: historical snapshot v${pinnedVersion.get} is read-only")
     require(info.schema().fieldNames.sameElements(KbDim.schema.fieldNames),
       s"kb.dim expects (k, v, tag), got ${info.schema().fieldNames.mkString(",")}")
     new KbDimWriteBuilder(dir, info.queryId(), replace = false)
   }
 
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"kb.dim: historical snapshot v${pinnedVersion.get} is read-only")
     () => new KbDimRowLevelOperation(dir, info.command())
+  }
 }
 
 /** DELETE/UPDATE/MERGE all plan as: scan the (single) group, compute its
@@ -137,8 +172,8 @@ class KbDimRowLevelOperation(dir: String, cmd: RowLevelOperation.Command)
 // ------------------------------------------------------------------ read
 /** Column-pruned scan; understands the `_file` metadata column (group
   * identity) alongside the three data columns. */
-class KbDimScanBuilder(dir: String) extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
+class KbDimScanBuilder(dir: String, manifestName: String = KbDim.ManifestName)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = KbDim.schema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -150,9 +185,10 @@ class KbDimScanBuilder(dir: String) extends ScanBuilder
       override def readSchema(): StructType = schema
       override def toBatch: Batch = this
       override def description(): String =
-        s"kb.dim scan $dir cols=${schema.fieldNames.mkString(",")}"
+        s"kb.dim scan $dir@$manifestName cols=${schema.fieldNames.mkString(",")}"
       override def planInputPartitions(): Array[InputPartition] =
-        KbDim.manifest(dir).map(f => KbDimInputPartition(s"$dir/$f")).toArray
+        KbDim.manifest(dir, manifestName)
+          .map(f => KbDimInputPartition(s"$dir/$f")).toArray
       override def createReaderFactory(): PartitionReaderFactory =
         new KbDimReaderFactory(schema.fieldNames)
     }
@@ -212,10 +248,12 @@ class KbDimBatchWrite(dir: String, queryId: String, replace: Boolean)
     new KbDimWriterFactory(dir, queryId)
 
   /** Staged files rename in, then ONE manifest write publishes the new
-    * table state — replace swaps the file list wholesale (the old files
-    * become unreferenced garbage, collected below best-effort), append
-    * unions it. Readers resolve through the manifest only, so a crash
-    * before the manifest write changes nothing. */
+    * table state — replace swaps the file list wholesale, append unions
+    * it. Readers resolve through the manifest only, so a crash before the
+    * manifest write changes nothing. Files a replace drops from the live
+    * manifest are NOT deleted: older `_files.v<N>` snapshots still
+    * reference them (time travel); expiry is a retention policy, not a
+    * commit side effect. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = KbDim.fs(dir)
     val admitted = messages.collect { case m: KbDimCommitMessage if m.rows > 0 => m }
@@ -225,8 +263,6 @@ class KbDimBatchWrite(dir: String, queryId: String, replace: Boolean)
       if (replace) admitted.map(_.file).toSeq
       else old ++ admitted.map(_.file)
     KbDim.writeManifest(dir, files)
-    if (replace) old.filterNot(files.contains).foreach(n =>
-      f.delete(new Path(dir, n), false))
     f.delete(staging, true): Unit
   }
 

@@ -50,6 +50,31 @@ class KbDimSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM kb.dim").columns.toSeq == Seq("k", "v", "tag"))
   }
 
+  test("VERSION AS OF reads the immutable snapshot; snapshots are read-only") {
+    reset()
+    val dir = graft.sources.KbDim.defaultDir
+    val v1 = graft.sources.KbDim.latestVersion(dir)
+    spark.sql("UPDATE kb.dim SET v = v * 100 WHERE k = 1")
+    val v2 = graft.sources.KbDim.latestVersion(dir)
+    assert(v2 == v1 + 1, s"update must publish exactly one snapshot ($v1 -> $v2)")
+    val before = spark.sql(s"SELECT v FROM kb.dim VERSION AS OF $v1 WHERE k = 1")
+      .collect().map(_.getLong(0)).toSeq
+    val after = spark.sql(s"SELECT v FROM kb.dim VERSION AS OF $v2 WHERE k = 1")
+      .collect().map(_.getLong(0)).toSeq
+    assert(before == Seq(10L), s"before-image drifted: $before")
+    assert(after == Seq(1000L), s"after-image wrong: $after")
+    // a pinned snapshot must refuse DML
+    val err = intercept[Exception] {
+      spark.sql(s"DELETE FROM kb.dim VERSION AS OF $v1 WHERE k = 1")
+    }
+    assert(err != null)
+    // unknown snapshot fails loudly, not as an empty table
+    val missing = intercept[Exception] {
+      spark.sql("SELECT * FROM kb.dim VERSION AS OF 999999").collect()
+    }
+    assert(missing.getMessage != null)
+  }
+
   test("commits are manifest-atomic: unreferenced staging never leaks into reads") {
     reset()
     val dir = graft.sources.KbDim.defaultDir
