@@ -78,6 +78,7 @@ object Bench {
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run for local iteration; the
     // driver never sets it, so the contract run always covers everything
     val only = args.lift(1).orElse(sys.env.get("SPARK_GRAFT_ONLY"))
+      .filter(_.trim.nonEmpty) // blank arg = no filter (lets arg 3 set the out path)
       .map(_.split(",").toSet)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
