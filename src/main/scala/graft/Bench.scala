@@ -117,10 +117,10 @@ object Bench {
     // consumer's output tail); commit this as the local bench snapshot.
     // "samples" carries every raw timing so variance is diagnosable after
     // the fact (min vs median tells noise from plan change).
-    val detailLine =
-      s"""{"detail":${jmap(times.map { case (k, v) => k -> r3(v) })},""" +
-        s""""samples":${jmap(samples.map { case (k, vs) =>
-          k -> vs.map(r3).mkString("[", ",", "]") })},"errors":$errs}"""
+    val timesJson = jmap(times.map { case (k, v) => k -> r3(v) })
+    val samplesJson = jmap(samples.map { case (k, vs) =>
+      k -> vs.map(r3).mkString("[", ",", "]") })
+    val detailLine = s"""{"detail":$timesJson,"samples":$samplesJson,"errors":$errs}"""
     println(detailLine)
     // canonical line, kept under ~1500 chars: total + the 40 slowest.
     // value = sum of per-query minima (steady state); value_median = sum of
@@ -145,9 +145,7 @@ object Bench {
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
       .getOrElse("bench_out.json")
     val fileJson =
-      s"""{"summary":$metricLine,"queries_all":${
-        jmap(times.map { case (k, v) => k -> r3(v) })},"samples":${
-        jmap(samples.map { case (k, vs) => k -> vs.map(r3).mkString("[", ",", "]") })}}"""
+      s"""{"summary":$metricLine,"queries_all":$timesJson,"samples":$samplesJson}"""
     val target = java.nio.file.Paths.get(outPath)
     val tmp = java.nio.file.Paths.get(outPath + ".tmp")
     java.nio.file.Files.write(tmp, (fileJson + "\n").getBytes("UTF-8"))

@@ -71,8 +71,8 @@ object ScaleUp {
     val partStride = 1000000L
     val suppStride = 100000L
     write("customer", copies(raw("customer")) { (df, i) =>
+      // c_nationkey stays as-is: region/nation don't scale
       df.withColumn("c_custkey", $"c_custkey" + lit(i * custStride))
-        .withColumn("c_nationkey", $"c_nationkey") // dim FK unchanged
     })
     write("supplier", copies(raw("supplier")) { (df, i) =>
       df.withColumn("s_suppkey", $"s_suppkey" + lit(i * suppStride))

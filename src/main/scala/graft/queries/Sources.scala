@@ -661,7 +661,7 @@ object Sources {
       """INSERT OVERWRITE kb.dim
         |SELECT o_orderkey % 300 AS k, count(*) AS v, 'seed' AS tag
         |FROM orders_s32 GROUP BY o_orderkey % 300""".stripMargin)
-    val dimDir = graft.sources.KbDim.defaultDir
+    val dimDir = graft.sources.KbDim.resolveDir(spark)
     val vSeed = graft.sources.KbDim.latestVersion(dimDir)
     spark.sql("UPDATE kb.dim SET v = v * 3, tag = 'x3' WHERE k % 2 = 0")
     val vUpd = graft.sources.KbDim.latestVersion(dimDir)

@@ -61,44 +61,59 @@ object KbDim {
   private[sources] def fs(dir: String): FileSystem =
     FileSystem.get(new java.net.URI(dir), new Configuration())
 
-  /** Committed file list; empty table if no manifest yet. `name` selects
-    * a historical snapshot (`_files.v<N>`) for time travel. */
-  private[sources] def manifest(dir: String, name: String = ManifestName): Seq[String] = {
+  private def readLines(dir: String, name: String): Option[Seq[String]] = {
     val f = fs(dir)
     val p = new Path(dir, name)
-    if (!f.exists(p)) {
-      if (name != ManifestName)
-        throw new IllegalArgumentException(s"kb.dim: no snapshot '$name' in $dir")
-      Nil
-    } else {
+    if (!f.exists(p)) None
+    else {
       val in = f.open(p)
-      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty))
       finally in.close()
     }
   }
 
-  /** Highest committed snapshot number (0 when the table is empty) — the
-    * public "current version" handle a time-travel user pins. */
-  def latestVersion(dir: String): Long = {
-    val f = fs(dir)
-    val d = new Path(dir)
-    if (!f.exists(d)) 0L
-    else f.listStatus(d).map(_.getPath.getName)
-      .collect { case n if n.startsWith(s"$ManifestName.v") =>
-        n.stripPrefix(s"$ManifestName.v").toLong }
-      .foldLeft(0L)(math.max)
-  }
+  /** Committed file list; empty table if no manifest yet. `name` selects
+    * a historical snapshot (`_files.v<N>`) for time travel. The `#v=`
+    * header line is metadata, not a file. */
+  private[sources] def manifest(dir: String, name: String = ManifestName): Seq[String] =
+    readLines(dir, name) match {
+      case Some(lines) => lines.filterNot(_.startsWith("#"))
+      case None if name == ManifestName => Nil
+      case None =>
+        throw new IllegalArgumentException(s"kb.dim: no snapshot '$name' in $dir")
+    }
 
-  /** Every commit publishes the live manifest AND an immutable
-    * `_files.v<N>` snapshot; replaced data files are never deleted, so
-    * any historical version stays readable (time travel). A production
-    * table would expire old snapshots + unreferenced files by retention
-    * policy — the VACUUM trade-off every versioned table format makes. */
+  /** Highest COMMITTED version — read from the LIVE manifest's `#v=`
+    * header, never from directory listings: a crash can leave an orphan
+    * `_files.v<N>` snapshot behind, and counting it would let
+    * `VERSION AS OF latestVersion` read a state the table never exposed.
+    * The live manifest is the single commit point. 0 = empty table. */
+  def latestVersion(dir: String): Long =
+    readLines(dir, ManifestName).fold(0L)(
+      _.collectFirst { case l if l.startsWith("#v=") => l.stripPrefix("#v=").toLong }
+        .getOrElse(0L))
+
+  /** The dimension directory this session's `kb` catalog serves — honors
+    * the `spark.sql.catalog.kb.dimDir` override the catalog documents. */
+  def resolveDir(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.getOption("spark.sql.catalog.kb.dimDir").getOrElse(defaultDir)
+
+  /** Commit protocol: stage the immutable `_files.v<N+1>` snapshot FIRST
+    * (an orphan if we crash — harmless, because versions are counted from
+    * the live header, and the next commit overwrites it), then atomically
+    * republish the live manifest carrying `#v=N+1`. Replaced data files
+    * are never deleted, so every committed snapshot stays readable (time
+    * travel); expiry is a retention policy, not a commit side effect —
+    * the VACUUM trade-off every versioned table format makes. */
   private[sources] def writeManifest(dir: String, files: Seq[String]): Unit = {
     val f = fs(dir)
-    val body = files.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8)
-    val snap = f.create(new Path(dir, s"$ManifestName.v${latestVersion(dir) + 1}"), false)
+    val next = latestVersion(dir) + 1
+    val body = (s"#v=$next" +: files.sorted).mkString("\n")
+      .getBytes(StandardCharsets.UTF_8)
+    // overwrite = true: a crashed predecessor may have left an orphan
+    // snapshot under this (uncommitted) number
+    val snap = f.create(new Path(dir, s"$ManifestName.v$next"), true)
     try snap.write(body) finally snap.close()
     val out = f.create(new Path(dir, ManifestName), true)
     try out.write(body) finally out.close()
@@ -129,8 +144,17 @@ class KbDimTable(dir: String, pinnedVersion: Option[Long] = None) extends Table
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // only COMMITTED versions are readable: an orphan snapshot from a
+    // crashed commit exists on disk but was never published by the live
+    // manifest, so it must not resolve
+    pinnedVersion.foreach { v =>
+      val latest = KbDim.latestVersion(dir)
+      require(v >= 1 && v <= latest,
+        s"kb.dim: version $v is not a committed snapshot (latest is $latest)")
+    }
     new KbDimScanBuilder(dir, manifestName)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
@@ -258,7 +282,13 @@ class KbDimBatchWrite(dir: String, queryId: String, replace: Boolean)
     val f = KbDim.fs(dir)
     val admitted = messages.collect { case m: KbDimCommitMessage if m.rows > 0 => m }
     val old = KbDim.manifest(dir)
-    admitted.foreach(m => f.rename(new Path(staging, m.file), new Path(dir, m.file)))
+    admitted.foreach { m =>
+      // a silent rename failure here would publish a manifest pointing at
+      // files that never landed — fail the commit instead
+      if (!f.rename(new Path(staging, m.file), new Path(dir, m.file)))
+        throw new java.io.IOException(
+          s"kb.dim commit: could not move staged file ${m.file} into $dir")
+    }
     val files =
       if (replace) admitted.map(_.file).toSeq
       else old ++ admitted.map(_.file)
@@ -284,7 +314,17 @@ class KbDimWriter(dir: String, stagingSubdir: String, fileName: String)
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
-    val line = s"${row.getLong(0)}\t${row.getLong(1)}\t${row.getUTF8String(2)}\n"
+    // line-framed storage cannot represent NULLs or tab/newline in `tag`;
+    // reject loudly rather than storing a silently different value
+    // (getLong on a null slot would store 0, a null string would store
+    // the literal "null", and an embedded '\n' would corrupt every later
+    // read of the file)
+    require(!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2),
+      "kb.dim: NULL values are not storable in the line-framed format")
+    val tag = row.getUTF8String(2).toString
+    require(!tag.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"kb.dim: tag value contains line-framing characters: ${tag.take(40)}")
+    val line = s"${row.getLong(0)}\t${row.getLong(1)}\t$tag\n"
     out.write(line.getBytes(StandardCharsets.UTF_8))
     rows += 1
   }

@@ -52,7 +52,7 @@ class KbDimSpec extends SparkSpec {
 
   test("VERSION AS OF reads the immutable snapshot; snapshots are read-only") {
     reset()
-    val dir = graft.sources.KbDim.defaultDir
+    val dir = graft.sources.KbDim.resolveDir(spark)
     val v1 = graft.sources.KbDim.latestVersion(dir)
     spark.sql("UPDATE kb.dim SET v = v * 100 WHERE k = 1")
     val v2 = graft.sources.KbDim.latestVersion(dir)
@@ -75,9 +75,46 @@ class KbDimSpec extends SparkSpec {
     assert(missing.getMessage != null)
   }
 
+  test("unstorable values fail loudly instead of silently changing") {
+    reset()
+    // NULLs: the line format can't represent them; getLong-on-null would
+    // store 0 and a null string would store the literal "null"
+    val nullErr = intercept[Exception] {
+      spark.sql("INSERT INTO kb.dim VALUES (7L, CAST(NULL AS BIGINT), 'x')")
+    }
+    assert(nullErr.toString.toLowerCase.contains("null") ||
+      Option(nullErr.getCause).exists(_.toString.toLowerCase.contains("null")))
+    // embedded newline would corrupt the framing of every later read
+    val nlErr = intercept[Exception] {
+      spark.sql("INSERT INTO kb.dim VALUES (8L, 80L, concat('a', chr(10), 'b'))")
+    }
+    assert(nlErr != null)
+    // the failed inserts must not have changed the table
+    assert(snap() == Set((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c")))
+  }
+
+  test("an orphan snapshot from a crashed commit is not readable") {
+    reset()
+    val dir = graft.sources.KbDim.resolveDir(spark)
+    val latest = graft.sources.KbDim.latestVersion(dir)
+    // simulate the crash window: snapshot file exists, live manifest was
+    // never republished — the version must not resolve
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, s"_files.v${latest + 1}"),
+      s"#v=${latest + 1}\npart-orphan.kbd\n")
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM kb.dim VERSION AS OF ${latest + 1}").collect()
+    }
+    assert(err.toString.contains("not a committed snapshot") ||
+      Option(err.getCause).exists(_.toString.contains("not a committed snapshot")),
+      err.toString.take(300))
+    // and the live table still reads fine
+    assert(snap().nonEmpty)
+  }
+
   test("commits are manifest-atomic: unreferenced staging never leaks into reads") {
     reset()
-    val dir = graft.sources.KbDim.defaultDir
+    val dir = graft.sources.KbDim.resolveDir(spark)
     // drop a garbage file into the table directory WITHOUT touching the
     // manifest: readers must ignore it (manifest is the commit point)
     java.nio.file.Files.writeString(
