@@ -1448,6 +1448,34 @@ object Llm {
       k = 3)
   }
 
+  /** L49: canonical selection — the step that turns l17's dup CLUSTERS
+    * into a deduped CORPUS: per cluster, keep the member with the richest
+    * content (here: distinct-token count, the l6-style quality axis) and
+    * report the cluster size the keep decision collapsed. This is the
+    * keep/drop policy every production dedup ends with — clustering alone
+    * only names the groups. Scale shape: the member scores are a map-side
+    * projection; ranking and the member count share ONE cluster_id
+    * exchange (same partitioning, no re-shuffle); ties break on doc_id so
+    * the keeper is total-order deterministic, oracle-exact against the
+    * same recursive-CTE clustering + window rank in DuckDB. */
+  def l49ClusterCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clusters = l17DedupClusters(spark, dir) // (doc_id, cluster_id)
+    val quality = nearDupCandidates(spark, dir)
+      .select($"id",
+        size(array_distinct(Text.tokens($"text"))).cast("long").as("n_uniq"))
+    val scored = clusters.join(quality, clusters("doc_id") === quality("id"))
+      .select($"cluster_id", $"doc_id", $"n_uniq")
+    val wRank = Window.partitionBy($"cluster_id").orderBy(desc("n_uniq"), $"doc_id")
+    val wAll = Window.partitionBy($"cluster_id")
+    scored
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n_members", count(lit(1)).over(wAll))
+      .filter($"rn" === 1)
+      .select($"cluster_id", $"doc_id".as("keeper_id"),
+        $"n_uniq".as("keeper_uniq"), $"n_members")
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup" -> (l1ExactDedup _),
@@ -1500,6 +1528,7 @@ object Llm {
     "l41_bpe_merges" -> (l41BpeMerges _),
     "l42_bpe_encode" -> (l42BpeEncode _),
     "l48_tfidf_topterms" -> (l48TfidfTopTerms _),
+    "l49_cluster_canonical" -> (l49ClusterCanonical _),
     "l43_label_centroids" -> (l43LabelCentroids _),
     "l44_kmv_overlap" -> (l44KmvOverlap _),
     "l45_sentence_chunk" -> (l45SentenceChunk _),
@@ -1624,6 +1653,36 @@ object Llm {
           |  UNION
           |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst)
           |SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id""".stripMargin),
+    "l49_cluster_canonical" ->
+      ("WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM (\n" + l2PairsSql + "\n) lp),\n" +
+        """edges AS (
+          |  SELECT a_id AS src, b_id AS dst FROM pairs
+          |  UNION SELECT b_id, a_id FROM pairs),
+          |reach AS (
+          |  SELECT src AS id, src AS label FROM edges
+          |  UNION
+          |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst),
+          |clusters AS (
+          |  SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+          |cand AS (
+          |  SELECT doc_id AS id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1)
+          |  FROM documents),
+          |q AS (
+          |  SELECT id,
+          |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+          |  FROM cand),
+          |scored AS (
+          |  SELECT c.cluster_id, c.doc_id, q.n_uniq
+          |  FROM clusters c JOIN q ON q.id = c.doc_id)
+          |SELECT cluster_id, keeper_id, keeper_uniq, n_members FROM (
+          |  SELECT cluster_id, doc_id AS keeper_id, n_uniq AS keeper_uniq,
+          |    row_number() OVER (PARTITION BY cluster_id
+          |      ORDER BY n_uniq DESC, doc_id) AS rn,
+          |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+          |  FROM scored)
+          |WHERE rn = 1""".stripMargin),
     "j8_similarity_topk_join" ->
       """WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
         |scored AS (
