@@ -1476,6 +1476,65 @@ object Llm {
         $"n_uniq".as("keeper_uniq"), $"n_members")
   }
 
+  /** L50: temperature-scaled language sampling — the multilingual
+    * rebalancing step of a pretraining data recipe (the α-smoothed
+    * multinomial of XLM-R/mT5): low-resource languages are upsampled by
+    * p_l^α / p_l with α = 1/2, flattening the language distribution
+    * without driver-side state. Exponent 1/2 is deliberate: `sqrt` and a
+    * single `/` are the two IEEE-754 operations guaranteed correctly
+    * rounded by BOTH the JVM and DuckDB, so every emitted double is
+    * bit-identical to the oracle — a fractional `pow()` would flake at
+    * the ulp between libm implementations (the l48 integer-idf discipline
+    * applied to floats). The per-language share divides integer sums
+    * exactly once; the normalizing constant over the |langs|-row result is
+    * left to the (trivially small) consumer, like l20's repeat factors.
+    * Scale shape: ONE partial+final count agg over the corpus — the
+    * upsample math runs on |langs| rows. */
+  def l50TemperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = documents(spark, dir)
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+    val nDf = docs.agg(count(lit(1)).as("n_total"))
+    counts.crossJoin(broadcast(nDf))
+      .select($"lang", $"n_docs",
+        ($"n_docs".cast("double") / $"n_total").as("p"),
+        sqrt($"n_docs".cast("double") / $"n_total").as("w_temp"))
+      .withColumn("upsample_factor", $"w_temp" / $"p")
+  }
+
+  /** L51: stop-gram boilerplate detection — the CCNet-style pass that
+    * finds n-grams repeated across a large share of the corpus (nav bars,
+    * footers, license blurbs) and scores each document by how much of it
+    * is boilerplate. The document-frequency table is the scale pivot:
+    * grams explode map-side, DF is one partial+final agg keyed by gram,
+    * and the threshold (DF ≥ 8% of docs) keeps the boilerplate set small
+    * by construction — frequent grams are few — so the flag-back join
+    * broadcasts at any corpus size while the gram stream never
+    * re-shuffles. The threshold is RELATIVE (computed from the same
+    * corpus count, broadcast as a 1-row frame), so the operator is
+    * scale-invariant: the sf0.01 fixture and a 100 TB crawl flag "in ≥8%
+    * of documents" identically. Ratio = one exact integer division per
+    * doc (hash-exact, l28 discipline). */
+  def l51StopgramBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = documents(spark, dir)
+    val nDf = docs.agg(count(lit(1)).as("n_total"))
+    val grams = docs
+      .select($"doc_id", explode(Text.shingles($"text", 2)).as("gram"))
+    val boiler = grams.distinct()
+      .groupBy($"gram").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDf))
+      .filter($"df" * 100 >= $"n_total" * 8)
+      .select($"gram")
+    grams
+      .join(broadcast(boiler.withColumn("is_boiler", lit(1L))), Seq("gram"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce($"is_boiler", lit(0L))).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        $"n_boiler".cast("double") / $"n_grams")
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup" -> (l1ExactDedup _),
@@ -1529,6 +1588,8 @@ object Llm {
     "l42_bpe_encode" -> (l42BpeEncode _),
     "l48_tfidf_topterms" -> (l48TfidfTopTerms _),
     "l49_cluster_canonical" -> (l49ClusterCanonical _),
+    "l50_temperature_mixture" -> (l50TemperatureMixture _),
+    "l51_stopgram_boilerplate" -> (l51StopgramBoilerplate _),
     "l43_label_centroids" -> (l43LabelCentroids _),
     "l44_kmv_overlap" -> (l44KmvOverlap _),
     "l45_sentence_chunk" -> (l45SentenceChunk _),
@@ -1641,6 +1702,33 @@ object Llm {
         |  SELECT doc_id AS id, text FROM documents
         |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
         |GROUP BY md5(text)""".stripMargin,
+    "l50_temperature_mixture" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+        |SELECT lang, n_docs,
+        |  CAST(n_docs AS DOUBLE) / n_total AS p,
+        |  sqrt(CAST(n_docs AS DOUBLE) / n_total) AS w_temp,
+        |  sqrt(CAST(n_docs AS DOUBLE) / n_total)
+        |    / (CAST(n_docs AS DOUBLE) / n_total) AS upsample_factor
+        |FROM c, n""".stripMargin,
+    "l51_stopgram_boilerplate" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(string_split(text,' ')) - 1, 0)),
+        |    i -> array_to_string((string_split(text,' '))[i:i+1], ' '))) AS gram
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+        |b AS (SELECT gram
+        |      FROM (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1), n
+        |      WHERE df * 100 >= n_total * 8)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN gram IN (SELECT gram FROM b) THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_boiler,
+        |  CAST(sum(CASE WHEN gram IN (SELECT gram FROM b) THEN 1 ELSE 0 END)
+        |       AS DOUBLE) / count(*) AS boiler_ratio
+        |FROM g GROUP BY 1""".stripMargin,
     "l2_minhash_neardup" -> l2PairsSql,
     "l2c_minhash_native" -> l2PairsSql,
     "l17_dedup_clusters" ->

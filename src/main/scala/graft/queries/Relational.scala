@@ -955,6 +955,38 @@ object Relational {
           "element_at(win, cast((size(win) + 2) div 2 as int))").as("med2"))
   }
 
+  /** W20: robust outlier detection via median absolute deviation — the
+    * heavy-tail-safe twin of w16's mean/stddev z-score: a handful of
+    * extreme days cannot drag the threshold because both center (median)
+    * and spread (MAD) are rank statistics. Flag days with
+    * |cnt − median| > 3·MAD per event type. Everything stays EXACT
+    * integer arithmetic (the w16/w18 discipline): med2 = 2·median and
+    * mad4 = 4·MAD are integers by construction (each is a sum of two
+    * middle integer elements), so the flag compares 2·|2·cnt − med2| >
+    * 3·mad4 with no float in sight and the result hash-matches at any
+    * ulp. Shape at scale: the two full-partition medians are window
+    * aggregates over the ALREADY-AGGREGATED per-(type, day) rows — days
+    * per type, bounded — sharing ONE event_type exchange; the corpus-
+    * sized work is the dailyCounts partial+final count agg. */
+  def w20MadOutliers(spark: SparkSession, dir: String): DataFrame =
+    madCore(dailyCounts(spark, dir))
+
+  /** w20's core on any (event_type, day, cnt) frame — split out so the
+    * spec can feed a crafted series and pin the ROBUSTNESS property (a
+    * planted extreme day must not move the center or the threshold). */
+  private[graft] def madCore(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    val wType = Window.partitionBy($"event_type")
+    daily
+      .withColumn("med2",
+        (expr("percentile(cnt, 0.5)").over(wType) * 2).cast("long"))
+      .withColumn("dev2", abs(lit(2) * $"cnt" - $"med2"))
+      .withColumn("mad4",
+        (expr("percentile(dev2, 0.5)").over(wType) * 2).cast("long"))
+      .select($"event_type", $"day", $"cnt", $"med2", $"mad4",
+        (lit(2) * $"dev2" > lit(3) * $"mad4").as("is_outlier"))
+  }
+
   /** W19: SCD-2 historization — the slowly-changing-dimension type-2
     * build every warehouse runs to give a mutable attribute a validity
     * timeline: per user, consecutive runs of the same `event_type` (the
@@ -1362,6 +1394,7 @@ object Relational {
     "w17_ewma" -> (w17Ewma _),
     "w18_window_median" -> (w18WindowMedian _),
     "w19_scd2_history" -> (w19Scd2History _),
+    "w20_mad_outliers" -> (w20MadOutliers _),
     "w14_cohort_retention" -> (w14CohortRetention _),
     "w9_batch_sessionize" -> (w9BatchSessionize _),
     "w10_cumulative_distinct" -> (w10CumulativeDistinct _),
@@ -1504,6 +1537,23 @@ object Relational {
         |  CAST(2 * median(cnt) OVER (PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS med2
         |FROM daily""".stripMargin,
+    "w20_mad_outliers" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT *, CAST(2 * median(cnt)
+        |    OVER (PARTITION BY event_type) AS BIGINT) AS med2
+        |  FROM daily),
+        |d AS (SELECT *, abs(2 * cnt - med2) AS dev2 FROM m),
+        |md AS (
+        |  SELECT *, CAST(2 * median(dev2)
+        |    OVER (PARTITION BY event_type) AS BIGINT) AS mad4
+        |  FROM d)
+        |SELECT event_type, day, cnt, med2, mad4,
+        |  2 * dev2 > 3 * mad4 AS is_outlier
+        |FROM md""".stripMargin,
     "w19_scd2_history" ->
       """WITH ev AS (
         |  SELECT user_id, event_type,

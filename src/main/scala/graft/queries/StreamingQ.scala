@@ -1025,6 +1025,54 @@ object StreamingQ {
     spark.read.parquet(out).filter($"user_id" < 999999000L)
   }
 
+  /** ST22: stream-stream FULL OUTER join — the reconciliation semantics
+    * st19's left-outer cannot express: clicks with no qualifying purchase
+    * must ALSO surface (the j4 full-outer-reconcile contract, on a live
+    * stream). Structured Streaming emits an unmatched row from EITHER
+    * side only once that side's watermark proves no partner can still
+    * arrive, so the st19 sentinel staging (reused verbatim) is what makes
+    * the append-mode output total: the sentinel jumps BOTH watermarks
+    * past every real row's join window and the trailing no-data batch
+    * flushes both state stores. The emitted key must be
+    * coalesce(left, right) — an unmatched click has a NULL purchase-side
+    * user_id — which is also what drops the sentinel rows on read-back.
+    * Hash-matches the batch FULL JOIN exactly; state bounded by the
+    * watermark delay on both sides at any scale. */
+  def st22StreamFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stageSt19(spark, dir)
+    val schema = Streams.eventsSchema(spark, dir)
+    val purchases = Streams.eventsStream(spark, staged, schema, 2)
+      .filter($"event_type" === "purchase" && $"user_id" % 4 === 0)
+      .select($"user_id", $"event_id".as("p_id"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "40 days")
+    val clicks = Streams.eventsStream(spark, staged, schema, 2)
+      .filter($"event_type" === "click" && $"user_id" % 4 === 0)
+      .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "40 days")
+    val out = java.nio.file.Files.createTempDirectory("st22_out").toString
+    // 4 state partitions — the st19 sizing rationale (four store commits
+    // per partition per micro-batch on an interval join)
+    Streams.withShufflePartitions(spark, 4) {
+      val q = purchases.join(clicks,
+          $"user_id" === $"c_user" &&
+            $"c_ts" >= $"p_ts" - expr("interval 1 hour") && $"c_ts" <= $"p_ts",
+          "full_outer")
+        .select(coalesce($"user_id", $"c_user").as("uid"), $"p_id", $"c_id")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck_st22").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode(SaveMode.Append).parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out).filter($"uid" < 999999000L)
+  }
+
   /** ST20: sessions finalized by EVENT-TIME TIMEOUT — the semantics none
     * of st6 (session_window agg), st8 (NoTimeout running state) or w9
     * (batch sessionize) express: a user's session is emitted exactly once,
@@ -1120,6 +1168,7 @@ object StreamingQ {
     "st20_timeout_sessions" -> (st20TimeoutSessions _),
     "st21_streaming_scd2" -> (st21StreamingScd2 _),
     "st19_outer_join" -> (st19OuterJoin _),
+    "st22_stream_full_outer" -> (st22StreamFullOuter _),
     "st18_stream_heavy_hitters" -> (st18StreamHeavyHitters _),
     "st17_streaming_neardup" -> (st17StreamingNeardup _),
     "st16_dead_letter" -> (st16DeadLetter _),
@@ -1197,6 +1246,15 @@ object StreamingQ {
         |      WHERE event_type = 'click')
         |SELECT p.user_id, p.p_id, c.c_id
         |FROM p LEFT JOIN c ON c.c_user = p.user_id
+        |  AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts""".stripMargin,
+    "st22_stream_full_outer" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id % 4 = 0),
+        |p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM ev
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user, event_id AS c_id, ts AS c_ts FROM ev
+        |      WHERE event_type = 'click')
+        |SELECT coalesce(p.user_id, c.c_user) AS uid, p.p_id, c.c_id
+        |FROM p FULL JOIN c ON c.c_user = p.user_id
         |  AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts""".stripMargin,
     "st17_streaming_neardup" ->
       """WITH b2 AS (

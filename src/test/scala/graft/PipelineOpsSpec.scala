@@ -265,6 +265,67 @@ class PipelineOpsSpec extends SparkSpec {
     assert(prefixPairs >= direct.size.toLong, "candidates must cover all true pairs")
   }
 
+  test("L50: temperature weights flatten the language distribution monotonically") {
+    import spark.implicits._
+    val rows = Llm.l50TemperatureMixture(spark, sfDir)
+      .select($"lang", $"p", $"w_temp", $"upsample_factor")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length > 1, "need several languages to rebalance")
+    rows.foreach { case (lang, p, w, f) =>
+      assert(math.abs(w * w - p) < 1e-12, s"$lang: w_temp must be sqrt(p)")
+      assert(f >= 1.0, s"$lang: sqrt-temperature never DOWN-samples (p <= 1)")
+    }
+    // α < 1 flattens: the rarer the language, the LARGER its boost —
+    // strictly monotone because factor = p^(α-1) is strictly decreasing
+    val byShare = rows.sortBy(_._2)
+    byShare.sliding(2).foreach { case Array((la, pa, _, fa), (lb, pb, _, fb)) =>
+      if (pa < pb) assert(fa > fb,
+        s"$la (p=$pa) must be boosted more than $lb (p=$pb): $fa !> $fb")
+    }
+  }
+
+  test("L51: boilerplate counts are bounded and match an independent DF computation") {
+    import spark.implicits._
+    val out = Llm.l51StopgramBoilerplate(spark, sfDir)
+      .select($"doc_id", $"n_grams", $"n_boiler", $"boiler_ratio")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.forall { case (_, g, b, r) =>
+      b >= 0 && b <= g && math.abs(r - b.toDouble / g) == 0.0 })
+    assert(out.exists(_._3 > 0), "no boilerplate flagged — threshold never fired")
+    assert(out.exists { case (_, g, b, _) => b < g },
+      "every gram flagged — threshold is degenerate")
+    // independent cross-check of the total: count gram INSTANCES whose
+    // gram occurs in >= 8% of docs, via a window formulation the query
+    // itself does not use
+    val n = Engine.documents(spark, sfDir).count()
+    val grams = Engine.documents(spark, sfDir)
+      .select($"doc_id", explode(graft.functions.Text.shingles($"text", 2)).as("gram"))
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy($"gram")
+    val expected = grams
+      .withColumn("df", size(collect_set($"doc_id").over(byGram)))
+      .filter($"df" * 100 >= lit(n) * 8)
+      .count()
+    assert(out.map(_._3).sum == expected,
+      s"sum(n_boiler)=${out.map(_._3).sum} != window-DF count $expected")
+  }
+
+  test("W20: MAD outlier detection is robust — a planted spike cannot move the threshold") {
+    import spark.implicits._
+    val base = Seq(8L, 9L, 10L, 10L, 10L, 11L, 12L, 13L)
+    def run(cnts: Seq[Long]) = graft.queries.Relational.madCore(
+      cnts.zipWithIndex.map { case (c, i) => ("t", i, c) }.toDF("event_type", "day", "cnt"))
+      .select($"cnt", $"med2", $"mad4", $"is_outlier")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val clean = run(base)
+    val spiked = run(base :+ 1000L)
+    // the spike itself is flagged, nothing else is
+    assert(spiked.filter(_._4).map(_._1).toSeq == Seq(1000L))
+    // robustness: center and spread are UNCHANGED by the spike — the
+    // property mean/stddev (w16) fundamentally lacks
+    assert(clean.head._2 == spiked.head._2, "median moved")
+    assert(clean.head._3 == spiked.head._3, "MAD moved")
+  }
+
   test("L36: incremental near-dedup maps every planted batch doc to its source") {
     import spark.implicits._
     val out = graft.queries.Llm.l36IncrementalNeardup(spark, sfDir)

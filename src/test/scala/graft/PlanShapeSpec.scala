@@ -428,6 +428,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("L51: boilerplate flag-back joins by broadcast, never a shuffle join") {
+    val plan = planOf(graft.queries.Llm.l51StopgramBoilerplate(spark, sfDir))
+    // the DF-thresholded boiler set is small by construction -> broadcast;
+    // the corpus-sized gram stream must never sort-merge on the gram key
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("W20: both MAD medians share one event_type exchange") {
+    val plan = planOf(graft.queries.Relational.w20MadOutliers(spark, sfDir))
+    // exactly one single-column event_type exchange feeds BOTH window
+    // passes (the two-column match below it is the dailyCounts agg)
+    assert("Exchange hashpartitioning\\(event_type#\\d+, \\d+\\)".r
+      .findAllIn(plan).size == 1, plan.take(4000))
+    assert("Window".r.findAllIn(plan).size >= 2, plan.take(4000))
+  }
+
   test("L29: histogram is one partial-agg shuffle, nothing else") {
     val plan = planOf(graft.queries.Llm.l29LengthHistogram(spark, sfDir))
     assert(plan.contains("partial_count"), plan.take(3000))

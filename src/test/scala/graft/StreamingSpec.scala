@@ -316,6 +316,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(_._3 != -1L), "no matched rows")
   }
 
+  test("ST22: streamed full-outer join equals the batch full join, both null sides present") {
+    import spark.implicits._
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0),
+      if (r.isNullAt(1)) -1L else r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))
+    val streamed = graft.queries.StreamingQ.st22StreamFullOuter(spark, sfDir)
+      .collect().map(key).sorted
+    val ev = Engine.events(spark, sfDir).filter($"user_id" % 4 === 0)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_id"), $"ts".as("p_ts"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts"))
+    val batch = p.join(c, $"user_id" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - org.apache.spark.sql.functions.expr("interval 1 hour") &&
+        $"c_ts" <= $"p_ts", "full_outer")
+      .select(coalesce($"user_id", $"c_user").as("uid"), $"p_id", $"c_id")
+      .collect().map(key).sorted
+    assert(streamed.sameElements(batch),
+      s"streamed ${streamed.length} rows != batch ${batch.length}")
+    // BOTH outer paths must be exercised — that is what full-outer adds
+    assert(streamed.exists(_._3 == -1L), "no unmatched purchases")
+    assert(streamed.exists(_._2 == -1L),
+      "no unmatched clicks — the right-outer half is untested")
+    assert(streamed.exists(r => r._2 != -1L && r._3 != -1L), "no matched rows")
+  }
+
   test("ST20: timeout-emitted sessions equal batch sessionization exactly") {
     import spark.implicits._
     val streamed = graft.queries.StreamingQ.st20TimeoutSessions(spark, sfDir)
