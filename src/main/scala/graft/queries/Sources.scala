@@ -561,6 +561,30 @@ object Sources {
       .toDF("n_rows", "n_nonpos_price", "n_null_keys")
   }
 
+  /** O16: explicit in-memory cache reuse — the "compute once, branch
+    * twice" shape every dashboard/report job has: the per-(type, day)
+    * aggregate is persisted and BOTH downstream branches (per-type
+    * totals and the global denominator) scan the InMemoryRelation
+    * instead of re-aggregating the source — at 100 TB that is one
+    * corpus-sized agg instead of two, and the cached columnar batches
+    * are partition-local (no extra shuffle to build them). The plan
+    * test pins two InMemoryTableScan nodes and a single source scan.
+    * Default MEMORY_AND_DISK storage spills, never fails; the cache is
+    * LRU-evictable session state, safe to leave resident (re-persisting
+    * an identical plan reuses the existing entry via the cache manager).
+    * Share = one exact long/long→double division (hash-exact). */
+  def o16CachedReuse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    val perType = daily.groupBy($"event_type").agg(sum($"cnt").as("n"))
+    val total = daily.agg(sum($"cnt").as("tot"))
+    perType.crossJoin(broadcast(total))
+      .select($"event_type", $"n", ($"n".cast("double") / $"tot").as("share"))
+  }
+
   /** O15: declarative data-quality constraint suite — the Deequ /
     * great-expectations shape: volume, completeness, exact uniqueness,
     * domain and range rules evaluated together and unpivoted into the
@@ -1184,6 +1208,7 @@ object Sources {
     "s16_dsv2_archive_write" -> (s16Dsv2ArchiveWrite _),
     "o12_observed_metrics" -> (o12ObservedMetrics _),
     "o15_quality_constraints" -> (o15QualityConstraints _),
+    "o16_cached_reuse" -> (o16CachedReuse _),
     "s30_merge_into" -> (s30MergeInto _),
     "s31_row_level_dml" -> (s31RowLevelDml _),
     "s32_time_travel" -> (s32TimeTravel _),
@@ -1349,6 +1374,15 @@ object Sources {
         |  CAST(sum(user_id * user_id) AS BIGINT) AS sum_sq_user,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "o16_cached_reuse" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM daily)
+        |SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
+        |  CAST(sum(cnt) AS DOUBLE) / (SELECT tot FROM t) AS share
+        |FROM daily GROUP BY 1""".stripMargin,
     "o12_observed_metrics" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpos_price,

@@ -1073,6 +1073,63 @@ object StreamingQ {
     spark.read.parquet(out).filter($"uid" < 999999000L)
   }
 
+  /** ST23: streaming observed metrics — the o12 data-quality gate moved
+    * onto a live stream: `observe()` rides the micro-batch execution
+    * (ZERO extra scan — the metrics are Catalyst aggregates collected
+    * during the sink's own pass) and each batch's values surface in
+    * `StreamingQueryProgress.observedMetrics`, the hook a production
+    * pipeline feeds its lag/quality dashboards from. The per-batch
+    * metrics are partial sums, so their total equals the batch aggregate
+    * EXACTLY — independent of how the pacing splits the stream into
+    * micro-batches — which is what makes the result oracle-checkable.
+    * Float discipline: cents = floor(value·100) as long — `floor` is
+    * exact on both engines where a rounded sum of doubles would drift
+    * with batch boundaries. */
+  def st23StreamingObserve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perBatch = st23BatchMetrics(spark, dir)
+    val totals = perBatch.foldLeft((0L, 0L, 0L)) { (acc, m) =>
+      (acc._1 + m._1, acc._2 + m._2, acc._3 + m._3)
+    }
+    Seq(totals).toDF("n_rows", "sum_cents", "n_big")
+  }
+
+  /** st23's per-micro-batch (n_rows, sum_cents, n_big) metric rows —
+    * split out so StreamingSpec can assert the metrics really arrived
+    * from MULTIPLE batches (the invariant the sum-equals-batch oracle
+    * alone cannot see). */
+  private[graft] def st23BatchMetrics(
+      spark: SparkSession, dir: String): Seq[(Long, Long, Long)] = {
+    import spark.implicits._
+    val staged = Streams.stageEvents(spark, dir, 4)
+    val schema = Streams.eventsSchema(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("st23_out").toString
+    Streams.withShufflePartitions(spark, 4) {
+      val q = Streams.eventsStream(spark, staged, schema, 2)
+        .observe("gate",
+          count(lit(1)).as("n_rows"),
+          sum(floor($"value" * 100).cast("long")).as("sum_cents"),
+          sum(($"value" > 100).cast("long")).as("n_big"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck_st23").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // the REAL job the metrics ride along with (o12 discipline)
+          batch.write.mode(SaveMode.Overwrite).parquet(s"$out/batch_id=$batchId")
+        }
+        .start()
+      q.awaitTermination()
+      // recentProgress is synchronous after termination — no listener
+      // race; batches with no data report no "gate" entry
+      q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("gate")))
+        .map(row => (row.getAs[Long]("n_rows"),
+          row.getAs[Long]("sum_cents"), row.getAs[Long]("n_big")))
+    }
+  }
+
   /** ST20: sessions finalized by EVENT-TIME TIMEOUT — the semantics none
     * of st6 (session_window agg), st8 (NoTimeout running state) or w9
     * (batch sessionize) express: a user's session is emitted exactly once,
@@ -1169,6 +1226,7 @@ object StreamingQ {
     "st21_streaming_scd2" -> (st21StreamingScd2 _),
     "st19_outer_join" -> (st19OuterJoin _),
     "st22_stream_full_outer" -> (st22StreamFullOuter _),
+    "st23_streaming_observe" -> (st23StreamingObserve _),
     "st18_stream_heavy_hitters" -> (st18StreamHeavyHitters _),
     "st17_streaming_neardup" -> (st17StreamingNeardup _),
     "st16_dead_letter" -> (st16DeadLetter _),
@@ -1256,6 +1314,11 @@ object StreamingQ {
         |SELECT coalesce(p.user_id, c.c_user) AS uid, p.p_id, c.c_id
         |FROM p FULL JOIN c ON c.c_user = p.user_id
         |  AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts""".stripMargin,
+    "st23_streaming_observe" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+        |FROM events""".stripMargin,
     "st17_streaming_neardup" ->
       """WITH b2 AS (
         |  SELECT doc_id + 1000000 AS doc_id, lang,

@@ -446,6 +446,17 @@ class PlanShapeSpec extends SparkSpec {
     assert("Window".r.findAllIn(plan).size >= 2, plan.take(4000))
   }
 
+  test("O16: both branches scan the cache — one source scan, two InMemoryTableScans") {
+    val plan = planOf(graft.queries.Sources.o16CachedReuse(spark, sfDir))
+    assert("InMemoryTableScan|TableCacheQueryStage".r.findAllIn(plan).size >= 2,
+      plan.take(4000))
+    // every parquet read sits INSIDE an InMemoryRelation definition (the
+    // explain prints the cached plan under each scan; it executes once) —
+    // no branch bypasses the cache and re-reads the source directly
+    assert("InMemoryRelation".r.findAllIn(plan).size >=
+      "FileScan parquet".r.findAllIn(plan).size, plan.take(4000))
+  }
+
   test("L29: histogram is one partial-agg shuffle, nothing else") {
     val plan = planOf(graft.queries.Llm.l29LengthHistogram(spark, sfDir))
     assert(plan.contains("partial_count"), plan.take(3000))

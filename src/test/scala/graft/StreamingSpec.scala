@@ -342,6 +342,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(r => r._2 != -1L && r._3 != -1L), "no matched rows")
   }
 
+  test("ST23: observed metrics arrive per micro-batch and total exactly") {
+    import spark.implicits._
+    val perBatch = graft.queries.StreamingQ.st23BatchMetrics(spark, sfDir)
+    // pacing (4 staged files, 2 per trigger) must yield metrics from
+    // MULTIPLE batches — otherwise the partial-sum invariant is untested
+    assert(perBatch.length >= 2, s"only ${perBatch.length} metric batches")
+    assert(perBatch.forall(_._1 > 0), "a data batch reported zero rows")
+    val expected = Engine.events(spark, sfDir).select(
+        count(lit(1)),
+        sum(floor($"value" * 100).cast("long")),
+        sum(($"value" > 100).cast("long")))
+      .as[(Long, Long, Long)].head()
+    val totals = perBatch.foldLeft((0L, 0L, 0L)) { (a, m) =>
+      (a._1 + m._1, a._2 + m._2, a._3 + m._3)
+    }
+    assert(totals == expected,
+      s"per-batch partials $totals != batch aggregate $expected")
+  }
+
   test("ST20: timeout-emitted sessions equal batch sessionization exactly") {
     import spark.implicits._
     val streamed = graft.queries.StreamingQ.st20TimeoutSessions(spark, sfDir)
