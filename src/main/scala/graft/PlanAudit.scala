@@ -70,7 +70,11 @@ object PlanAudit {
       "sq7_sql_udf" -> "SQL-defined function: body inlined at analysis time, decimal arithmetic inside codegen, no UDF node",
       "l48_tfidf_topterms" -> "TF-IDF top terms: token-sized df agg joined back, broadcast 1-row corpus size, native TopKPerKey per-doc top-3 with no sort",
       "w19_scd2_history" -> "SCD-2 historization: change-detect, run-number, collapse and close-out over one user_id exchange",
-      "l5f_vad_segments" -> "VAD segmentation: decode-local frame energies, integer above-mean gate, gaps-and-islands on one file exchange")
+      "l5f_vad_segments" -> "VAD segmentation: decode-local frame energies, integer above-mean gate, gaps-and-islands on one file exchange",
+      "w20_mad_outliers" -> "robust MAD outliers: both full-partition medians share one event_type exchange, exact integer arithmetic end to end",
+      "l50_temperature_mixture" -> "temperature mixture: one corpus-sized count agg, broadcast 1-row total, upsample math on |langs| rows",
+      "l51_stopgram_boilerplate" -> "stop-gram boilerplate: gram DF partial+final agg, relative threshold, small-by-construction boiler set broadcast back",
+      "o16_cached_reuse" -> "cache reuse: per-(type, day) agg computed once, both branches scan the InMemoryRelation")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries (sf0.01)\n\n")
     sb.append("Generated by `graft.PlanAudit`; re-run after plan-affecting changes.\n\n")

@@ -1535,6 +1535,37 @@ object Llm {
         $"n_boiler".cast("double") / $"n_grams")
   }
 
+  /** L52: perplexity-tercile bucketing — the CCNet head/middle/tail
+    * split that downstream recipes sample from (head = most fluent third
+    * by LM score, tail = least): every doc gets its l35 bigram-LM score
+    * and a bucket from EXACT global terciles. The quantiles come from
+    * COUNTING, not sorting — the scale-correct exact-quantile shape: a
+    * histogram keyed by score (domain bounded in [0, 1e6] by l35's
+    * scaled-integer arithmetic, so the cumulative window runs over a
+    * BOUNDED set no matter the corpus size), a cumulative ≥-count, and
+    * two boundary scores broadcast back onto the doc stream as a map-side
+    * CASE. Boundary rule is value-based (3·ge ≥ k·n, integer-only, ties
+    * share a bucket), so the split is deterministic and hash-matches the
+    * oracle — no global sort, no sampling, no approx. */
+  def l52PerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scores = l35ScoreCore(documents(spark, dir).select($"doc_id", $"text"))
+    val nDf = scores.agg(count(lit(1)).as("n_total"))
+    val wDesc = Window.orderBy($"lm_score".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = scores.groupBy($"lm_score").agg(count(lit(1)).as("cnt"))
+      .withColumn("ge", sum($"cnt").over(wDesc))
+    val bounds = hist.crossJoin(broadcast(nDf))
+      .agg(
+        max(when($"ge" * 3 >= $"n_total", $"lm_score")).as("b_head"),
+        max(when($"ge" * 3 >= $"n_total" * 2, $"lm_score")).as("b_mid"))
+    scores.crossJoin(broadcast(bounds))
+      .select($"doc_id", $"lm_score",
+        when($"lm_score" >= $"b_head", "head")
+          .when($"lm_score" >= $"b_mid", "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup" -> (l1ExactDedup _),
@@ -1590,6 +1621,7 @@ object Llm {
     "l49_cluster_canonical" -> (l49ClusterCanonical _),
     "l50_temperature_mixture" -> (l50TemperatureMixture _),
     "l51_stopgram_boilerplate" -> (l51StopgramBoilerplate _),
+    "l52_perplexity_buckets" -> (l52PerplexityBuckets _),
     "l43_label_centroids" -> (l43LabelCentroids _),
     "l44_kmv_overlap" -> (l44KmvOverlap _),
     "l45_sentence_chunk" -> (l45SentenceChunk _),
@@ -1729,6 +1761,39 @@ object Llm {
         |  CAST(sum(CASE WHEN gram IN (SELECT gram FROM b) THEN 1 ELSE 0 END)
         |       AS DOUBLE) / count(*) AS boiler_ratio
         |FROM g GROUP BY 1""".stripMargin,
+    "l52_perplexity_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> {'w1': t[i], 'w2': t[i+1]})) AS z
+        |  FROM t),
+        |b2 AS (SELECT doc_id, z.w1 AS w1, z.w2 AS w2 FROM bi),
+        |uni AS (SELECT w1, count(*) AS uc FROM b2 GROUP BY 1),
+        |big AS (SELECT w1, w2, count(*) AS bc FROM b2 GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT b2.doc_id, bg.bc * 1000000 // un.uc AS s
+        |  FROM b2 JOIN big bg USING (w1, w2) JOIN uni un USING (w1)),
+        |scores AS (
+        |  SELECT doc_id, CAST(sum(s) // count(*) AS BIGINT) AS lm_score
+        |  FROM sc GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM scores),
+        |hist AS (SELECT lm_score, CAST(count(*) AS BIGINT) AS cnt
+        |         FROM scores GROUP BY 1),
+        |cum AS (SELECT lm_score,
+        |  sum(cnt) OVER (ORDER BY lm_score DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ge
+        |  FROM hist),
+        |bounds AS (
+        |  SELECT max(CASE WHEN ge * 3 >= n_total THEN lm_score END) AS b_head,
+        |    max(CASE WHEN ge * 3 >= n_total * 2 THEN lm_score END) AS b_mid
+        |  FROM cum, n)
+        |SELECT doc_id, lm_score,
+        |  CASE WHEN lm_score >= b_head THEN 'head'
+        |       WHEN lm_score >= b_mid THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scores, bounds""".stripMargin,
     "l2_minhash_neardup" -> l2PairsSql,
     "l2c_minhash_native" -> l2PairsSql,
     "l17_dedup_clusters" ->
