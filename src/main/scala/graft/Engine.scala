@@ -14,13 +14,14 @@ object Engine {
   /** Local session with the settings every entry point shares.
     *
     * EXPLICIT SESSION CONTRACT: `spark.sql.legacy.parquet.nanosAsLong=true`
-    * is part of this engine's session configuration — every graft session
-    * reads parquet TIMESTAMP(NANOS) columns as raw nano longs (the fixture
-    * `events.ts` encoding; Spark has no native nanos type). [[table]] and
-    * [[eventsBetween]] also set it defensively for sessions built elsewhere.
-    * Consequence: any OTHER nano-timestamp parquet column read in a graft
-    * session also arrives as a raw long — callers needing timestamps must
-    * narrow explicitly (see [[table]]'s `events.ts` handling). */
+    * is part of this engine's session configuration — a graft session reads
+    * parquet TIMESTAMP(NANOS) columns as raw nano longs instead of failing
+    * (Spark has no native nanos type). [[table]] and [[eventsBetween]] also
+    * set it defensively for sessions built elsewhere. The fixture
+    * `events.ts` column has shipped in several encodings over time (nanos,
+    * micros-NTZ); [[table]] normalizes ALL of them to one session-visible
+    * type — see its contract. The session timezone is pinned to UTC, which
+    * makes NTZ→LTZ casts instant-preserving. */
   def session(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val spark = SparkSession
       .builder()
@@ -43,48 +44,83 @@ object Engine {
     * Timestamp storage differs per table: lineitem/orders use parquet
     * TIMESTAMP(MILLIS), which Spark reads natively as TIMESTAMP_NTZ —
     * range predicates with [[tsLit]] literals stay cast-free and reach the
-    * scan as PushedFilters (asserted in PlanShapeSpec). `events.ts` is
-    * TIMESTAMP(NANOS), which Spark has no native type for: it is read as a
-    * raw nano long (legacy nanosAsLong conf) and losslessly narrowed to a
-    * microsecond timestamp (generator emits micro precision; zero sub-micro
-    * residue at every SF). The narrowing is a projection, so event-time
-    * range filters do not push to the scan — time pruning for the events
-    * table belongs in partition layout (e.g. day-partitioned ingest), which
-    * is how the streaming path organizes it anyway. */
+    * scan as PushedFilters (asserted in PlanShapeSpec).
+    *
+    * FIXTURE-ENCODING CONTRACT for `events.ts`: the driver has shipped the
+    * column in multiple parquet encodings across rounds, so the loader
+    * accepts ALL of them and normalizes to ONE type, `TimestampType`
+    * (instant semantics, micro precision), here and nowhere else:
+    *   - `LongType` (legacy TIMESTAMP(NANOS) under nanosAsLong) → lossless
+    *     narrow via [[narrowNanosToTs]] (generator emits micro precision;
+    *     zero sub-micro residue at every SF);
+    *   - `TimestampNTZType` (TIMESTAMP(MICROS), isAdjustedToUTC=false —
+    *     the current testdata encoding) → `cast("timestamp")`, which is
+    *     instant-preserving under the pinned UTC session timezone;
+    *   - `TimestampType` (TIMESTAMP(MICROS), adjusted) → pass through.
+    * Every downstream consumer (`unix_micros`, `java.sql.Timestamp`
+    * encoders, `Row.getTimestamp`, window frames) relies on this single
+    * normalization point; FixtureContractSpec pins all three encodings so
+    * a future driver-side shift fails loudly instead of silently dropping
+    * queries. The NTZ→LTZ cast is a no-op on the stored micros value, so
+    * Catalyst still pushes `ts` range predicates to the scan (see
+    * [[eventsBetween]] and PlanShapeSpec). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    raw.schema.fields.foldLeft(raw) { (df, f) =>
-      if (f.dataType == org.apache.spark.sql.types.LongType && f.name == "ts" && name == "events")
-        df.withColumn(f.name, narrowNanosToTs(f.name))
-      else df
+    if (name == "events") normalizeEventTs(raw) else raw
+  }
+
+  /** The ONE normalization point for `events.ts` — shared by [[table]] and
+    * [[eventsBetween]] so no two paths can ever normalize differently.
+    * See [[table]] for the encoding contract. */
+  private def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType)         => raw.withColumn("ts", narrowNanosToTs("ts"))
+      case Some(TimestampNTZType) => raw.withColumn("ts", raw("ts").cast("timestamp"))
+      case Some(TimestampType)    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts fixture encoding shifted again: expected nanos-long, " +
+          s"TIMESTAMP_NTZ or TIMESTAMP, got $other — extend Engine.normalizeEventTs")
     }
   }
 
-  /** The ONE definition of the nanos→micros narrowing for `events.ts` —
-    * shared by [[table]] and [[eventsBetween]] so the two paths can never
-    * narrow differently. */
+  /** Lossless nanos→micros narrowing for the legacy long-encoded `events.ts`. */
   private def narrowNanosToTs(col: String): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.timestamp_micros(
       org.apache.spark.sql.functions.expr(s"$col div 1000"))
 
   /** Events scan with the event-time range predicate pushed to the parquet
-    * scan. The nanos→micros narrowing in [[table]] is a projection, so a
-    * filter on the narrowed `ts` can never reach the source; this loader
-    * instead applies the range to the RAW nano long BEFORE narrowing — a
-    * plain long comparison that lands in the scan's PushedFilters
-    * (asserted in PlanShapeSpec). At 100 TB this is the difference between
-    * a time-pruned read and a full scan, so time-ranged event queries
-    * should come through here (or through a day-partitioned layout, see
+    * scan. With the current native-timestamp fixture encoding this is a
+    * plain timestamp range comparison applied BEFORE the (no-op-on-value)
+    * normalization, so it lands in the scan's PushedFilters (asserted in
+    * PlanShapeSpec) — parquet row groups outside the range are skipped via
+    * min/max stats. Under the legacy nanos-long encoding the same range is
+    * expressed on the raw long. At 100 TB this is the difference between a
+    * time-pruned read and a full scan, so time-ranged event queries should
+    * come through here (or through a day-partitioned layout, see
     * Sources.s5PartitionPrunedRead). Bounds are UTC dates, [start, end). */
   def eventsBetween(spark: SparkSession, dir: String, startDay: String, endDay: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def nanos(day: String): Long =
+    def micros(day: String): Long =
       java.time.LocalDate.parse(day).atStartOfDay
-        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.filter(raw("ts") >= nanos(startDay) && raw("ts") < nanos(endDay))
-      .withColumn("ts", narrowNanosToTs("ts"))
+    val filtered =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.filter(raw("ts") >= micros(startDay) * 1000L &&
+          raw("ts") < micros(endDay) * 1000L)
+      else {
+        // NTZ and LTZ literals both compare on the stored micros value in
+        // the pinned UTC session, so one micros-built literal of the
+        // column's own type keeps the predicate cast-free → pushable.
+        def litOf(us: Long) = org.apache.spark.sql.functions
+          .timestamp_micros(org.apache.spark.sql.functions.lit(us))
+          .cast(raw.schema("ts").dataType)
+        raw.filter(raw("ts") >= litOf(micros(startDay)) &&
+          raw("ts") < litOf(micros(endDay)))
+      }
+    normalizeEventTs(filtered)
   }
 
   /** NTZ timestamp literal for pushdown-friendly comparisons against the

@@ -407,8 +407,9 @@ object Sources {
 
   /** S1b: time-pruned events scan — the [start, end) day-window read the
     * reference drives per-day (main.yml:77-95), with the range predicate
-    * pushed to the parquet scan via Engine.eventsBetween (raw nano long
-    * comparison, not the post-narrowing projection). */
+    * pushed to the parquet scan via Engine.eventsBetween (a native
+    * timestamp range comparison applied before normalization, so it lands
+    * in PushedFilters; asserted in PlanShapeSpec). */
   def s1bEventsTimePruned(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.Engine.eventsBetween(spark, dir, "2024-01-10", "2024-01-12")

@@ -948,8 +948,11 @@ object StreamingQ {
       ev.repartition(2).write.mode(SaveMode.Overwrite).parquet(out)
       val dataFiles = new java.io.File(out).listFiles
         .filter(_.getName.endsWith(".parquet"))
-      val maxTs = ev.agg(max($"ts")).head.getTimestamp(0)
-      val sentTs = new java.sql.Timestamp(maxTs.getTime + 60L * 86400000L)
+      // read the max event time as raw micros (getLong), not getTimestamp:
+      // robust to the ts column's externalized class, whatever the fixture
+      // encoding was before Engine.table normalized it
+      val maxUs = ev.agg(max(unix_micros($"ts"))).head.getLong(0)
+      val sentTs = new java.sql.Timestamp(maxUs / 1000L + 60L * 86400000L)
       // key passes the stream's user_id % 4 = 0 subset (so it reaches the
       // watermark node) but sits outside the fixture id domain, so the
       // read-back filter can drop anything it produced

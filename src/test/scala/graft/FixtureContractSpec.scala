@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Pins the fixture-encoding contract of `events.ts` (Engine.table).
+  *
+  * The driver has regenerated the testdata with a different parquet
+  * timestamp encoding before (round 8: TIMESTAMP(NANOS)-as-long →
+  * TIMESTAMP(MICROS)/NTZ), which silently dropped 11 registered queries
+  * from the correctness run. This spec writes a tiny events table in each
+  * encoding the loader claims to accept and asserts they all normalize to
+  * the SAME schema and the SAME instants — so a future driver-side shift
+  * fails HERE, loudly, instead of downstream in whatever query happens to
+  * externalize a timestamp first.
+  */
+class FixtureContractSpec extends SparkSpec {
+
+  // Known instants (micros since epoch, UTC): 2024-01-10 00:00:00 and
+  // 2024-01-11 06:30:00.123456 — the second carries sub-second micros so a
+  // precision-losing normalization (e.g. a seconds round-trip) is caught.
+  private val us1 = 1704844800000000L
+  private val us2 = 1704954600123456L
+
+  private def writeDir(suffix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"fixture_$suffix").toString
+    d
+  }
+
+  /** events.parquet with ts as TIMESTAMP_NTZ (the current driver encoding:
+    * parquet TIMESTAMP(MICROS), isAdjustedToUTC=false). */
+  private def ntzDir: String = {
+    import spark.implicits._
+    val d = writeDir("ntz")
+    Seq((1L, us1, 10L), (2L, us2, 20L)).toDF("event_id", "us", "user_id")
+      .select($"event_id", timestamp_micros($"us").cast("timestamp_ntz").as("ts"), $"user_id")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  /** events.parquet with ts as TIMESTAMP (micros, adjusted to UTC). */
+  private def ltzDir: String = {
+    import spark.implicits._
+    val d = writeDir("ltz")
+    withConfs("spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS") {
+      Seq((1L, us1, 10L), (2L, us2, 20L)).toDF("event_id", "us", "user_id")
+        .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id")
+        .write.parquet(s"$d/events.parquet")
+    }
+    d
+  }
+
+  /** events.parquet with ts as a raw nano long. Spark cannot WRITE parquet
+    * TIMESTAMP(NANOS); under the session's nanosAsLong conf a NANOS column
+    * and a plain INT64 column are indistinguishable at read time (both
+    * arrive as LongType), so a plain long column exercises exactly the
+    * loader path the legacy encoding hits. */
+  private def nanosDir: String = {
+    import spark.implicits._
+    val d = writeDir("nanos")
+    Seq((1L, us1 * 1000L, 10L), (2L, us2 * 1000L, 20L))
+      .toDF("event_id", "ts", "user_id")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  private def loaded(dir: String): DataFrame = Engine.table(spark, dir, "events")
+
+  test("all three ts encodings normalize to the same schema (TimestampType)") {
+    for ((d, tag) <- Seq(ntzDir -> "ntz", ltzDir -> "ltz", nanosDir -> "nanos")) {
+      val tsType = loaded(d).schema("ts").dataType
+      assert(tsType == TimestampType,
+        s"events.ts fixture contract violated for the $tag encoding: " +
+          s"Engine.table produced $tsType, expected TimestampType — if the " +
+          "driver shipped a NEW parquet encoding, extend Engine.normalizeEventTs")
+    }
+  }
+
+  test("all three ts encodings normalize to the same instants (micro-exact)") {
+    for ((d, tag) <- Seq(ntzDir -> "ntz", ltzDir -> "ltz", nanosDir -> "nanos")) {
+      val got = loaded(d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == Map(1L -> us1, 2L -> us2),
+        s"events.ts instants drifted under the $tag encoding: $got")
+    }
+  }
+
+  test("externalization works for every encoding (getTimestamp + encoder)") {
+    import spark.implicits._
+    for (d <- Seq(ntzDir, ltzDir, nanosDir)) {
+      // the two access patterns that crashed in round 8 on un-normalized NTZ
+      val maxTs = loaded(d).agg(max($"ts")).head.getTimestamp(0)
+      assert(maxTs.getTime == us2 / 1000L)
+      val viaEncoder = loaded(d).select($"event_id", $"ts")
+        .as[(Long, java.sql.Timestamp)].collect().map(_._2.getTime).max
+      assert(viaEncoder == us2 / 1000L)
+    }
+  }
+
+  test("eventsBetween prunes identically for every encoding") {
+    for (d <- Seq(ntzDir, ltzDir, nanosDir)) {
+      val ids = Engine.eventsBetween(spark, d, "2024-01-10", "2024-01-11")
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L), s"eventsBetween mispruned for $d: $ids")
+    }
+  }
+
+  test("an unknown ts encoding fails loudly, not silently") {
+    import spark.implicits._
+    val d = writeDir("bogus")
+    Seq((1L, "2024-01-10", 10L)).toDF("event_id", "ts", "user_id")
+      .write.parquet(s"$d/events.parquet")
+    val e = intercept[IllegalStateException](loaded(d).schema)
+    assert(e.getMessage.contains("fixture encoding shifted"), e.getMessage)
+  }
+}
