@@ -13,7 +13,7 @@ object PlanAudit {
     val headline = Seq(
       "a9_multi_agg_q1" -> "flagship multi-aggregate: pushed filter, pruned scan, partial+final hash agg",
       "s1_pushdown_scan" -> "range scan: PushedFilters on l_shipdate",
-      "s1b_events_time_pruned" -> "event-time range on the raw nano long: PushedFilters on ts",
+      "s1b_events_time_pruned" -> "event-time range pushed natively: PushedFilters on ts",
       "j6_star_join" -> "star join: broadcast dimensions, single fact shuffle",
       "j6_bucketed_join" -> "bucketed co-located join: no exchange below the SMJ",
       "j7_asof_join" -> "as-of join: equi key bounds the shuffle, window picks latest",
