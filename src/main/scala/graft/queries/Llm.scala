@@ -1505,32 +1505,39 @@ object Llm {
   /** L51: stop-gram boilerplate detection — the CCNet-style pass that
     * finds n-grams repeated across a large share of the corpus (nav bars,
     * footers, license blurbs) and scores each document by how much of it
-    * is boilerplate. The document-frequency table is the scale pivot:
-    * grams explode map-side, DF is one partial+final agg keyed by gram,
-    * and the threshold (DF ≥ 8% of docs) keeps the boilerplate set small
-    * by construction — frequent grams are few — so the flag-back join
-    * broadcasts at any corpus size while the gram stream never
-    * re-shuffles. The threshold is RELATIVE (computed from the same
-    * corpus count, broadcast as a 1-row frame), so the operator is
-    * scale-invariant: the sf0.01 fixture and a 100 TB crawl flag "in ≥8%
-    * of documents" identically. Ratio = one exact integer division per
-    * doc (hash-exact, l28 discipline). */
+    * is boilerplate. The gram stream is exploded ONCE and immediately
+    * reduced to per-(doc, gram) occurrence counts — both consumers (the
+    * document-frequency table and the per-doc scoring pass) read that same
+    * aggregation, so the plan reuses one exchange instead of exploding the
+    * corpus twice (the naive two-branch formulation re-shingled every doc
+    * for the flag-back; at sf0.1 that was ~2× the query's cost, and at
+    * 100 TB it is a second full-corpus tokenize). DF is then a
+    * partial+final agg over the already-deduped (doc, gram) pairs, and the
+    * threshold (DF ≥ 8% of docs) keeps the boilerplate set small by
+    * construction — frequent grams are few — so the flag-back join
+    * broadcasts at any corpus size. The threshold is RELATIVE (computed
+    * from the same corpus count, broadcast as a 1-row frame), so the
+    * operator is scale-invariant: the sf0.01 fixture and a 100 TB crawl
+    * flag "in ≥8% of documents" identically. Ratio = one exact integer
+    * division per doc (hash-exact, l28 discipline). */
   def l51StopgramBoilerplate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = documents(spark, dir)
     val nDf = docs.agg(count(lit(1)).as("n_total"))
-    val grams = docs
+    // one explode, one shuffle: every later stage reads this exchange
+    val gramCounts = docs
       .select($"doc_id", explode(Text.shingles($"text", 2)).as("gram"))
-    val boiler = grams.distinct()
+      .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("cnt"))
+    val boiler = gramCounts
       .groupBy($"gram").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDf))
       .filter($"df" * 100 >= $"n_total" * 8)
       .select($"gram")
-    grams
+    gramCounts
       .join(broadcast(boiler.withColumn("is_boiler", lit(1L))), Seq("gram"), "left")
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce($"is_boiler", lit(0L))).as("n_boiler"))
+      .agg(sum($"cnt").as("n_grams"),
+        sum(when($"is_boiler".isNotNull, $"cnt").otherwise(0L)).as("n_boiler"))
       .withColumn("boiler_ratio",
         $"n_boiler".cast("double") / $"n_grams")
   }

@@ -437,6 +437,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("shingles lambda never re-evaluates the tokenizer per element") {
+    // higher-order-function lambdas are interpreted per ELEMENT: an outer
+    // expression inlined into the lambda body is re-computed once per
+    // shingle, turning shingling O(tokens^2) per document. The split must
+    // appear only OUTSIDE the transform's lambda (in the zipped slices).
+    import org.apache.spark.sql.catalyst.expressions.LambdaFunction
+    import org.apache.spark.sql.functions.{col, lit}
+    val analyzed = spark.range(1)
+      .select(lit("a b c d e").as("text"))
+      .select(graft.functions.Text.shingles(col("text"), 3).as("sh"))
+      .queryExecution.analyzed
+    val splitsInLambda = analyzed.expressions.flatMap(_.collect {
+      case LambdaFunction(body, _, _) => body.collect {
+        case s if s.getClass.getSimpleName.startsWith("StringSplit") => s
+      }
+    }).flatten
+    assert(splitsInLambda.isEmpty,
+      s"tokenizer inlined into a per-element lambda: $splitsInLambda")
+  }
+
   test("W20: both MAD medians share one event_type exchange") {
     val plan = planOf(graft.queries.Relational.w20MadOutliers(spark, sfDir))
     // exactly one single-column event_type exchange feeds BOTH window
