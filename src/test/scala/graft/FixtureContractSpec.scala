@@ -107,6 +107,46 @@ class FixtureContractSpec extends SparkSpec {
     }
   }
 
+  test("every fixture table loads with the schema the engine is built against") {
+    // Full-surface drift tripwire: round 8 lost 11 queries because ONE
+    // column's parquet encoding shifted under the engine. This pins the
+    // Spark-visible schema of every fixture table as loaded through
+    // Engine.table (post-normalization), so the NEXT driver-side
+    // regeneration that changes any type fails here with a pointed diff
+    // instead of downstream in whichever query touches the column first.
+    val expected = Map(
+      "region" -> "r_regionkey INT, r_name STRING",
+      "nation" -> "n_nationkey INT, n_name STRING, n_regionkey INT",
+      "customer" -> ("c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
+        "c_acctbal DOUBLE, c_mktsegment STRING"),
+      "supplier" -> "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE",
+      "part" -> ("p_partkey BIGINT, p_name STRING, p_brand STRING, p_type STRING, " +
+        "p_size INT, p_retailprice DOUBLE"),
+      "orders" -> ("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING"),
+      "lineitem" -> ("l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, " +
+        "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, " +
+        "l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, " +
+        "l_linestatus STRING, l_shipdate TIMESTAMP_NTZ"),
+      // ts is TIMESTAMP (not NTZ) by the Engine.table normalization contract
+      "events" -> ("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING"),
+      "documents" -> "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+      "embeddings" -> "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    for ((table, ddl) <- expected) {
+      val got = Engine.table(spark, sfDir, table).schema
+      val want = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      // compare names + types only (nullability is writer-dependent)
+      val gotSig = got.fields.map(f => (f.name, f.dataType)).toSeq
+      val wantSig = want.fields.map(f => (f.name, f.dataType)).toSeq
+      assert(gotSig == wantSig,
+        s"fixture schema drift in '$table': the driver regenerated testdata " +
+          s"with a different encoding.\n  engine expects: $wantSig\n  " +
+          s"testdata now has: $gotSig\nAudit every consumer of the changed " +
+          "column (and Engine.table's normalization) before updating this list.")
+    }
+  }
+
   test("an unknown ts encoding fails loudly, not silently") {
     import spark.implicits._
     val d = writeDir("bogus")
