@@ -1007,7 +1007,10 @@ object StreamingQ {
     val out = java.nio.file.Files.createTempDirectory("st19_out").toString
     // 4 state partitions: an interval join commits FOUR stores per
     // partition per micro-batch (keyToNumValues + keyWithIndexToValue on
-    // each side), so partition count is the dominant fixture-scale cost
+    // each side), so partition count is the dominant fixture-scale cost.
+    // Measured both directions in r9: 2 partitions is SLOWER (3.8 s vs
+    // 2.4 s best-of — commit savings lose to halved addBatch parallelism),
+    // so 4 is the measured optimum, not just a guess.
     Streams.withShufflePartitions(spark, 4) {
       val q = purchases.join(clicks,
           $"user_id" === $"c_user" &&
