@@ -400,6 +400,33 @@ class PropertySpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("property: shingles equal the naive sliding window for ANY text") {
+    import spark.implicits._
+    // Text.shingles was rewritten (r9) from the per-element-slice lambda to
+    // zipped shifted slices for O(tokens) cost; this pins value-identity
+    // with the obvious Scala sliding-window spec on adversarial inputs:
+    // empty strings, repeated/leading/trailing spaces (split keeps empty
+    // tokens!), unicode, and token counts straddling every n.
+    val textGen: Gen[String] = Gen.oneOf(
+      Gen.const(""), Gen.const(" "), Gen.const("  a  b "),
+      Gen.listOf(Gen.oneOf(Gen.alphaNumStr.map(_.take(5)), Gen.const(""),
+        Gen.const("日本語"), Gen.const("a-b"))).map(_.mkString(" ")))
+    val nGen: Gen[Int] = Gen.choose(1, 4)
+    val prop = Prop.forAll(Gen.nonEmptyListOf(textGen), nGen) { (texts, n) =>
+      val got = texts.toDF("text")
+        .select(graft.functions.Text.shingles($"text", n).as("sh"))
+        .as[Seq[String]].collect()
+      val expect = texts.map { t =>
+        val toks = t.split(" ", -1).toSeq // Spark split keeps empty tokens
+        if (toks.size < n) Seq.empty[String]
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      }
+      got.map(_.toList).toList == expect.map(_.toList).toList
+    }
+    val result = SCTest.check(params, prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("property: rolling med2 equals brute-force 2x median over each frame (W18)") {
     import spark.implicits._
     val prop = Prop.forAll(seriesGen) { xs =>
