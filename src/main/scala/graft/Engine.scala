@@ -65,9 +65,20 @@ object Engine {
     * Catalyst still pushes `ts` range predicates to the scan (see
     * [[eventsBetween]] and PlanShapeSpec). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    defensiveConfs(spark)
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeEventTs(raw) else raw
+  }
+
+  /** The two session confs the loaders depend on, set defensively for
+    * sessions built outside [[session]]. UTC matters for correctness, not
+    * just pushdown: [[normalizeEventTs]]'s NTZ→LTZ cast and
+    * [[eventsBetween]]'s cast literal are instant-preserving ONLY when the
+    * session timezone is UTC — a non-UTC external session would silently
+    * shift `events.ts` instants and the prune window by the TZ offset. */
+  private def defensiveConfs(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
   /** The ONE normalization point for `events.ts` — shared by [[table]] and
@@ -101,13 +112,18 @@ object Engine {
     * come through here (or through a day-partitioned layout, see
     * Sources.s5PartitionPrunedRead). Bounds are UTC dates, [start, end). */
   def eventsBetween(spark: SparkSession, dir: String, startDay: String, endDay: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    defensiveConfs(spark)
     def micros(day: String): Long =
       java.time.LocalDate.parse(day).atStartOfDay
         .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
     val raw = spark.read.parquet(s"$dir/events.parquet")
+    val tsType = raw.schema.fields.find(_.name == "ts").map(_.dataType).getOrElse {
+      throw new IllegalStateException(
+        "events.ts fixture encoding shifted again: column `ts` is absent from " +
+          s"$dir/events.parquet — extend Engine.normalizeEventTs")
+    }
     val filtered =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      if (tsType == org.apache.spark.sql.types.LongType)
         raw.filter(raw("ts") >= micros(startDay) * 1000L &&
           raw("ts") < micros(endDay) * 1000L)
       else {
@@ -116,7 +132,7 @@ object Engine {
         // column's own type keeps the predicate cast-free → pushable.
         def litOf(us: Long) = org.apache.spark.sql.functions
           .timestamp_micros(org.apache.spark.sql.functions.lit(us))
-          .cast(raw.schema("ts").dataType)
+          .cast(tsType)
         raw.filter(raw("ts") >= litOf(micros(startDay)) &&
           raw("ts") < litOf(micros(endDay)))
       }

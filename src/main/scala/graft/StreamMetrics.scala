@@ -48,22 +48,40 @@ object StreamMetrics {
     spark.sparkContext.setLogLevel("WARN")
 
     // listener sees every stream the session starts, including the ones a
-    // query runs internally; progress arrives asynchronously, so runs are
-    // separated by draining between queries rather than by query id
-    val buf = mutable.ArrayBuffer.empty[String]
+    // query runs internally; progress arrives asynchronously on the
+    // listener bus, so events are attributed to a run by runId (recorded at
+    // onQueryStarted) and a phase drains by WAITING for each of its runIds'
+    // terminated event — the bus delivers in post order, so once terminated
+    // arrives every progress event of that run is already in. This replaces
+    // the earlier fixed sleep, which on a loaded machine could attribute
+    // late warm-up events to the measured run or drop trailing ones.
+    val lock = new Object
+    val started = mutable.LinkedHashSet.empty[java.util.UUID]
+    val progressByRun = mutable.Map.empty[java.util.UUID, mutable.ArrayBuffer[String]]
+    val terminated = mutable.Set.empty[java.util.UUID]
     val listener = new StreamingQueryListener {
-      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+        lock.synchronized { started += e.runId; () }
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
-        buf.synchronized { buf += e.progress.json: Unit }
-      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        lock.synchronized {
+          progressByRun.getOrElseUpdate(e.progress.runId,
+            mutable.ArrayBuffer.empty[String]) += e.progress.json
+          ()
+        }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        lock.synchronized { terminated += e.runId; lock.notifyAll() }
     }
     spark.streams.addListener(listener)
 
-    def drain(): Seq[String] = {
-      // progress events are posted on the listener bus; give the bus a
-      // moment after awaitTermination before snapshotting
-      Thread.sleep(1500)
-      buf.synchronized { val out = buf.toList; buf.clear(); out }
+    def drain(): Seq[String] = lock.synchronized {
+      val phaseRuns = started.toList
+      val deadlineNs = System.nanoTime() + 30L * 1000000000L
+      while (!phaseRuns.forall(terminated.contains) && System.nanoTime() < deadlineNs)
+        lock.wait(200)
+      val out = phaseRuns.flatMap(r => progressByRun.getOrElse(r, Nil))
+      started.clear()
+      phaseRuns.foreach { r => progressByRun -= r; terminated -= r }
+      out
     }
 
     val sections = names.map { name =>

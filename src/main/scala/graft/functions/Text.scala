@@ -29,10 +29,14 @@ object Text {
     // shifted(k)[i] = t[i + k]; all slices have exactly L - n + 1 elements,
     // so the zip carries complete windows only (no null-padded tail)
     val win = greatest(size(t) - (n - 1), lit(0))
-    val shifted = (0 until n).map(k => slice(t, lit(k + 1), win))
+    // Alias each shifted slice: arrays_zip names struct fields after its
+    // inputs, and the fallback index-naming for unnamed inputs ("0","1",…)
+    // is undocumented Catalyst behavior that has changed across Spark
+    // versions — explicit aliases keep the field names under our control.
+    val shifted = (0 until n).map(k => slice(t, lit(k + 1), win).as(s"w$k"))
     when(size(t) < n, array().cast("array<string>"))
       .otherwise(transform(arrays_zip(shifted: _*), s =>
-        concat_ws(" ", (0 until n).map(k => s.getField(k.toString)): _*)))
+        concat_ws(" ", (0 until n).map(k => s.getField(s"w$k")): _*)))
   }
 
   def stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "in", "to")

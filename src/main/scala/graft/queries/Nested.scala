@@ -101,10 +101,11 @@ object Nested {
     * (sum of incoming mass). All arithmetic is scaled-integer (rank ×1e6,
     * integer division for the out-degree split and the 0.85 damping), so
     * every engine computes bit-identical ranks — float summation order
-    * never enters. Lineage is truncated per round (localCheckpoint), the
-    * same Pregel hygiene as l17's connected components; dangling-node mass
-    * is deliberately not redistributed (simplified PageRank, mirrored
-    * exactly by the oracle's unrolled iterations). */
+    * never enters. The edge set (with out-degree attached) is materialized
+    * once up front; deep runs truncate lineage every 4th round, the same
+    * Pregel hygiene as l17's connected components. Dangling-node mass is
+    * deliberately not redistributed (simplified PageRank, mirrored exactly
+    * by the oracle's unrolled iterations). */
   def g4PageRank(spark: SparkSession, dir: String): DataFrame =
     pageRank(spark, dir, rounds = 3)
 
@@ -113,16 +114,22 @@ object Nested {
     * query intentionally never pays (see GraphDepthSpec). */
   def pageRank(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
     import spark.implicits._
+    // Out-degree is attached to each edge by a window count over src in the
+    // SAME materialization as the edge build — one eager checkpoint job
+    // where r9 paid two (edges, then outdeg as a second aggregate over the
+    // checkpointed edges), and the per-round outdeg equi-join disappears
+    // because od rides on the edge row. Fewer eager jobs = fewer windows
+    // for ambient machine load to land in (this query's recorded cost
+    // spread 2.9-8.1 s across same-round r9 snapshots; see
+    // BATCH_METRICS_r10.md for the measured effect).
     val edges = orders(spark, dir).select($"o_orderkey", $"o_custkey")
       .join(lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
         $"o_orderkey" === $"l_orderkey")
       .select(concat(lit("c"), $"o_custkey").as("src"),
         concat(lit("s"), $"l_suppkey").as("dst"))
       .distinct()
-      .localCheckpoint(true)
-    // materialized once: every round joins against outdeg, and without the
-    // checkpoint each round's plan re-runs this aggregate from the edge set
-    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("od"))
+      .withColumn("od", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"src")))
       .localCheckpoint(true)
     val nodes = edges.select($"src".as("node"))
       .union(edges.select($"dst".as("node"))).distinct()
@@ -130,7 +137,6 @@ object Nested {
     for (round <- 1 to rounds) {
       val contrib = edges
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         .select($"dst", expr("pr div od").as("c"))
         .groupBy($"dst").agg(sum($"c").as("s"))
       pr = nodes.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
