@@ -203,6 +203,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(e2 < meanErr, s"PQ $e2 not below mean-quantizer $meanErr")
   }
 
+  test("L26/L47: invariants hold at 10x scale (same seeds, inertia descends, codes total)") {
+    import spark.implicits._
+    // 10x the fixture embeddings via ScaleUp's scheme: disjoint vec_id
+    // namespaces + deterministic per-copy jitter (copy 0 verbatim), so the
+    // deterministic seeds (the k lowest vec_ids) are IDENTICAL to the
+    // fixture-scale run while the corpus is 10x — the cross-scale
+    // assertion the fixture-scale bounds above can't make.
+    val dir = java.nio.file.Files.createTempDirectory("sf10x_emb").toString
+    val raw = Engine.embeddings(spark, sfDir)
+    (0 until 10).map { i =>
+      val emb = if (i == 0) $"embedding"
+        else transform($"embedding",
+          (v, j) => (v + (pmod(lit(i) * 31 + j, lit(7)) - lit(3)) * lit(0.001f))
+            .cast("float"))
+      raw.withColumn("vec_id", $"vec_id" + lit(i * 10000L))
+        .withColumn("embedding", emb)
+    }.reduce(_ unionByName _)
+      .write.parquet(s"$dir/embeddings.parquet")
+    val n = 10L * raw.count()
+
+    // L26 at 10x: total assignment, k clusters, inertia strictly descends,
+    // and the clustering is run-to-run deterministic
+    val fitted = Llm.kmeansAssignment(spark, dir, 3)
+    assert(fitted.count() == n, "assignment must be total at 10x")
+    assert(fitted.select($"cid").distinct().count() == 4)
+    val i0 = Llm.kmeansAssignment(spark, dir, 0).agg(sum($"d2")).head.getDouble(0)
+    val i3 = fitted.agg(sum($"d2")).head.getDouble(0)
+    assert(i3 < i0 * 0.95, s"3 rounds should tighten clusters at 10x: $i0 -> $i3")
+    def sizes() = Llm.l26KmeansClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sizes() == sizes(), "10x clustering must be deterministic")
+
+    // L47 at 10x: codes deterministic, total, inertia descends
+    def codes() = Llm.l47PqQuantize(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val a = codes()
+    assert(a.length == n, "every vector must receive codes at 10x")
+    assert(a.forall(_._2.split(",").length == 4), "m = 4 codes per vector")
+    assert(a.sameElements(codes()), "PQ must stay deterministic at 10x")
+    val e0 = Llm.pqAssignment(spark, dir, 0).agg(sum($"d2")).head.getDouble(0)
+    val e2 = Llm.pqAssignment(spark, dir, 2).agg(sum($"d2")).head.getDouble(0)
+    assert(e2 <= e0 + 1e-9, s"PQ inertia rose at 10x: $e0 -> $e2")
+  }
+
   test("S28: range layout yields disjoint per-file key ranges, sorted in-file") {
     import spark.implicits._
     val out = Sources.rangeLayoutWrite(spark, sfDir)
