@@ -163,10 +163,19 @@ object Bench {
       .take(16)
       .sortBy(_._1)
       .map { case (k, vs) => k -> s"[${r3(vs.min)},${r3(vs.max)}]" }
+    // 1/5/15-min load average at the END of the run: the committed record
+    // should show on its face whether the machine was loaded (the r9
+    // weak-set postmortem had to infer this from value_median vs value)
+    val loadavg = try {
+      val l = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      l.split(" ").take(3).mkString("[", ",", "]")
+    } catch { case _: Throwable => "[]" }
     val metricLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${times.size},""" +
         s""""value_median":${r3(totalMedian)},"runs":"best-of-2-or-3",""" +
-        s""""cpus":$cpus,"queries":${jmap(slowest.map { case (k, v) => k -> r3(v) })},""" +
+        s""""cpus":$cpus,"loadavg":$loadavg,""" +
+        s""""queries":${jmap(slowest.map { case (k, v) => k -> r3(v) })},""" +
         s""""spread":${jmap(spread)},"errors":$errs,"sf":"$sfDir"}"""
     println(metricLine)
     // machine-readable record: ONE well-formed JSON object holding the

@@ -107,6 +107,43 @@ class FixtureContractSpec extends SparkSpec {
     }
   }
 
+  test("a non-UTC session is repinned to UTC, so instants never shift") {
+    // The NTZ->LTZ normalization cast and eventsBetween's cast literal are
+    // instant-preserving ONLY under a UTC session timezone. A session built
+    // OUTSIDE Engine.session (e.g. a user's own builder) may carry any
+    // zone; table/eventsBetween must defensively repin it, or every
+    // events.ts instant and prune window silently shifts by the offset.
+    val tzConf = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(tzConf)
+    try {
+      for ((d, tag) <- Seq(ntzDir -> "ntz", ltzDir -> "ltz", nanosDir -> "nanos")) {
+        spark.conf.set(tzConf, "America/New_York")
+        val got = loaded(d)
+          .select(col("event_id"), unix_micros(col("ts")).as("us"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got == Map(1L -> us1, 2L -> us2),
+          s"events.ts instants shifted under a non-UTC session ($tag): $got")
+        assert(spark.conf.get(tzConf) == "UTC",
+          "Engine.table must repin the session timezone to UTC")
+        spark.conf.set(tzConf, "America/New_York")
+        val ids = Engine.eventsBetween(spark, d, "2024-01-10", "2024-01-11")
+          .select("event_id").collect().map(_.getLong(0)).toSet
+        assert(ids == Set(1L),
+          s"eventsBetween mispruned under a non-UTC session ($tag): $ids")
+      }
+    } finally spark.conf.set(tzConf, prev)
+  }
+
+  test("missing ts column fails with the fixture-contract message, not a generic error") {
+    import spark.implicits._
+    val d = writeDir("nots")
+    Seq((1L, 10L)).toDF("event_id", "user_id")
+      .write.parquet(s"$d/events.parquet")
+    val e = intercept[IllegalStateException](
+      Engine.eventsBetween(spark, d, "2024-01-10", "2024-01-11"))
+    assert(e.getMessage.contains("absent"), e.getMessage)
+  }
+
   test("every fixture table loads with the schema the engine is built against") {
     // Full-surface drift tripwire: round 8 lost 11 queries because ONE
     // column's parquet encoding shifted under the engine. This pins the
