@@ -1573,6 +1573,48 @@ object Llm {
           .otherwise("tail").as("bucket"))
   }
 
+  /** L53: corpus distribution drift — the pre-mixing shift check a
+    * training pipeline runs at every snapshot refresh: bucket a feature
+    * (doc length) into fixed-width bins on a reference snapshot and a
+    * candidate snapshot, and report per-bucket rates plus the absolute
+    * rate drift. Everything is exact scaled-integer arithmetic (rates in
+    * ppm via integer division — the l35/l28 hash-exact discipline; PSI's
+    * `ln` would make the oracle compare float-fragile, and Σ|Δppm|/2 is
+    * the total-variation distance, the standard drift statistic). Scale
+    * shape: one union + one partial-agg shuffle on the BOUNDED bucket key
+    * (10 rows out regardless of corpus size), then the totals ride an
+    * unpartitioned window over those ≤10 rows — at 100 TB the only
+    * data-sized work is the map-side bucketing projection. Snapshots are
+    * simulated by doc_id parity (the fixtures carry one corpus); real use
+    * passes two scans. */
+  def l53DistributionDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, dir)
+    l53DriftCore(
+      d.filter($"doc_id" % 2 === 0).select($"n_chars".as("v")),
+      d.filter($"doc_id" % 2 =!= 0).select($"n_chars".as("v")))
+  }
+
+  /** Drift core over two (v: long) snapshots, split out so
+    * PipelineOpsSpec can plant a known shift and assert it is flagged. */
+  private[graft] def l53DriftCore(ref: DataFrame, cand: DataFrame): DataFrame = {
+    import ref.sparkSession.implicits._
+    def bucketed(df: DataFrame, side: String) = df.select(
+      least(expr("v div 200"), lit(9L)).as("bucket"), lit(side).as("side"))
+    bucketed(ref, "ref").unionByName(bucketed(cand, "cand"))
+      .groupBy($"bucket")
+      .agg(sum(when($"side" === "ref", 1L).otherwise(0L)).as("ref_n"),
+        sum(when($"side" === "cand", 1L).otherwise(0L)).as("cand_n"))
+      // totals over the bounded (≤10-row) bucket table, not the corpus
+      .withColumn("ref_t", sum($"ref_n").over(Window.partitionBy()))
+      .withColumn("cand_t", sum($"cand_n").over(Window.partitionBy()))
+      .select($"bucket", $"ref_n", $"cand_n",
+        expr("ref_n * 1000000 div ref_t").as("ref_ppm"),
+        expr("cand_n * 1000000 div cand_t").as("cand_ppm"),
+        expr("abs(ref_n * 1000000 div ref_t - cand_n * 1000000 div cand_t)")
+          .as("drift_ppm"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup" -> (l1ExactDedup _),
@@ -1629,6 +1671,7 @@ object Llm {
     "l50_temperature_mixture" -> (l50TemperatureMixture _),
     "l51_stopgram_boilerplate" -> (l51StopgramBoilerplate _),
     "l52_perplexity_buckets" -> (l52PerplexityBuckets _),
+    "l53_distribution_drift" -> (l53DistributionDrift _),
     "l43_label_centroids" -> (l43LabelCentroids _),
     "l44_kmv_overlap" -> (l44KmvOverlap _),
     "l45_sentence_chunk" -> (l45SentenceChunk _),
@@ -1801,6 +1844,22 @@ object Llm {
         |       WHEN lm_score >= b_mid THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM scores, bounds""".stripMargin,
+    "l53_distribution_drift" ->
+      """WITH b AS (
+        |  SELECT least(n_chars // 200, 9) AS bucket,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref
+        |  FROM documents),
+        |c AS (
+        |  SELECT bucket, sum(is_ref) AS ref_n, sum(1 - is_ref) AS cand_n
+        |  FROM b GROUP BY bucket)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(ref_n AS BIGINT) AS ref_n,
+        |  CAST(cand_n AS BIGINT) AS cand_n,
+        |  CAST(ref_n * 1000000 // sum(ref_n) OVER () AS BIGINT) AS ref_ppm,
+        |  CAST(cand_n * 1000000 // sum(cand_n) OVER () AS BIGINT) AS cand_ppm,
+        |  CAST(abs(ref_n * 1000000 // sum(ref_n) OVER ()
+        |    - cand_n * 1000000 // sum(cand_n) OVER ()) AS BIGINT) AS drift_ppm
+        |FROM c""".stripMargin,
     "l2_minhash_neardup" -> l2PairsSql,
     "l2c_minhash_native" -> l2PairsSql,
     "l17_dedup_clusters" ->

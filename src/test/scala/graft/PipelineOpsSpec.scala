@@ -203,6 +203,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(e2 < meanErr, s"PQ $e2 not below mean-quantizer $meanErr")
   }
 
+  test("L53: a planted shift is flagged; identical snapshots report zero drift") {
+    import spark.implicits._
+    // identical snapshots => drift_ppm = 0 in every bucket
+    val same = (1L to 100L).map(_ * 19 % 2000).toDF("v")
+    val zero = Llm.l53DriftCore(same, same)
+    assert(zero.count() > 1, "multiple buckets must be populated")
+    assert(zero.filter($"drift_ppm" =!= 0L).count() == 0,
+      "identical snapshots must report zero drift")
+    // planted shift: ref entirely in bucket 0 (v < 200), cand in bucket 9
+    val ref = Seq.fill(50)(10L).toDF("v")
+    val cand = Seq.fill(50)(5000L).toDF("v")
+    val drift = Llm.l53DriftCore(ref, cand).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(drift == Map(0L -> 1000000L, 9L -> 1000000L),
+      s"total shift must report 1e6 ppm drift in both buckets: $drift")
+  }
+
   test("L26/L47: invariants hold at 10x scale (same seeds, inertia descends, codes total)") {
     import spark.implicits._
     // 10x the fixture embeddings via ScaleUp's scheme: disjoint vec_id
