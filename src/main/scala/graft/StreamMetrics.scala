@@ -23,13 +23,13 @@ import scala.collection.mutable
   * the wall-clock bench rows.
   *
   * Run: `sbt "runMain graft.StreamMetrics [sfDir] [outPath] [q1,q2,...]"`,
-  * defaults sf0.1 → STREAM_METRICS_r09.json, the four driver-weak queries
+  * defaults sf0.1 → STREAM_METRICS_r10.json, the four driver-weak queries
   * plus st19 (the round-8 crash site).
   */
 object StreamMetrics {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val outPath = args.lift(1).getOrElse("STREAM_METRICS_r09.json")
+    val outPath = args.lift(1).getOrElse("STREAM_METRICS_r10.json")
     val names = args.lift(2).map(_.split(",").toSeq).getOrElse(Seq(
       "st3_foreachbatch_idempotent", "st12_statestore_read",
       "st13_transform_with_state", "st15_streaming_curation",
