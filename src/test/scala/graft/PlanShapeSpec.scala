@@ -628,6 +628,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(3000))
   }
 
+  test("L53: drift scan prunes to (doc_id, n_chars) — text never read") {
+    // the scale property of the drift check: only the map-side bucketing
+    // projection touches corpus-sized data, and it must not drag the
+    // document BODY through the scan — at 100 TB reading `text` for a
+    // 2-column statistic is the difference between seconds and hours
+    val plan = planOf(Llm.l53DistributionDrift(spark, sfDir))
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(readSchemas.nonEmpty, plan.take(3000))
+    readSchemas.foreach { rs =>
+      assert(!rs.contains("text"), rs)
+      assert(rs.contains("n_chars"), rs)
+    }
+    // bucket agg is partial+final around ONE corpus-sized exchange; the
+    // totals window adds only a SinglePartition exchange over <=10 rows
+    assert(plan.contains("partial"), plan.take(3000))
+  }
+
   test("S18b: catalog UDAF plans as partial + final aggregate") {
     // map-side combine must run BEFORE the exchange — the property that
     // makes a custom aggregation shuffle state, not rows, at scale
