@@ -1615,6 +1615,124 @@ object Llm {
           .as("drift_ppm"))
   }
 
+  /** L54: SemDeDup-style cluster-scoped embedding near-dedup (Abbas et al.
+    * 2023, arXiv:2303.09540): assign every vector to its nearest centroid,
+    * then search for near-duplicate pairs ONLY within a cluster — the
+    * pairwise cosine work is bounded by cluster size instead of corpus
+    * size. Candidate set plants a same-direction scaled copy of every
+    * vector (cosine ≈ 1) so the dedup has real semantic duplicates to
+    * kill, mirroring l1/l9's planted-duplicate convention.
+    *
+    * Scale (100 TB): the centroid table is tiny and broadcast (here the
+    * first 8 vectors stand in for one k-means round — in production K
+    * grows ∝ N so per-cluster membership stays bounded, which is the
+    * SemDeDup contract); assignment is a map-only broadcast loop, and the
+    * only shuffle is the equi-join on `cluster_id`, never all-pairs.
+    * Scoring is the fused codegen [[graft.functions.CosineSimilarityExpr]]
+    * on both the assign and the pair legs.
+    * Ref behavior anchor: the reference dedups scraped pages by exact id
+    * before download (/root/reference/src/01-scrape-images.py:214); this
+    * is the embedding-space analogue required by the charter's
+    * training-data-pipeline mandate. */
+  def l54Semdedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = embeddings(spark, dir)
+    val cands = emb.select($"vec_id", $"embedding")
+      .unionByName(emb.select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"embedding", x => x * lit(2.0f)).as("embedding")))
+    val cents = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent_emb"))
+    l54SemdedupCore(spark, cands, cents)
+  }
+
+  /** Core split out so PipelineOpsSpec can plant known duplicates.
+    * `cands`: (vec_id, embedding); `cents`: (cent_id, cent_emb). Returns
+    * the KEPT rows (vec_id, cluster_id): a row is dropped iff some
+    * same-cluster row with a smaller vec_id scores cosine > 0.99
+    * against it. Ties in the nearest-centroid argmax break to the lower
+    * cent_id (explicit ORDER BY, same on the DuckDB side). */
+  private[graft] def l54SemdedupCore(
+      spark: SparkSession, cands: DataFrame, cents: DataFrame): DataFrame = {
+    import spark.implicits._
+    import graft.functions.CosineSimilarityExpr.cosineNative
+    val assigned = cands.join(broadcast(cents))
+      .withColumn("sim", cosineNative(spark, $"embedding", $"cent_emb"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cent_id".asc)))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"cent_id".as("cluster_id"), $"embedding")
+    val dominated = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(cosineNative(spark, col("a.embedding"), col("b.embedding")) > 0.99)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.join(dominated, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"cluster_id".cast("long").as("cluster_id"))
+  }
+
+  /** L55: distribution-matching rejection resampling — downsample each
+    * language to a uniform target share with a DETERMINISTIC per-row
+    * accept test (Knuth multiplicative hash of doc_id mod 1e6 against a
+    * per-group acceptance rate in ppm), the standard trick for rebalancing
+    * a web-scale corpus without a global sort or RNG state.
+    *
+    * Scale (100 TB): one partial-agg pass builds the per-lang count table
+    * (≤ |langs| rows), the rate calc rides a window over that tiny table,
+    * and the rate joins back via broadcast — the corpus itself is touched
+    * by exactly one map-side filter. Acceptance is reproducible row-local
+    * arithmetic, so retries/backfills accept the same rows (same property
+    * the idempotent sinks rely on). All-integer ppm math hash-matches the
+    * oracle exactly. */
+  def l55RejectionResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, dir)
+    val rates = d.groupBy($"lang").agg(count(lit(1)).as("group_n"))
+      .withColumn("total", sum($"group_n").over(Window.partitionBy()))
+      .withColumn("n_groups", count(lit(1)).over(Window.partitionBy()))
+      .select($"lang",
+        least(lit(1000000L), expr("total * 1000000 div (n_groups * group_n)"))
+          .as("accept_ppm"))
+    d.join(broadcast(rates), Seq("lang"))
+      .filter(($"doc_id" * lit(2654435761L)) % 1000000L < $"accept_ppm")
+      .select($"doc_id", $"lang", $"accept_ppm")
+  }
+
+  /** L56: cross-snapshot n-gram novelty scoring — for each candidate
+    * document (odd doc_id), the fraction of its distinct 5-gram shingles
+    * NOT present anywhere in the reference snapshot (even doc_id), in
+    * exact ppm. The dual of l15's contamination check: l15 flags overlap
+    * with a benchmark set, this scores how much NEW text a crawl snapshot
+    * contributes — the curation signal for incremental corpus growth.
+    *
+    * Scale (100 TB): shingling is the O(tokens) [[Text.shingles]] slice
+    * zip; the ref side is distinct-ed before the join so the shuffle keys
+    * are unique shingles, and the novelty test is one shuffled left join
+    * on the shingle key + a per-doc partial agg — never doc×doc. */
+  def l56NoveltyScoring(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, dir)
+    l56NoveltyCore(
+      d.filter($"doc_id" % 2 === 0).select($"doc_id", $"text"),
+      d.filter($"doc_id" % 2 =!= 0).select($"doc_id", $"text"))
+  }
+
+  /** Novelty core over (doc_id, text) snapshots, split out so
+    * PipelineOpsSpec can plant all-seen and all-novel candidates. */
+  private[graft] def l56NoveltyCore(ref: DataFrame, cand: DataFrame): DataFrame = {
+    import ref.sparkSession.implicits._
+    val refShingles = ref
+      .select(explode(Text.shingles($"text", 5)).as("shingle")).distinct()
+      .withColumn("seen", lit(1))
+    cand.select($"doc_id", explode(Text.shingles($"text", 5)).as("shingle"))
+      .distinct()
+      .join(refShingles, Seq("shingle"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("total_grams"),
+        sum(when($"seen".isNull, 1L).otherwise(0L)).as("novel_grams"))
+      .withColumn("novelty_ppm", expr("novel_grams * 1000000 div total_grams"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup" -> (l1ExactDedup _),
@@ -1672,6 +1790,9 @@ object Llm {
     "l51_stopgram_boilerplate" -> (l51StopgramBoilerplate _),
     "l52_perplexity_buckets" -> (l52PerplexityBuckets _),
     "l53_distribution_drift" -> (l53DistributionDrift _),
+    "l54_semdedup" -> (l54Semdedup _),
+    "l55_rejection_resample" -> (l55RejectionResample _),
+    "l56_novelty_scoring" -> (l56NoveltyScoring _),
     "l43_label_centroids" -> (l43LabelCentroids _),
     "l44_kmv_overlap" -> (l44KmvOverlap _),
     "l45_sentence_chunk" -> (l45SentenceChunk _),
@@ -1860,6 +1981,65 @@ object Llm {
         |  CAST(abs(ref_n * 1000000 // sum(ref_n) OVER ()
         |    - cand_n * 1000000 // sum(cand_n) OVER ()) AS BIGINT) AS drift_ppm
         |FROM c""".stripMargin,
+    "l54_semdedup" ->
+      """WITH cand AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2)
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cemb
+        |  FROM embeddings WHERE vec_id < 8),
+        |assigned AS (
+        |  SELECT vec_id, cent_id AS cluster_id, emb FROM (
+        |    SELECT c.vec_id, k.cent_id, c.emb,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        list_dot_product(c.emb, k.cemb) /
+        |          (sqrt(list_dot_product(c.emb, c.emb)) *
+        |           sqrt(list_dot_product(k.cemb, k.cemb))) DESC,
+        |        k.cent_id) AS rn
+        |    FROM cand c CROSS JOIN cents k)
+        |  WHERE rn = 1),
+        |dominated AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.emb, b.emb) /
+        |    (sqrt(list_dot_product(a.emb, a.emb)) *
+        |     sqrt(list_dot_product(b.emb, b.emb))) > 0.99)
+        |SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id
+        |FROM assigned
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dominated)""".stripMargin,
+    "l55_rejection_resample" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS group_n FROM documents GROUP BY lang),
+        |rates AS (
+        |  SELECT lang,
+        |    least(1000000, (sum(group_n) OVER ()) * 1000000
+        |      // ((count(*) OVER ()) * group_n)) AS accept_ppm
+        |  FROM counts)
+        |SELECT d.doc_id, d.lang, CAST(r.accept_ppm AS BIGINT) AS accept_ppm
+        |FROM documents d JOIN rates r USING (lang)
+        |WHERE (d.doc_id * 2654435761) % 1000000 < r.accept_ppm""".stripMargin,
+    "l56_novelty_scoring" ->
+      """WITH refs AS (
+        |  SELECT DISTINCT unnest(list_transform(
+        |    generate_series(1, greatest(len(string_split(text,' ')) - 4, 0)),
+        |    i -> array_to_string((string_split(text,' '))[i:i+4], ' '))) AS shingle
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |cs AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, greatest(len(string_split(text,' ')) - 4, 0)),
+        |      i -> array_to_string((string_split(text,' '))[i:i+4], ' '))) AS shingle
+        |    FROM documents WHERE doc_id % 2 = 1))
+        |SELECT doc_id, count(*) AS total_grams,
+        |  CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM refs)
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS novel_grams,
+        |  CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM refs)
+        |           THEN 0 ELSE 1 END) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+        |FROM cs GROUP BY doc_id""".stripMargin,
     "l2_minhash_neardup" -> l2PairsSql,
     "l2c_minhash_native" -> l2PairsSql,
     "l17_dedup_clusters" ->

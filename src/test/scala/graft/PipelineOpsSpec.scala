@@ -220,6 +220,69 @@ class PipelineOpsSpec extends SparkSpec {
       s"total shift must report 1e6 ppm drift in both buckets: $drift")
   }
 
+  test("L54: semdedup keeps one representative per planted duplicate direction, split by cluster") {
+    import spark.implicits._
+    // two orthogonal centroid directions; ids 10/11 are same-direction
+    // copies (cosine 1) in cluster 0, id 12 is alone in cluster 1, and
+    // id 13 is a NEAR-copy of 10 (cosine > 0.99) — also dominated
+    val cents = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f))).toDF("cent_id", "cent_emb")
+    val cands = Seq(
+      (10L, Array(1f, 0f, 0.01f, 0f)),
+      (11L, Array(2f, 0f, 0.02f, 0f)),      // scaled copy of 10
+      (12L, Array(0f, 1f, 0f, 0.01f)),
+      (13L, Array(1f, 0.05f, 0.01f, 0f))).toDF("vec_id", "embedding")
+    val kept = Llm.l54SemdedupCore(spark, cands, cents).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept == Map(10L -> 0L, 12L -> 1L),
+      s"expected only the lowest-id representative per direction: $kept")
+    // and on the fixture: every planted scaled copy (vec_id >= 1000000)
+    // is dominated by its original, so none survives
+    val fixtureKept = Llm.l54Semdedup(spark, sfDir)
+    assert(fixtureKept.filter($"vec_id" >= 1000000L).count() == 0,
+      "planted same-direction copies must all be deduped away")
+    assert(fixtureKept.count() > 0)
+  }
+
+  test("L55: rejection resample is deterministic and rebalances the skewed lang") {
+    import spark.implicits._
+    val a = Llm.l55RejectionResample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Llm.l55RejectionResample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b, "hash-based acceptance must be reproducible")
+    val counts = Engine.documents(spark, sfDir)
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = counts.values.sum / counts.size
+    val keptPerLang = a.groupBy(_._2).view.mapValues(_.size).toMap
+    val maxLang = counts.maxBy(_._2)._1
+    // the over-represented lang is downsampled toward the uniform share:
+    // the multiplicative-hash residues are equidistributed over any
+    // consecutive id range, so the kept count lands within ±10% + slack
+    assert(keptPerLang(maxLang) < counts(maxLang),
+      s"skewed lang must lose rows: $keptPerLang vs $counts")
+    keptPerLang.foreach { case (lang, kept) =>
+      val want = math.min(counts(lang), target)
+      assert(math.abs(kept - want) <= want / 10 + 5,
+        s"$lang kept $kept, want ~$want (counts=$counts)")
+    }
+  }
+
+  test("L56: all-seen candidates score zero novelty, all-new score 1e6 ppm") {
+    import spark.implicits._
+    val ref = Seq((0L, "a b c d e f g h")).toDF("doc_id", "text")
+    val cand = Seq(
+      (1L, "a b c d e f g h"),       // every 5-gram seen in ref
+      (3L, "p q r s t u v w")        // no 5-gram seen
+    ).toDF("doc_id", "text")
+    val out = Llm.l56NoveltyCore(ref, cand).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((4L, 0L, 0L)), s"seen doc: ${out(1L)}")
+    assert(out(3L) == ((4L, 4L, 1000000L)), s"novel doc: ${out(3L)}")
+  }
+
   test("L26/L47: invariants hold at 10x scale (same seeds, inertia descends, codes total)") {
     import spark.implicits._
     // 10x the fixture embeddings via ScaleUp's scheme: disjoint vec_id

@@ -645,6 +645,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("partial"), plan.take(3000))
   }
 
+  test("L54: semdedup broadcasts the centroid table and equi-joins pairs on cluster_id") {
+    // the SemDeDup scale contract: assignment is a broadcast loop (no
+    // shuffle of the corpus for the centroid leg) and the pair search is
+    // a hash join keyed on cluster_id — never a corpus-wide cross join
+    val plan = planOf(Llm.l54Semdedup(spark, sfDir)).split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(4000))
+    assert(plan.contains("cluster_id"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
+  test("L55: resample touches the corpus with one broadcast-joined filter, text unread") {
+    val plan = planOf(Llm.l55RejectionResample(spark, sfDir))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    // rate build reads only (doc_id, lang): the document body must not
+    // flow through either leg at 100 TB
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(readSchemas.nonEmpty)
+    readSchemas.foreach(rs => assert(!rs.contains("text"), rs))
+  }
+
   test("S18b: catalog UDAF plans as partial + final aggregate") {
     // map-side combine must run BEFORE the exchange — the property that
     // makes a custom aggregation shuffle state, not rows, at scale
