@@ -1624,9 +1624,11 @@ object Llm {
     * kill, mirroring l1/l9's planted-duplicate convention.
     *
     * Scale (100 TB): the centroid table is tiny and broadcast (here the
-    * first 8 vectors stand in for one k-means round — in production K
+    * first 32 vectors stand in for one k-means round — in production K
     * grows ∝ N so per-cluster membership stays bounded, which is the
-    * SemDeDup contract); assignment is a map-only broadcast loop, and the
+    * SemDeDup contract; K also sets the pair-join parallelism, so it is
+    * sized well above the core count at scale); assignment is a map-only
+    * broadcast loop, and the
     * only shuffle is the equi-join on `cluster_id`, never all-pairs.
     * Scoring is the fused codegen [[graft.functions.CosineSimilarityExpr]]
     * on both the assign and the pair legs.
@@ -1640,7 +1642,7 @@ object Llm {
     val cands = emb.select($"vec_id", $"embedding")
       .unionByName(emb.select(($"vec_id" + 1000000L).as("vec_id"),
         transform($"embedding", x => x * lit(2.0f)).as("embedding")))
-    val cents = emb.filter($"vec_id" < 8)
+    val cents = emb.filter($"vec_id" < 32)
       .select($"vec_id".as("cent_id"), $"embedding".as("cent_emb"))
     l54SemdedupCore(spark, cands, cents)
   }
@@ -1651,16 +1653,30 @@ object Llm {
     * same-cluster row with a smaller vec_id scores cosine > 0.99
     * against it. Ties in the nearest-centroid argmax break to the lower
     * cent_id (explicit ORDER BY, same on the DuckDB side). */
-  private[graft] def l54SemdedupCore(
+  /** The nearest-centroid assignment stage on its own (pre-checkpoint), so
+    * PlanShapeSpec can assert its broadcast shape — the checkpoint in
+    * [[l54SemdedupCore]] truncates lineage and hides it from the final
+    * plan. */
+  private[graft] def l54Assign(
       spark: SparkSession, cands: DataFrame, cents: DataFrame): DataFrame = {
     import spark.implicits._
     import graft.functions.CosineSimilarityExpr.cosineNative
-    val assigned = cands.join(broadcast(cents))
+    cands.join(broadcast(cents))
       .withColumn("sim", cosineNative(spark, $"embedding", $"cent_emb"))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cent_id".asc)))
       .filter($"rn" === 1)
       .select($"vec_id", $"cent_id".as("cluster_id"), $"embedding")
+  }
+
+  private[graft] def l54SemdedupCore(
+      spark: SparkSession, cands: DataFrame, cents: DataFrame): DataFrame = {
+    import spark.implicits._
+    import graft.functions.CosineSimilarityExpr.cosineNative
+    // consumed by BOTH pair-join legs and the anti-join probe: pin the
+    // (id, cluster, vector)-sized assignment once instead of re-running
+    // the broadcast×window assignment three times
+    val assigned = l54Assign(spark, cands, cents).localCheckpoint(true)
     val dominated = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&
@@ -1990,7 +2006,7 @@ object Llm {
         |  FROM embeddings),
         |cents AS (
         |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cemb
-        |  FROM embeddings WHERE vec_id < 8),
+        |  FROM embeddings WHERE vec_id < 32),
         |assigned AS (
         |  SELECT vec_id, cent_id AS cluster_id, emb FROM (
         |    SELECT c.vec_id, k.cent_id, c.emb,

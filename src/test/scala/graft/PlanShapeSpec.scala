@@ -646,14 +646,25 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("L54: semdedup broadcasts the centroid table and equi-joins pairs on cluster_id") {
-    // the SemDeDup scale contract: assignment is a broadcast loop (no
-    // shuffle of the corpus for the centroid leg) and the pair search is
-    // a hash join keyed on cluster_id — never a corpus-wide cross join
+    import spark.implicits._
+    // the SemDeDup scale contract, checked in two pieces because the
+    // checkpoint between them truncates lineage: (1) assignment is a
+    // broadcast loop — no shuffle of the corpus for the centroid leg;
+    // (2) the pair search is a join keyed on cluster_id — never a
+    // corpus-wide cross join
+    val emb = Engine.embeddings(spark, sfDir)
+    val assignPlan = planOf(Llm.l54Assign(spark,
+      emb.select($"vec_id", $"embedding"),
+      emb.filter($"vec_id" < 32)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cent_emb"))))
+      .split("== Initial Plan ==")(0)
+    assert(assignPlan.contains("BroadcastNestedLoopJoin") ||
+      assignPlan.contains("BroadcastHashJoin"), assignPlan.take(4000))
     val plan = planOf(Llm.l54Semdedup(spark, sfDir)).split("== Initial Plan ==")(0)
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
-      plan.take(4000))
     assert(plan.contains("cluster_id"), plan.take(4000))
     assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "pair search must not degrade to a nested-loop join: " + plan.take(4000))
   }
 
   test("L55: resample touches the corpus with one broadcast-joined filter, text unread") {
