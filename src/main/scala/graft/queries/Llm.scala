@@ -1642,7 +1642,14 @@ object Llm {
     val cands = emb.select($"vec_id", $"embedding")
       .unionByName(emb.select(($"vec_id" + 1000000L).as("vec_id"),
         transform($"embedding", x => x * lit(2.0f)).as("embedding")))
-    val cents = emb.filter($"vec_id" < 32)
+    // K grows with corpus size so per-cluster membership (and with it the
+    // within-cluster pair volume) stays BOUNDED — the SemDeDup scale
+    // contract made executable instead of narrated. n/156 keeps K = 32 at
+    // both oracle-checked fixture scales; at 100 TB it puts K in the
+    // hundreds of thousands, i.e. clusters of ~300 regardless of N. The
+    // count is a metadata-cheap single agg on the (already tiny) vec table.
+    val k = math.max(32L, emb.count() / 156L)
+    val cents = emb.filter($"vec_id" < k)
       .select($"vec_id".as("cent_id"), $"embedding".as("cent_emb"))
     l54SemdedupCore(spark, cands, cents)
   }
@@ -2006,7 +2013,8 @@ object Llm {
         |  FROM embeddings),
         |cents AS (
         |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cemb
-        |  FROM embeddings WHERE vec_id < 32),
+        |  FROM embeddings
+        |  WHERE vec_id < (SELECT greatest(32, count(*) // 156) FROM embeddings)),
         |assigned AS (
         |  SELECT vec_id, cent_id AS cluster_id, emb FROM (
         |    SELECT c.vec_id, k.cent_id, c.emb,
