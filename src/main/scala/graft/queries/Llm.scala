@@ -1756,6 +1756,81 @@ object Llm {
       .withColumn("novelty_ppm", expr("novel_grams * 1000000 div total_grams"))
   }
 
+  /** L57: C4-style corpus-global line dedup (Raffel et al. 2020, §2.2 of
+    * the C4 paper: "we discarded all but one of any three-sentence span
+    * occurring more than once" — here at single-line granularity): every
+    * line keeps only its FIRST occurrence corpus-wide (min (doc_id, idx)),
+    * and documents are reassembled from their surviving lines in order.
+    * Planted full-text copies (doc_id + 1e6) lose every line and vanish,
+    * mirroring the l1 convention. Lines are the same synthesized
+    * sentence split l45 uses (the fixture text has no natural newlines).
+    *
+    * Scale (100 TB): ONE shuffle keyed on the line's md5 (128-bit key,
+    * not the line text, so shuffle rows stay narrow) elects the first
+    * occurrence; reassembly is a second shuffle on doc_id + an ordered
+    * collect, the a7/l45 deterministic-collect pattern. No all-pairs, no
+    * driver state. */
+  def l57LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, dir).select($"doc_id", $"text")
+    l57LineDedupCore(d.unionByName(
+      d.select(($"doc_id" + 1000000L).as("doc_id"), $"text")))
+  }
+
+  /** Line-dedup core over (doc_id, text), split out so PipelineOpsSpec
+    * can plant shared and fully-duplicated documents. */
+  private[graft] def l57LineDedupCore(cand: DataFrame): DataFrame = {
+    import cand.sparkSession.implicits._
+    val sents = cand
+      .select($"doc_id",
+        regexp_replace($"text", "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1. ").as("t2"))
+      .select($"doc_id", posexplode(split($"t2", "(?<=\\.) ")))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("sidx"), $"col".as("sent"))
+    val first = sents
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5($"sent")).orderBy($"doc_id", $"sidx")))
+      .filter($"rn" === 1)
+    first.groupBy($"doc_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct($"sidx", $"sent"))),
+          x => x.getField("sent")), " ").as("kept_text"),
+        count(lit(1)).as("n_kept"))
+  }
+
+  /** L58: quality-signal ensemble with per-source rank calibration — the
+    * score-fusion step of a multi-classifier curation pipeline: raw
+    * signals (token count, distinct-token count, char length) are
+    * incomparable across sources, so each is converted to a within-source
+    * rank (row_number, doc_id tie-break → deterministic), summed into an
+    * ensemble score, and the best half of each source is kept. Rank-based
+    * per-domain calibration is how mixed-quality web corpora fuse
+    * classifier outputs without cross-domain score drift.
+    *
+    * Scale (100 TB): three window ranks + the final keep share ONE
+    * exchange on `source`; all-integer arithmetic hash-matches exactly.
+    * (Production variant: percentile-bucket ranks via approx quantiles to
+    * avoid a per-source total sort; at fixture scale the exact rank is
+    * the oracle-checkable formulation.) */
+  def l58QualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = split($"text", " ")
+    val sig = documents(spark, dir).select($"doc_id", $"source",
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_uniq"),
+      length($"text").cast("long").as("n_chars_actual"))
+    def rk(c: Column) = row_number().over(
+      Window.partitionBy($"source").orderBy(c.desc, $"doc_id".asc)).cast("long")
+    val scored = sig
+      .withColumn("score", rk($"n_tokens") + rk($"n_uniq") + rk($"n_chars_actual"))
+    scored
+      .withColumn("pick", row_number().over(
+        Window.partitionBy($"source").orderBy($"score".asc, $"doc_id".asc)))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy($"source")))
+      .withColumn("half", expr("n_src div 2"))
+      .filter($"pick" <= $"half")
+      .select($"doc_id", $"source", $"score")
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup" -> (l1ExactDedup _),
@@ -1816,6 +1891,8 @@ object Llm {
     "l54_semdedup" -> (l54Semdedup _),
     "l55_rejection_resample" -> (l55RejectionResample _),
     "l56_novelty_scoring" -> (l56NoveltyScoring _),
+    "l57_line_dedup" -> (l57LineDedup _),
+    "l58_quality_ensemble" -> (l58QualityEnsemble _),
     "l43_label_centroids" -> (l43LabelCentroids _),
     "l44_kmv_overlap" -> (l44KmvOverlap _),
     "l45_sentence_chunk" -> (l45SentenceChunk _),
@@ -2064,6 +2141,51 @@ object Llm {
         |  CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM refs)
         |           THEN 0 ELSE 1 END) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
         |FROM cs GROUP BY doc_id""".stripMargin,
+    "l57_line_dedup" ->
+      """WITH cand AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |sented AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ', '\1. ', 'g') AS t2
+        |  FROM cand),
+        |sents AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(t2, '\. ', '.' || chr(1), 'g'), chr(1))
+        |      AS ss
+        |  FROM sented),
+        |e AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(ss))) AS sidx, ss
+        |  FROM sents),
+        |x AS (SELECT doc_id, CAST(sidx AS BIGINT) AS sidx, ss[sidx] AS sent FROM e),
+        |first AS (
+        |  SELECT doc_id, sidx, sent,
+        |    row_number() OVER (PARTITION BY sent ORDER BY doc_id, sidx) AS rn
+        |  FROM x)
+        |SELECT doc_id,
+        |  string_agg(sent, ' ' ORDER BY sidx) AS kept_text,
+        |  count(*) AS n_kept
+        |FROM first WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+    "l58_quality_ensemble" ->
+      """WITH sig AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+        |    CAST(length(text) AS BIGINT) AS n_chars_actual
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id)
+        |      + row_number() OVER (PARTITION BY source ORDER BY n_uniq DESC, doc_id)
+        |      + row_number() OVER (PARTITION BY source ORDER BY n_chars_actual DESC, doc_id)
+        |      AS BIGINT) AS score
+        |  FROM sig),
+        |picked AS (
+        |  SELECT doc_id, source, score,
+        |    row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS pick,
+        |    count(*) OVER (PARTITION BY source) // 2 AS half
+        |  FROM scored)
+        |SELECT doc_id, source, score FROM picked WHERE pick <= half""".stripMargin,
     "l2_minhash_neardup" -> l2PairsSql,
     "l2c_minhash_native" -> l2PairsSql,
     "l17_dedup_clusters" ->

@@ -283,6 +283,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(3L) == ((4L, 4L, 1000000L)), s"novel doc: ${out(3L)}")
   }
 
+  test("L57: shared lines survive only in their first document; full copies vanish") {
+    import spark.implicits._
+    // texts are pre-sentenced (already contain '. ') so the planted case
+    // controls line boundaries exactly
+    val cand = Seq(
+      (1L, "alpha one. beta two."),
+      (2L, "beta two. gamma three."),   // loses "beta two." to doc 1
+      (3L, "alpha one. beta two.")      // full copy of doc 1: vanishes
+    ).toDF("doc_id", "text")
+    val out = Llm.l57LineDedupCore(cand).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L), s"doc 3 must vanish: $out")
+    assert(out(1L) == (("alpha one. beta two.", 2L)), out(1L))
+    assert(out(2L) == (("gamma three.", 1L)), out(2L))
+    // fixture: every planted full-text copy (doc_id >= 1e6) vanishes, and
+    // kept line total equals the corpus's distinct line count
+    val fixture = Llm.l57LineDedup(spark, sfDir)
+    assert(fixture.filter($"doc_id" >= 1000000L).count() == 0,
+      "full-text copies must lose every line")
+  }
+
+  test("L58: each source keeps exactly its better half, boundary ordered by score") {
+    import spark.implicits._
+    val kept = Llm.l58QualityEnsemble(spark, sfDir)
+    val keptPerSource = kept.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perSource = Engine.documents(spark, sfDir)
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSource.foreach { case (src, n) =>
+      assert(keptPerSource.getOrElse(src, 0L) == n / 2,
+        s"$src: kept ${keptPerSource.get(src)} of $n")
+    }
+    // deterministic: the integer-rank fusion has no RNG or float path, so
+    // a re-run returns the identical keep set
+    val once = kept.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val again = Llm.l58QualityEnsemble(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(once == again, "deterministic re-run")
+  }
+
   test("L26/L47: invariants hold at 10x scale (same seeds, inertia descends, codes total)") {
     import spark.implicits._
     // 10x the fixture embeddings via ScaleUp's scheme: disjoint vec_id
