@@ -74,7 +74,13 @@ object PlanAudit {
       "w20_mad_outliers" -> "robust MAD outliers: both full-partition medians share one event_type exchange, exact integer arithmetic end to end",
       "l50_temperature_mixture" -> "temperature mixture: one corpus-sized count agg, broadcast 1-row total, upsample math on |langs| rows",
       "l51_stopgram_boilerplate" -> "stop-gram boilerplate: gram DF partial+final agg, relative threshold, small-by-construction boiler set broadcast back",
-      "o16_cached_reuse" -> "cache reuse: per-(type, day) agg computed once, both branches scan the InMemoryRelation")
+      "o16_cached_reuse" -> "cache reuse: per-(type, day) agg computed once, both branches scan the InMemoryRelation",
+      "l53_distribution_drift" -> "distribution drift: (doc_id, n_chars)-pruned scan, one bounded-key partial agg, totals on a ≤10-row window",
+      "l54_semdedup" -> "SemDeDup: checkpointed broadcast-assign stage, pair search equi-joined on cluster_id — pair volume bounded by cluster size",
+      "l55_rejection_resample" -> "rejection resample: tiny per-lang rate table broadcast back, one map-side accept filter, text never read",
+      "l56_novelty_scoring" -> "novelty scoring: distinct-ed ref shingles, one shingle-keyed left join + per-doc partial agg",
+      "l57_line_dedup" -> "line dedup: first-occurrence election on the line's md5 (narrow shuffle rows), ordered-collect reassembly",
+      "l58_quality_ensemble" -> "quality ensemble: three rank windows + keep filter share one exchange on source")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries (sf0.01)\n\n")
     sb.append("Generated by `graft.PlanAudit`; re-run after plan-affecting changes.\n\n")
