@@ -1601,10 +1601,20 @@ object Llm {
     import ref.sparkSession.implicits._
     def bucketed(df: DataFrame, side: String) = df.select(
       least(expr("v div 200"), lit(9L)).as("bucket"), lit(side).as("side"))
-    bucketed(ref, "ref").unionByName(bucketed(cand, "cand"))
-      .groupBy($"bucket")
-      .agg(sum(when($"side" === "ref", 1L).otherwise(0L)).as("ref_n"),
-        sum(when($"side" === "cand", 1L).otherwise(0L)).as("cand_n"))
+    driftFromCounts(
+      bucketed(ref, "ref").unionByName(bucketed(cand, "cand"))
+        .groupBy($"bucket")
+        .agg(sum(when($"side" === "ref", 1L).otherwise(0L)).as("ref_n"),
+          sum(when($"side" === "cand", 1L).otherwise(0L)).as("cand_n")))
+  }
+
+  /** The ppm-drift tail of the drift check over an already-bucketed
+    * (bucket, ref_n, cand_n) count table — shared with the streaming
+    * monitor (st24), whose candidate histogram arrives from a streaming
+    * aggregate instead of a batch one. */
+  private[graft] def driftFromCounts(counts: DataFrame): DataFrame = {
+    import counts.sparkSession.implicits._
+    counts
       // totals over the bounded (≤10-row) bucket table, not the corpus
       .withColumn("ref_t", sum($"ref_n").over(Window.partitionBy()))
       .withColumn("cand_t", sum($"cand_n").over(Window.partitionBy()))

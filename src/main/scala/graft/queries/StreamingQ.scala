@@ -1233,10 +1233,48 @@ object StreamingQ {
     spark.read.parquet(out).filter($"user_id" < 999999000L)
   }
 
+  /** ST24: streaming distribution-drift monitor — l53's snapshot-shift
+    * check run against a LIVE stream: the first half of the month is the
+    * static reference histogram, the second half arrives as micro-batches,
+    * and the candidate histogram is a complete-mode streaming aggregate
+    * whose state is BOUNDED by the bucket key (≤10 rows) no matter how
+    * much data flows — the only histogram shape that survives an unbounded
+    * stream. The final table is the same integer-ppm drift compare l53
+    * produces ([[Llm.driftFromCounts]]), so the whole streaming path
+    * hash-matches the batch oracle. Buckets are value/50 capped at 9;
+    * sides are the [Jan 1, Jan 16) / [Jan 16, …) event-time split, applied
+    * with the same UTC string-cast semantics as Engine.eventsBetween. */
+  def st24StreamingDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def bucket(c: org.apache.spark.sql.Column) =
+      least(floor(c / 50.0), lit(9.0)).cast("long")
+    val split = lit("2024-01-16").cast("timestamp")
+    val refCounts = eventsBetween(spark, dir, "2024-01-01", "2024-01-16")
+      .select(bucket($"value").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("ref_n"))
+    val staged = Streams.stageEvents(spark, dir, 4)
+    val schema = Streams.eventsSchema(spark, dir)
+    val candCounts = Streams.withShufflePartitions(spark, 4) {
+      val out = Streams.runCompleteToParquet(
+        Streams.eventsStream(spark, staged, schema, 2)
+          .filter($"ts" >= split)
+          .select(bucket($"value").as("bucket"))
+          .groupBy($"bucket").agg(count(lit(1)).as("cand_n")),
+        "st24")
+      spark.read.parquet(out)
+    }
+    Llm.driftFromCounts(
+      refCounts.join(candCounts, Seq("bucket"), "full_outer")
+        .select($"bucket",
+          coalesce($"ref_n", lit(0L)).as("ref_n"),
+          coalesce($"cand_n", lit(0L)).as("cand_n")))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st20_timeout_sessions" -> (st20TimeoutSessions _),
     "st21_streaming_scd2" -> (st21StreamingScd2 _),
+    "st24_streaming_drift" -> (st24StreamingDrift _),
     "st19_outer_join" -> (st19OuterJoin _),
     "st22_stream_full_outer" -> (st22StreamFullOuter _),
     "st23_streaming_observe" -> (st23StreamingObserve _),
@@ -1266,6 +1304,22 @@ object StreamingQ {
 
   val oracle: Map[String, String] = Map(
     // identical to w19's oracle: the incremental merge must reproduce the
+    "st24_streaming_drift" ->
+      """WITH b AS (
+        |  SELECT least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+        |  FROM events),
+        |c AS (
+        |  SELECT bucket, sum(is_ref) AS ref_n, sum(1 - is_ref) AS cand_n
+        |  FROM b GROUP BY bucket)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(ref_n AS BIGINT) AS ref_n,
+        |  CAST(cand_n AS BIGINT) AS cand_n,
+        |  CAST(ref_n * 1000000 // sum(ref_n) OVER () AS BIGINT) AS ref_ppm,
+        |  CAST(cand_n * 1000000 // sum(cand_n) OVER () AS BIGINT) AS cand_ppm,
+        |  CAST(abs(ref_n * 1000000 // sum(ref_n) OVER ()
+        |    - cand_n * 1000000 // sum(cand_n) OVER ()) AS BIGINT) AS drift_ppm
+        |FROM c""".stripMargin,
     // batch historization exactly
     "st21_streaming_scd2" ->
       """WITH ev AS (

@@ -493,4 +493,32 @@ class StreamingSpec extends SparkSpec {
     assert(busySegs == List((0L, 49995L, 10000L)),
       s"always-active key must compress to one segment, got $busySegs")
   }
+
+  test("ST24: streaming drift equals the batch split, state bounded by the bucket key") {
+    import spark.implicits._
+    val out = graft.queries.StreamingQ.st24StreamingDrift(spark, sfDir).collect()
+    // bounded-state contract: the histogram key space caps the aggregate
+    // (and with it the streaming state) at <= 10 rows regardless of volume
+    assert(out.length <= 10 && out.nonEmpty, s"${out.length} buckets")
+    // both sides are full distributions: ppm columns each total ~1e6
+    // (short only by the per-bucket integer-division remainders)
+    val refPpm = out.map(_.getLong(3)).sum
+    val candPpm = out.map(_.getLong(4)).sum
+    assert(refPpm > 999900L && refPpm <= 1000000L, s"ref ppm total $refPpm")
+    assert(candPpm > 999900L && candPpm <= 1000000L, s"cand ppm total $candPpm")
+    // equals the pure-batch formulation of the same split exactly
+    val ev = Engine.events(spark, sfDir)
+    def bucket(c: org.apache.spark.sql.Column) =
+      least(floor(c / 50.0), lit(9.0)).cast("long")
+    val split = lit("2024-01-16").cast("timestamp")
+    val batch = graft.queries.Llm.driftFromCounts(
+      ev.select(bucket($"value").as("bucket"),
+          when($"ts" < split, 1L).otherwise(0L).as("is_ref"))
+        .groupBy($"bucket")
+        .agg(sum($"is_ref").as("ref_n"),
+          sum(lit(1L) - $"is_ref").as("cand_n")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+    val streamed = out.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+  }
 }
