@@ -1841,6 +1841,42 @@ object Llm {
       .select($"doc_id", $"source", $"score")
   }
 
+  /** L59: DSIR-style hashed-feature importance scoring (Xie et al. 2023,
+    * arXiv:2302.03169 "Data Selection for Language Models via Importance
+    * Resampling", shape only): score every document by how target-like its
+    * hashed token features are. Tokens hash into 64 feature buckets (the
+    * l33 cross-engine md5 bucket); the target domain (lang = 'en') and the
+    * full pool each get per-bucket rates in exact ppm; a document's
+    * importance is the sum over its tokens of (target_ppm − pool_ppm) —
+    * the integer-exact analogue of DSIR's log-likelihood-ratio sum (no
+    * `ln`, so the score hash-matches the oracle bit-for-bit; ordering is
+    * monotone in the same direction for near-1 ratios).
+    *
+    * Scale (100 TB): the token stream partial-aggs into a 64-row rate
+    * table (map-side combine does almost all the work), rates broadcast
+    * back onto the token stream, and the per-doc score is one doc_id
+    * exchange — two corpus-sized shuffles total, no doc×doc work. */
+  def l59ImportanceScoring(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = documents(spark, dir)
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("token"))
+      .withColumn("feat",
+        conv(substring(md5($"token".cast("binary")), 1, 4), 16, 10)
+          .cast("long") % 64)
+    val rates = toks.groupBy($"feat")
+      .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("t_n"),
+        count(lit(1)).as("p_n"))
+      .withColumn("t_tot", sum($"t_n").over(Window.partitionBy()))
+      .withColumn("p_tot", sum($"p_n").over(Window.partitionBy()))
+      .select($"feat",
+        expr("t_n * 1000000 div t_tot").as("t_ppm"),
+        expr("p_n * 1000000 div p_tot").as("p_ppm"))
+    toks.join(broadcast(rates), Seq("feat"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum($"t_ppm" - $"p_ppm").as("importance"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup" -> (l1ExactDedup _),
@@ -1903,6 +1939,7 @@ object Llm {
     "l56_novelty_scoring" -> (l56NoveltyScoring _),
     "l57_line_dedup" -> (l57LineDedup _),
     "l58_quality_ensemble" -> (l58QualityEnsemble _),
+    "l59_importance_scoring" -> (l59ImportanceScoring _),
     "l43_label_centroids" -> (l43LabelCentroids _),
     "l44_kmv_overlap" -> (l44KmvOverlap _),
     "l45_sentence_chunk" -> (l45SentenceChunk _),
@@ -2196,6 +2233,28 @@ object Llm {
         |    count(*) OVER (PARTITION BY source) // 2 AS half
         |  FROM scored)
         |SELECT doc_id, source, score FROM picked WHERE pick <= half""".stripMargin,
+    "l59_importance_scoring" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(token), 1, 4))::BIGINT % 64 AS feat
+        |  FROM toks),
+        |rates AS (
+        |  SELECT feat,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_n,
+        |    count(*) AS p_n
+        |  FROM f GROUP BY feat),
+        |r2 AS (
+        |  SELECT feat,
+        |    t_n * 1000000 // (sum(t_n) OVER ()) AS t_ppm,
+        |    p_n * 1000000 // (sum(p_n) OVER ()) AS p_ppm
+        |  FROM rates)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(t_ppm - p_ppm) AS BIGINT) AS importance
+        |FROM f JOIN r2 USING (feat)
+        |GROUP BY doc_id""".stripMargin,
     "l2_minhash_neardup" -> l2PairsSql,
     "l2c_minhash_native" -> l2PairsSql,
     "l17_dedup_clusters" ->

@@ -324,6 +324,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(once == again, "deterministic re-run")
   }
 
+  test("L59: importance scoring is total, deterministic, and separates the target domain") {
+    import spark.implicits._
+    val out = Llm.l59ImportanceScoring(spark, sfDir)
+    val docs = Engine.documents(spark, sfDir).select($"doc_id", $"lang")
+    assert(out.count() == docs.count(), "every document must be scored")
+    // the signal check: the target domain's own documents must score
+    // higher on average than the rest — per-token importance, so doc
+    // length doesn't confound the comparison
+    val byLang = out.join(docs, Seq("doc_id"))
+      .withColumn("per_tok", $"importance".cast("double") / $"n_tokens")
+      .groupBy($"lang" === "en")
+      .agg(avg($"per_tok").as("m")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLang(true) > byLang(false),
+      s"en mean ${byLang(true)} must exceed non-en mean ${byLang(false)}")
+    val a = out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val b = Llm.l59ImportanceScoring(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(a == b, "integer scoring must be reproducible")
+  }
+
   test("L26/L47: invariants hold at 10x scale (same seeds, inertia descends, codes total)") {
     import spark.implicits._
     // 10x the fixture embeddings via ScaleUp's scheme: disjoint vec_id
