@@ -1185,8 +1185,51 @@ object Sources {
       .toDF("file_name", "frame_idx", "byte_offset")
   }
 
+  private val evoStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage two document snapshots whose schemas DIFFER: v1 (even doc_ids)
+    * was written before the `source`/`n_chars` columns existed, v2 (odd
+    * doc_ids) carries the widened schema. One directory, two generations —
+    * the layout every long-lived 100 TB corpus converges to. */
+  private[graft] def stageEvolvedDocs(spark: SparkSession, dir: String): String =
+    evoStaged.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val out = tmp("s33_evo")
+      val d = documents(spark, dir)
+      d.filter($"doc_id" % 2 === 0).select($"doc_id", $"text", $"lang")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/gen=v1")
+      d.filter($"doc_id" % 2 =!= 0)
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/gen=v2")
+      out
+    })
+
+  /** S33: schema-evolution read — a single mergeSchema scan unifies both
+    * generations (old files surface the new columns as NULL), and the
+    * query normalizes them with explicit defaults. At 100 TB, schema drift
+    * across years of snapshots is the norm; the alternative — rewriting
+    * the old generation — is a full-corpus write this read avoids. The
+    * footer-schema merge happens at PLANNING time over file metadata, not
+    * by scanning data. Output is per-(generation, lang) doc counts plus
+    * how many rows needed the default, so the oracle pins both the merge
+    * and the null semantics. */
+  def s33SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stageEvolvedDocs(spark, dir)
+    spark.read.option("mergeSchema", "true").parquet(staged)
+      .select($"gen",  $"lang",
+        coalesce($"source", lit("unknown")).as("source_norm"),
+        $"source".isNull.as("defaulted"))
+      .groupBy($"gen", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"defaulted", 1L).otherwise(0L)).as("n_defaulted"),
+        countDistinct($"source_norm").as("n_sources"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s33_schema_evolution" -> (s33SchemaEvolution _),
     "s1_pushdown_scan" -> (s1PushdownScan _),
     "s2_keyed_lookup" -> (s2KeyedLookup _),
     "s3_binary_source" -> (s3BinarySource _),
@@ -1313,6 +1356,16 @@ object Sources {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1""".stripMargin,
+    "s33_schema_evolution" ->
+      """WITH unified AS (
+        |  SELECT 'v1' AS gen, lang, 'unknown' AS source_norm, 1 AS defaulted
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'v2', lang, source, 0 FROM documents WHERE doc_id % 2 = 1)
+        |SELECT gen, lang, count(*) AS n_docs,
+        |  CAST(sum(defaulted) AS BIGINT) AS n_defaulted,
+        |  CAST(count(DISTINCT source_norm) AS BIGINT) AS n_sources
+        |FROM unified GROUP BY gen, lang""".stripMargin,
     "s1_pushdown_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

@@ -345,6 +345,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a == b, "integer scoring must be reproducible")
   }
 
+  test("S33: mergeSchema unifies generations; old files default, new files don't") {
+    import spark.implicits._
+    val out = Sources.s33SchemaEvolution(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.nonEmpty)
+    out.foreach { case ((gen, lang), (nDocs, nDefaulted, nSources)) =>
+      if (gen == "v1") {
+        assert(nDefaulted == nDocs, s"v1/$lang: every old-generation row lacks source")
+        assert(nSources == 1L, s"v1/$lang: all defaulted to 'unknown'")
+      } else {
+        assert(nDefaulted == 0L, s"v2/$lang: widened rows carry source")
+        assert(nSources > 1L, s"v2/$lang: real source values survive the merge")
+      }
+    }
+    // the merged scan must surface the v2-only column at planning time
+    val plan = Sources.s33SchemaEvolution(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("source"), plan.take(2000))
+  }
+
   test("L26/L47: invariants hold at 10x scale (same seeds, inertia descends, codes total)") {
     import spark.implicits._
     // 10x the fixture embeddings via ScaleUp's scheme: disjoint vec_id
