@@ -2033,6 +2033,20 @@ object Llm {
     s"WITH $s0,\n${rounds.mkString(",\n")}"
   }
 
+  /** Min-reachable-label clustering oracle over the banded-minhash pair
+    * graph — shared by l17 (label propagation) and g8 (star contraction),
+    * which compute the same answer by different strategies. */
+  private lazy val l17ClusterSql: String =
+    "WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM (\n" + l2PairsSql + "\n) lp),\n" +
+      """edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS label FROM edges
+        |  UNION
+        |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst)
+        |SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id""".stripMargin
+
   private val l41OracleSql: String = {
     val finals = (1 to 4).map(i =>
       s"SELECT CAST($i AS BIGINT) AS round, lhs, rhs, lhs || rhs AS merged, weight FROM t$i")
@@ -2257,16 +2271,10 @@ object Llm {
         |GROUP BY doc_id""".stripMargin,
     "l2_minhash_neardup" -> l2PairsSql,
     "l2c_minhash_native" -> l2PairsSql,
-    "l17_dedup_clusters" ->
-      ("WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM (\n" + l2PairsSql + "\n) lp),\n" +
-        """edges AS (
-          |  SELECT a_id AS src, b_id AS dst FROM pairs
-          |  UNION SELECT b_id, a_id FROM pairs),
-          |reach AS (
-          |  SELECT src AS id, src AS label FROM edges
-          |  UNION
-          |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst)
-          |SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id""".stripMargin),
+    "l17_dedup_clusters" -> l17ClusterSql,
+    // same graph, same answer, different strategy (star contraction vs
+    // label propagation) — shared oracle, the l8/l46 convention
+    "g8_connected_components" -> l17ClusterSql,
     "l49_cluster_canonical" ->
       ("WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM (\n" + l2PairsSql + "\n) lp),\n" +
         """edges AS (

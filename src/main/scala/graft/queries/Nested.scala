@@ -233,7 +233,76 @@ object Nested {
     reach
   }
 
+  /** G8: connected components by alternating large-star / small-star
+    * contractions (Kiveris et al. 2014, "Connected Components in
+    * MapReduce and Beyond") — the O(log²n)-round CC algorithm production
+    * graph systems use at the 100 TB tier, where l17's per-hop min-label
+    * propagation would pay one round per graph DIAMETER. Each round is
+    * two fixed-shape jobs (neighborhood-min agg + join-back), edge count
+    * monotonically non-increasing, and at the fixpoint every node points
+    * directly at its component minimum. Same input graph and same result
+    * as l17 (the strategy changes, never the answer — the l8/l46
+    * convention), so both hash-match the same recursive-CTE oracle. */
+  def g8ConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Llm.l2MinhashNearDup(spark, dir)
+      .select($"a_id".as("u"), $"b_id".as("v"))
+    starContract(pairs, maxRounds = 20)._1
+  }
+
+  /** The alternating-star loop on its own, so GraphDepthSpec can feed it a
+    * deep path graph and pin the round count (log-ish, not diameter).
+    * Input: undirected pairs (u, v); output: ((doc_id, cluster_id) labels,
+    * rounds used). */
+  private[graft] def starContract(
+      pairs: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    import pairs.sparkSession.implicits._
+    // canonical child->parent direction (parent = smaller id)
+    var edges = pairs.filter($"u" =!= $"v")
+      .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+      .distinct().localCheckpoint(true)
+
+    def sym(e: DataFrame) =
+      e.unionByName(e.select($"v".as("u"), $"u".as("v")))
+    // m(u) = min of the closed neighborhood
+    def mins(s: DataFrame) = s.groupBy($"u").agg(min($"v").as("mn"))
+      .select($"u", least($"u", $"mn").as("m"))
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      s.filter($"v" > $"u").join(mins(s), Seq("u"))
+        .select($"v".as("u"), $"m".as("v"))
+        .filter($"u" =!= $"v").distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = mins(s)
+      s.filter($"v" < $"u").join(m, Seq("u"))
+        .select($"v".as("cu"), $"m".as("cv"))
+        .unionByName(m.select($"u".as("cu"), $"m".as("cv")))
+        .filter($"cu" =!= $"cv").distinct()
+        .select($"cu".as("u"), $"cv".as("v"))
+    }
+
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // fixpoint = identical edge SET (both excepts empty); each round is
+      // a bounded-size compare on the shrinking edge table
+      changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      edges = next
+      round += 1
+    }
+    require(changed == 0, s"star contraction did not converge in $maxRounds rounds")
+    val labels = edges.select($"u".as("doc_id"), $"v".as("cluster_id"))
+      .unionByName(edges.select($"v", $"v").distinct()
+        .toDF("doc_id", "cluster_id"))
+    (labels, round)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g8_connected_components" -> (g8ConnectedComponents _),
     "g7_bfs_reachability" -> (g7BfsReachability _),
     "g6_triangle_count" -> (g6TriangleCount _),
     "g4_pagerank" -> (g4PageRank _),

@@ -46,4 +46,24 @@ class GraphDepthSpec extends SparkSpec {
       .sortBy { case (n, p) => (-p, n) }.take(20)
     assert(got == expected)
   }
+
+  test("g8 star contraction: a 200-deep path converges in log-ish rounds, not diameter") {
+    import spark.implicits._
+    // a path 0-1-2-...-200 has diameter 200: per-hop label propagation
+    // (l17's strategy) needs ~200 rounds; alternating star contraction
+    // must collapse it in O(log^2 n) — the whole reason g8 exists
+    val path = (0L until 200L).map(i => (i, i + 1)).toDF("u", "v")
+    val (labels, rounds) = Nested.starContract(path, maxRounds = 20)
+    assert(rounds <= 12, s"took $rounds rounds on a 200-path")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 201 && got.values.forall(_ == 0L),
+      s"all 201 nodes must label to component min 0: ${got.toSeq.sortBy(_._1).take(8)}")
+    // two components stay separate
+    val two = (0L until 50L).map(i => (i, i + 1)) ++
+      (1000L until 1050L).map(i => (i, i + 1))
+    val (l2, _) = Nested.starContract(two.toDF("u", "v"), maxRounds = 20)
+    val m2 = l2.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(m2.filter(_._1 < 1000L).values.forall(_ == 0L))
+    assert(m2.filter(_._1 >= 1000L).values.forall(_ == 1000L))
+  }
 }
