@@ -407,6 +407,18 @@ class PipelineOpsSpec extends SparkSpec {
     val e0 = Llm.pqAssignment(spark, dir, 0).agg(sum($"d2")).head.getDouble(0)
     val e2 = Llm.pqAssignment(spark, dir, 2).agg(sum($"d2")).head.getDouble(0)
     assert(e2 <= e0 + 1e-9, s"PQ inertia rose at 10x: $e0 -> $e2")
+
+    // L54 at 10x: the planted-copy guarantee is scale-invariant — every
+    // same-direction copy is still dominated by its original inside its
+    // cluster, the kept set stays deterministic, and output is one row
+    // per surviving candidate
+    val kept = Llm.l54Semdedup(spark, dir)
+    assert(kept.filter($"vec_id" >= 1000000L).count() == 0,
+      "planted scaled copies must all be deduped away at 10x")
+    assert(kept.count() > 0 && kept.count() <= n)
+    def keptSet() = Llm.l54Semdedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keptSet() == keptSet(), "10x semdedup must be deterministic")
   }
 
   test("S28: range layout yields disjoint per-file key ranges, sorted in-file") {
