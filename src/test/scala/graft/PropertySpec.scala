@@ -442,4 +442,32 @@ class PropertySpec extends SparkSpec {
     val result = SCTest.check(params, prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("property: l57 line dedup equals the first-occurrence reference on any corpus") {
+    import spark.implicits._
+    import graft.queries.Llm
+    // sentences stay under 5 words so l57's sentence synthesis is the
+    // identity on them — the property then controls line boundaries
+    // exactly and drives real cross-doc collisions from a small pool
+    val sentPool = (1 to 12).map(i => s"tok${i}a tok${i}b.")
+    val docGen = Gen.nonEmptyListOf(Gen.oneOf(sentPool)).map(_.take(6))
+    val corpusGen = Gen.nonEmptyListOf(docGen).map(_.take(8).zipWithIndex
+      .map { case (sents, i) => (i.toLong, sents) })
+    val prop = Prop.forAll(corpusGen) { corpus =>
+      val df = corpus.map { case (id, ss) => (id, ss.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Llm.l57LineDedupCore(df).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      // reference: global first occurrence by (doc_id, position)
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expect = corpus.flatMap { case (id, ss) =>
+        val kept = ss.filter(s => seen.add(s))
+        if (kept.isEmpty) None
+        else Some(id -> (kept.mkString(" "), kept.size.toLong))
+      }.toMap
+      got == expect
+    }
+    val result = SCTest.check(params, prop)
+    assert(result.passed, result.status.toString)
+  }
 }
