@@ -79,7 +79,7 @@ object PlanAudit {
       "l54_semdedup" -> "SemDeDup: checkpointed broadcast-assign stage, pair search equi-joined on cluster_id — pair volume bounded by cluster size",
       "l55_rejection_resample" -> "rejection resample: tiny per-lang rate table broadcast back, one map-side accept filter, text never read",
       "l56_novelty_scoring" -> "novelty scoring: distinct-ed ref shingles, one shingle-keyed left join + per-doc partial agg",
-      "l57_line_dedup" -> "line dedup: first-occurrence election on the line's md5 (narrow shuffle rows), ordered-collect reassembly",
+      "l57_line_dedup" -> "line dedup: first-occurrence election window partitioned on the line's md5, ordered-collect reassembly",
       "l58_quality_ensemble" -> "quality ensemble: three rank windows + keep filter share one exchange on source",
       "l59_importance_scoring" -> "importance scoring: 64-row rate table from map-side partials, broadcast back, one doc_id agg",
       "s33_schema_evolution" -> "schema evolution: mergeSchema scan unifies generations at planning time, defaults in codegen",

@@ -11,6 +11,15 @@ object Text {
 
   def tokens(c: Column): Column = split(c, " ")
 
+  /** The cross-engine md5 bucket: first 4 hex chars of md5 as an integer
+    * mod `n`. The ONE hashing scheme shared with every DuckDB oracle
+    * (`('0x' || substr(md5(x), 1, 4))::BIGINT % n`) — used for train
+    * splits (l33), stratified/top-k sampling (l19/l22), shuffle-sharding
+    * (l40) and feature hashing (l59); change it here and in the oracle
+    * snippet together or every consumer's hash compare breaks. */
+  def md5Bucket(c: Column, n: Int): Column =
+    conv(substring(md5(c.cast("binary")), 1, 4), 16, 10).cast("long") % n
+
   /** Word n-gram shingles: one string per window of `n` consecutive tokens.
     *
     * PERFORMANCE CONTRACT: every reference to the token array sits OUTSIDE

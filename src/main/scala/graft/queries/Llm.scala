@@ -555,8 +555,7 @@ object Llm {
     * test. */
   private[graft] def l33SplitCore(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val bucket = conv(substring(md5($"text".cast("binary")), 1, 4), 16, 10)
-      .cast("long") % 100
+    val bucket = Text.md5Bucket($"text", 100)
     docs.select($"doc_id", $"lang",
       when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
         .as("split"))
@@ -694,8 +693,7 @@ object Llm {
       .withColumn("bp", expr("(total * num * 10000) div (180 * n_d)"))
       .select($"source", expr("bp div 10000").as("n_full"),
         expr("bp % 10000").as("frac_bp"))
-    val bucket = conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 4),
-      16, 10).cast("long") % 10000
+    val bucket = Text.md5Bucket($"doc_id".cast("string"), 10000)
     d.select($"doc_id", $"source")
       .join(broadcast(counts), Seq("source"))
       .withColumn("copies",
@@ -901,8 +899,7 @@ object Llm {
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5($"text".cast("binary"))).orderBy($"doc_id")))
       .filter($"rn" === 1)
-    val bucket = conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 4),
-      16, 10).cast("long") % 100
+    val bucket = Text.md5Bucket($"doc_id".cast("string"), 100)
     val rate = when($"lang" === "en", 50L).when($"lang" === "de", 25L).otherwise(10L)
     deduped.filter(bucket < rate)
       .groupBy($"lang")
@@ -918,8 +915,7 @@ object Llm {
     * and its output reproducible). Rates: en 50%, de 25%, rest 10%. */
   def l19StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bucket = conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 4),
-      16, 10).cast("long") % 100
+    val bucket = Text.md5Bucket($"doc_id".cast("string"), 100)
     val rate = when($"lang" === "en", 50L).when($"lang" === "de", 25L).otherwise(10L)
     documents(spark, dir)
       .withColumn("bucket", bucket)
@@ -1664,16 +1660,11 @@ object Llm {
     l54SemdedupCore(spark, cands, cents)
   }
 
-  /** Core split out so PipelineOpsSpec can plant known duplicates.
-    * `cands`: (vec_id, embedding); `cents`: (cent_id, cent_emb). Returns
-    * the KEPT rows (vec_id, cluster_id): a row is dropped iff some
-    * same-cluster row with a smaller vec_id scores cosine > 0.99
-    * against it. Ties in the nearest-centroid argmax break to the lower
-    * cent_id (explicit ORDER BY, same on the DuckDB side). */
   /** The nearest-centroid assignment stage on its own (pre-checkpoint), so
     * PlanShapeSpec can assert its broadcast shape — the checkpoint in
     * [[l54SemdedupCore]] truncates lineage and hides it from the final
-    * plan. */
+    * plan. Ties in the argmax break to the lower cent_id (explicit ORDER
+    * BY, same on the DuckDB side). */
   private[graft] def l54Assign(
       spark: SparkSession, cands: DataFrame, cents: DataFrame): DataFrame = {
     import spark.implicits._
@@ -1686,6 +1677,11 @@ object Llm {
       .select($"vec_id", $"cent_id".as("cluster_id"), $"embedding")
   }
 
+  /** Core split out so PipelineOpsSpec can plant known duplicates.
+    * `cands`: (vec_id, embedding); `cents`: (cent_id, cent_emb). Returns
+    * the KEPT rows (vec_id, cluster_id): a row is dropped iff some
+    * same-cluster row with a smaller vec_id scores cosine > 0.99
+    * against it. */
   private[graft] def l54SemdedupCore(
       spark: SparkSession, cands: DataFrame, cents: DataFrame): DataFrame = {
     import spark.implicits._
@@ -1726,8 +1722,12 @@ object Llm {
       .select($"lang",
         least(lit(1000000L), expr("total * 1000000 div (n_groups * group_n)"))
           .as("accept_ppm"))
+    // (doc_id % 1e6) first: congruent to (doc_id * 2654435761) % 1e6 for
+    // every id, but the product stays <= ~4.4e11 — no Long overflow at any
+    // corpus size (the naive product wraps negative past doc_id ~3.5e9,
+    // which would silently accept every row; DuckDB errors instead)
     d.join(broadcast(rates), Seq("lang"))
-      .filter(($"doc_id" * lit(2654435761L)) % 1000000L < $"accept_ppm")
+      .filter((($"doc_id" % 1000000L) * lit(435761L)) % 1000000L < $"accept_ppm")
       .select($"doc_id", $"lang", $"accept_ppm")
   }
 
@@ -1775,11 +1775,13 @@ object Llm {
     * mirroring the l1 convention. Lines are the same synthesized
     * sentence split l45 uses (the fixture text has no natural newlines).
     *
-    * Scale (100 TB): ONE shuffle keyed on the line's md5 (128-bit key,
-    * not the line text, so shuffle rows stay narrow) elects the first
-    * occurrence; reassembly is a second shuffle on doc_id + an ordered
-    * collect, the a7/l45 deterministic-collect pattern. No all-pairs, no
-    * driver state. */
+    * Scale (100 TB): one shuffle PARTITIONED on the line's md5 elects the
+    * first occurrence (the 128-bit key makes exchange hashing and the
+    * window's sort comparisons fixed-width instead of arbitrary-length
+    * text comparisons; the line text itself still rides both exchanges —
+    * it must, since survivors are reassembled); reassembly is a second
+    * shuffle on doc_id + an ordered collect, the a7/l45
+    * deterministic-collect pattern. No all-pairs, no driver state. */
   def l57LineDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = documents(spark, dir).select($"doc_id", $"text")
@@ -1860,9 +1862,7 @@ object Llm {
     import spark.implicits._
     val toks = documents(spark, dir)
       .select($"doc_id", $"lang", explode(split($"text", " ")).as("token"))
-      .withColumn("feat",
-        conv(substring(md5($"token".cast("binary")), 1, 4), 16, 10)
-          .cast("long") % 64)
+      .withColumn("feat", Text.md5Bucket($"token", 64))
     val rates = toks.groupBy($"feat")
       .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("t_n"),
         count(lit(1)).as("p_n"))
@@ -2183,7 +2183,7 @@ object Llm {
         |  FROM counts)
         |SELECT d.doc_id, d.lang, CAST(r.accept_ppm AS BIGINT) AS accept_ppm
         |FROM documents d JOIN rates r USING (lang)
-        |WHERE (d.doc_id * 2654435761) % 1000000 < r.accept_ppm""".stripMargin,
+        |WHERE ((d.doc_id % 1000000) * 435761) % 1000000 < r.accept_ppm""".stripMargin,
     "l56_novelty_scoring" ->
       """WITH refs AS (
         |  SELECT DISTINCT unnest(list_transform(

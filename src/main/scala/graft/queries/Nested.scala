@@ -288,9 +288,13 @@ object Nested {
     var round = 0
     while (changed > 0 && round < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // fixpoint = identical edge SET (both excepts empty); each round is
-      // a bounded-size compare on the shrinking edge table
-      changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      // fixpoint = identical edge SET. Both sides are distinct-ed, so
+      // equal counts + empty one-way difference imply set equality — one
+      // exceptAll job per round instead of two (count on the freshly
+      // checkpointed table is near-free)
+      changed =
+        if (next.count() != edges.count()) 1L
+        else next.exceptAll(edges).count()
       edges = next
       round += 1
     }

@@ -1242,14 +1242,18 @@ object StreamingQ {
     * stream. The final table is the same integer-ppm drift compare l53
     * produces ([[Llm.driftFromCounts]]), so the whole streaming path
     * hash-matches the batch oracle. Buckets are value/50 capped at 9;
-    * sides are the [Jan 1, Jan 16) / [Jan 16, …) event-time split, applied
-    * with the same UTC string-cast semantics as Engine.eventsBetween. */
+    * sides split on the Jan 16 event-time boundary (open lower bound, UTC
+    * string-cast semantics). */
   def st24StreamingDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def bucket(c: org.apache.spark.sql.Column) =
       least(floor(c / 50.0), lit(9.0)).cast("long")
     val split = lit("2024-01-16").cast("timestamp")
-    val refCounts = eventsBetween(spark, dir, "2024-01-01", "2024-01-16")
+    // ref = everything BEFORE the split, open lower bound — must match the
+    // oracle's `ts < TIMESTAMP '2024-01-16'` even if a future fixture
+    // carries events before the current range; the ts predicate still
+    // pushes to the scan through the no-op normalization (s1b's property)
+    val refCounts = events(spark, dir).filter($"ts" < split)
       .select(bucket($"value").as("bucket"))
       .groupBy($"bucket").agg(count(lit(1)).as("ref_n"))
     val staged = Streams.stageEvents(spark, dir, 4)
@@ -1303,7 +1307,6 @@ object StreamingQ {
   private val oraDsumValue = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
-    // identical to w19's oracle: the incremental merge must reproduce the
     "st24_streaming_drift" ->
       """WITH b AS (
         |  SELECT least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket,
@@ -1320,6 +1323,7 @@ object StreamingQ {
         |  CAST(abs(ref_n * 1000000 // sum(ref_n) OVER ()
         |    - cand_n * 1000000 // sum(cand_n) OVER ()) AS BIGINT) AS drift_ppm
         |FROM c""".stripMargin,
+    // identical to w19's oracle: the incremental merge must reproduce the
     // batch historization exactly
     "st21_streaming_scd2" ->
       """WITH ev AS (
