@@ -1877,6 +1877,104 @@ object Llm {
         sum($"t_ppm" - $"p_ppm").as("importance"))
   }
 
+  /** L60: record linkage via dictionary-level fuzzy matching — the
+    * near-duplicate-KEY problem (merging "acme corp" / "acme corp.") that
+    * precedes any keyed join over scraped metadata. The join key column is
+    * first collapsed to its distinct-value dictionary (64 names here; key
+    * cardinality ≪ row count is the defining property of the problem),
+    * then the dictionary fuzzy-matches AGAINST ITSELF under a blocking
+    * scheme — same first token, length within ±2 — and only blocked
+    * candidates pay the O(len²) Levenshtein comparison (codegen'd builtin,
+    * `levenshtein`, same classic DP both engines). Matched pairs carry
+    * both sides' row counts so downstream canonicalization (l49 pattern)
+    * knows the merge weight. Threshold 4: the fixture's two-word names
+    * draw their second word from a small vocab whose closest distinct
+    * pairs sit at distance 3-4, so ≤4 is the smallest radius that links
+    * same-block name variants here (≤2 matches nothing at any SF).
+    *
+    * Scale (100 TB): the corpus-sized work is ONE partial-agg to the key
+    * dictionary (map-side combine collapses to |keys| rows); blocking
+    * bounds the candidate set to Σ_block n_b² over dictionary rows, not
+    * data rows, and the edit distance never touches the corpus. At 2 000
+    * parts the dictionary is 64 rows / 8 blocks — broadcast trivially;
+    * with a 10⁸-key dictionary the same plan shuffles on the block key. */
+  def l60FuzzyBlockedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val names = part(spark, dir)
+      .groupBy($"p_name").agg(count(lit(1)).as("n_rows"))
+      .select($"p_name", $"n_rows",
+        split($"p_name", " ")(0).as("w1"), length($"p_name").as("ln"))
+    val a = names.select($"p_name".as("name_a"), $"n_rows".as("rows_a"),
+      $"w1", $"ln".as("ln_a"))
+    val b = names.select($"p_name".as("name_b"), $"n_rows".as("rows_b"),
+      $"w1", $"ln".as("ln_b"))
+    a.join(b, "w1")
+      .filter($"name_a" < $"name_b" && abs($"ln_a" - $"ln_b") <= 2)
+      .withColumn("lev", levenshtein($"name_a", $"name_b").cast("long"))
+      .filter($"lev" <= 4)
+      .select($"name_a", $"name_b", $"lev", $"rows_a", $"rows_b")
+  }
+
+  /** L61: cross-source contamination matrix — for every pair of corpus
+    * sources, how many distinct word 3-grams they share. The audit that
+    * tells a training-data pipeline which scrapes overlap (mirror sites,
+    * syndicated content, re-crawls) BEFORE committing to a mixture plan;
+    * the per-pair counts feed the same dedup-priority decisions l20/l38
+    * execute.
+    *
+    * Scale (100 TB): never a gram×gram or doc×doc join — the corpus
+    * reduces to distinct (source, gram) pairs (partial-agg), then ONE
+    * exchange on gram groups each gram's source set (bounded by |sources|,
+    * 20 here), and pairs are expanded per-gram with an index-aware HOF
+    * (i<j, so each unordered pair once) before a final |sources|²-keyed
+    * count. A hot gram shared by all sources costs |sources|²/2 rows, not
+    * n_docs². */
+  def l61CrossSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perGram = documents(spark, dir)
+      .select($"source", explode(Text.shingles($"text", 3)).as("gram"))
+      .distinct()
+      .groupBy($"gram")
+      .agg(sort_array(collect_set($"source")).as("srcs"))
+      .filter(size($"srcs") >= 2)
+    perGram
+      .select(explode(flatten(transform($"srcs", (x, i) =>
+        transform(slice($"srcs", i + lit(2), size($"srcs")),
+          y => struct(x.as("src_a"), y.as("src_b")))))).as("p"))
+      .groupBy($"p.src_a".as("src_a"), $"p.src_b".as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** L62: tokenizer fertility by language — encode the corpus with the
+    * l41-learned BPE merges and report pieces-per-word per language, the
+    * standard metric for how well a tokenizer serves each slice of a
+    * multilingual corpus (fertility ≫ 1 for a language means its text
+    * costs proportionally more context window). Reuses the 4-round global
+    * BPE (l41/l42 chain) so the three queries agree on one tokenizer;
+    * fertility is reported in exact integer ppm (pieces·10⁶ div words) so
+    * the hash compare is bit-exact.
+    *
+    * Scale (100 TB): token stream partial-aggs to (lang, word) freqs —
+    * vocabulary-sized, not corpus-sized; the global learn runs on the
+    * word dictionary (l41's contract); encodings join back word-to-word
+    * (dictionary×dictionary, broadcastable) and the final agg is |langs|
+    * rows. No per-document BPE execution anywhere. */
+  def l62TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byLang = documents(spark, dir)
+      .select($"lang", explode(Text.tokens($"text")).as("word"))
+      .filter(length($"word") >= 2)
+      .groupBy($"lang", $"word").agg(count(lit(1)).as("cnt"))
+    val globalWf = byLang.groupBy($"word").agg(sum($"cnt").as("cnt"))
+    val encoded = bpeEncoded(globalWf, 4)
+      .select($"word", size(split($"sym", "\\|")).cast("long").as("n_pieces"))
+    byLang.join(encoded, Seq("word"))
+      .groupBy($"lang")
+      .agg(sum($"cnt").as("n_words"),
+        sum($"cnt" * $"n_pieces").as("total_pieces"),
+        expr("sum(cnt * n_pieces) * 1000000 div sum(cnt)").as("fertility_ppm"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup" -> (l1ExactDedup _),
@@ -1940,6 +2038,9 @@ object Llm {
     "l57_line_dedup" -> (l57LineDedup _),
     "l58_quality_ensemble" -> (l58QualityEnsemble _),
     "l59_importance_scoring" -> (l59ImportanceScoring _),
+    "l60_fuzzy_blocked_join" -> (l60FuzzyBlockedJoin _),
+    "l61_cross_source_overlap" -> (l61CrossSourceOverlap _),
+    "l62_tokenizer_fertility" -> (l62TokenizerFertility _),
     "l43_label_centroids" -> (l43LabelCentroids _),
     "l44_kmv_overlap" -> (l44KmvOverlap _),
     "l45_sentence_chunk" -> (l45SentenceChunk _),
@@ -2059,6 +2160,26 @@ object Llm {
        |  CAST(sum(cnt * len(string_split(sym, '|'))) AS BIGINT) AS total_tokens,
        |  count(*) AS n_words
        |FROM s4""".stripMargin
+
+  /** Per-language fertility over the shared 4-round BPE chain: the word
+    * dictionary s4 (word → encoded sym) joins back to per-(lang, word)
+    * frequencies; fertility is exact integer ppm so the hash compare is
+    * bit-for-bit. */
+  private lazy val l62OracleSql: String =
+    s"""$bpeOracleChain,
+       |wl AS (
+       |  SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE len(word) >= 2 GROUP BY lang, word)
+       |SELECT lang,
+       |  CAST(sum(wl.cnt) AS BIGINT) AS n_words,
+       |  CAST(sum(wl.cnt * len(string_split(s4.sym, '|'))) AS BIGINT)
+       |    AS total_pieces,
+       |  CAST(sum(wl.cnt * len(string_split(s4.sym, '|'))) * 1000000
+       |    // sum(wl.cnt) AS BIGINT) AS fertility_ppm
+       |FROM wl JOIN s4 ON wl.word = s4.word
+       |GROUP BY lang""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "l1_exact_dedup" ->
@@ -2269,6 +2390,28 @@ object Llm {
         |  CAST(sum(t_ppm - p_ppm) AS BIGINT) AS importance
         |FROM f JOIN r2 USING (feat)
         |GROUP BY doc_id""".stripMargin,
+    "l60_fuzzy_blocked_join" ->
+      """WITH n AS (
+        |  SELECT p_name, count(*) AS n_rows,
+        |    string_split(p_name, ' ')[1] AS w1, length(p_name) AS ln
+        |  FROM part GROUP BY p_name)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
+        |  a.n_rows AS rows_a, b.n_rows AS rows_b
+        |FROM n a JOIN n b
+        |  ON a.w1 = b.w1 AND a.p_name < b.p_name AND abs(a.ln - b.ln) <= 2
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4""".stripMargin,
+    "l61_cross_source_overlap" ->
+      """WITH sh AS (
+        |  SELECT source, unnest(list_transform(
+        |    generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+        |    i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS gram
+        |  FROM documents),
+        |d AS (SELECT DISTINCT source, gram FROM sh)
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |FROM d a JOIN d b ON a.gram = b.gram AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
+    "l62_tokenizer_fertility" -> l62OracleSql,
     "l2_minhash_neardup" -> l2PairsSql,
     "l2c_minhash_native" -> l2PairsSql,
     "l17_dedup_clusters" -> l17ClusterSql,

@@ -557,4 +557,73 @@ class PipelineOpsSpec extends SparkSpec {
     assert(exact.toDouble / out.length >= 0.9,
       s"only $exact/${out.length} batch docs matched their source")
   }
+
+  test("L60: blocked fuzzy join equals the unblocked brute force at this radius") {
+    import spark.implicits._
+    // classic Levenshtein DP — an independent reference implementation
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i + j)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val counts = Engine.part(spark, sfDir).groupBy($"p_name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val names = counts.keys.toSeq.sorted
+    // expected = brute force over the dictionary, THEN the block predicate:
+    // blocking must only skip pairs the radius would reject anyway
+    val expected = (for {
+      (a, i) <- names.zipWithIndex; b <- names.drop(i + 1)
+      if a.split(" ")(0) == b.split(" ")(0) &&
+        math.abs(a.length - b.length) <= 2 && lev(a, b) <= 4
+    } yield (a, b, lev(a, b).toLong, counts(a), counts(b))).toSet
+    val got = Llm.l60FuzzyBlockedJoin(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
+    assert(got.nonEmpty, "the fixture dictionary must produce matches")
+  }
+
+  test("L61: HOF pair expansion equals the direct self-join formulation") {
+    import spark.implicits._
+    val grams = Engine.documents(spark, sfDir)
+      .select($"source", explode(graft.functions.Text.shingles($"text", 3)).as("gram"))
+      .distinct()
+    // independent strategy: plain self-join on gram (what the oracle does)
+    val ref = grams.as("a").join(grams.as("b"), Seq("gram"))
+      .filter($"a.source" < $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val got = Llm.l61CrossSourceOverlap(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == ref, s"pair expansion diverged: ${got.size} vs ${ref.size}")
+    assert(got.forall { case (a, b, n) => a < b && n > 0 })
+  }
+
+  test("L62: fertility is total over langs and reconciles with l42's corpus encode") {
+    import spark.implicits._
+    val out = Llm.l62TokenizerFertility(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val langs = Engine.documents(spark, sfDir).select($"lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(out.keySet == langs, s"every language scored: ${out.keySet} vs $langs")
+    out.foreach { case (lang, (nWords, totalPieces, ppm)) =>
+      assert(totalPieces >= nWords, s"$lang: every word is >= 1 piece")
+      assert(ppm >= 1000000L, s"$lang: fertility can't be below 1.0")
+      assert(ppm == totalPieces * 1000000L / nWords, s"$lang: ppm formula")
+    }
+    // cross-operator reconciliation: summing the per-lang encode over all
+    // languages must reproduce l42's corpus-global piece count exactly —
+    // both run the same 4-round BPE dictionary
+    val l42 = Llm.l42BpeEncode(spark, sfDir).head()
+    assert(out.values.map(_._2).sum == l42.getLong(1),
+      "sum of per-lang pieces == l42 total_tokens")
+    val corpusWords = Engine.documents(spark, sfDir)
+      .select(explode(graft.functions.Text.tokens($"text")).as("word"))
+      .filter(length($"word") >= 2).count()
+    assert(out.values.map(_._1).sum == corpusWords,
+      "sum of per-lang word counts == corpus token count")
+  }
 }
