@@ -83,7 +83,10 @@ object PlanAudit {
       "l58_quality_ensemble" -> "quality ensemble: three rank windows + keep filter share one exchange on source",
       "l59_importance_scoring" -> "importance scoring: 64-row rate table from map-side partials, broadcast back, one doc_id agg",
       "s33_schema_evolution" -> "schema evolution: mergeSchema scan unifies generations at planning time, defaults in codegen",
-      "g8_connected_components" -> "star-contraction CC: per-round neighborhood-min agg + join-back, checkpointed fixpoint loop")
+      "g8_connected_components" -> "star-contraction CC: per-round neighborhood-min agg + join-back, checkpointed fixpoint loop",
+      "l60_fuzzy_blocked_join" -> "fuzzy record linkage: one partial agg to the key dictionary, blocked self-join, Levenshtein only on blocked candidates",
+      "l61_cross_source_overlap" -> "cross-source overlap: distinct (source, gram) partials, one gram exchange, HOF pair expansion bounded by |sources|²",
+      "l62_tokenizer_fertility" -> "tokenizer fertility: (lang, word) partials, dictionary-sized BPE learn + encode join-back, |langs|-row final agg")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries (sf0.01)\n\n")
     sb.append("Generated by `graft.PlanAudit`; re-run after plan-affecting changes.\n\n")
