@@ -1931,9 +1931,11 @@ object Llm {
     * n_docs². */
   def l61CrossSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // no pre-distinct: collect_set dedups sources map-side inside the ONE
+    // gram-keyed exchange — a prior (source, gram) distinct would just add
+    // a second corpus-sized shuffle for work the set-agg partials do free
     val perGram = documents(spark, dir)
       .select($"source", explode(Text.shingles($"text", 3)).as("gram"))
-      .distinct()
       .groupBy($"gram")
       .agg(sort_array(collect_set($"source")).as("srcs"))
       .filter(size($"srcs") >= 2)
