@@ -971,6 +971,40 @@ object Relational {
   def w20MadOutliers(spark: SparkSession, dir: String): DataFrame =
     madCore(dailyCounts(spark, dir))
 
+  /** W21: day-of-week seasonal baseline — the deseasonalized anomaly gate
+    * a weekly-periodic event stream needs (weekend troughs would trip a
+    * flat w16/w20 threshold every Saturday). Each (event_type, ISO
+    * weekday) cell gets its own exact median baseline (med2 = 2·median,
+    * integer by construction, the w18/w20 discipline), and a day is
+    * anomalous when it deviates from ITS OWN weekday's baseline by more
+    * than 15% (|2·cnt − med2|·20 > med2·3 — all-integer, hash-exact).
+    * Cross-engine weekday contract: Spark `weekday()+1` == DuckDB
+    * `isodow()` (both 1=Monday..7=Sunday); Spark/DuckDB `dayofweek`
+    * disagree on range (1-7 vs 0-6) and are avoided.
+    *
+    * Scale (100 TB): corpus-sized work is only the dailyCounts
+    * partial+final agg; the seasonal medians are window aggregates over
+    * per-(type, dow) day rows — bounded by the calendar — on ONE
+    * (event_type, dow) exchange. */
+  def w21SeasonalBaseline(spark: SparkSession, dir: String): DataFrame =
+    seasonalCore(dailyCounts(spark, dir))
+
+  /** w21's core on any (event_type, day, cnt) frame — split out so the
+    * spec can feed a crafted weekly-periodic series and pin the
+    * DESEASONALIZATION property (a regular weekend trough must not flag;
+    * the same count on a weekday must). */
+  private[graft] def seasonalCore(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    val wDow = Window.partitionBy($"event_type", $"dow")
+    daily
+      .withColumn("dow", (expr("weekday(day)") + 1).cast("long"))
+      .withColumn("med2",
+        (expr("percentile(cnt, 0.5)").over(wDow) * 2).cast("long"))
+      .withColumn("dev2", lit(2) * $"cnt" - $"med2")
+      .select($"event_type", $"day", $"dow", $"cnt", $"med2", $"dev2",
+        (abs($"dev2") * 20 > $"med2" * 3).as("is_anomaly"))
+  }
+
   /** w20's core on any (event_type, day, cnt) frame — split out so the
     * spec can feed a crafted series and pin the ROBUSTNESS property (a
     * planted extreme day must not move the center or the threshold). */
@@ -1395,6 +1429,7 @@ object Relational {
     "w18_window_median" -> (w18WindowMedian _),
     "w19_scd2_history" -> (w19Scd2History _),
     "w20_mad_outliers" -> (w20MadOutliers _),
+    "w21_seasonal_baseline" -> (w21SeasonalBaseline _),
     "w14_cohort_retention" -> (w14CohortRetention _),
     "w9_batch_sessionize" -> (w9BatchSessionize _),
     "w10_cumulative_distinct" -> (w10CumulativeDistinct _),
@@ -1554,6 +1589,19 @@ object Relational {
         |SELECT event_type, day, cnt, med2, mad4,
         |  2 * dev2 > 3 * mad4 AS is_outlier
         |FROM md""".stripMargin,
+    "w21_seasonal_baseline" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT *, CAST(isodow(day) AS BIGINT) AS dow FROM daily),
+        |m AS (
+        |  SELECT *, CAST(2 * median(cnt)
+        |    OVER (PARTITION BY event_type, dow) AS BIGINT) AS med2
+        |  FROM d)
+        |SELECT event_type, day, dow, cnt, med2, 2 * cnt - med2 AS dev2,
+        |  abs(2 * cnt - med2) * 20 > med2 * 3 AS is_anomaly
+        |FROM m""".stripMargin,
     "w19_scd2_history" ->
       """WITH ev AS (
         |  SELECT user_id, event_type,

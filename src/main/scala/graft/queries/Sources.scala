@@ -1227,9 +1227,54 @@ object Sources {
         countDistinct($"source_norm").as("n_sources"))
   }
 
+  /** S34: compression-codec roundtrip — the storage-tuning decision every
+    * archive layer makes (zstd for cold shards, snappy for hot ones),
+    * verified END TO END: the same projection is written once per codec
+    * and each variant is read back through its own decoder, with the
+    * oracle pinning that every row and every value survives both
+    * encodings bit-for-bit (per-codec count, integer key sum, decimal-
+    * stabilized quantity sum — identical across codecs and equal to the
+    * source). Codec choice is a pure `option("compression", …)` on the
+    * writer; the scan path auto-detects per-file from parquet metadata,
+    * so mixed-codec directories (a live migration) read transparently.
+    *
+    * Scale (100 TB): codec is per-file — the write parallelizes like any
+    * partitioned sink and nothing about the plan changes; the re-read
+    * aggregate is one partial+final agg per variant. The spec pins the
+    * physical effect the oracle can't see: both variants compress below
+    * the uncompressed footprint and differ from each other. */
+  def s34CodecRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = codecLayout(spark, dir)
+    Seq("zstd", "snappy").map { codec =>
+      spark.read.parquet(s"$root/$codec")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"l_orderkey").as("key_sum"),
+          sum($"l_quantity".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("qty_sum"))
+        .select(lit(codec).as("codec"), $"n_rows", $"key_sum", $"qty_sum")
+    }.reduce(_ unionByName _)
+  }
+
+  /** s34's write stage, split out so the spec can inspect the on-disk
+    * footprint: writes the lineitem projection under `<root>/<codec>` for
+    * zstd, snappy, and (spec-only) none. */
+  private[graft] def codecLayout(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val src = lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_quantity", $"l_shipdate")
+    val root = java.nio.file.Files.createTempDirectory("s34_codec").toString
+    Seq("zstd", "snappy", "none").foreach { codec =>
+      src.write.mode(SaveMode.Overwrite)
+        .option("compression", codec).parquet(s"$root/$codec")
+    }
+    root
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s33_schema_evolution" -> (s33SchemaEvolution _),
+    "s34_codec_roundtrip" -> (s34CodecRoundtrip _),
     "s1_pushdown_scan" -> (s1PushdownScan _),
     "s2_keyed_lookup" -> (s2KeyedLookup _),
     "s3_binary_source" -> (s3BinarySource _),
@@ -1366,6 +1411,12 @@ object Sources {
         |  CAST(sum(defaulted) AS BIGINT) AS n_defaulted,
         |  CAST(count(DISTINCT source_norm) AS BIGINT) AS n_sources
         |FROM unified GROUP BY gen, lang""".stripMargin,
+    "s34_codec_roundtrip" ->
+      """SELECT codec, count(*) AS n_rows,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+        |FROM lineitem, (SELECT unnest(['zstd', 'snappy']) AS codec) c
+        |GROUP BY codec""".stripMargin,
     "s1_pushdown_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

@@ -558,6 +558,48 @@ class PipelineOpsSpec extends SparkSpec {
       s"only $exact/${out.length} batch docs matched their source")
   }
 
+  test("W21: weekend troughs don't flag against their own weekday baseline; a weekday crash does") {
+    import spark.implicits._
+    import java.sql.Date
+    // 4 weeks of a weekly-periodic series: weekdays ~100, weekends ~40,
+    // plus ONE planted weekday crash to 40 (2024-01-01 is a Monday)
+    val rows = (0 until 28).map { i =>
+      val d = Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+      val weekend = i % 7 >= 5
+      val cnt = if (i == 15) 40L else if (weekend) 40L else 100L
+      ("t", d, cnt)
+    }
+    val out = graft.queries.Relational.seasonalCore(
+      rows.toDF("event_type", "day", "cnt")).collect()
+      .map(r => r.getDate(1).toString -> (r.getLong(2), r.getBoolean(6))).toMap
+    val flagged = out.filter(_._2._2).keySet
+    // the crash day (2024-01-16, a Tuesday at weekend levels) is the ONLY
+    // anomaly: every true weekend sits exactly on its own dow baseline
+    assert(flagged == Set("2024-01-16"), s"flagged: $flagged")
+    // and a FLAT median over the same series would have flagged all 8
+    // weekend days — the property that motivates the seasonal split
+    val flat = graft.queries.Relational.madCore(
+      rows.toDF("event_type", "day", "cnt")).collect()
+      .count(_.getBoolean(5))
+    assert(flat >= 8, s"flat threshold must trip on weekends (got $flat)")
+  }
+
+  test("S34: every codec roundtrips identical rows; compressed variants shrink and differ") {
+    import spark.implicits._
+    val root = Sources.codecLayout(spark, sfDir)
+    def bytes(codec: String): Long =
+      new java.io.File(s"$root/$codec").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    def digest(codec: String): Array[org.apache.spark.sql.Row] =
+      spark.read.parquet(s"$root/$codec")
+        .orderBy($"l_orderkey", $"l_partkey").collect()
+    assert(digest("zstd").sameElements(digest("snappy")), "value roundtrip")
+    assert(digest("zstd").sameElements(digest("none")), "vs uncompressed")
+    val (z, s, n) = (bytes("zstd"), bytes("snappy"), bytes("none"))
+    assert(z < n && s < n, s"compression must shrink: zstd=$z snappy=$s none=$n")
+    assert(z != s, "codecs must actually differ on disk")
+  }
+
   test("L60: blocked fuzzy join equals the unblocked brute force at this radius") {
     import spark.implicits._
     // classic Levenshtein DP — an independent reference implementation
