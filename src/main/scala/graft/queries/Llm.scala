@@ -1908,10 +1908,14 @@ object Llm {
       $"w1", $"ln".as("ln_a"))
     val b = names.select($"p_name".as("name_b"), $"n_rows".as("rows_b"),
       $"w1", $"ln".as("ln_b"))
+    // bounded variant: levenshtein(a, b, k) runs the banded DP — O(k·len)
+    // per pair instead of O(len²) — and returns -1 past the bound, which
+    // the radius filter drops; within the bound the distance is exact, so
+    // the result matches the unbounded oracle
     a.join(b, "w1")
       .filter($"name_a" < $"name_b" && abs($"ln_a" - $"ln_b") <= 2)
-      .withColumn("lev", levenshtein($"name_a", $"name_b").cast("long"))
-      .filter($"lev" <= 4)
+      .withColumn("lev", levenshtein($"name_a", $"name_b", 4).cast("long"))
+      .filter($"lev" >= 0 && $"lev" <= 4)
       .select($"name_a", $"name_b", $"lev", $"rows_a", $"rows_b")
   }
 

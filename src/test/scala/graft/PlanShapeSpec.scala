@@ -728,4 +728,33 @@ class PlanShapeSpec extends SparkSpec {
       spark.sql("SELECT * FROM day_spine('2024-13-99', DATE'2024-01-31')"))
     assert(e3.getMessage.contains("not a valid date"), e3.getMessage)
   }
+
+  test("L61: exactly one corpus-sized shuffle (gram exchange) plus the bounded pair agg") {
+    val df = graft.queries.Llm.l61CrossSourceOverlap(spark, sfDir)
+    df.collect() // finalize AQE
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // gram-keyed exchange + the |sources|²-bounded pair-count exchange;
+    // a third would mean the pre-distinct shuffle crept back in
+    assert(exchanges.size <= 2, s"expected <=2 shuffles, got:\n" +
+      exchanges.mkString("\n").take(2000))
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("L60: dictionary agg computed once and reused on both sides of the blocked join") {
+    val df = graft.queries.Llm.l60FuzzyBlockedJoin(spark, sfDir)
+    df.collect()
+    val plan = planOf(df)
+    // the name dictionary is one partial+final agg whose exchange is
+    // REUSED for the second join leg, and the blocked join broadcasts
+    assert(plan.contains("ReusedExchange") || plan.contains("BroadcastHashJoin"),
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // corpus scan count: the part table is read once, not once per side
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+      .count(_.toString.contains("part.parquet"))
+    assert(scans <= 1, s"part scanned $scans times")
+  }
 }
