@@ -1884,8 +1884,12 @@ object Llm {
     * cardinality ≪ row count is the defining property of the problem),
     * then the dictionary fuzzy-matches AGAINST ITSELF under a blocking
     * scheme — same first token, length within ±2 — and only blocked
-    * candidates pay the O(len²) Levenshtein comparison (codegen'd builtin,
-    * `levenshtein`, same classic DP both engines). Matched pairs carry
+    * candidates pay the Levenshtein comparison (codegen'd builtin; the
+    * bounded 3-arg form runs the banded DP in O(radius·len), same classic
+    * distance both engines). Blocking intentionally trades cross-block
+    * recall for the candidate bound, as in standard record linkage —
+    * a first-token edit crosses blocks and is out of scope by design.
+    * Matched pairs carry
     * both sides' row counts so downstream canonicalization (l49 pattern)
     * knows the merge weight. Threshold 4: the fixture's two-word names
     * draw their second word from a small vocab whose closest distinct
@@ -1974,11 +1978,21 @@ object Llm {
     val globalWf = byLang.groupBy($"word").agg(sum($"cnt").as("cnt"))
     val encoded = bpeEncoded(globalWf, 4)
       .select($"word", size(split($"sym", "\\|")).cast("long").as("n_pieces"))
+    // ppm via quotient decomposition, not `pieces * 1e6 div words`: the
+    // direct form overflows Long once a language holds > 9.2e12 pieces
+    // (DuckDB's sum widens to HUGEINT and would diverge instead of
+    // failing). q*1e6 + (r*1e6 div words) is algebraically identical
+    // (pieces = q*words + r, r < words) and every intermediate stays
+    // below words*1e6 — exact until a single language exceeds 9.2e12
+    // WORDS (~50 TB of text in one language), with the sums themselves
+    // good to 9.2e18.
     byLang.join(encoded, Seq("word"))
       .groupBy($"lang")
       .agg(sum($"cnt").as("n_words"),
         sum($"cnt" * $"n_pieces").as("total_pieces"),
-        expr("sum(cnt * n_pieces) * 1000000 div sum(cnt)").as("fertility_ppm"))
+        expr("""sum(cnt * n_pieces) div sum(cnt) * 1000000
+              + sum(cnt * n_pieces) % sum(cnt) * 1000000 div sum(cnt)""")
+          .as("fertility_ppm"))
   }
 
   // ------------------------------------------------------------- registry

@@ -1245,7 +1245,7 @@ object Sources {
     * the uncompressed footprint and differ from each other. */
   def s34CodecRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val root = codecLayout(spark, dir)
+    val root = codecLayout(spark, dir, Seq("zstd", "snappy"))
     Seq("zstd", "snappy").map { codec =>
       spark.read.parquet(s"$root/$codec")
         .agg(count(lit(1)).as("n_rows"),
@@ -1258,13 +1258,17 @@ object Sources {
 
   /** s34's write stage, split out so the spec can inspect the on-disk
     * footprint: writes the lineitem projection under `<root>/<codec>` for
-    * zstd, snappy, and (spec-only) none. */
-  private[graft] def codecLayout(spark: SparkSession, dir: String): String = {
+    * each requested codec. The query path writes only the two codecs it
+    * reads back; the spec additionally requests "none" for the
+    * compression-actually-shrinks assertion, so the uncompressed write is
+    * never paid on the benched path. */
+  private[graft] def codecLayout(spark: SparkSession, dir: String,
+      codecs: Seq[String]): String = {
     import spark.implicits._
     val src = lineitem(spark, dir)
       .select($"l_orderkey", $"l_partkey", $"l_quantity", $"l_shipdate")
-    val root = java.nio.file.Files.createTempDirectory("s34_codec").toString
-    Seq("zstd", "snappy", "none").foreach { codec =>
+    val root = tmp("s34_codec")
+    codecs.foreach { codec =>
       src.write.mode(SaveMode.Overwrite)
         .option("compression", codec).parquet(s"$root/$codec")
     }

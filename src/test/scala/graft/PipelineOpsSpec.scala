@@ -586,13 +586,17 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("S34: every codec roundtrips identical rows; compressed variants shrink and differ") {
     import spark.implicits._
-    val root = Sources.codecLayout(spark, sfDir)
+    val root = Sources.codecLayout(spark, sfDir, Seq("zstd", "snappy", "none"))
     def bytes(codec: String): Long =
       new java.io.File(s"$root/$codec").listFiles()
         .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // order by ALL projected columns: (l_orderkey, l_partkey) alone is not
+    // a total order (the fixture has tied pairs with differing rows) and a
+    // partial sort would make the cross-codec compare order-unstable
     def digest(codec: String): Array[org.apache.spark.sql.Row] =
       spark.read.parquet(s"$root/$codec")
-        .orderBy($"l_orderkey", $"l_partkey").collect()
+        .orderBy($"l_orderkey", $"l_partkey", $"l_quantity", $"l_shipdate")
+        .collect()
     assert(digest("zstd").sameElements(digest("snappy")), "value roundtrip")
     assert(digest("zstd").sameElements(digest("none")), "vs uncompressed")
     val (z, s, n) = (bytes("zstd"), bytes("snappy"), bytes("none"))
@@ -600,7 +604,7 @@ class PipelineOpsSpec extends SparkSpec {
     assert(z != s, "codecs must actually differ on disk")
   }
 
-  test("L60: blocked fuzzy join equals the unblocked brute force at this radius") {
+  test("L60: blocked join equals a brute-force reference under the same blocking scheme") {
     import spark.implicits._
     // classic Levenshtein DP — an independent reference implementation
     def lev(a: String, b: String): Int = {
@@ -613,8 +617,12 @@ class PipelineOpsSpec extends SparkSpec {
     val counts = Engine.part(spark, sfDir).groupBy($"p_name").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val names = counts.keys.toSeq.sorted
-    // expected = brute force over the dictionary, THEN the block predicate:
-    // blocking must only skip pairs the radius would reject anyway
+    // expected = enumerate ALL dictionary pairs in plain Scala, apply the
+    // same block predicate + radius. This pins the distributed pipeline
+    // (agg, join, bounded levenshtein) against an independent
+    // implementation; it does NOT claim blocking is lossless — standard
+    // record-linkage blocking intentionally trades recall across blocks
+    // (a first-token edit crosses blocks and is out of scope by design)
     val expected = (for {
       (a, i) <- names.zipWithIndex; b <- names.drop(i + 1)
       if a.split(" ")(0) == b.split(" ")(0) &&

@@ -729,32 +729,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(e3.getMessage.contains("not a valid date"), e3.getMessage)
   }
 
-  test("L61: exactly one corpus-sized shuffle (gram exchange) plus the bounded pair agg") {
-    val df = graft.queries.Llm.l61CrossSourceOverlap(spark, sfDir)
+  /** The FINAL (post-AQE) plan tree as text. Under AQE the executedPlan
+    * root is an AdaptiveSparkPlanExec LEAF — collect/collectLeaves on it
+    * see no inner nodes at all, so structural assertions must parse the
+    * formatted explain instead (its Final Plan section, with the Initial
+    * Plan echo cut off). */
+  private def finalPlanOf(df: org.apache.spark.sql.DataFrame): String = {
     df.collect() // finalize AQE
-    val exchanges = df.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }
+    val s = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    s.split("== Initial Plan ==").head
+  }
+
+  /** Count tree nodes whose name starts with `node` ("Exchange (5)" and
+    * "BroadcastHashJoin Inner BuildRight (15)" count for their names;
+    * "ReusedExchange (9)" does not count for "Exchange"). Descriptor text
+    * may sit between the name and the node id. */
+  private def nodeCount(plan: String, node: String): Int =
+    ("""(?<![A-Za-z])""" + node + """[^\n]*?\(\d+\)""").r.findAllIn(plan).size
+
+  test("L61: exactly one corpus-sized shuffle (gram exchange) plus the bounded pair agg") {
+    val plan = finalPlanOf(graft.queries.Llm.l61CrossSourceOverlap(spark, sfDir))
     // gram-keyed exchange + the |sources|²-bounded pair-count exchange;
     // a third would mean the pre-distinct shuffle crept back in
-    assert(exchanges.size <= 2, s"expected <=2 shuffles, got:\n" +
-      exchanges.mkString("\n").take(2000))
-    val plan = planOf(df)
+    val shuffles = nodeCount(plan, "Exchange")
+    assert(shuffles == 2, s"expected 2 shuffles, got $shuffles:\n${plan.take(2500)}")
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
   test("L60: dictionary agg computed once and reused on both sides of the blocked join") {
-    val df = graft.queries.Llm.l60FuzzyBlockedJoin(spark, sfDir)
-    df.collect()
-    val plan = planOf(df)
+    val plan = finalPlanOf(graft.queries.Llm.l60FuzzyBlockedJoin(spark, sfDir))
     // the name dictionary is one partial+final agg whose exchange is
-    // REUSED for the second join leg, and the blocked join broadcasts
-    assert(plan.contains("ReusedExchange") || plan.contains("BroadcastHashJoin"),
-      plan.take(3000))
+    // REUSED for the second join leg, the blocked join broadcasts, and
+    // the part table is scanned once — not once per side
+    assert(plan.contains("ReusedExchange"), plan.take(3000))
+    assert(nodeCount(plan, "BroadcastHashJoin") >= 1, plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
-    // corpus scan count: the part table is read once, not once per side
-    val scans = df.queryExecution.executedPlan.collectLeaves()
-      .count(_.toString.contains("part.parquet"))
-    assert(scans <= 1, s"part scanned $scans times")
+    val scans = nodeCount(plan, "Scan parquet")
+    assert(scans == 1, s"part scanned $scans times:\n${plan.take(2500)}")
   }
 }
