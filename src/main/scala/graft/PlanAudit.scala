@@ -86,7 +86,8 @@ object PlanAudit {
       "g8_connected_components" -> "star-contraction CC: per-round neighborhood-min agg + join-back, checkpointed fixpoint loop",
       "l60_fuzzy_blocked_join" -> "fuzzy record linkage: one partial agg to the key dictionary, blocked self-join, Levenshtein only on blocked candidates",
       "l61_cross_source_overlap" -> "cross-source overlap: distinct (source, gram) partials, one gram exchange, HOF pair expansion bounded by |sources|²",
-      "l62_tokenizer_fertility" -> "tokenizer fertility: (lang, word) partials, dictionary-sized BPE learn + encode join-back, |langs|-row final agg")
+      "l62_tokenizer_fertility" -> "tokenizer fertility: (lang, word) partials, dictionary-sized BPE learn + encode join-back, |langs|-row final agg",
+      "w21_seasonal_baseline" -> "seasonal baseline: corpus-sized work is one dailyCounts agg; per-(type, dow) medians ride one exchange over calendar-bounded rows")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries (sf0.01)\n\n")
     sb.append("Generated by `graft.PlanAudit`; re-run after plan-affecting changes.\n\n")
