@@ -1995,6 +1995,42 @@ object Llm {
           .as("fertility_ppm"))
   }
 
+  /** L63: LSH calibration curve — the measured s-curve behind the banded
+    * MinHash dedup (l2): for each exact-Jaccard decile over the probe
+    * subset's candidate pairs, how many pairs the 2-band×3-row scheme
+    * actually detects. This is the audit a pipeline runs BEFORE trusting
+    * banding parameters at corpus scale: detection should be ~0 in low
+    * bins (few false candidates) and ~1 in high bins (few misses), and
+    * the transition bin locates the scheme's effective threshold. Both
+    * legs share one shingle set: exact pairs via the shingle equi-join
+    * (l8's shape), detected pairs via the banded join (l2 itself), fused
+    * by a left join on the pair key into decile counts.
+    *
+    * Scale (100 TB): calibration runs on the SAME bounded proportional
+    * probe subset (id % 5) the banded path uses — it is a quality audit,
+    * not a corpus pass; pair volume is bounded by shared-shingle
+    * candidates within the probe, and the result is ≤11 rows. */
+  def l63LshCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shd = nearDupCandidates(spark, dir)
+      .filter($"id" % 5 === 0)
+      .select($"id", explode(Text.shingles($"text", 3)).as("shingle"))
+      .distinct()
+    val sizes = shd.groupBy($"id").agg(count(lit(1)).as("n_sh"))
+    val exact = shd.join(shd.select($"id".as("b_id"), $"shingle"), Seq("shingle"))
+      .filter($"id" < $"b_id")
+      .groupBy($"id".as("a_id"), $"b_id").agg(count(lit(1)).as("n_common"))
+      .join(sizes.select($"id".as("a_id"), $"n_sh".as("sa")), Seq("a_id"))
+      .join(sizes.select($"id".as("b_id"), $"n_sh".as("sb")), Seq("b_id"))
+      .withColumn("j_pct", expr("n_common * 100 div (sa + sb - n_common)"))
+    val banded = l2MinhashNearDup(spark, dir)
+      .select($"a_id", $"b_id", lit(1L).as("hit"))
+    exact.join(banded, Seq("a_id", "b_id"), "left")
+      .groupBy(expr("j_pct div 10").as("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce($"hit", lit(0L))).as("n_detected"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup" -> (l1ExactDedup _),
@@ -2061,6 +2097,7 @@ object Llm {
     "l60_fuzzy_blocked_join" -> (l60FuzzyBlockedJoin _),
     "l61_cross_source_overlap" -> (l61CrossSourceOverlap _),
     "l62_tokenizer_fertility" -> (l62TokenizerFertility _),
+    "l63_lsh_calibration" -> (l63LshCalibration _),
     "l43_label_centroids" -> (l43LabelCentroids _),
     "l44_kmv_overlap" -> (l44KmvOverlap _),
     "l45_sentence_chunk" -> (l45SentenceChunk _),
@@ -2200,6 +2237,31 @@ object Llm {
        |    // sum(wl.cnt) AS BIGINT) AS fertility_ppm
        |FROM wl JOIN s4 ON wl.word = s4.word
        |GROUP BY lang""".stripMargin
+
+  /** Calibration decile counts: exact-Jaccard pairs (l8's shingle join at
+    * filterMod 5, the l2 probe subset) left-joined to the banded pair set
+    * (l2PairsSql embedded as a derived table, the l17 trick). */
+  private lazy val l63OracleSql: String =
+    s"WITH $candSql,\n${shingleSql(5)},\n" +
+      """shd AS (SELECT DISTINCT id, shingle FROM sh),
+        |sizes AS (SELECT id, count(*) AS n_sh FROM shd GROUP BY id),
+        |ex AS (
+        |  SELECT a_id, b_id,
+        |    n_common * 100 // (sa.n_sh + sb.n_sh - n_common) AS j_pct
+        |  FROM (
+        |    SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
+        |    FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.id < b.id
+        |    GROUP BY a.id, b.id)
+        |  JOIN sizes sa ON sa.id = a_id
+        |  JOIN sizes sb ON sb.id = b_id),
+        |banded AS (SELECT a_id, b_id FROM (
+        |""".stripMargin + l2PairsSql + """
+        |) bp)
+        |SELECT j_pct // 10 AS bin, count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN banded.a_id IS NOT NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_detected
+        |FROM ex LEFT JOIN banded USING (a_id, b_id)
+        |GROUP BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "l1_exact_dedup" ->
@@ -2432,6 +2494,7 @@ object Llm {
         |FROM d a JOIN d b ON a.gram = b.gram AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
     "l62_tokenizer_fertility" -> l62OracleSql,
+    "l63_lsh_calibration" -> l63OracleSql,
     "l2_minhash_neardup" -> l2PairsSql,
     "l2c_minhash_native" -> l2PairsSql,
     "l17_dedup_clusters" -> l17ClusterSql,

@@ -604,6 +604,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(z != s, "codecs must actually differ on disk")
   }
 
+  test("L63: the banded scheme's calibration curve has clean tails") {
+    import spark.implicits._
+    val curve = Llm.l63LshCalibration(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(curve.nonEmpty)
+    // low tail: pairs below 10% Jaccard must (almost) never collide into a
+    // band — banding's whole point is not paying exact comparisons there
+    curve.get(0L).foreach { case (n, det) =>
+      assert(det <= n / 100, s"low-bin false-candidate rate too high: $det/$n")
+    }
+    // high tail: pairs at >=80% Jaccard must essentially all be caught —
+    // each is a planted near-dup the dedup pass exists to find
+    val (hiN, hiDet) = curve.filter(_._1 >= 8).values
+      .foldLeft((0L, 0L)) { case ((a, b), (n, d)) => (a + n, b + d) }
+    assert(hiN > 0, "fixture must produce high-similarity pairs")
+    assert(hiDet >= hiN * 95 / 100, s"high-bin recall: $hiDet/$hiN")
+    // detected never exceeds pair count in any bin
+    curve.values.foreach { case (n, d) => assert(d <= n) }
+  }
+
   test("L60: blocked join equals a brute-force reference under the same blocking scheme") {
     import spark.implicits._
     // classic Levenshtein DP — an independent reference implementation
