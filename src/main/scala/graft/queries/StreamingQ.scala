@@ -1274,11 +1274,50 @@ object StreamingQ {
           coalesce($"cand_n", lit(0L)).as("cand_n")))
   }
 
+  /** ST25: streaming seasonal anomaly gate — the serving-time half of the
+    * w21 pattern: a baseline table (per-(event_type, ISO weekday) exact
+    * integer median, trained batch-side by the SAME code as w21's
+    * `seasonalCore`) broadcasts into a live stream whose daily counts
+    * come from a checkpointed 1-day-window aggregation; each closed day
+    * is flagged against ITS OWN weekday's baseline with the all-integer
+    * ≥15% rule. Because the stream's windowed counts equal the batch
+    * daily counts, the whole path hash-matches w21's batch oracle — a
+    * cross-path (stream vs batch) equivalence the driver checks per run.
+    *
+    * Scale (100 TB/day stream): the window state is one row per open
+    * (type, day) — calendar-bounded; the baseline is |types|·7 rows and
+    * broadcasts; nothing joins stream-to-stream. 8 state partitions per
+    * the st2/st12 sizing rule. */
+  def st25StreamingBaselineGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = Streams.stageEvents(spark, dir, 4)
+    val schema = Streams.eventsSchema(spark, dir)
+    val baseline = graft.queries.Relational.seasonalCore(
+      events(spark, dir)
+        .groupBy($"event_type", date_trunc("day", $"ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("cnt")))
+      .select($"event_type", $"dow", $"med2").distinct()
+    val agg = Streams.eventsStream(spark, staged, schema, 2)
+      .groupBy($"event_type", window($"ts", "1 day").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select($"event_type", $"w.start".cast("date").as("day"), $"cnt")
+    val out = Streams.withShufflePartitions(spark, 8) {
+      Streams.runCompleteToParquet(agg, "st25")
+    }
+    spark.read.parquet(out)
+      .withColumn("dow", (expr("weekday(day)") + 1).cast("long"))
+      .join(broadcast(baseline), Seq("event_type", "dow"))
+      .withColumn("dev2", lit(2) * $"cnt" - $"med2")
+      .select($"event_type", $"day", $"dow", $"cnt", $"med2", $"dev2",
+        (abs($"dev2") * 20 > $"med2" * 3).as("is_anomaly"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st20_timeout_sessions" -> (st20TimeoutSessions _),
     "st21_streaming_scd2" -> (st21StreamingScd2 _),
     "st24_streaming_drift" -> (st24StreamingDrift _),
+    "st25_streaming_baseline_gate" -> (st25StreamingBaselineGate _),
     "st19_outer_join" -> (st19OuterJoin _),
     "st22_stream_full_outer" -> (st22StreamFullOuter _),
     "st23_streaming_observe" -> (st23StreamingObserve _),
@@ -1307,6 +1346,10 @@ object StreamingQ {
   private val oraDsumValue = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    // stream-vs-batch equivalence: the streaming windowed counts joined to
+    // the batch-trained baseline must reproduce w21's pure-batch answer
+    "st25_streaming_baseline_gate" ->
+      graft.queries.Relational.oracle("w21_seasonal_baseline"),
     "st24_streaming_drift" ->
       """WITH b AS (
         |  SELECT least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket,

@@ -521,4 +521,17 @@ class StreamingSpec extends SparkSpec {
     val streamed = out.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
     assert(streamed == batch, s"stream $streamed != batch $batch")
   }
+
+  test("ST25: the streaming baseline gate reproduces w21's batch answer row-for-row") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))
+    val streamed = graft.queries.StreamingQ
+      .st25StreamingBaselineGate(spark, sfDir).collect().map(key).toSet
+    val batch = graft.queries.Relational
+      .w21SeasonalBaseline(spark, sfDir).collect().map(key).toSet
+    assert(streamed == batch,
+      s"stream/batch divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
 }
