@@ -1382,6 +1382,52 @@ object Relational {
       .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
   }
 
+  /** J15: point-in-time feature join — the feature-store lookup that makes
+    * training data leakage-free: each fact (`view` event) reads the value
+    * of a slowly-changing per-user feature (its latest `purchase` value)
+    * AS OF the fact's own instant, never a later one. Spark-first shape:
+    * instead of materializing SCD2 intervals and running an interval join
+    * (cost ∝ facts × overlapping intervals, the j13 shape), updates and
+    * facts UNION into one stream and a single per-user ordered window
+    * (`last(feat) ignoreNulls`) carries the newest update forward onto
+    * every fact — one user_id exchange, no range-join blowup, ties at the
+    * same instant resolved update-before-fact then by event_id. The
+    * oracle is deliberately the OTHER formulation (lead()-built validity
+    * intervals + range join), so the hash compare proves the two
+    * strategies agree row-for-row.
+    *
+    * Scale (100 TB): facts and updates shuffle ONCE on user_id; window
+    * state is one running value per user; no interval table is ever
+    * materialized. Skewed users fall under AQE like any window partition;
+    * a per-user day pre-bucket splits pathological single-user streams. */
+  def j15PitFeatureJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pitCore(events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"),
+        $"event_id", $"value"))
+  }
+
+  /** j15's core on any (user_id, event_type, us, event_id, value) frame —
+    * split out so the spec can plant an update/fact sequence and pin the
+    * leakage-free property (a fact must see the latest update at or
+    * before its instant, never a later one). */
+  private[graft] def pitCore(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    val tagged = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"us", $"event_id", lit(0).as("kind"),
+        $"value".as("feat"))
+      .unionByName(ev.filter($"event_type" === "view")
+        .select($"user_id", $"us", $"event_id", lit(1).as("kind"),
+          lit(null).cast("double").as("feat")))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"us", $"kind", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("pit_feat", last($"feat", ignoreNulls = true).over(w))
+      .filter($"kind" === 1 && $"pit_feat".isNotNull)
+      .select($"event_id", $"user_id", $"us", $"pit_feat")
+  }
+
   /** Bucketed interval-join core: rows with `ts` matched to intervals
     * `[start_ts, end_ts)` via an EQUI join on the covered day buckets plus
     * the residual range predicate. An interval covers each day at most
@@ -1430,6 +1476,7 @@ object Relational {
     "w19_scd2_history" -> (w19Scd2History _),
     "w20_mad_outliers" -> (w20MadOutliers _),
     "w21_seasonal_baseline" -> (w21SeasonalBaseline _),
+    "j15_pit_feature_join" -> (j15PitFeatureJoin _),
     "w14_cohort_retention" -> (w14CohortRetention _),
     "w9_batch_sessionize" -> (w9BatchSessionize _),
     "w10_cumulative_distinct" -> (w10CumulativeDistinct _),
@@ -1589,6 +1636,21 @@ object Relational {
         |SELECT event_type, day, cnt, med2, mad4,
         |  2 * dev2 > 3 * mad4 AS is_outlier
         |FROM md""".stripMargin,
+    "j15_pit_feature_join" ->
+      """WITH upd AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+        |    value AS feat
+        |  FROM events WHERE event_type = 'purchase'),
+        |iv AS (
+        |  SELECT *, lead(us) OVER w AS to_us
+        |  FROM upd WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |fact AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |  FROM events WHERE event_type = 'view')
+        |SELECT f.event_id, f.user_id, f.us, iv.feat AS pit_feat
+        |FROM fact f JOIN iv ON f.user_id = iv.user_id
+        |  AND iv.us <= f.us
+        |  AND (iv.to_us IS NULL OR f.us < iv.to_us)""".stripMargin,
     "w21_seasonal_baseline" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,

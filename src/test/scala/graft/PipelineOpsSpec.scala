@@ -604,6 +604,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(z != s, "codecs must actually differ on disk")
   }
 
+  test("J15: a fact sees the latest update at or before its instant, never a later one") {
+    import spark.implicits._
+    // (user, type, us, event_id, value): updates at t=10 (v=1.0), t=30
+    // (v=2.0); facts at t=5 (before any update: dropped), t=10 (same
+    // instant: sees 1.0), t=20 (sees 1.0, NOT the later 2.0), t=40 (2.0);
+    // same-instant double update at t=50 (v=3.0 id=7, v=4.0 id=8) then a
+    // fact at t=50 must see the higher-event_id update (4.0)
+    val ev = Seq(
+      (1L, "purchase", 10L, 1L, 1.0), (1L, "purchase", 30L, 2L, 2.0),
+      (1L, "view", 5L, 3L, 0.0), (1L, "view", 10L, 4L, 0.0),
+      (1L, "view", 20L, 5L, 0.0), (1L, "view", 40L, 6L, 0.0),
+      (1L, "purchase", 50L, 7L, 3.0), (1L, "purchase", 50L, 8L, 4.0),
+      (1L, "view", 50L, 9L, 0.0)
+    ).toDF("user_id", "event_type", "us", "event_id", "value")
+    val out = graft.queries.Relational.pitCore(ev).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out == Map(4L -> 1.0, 5L -> 1.0, 6L -> 2.0, 9L -> 4.0), out.toString)
+  }
+
   test("L63: the banded scheme's calibration curve has clean tails") {
     import spark.implicits._
     val curve = Llm.l63LshCalibration(spark, sfDir).collect()
