@@ -2031,6 +2031,31 @@ object Llm {
         sum(coalesce($"hit", lit(0L))).as("n_detected"))
   }
 
+  /** L64: dedup survivorship report — the pre-flight audit answering "how
+    * much will dedup shrink each source?" before the expensive pass runs:
+    * per source, candidate volume, exact-unique volume (distinct content
+    * digest, l1's key), and banded near-dup pair count on the probe
+    * subset (l2's pairs, attributed to the pair's lower id). Sources with
+    * high dup ratios get dedup priority; the same numbers sanity-check a
+    * finished dedup run (survivors must equal n_unique for exact).
+    *
+    * Scale (100 TB): two partial-agg passes over the candidate set (count
+    * + distinct-digest count share one source-keyed agg) plus the l2
+    * banded join, which is already probe-bounded; the report is |sources|
+    * rows. */
+  def l64DedupSurvivorship(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cand = dupCandidates(spark, dir)
+    val per = cand.groupBy($"source").agg(count(lit(1)).as("n_docs"),
+      countDistinct(md5($"text".cast("binary"))).as("n_unique"))
+    val np = l2MinhashNearDup(spark, dir)
+      .join(cand.select($"doc_id".as("a_id"), $"source"), "a_id")
+      .groupBy($"source").agg(count(lit(1)).as("n_near_pairs"))
+    per.join(np, Seq("source"), "left")
+      .select($"source", $"n_docs", $"n_unique",
+        coalesce($"n_near_pairs", lit(0L)).as("n_near_pairs"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup" -> (l1ExactDedup _),
@@ -2098,6 +2123,7 @@ object Llm {
     "l61_cross_source_overlap" -> (l61CrossSourceOverlap _),
     "l62_tokenizer_fertility" -> (l62TokenizerFertility _),
     "l63_lsh_calibration" -> (l63LshCalibration _),
+    "l64_dedup_survivorship" -> (l64DedupSurvivorship _),
     "l43_label_centroids" -> (l43LabelCentroids _),
     "l44_kmv_overlap" -> (l44KmvOverlap _),
     "l45_sentence_chunk" -> (l45SentenceChunk _),
@@ -2495,6 +2521,23 @@ object Llm {
         |GROUP BY 1, 2""".stripMargin,
     "l62_tokenizer_fertility" -> l62OracleSql,
     "l63_lsh_calibration" -> l63OracleSql,
+    "l64_dedup_survivorship" ->
+      (s"""WITH c AS (
+         |  SELECT doc_id AS id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text, source FROM documents),
+         |per AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+         |  FROM c GROUP BY source),
+         |np AS (
+         |  SELECT c.source, count(*) AS n_near_pairs
+         |  FROM (
+         |""".stripMargin + l2PairsSql + """
+         |) p JOIN c ON p.a_id = c.id GROUP BY c.source)
+         |SELECT source, n_docs, n_unique,
+         |  COALESCE(n_near_pairs, CAST(0 AS BIGINT)) AS n_near_pairs
+         |FROM per LEFT JOIN np USING (source)""".stripMargin),
     "l2_minhash_neardup" -> l2PairsSql,
     "l2c_minhash_native" -> l2PairsSql,
     "l17_dedup_clusters" -> l17ClusterSql,

@@ -586,6 +586,23 @@ object Sources {
       .select($"event_type", $"n", ($"n".cast("double") / $"tot").as("share"))
   }
 
+  /** O17: per-partition column statistics — the ANALYZE-style profile a
+    * cost-based optimizer (or a data-quality monitor) keeps per day
+    * partition: row count, exact distinct users, raw min/max of the value
+    * column. At warehouse scale these rows ARE the planner's pruning and
+    * join-sizing input; computing them is one partial+final agg per
+    * partition key, and the distinct count partial-aggregates per
+    * (day, user) before the day rollup — no global distinct pass. */
+  def o17PartitionStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy(date_trunc("day", $"ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"user_id").as("n_users"),
+        min($"value").as("min_value"),
+        max($"value").as("max_value"))
+  }
+
   /** O15: declarative data-quality constraint suite — the Deequ /
     * great-expectations shape: volume, completeness, exact uniqueness,
     * domain and range rules evaluated together and unpivoted into the
@@ -1302,6 +1319,7 @@ object Sources {
     "o12_observed_metrics" -> (o12ObservedMetrics _),
     "o15_quality_constraints" -> (o15QualityConstraints _),
     "o16_cached_reuse" -> (o16CachedReuse _),
+    "o17_partition_stats" -> (o17PartitionStats _),
     "s30_merge_into" -> (s30MergeInto _),
     "s31_row_level_dml" -> (s31RowLevelDml _),
     "s32_time_travel" -> (s32TimeTravel _),
@@ -1492,6 +1510,12 @@ object Sources {
         |SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
         |  CAST(sum(cnt) AS DOUBLE) / (SELECT tot FROM t) AS share
         |FROM daily GROUP BY 1""".stripMargin,
+    "o17_partition_stats" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  count(*) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1""".stripMargin,
     "o12_observed_metrics" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpos_price,

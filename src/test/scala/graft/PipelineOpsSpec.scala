@@ -623,6 +623,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Map(4L -> 1.0, 5L -> 1.0, 6L -> 2.0, 9L -> 4.0), out.toString)
   }
 
+  test("L64/O17: survivorship halves planted copies; partition stats reconcile with the source") {
+    import spark.implicits._
+    // every candidate doc has exactly one planted full copy and the corpus
+    // has no natural exact duplicates, so exact survivors = half the volume
+    val surv = Llm.l64DedupSurvivorship(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(surv.nonEmpty)
+    surv.foreach { case (src, (nDocs, nUnique, nearPairs)) =>
+      assert(nDocs == 2 * nUnique, s"$src: $nDocs docs vs $nUnique unique")
+      assert(nearPairs >= 0L)
+    }
+    val stats = Sources.o17PartitionStats(spark, sfDir).collect()
+    val total = Engine.events(spark, sfDir).count()
+    assert(stats.map(_.getLong(1)).sum == total, "per-day counts must total the table")
+    stats.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "distinct users <= rows")
+      assert(r.getDouble(3) <= r.getDouble(4), "min <= max")
+    }
+  }
+
   test("L63: the banded scheme's calibration curve has clean tails") {
     import spark.implicits._
     val curve = Llm.l63LshCalibration(spark, sfDir).collect()
