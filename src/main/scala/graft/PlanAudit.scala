@@ -87,7 +87,10 @@ object PlanAudit {
       "l60_fuzzy_blocked_join" -> "fuzzy record linkage: one partial agg to the key dictionary, blocked self-join, Levenshtein only on blocked candidates",
       "l61_cross_source_overlap" -> "cross-source overlap: distinct (source, gram) partials, one gram exchange, HOF pair expansion bounded by |sources|²",
       "l62_tokenizer_fertility" -> "tokenizer fertility: (lang, word) partials, dictionary-sized BPE learn + encode join-back, |langs|-row final agg",
-      "w21_seasonal_baseline" -> "seasonal baseline: corpus-sized work is one dailyCounts agg; per-(type, dow) medians ride one exchange over calendar-bounded rows")
+      "w21_seasonal_baseline" -> "seasonal baseline: corpus-sized work is one dailyCounts agg; per-(type, dow) medians ride one exchange over calendar-bounded rows",
+      "j15_pit_feature_join" -> "point-in-time feature join: union + one user_id window exchange, no interval materialization, no range join",
+      "l63_lsh_calibration" -> "LSH calibration: shingle equi-join and banded join share one probe shingle set, decile counts <= 11 rows",
+      "l64_dedup_survivorship" -> "dedup survivorship: two source-keyed partial aggs + probe-bounded banded join, |sources| output rows")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries (sf0.01)\n\n")
     sb.append("Generated by `graft.PlanAudit`; re-run after plan-affecting changes.\n\n")

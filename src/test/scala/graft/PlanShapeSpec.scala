@@ -757,6 +757,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("J15: the PIT join is one user_id exchange — no interval materialization, no range join") {
+    val plan = finalPlanOf(graft.queries.Relational.j15PitFeatureJoin(spark, sfDir))
+    val shuffles = nodeCount(plan, "Exchange")
+    assert(shuffles == 1, s"expected exactly 1 shuffle, got $shuffles:\n${plan.take(2500)}")
+    assert(nodeCount(plan, "Window") >= 1, plan.take(2500))
+    // the whole point vs the j13 shape: no join operator at all
+    assert(!plan.contains("Join"), plan.take(2500))
+  }
+
   test("L60: dictionary agg computed once and reused on both sides of the blocked join") {
     val plan = finalPlanOf(graft.queries.Llm.l60FuzzyBlockedJoin(spark, sfDir))
     // the name dictionary is one partial+final agg whose exchange is
