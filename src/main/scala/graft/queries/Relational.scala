@@ -869,7 +869,7 @@ object Relational {
   /** Daily event counts per type — the shared metric series behind
     * w16/w17/w18 (one partial-agg exchange; integer counts keep every
     * downstream statistic oracle-exact). */
-  private def dailyCounts(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def dailyCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     events(spark, dir)
       .groupBy($"event_type", date_trunc("day", $"ts").cast("date").as("day"))
@@ -1413,19 +1413,23 @@ object Relational {
     * before its instant, never a later one). */
   private[graft] def pitCore(ev: DataFrame): DataFrame = {
     import ev.sparkSession.implicits._
+    // updates wrap their value in a non-null struct, so a NULL-valued
+    // update still counts as an update (the fact reads pit_feat = NULL,
+    // exactly like the oracle's interval join) instead of being skipped
+    // by ignoreNulls — which would leak the PREVIOUS value forward
     val tagged = ev.filter($"event_type" === "purchase")
       .select($"user_id", $"us", $"event_id", lit(0).as("kind"),
-        $"value".as("feat"))
+        struct($"value".as("v")).as("upd"))
       .unionByName(ev.filter($"event_type" === "view")
         .select($"user_id", $"us", $"event_id", lit(1).as("kind"),
-          lit(null).cast("double").as("feat")))
+          lit(null).cast("struct<v:double>").as("upd")))
     val w = Window.partitionBy($"user_id")
       .orderBy($"us", $"kind", $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
-      .withColumn("pit_feat", last($"feat", ignoreNulls = true).over(w))
-      .filter($"kind" === 1 && $"pit_feat".isNotNull)
-      .select($"event_id", $"user_id", $"us", $"pit_feat")
+      .withColumn("latest", last($"upd", ignoreNulls = true).over(w))
+      .filter($"kind" === 1 && $"latest".isNotNull)
+      .select($"event_id", $"user_id", $"us", $"latest.v".as("pit_feat"))
   }
 
   /** Bucketed interval-join core: rows with `ts` matched to intervals

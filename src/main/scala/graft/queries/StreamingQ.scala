@@ -1292,10 +1292,11 @@ object StreamingQ {
     import spark.implicits._
     val staged = Streams.stageEvents(spark, dir, 4)
     val schema = Streams.eventsSchema(spark, dir)
+    // baseline trained by the SAME code path as w21 (dailyCounts +
+    // seasonalCore), so the stream-vs-batch equivalence holds by
+    // construction, not by parallel re-implementation
     val baseline = graft.queries.Relational.seasonalCore(
-      events(spark, dir)
-        .groupBy($"event_type", date_trunc("day", $"ts").cast("date").as("day"))
-        .agg(count(lit(1)).as("cnt")))
+      graft.queries.Relational.dailyCounts(spark, dir))
       .select($"event_type", $"dow", $"med2").distinct()
     val agg = Streams.eventsStream(spark, staged, schema, 2)
       .groupBy($"event_type", window($"ts", "1 day").as("w"))

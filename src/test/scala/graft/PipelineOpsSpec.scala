@@ -621,6 +621,16 @@ class PipelineOpsSpec extends SparkSpec {
     val out = graft.queries.Relational.pitCore(ev).collect()
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(out == Map(4L -> 1.0, 5L -> 1.0, 6L -> 2.0, 9L -> 4.0), out.toString)
+    // a NULL-valued update is still an update: the fact in its interval
+    // reads NULL (like the oracle's interval join), it does NOT leak the
+    // previous value forward
+    val withNull = Seq(
+      (2L, "purchase", 10L, 1L, Some(1.0)), (2L, "purchase", 30L, 2L, None),
+      (2L, "view", 40L, 3L, Some(0.0))
+    ).toDF("user_id", "event_type", "us", "event_id", "value")
+    val nul = graft.queries.Relational.pitCore(withNull).collect()
+    assert(nul.length == 1 && nul.head.getLong(0) == 3L && nul.head.isNullAt(3),
+      nul.mkString(","))
   }
 
   test("L64/O17: survivorship halves planted copies; partition stats reconcile with the source") {
