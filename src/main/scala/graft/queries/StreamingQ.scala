@@ -1313,12 +1313,62 @@ object StreamingQ {
         (abs($"dev2") * 20 > $"med2" * 3).as("is_anomaly"))
   }
 
+  /** ST26: streaming point-in-time enrichment — the serving-time read of
+    * the j15 feature store: the dimension (per-user purchase history,
+    * compiled once batch-side into lead()-bounded validity intervals) is
+    * STATIC within the run and broadcasts; `view` facts arrive as a
+    * stream, and each micro-batch resolves every fact against the
+    * interval valid at the fact's own instant. Facts may arrive in any
+    * order across micro-batches (the staging repartition is unordered,
+    * deliberately) — correctness does not depend on arrival order because
+    * the lookup is against the full static history, which is exactly the
+    * offline-store/online-stream split feature platforms run. The output
+    * hash-matches j15's oracle, giving the PIT semantics a THIRD
+    * independently-verified formulation (window-carry batch, interval
+    * join oracle, stream-static broadcast).
+    *
+    * Scale: the interval table is update-volume sized and broadcasts (a
+    * too-big dim degrades to a shuffled stream-static join, same plan
+    * semantics); per-batch work is facts × matched interval, never
+    * stream-stream state. */
+  def st26StreamingPitEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = Streams.stageEvents(spark, dir, 4)
+    val schema = Streams.eventsSchema(spark, dir)
+    val iv = events(spark, dir).filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        $"value".as("feat"))
+      .withColumn("to_us", lead($"us", 1).over(
+        Window.partitionBy($"user_id").orderBy($"us", $"event_id")))
+      .select($"user_id".as("d_user"), $"us".as("from_us"), $"to_us", $"feat")
+    val out = java.nio.file.Files.createTempDirectory("st26_out").toString
+    val q = Streams.eventsStream(spark, staged, schema, 2)
+      .filter($"event_type" === "view")
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id")
+      .join(broadcast(iv),
+        $"user_id" === $"d_user" && $"from_us" <= $"us" &&
+          ($"to_us".isNull || $"us" < $"to_us"))
+      .select($"event_id", $"user_id", $"us", $"feat".as("pit_feat"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck_st26").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(SaveMode.Append).parquet(out): Unit
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st20_timeout_sessions" -> (st20TimeoutSessions _),
     "st21_streaming_scd2" -> (st21StreamingScd2 _),
     "st24_streaming_drift" -> (st24StreamingDrift _),
     "st25_streaming_baseline_gate" -> (st25StreamingBaselineGate _),
+    "st26_streaming_pit_enrich" -> (st26StreamingPitEnrich _),
     "st19_outer_join" -> (st19OuterJoin _),
     "st22_stream_full_outer" -> (st22StreamFullOuter _),
     "st23_streaming_observe" -> (st23StreamingObserve _),
@@ -1351,6 +1401,10 @@ object StreamingQ {
     // the batch-trained baseline must reproduce w21's pure-batch answer
     "st25_streaming_baseline_gate" ->
       graft.queries.Relational.oracle("w21_seasonal_baseline"),
+    // third formulation of the PIT semantics: stream-static broadcast
+    // lookup must reproduce the batch window-carry and the interval join
+    "st26_streaming_pit_enrich" ->
+      graft.queries.Relational.oracle("j15_pit_feature_join"),
     "st24_streaming_drift" ->
       """WITH b AS (
         |  SELECT least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket,

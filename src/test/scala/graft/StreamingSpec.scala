@@ -534,4 +534,17 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
     assert(streamed.nonEmpty)
   }
+
+  test("ST26: the stream-static PIT enrichment equals the batch window-carry formulation") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    val streamed = graft.queries.StreamingQ
+      .st26StreamingPitEnrich(spark, sfDir).collect().map(key).toSet
+    val batch = graft.queries.Relational
+      .j15PitFeatureJoin(spark, sfDir).collect().map(key).toSet
+    assert(streamed == batch,
+      s"divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
 }
