@@ -586,6 +586,35 @@ object Sources {
       .select($"event_type", $"n", ($"n".cast("double") / $"tot").as("share"))
   }
 
+  /** S35: snapshot retention (VACUUM) on the versioned dimension table —
+    * the expiry half of the time-travel contract (s32): three committed
+    * versions (seed + two row-level UPDATE rewrites) are built, then
+    * `KbDim.vacuum(retain = 2)` deletes the expired snapshot manifests
+    * AND every data file referenced only by them, while the retained
+    * versions — including the live one this query reads back — stay
+    * byte-identical. The oracle recomputes the expected live content from
+    * orders, so the compare proves vacuum deleted only garbage. The spec
+    * pins the physical half (expired version unreadable with the loud
+    * "no snapshot" error, retained versions still readable, on-disk file
+    * set shrunk to the retained manifests' union).
+    *
+    * Scale (100 TB): vacuum I/O is manifest-sized plus one delete per
+    * expired-only file; it never reads data files, and the safety rule
+    * (keep anything referenced by ANY retained snapshot) is a set
+    * difference over file NAMES. */
+  def s35VacuumRetention(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir).createOrReplaceTempView("orders_s35")
+    spark.sql(
+      """INSERT OVERWRITE kb.dim
+        |SELECT o_orderkey % 300 AS k, count(*) AS v, 'seed' AS tag
+        |FROM orders_s35 GROUP BY o_orderkey % 300""".stripMargin)
+    spark.sql("UPDATE kb.dim SET v = v + 7, tag = 'r1' WHERE k % 3 = 0")
+    spark.sql("UPDATE kb.dim SET v = v * 2, tag = 'r2' WHERE k % 5 = 0")
+    val dimDir = graft.sources.KbDim.resolveDir(spark)
+    graft.sources.KbDim.vacuum(dimDir, retain = 2)
+    spark.sql("SELECT k, v, tag FROM kb.dim")
+  }
+
   /** O17: per-partition column statistics — the ANALYZE-style profile a
     * cost-based optimizer (or a data-quality monitor) keeps per day
     * partition: row count, exact distinct users, raw min/max of the value
@@ -1320,6 +1349,7 @@ object Sources {
     "o15_quality_constraints" -> (o15QualityConstraints _),
     "o16_cached_reuse" -> (o16CachedReuse _),
     "o17_partition_stats" -> (o17PartitionStats _),
+    "s35_vacuum_retention" -> (s35VacuumRetention _),
     "s30_merge_into" -> (s30MergeInto _),
     "s31_row_level_dml" -> (s31RowLevelDml _),
     "s32_time_travel" -> (s32TimeTravel _),
@@ -1510,6 +1540,16 @@ object Sources {
         |SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
         |  CAST(sum(cnt) AS DOUBLE) / (SELECT tot FROM t) AS share
         |FROM daily GROUP BY 1""".stripMargin,
+    "s35_vacuum_retention" ->
+      """WITH seed AS (
+        |  SELECT o_orderkey % 300 AS k, count(*) AS v FROM orders GROUP BY 1),
+        |r1 AS (
+        |  SELECT k, CASE WHEN k % 3 = 0 THEN v + 7 ELSE v END AS v,
+        |    CASE WHEN k % 3 = 0 THEN 'r1' ELSE 'seed' END AS tag
+        |  FROM seed)
+        |SELECT k, CAST(CASE WHEN k % 5 = 0 THEN v * 2 ELSE v END AS BIGINT) AS v,
+        |  CASE WHEN k % 5 = 0 THEN 'r2' ELSE tag END AS tag
+        |FROM r1""".stripMargin,
     "o17_partition_stats" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
         |  count(*) AS n,

@@ -118,6 +118,46 @@ object KbDim {
     val out = f.create(new Path(dir, ManifestName), true)
     try out.write(body) finally out.close()
   }
+
+  /** VACUUM: expire every committed snapshot older than the newest
+    * `retain` versions, deleting (a) the expired `_files.v<N>` manifests
+    * and (b) any data file referenced ONLY by expired snapshots — the
+    * retention policy the commit protocol defers to (see writeManifest).
+    * Safety rules, same as any versioned table format:
+    *  - `retain >= 1` (the live snapshot is never expirable);
+    *  - data files still referenced by ANY retained snapshot or by the
+    *    live manifest survive, so every retained version stays readable;
+    *  - only files named by an expired manifest are deletion candidates —
+    *    unrelated files in the directory are never touched;
+    *  - orphan snapshots ABOVE the live version (crashed writers) are
+    *    left alone: the next commit overwrites them.
+    * Reading an expired version afterwards fails loudly with the
+    * existing "no snapshot" error. Returns (snapshots, dataFiles)
+    * deleted. */
+  def vacuum(dir: String, retain: Int): (Long, Long) = {
+    require(retain >= 1, "kb.dim vacuum: must retain at least the live snapshot")
+    val f = fs(dir)
+    val latest = latestVersion(dir)
+    val floor = math.max(1L, latest - retain + 1)
+    if (latest == 0L) return (0L, 0L)
+    val expired = (1L until floor).filter(v =>
+      f.exists(new Path(dir, s"$ManifestName.v$v")))
+    val keepFiles = (floor to latest)
+      .filter(v => f.exists(new Path(dir, s"$ManifestName.v$v")))
+      .flatMap(v => manifest(dir, s"$ManifestName.v$v")).toSet ++
+      manifest(dir).toSet
+    // read candidates BEFORE deleting their manifests
+    val candidates = expired.flatMap(v => manifest(dir, s"$ManifestName.v$v")).toSet
+    var snaps = 0L
+    expired.foreach { v =>
+      if (f.delete(new Path(dir, s"$ManifestName.v$v"), false)) snaps += 1
+    }
+    var files = 0L
+    (candidates -- keepFiles).foreach { name =>
+      if (f.delete(new Path(dir, name), false)) files += 1
+    }
+    (snaps, files)
+  }
 }
 
 /** `pinnedVersion` makes the table a read-only historical snapshot

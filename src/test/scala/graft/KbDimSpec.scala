@@ -122,4 +122,39 @@ class KbDimSpec extends SparkSpec {
     assert(!snap().contains((99L, 99L, "junk")),
       "reader picked up a file the manifest never committed")
   }
+
+  test("VACUUM expires old snapshots and their orphaned files, keeps retained versions byte-identical") {
+    import graft.sources.KbDim
+    reset()
+    val dir = KbDim.resolveDir(spark)
+    spark.sql("UPDATE kb.dim SET v = v + 1, tag = 'u1' WHERE k = 1")
+    spark.sql("UPDATE kb.dim SET v = v + 1, tag = 'u2' WHERE k = 2")
+    val latest = KbDim.latestVersion(dir)
+    val keptBefore = spark.sql(
+      s"SELECT k, v, tag FROM kb.dim VERSION AS OF ${latest - 1}")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    def dirFiles(): Set[String] =
+      new java.io.File(dir).listFiles().map(_.getName).toSet
+    val before = dirFiles()
+    val (snaps, files) = KbDim.vacuum(dir, retain = 2)
+    assert(snaps >= 1, s"at least the seed snapshot must expire (got $snaps)")
+    // expired version: loud failure, not a silent empty read
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM kb.dim VERSION AS OF ${latest - 2}").collect())
+    assert(e.getMessage.contains("no snapshot"), e.getMessage)
+    // retained versions: byte-identical reads
+    val keptAfter = spark.sql(
+      s"SELECT k, v, tag FROM kb.dim VERSION AS OF ${latest - 1}")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(keptAfter == keptBefore, "retained snapshot changed under vacuum")
+    assert(snap() == Set((1L, 11L, "u1"), (2L, 21L, "u2"), (3L, 30L, "c")))
+    // the on-disk set shrank to live manifest + retained snapshots + their files
+    val after = dirFiles()
+    assert(after.subsetOf(before), "vacuum must never create files")
+    if (files > 0) assert(after.size < before.size, "expired-only files deleted")
+    // idempotent: a second vacuum at the same retention is a no-op
+    assert(KbDim.vacuum(dir, retain = 2) == ((0L, 0L)))
+    // and the floor is guarded
+    intercept[IllegalArgumentException](KbDim.vacuum(dir, retain = 0))
+  }
 }
