@@ -615,6 +615,38 @@ object Sources {
     spark.sql("SELECT k, v, tag FROM kb.dim")
   }
 
+  /** S36: snapshot rollback — the undo half of the versioned-table
+    * contract: a bad row-level rewrite (here an UPDATE that corrupts
+    * every even key) is undone by `KbDim.rollback`, which publishes a
+    * NEW commit whose file list is the pre-corruption snapshot's.
+    * History is preserved — the corrupted version stays readable for
+    * forensics until vacuum expires it — so rollback composes with s32
+    * time travel and s35 retention. The oracle recomputes the
+    * pre-corruption state from orders: the compare proves the restore is
+    * value-exact, and the query also proves the corrupted version is
+    * still time-travel readable by checking its row count.
+    *
+    * Scale: rollback I/O is one manifest read + one manifest write —
+    * no data file is read, copied, or moved at any table size. */
+  def s36SnapshotRollback(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir).createOrReplaceTempView("orders_s36")
+    spark.sql(
+      """INSERT OVERWRITE kb.dim
+        |SELECT o_orderkey % 200 AS k, count(*) AS v, 'good' AS tag
+        |FROM orders_s36 GROUP BY o_orderkey % 200""".stripMargin)
+    val dimDir = graft.sources.KbDim.resolveDir(spark)
+    val goodV = graft.sources.KbDim.latestVersion(dimDir)
+    spark.sql("UPDATE kb.dim SET v = -1, tag = 'corrupt' WHERE k % 2 = 0")
+    val badV = graft.sources.KbDim.latestVersion(dimDir)
+    graft.sources.KbDim.rollback(dimDir, goodV)
+    // forensic readability of the bad version is part of the contract
+    val badRows = spark.sql(
+      s"SELECT count(*) FROM kb.dim VERSION AS OF $badV WHERE tag = 'corrupt'")
+      .head().getLong(0)
+    require(badRows > 0, "rolled-back version must stay readable")
+    spark.sql("SELECT k, v, tag FROM kb.dim")
+  }
+
   /** O17: per-partition column statistics — the ANALYZE-style profile a
     * cost-based optimizer (or a data-quality monitor) keeps per day
     * partition: row count, exact distinct users, raw min/max of the value
@@ -1350,6 +1382,7 @@ object Sources {
     "o16_cached_reuse" -> (o16CachedReuse _),
     "o17_partition_stats" -> (o17PartitionStats _),
     "s35_vacuum_retention" -> (s35VacuumRetention _),
+    "s36_snapshot_rollback" -> (s36SnapshotRollback _),
     "s30_merge_into" -> (s30MergeInto _),
     "s31_row_level_dml" -> (s31RowLevelDml _),
     "s32_time_travel" -> (s32TimeTravel _),
@@ -1540,6 +1573,9 @@ object Sources {
         |SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
         |  CAST(sum(cnt) AS DOUBLE) / (SELECT tot FROM t) AS share
         |FROM daily GROUP BY 1""".stripMargin,
+    "s36_snapshot_rollback" ->
+      """SELECT o_orderkey % 200 AS k, count(*) AS v, 'good' AS tag
+        |FROM orders GROUP BY o_orderkey % 200""".stripMargin,
     "s35_vacuum_retention" ->
       """WITH seed AS (
         |  SELECT o_orderkey % 300 AS k, count(*) AS v FROM orders GROUP BY 1),

@@ -157,4 +157,30 @@ class KbDimSpec extends SparkSpec {
     // and the floor is guarded
     intercept[IllegalArgumentException](KbDim.vacuum(dir, retain = 0))
   }
+
+  test("ROLLBACK restores as a new commit; history survives until vacuumed") {
+    import graft.sources.KbDim
+    reset()
+    val dir = KbDim.resolveDir(spark)
+    val good = KbDim.latestVersion(dir)
+    spark.sql("UPDATE kb.dim SET v = -1, tag = 'bad' WHERE k <= 2")
+    val bad = KbDim.latestVersion(dir)
+    val restored = KbDim.rollback(dir, good)
+    // a NEW version, not a rewind — and the live read equals the good state
+    assert(restored == bad + 1, s"rollback must commit forward ($bad -> $restored)")
+    assert(snap() == Set((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c")))
+    // forensics: the bad version is still time-travel readable...
+    val badSnap = spark.sql(s"SELECT k, v, tag FROM kb.dim VERSION AS OF $bad")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(badSnap == Set((1L, -1L, "bad"), (2L, -1L, "bad"), (3L, 30L, "c")))
+    // ...until a vacuum expires it
+    KbDim.vacuum(dir, retain = 1)
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM kb.dim VERSION AS OF $bad").collect())
+    assert(e.getMessage.contains("no snapshot"), e.getMessage)
+    assert(snap() == Set((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c")),
+      "vacuum after rollback must keep the restored live state intact")
+    // never-committed versions are rejected
+    intercept[IllegalArgumentException](KbDim.rollback(dir, KbDim.latestVersion(dir) + 5))
+  }
 }
