@@ -647,6 +647,37 @@ object Sources {
     spark.sql("SELECT k, v, tag FROM kb.dim")
   }
 
+  /** S37: snapshot diff (CDC read) — "what changed between version A and
+    * version B" over the versioned dimension table, computed from the two
+    * committed snapshots themselves: deletes = A EXCEPT B, inserts =
+    * B EXCEPT A (an in-place UPDATE surfaces as delete+insert of the
+    * row's two states, the standard CDC decomposition when the table has
+    * no change log). This is the consumer side of time travel: downstream
+    * incremental jobs read the delta instead of re-scanning the table.
+    *
+    * Scale: cost is two snapshot scans + one anti-join per direction —
+    * bounded by table size, never by history length; with per-file dedup
+    * (identical file names in both manifests) the scans skip unchanged
+    * files, which is how production formats make this cheap. */
+  def s37SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, dir).createOrReplaceTempView("orders_s37")
+    spark.sql(
+      """INSERT OVERWRITE kb.dim
+        |SELECT o_orderkey % 250 AS k, count(*) AS v, 'base' AS tag
+        |FROM orders_s37 GROUP BY o_orderkey % 250""".stripMargin)
+    val dimDir = graft.sources.KbDim.resolveDir(spark)
+    val vA = graft.sources.KbDim.latestVersion(dimDir)
+    spark.sql("DELETE FROM kb.dim WHERE k % 10 = 7")
+    spark.sql("UPDATE kb.dim SET v = v + 100, tag = 'bumped' WHERE k % 10 = 3")
+    val vB = graft.sources.KbDim.latestVersion(dimDir)
+    val a = spark.sql(s"SELECT k, v, tag FROM kb.dim VERSION AS OF $vA")
+    val b = spark.sql(s"SELECT k, v, tag FROM kb.dim VERSION AS OF $vB")
+    a.exceptAll(b).select(lit("delete").as("change"), $"k", $"v", $"tag")
+      .unionByName(
+        b.exceptAll(a).select(lit("insert").as("change"), $"k", $"v", $"tag"))
+  }
+
   /** O17: per-partition column statistics — the ANALYZE-style profile a
     * cost-based optimizer (or a data-quality monitor) keeps per day
     * partition: row count, exact distinct users, raw min/max of the value
@@ -1383,6 +1414,7 @@ object Sources {
     "o17_partition_stats" -> (o17PartitionStats _),
     "s35_vacuum_retention" -> (s35VacuumRetention _),
     "s36_snapshot_rollback" -> (s36SnapshotRollback _),
+    "s37_snapshot_diff" -> (s37SnapshotDiff _),
     "s30_merge_into" -> (s30MergeInto _),
     "s31_row_level_dml" -> (s31RowLevelDml _),
     "s32_time_travel" -> (s32TimeTravel _),
@@ -1576,6 +1608,16 @@ object Sources {
     "s36_snapshot_rollback" ->
       """SELECT o_orderkey % 200 AS k, count(*) AS v, 'good' AS tag
         |FROM orders GROUP BY o_orderkey % 200""".stripMargin,
+    "s37_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey % 250 AS k, count(*) AS v, 'base' AS tag
+        |  FROM orders GROUP BY o_orderkey % 250)
+        |SELECT 'delete' AS change, k, v, tag FROM base WHERE k % 10 = 7
+        |UNION ALL
+        |SELECT 'delete', k, v, tag FROM base WHERE k % 10 = 3
+        |UNION ALL
+        |SELECT 'insert', k, CAST(v + 100 AS BIGINT), 'bumped'
+        |FROM base WHERE k % 10 = 3""".stripMargin,
     "s35_vacuum_retention" ->
       """WITH seed AS (
         |  SELECT o_orderkey % 300 AS k, count(*) AS v FROM orders GROUP BY 1),
