@@ -183,4 +183,24 @@ class KbDimSpec extends SparkSpec {
     // never-committed versions are rejected
     intercept[IllegalArgumentException](KbDim.rollback(dir, KbDim.latestVersion(dir) + 5))
   }
+
+  test("snapshot diff is a MULTISET diff: duplicate rows are counted, not collapsed") {
+    import spark.implicits._
+    import graft.sources.KbDim
+    reset()
+    // two identical copies of (1, 10, 'a') in version A
+    spark.sql("INSERT INTO kb.dim VALUES (1L, 10L, 'a')")
+    val dir = KbDim.resolveDir(spark)
+    val vA = KbDim.latestVersion(dir)
+    spark.sql("DELETE FROM kb.dim WHERE k = 1")
+    val vB = KbDim.latestVersion(dir)
+    val a = spark.sql(s"SELECT k, v, tag FROM kb.dim VERSION AS OF $vA")
+    val b = spark.sql(s"SELECT k, v, tag FROM kb.dim VERSION AS OF $vB")
+    val deletes = a.exceptAll(b).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // exceptAll (the s37 CDC read) must report BOTH deleted copies; a
+    // set-based except would silently lose one change event
+    assert(deletes.count(_ == ((1L, 10L, "a"))) == 2, deletes.mkString(","))
+    assert(a.except(b).count() == 1, "sanity: set-based except collapses")
+  }
 }
