@@ -173,7 +173,8 @@ object Bench {
     } catch { case _: Throwable => "[]" }
     val metricLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${times.size},""" +
-        s""""value_median":${r3(totalMedian)},"runs":"best-of-2-or-3",""" +
+        s""""value_median":${r3(totalMedian)},""" +
+        s""""runs":"best-of-2-or-3; watchlist: untimed-warmup + best-of-3",""" +
         s""""cpus":$cpus,"loadavg":$loadavg,""" +
         s""""queries":${jmap(slowest.map { case (k, v) => k -> r3(v) })},""" +
         s""""spread":${jmap(spread)},"errors":$errs,"sf":"$sfDir"}"""

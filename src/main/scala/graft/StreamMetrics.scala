@@ -59,17 +59,27 @@ object StreamMetrics {
     val started = mutable.LinkedHashSet.empty[java.util.UUID]
     val progressByRun = mutable.Map.empty[java.util.UUID, mutable.ArrayBuffer[String]]
     val terminated = mutable.Set.empty[java.util.UUID]
+    // runIds whose phase already drained: late events from a query that
+    // blew the 30 s drain deadline must not re-create a buffer entry that
+    // no future phase will ever read (a slow leak attributed to no one)
+    val retired = mutable.Set.empty[java.util.UUID]
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
         lock.synchronized { started += e.runId; () }
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
         lock.synchronized {
-          progressByRun.getOrElseUpdate(e.progress.runId,
-            mutable.ArrayBuffer.empty[String]) += e.progress.json
+          if (!retired.contains(e.progress.runId)) {
+            progressByRun.getOrElseUpdate(e.progress.runId,
+              mutable.ArrayBuffer.empty[String]) += e.progress.json
+          }
           ()
         }
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        lock.synchronized { terminated += e.runId; lock.notifyAll() }
+        lock.synchronized {
+          if (retired.contains(e.runId)) retired -= e.runId // late finisher: done
+          else terminated += e.runId
+          lock.notifyAll()
+        }
     }
     spark.streams.addListener(listener)
 
@@ -80,7 +90,12 @@ object StreamMetrics {
         lock.wait(200)
       val out = phaseRuns.flatMap(r => progressByRun.getOrElse(r, Nil))
       started.clear()
-      phaseRuns.foreach { r => progressByRun -= r; terminated -= r }
+      phaseRuns.foreach { r =>
+        progressByRun -= r
+        // a run that hasn't terminated by the deadline is retired: its
+        // late events are dropped at the listener instead of accumulating
+        if (!terminated.remove(r)) retired += r
+      }
       out
     }
 

@@ -57,12 +57,21 @@ object Llm {
     * within a band bucket — the 100 TB-safe shape (no all-pairs join). */
   def l2MinhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = nearDupCandidates(spark, dir)
+    bandedPairsFromShingles(nearDupCandidates(spark, dir)
       .filter($"id" % 5 === 0) // bounded probe subset, proportional at any SF
-      .select($"id", explode(Text.shingles($"text", 3)).as("shingle"))
-      // one digest per shingle; the 6 minhash functions are its 6 disjoint
-      // 5-hex-char slices (standard cheap-family trick: 6x fewer hashes)
-      .withColumn("d", md5($"shingle".cast("binary")))
+      .select($"id", explode(Text.shingles($"text", 3)).as("shingle")))
+  }
+
+  /** Banded pairs from an (id, shingle) frame — split out so l63 can feed
+    * the SAME shingle set to both calibration legs instead of
+    * re-tokenizing the probe corpus. Duplicate shingles are harmless
+    * (min-aggregation is idempotent), so distinct-ed and raw frames give
+    * identical signatures. */
+  private[graft] def bandedPairsFromShingles(sh0: DataFrame): DataFrame = {
+    import sh0.sparkSession.implicits._
+    // one digest per shingle; the 6 minhash functions are its 6 disjoint
+    // 5-hex-char slices (standard cheap-family trick: 6x fewer hashes)
+    val sh = sh0.withColumn("d", md5($"shingle".cast("binary")))
     def h(i: Int): Column =
       min(substring($"d", 1 + (i - 1) * 5, 5)).as(s"h$i")
     bandedPairs(sh.groupBy($"id").agg(h(1), h(2), h(3), h(4), h(5), h(6)))
@@ -1611,7 +1620,12 @@ object Llm {
   private[graft] def driftFromCounts(counts: DataFrame): DataFrame = {
     import counts.sparkSession.implicits._
     counts
-      // totals over the bounded (≤10-row) bucket table, not the corpus
+      // totals over the bounded (≤10-row) bucket table, not the corpus.
+      // An EMPTY side (ref_t or cand_t = 0) fails loudly on both engines:
+      // the sessions run ANSI mode (Spark 4 default), where `div 0`
+      // raises DIVIDE_BY_ZERO exactly like DuckDB's integer division —
+      // the drift monitor must not silently report "no drift" when the
+      // input pipeline is broken
       .withColumn("ref_t", sum($"ref_n").over(Window.partitionBy()))
       .withColumn("cand_t", sum($"cand_n").over(Window.partitionBy()))
       .select($"bucket", $"ref_n", $"cand_n",
@@ -2023,7 +2037,7 @@ object Llm {
       .join(sizes.select($"id".as("a_id"), $"n_sh".as("sa")), Seq("a_id"))
       .join(sizes.select($"id".as("b_id"), $"n_sh".as("sb")), Seq("b_id"))
       .withColumn("j_pct", expr("n_common * 100 div (sa + sb - n_common)"))
-    val banded = l2MinhashNearDup(spark, dir)
+    val banded = bandedPairsFromShingles(shd)
       .select($"a_id", $"b_id", lit(1L).as("hit"))
     exact.join(banded, Seq("a_id", "b_id"), "left")
       .groupBy(expr("j_pct div 10").as("bin"))

@@ -119,6 +119,20 @@ object KbDim {
     try out.write(body) finally out.close()
   }
 
+  /** ROLLBACK: restore the table to committed version `v` by publishing a
+    * NEW commit whose file list is the old snapshot's — history is
+    * preserved (the bad versions stay readable for forensics until a
+    * vacuum expires them), which is why this is a commit and not a
+    * manifest rewind. Fails loudly if `v` was never committed or has
+    * been vacuumed. Returns the new live version number. */
+  def rollback(dir: String, v: Long): Long = {
+    val latest = latestVersion(dir)
+    require(v >= 1 && v <= latest,
+      s"kb.dim rollback: version $v is not a committed snapshot (latest is $latest)")
+    writeManifest(dir, manifest(dir, s"$ManifestName.v$v"))
+    latestVersion(dir)
+  }
+
   /** VACUUM: expire every committed snapshot older than the newest
     * `retain` versions, deleting (a) the expired `_files.v<N>` manifests
     * and (b) any data file referenced ONLY by expired snapshots — the
@@ -134,20 +148,6 @@ object KbDim {
     * Reading an expired version afterwards fails loudly with the
     * existing "no snapshot" error. Returns (snapshots, dataFiles)
     * deleted. */
-  /** ROLLBACK: restore the table to committed version `v` by publishing a
-    * NEW commit whose file list is the old snapshot's — history is
-    * preserved (the bad versions stay readable for forensics until a
-    * vacuum expires them), which is why this is a commit and not a
-    * manifest rewind. Fails loudly if `v` was never committed or has
-    * been vacuumed. Returns the new live version number. */
-  def rollback(dir: String, v: Long): Long = {
-    val latest = latestVersion(dir)
-    require(v >= 1 && v <= latest,
-      s"kb.dim rollback: version $v is not a committed snapshot (latest is $latest)")
-    writeManifest(dir, manifest(dir, s"$ManifestName.v$v"))
-    latestVersion(dir)
-  }
-
   def vacuum(dir: String, retain: Int): (Long, Long) = {
     require(retain >= 1, "kb.dim vacuum: must retain at least the live snapshot")
     val f = fs(dir)
