@@ -2070,6 +2070,46 @@ object Llm {
         coalesce($"n_near_pairs", lit(0L)).as("n_near_pairs"))
   }
 
+  /** L65: content-defined chunking — split every document at CONTENT-
+    * derived boundaries (tokens whose md5 bucket ≡ 0 mod 8, ~1-in-8) and
+    * fingerprint each chunk, the storage-dedup technique that makes chunk
+    * hashes survive INSERTIONS AND SHIFTS: the probe corpus pairs every
+    * doc with its first-word-dropped twin (the l2 candidate set), and
+    * because boundaries depend on content rather than position, the twin
+    * reproduces most chunk hashes verbatim where fixed-size windows would
+    * lose alignment after the shift and share none (the spec measures
+    * both). Output per original doc: distinct chunk count and how many
+    * the twin shares.
+    *
+    * Scale (100 TB): tokenize + boundary-mark is map-only; chunk
+    * assembly is one doc-keyed window + agg (the a7 ordered-collect
+    * pattern); the twin compare is a digest equi-join. Chunk-level dedup
+    * across a corpus (group by chunk hash) rides the same partial-agg
+    * shape as l1. */
+  def l65CdcChunking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = nearDupCandidates(spark, dir)
+      .select($"id", posexplode(Text.tokens($"text")))
+      .select($"id", ($"pos" + 1).cast("long").as("pos"), $"col".as("token"))
+    val w = Window.partitionBy($"id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunks = toks
+      .withColumn("b",
+        when(Text.md5Bucket($"token", 8) === 0, 1L).otherwise(0L))
+      .withColumn("chunk_id", sum($"b").over(w))
+      .groupBy($"id", $"chunk_id")
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct($"pos", $"token"))),
+          x => x.getField("token")), " ").cast("binary")).as("h"))
+    val a = chunks.filter($"id" < 1000000L).select($"id", $"h").distinct()
+    val b = chunks.filter($"id" >= 1000000L)
+      .select(($"id" - 1000000L).as("id"), $"h".as("bh")).distinct()
+    a.join(b, a("id") === b("id") && $"h" === $"bh", "left")
+      .groupBy(a("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"bh".isNotNull, 1L).otherwise(0L)).as("n_shared"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup" -> (l1ExactDedup _),
@@ -2138,6 +2178,7 @@ object Llm {
     "l62_tokenizer_fertility" -> (l62TokenizerFertility _),
     "l63_lsh_calibration" -> (l63LshCalibration _),
     "l64_dedup_survivorship" -> (l64DedupSurvivorship _),
+    "l65_cdc_chunking" -> (l65CdcChunking _),
     "l43_label_centroids" -> (l43LabelCentroids _),
     "l44_kmv_overlap" -> (l44KmvOverlap _),
     "l45_sentence_chunk" -> (l45SentenceChunk _),
@@ -2535,6 +2576,30 @@ object Llm {
         |GROUP BY 1, 2""".stripMargin,
     "l62_tokenizer_fertility" -> l62OracleSql,
     "l63_lsh_calibration" -> l63OracleSql,
+    "l65_cdc_chunking" ->
+      (s"WITH $candSql,\n" +
+        """toks AS (
+          |  SELECT id,
+          |    unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
+          |    unnest(string_split(text, ' ')) AS token
+          |  FROM cand),
+          |seg AS (
+          |  SELECT id, pos, token,
+          |    sum(CASE WHEN ('0x' || substr(md5(token), 1, 4))::BIGINT % 8 = 0
+          |        THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY id ORDER BY pos) AS chunk_id
+          |  FROM toks),
+          |ch AS (
+          |  SELECT id, chunk_id, md5(string_agg(token, ' ' ORDER BY pos)) AS h
+          |  FROM seg GROUP BY id, chunk_id),
+          |a AS (SELECT DISTINCT id, h FROM ch WHERE id < 1000000),
+          |bb AS (SELECT DISTINCT id - 1000000 AS id, h FROM ch
+          |       WHERE id >= 1000000)
+          |SELECT a.id AS doc_id, count(*) AS n_chunks,
+          |  CAST(sum(CASE WHEN bb.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_shared
+          |FROM a LEFT JOIN bb ON a.id = bb.id AND a.h = bb.h
+          |GROUP BY a.id""".stripMargin),
     "l64_dedup_survivorship" ->
       (s"""WITH c AS (
          |  SELECT doc_id AS id, text, source FROM documents

@@ -653,6 +653,36 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("L65: content-defined chunks survive a shift that destroys fixed-size windows") {
+    import spark.implicits._
+    val out = Llm.l65CdcChunking(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val (chunks, shared) = (out.map(_._1).sum, out.map(_._2).sum)
+    assert(out.forall { case (n, s) => s <= n }, "shared cannot exceed total")
+    // the CDC property: most chunk hashes survive the first-token drop
+    assert(shared.toDouble / chunks >= 0.6,
+      s"CDC share too low: $shared/$chunks")
+    // the counterfactual: FIXED 8-token windows on the same pairs lose
+    // alignment after the shift and share (almost) nothing
+    val toks = Engine.documents(spark, sfDir)
+      .select($"doc_id".as("id"), posexplode(graft.functions.Text.tokens($"text")))
+      .select($"id", $"pos", $"col".as("token"))
+    def fixedHashes(shift: Int) = toks.filter($"pos" >= shift)
+      .withColumn("chunk_id", (($"pos" - shift) / 8).cast("long"))
+      .groupBy($"id", $"chunk_id")
+      .agg(md5(concat_ws(" ", collect_list($"token")).cast("binary")).as("h"))
+      .select($"id", $"h").distinct()
+    val orig = fixedHashes(0)
+    val shifted = fixedHashes(1).withColumnRenamed("h", "h2")
+    val fixedShared = orig.join(shifted,
+      orig("id") === shifted("id") && $"h" === $"h2").count()
+    val fixedTotal = orig.count()
+    assert(fixedShared.toDouble / fixedTotal < 0.2,
+      s"fixed windows unexpectedly survived the shift: $fixedShared/$fixedTotal")
+    assert(shared.toDouble / chunks > 2 * (fixedShared.toDouble / fixedTotal),
+      "CDC must beat fixed windows decisively on shifted content")
+  }
+
   test("L63: the banded scheme's calibration curve has clean tails") {
     import spark.implicits._
     val curve = Llm.l63LshCalibration(spark, sfDir).collect()
