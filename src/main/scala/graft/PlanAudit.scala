@@ -90,7 +90,10 @@ object PlanAudit {
       "w21_seasonal_baseline" -> "seasonal baseline: corpus-sized work is one dailyCounts agg; per-(type, dow) medians ride one exchange over calendar-bounded rows",
       "j15_pit_feature_join" -> "point-in-time feature join: union + one user_id window exchange, no interval materialization, no range join",
       "l63_lsh_calibration" -> "LSH calibration: shingle equi-join and banded join share one probe shingle set, decile counts <= 11 rows",
-      "l64_dedup_survivorship" -> "dedup survivorship: two source-keyed partial aggs + probe-bounded banded join, |sources| output rows")
+      "l64_dedup_survivorship" -> "dedup survivorship: two source-keyed partial aggs + probe-bounded banded join, |sources| output rows",
+      "l65_cdc_chunking" -> "content-defined chunking: map-only boundary mark, doc-local running-boundary window, ordered chunk assembly, digest equi-join twin compare",
+      "o17_partition_stats" -> "partition stats: one partial+final agg per day key, distinct pre-aggregated per (day, user)",
+      "s37_snapshot_diff" -> "CDC snapshot diff: two version scans + one anti-join per direction, bounded by table size not history")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries (sf0.01)\n\n")
     sb.append("Generated by `graft.PlanAudit`; re-run after plan-affecting changes.\n\n")
