@@ -1362,6 +1362,64 @@ object StreamingQ {
     spark.read.parquet(out)
   }
 
+  /** ST27: streaming auto-compaction — the maintenance half of a
+    * continuously-appending sink: every micro-batch appends its files,
+    * and whenever the sink's small-file count crosses a threshold the
+    * batch hook compacts the WHOLE sink into one file via the s9
+    * staged-write + atomic-swap pattern (write compacted output to a
+    * staging dir, rename over the live dir), so readers never observe a
+    * half-compacted state and the file count stays bounded no matter how
+    * many batches run. This is the auto-optimize loop every production
+    * lakehouse sink runs; correctness is the dangerous part — compaction
+    * must neither lose nor duplicate rows across the swap — and the
+    * oracle pins exactly that by hash-comparing the final content
+    * against the full events aggregate.
+    *
+    * Scale: compaction cost is sink-sized, amortized by the threshold
+    * (at production scale the rewrite is per-partition, the s20 shape,
+    * not whole-sink); the trigger check is one directory listing. */
+  def st27AutoCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = Streams.stageEvents(spark, dir, 4)
+    val schema = Streams.eventsSchema(spark, dir)
+    val outRoot = java.nio.file.Files.createTempDirectory("st27").toString
+    val live = s"$outRoot/live"
+    def parquetFiles(p: String): Int = {
+      val d = new java.io.File(p)
+      if (!d.exists()) 0 else d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val q = Streams.eventsStream(spark, staged, schema, 1)
+      .select($"event_id", $"event_type", $"value")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck_st27").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(SaveMode.Append).parquet(live)
+        if (parquetFiles(live) > 3) {
+          val staging = s"$outRoot/compact_${System.nanoTime()}"
+          spark.read.parquet(live).coalesce(1)
+            .write.mode(SaveMode.Overwrite).parquet(staging)
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(live), spark.sparkContext.hadoopConfiguration)
+          val lp = new org.apache.hadoop.fs.Path(live)
+          val old = new org.apache.hadoop.fs.Path(s"$outRoot/old_${System.nanoTime()}")
+          fs.rename(lp, old)
+          fs.rename(new org.apache.hadoop.fs.Path(staging), lp)
+          fs.delete(old, true): Unit
+        }
+      }
+      .start()
+    q.awaitTermination()
+    require(parquetFiles(live) <= 4,
+      s"auto-compaction failed to bound the file count: ${parquetFiles(live)}")
+    spark.read.parquet(live)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st20_timeout_sessions" -> (st20TimeoutSessions _),
@@ -1369,6 +1427,7 @@ object StreamingQ {
     "st24_streaming_drift" -> (st24StreamingDrift _),
     "st25_streaming_baseline_gate" -> (st25StreamingBaselineGate _),
     "st26_streaming_pit_enrich" -> (st26StreamingPitEnrich _),
+    "st27_auto_compaction" -> (st27AutoCompaction _),
     "st19_outer_join" -> (st19OuterJoin _),
     "st22_stream_full_outer" -> (st22StreamFullOuter _),
     "st23_streaming_observe" -> (st23StreamingObserve _),
@@ -1405,6 +1464,12 @@ object StreamingQ {
     // lookup must reproduce the batch window-carry and the interval join
     "st26_streaming_pit_enrich" ->
       graft.queries.Relational.oracle("j15_pit_feature_join"),
+    // the compaction swap must neither lose nor duplicate rows: the final
+    // content hash-matches the plain full-table aggregate
+    "st27_auto_compaction" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "st24_streaming_drift" ->
       """WITH b AS (
         |  SELECT least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket,

@@ -535,6 +535,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("ST27: auto-compaction bounds the file count without losing or duplicating a row") {
+    import spark.implicits._
+    // the query's own require() enforces the file bound; this pins content
+    val out = graft.queries.StreamingQ.st27AutoCompaction(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val expect = Engine.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == expect, s"swap lost/duplicated rows: $out vs $expect")
+  }
+
   test("ST26: the stream-static PIT enrichment equals the batch window-carry formulation") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), r.getLong(2),
