@@ -1366,14 +1366,22 @@ object StreamingQ {
     * continuously-appending sink: every micro-batch appends its files,
     * and whenever the sink's small-file count crosses a threshold the
     * batch hook compacts the WHOLE sink into one file via the s9
-    * staged-write + atomic-swap pattern (write compacted output to a
-    * staging dir, rename over the live dir), so readers never observe a
-    * half-compacted state and the file count stays bounded no matter how
-    * many batches run. This is the auto-optimize loop every production
-    * lakehouse sink runs; correctness is the dangerous part — compaction
-    * must neither lose nor duplicate rows across the swap — and the
-    * oracle pins exactly that by hash-comparing the final content
-    * against the full events aggregate.
+    * staged-write + rename-swap pattern: compacted output lands in a
+    * staging dir, the live dir is moved aside, staging renamed into
+    * place, and only then is the old data deleted. Swap guarantees,
+    * stated precisely: within this query there is ONE writer (the batch
+    * hook) and no concurrent reader, so no execution observes a
+    * half-compacted state; each rename is checked (Hadoop signals
+    * failure by RETURNING false — unchecked, a failed move-aside would
+    * make the second rename nest staging INSIDE live and double-count);
+    * and a crash between the renames is fail-stop, not silent — the data
+    * survives intact under the moved-aside dir, never deleted before the
+    * new live is published. A production multi-reader sink would publish
+    * the swap through a manifest pointer (the KbDim commit pattern,
+    * which IS atomic) rather than directory renames. Correctness is the
+    * dangerous part — compaction must neither lose nor duplicate rows —
+    * and the oracle pins exactly that by hash-comparing the final
+    * content against the full events aggregate.
     *
     * Scale: compaction cost is sink-sized, amortized by the threshold
     * (at production scale the rewrite is per-partition, the s20 shape,
@@ -1405,8 +1413,9 @@ object StreamingQ {
             new java.net.URI(live), spark.sparkContext.hadoopConfiguration)
           val lp = new org.apache.hadoop.fs.Path(live)
           val old = new org.apache.hadoop.fs.Path(s"$outRoot/old_${System.nanoTime()}")
-          fs.rename(lp, old)
-          fs.rename(new org.apache.hadoop.fs.Path(staging), lp)
+          require(fs.rename(lp, old), s"compaction move-aside failed: $lp")
+          require(fs.rename(new org.apache.hadoop.fs.Path(staging), lp),
+            s"compaction publish failed: $staging -> $lp (live preserved at $old)")
           fs.delete(old, true): Unit
         }
       }
@@ -1467,9 +1476,9 @@ object StreamingQ {
     // the compaction swap must neither lose nor duplicate rows: the final
     // content hash-matches the plain full-table aggregate
     "st27_auto_compaction" ->
-      """SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type""".stripMargin,
+      s"""SELECT event_type, count(*) AS n,
+         |  $oraDsumValue AS sum_value
+         |FROM events GROUP BY event_type""".stripMargin,
     "st24_streaming_drift" ->
       """WITH b AS (
         |  SELECT least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket,

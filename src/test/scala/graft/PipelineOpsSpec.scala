@@ -667,10 +667,15 @@ class PipelineOpsSpec extends SparkSpec {
     val toks = Engine.documents(spark, sfDir)
       .select($"doc_id".as("id"), posexplode(graft.functions.Text.tokens($"text")))
       .select($"id", $"pos", $"col".as("token"))
+    // same ordered assembly as the production query — an unordered
+    // collect_list would make this baseline non-deterministic and the
+    // comparison vacuous
     def fixedHashes(shift: Int) = toks.filter($"pos" >= shift)
       .withColumn("chunk_id", (($"pos" - shift) / 8).cast("long"))
       .groupBy($"id", $"chunk_id")
-      .agg(md5(concat_ws(" ", collect_list($"token")).cast("binary")).as("h"))
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct($"pos", $"token"))),
+          x => x.getField("token")), " ").cast("binary")).as("h"))
       .select($"id", $"h").distinct()
     val orig = fixedHashes(0)
     val shifted = fixedHashes(1).withColumnRenamed("h", "h2")
