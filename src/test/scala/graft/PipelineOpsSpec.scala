@@ -688,6 +688,35 @@ class PipelineOpsSpec extends SparkSpec {
       "CDC must beat fixed windows decisively on shifted content")
   }
 
+  test("L65: chunks partition each document exactly — reassembly reproduces the text") {
+    import spark.implicits._
+    // recompute chunk TEXTS with the same boundary rule and verify that
+    // in-order concatenation reproduces the original document — the
+    // invariant that guards the running-boundary window and the ordered
+    // assembly against off-by-one boundary drift
+    val docs = Engine.documents(spark, sfDir).select($"doc_id", $"text").limit(50)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val rebuilt = docs
+      .select($"doc_id", posexplode(graft.functions.Text.tokens($"text")))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("pos"), $"col".as("token"))
+      .withColumn("b",
+        when(graft.functions.Text.md5Bucket($"token", 8) === 0, 1L).otherwise(0L))
+      .withColumn("chunk_id", sum($"b").over(w))
+      .groupBy($"doc_id", $"chunk_id")
+      .agg(min($"pos").as("cpos"),
+        array_join(transform(array_sort(collect_list(struct($"pos", $"token"))),
+          x => x.getField("token")), " ").as("chunk_text"))
+      .groupBy($"doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct($"cpos", $"chunk_text"))),
+        x => x.getField("chunk_text")), " ").as("rebuilt"))
+    val diffs = docs.join(rebuilt, "doc_id")
+      .filter($"text" =!= $"rebuilt").count()
+    assert(diffs == 0, s"$diffs documents failed chunk reassembly")
+  }
+
   test("L63: the banded scheme's calibration curve has clean tails") {
     import spark.implicits._
     val curve = Llm.l63LshCalibration(spark, sfDir).collect()
