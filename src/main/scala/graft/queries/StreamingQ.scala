@@ -1327,11 +1327,22 @@ object StreamingQ {
     * independently-verified formulation (window-carry batch, interval
     * join oracle, stream-static broadcast).
     *
-    * Scale: the interval table is update-volume sized and broadcasts (a
-    * too-big dim degrades to a shuffled stream-static join, same plan
-    * semantics); per-batch work is facts × matched interval, never
-    * stream-stream state. */
-  def st26StreamingPitEnrich(spark: SparkSession, dir: String): DataFrame = {
+    * Scale: the broadcast is SIZE-GATED, not forced. The interval table
+    * is usually update-volume sized (per-user purchase history), but an
+    * offline feature store at 100 TB can hold |users| × |updates|
+    * intervals — far past broadcastable. So the hint is applied only
+    * when the optimizer's size estimate for the compiled interval frame
+    * fits under `broadcastMaxBytes` (default = Spark's own 10 MB
+    * autoBroadcastJoinThreshold default); above it the join runs as an
+    * un-hinted stream-static join and degrades gracefully to a shuffled
+    * hash join — same semantics, no driver OOM. The large-dim path is
+    * exercised by the ST26 spec with the gate forced to 0 bytes and
+    * must produce the identical row set. */
+  def st26StreamingPitEnrich(spark: SparkSession, dir: String): DataFrame =
+    st26StreamingPitEnrich(spark, dir, broadcastMaxBytes = 10L << 20)
+
+  def st26StreamingPitEnrich(
+      spark: SparkSession, dir: String, broadcastMaxBytes: Long): DataFrame = {
     import spark.implicits._
     val staged = Streams.stageEvents(spark, dir, 4)
     val schema = Streams.eventsSchema(spark, dir)
@@ -1341,11 +1352,18 @@ object StreamingQ {
       .withColumn("to_us", lead($"us", 1).over(
         Window.partitionBy($"user_id").orderBy($"us", $"event_id")))
       .select($"user_id".as("d_user"), $"us".as("from_us"), $"to_us", $"feat")
+    // Size gate: broadcast only when the optimizer's estimate for the
+    // compiled dim fits; a too-big feature history takes the shuffled
+    // stream-static path instead of forcing a driver-sized broadcast.
+    val ivDim =
+      if (iv.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastMaxBytes)
+        broadcast(iv)
+      else iv
     val out = java.nio.file.Files.createTempDirectory("st26_out").toString
     val q = Streams.eventsStream(spark, staged, schema, 2)
       .filter($"event_type" === "view")
       .select($"user_id", unix_micros($"ts").as("us"), $"event_id")
-      .join(broadcast(iv),
+      .join(ivDim,
         $"user_id" === $"d_user" && $"from_us" <= $"us" &&
           ($"to_us".isNull || $"us" < $"to_us"))
       .select($"event_id", $"user_id", $"us", $"feat".as("pit_feat"))

@@ -561,4 +561,19 @@ class StreamingSpec extends SparkSpec {
       s"divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
     assert(streamed.nonEmpty)
   }
+
+  test("ST26: the large-dim fallback (broadcast gate = 0) takes the shuffled " +
+    "stream-static path and produces the identical row set") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    val shuffled = graft.queries.StreamingQ
+      .st26StreamingPitEnrich(spark, sfDir, broadcastMaxBytes = 0L)
+      .collect().map(key).toSet
+    val batch = graft.queries.Relational
+      .j15PitFeatureJoin(spark, sfDir).collect().map(key).toSet
+    assert(shuffled == batch,
+      s"divergence: ${(shuffled diff batch).take(3)} vs ${(batch diff shuffled).take(3)}")
+    assert(shuffled.nonEmpty)
+  }
 }
