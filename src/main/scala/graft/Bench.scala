@@ -151,18 +151,7 @@ object Bench {
           errors :+= name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    def r3(v: Double): String = f"$v%.3f"
-    def jmap(kvs: Seq[(String, String)]): String =
-      kvs.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    import Jfmt.{q, r3, jmap}
     val errs = jmap(errors.map { case (k, v) => k -> q(v) })
     val total = times.map(_._2).sum
     // full per-query map — NOT the canonical metric line (too long for the
@@ -207,11 +196,7 @@ object Bench {
     // 1/5/15-min load average at the END of the run: the committed record
     // should show on its face whether the machine was loaded (the r9
     // weak-set postmortem had to infer this from value_median vs value)
-    val loadavg = try {
-      val l = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
-      l.split(" ").take(3).mkString("[", ",", "]")
-    } catch { case _: Throwable => "[]" }
+    val loadavg = Jfmt.loadavg()
     val metricLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${times.size},""" +
         s""""value_median":${r3(totalMedian)},""" +
@@ -229,13 +214,41 @@ object Bench {
     val fileJson =
       s"""{"summary":$metricLine,"queries_all":$timesJson,""" +
         s""""samples":$samplesJson,"adaptive_warmups":$warmupsJson}"""
+    Jfmt.writeAtomic(outPath, fileJson)
+    println(s"bench record written to ${java.nio.file.Paths.get(outPath).toAbsolutePath}")
+    spark.stop()
+  }
+}
+
+/** Shared JSON-emission helpers for the bench mains (Bench, ScaleBench):
+  * hand-rolled because the record format is a stable committed artifact and
+  * the build deliberately has no JSON library dependency. */
+private[graft] object Jfmt {
+  def q(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+  def r3(v: Double): String = f"$v%.3f"
+  def jmap(kvs: Seq[(String, String)]): String =
+    kvs.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+  /** 1/5/15-min load average as a JSON array literal. */
+  def loadavg(): String = try {
+    val l = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+    l.split(" ").take(3).mkString("[", ",", "]")
+  } catch { case _: Throwable => "[]" }
+  /** Temp-file + atomic rename so a reader never sees a half-written record. */
+  def writeAtomic(outPath: String, json: String): Unit = {
     val target = java.nio.file.Paths.get(outPath)
     val tmp = java.nio.file.Paths.get(outPath + ".tmp")
-    java.nio.file.Files.write(tmp, (fileJson + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(tmp, (json + "\n").getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, target,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    println(s"bench record written to ${target.toAbsolutePath}")
-    spark.stop()
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
   }
 }

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Paired scaling benchmark: measures the 10x-scaling query set at BOTH
+  * sf0.1 and the ScaleUp (10x) dataset in ONE JVM with an IDENTICAL
+  * per-side sampling policy — one untimed warm-up + three timed samples
+  * per query per side, query-by-query interleaved so machine-load drift
+  * hits both sides of a pair alike.
+  *
+  * This replaces the r10 methodology the verdict flagged as asymmetric
+  * (sf1 best-of-accumulated-runs vs a single uniform sf0.1 run): here
+  * both sides of every ratio come from the same session, same JVM, same
+  * warm-up discipline, and the record carries all raw samples plus the
+  * load average so a loaded run is visible on its face.
+  *
+  * Output: the BENCH_sf1_r{N}.json shape previous rounds committed
+  * (note / sf0_1 / sf1 / ratio_sf1_over_sf0_1 / samples_* / errors_sf1),
+  * written atomically.
+  *
+  * Usage: ScaleBench [sf0.1-dir] [sf1-dir] [out.json] [subset]
+  */
+object ScaleBench {
+  /** The scaling set: the same 57 queries the committed r8-r10 records
+    * track — one representative per operator family whose cost is
+    * data-sized (plus every round-10 addition), spanning aggregation,
+    * graph iteratives, the LLM dedup/ANN/quality families, DSv2
+    * maintenance, advanced windows, and the streaming state machinery. */
+  val scalingSet: Seq[String] = Seq(
+    "a12_map_groups", "a9_multi_agg_q1", "g4_pagerank",
+    "g7_bfs_reachability", "g8_connected_components", "j15_pit_feature_join",
+    "l17_dedup_clusters", "l2_minhash_neardup", "l47_pq_quantize",
+    "l48_tfidf_topterms", "l49_cluster_canonical", "l53_distribution_drift",
+    "l54_semdedup", "l55_rejection_resample", "l56_novelty_scoring",
+    "l57_line_dedup", "l58_quality_ensemble", "l59_importance_scoring",
+    "l5f_vad_segments", "l60_fuzzy_blocked_join", "l61_cross_source_overlap",
+    "l62_tokenizer_fertility", "l63_lsh_calibration", "l64_dedup_survivorship",
+    "l65_cdc_chunking", "o17_partition_stats", "s1b_events_time_pruned",
+    "s30_merge_into", "s31_row_level_dml", "s32_time_travel",
+    "s33_schema_evolution", "s34_codec_roundtrip", "s35_vacuum_retention",
+    "s36_snapshot_rollback", "s37_snapshot_diff", "st10_dsv2_incremental",
+    "st12_statestore_read", "st13_transform_with_state",
+    "st14_stream_static_join", "st15_streaming_curation",
+    "st17_streaming_neardup", "st18_stream_heavy_hitters", "st19_outer_join",
+    "st20_timeout_sessions", "st21_streaming_scd2", "st22_stream_full_outer",
+    "st24_streaming_drift", "st25_streaming_baseline_gate",
+    "st26_streaming_pit_enrich", "st27_auto_compaction",
+    "st3_foreachbatch_idempotent", "st9_stream_stream_join", "w12_funnel",
+    "w19_scd2_history", "w21_seasonal_baseline", "w6_range_frame",
+    "w9_batch_sessionize")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scaledDir = args.lift(1).getOrElse("/tmp/sf1")
+    val outPath = args.lift(2).getOrElse("bench_sf1_paired.json")
+    val only = args.lift(3).filter(_.trim.nonEmpty).map(_.split(",").toSet)
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.catalog.kb", classOf[graft.sources.KbCatalog].getName)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Global untimed warm-up (JVM/codegen/parquet reader) + the one-time
+    // staging costs, paid for BOTH dirs before any measurement — same
+    // rationale as Bench: at production scale these are ingest-time costs.
+    spark.range(1000000).selectExpr("sum(id) AS s")
+      .write.format("noop").mode("overwrite").save()
+    for (dir <- Seq(baseDir, scaledDir)) {
+      queries.Relational.stageBucketedTables(spark, dir)
+      streaming.Streams.stageEvents(spark, dir, 4): Unit
+      queries.StreamingQ.stageSt7b(spark, dir): Unit
+      queries.StreamingQ.stageSt15(spark, dir): Unit
+      queries.Sources.stageDayPartitionedEvents(spark, dir): Unit
+      queries.Sources.stageFragmentedEvents(spark, dir): Unit
+      queries.StreamingQ.stageSt19(spark, dir): Unit
+      queries.Sources.stageBloomEvents(spark, dir): Unit
+    }
+
+    val fns = SparkEntry.queries
+    var base = Vector.empty[(String, Seq[Double])]
+    var scaled = Vector.empty[(String, Seq[Double])]
+    var errors = Vector.empty[(String, String)]
+    scalingSet.filter(n => only.forall(_.contains(n))).foreach { name =>
+      fns.get(name) match {
+        case None => errors :+= name -> "not registered in SparkEntry.queries"
+        case Some(fn) =>
+          def once(dir: String): Double = {
+            val t0 = System.nanoTime()
+            fn(spark, dir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          try {
+            once(baseDir): Unit // untimed per-query warm-up, base side
+            val b = Seq(once(baseDir), once(baseDir), once(baseDir))
+            once(scaledDir): Unit // identical warm-up, scaled side
+            val s = Seq(once(scaledDir), once(scaledDir), once(scaledDir))
+            base :+= name -> b
+            scaled :+= name -> s
+            println(f"paired $name%-28s sf0.1 ${b.min}%7.3f  sf1 ${s.min}%7.3f  ratio ${s.min / b.min}%5.2f")
+          } catch {
+            case e: Throwable => errors :+= name ->
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          }
+      }
+    }
+
+    import Jfmt.{q, r3, jmap}
+    def sampleMap(v: Vector[(String, Seq[Double])]): String =
+      jmap(v.map { case (k, vs) => k -> vs.map(r3).mkString("[", ",", "]") })
+    def minMap(v: Vector[(String, Seq[Double])]): String =
+      jmap(v.map { case (k, vs) => k -> r3(vs.min) })
+    val ratios = base.flatMap { case (k, b) =>
+      scaled.find(_._1 == k).map { case (_, s) =>
+        k -> f"${s.min / b.min}%.2f" }
+    }
+    val note = "paired same-session scaling run: one JVM, query-by-query " +
+      "interleave, identical per-side policy (untimed warm-up + best-of-3 " +
+      "at BOTH sf0.1 and 10x) — replaces the r10 best-of-accumulated vs " +
+      "single-run asymmetry; minima are steady-state, all raw samples kept"
+    val json =
+      s"""{"note":${q(note)},"loadavg":${Jfmt.loadavg()},""" +
+        s""""methodology":"paired-one-jvm; warmup+best-of-3 per side","cpus":$cpus,""" +
+        s""""sf0_1":${minMap(base)},"sf1":${minMap(scaled)},""" +
+        s""""ratio_sf1_over_sf0_1":${jmap(ratios)},""" +
+        s""""samples_sf0_1":${sampleMap(base)},"samples_sf1":${sampleMap(scaled)},""" +
+        s""""errors_sf1":${jmap(errors.map { case (k, v) => k -> q(v) })}}"""
+    Jfmt.writeAtomic(outPath, json)
+    val worst = ratios.sortBy(-_._2.toDouble).take(5)
+    println(s"${ratios.size} paired queries -> $outPath; worst ratios: " +
+      worst.map { case (k, r) => s"$k=$r" }.mkString(", "))
+    spark.stop()
+  }
+}
