@@ -89,7 +89,7 @@ object PlanAudit {
       "l62_tokenizer_fertility" -> "tokenizer fertility: (lang, word) partials, dictionary-sized BPE learn + encode join-back, |langs|-row final agg",
       "w21_seasonal_baseline" -> "seasonal baseline: corpus-sized work is one dailyCounts agg; per-(type, dow) medians ride one exchange over calendar-bounded rows",
       "j15_pit_feature_join" -> "point-in-time feature join: union + one user_id window exchange, no interval materialization, no range join",
-      "l63_lsh_calibration" -> "LSH calibration: shingle equi-join and banded join read ONE persisted probe shingle set (InMemoryRelation, probe-bounded), decile counts <= 11 rows",
+      "l63_lsh_calibration" -> "LSH calibration: both legs recompute one cheap fused shingle derivation (measured faster than caching it — see l63 doc), probe-bounded pairs, decile counts <= 11 rows",
       "l64_dedup_survivorship" -> "dedup survivorship: two source-keyed partial aggs + probe-bounded banded join, |sources| output rows",
       "l65_cdc_chunking" -> "content-defined chunking: map-only boundary mark, doc-local running-boundary window, ordered chunk assembly, digest equi-join twin compare",
       "o17_partition_stats" -> "partition stats: one partial+final agg per day key, distinct pre-aggregated per (day, user)",

@@ -62,9 +62,11 @@ object Llm {
       .select($"id", explode(Text.shingles($"text", 3)).as("shingle")))
   }
 
-  /** Banded pairs from an (id, shingle) frame — split out so l63 can feed
-    * the SAME shingle set to both calibration legs instead of
-    * re-tokenizing the probe corpus. Duplicate shingles are harmless
+  /** Banded pairs from an (id, shingle) frame — split out so l63's two
+    * calibration legs share the same shingle DERIVATION (one code path;
+    * physically each leg recomputes the cheap fused scan→shingle pipeline —
+    * see l63's doc for why recomputation measured faster than caching).
+    * Duplicate shingles are harmless
     * (min-aggregation is idempotent), so distinct-ed and raw frames give
     * identical signatures. */
   private[graft] def bandedPairsFromShingles(sh0: DataFrame): DataFrame = {
@@ -2016,9 +2018,18 @@ object Llm {
     * banding parameters at corpus scale: detection should be ~0 in low
     * bins (few false candidates) and ~1 in high bins (few misses), and
     * the transition bin locates the scheme's effective threshold. Both
-    * legs share one shingle set: exact pairs via the shingle equi-join
-    * (l8's shape), detected pairs via the banded join (l2 itself), fused
-    * by a left join on the pair key into decile counts.
+    * legs share one shingle DERIVATION (the same probe-bounded
+    * scan→shingle→distinct code path feeds the exact equi-join, l8's
+    * shape, and the banded join, l2 itself), fused by a left join on the
+    * pair key into decile counts. Physically the derivation is
+    * recomputed per leg, and that is a MEASURED choice, not an
+    * oversight: persisting the distinct shingle frame (tried in r11)
+    * moved steady-state cost from 1.11 s to 1.94 s at sf0.1 — the
+    * columnar-cache scan loses the WholeStageCodegen fusion with the
+    * parquet scan, and the materialization barrier serializes the two
+    * legs — and at 100 TB pinning a corpus-derived frame in executor
+    * storage memory is the wrong default besides. Cheap fused map work
+    * re-derived per consumer beats cached state here.
     *
     * Scale (100 TB): calibration runs on the SAME bounded proportional
     * probe subset (id % 5) the banded path uses — it is a quality audit,
@@ -2030,16 +2041,6 @@ object Llm {
       .filter($"id" % 5 === 0)
       .select($"id", explode(Text.shingles($"text", 3)).as("shingle"))
       .distinct()
-      // Persisted so "share one shingle set" is PHYSICAL, not just a
-      // shared code path: all three consumers (sizes, the exact-Jaccard
-      // self-join, the banded leg) read one materialized shingle frame
-      // instead of re-tokenizing the probe corpus per leg. The entry is
-      // probe-subset bounded (id % 5) and MEMORY_AND_DISK by default, so
-      // at scale it spills rather than evicting hot executor memory;
-      // repeat invocations hit the same cache-manager entry (keyed by
-      // logical plan), so the bench's best-of-3 measures the shared-scan
-      // steady state.
-      .persist()
     val sizes = shd.groupBy($"id").agg(count(lit(1)).as("n_sh"))
     val exact = shd.join(shd.select($"id".as("b_id"), $"shingle"), Seq("shingle"))
       .filter($"id" < $"b_id")
