@@ -2121,6 +2121,66 @@ object Llm {
         sum(when($"bh".isNotNull, 1L).otherwise(0L)).as("n_shared"))
   }
 
+  /** L66: BM25 ranked retrieval — the saturating upgrade of l25's linear
+    * TF-IDF: Okapi BM25 with k1 = 6/5 and b = 3/4, the scorer production
+    * search and RAG retrieval actually run (term-frequency saturation so
+    * a 100-hit doc doesn't dwarf a 10-hit doc, pivoted length
+    * normalization so long docs aren't auto-relevant). Every factor is
+    * integer-exact (the l48/l35 discipline): with k1 and b rational, the
+    * per-term score multiplies out to
+    *   idf_k × (22·tf·10¹² div (10·tf·10⁶ + 3·10⁶ + 9·rel_ppm))
+    * where rel_ppm = dl·N·10⁶ div total_len is the pivoted relative
+    * length and idf_k = (N − df + 1)·1000 div (df + 1) the monotone
+    * integer idf surrogate — floor division agrees between Spark `div`
+    * and DuckDB `//` on non-negatives, so the ranking hash-matches where
+    * float ln() would flake at the ulp. Intermediates stay under 2²⁶³
+    * until a single doc holds > ~4·10¹⁴ scaled tf — far past any real
+    * document.
+    *
+    * Scale (100 TB): the query set is a bounded broadcast literal; the
+    * postings prune to query terms BEFORE any wide agg (broadcast
+    * semi-join, l25's shape); df/dl are token- and doc-sized partial
+    * aggs; corpus-global N and total_len ride one broadcast 1-row frame
+    * (no driver count); the per-query top-5 runs on the native
+    * [[graft.plans.TopKPerKey]] operator — bounded k-buffers after one
+    * hash exchange, no per-query sort. */
+  def l66Bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = Seq(
+      (1L, "spark window merge"),
+      (2L, "vector hash join"),
+      (3L, "slow filter scan"))
+      .toDF("query_id", "q_text")
+      .select($"query_id", explode(split($"q_text", " ")).as("token"))
+      .distinct()
+    val postings = documents(spark, dir)
+      .select($"doc_id", explode(Text.tokens($"text")).as("token"))
+    val tfc = postings.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dl = postings.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    // corpus totals as ONE broadcast row derived from dl (already
+    // doc-sized), not a second corpus scan
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("total_len"))
+    val hits = tfc.join(broadcast(q.select($"token").distinct()), Seq("token"))
+    val dfreq = hits.groupBy($"token").agg(count(lit(1)).as("df"))
+    val scored = hits
+      .join(broadcast(q), Seq("token"))
+      .join(broadcast(dfreq), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .select($"query_id", $"doc_id",
+        expr("""((n_docs - df + 1) * 1000 div (df + 1)) *
+                (22 * tf * 1000000000000 div
+                 (10 * tf * 1000000 + 3000000 +
+                  9 * (dl * n_docs * 1000000 div total_len)))""").as("term_score"))
+    val perDoc = scored.groupBy($"query_id", $"doc_id")
+      .agg(sum($"term_score").as("score"))
+    graft.plans.TopKPerKey.topKPerKey(
+      perDoc,
+      keys = Seq($"query_id"),
+      order = Seq($"score".desc, $"doc_id".asc),
+      k = 5)
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup" -> (l1ExactDedup _),
@@ -2190,6 +2250,7 @@ object Llm {
     "l63_lsh_calibration" -> (l63LshCalibration _),
     "l64_dedup_survivorship" -> (l64DedupSurvivorship _),
     "l65_cdc_chunking" -> (l65CdcChunking _),
+    "l66_bm25_retrieval" -> (l66Bm25Retrieval _),
     "l43_label_centroids" -> (l43LabelCentroids _),
     "l44_kmv_overlap" -> (l44KmvOverlap _),
     "l45_sentence_chunk" -> (l45SentenceChunk _),
@@ -2587,6 +2648,41 @@ object Llm {
         |GROUP BY 1, 2""".stripMargin,
     "l62_tokenizer_fertility" -> l62OracleSql,
     "l63_lsh_calibration" -> l63OracleSql,
+    "l66_bm25_retrieval" ->
+      """WITH postings AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tfc AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM postings GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM postings GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len
+        |        FROM dl),
+        |q(query_id, token) AS (VALUES
+        |  (1, 'spark'), (1, 'window'), (1, 'merge'),
+        |  (2, 'vector'), (2, 'hash'), (2, 'join'),
+        |  (3, 'slow'), (3, 'filter'), (3, 'scan')),
+        |hits AS (
+        |  SELECT tfc.* FROM tfc
+        |  WHERE token IN (SELECT DISTINCT token FROM q)),
+        |dfreq AS (SELECT token, count(*) AS df FROM hits GROUP BY 1),
+        |scored AS (
+        |  SELECT q.query_id, hits.doc_id,
+        |    ((tot.n_docs - dfreq.df + 1) * 1000 // (dfreq.df + 1)) *
+        |    (22 * hits.tf * 1000000000000 //
+        |     (10 * hits.tf * 1000000 + 3000000 +
+        |      9 * (dl.dl * tot.n_docs * 1000000 // tot.total_len)))
+        |      AS term_score
+        |  FROM hits JOIN q USING (token) JOIN dfreq USING (token)
+        |    JOIN dl USING (doc_id) CROSS JOIN tot),
+        |s AS (
+        |  SELECT query_id, doc_id, CAST(sum(term_score) AS BIGINT) AS score
+        |  FROM scored GROUP BY 1, 2)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rn
+        |  FROM s)
+        |WHERE rn <= 5""".stripMargin,
     "l65_cdc_chunking" ->
       (s"WITH $candSql,\n" +
         """toks AS (

@@ -653,6 +653,52 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("L66: BM25 saturates term frequency and ranks deterministically") {
+    import spark.implicits._
+    val out = Llm.l66Bm25Retrieval(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // top-5 per query, scores non-increasing, doc_id ascending on ties —
+    // the TopKPerKey determinism contract
+    val byQ = out.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length <= 5, s"query $q returned ${rows.length} rows")
+      val sorted = rows.sortBy { case (_, d, s) => (-s, d) }
+      assert(rows.sortBy(_._2).map(_._3).toSeq.sorted.reverse ==
+        sorted.map(_._3).toSeq, s"query $q scores not consistent")
+      assert(rows.map(_._3).forall(_ > 0L), s"query $q has non-positive score")
+    }
+    // the property that distinguishes BM25 from l25's linear TF-IDF:
+    // the tf factor SATURATES at (k1+1) = 2.2, i.e. 2_200_000 in the ppm
+    // scaling — no term contribution can exceed idf_k * 2_200_000 no
+    // matter how often the term repeats. Recompute the tf part on the
+    // real corpus and pin the cap.
+    val postings = Engine.documents(spark, sfDir)
+      .select($"doc_id", explode(graft.functions.Text.tokens($"text")).as("token"))
+    val tfc = postings.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dl = postings.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("total_len"))
+    val tfPart = tfc.join(dl, Seq("doc_id")).crossJoin(broadcast(totals))
+      .select(expr("""22 * tf * 1000000000000 div
+                      (10 * tf * 1000000 + 3000000 +
+                       9 * (dl * n_docs * 1000000 div total_len))""").as("p"))
+    val (pMin, pMax) = tfPart.agg(min($"p"), max($"p")).as[(Long, Long)].head()
+    assert(pMax <= 2200000L, s"tf part exceeded the (k1+1) asymptote: $pMax")
+    assert(pMin > 0L, "tf part must stay positive")
+    // and saturation is monotone: a doc repeating a term more (same doc
+    // length class) never scores LESS for that term
+    val mono = tfc.join(dl, Seq("doc_id")).crossJoin(broadcast(totals))
+      .select($"dl", $"tf",
+        expr("""22 * tf * 1000000000000 div
+                (10 * tf * 1000000 + 3000000 +
+                 9 * (dl * n_docs * 1000000 div total_len))""").as("p"))
+      .groupBy($"dl").agg(
+        max(struct($"tf", $"p")).as("hi"), min(struct($"tf", $"p")).as("lo"))
+      .select($"hi.p".as("pHi"), $"lo.p".as("pLo")).as[(Long, Long)].collect()
+    assert(mono.forall { case (hi, lo) => hi >= lo },
+      "tf part must be monotone in tf at fixed doc length")
+  }
+
   test("L65: content-defined chunks survive a shift that destroys fixed-size windows") {
     import spark.implicits._
     val out = Llm.l65CdcChunking(spark, sfDir).collect()

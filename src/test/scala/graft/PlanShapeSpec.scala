@@ -190,6 +190,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
   }
 
+  test("L66: BM25 retrieval runs on TopKPerKey with token-keyed candidate joins") {
+    val df = Llm.l66Bm25Retrieval(spark, sfDir)
+    df.collect(): Unit // finalize AQE
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    // candidates form only through the token equi join (inverted-index
+    // contract) — the sole nested-loop join allowed is the broadcast of
+    // the 1-row corpus-totals frame
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    // per-query top-5 on the native operator: bounded k-buffers, no
+    // per-query SortExec
+    assert(plan.contains("TopKPerKey"), plan.take(4000))
+    assert(plan.contains("TopKPerKeyPartial"), plan.take(4000))
+    assert(!plan.contains("Sort ["), plan.take(4000))
+  }
+
   test("J10: bloom runtime filter arms once the size gates open") {
     // at fixture scale the 10 GB application-side gate keeps the filter
     // off (and AQE broadcasts the dim anyway); drop both gates and the
