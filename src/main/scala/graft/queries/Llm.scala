@@ -2144,7 +2144,18 @@ object Llm {
     * (no driver count); the per-query top-5 runs on the native
     * [[graft.plans.TopKPerKey]] operator — bounded k-buffers after one
     * hash exchange, no per-query sort. */
-  def l66Bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
+  def l66Bm25Retrieval(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(
+      bm25PerDoc(spark, dir),
+      keys = Seq(org.apache.spark.sql.functions.col("query_id")),
+      order = Seq(org.apache.spark.sql.functions.col("score").desc,
+        org.apache.spark.sql.functions.col("doc_id").asc),
+      k = 5)
+
+  /** The (query_id, doc_id, score) BM25 frame behind l66, shared with
+    * l67's lexical leg so both queries score identically by
+    * construction. */
+  private[graft] def bm25PerDoc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val q = Seq(
       (1L, "spark window merge"),
@@ -2162,7 +2173,7 @@ object Llm {
     val totals = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("total_len"))
     val hits = tfc.join(broadcast(q.select($"token").distinct()), Seq("token"))
     val dfreq = hits.groupBy($"token").agg(count(lit(1)).as("df"))
-    val scored = hits
+    hits
       .join(broadcast(q), Seq("token"))
       .join(broadcast(dfreq), Seq("token"))
       .join(dl, Seq("doc_id"))
@@ -2172,13 +2183,61 @@ object Llm {
                 (22 * tf * 1000000000000 div
                  (10 * tf * 1000000 + 3000000 +
                   9 * (dl * n_docs * 1000000 div total_len)))""").as("term_score"))
-    val perDoc = scored.groupBy($"query_id", $"doc_id")
+      .groupBy($"query_id", $"doc_id")
       .agg(sum($"term_score").as("score"))
+  }
+
+  /** L67: hybrid retrieval via Reciprocal Rank Fusion — the standard way
+    * production RAG stacks combine a lexical ranker (BM25, l66) with a
+    * semantic one (embedding cosine, l3) without comparable score scales:
+    * each leg contributes 1/(60 + rank) per doc, summed. Ranks are
+    * integers and 60 the canonical RRF constant, so the fused score is
+    * exactly `10⁶ div (60 + rank)` summed over legs — pure integer
+    * arithmetic, hash-exact, no score normalization needed (that
+    * scale-freeness is WHY RRF won in practice). Query mapping is
+    * explicit: text query q ∈ {1,2,3} pairs with probe embedding
+    * vec_id = q; embedding vec_id doubles as doc_id (the fixture's
+    * aligned id space — in production the join key is the document key
+    * both stores share).
+    *
+    * Scale (100 TB): each leg caps at top-20 per query BEFORE fusion
+    * (bounded TopKPerKey buffers — fusion state is |queries| × 40 rows
+    * max, never corpus-sized); the legs reuse l66's pruned-postings and
+    * l3's broadcast-probe shapes unchanged; the full-outer fuse join and
+    * final top-10 run on per-query-bounded frames. */
+  def l67HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wLex = Window.partitionBy($"query_id")
+      .orderBy($"score".desc, $"doc_id".asc)
+    val lex = graft.plans.TopKPerKey.topKPerKey(
+      bm25PerDoc(spark, dir),
+      keys = Seq($"query_id"), order = Seq($"score".desc, $"doc_id".asc),
+      k = 20)
+      .select($"query_id", $"doc_id",
+        row_number().over(wLex).cast("long").as("lex_rank"))
+    val emb = embeddings(spark, dir)
+    val probes = emb.filter($"vec_id".isin(1L, 2L, 3L))
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val semScored = emb.join(broadcast(probes), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("doc_id"),
+        Text.cosine($"q_emb", $"embedding").as("cos"))
+    val wSem = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"doc_id".asc)
+    val sem = graft.plans.TopKPerKey.topKPerKey(
+      semScored,
+      keys = Seq($"query_id"), order = Seq($"cos".desc, $"doc_id".asc),
+      k = 20)
+      .select($"query_id", $"doc_id",
+        row_number().over(wSem).cast("long").as("sem_rank"))
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .select($"query_id", $"doc_id",
+        (coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + sem_rank)"), lit(0L))).as("rrf_ppm"))
     graft.plans.TopKPerKey.topKPerKey(
-      perDoc,
+      fused,
       keys = Seq($"query_id"),
-      order = Seq($"score".desc, $"doc_id".asc),
-      k = 5)
+      order = Seq($"rrf_ppm".desc, $"doc_id".asc),
+      k = 10)
   }
 
   // ------------------------------------------------------------- registry
@@ -2251,6 +2310,7 @@ object Llm {
     "l64_dedup_survivorship" -> (l64DedupSurvivorship _),
     "l65_cdc_chunking" -> (l65CdcChunking _),
     "l66_bm25_retrieval" -> (l66Bm25Retrieval _),
+    "l67_hybrid_rrf" -> (l67HybridRrf _),
     "l43_label_centroids" -> (l43LabelCentroids _),
     "l44_kmv_overlap" -> (l44KmvOverlap _),
     "l45_sentence_chunk" -> (l45SentenceChunk _),
@@ -2683,6 +2743,72 @@ object Llm {
         |      ORDER BY score DESC, doc_id) AS rn
         |  FROM s)
         |WHERE rn <= 5""".stripMargin,
+    "l67_hybrid_rrf" ->
+      """WITH postings AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tfc AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM postings GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, count(*) AS dl FROM postings GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len
+        |        FROM dlen),
+        |q(query_id, token) AS (VALUES
+        |  (1, 'spark'), (1, 'window'), (1, 'merge'),
+        |  (2, 'vector'), (2, 'hash'), (2, 'join'),
+        |  (3, 'slow'), (3, 'filter'), (3, 'scan')),
+        |hits AS (
+        |  SELECT tfc.* FROM tfc
+        |  WHERE token IN (SELECT DISTINCT token FROM q)),
+        |dfreq AS (SELECT token, count(*) AS df FROM hits GROUP BY 1),
+        |bm AS (
+        |  SELECT q.query_id, hits.doc_id,
+        |    CAST(sum(
+        |      ((tot.n_docs - dfreq.df + 1) * 1000 // (dfreq.df + 1)) *
+        |      (22 * hits.tf * 1000000000000 //
+        |       (10 * hits.tf * 1000000 + 3000000 +
+        |        9 * (dlen.dl * tot.n_docs * 1000000 // tot.total_len))))
+        |      AS BIGINT) AS score
+        |  FROM hits JOIN q USING (token) JOIN dfreq USING (token)
+        |    JOIN dlen USING (doc_id) CROSS JOIN tot
+        |  GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT query_id, doc_id, CAST(rn AS BIGINT) AS lex_rank FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, doc_id) AS rn
+        |    FROM bm) WHERE rn <= 20),
+        |probes AS (
+        |  SELECT vec_id AS query_id, embedding FROM embeddings
+        |  WHERE vec_id IN (1, 2, 3)),
+        |cosed AS (
+        |  SELECT p.query_id, c.vec_id AS doc_id,
+        |    list_dot_product(CAST(p.embedding AS DOUBLE[]),
+        |                     CAST(c.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]),
+        |                           CAST(p.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])))) AS cos
+        |  FROM probes p JOIN embeddings c ON c.vec_id <> p.query_id),
+        |sem AS (
+        |  SELECT query_id, doc_id, CAST(rn AS BIGINT) AS sem_rank FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, doc_id) AS rn
+        |    FROM cosed) WHERE rn <= 20),
+        |fused AS (
+        |  SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+        |    coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+        |    coalesce(1000000 // (60 + lex.lex_rank), 0) +
+        |    coalesce(1000000 // (60 + sem.sem_rank), 0) AS rrf_ppm
+        |  FROM lex FULL OUTER JOIN sem
+        |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |  CAST(rrf_ppm AS BIGINT) AS rrf_ppm FROM (
+        |  SELECT query_id, doc_id, rrf_ppm,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_ppm DESC, doc_id) AS rn
+        |  FROM fused)
+        |WHERE rn <= 10""".stripMargin,
     "l65_cdc_chunking" ->
       (s"WITH $candSql,\n" +
         """toks AS (

@@ -699,6 +699,52 @@ class PipelineOpsSpec extends SparkSpec {
       "tf part must be monotone in tf at fixed doc length")
   }
 
+  test("L67: RRF fusion equals the leg-rank recomputation and respects its bounds") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import spark.implicits._
+    val out = Llm.l67HybridRrf(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out.nonEmpty)
+    // bound: two legs, best rank 1 each -> ppm sum caps at 2 * (1e6 div 61)
+    assert(out.values.forall(s => s > 0L && s <= 2 * (1000000L / 61)),
+      s"rrf out of bounds: ${out.values.max}")
+    // independent recomputation: leg ranks via plain window rank over the
+    // FULL per-leg frames (not TopKPerKey) — pins the native operator's
+    // selection to window semantics on real data, end to end through the
+    // fusion arithmetic
+    val wl = W.partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)
+    val lex = Llm.bm25PerDoc(spark, sfDir)
+      .withColumn("r", row_number().over(wl)).filter($"r" <= 20)
+      .select($"query_id", $"doc_id", $"r").as[(Long, Long, Int)].collect()
+      .map { case (q, d, r) => (q, d) -> r }.toMap
+    val emb = Engine.embeddings(spark, sfDir)
+    val probes = emb.filter($"vec_id".isin(1L, 2L, 3L))
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val ws = W.partitionBy($"query_id").orderBy($"cos".desc, $"doc_id".asc)
+    val sem = emb.join(broadcast(probes), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("doc_id"),
+        graft.functions.Text.cosine($"q_emb", $"embedding").as("cos"))
+      .withColumn("r", row_number().over(ws)).filter($"r" <= 20)
+      .select($"query_id", $"doc_id", $"r").as[(Long, Long, Int)].collect()
+      .map { case (q, d, r) => (q, d) -> r }.toMap
+    val expected = (lex.keySet ++ sem.keySet).map { k =>
+      k -> (lex.get(k).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        sem.get(k).map(r => 1000000L / (60 + r)).getOrElse(0L))
+    }.toMap
+    out.foreach { case (k, s) =>
+      assert(expected.get(k).contains(s),
+        s"fused score mismatch at $k: got $s, expected ${expected.get(k)}")
+    }
+    // and the kept 10 per query are the TOP 10 of the recomputed fusion
+    expected.groupBy(_._1._1).foreach { case (q, m) =>
+      val top = m.toSeq.sortBy { case ((_, d), s) => (-s, d) }.take(10)
+        .map { case ((_, d), s) => (d, s) }
+      val got = out.collect { case ((`q`, d), s) => (d, s) }.toSeq
+        .sortBy { case (d, s) => (-s, d) }
+      assert(got == top, s"query $q fused top-10 diverges")
+    }
+  }
+
   test("L65: content-defined chunks survive a shift that destroys fixed-size windows") {
     import spark.implicits._
     val out = Llm.l65CdcChunking(spark, sfDir).collect()
