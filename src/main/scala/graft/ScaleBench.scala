@@ -21,11 +21,13 @@ import org.apache.spark.sql.SparkSession
   * Usage: ScaleBench [sf0.1-dir] [sf1-dir] [out.json] [subset]
   */
 object ScaleBench {
-  /** The scaling set: the same 57 queries the committed r8-r10 records
-    * track — one representative per operator family whose cost is
-    * data-sized (plus every round-10 addition), spanning aggregation,
-    * graph iteratives, the LLM dedup/ANN/quality families, DSv2
-    * maintenance, advanced windows, and the streaming state machinery. */
+  /** The scaling set: the 57 queries the committed r8-r10 records track —
+    * one representative per operator family whose cost is data-sized
+    * (plus every round-10 addition), spanning aggregation, graph
+    * iteratives, the LLM dedup/ANN/quality families, DSv2 maintenance,
+    * advanced windows, and the streaming state machinery — plus the
+    * round-11 retrieval family (l66 BM25, l67 hybrid RRF: corpus-stat
+    * cost must scale with the postings, never with query count). */
   val scalingSet: Seq[String] = Seq(
     "a12_map_groups", "a9_multi_agg_q1", "g4_pagerank",
     "g7_bfs_reachability", "g8_connected_components", "j15_pit_feature_join",
@@ -35,7 +37,8 @@ object ScaleBench {
     "l57_line_dedup", "l58_quality_ensemble", "l59_importance_scoring",
     "l5f_vad_segments", "l60_fuzzy_blocked_join", "l61_cross_source_overlap",
     "l62_tokenizer_fertility", "l63_lsh_calibration", "l64_dedup_survivorship",
-    "l65_cdc_chunking", "o17_partition_stats", "s1b_events_time_pruned",
+    "l65_cdc_chunking", "l66_bm25_retrieval", "l67_hybrid_rrf",
+    "l68_mmr_rerank", "o17_partition_stats", "s1b_events_time_pruned",
     "s30_merge_into", "s31_row_level_dml", "s32_time_travel",
     "s33_schema_evolution", "s34_codec_roundtrip", "s35_vacuum_retention",
     "s36_snapshot_rollback", "s37_snapshot_diff", "st10_dsv2_incremental",

@@ -2240,6 +2240,66 @@ object Llm {
       k = 10)
   }
 
+  /** L68: MMR diversified re-ranking — the last stage of the retrieval
+    * stack (l66 BM25 → l67 RRF fusion → THIS): Maximal Marginal
+    * Relevance greedily re-picks k=5 of the fused top-10 so results
+    * balance relevance against redundancy with what's already picked —
+    * the step that stops a RAG context window filling with five copies
+    * of the same passage. Score: `7·rrf_ppm·100 − 3·max_sim` (λ = 0.7;
+    * the ×100 bridge puts the two integer axes on comparable scale, a
+    * fixed calibration documented here, not tuned at runtime).
+    * Similarity is the dot product of ×1000-quantized embeddings (l43's
+    * hash-proven round↔round parity), so the greedy argmax — where a
+    * float ulp could flip a pick and cascade through every later round —
+    * is pure int64 arithmetic, hash-exact against an oracle that unrolls
+    * the same five greedy stages in SQL.
+    *
+    * Scale (100 TB): MMR is quadratic ONLY in the candidate list, never
+    * the corpus — the fused top-10 per query bounds the pairwise-sim
+    * frame at |queries|·90 rows and each greedy round at |queries|·≤9
+    * comparisons; the four unrolled rounds are tiny-frame joins (the
+    * l17/g4 bounded-iteration pattern), and candidate GENERATION keeps
+    * l66/l67's corpus shapes untouched. */
+  def l68MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cand = l67HybridRrf(spark, dir) // (query_id, doc_id, rrf_ppm)
+    val qv = embeddings(spark, dir).select($"vec_id".as("doc_id"),
+      transform($"embedding", v => round(v.cast("double") * 1000).cast("long"))
+        .as("qv"))
+    val withV = cand.join(qv, Seq("doc_id"))
+    // pairwise integer sims WITHIN each query's candidate list: ≤ 90
+    // rows per query by construction
+    val sims = withV.select($"query_id", $"doc_id".as("da"), $"qv".as("va"))
+      .join(withV.select($"query_id", $"doc_id".as("db"), $"qv".as("vb")),
+        Seq("query_id"))
+      .filter($"da" =!= $"db")
+      .select($"query_id", $"da", $"db",
+        aggregate(zip_with($"va", $"vb", (u, v) => u * v),
+          lit(0L), (acc, e) => acc + e).as("sim"))
+    def pick1(scored: DataFrame, rank: Int): DataFrame = {
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"mmr_score".desc, $"doc_id".asc)
+      scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"query_id", $"doc_id", lit(rank.toLong).as("mmr_rank"))
+    }
+    val seed = pick1(cand.withColumn("mmr_score", $"rrf_ppm"), 1)
+    val selected = (2 to 5).foldLeft(seed) { (sel, r) =>
+      val remaining = cand.join(sel, Seq("query_id", "doc_id"), "left_anti")
+      val pen = sims
+        .join(sel.select($"query_id", $"doc_id".as("db")), Seq("query_id", "db"))
+        .groupBy($"query_id", $"da".as("doc_id"))
+        .agg(max($"sim").as("pen"))
+      // left + coalesce: a candidate without an embedding (possible once
+      // the two stores' id spaces drift at scale) gets penalty 0, not
+      // silently dropped from the pool
+      val scored = remaining.join(pen, Seq("query_id", "doc_id"), "left")
+        .select($"query_id", $"doc_id",
+          ($"rrf_ppm" * 700 - coalesce($"pen", lit(0L)) * 3).as("mmr_score"))
+      sel.union(pick1(scored, r))
+    }
+    selected.select($"query_id", $"doc_id", $"mmr_rank")
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_exact_dedup" -> (l1ExactDedup _),
@@ -2311,6 +2371,7 @@ object Llm {
     "l65_cdc_chunking" -> (l65CdcChunking _),
     "l66_bm25_retrieval" -> (l66Bm25Retrieval _),
     "l67_hybrid_rrf" -> (l67HybridRrf _),
+    "l68_mmr_rerank" -> (l68MmrRerank _),
     "l43_label_centroids" -> (l43LabelCentroids _),
     "l44_kmv_overlap" -> (l44KmvOverlap _),
     "l45_sentence_chunk" -> (l45SentenceChunk _),
@@ -2475,6 +2536,139 @@ object Llm {
         |       AS BIGINT) AS n_detected
         |FROM ex LEFT JOIN banded USING (a_id, b_id)
         |GROUP BY 1""".stripMargin
+
+  /** The shared WITH-chain behind l67/l68: BM25 leg (l66's arithmetic),
+    * cosine leg (l3's shape), RRF fusion — ends at the `fused`
+    * (query_id, doc_id, rrf_ppm) relation. */
+  private lazy val rrfCtes: String =
+    """postings AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |tfc AS (
+      |  SELECT doc_id, token, count(*) AS tf FROM postings GROUP BY 1, 2),
+      |dlen AS (SELECT doc_id, count(*) AS dl FROM postings GROUP BY 1),
+      |tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len
+      |        FROM dlen),
+      |q(query_id, token) AS (VALUES
+      |  (1, 'spark'), (1, 'window'), (1, 'merge'),
+      |  (2, 'vector'), (2, 'hash'), (2, 'join'),
+      |  (3, 'slow'), (3, 'filter'), (3, 'scan')),
+      |hits AS (
+      |  SELECT tfc.* FROM tfc
+      |  WHERE token IN (SELECT DISTINCT token FROM q)),
+      |dfreq AS (SELECT token, count(*) AS df FROM hits GROUP BY 1),
+      |bm AS (
+      |  SELECT q.query_id, hits.doc_id,
+      |    CAST(sum(
+      |      ((tot.n_docs - dfreq.df + 1) * 1000 // (dfreq.df + 1)) *
+      |      (22 * hits.tf * 1000000000000 //
+      |       (10 * hits.tf * 1000000 + 3000000 +
+      |        9 * (dlen.dl * tot.n_docs * 1000000 // tot.total_len))))
+      |      AS BIGINT) AS score
+      |  FROM hits JOIN q USING (token) JOIN dfreq USING (token)
+      |    JOIN dlen USING (doc_id) CROSS JOIN tot
+      |  GROUP BY 1, 2),
+      |lex AS (
+      |  SELECT query_id, doc_id, CAST(rn AS BIGINT) AS lex_rank FROM (
+      |    SELECT query_id, doc_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY score DESC, doc_id) AS rn
+      |    FROM bm) WHERE rn <= 20),
+      |probes AS (
+      |  SELECT vec_id AS query_id, embedding FROM embeddings
+      |  WHERE vec_id IN (1, 2, 3)),
+      |cosed AS (
+      |  SELECT p.query_id, c.vec_id AS doc_id,
+      |    list_dot_product(CAST(p.embedding AS DOUBLE[]),
+      |                     CAST(c.embedding AS DOUBLE[])) /
+      |    (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]),
+      |                           CAST(p.embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+      |                           CAST(c.embedding AS DOUBLE[])))) AS cos
+      |  FROM probes p JOIN embeddings c ON c.vec_id <> p.query_id),
+      |sem AS (
+      |  SELECT query_id, doc_id, CAST(rn AS BIGINT) AS sem_rank FROM (
+      |    SELECT query_id, doc_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cos DESC, doc_id) AS rn
+      |    FROM cosed) WHERE rn <= 20),
+      |fused AS (
+      |  SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+      |    coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+      |    coalesce(1000000 // (60 + lex.lex_rank), 0) +
+      |    coalesce(1000000 // (60 + sem.sem_rank), 0) AS rrf_ppm
+      |  FROM lex FULL OUTER JOIN sem
+      |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id)""".stripMargin
+
+  private lazy val l67OracleSql: String =
+    s"WITH $rrfCtes\n" +
+      """SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |  CAST(rrf_ppm AS BIGINT) AS rrf_ppm FROM (
+        |  SELECT query_id, doc_id, rrf_ppm,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_ppm DESC, doc_id) AS rn
+        |  FROM fused)
+        |WHERE rn <= 10""".stripMargin
+
+  /** The MMR greedy unrolled in SQL: five selection stages, each an
+    * argmax over the candidates not yet picked with the max-similarity
+    * penalty against everything picked so far — the same five rounds the
+    * Spark side folds, stage for stage. */
+  private lazy val l68OracleSql: String = {
+    // sK: the stage-K pick given the union of stages 1..K-1
+    def stage(k: Int): String = {
+      val prev = (1 until k).map(i => s"s$i").mkString(" UNION ALL SELECT * FROM ")
+      s"""s$k AS (
+         |  SELECT c.query_id, c.doc_id, c.rrf_ppm, $k AS r FROM (
+         |    SELECT c0.query_id, c0.doc_id, c0.rrf_ppm,
+         |      row_number() OVER (PARTITION BY c0.query_id
+         |        ORDER BY c0.rrf_ppm * 700 - coalesce(p.pen, 0) * 3 DESC,
+         |                 c0.doc_id) AS rn
+         |    FROM cand c0
+         |    LEFT JOIN (
+         |      SELECT sims.query_id, sims.da AS doc_id, max(sims.sim) AS pen
+         |      FROM sims JOIN (SELECT * FROM $prev) sel
+         |        ON sel.query_id = sims.query_id AND sel.doc_id = sims.db
+         |      GROUP BY 1, 2) p
+         |      ON p.query_id = c0.query_id AND p.doc_id = c0.doc_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM (SELECT * FROM $prev) s0
+         |      WHERE s0.query_id = c0.query_id AND s0.doc_id = c0.doc_id)
+         |  ) c WHERE c.rn = 1)""".stripMargin
+    }
+    s"WITH $rrfCtes,\n" +
+      """cand AS (
+        |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |    CAST(rrf_ppm AS BIGINT) AS rrf_ppm FROM (
+        |    SELECT query_id, doc_id, rrf_ppm,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rrf_ppm DESC, doc_id) AS rn
+        |    FROM fused)
+        |  WHERE rn <= 10),
+        |qe AS (
+        |  SELECT vec_id AS doc_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      v -> round(v * 1000)) AS qv
+        |  FROM embeddings),
+        |sims AS (
+        |  SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+        |    CAST(list_dot_product(qa.qv, qb.qv) AS BIGINT) AS sim
+        |  FROM cand a
+        |  JOIN cand b ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+        |  JOIN qe qa ON qa.doc_id = a.doc_id
+        |  JOIN qe qb ON qb.doc_id = b.doc_id),
+        |s1 AS (
+        |  SELECT query_id, doc_id, rrf_ppm, 1 AS r FROM (
+        |    SELECT query_id, doc_id, rrf_ppm,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rrf_ppm DESC, doc_id) AS rn
+        |    FROM cand) WHERE rn = 1),
+        |""".stripMargin +
+      (2 to 5).map(stage).mkString(",\n") + "\n" +
+      """SELECT query_id, doc_id, CAST(r AS BIGINT) AS mmr_rank
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+        |      UNION ALL SELECT * FROM s5)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "l1_exact_dedup" ->
@@ -2743,72 +2937,8 @@ object Llm {
         |      ORDER BY score DESC, doc_id) AS rn
         |  FROM s)
         |WHERE rn <= 5""".stripMargin,
-    "l67_hybrid_rrf" ->
-      """WITH postings AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |  FROM documents),
-        |tfc AS (
-        |  SELECT doc_id, token, count(*) AS tf FROM postings GROUP BY 1, 2),
-        |dlen AS (SELECT doc_id, count(*) AS dl FROM postings GROUP BY 1),
-        |tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len
-        |        FROM dlen),
-        |q(query_id, token) AS (VALUES
-        |  (1, 'spark'), (1, 'window'), (1, 'merge'),
-        |  (2, 'vector'), (2, 'hash'), (2, 'join'),
-        |  (3, 'slow'), (3, 'filter'), (3, 'scan')),
-        |hits AS (
-        |  SELECT tfc.* FROM tfc
-        |  WHERE token IN (SELECT DISTINCT token FROM q)),
-        |dfreq AS (SELECT token, count(*) AS df FROM hits GROUP BY 1),
-        |bm AS (
-        |  SELECT q.query_id, hits.doc_id,
-        |    CAST(sum(
-        |      ((tot.n_docs - dfreq.df + 1) * 1000 // (dfreq.df + 1)) *
-        |      (22 * hits.tf * 1000000000000 //
-        |       (10 * hits.tf * 1000000 + 3000000 +
-        |        9 * (dlen.dl * tot.n_docs * 1000000 // tot.total_len))))
-        |      AS BIGINT) AS score
-        |  FROM hits JOIN q USING (token) JOIN dfreq USING (token)
-        |    JOIN dlen USING (doc_id) CROSS JOIN tot
-        |  GROUP BY 1, 2),
-        |lex AS (
-        |  SELECT query_id, doc_id, CAST(rn AS BIGINT) AS lex_rank FROM (
-        |    SELECT query_id, doc_id,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY score DESC, doc_id) AS rn
-        |    FROM bm) WHERE rn <= 20),
-        |probes AS (
-        |  SELECT vec_id AS query_id, embedding FROM embeddings
-        |  WHERE vec_id IN (1, 2, 3)),
-        |cosed AS (
-        |  SELECT p.query_id, c.vec_id AS doc_id,
-        |    list_dot_product(CAST(p.embedding AS DOUBLE[]),
-        |                     CAST(c.embedding AS DOUBLE[])) /
-        |    (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]),
-        |                           CAST(p.embedding AS DOUBLE[]))) *
-        |     sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
-        |                           CAST(c.embedding AS DOUBLE[])))) AS cos
-        |  FROM probes p JOIN embeddings c ON c.vec_id <> p.query_id),
-        |sem AS (
-        |  SELECT query_id, doc_id, CAST(rn AS BIGINT) AS sem_rank FROM (
-        |    SELECT query_id, doc_id,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY cos DESC, doc_id) AS rn
-        |    FROM cosed) WHERE rn <= 20),
-        |fused AS (
-        |  SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
-        |    coalesce(lex.doc_id, sem.doc_id) AS doc_id,
-        |    coalesce(1000000 // (60 + lex.lex_rank), 0) +
-        |    coalesce(1000000 // (60 + sem.sem_rank), 0) AS rrf_ppm
-        |  FROM lex FULL OUTER JOIN sem
-        |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id)
-        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
-        |  CAST(rrf_ppm AS BIGINT) AS rrf_ppm FROM (
-        |  SELECT query_id, doc_id, rrf_ppm,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY rrf_ppm DESC, doc_id) AS rn
-        |  FROM fused)
-        |WHERE rn <= 10""".stripMargin,
+    "l67_hybrid_rrf" -> l67OracleSql,
+    "l68_mmr_rerank" -> l68OracleSql,
     "l65_cdc_chunking" ->
       (s"WITH $candSql,\n" +
         """toks AS (

@@ -745,6 +745,56 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("L68: MMR selection equals a driver-side greedy recomputation and diversifies") {
+    import spark.implicits._
+    val out = Llm.l68MmrRerank(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+        "each query must carry exactly ranks 1..5")
+    }
+    // independent recomputation: pull the bounded candidate lists and
+    // quantized vectors to the driver (≤ 10 rows + 1 vec per candidate per
+    // query) and replay the greedy loop in plain Scala
+    val cand = Llm.l67HybridRrf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val qv = Engine.embeddings(spark, sfDir)
+      .select($"vec_id", transform($"embedding",
+        v => round(v.cast("double") * 1000).cast("long")).as("qv"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def sim(a: Long, b: Long): Long = (qv.get(a), qv.get(b)) match {
+      case (Some(x), Some(y)) => x.zip(y).map { case (u, v) => u * v }.sum
+      case _ => 0L
+    }
+    cand.groupBy(_._1).foreach { case (q, cs) =>
+      val rel = cs.map(c => c._2 -> c._3).toMap
+      var selected = Vector.empty[Long]
+      (1 to 5).foreach { _ =>
+        val remaining = rel.keySet -- selected
+        val pick = remaining.toSeq.map { d =>
+          val pen = if (selected.isEmpty) 0L
+            else selected.map(s => sim(d, s)).max
+          (d, rel(d) * 700 - pen * 3)
+        }.minBy { case (d, s) => (-s, d) }._1
+        selected :+= pick
+      }
+      val got = out.filter(_._1 == q).sortBy(_._3).map(_._2).toVector
+      assert(got == selected, s"query $q: got $got, greedy says $selected")
+    }
+    // diversification: the MMR pick's worst-case redundancy never exceeds
+    // the pure-relevance top-5's (greedy penalizes what relevance ignores)
+    cand.groupBy(_._1).foreach { case (q, cs) =>
+      val top5 = cs.sortBy { case (_, d, s) => (-s, d) }.take(5).map(_._2)
+      val mmr5 = out.filter(_._1 == q).map(_._2)
+      def worst(ds: Seq[Long]): Long =
+        (for (a <- ds; b <- ds if a < b) yield sim(a, b)).foldLeft(0L)(math.max)
+      assert(worst(mmr5) <= worst(top5.toSeq),
+        s"query $q: MMR increased worst-case redundancy")
+    }
+  }
+
   test("L65: content-defined chunks survive a shift that destroys fixed-size windows") {
     import spark.implicits._
     val out = Llm.l65CdcChunking(spark, sfDir).collect()
