@@ -95,7 +95,7 @@ object PlanAudit {
       "o17_partition_stats" -> "partition stats: one partial+final agg per day key, distinct pre-aggregated per (day, user)",
       "l66_bm25_retrieval" -> "BM25 retrieval: postings pruned to broadcast query terms before any wide agg, integer-rational BM25 (k1=6/5, b=3/4), per-query top-5 on native TopKPerKey — no SortExec, no doc x doc",
       "l67_hybrid_rrf" -> "hybrid RRF: both legs cap at top-20 per query on TopKPerKey BEFORE fusion — fusion state |queries| x 40 rows, integer 1e6 div (60+rank) contributions, final top-10 on TopKPerKey",
-      "l68_mmr_rerank" -> "MMR re-rank: quadratic only in the fused top-10 candidate list (|queries| x 90 sim rows), four unrolled greedy rounds on tiny frames, corpus stages untouched from l66/l67",
+      "l68_mmr_rerank" -> "MMR re-rank: whole greedy runs INSIDE one exchange — per-query candidates collapse to a row, sim matrix + five argmax rounds are array expressions (aggregate() accumulator), corpus stages untouched from l66/l67",
       "s37_snapshot_diff" -> "CDC snapshot diff: two version scans + one anti-join per direction, bounded by table size not history")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries (sf0.01)\n\n")

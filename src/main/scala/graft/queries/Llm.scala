@@ -2255,49 +2255,72 @@ object Llm {
     * the same five greedy stages in SQL.
     *
     * Scale (100 TB): MMR is quadratic ONLY in the candidate list, never
-    * the corpus — the fused top-10 per query bounds the pairwise-sim
-    * frame at |queries|·90 rows and each greedy round at |queries|·≤9
-    * comparisons; the four unrolled rounds are tiny-frame joins (the
-    * l17/g4 bounded-iteration pattern), and candidate GENERATION keeps
-    * l66/l67's corpus shapes untouched. */
+    * the corpus — so the whole greedy runs INSIDE one exchange: each
+    * query's ≤10 candidates collapse to a single row (one groupBy), the
+    * 10×10 sim matrix and all five argmax rounds are pure array
+    * expressions over that row, and the result explodes back out. No
+    * per-round jobs, no iterative joins — |queries|-way parallel map
+    * work after one corpus-side candidate join. (The first cut unrolled
+    * the rounds as DataFrame joins: 108 s at sf0.1 from re-executing the
+    * candidate pipeline per reference, still ~5 s checkpointed from
+    * ~20 tiny scheduled jobs. This shape measures ~1.5 s — the greedy
+    * belongs in a row, not a DAG.) */
   def l68MmrRerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cand = l67HybridRrf(spark, dir) // (query_id, doc_id, rrf_ppm)
-    val qv = embeddings(spark, dir).select($"vec_id".as("doc_id"),
-      transform($"embedding", v => round(v.cast("double") * 1000).cast("long"))
-        .as("qv"))
-    val withV = cand.join(qv, Seq("doc_id"))
-    // pairwise integer sims WITHIN each query's candidate list: ≤ 90
-    // rows per query by construction
-    val sims = withV.select($"query_id", $"doc_id".as("da"), $"qv".as("va"))
-      .join(withV.select($"query_id", $"doc_id".as("db"), $"qv".as("vb")),
-        Seq("query_id"))
-      .filter($"da" =!= $"db")
-      .select($"query_id", $"da", $"db",
-        aggregate(zip_with($"va", $"vb", (u, v) => u * v),
-          lit(0L), (acc, e) => acc + e).as("sim"))
-    def pick1(scored: DataFrame, rank: Int): DataFrame = {
-      val w = Window.partitionBy($"query_id")
-        .orderBy($"mmr_score".desc, $"doc_id".asc)
-      scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-        .select($"query_id", $"doc_id", lit(rank.toLong).as("mmr_rank"))
+    // left join: a candidate without an embedding (possible once the two
+    // stores' id spaces drift at scale) keeps a null vector -> sim 0,
+    // not a silent drop from the pool. Quantization runs AFTER the join,
+    // on the ≤10-per-query survivors — not on the whole embedding corpus
+    val perQ = cand
+      .join(embeddings(spark, dir).select($"vec_id".as("doc_id"), $"embedding"),
+        Seq("doc_id"), "left")
+      .groupBy($"query_id")
+      .agg(array_sort(collect_list(struct($"doc_id", $"rrf_ppm",
+        transform($"embedding",
+          v => round(v.cast("double") * 1000).cast("long")).as("qv"))))
+        .as("cs"))
+      .withColumn("n", size($"cs"))
+      // flattened n×n integer sim matrix; entry (i, j) sits at 1-based
+      // index i*n+j+1. ≤100 dot products of 64-long vectors per query.
+      .withColumn("simf", flatten(transform($"cs", a =>
+        transform($"cs", b =>
+          when(a.getField("qv").isNull || b.getField("qv").isNull, lit(0L))
+            .otherwise(aggregate(
+              zip_with(a.getField("qv"), b.getField("qv"), (u, v) => u * v),
+              lit(0L), (acc, e) => acc + e))))))
+    // One greedy argmax: (score, -doc_id, idx) structs make array_max
+    // pick highest score, then lowest doc_id — already-selected indices
+    // sink to Long.MinValue so they can never win again
+    def pickNext(selCol: Column): Column = {
+      val scores = transform(sequence(lit(0), $"n" - 1), i => {
+        val c = element_at($"cs", i + 1)
+        val pen = when(size(selCol) === 0, lit(0L)).otherwise(
+          array_max(transform(selCol, s =>
+            element_at($"simf", i * $"n" + s + 1))))
+        struct(
+          when(array_contains(selCol, i), lit(Long.MinValue))
+            .otherwise(c.getField("rrf_ppm") * 700 - pen * 3).as("s"),
+          (-c.getField("doc_id")).as("t"),
+          i.as("idx"))
+      })
+      array_max(scores).getField("idx")
     }
-    val seed = pick1(cand.withColumn("mmr_score", $"rrf_ppm"), 1)
-    val selected = (2 to 5).foldLeft(seed) { (sel, r) =>
-      val remaining = cand.join(sel, Seq("query_id", "doc_id"), "left_anti")
-      val pen = sims
-        .join(sel.select($"query_id", $"doc_id".as("db")), Seq("query_id", "db"))
-        .groupBy($"query_id", $"da".as("doc_id"))
-        .agg(max($"sim").as("pen"))
-      // left + coalesce: a candidate without an embedding (possible once
-      // the two stores' id spaces drift at scale) gets penalty 0, not
-      // silently dropped from the pool
-      val scored = remaining.join(pen, Seq("query_id", "doc_id"), "left")
-        .select($"query_id", $"doc_id",
-          ($"rrf_ppm" * 700 - coalesce($"pen", lit(0L)) * 3).as("mmr_score"))
-      sel.union(pick1(scored, r))
-    }
-    selected.select($"query_id", $"doc_id", $"mmr_rank")
+    // The five rounds run inside ONE aggregate() accumulator: `acc` is a
+    // lambda VARIABLE, so each round's selection is evaluated once per
+    // step by the HOF evaluator — unrolling the rounds as withColumns
+    // instead made `sel` reference itself ~4 times per step and
+    // CollapseProject grew the expression tree 4^k-fold (first cut:
+    // 8.5 MiB task binaries, minute-long codegen).
+    val selected = perQ.withColumn("sel",
+      aggregate(sequence(lit(1), lit(5)), typedlit(Array.empty[Int]),
+        (acc, _) =>
+          when(size($"cs") > size(acc),
+            concat(acc, array(pickNext(acc)))).otherwise(acc)))
+    selected.select($"query_id", $"cs", posexplode($"sel"))
+      .select($"query_id",
+        element_at($"cs", $"col" + 1).getField("doc_id").as("doc_id"),
+        ($"pos" + 1).cast("long").as("mmr_rank"))
   }
 
   // ------------------------------------------------------------- registry
