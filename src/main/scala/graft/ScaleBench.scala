@@ -48,6 +48,7 @@ object ScaleBench {
     "st20_timeout_sessions", "st21_streaming_scd2", "st22_stream_full_outer",
     "st24_streaming_drift", "st25_streaming_baseline_gate",
     "st26_streaming_pit_enrich", "st27_auto_compaction",
+    "st28_streaming_index",
     "st3_foreachbatch_idempotent", "st9_stream_stream_join", "w12_funnel",
     "w19_scd2_history", "w21_seasonal_baseline", "w6_range_frame",
     "w9_batch_sessionize")

@@ -2155,15 +2155,23 @@ object Llm {
   /** The (query_id, doc_id, score) BM25 frame behind l66, shared with
     * l67's lexical leg so both queries score identically by
     * construction. */
-  private[graft] def bm25PerDoc(spark: SparkSession, dir: String): DataFrame = {
+  /** The fixed retrieval query set shared by l66/l67/l68 and the
+    * streaming index (st28) — and mirrored literally in the oracle SQL's
+    * VALUES list. */
+  private[graft] def retrievalQueryTerms(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val q = Seq(
+    Seq(
       (1L, "spark window merge"),
       (2L, "vector hash join"),
       (3L, "slow filter scan"))
       .toDF("query_id", "q_text")
       .select($"query_id", explode(split($"q_text", " ")).as("token"))
       .distinct()
+  }
+
+  private[graft] def bm25PerDoc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = retrievalQueryTerms(spark)
     val postings = documents(spark, dir)
       .select($"doc_id", explode(Text.tokens($"text")).as("token"))
     val tfc = postings.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
@@ -2178,14 +2186,20 @@ object Llm {
       .join(broadcast(dfreq), Seq("token"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(totals))
-      .select($"query_id", $"doc_id",
-        expr("""((n_docs - df + 1) * 1000 div (df + 1)) *
-                (22 * tf * 1000000000000 div
-                 (10 * tf * 1000000 + 3000000 +
-                  9 * (dl * n_docs * 1000000 div total_len)))""").as("term_score"))
+      .select($"query_id", $"doc_id", expr(bm25TermScore).as("term_score"))
       .groupBy($"query_id", $"doc_id")
       .agg(sum($"term_score").as("score"))
   }
+
+  /** The integer-rational BM25 per-term score over columns
+    * (tf, df, dl, n_docs, total_len) — shared by l66's batch scorer and
+    * st28's incremental-index scorer so the two compute identically by
+    * construction (and both hash-match the same oracle SQL). */
+  private[graft] val bm25TermScore: String =
+    """((n_docs - df + 1) * 1000 div (df + 1)) *
+      |(22 * tf * 1000000000000 div
+      | (10 * tf * 1000000 + 3000000 +
+      |  9 * (dl * n_docs * 1000000 div total_len)))""".stripMargin
 
   /** L67: hybrid retrieval via Reciprocal Rank Fusion — the standard way
     * production RAG stacks combine a lexical ranker (BM25, l66) with a

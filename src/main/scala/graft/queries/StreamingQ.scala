@@ -1447,6 +1447,101 @@ object StreamingQ {
         sum($"value".cast(DecimalType(18, 2))).cast("double").as("sum_value"))
   }
 
+  private val st28Staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Two-batch doc-arrival staging for st28: docs split by id parity, one
+    * file per half so FileStreamSource delivers two micro-batches. Every
+    * doc arrives complete in exactly one batch — the precondition for
+    * append-only index maintenance (a doc EDIT would be a retraction,
+    * st21's merge territory, a different op). */
+  private[graft] def stageSt28(spark: SparkSession, dir: String): String =
+    st28Staged.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val out = java.nio.file.Files.createTempDirectory("st28_src").toString
+      documents(spark, dir).select($"doc_id", $"text")
+        .withColumn("half", ($"doc_id" % 2).cast("int"))
+        .repartition($"half")
+        .write.mode(SaveMode.Overwrite).partitionBy("half").parquet(out)
+      out
+    })
+
+  /** ST28: streaming inverted-index maintenance — the retrieval family's
+    * streaming pillar: documents arrive in micro-batches and the BM25
+    * index (l66) is maintained INCREMENTALLY, never by re-scanning the
+    * corpus. Per batch, three append-only deltas are derived from the
+    * batch alone: query-vocabulary postings (doc, token, tf — pruned to
+    * the broadcast query terms BEFORE anything wide), the posting docs'
+    * lengths, and a 1-row (batch_docs, batch_len) corpus-stat delta.
+    * Because every doc arrives whole in one batch, the accumulated
+    * deltas equal the batch-computed index exactly: df re-aggregates
+    * over the (query-vocab-bounded) postings, corpus totals sum the
+    * 1-row deltas, and the final scoring runs l66's shared
+    * [[graft.queries.Llm.bm25TermScore]] over the state tables — so the
+    * streamed result hash-matches l66's batch oracle on the same corpus
+    * (the st26 ↔ j15 stream-vs-batch contract).
+    *
+    * Scale (100 TB): per-batch cost is batch-sized map work + a
+    * broadcast semi-join; index state grows with query-vocabulary
+    * postings (never raw corpus); query-time df/totals aggs read only
+    * that bounded state. The one deliberate non-goal is doc retraction
+    * (see [[stageSt28]]). */
+  def st28StreamingIndex(spark: SparkSession, dir: String): DataFrame =
+    st28StreamingIndexWithState(spark, dir)._1
+
+  /** Spec seam: also returns the hits/totals state dirs so the suite can
+    * assert the index was maintained by per-batch DELTAS (2 totals rows,
+    * no replayed postings), not corpus recomputation. */
+  private[graft] def st28StreamingIndexWithState(
+      spark: SparkSession, dir: String): (DataFrame, String, String) = {
+    import spark.implicits._
+    val staged = stageSt28(spark, dir)
+    val qTerms = graft.queries.Llm.retrievalQueryTerms(spark)
+      .select($"token").distinct()
+    val hitsSink = java.nio.file.Files.createTempDirectory("st28_hits").toString
+    val totalsSink = java.nio.file.Files.createTempDirectory("st28_tot").toString
+    val q = spark.readStream
+      .schema(spark.read.parquet(staged).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+      .select($"doc_id", $"text")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck_st28").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val toks = batch.select($"doc_id",
+          explode(graft.functions.Text.tokens($"text")).as("token"))
+        val tfc = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+        val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+        tfc.join(broadcast(qTerms), Seq("token"))
+          .join(dl, Seq("doc_id"))
+          .write.mode(SaveMode.Append).parquet(hitsSink)
+        dl.agg(count(lit(1)).as("batch_docs"), sum($"dl").as("batch_len"))
+          .write.mode(SaveMode.Append).parquet(totalsSink): Unit
+      }
+      .start()
+    q.awaitTermination()
+    val hits = spark.read.parquet(hitsSink) // (doc_id, token, tf, dl)
+    val totals = spark.read.parquet(totalsSink)
+      .agg(sum($"batch_docs").as("n_docs"), sum($"batch_len").as("total_len"))
+    val dfreq = hits.groupBy($"token").agg(count(lit(1)).as("df"))
+    val scored = hits
+      .join(broadcast(graft.queries.Llm.retrievalQueryTerms(spark)), Seq("token"))
+      .join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(totals))
+      .select($"query_id", $"doc_id",
+        expr(graft.queries.Llm.bm25TermScore).as("term_score"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"term_score").as("score"))
+    val result = graft.plans.TopKPerKey.topKPerKey(
+      scored,
+      keys = Seq($"query_id"),
+      order = Seq($"score".desc, $"doc_id".asc),
+      k = 5)
+    (result, hitsSink, totalsSink)
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st20_timeout_sessions" -> (st20TimeoutSessions _),
@@ -1455,6 +1550,7 @@ object StreamingQ {
     "st25_streaming_baseline_gate" -> (st25StreamingBaselineGate _),
     "st26_streaming_pit_enrich" -> (st26StreamingPitEnrich _),
     "st27_auto_compaction" -> (st27AutoCompaction _),
+    "st28_streaming_index" -> (st28StreamingIndex _),
     "st19_outer_join" -> (st19OuterJoin _),
     "st22_stream_full_outer" -> (st22StreamFullOuter _),
     "st23_streaming_observe" -> (st23StreamingObserve _),
@@ -1491,6 +1587,10 @@ object StreamingQ {
     // lookup must reproduce the batch window-carry and the interval join
     "st26_streaming_pit_enrich" ->
       graft.queries.Relational.oracle("j15_pit_feature_join"),
+    // stream-vs-batch equivalence: the incrementally-maintained index
+    // must score identically to l66's batch BM25 over the same corpus
+    "st28_streaming_index" ->
+      graft.queries.Llm.oracle("l66_bm25_retrieval"),
     // the compaction swap must neither lose nor duplicate rows: the final
     // content hash-matches the plain full-table aggregate
     "st27_auto_compaction" ->

@@ -562,6 +562,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("ST28: the incrementally-maintained index scores identically to batch " +
+    "BM25 and was built from per-batch deltas") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (result, hitsSink, totalsSink) = graft.queries.StreamingQ
+      .st28StreamingIndexWithState(spark, sfDir)
+    val streamed = result.collect().map(key).toSet
+    val batch = graft.queries.Llm
+      .l66Bm25Retrieval(spark, sfDir).collect().map(key).toSet
+    assert(streamed == batch,
+      s"divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+    assert(streamed.nonEmpty)
+    // the incremental contract: state accrued as one delta per
+    // micro-batch (2 totals rows), and the accumulated postings carry no
+    // replay duplicates — each (doc, token) hit appears exactly once
+    val totals = spark.read.parquet(totalsSink)
+    assert(totals.count() == 2, "expected one corpus-stat delta per batch")
+    val hits = spark.read.parquet(hitsSink)
+    assert(hits.count() ==
+      hits.select("doc_id", "token").distinct().count(),
+      "replayed/duplicated postings in the index state")
+    // and both id-parity halves contributed — the index really was built
+    // across batches, not in one
+    import spark.implicits._
+    assert(hits.select(($"doc_id" % 2).as("h")).distinct().count() == 2)
+  }
+
   test("ST26: the large-dim fallback (broadcast gate = 0) takes the shuffled " +
     "stream-static path and produces the identical row set") {
     def key(r: org.apache.spark.sql.Row) =
