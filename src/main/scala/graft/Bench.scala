@@ -233,7 +233,9 @@ private[graft] object Jfmt {
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   } + "\""
-  def r3(v: Double): String = f"$v%.3f"
+  // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+  def r3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
   def jmap(kvs: Seq[(String, String)]): String =
     kvs.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
   /** 1/5/15-min load average as a JSON array literal. */

@@ -2128,14 +2128,21 @@ object Llm {
     * normalization so long docs aren't auto-relevant). Every factor is
     * integer-exact (the l48/l35 discipline): with k1 and b rational, the
     * per-term score multiplies out to
-    *   idf_k × (22·tf·10¹² div (10·tf·10⁶ + 3·10⁶ + 9·rel_ppm))
-    * where rel_ppm = dl·N·10⁶ div total_len is the pivoted relative
-    * length and idf_k = (N − df + 1)·1000 div (df + 1) the monotone
-    * integer idf surrogate — floor division agrees between Spark `div`
-    * and DuckDB `//` on non-negatives, so the ranking hash-matches where
-    * float ln() would flake at the ulp. Intermediates stay under 2²⁶³
-    * until a single doc holds > ~4·10¹⁴ scaled tf — far past any real
-    * document.
+    *   idf_k × (22·ctf·10¹² div (10·ctf·10⁶ + 3·10⁶ + 9·rel_ppm))
+    * where ctf = least(tf, 4·10⁵) (the saturating factor is within
+    * 1/1800 of its (k1+1) asymptote there, so the clamp is
+    * ranking-neutral and keeps the 22·ctf·10¹² numerator ≤ 8.8·10¹⁸ <
+    * 2⁶³−1 for ANY tf), rel_ppm = dl·10⁶ div max(total_len div N, 1) is
+    * the pivoted relative length — dividing by the integer average doc
+    * length instead of multiplying dl·N keeps it overflow-free up to
+    * dl ≈ 9·10¹² tokens per doc, independent of corpus size — and
+    * idf_k = (N − df + 1)·1000 div (df + 1) the monotone integer idf
+    * surrogate. Floor division agrees between Spark `div` and DuckDB
+    * `//` on non-negatives, so the ranking hash-matches where float
+    * ln() would flake at the ulp. Remaining int64 headroom: the
+    * idf_k·tfpart product caps at ~2.2·10⁹·N, i.e. safe to N ≈ 4·10⁹
+    * docs per index — past that, shard the index by corpus partition
+    * (the standard practice) or drop the idf scale to ×100.
     *
     * Scale (100 TB): the query set is a bounded broadcast literal; the
     * postings prune to query terms BEFORE any wide agg (broadcast
@@ -2197,9 +2204,9 @@ object Llm {
     * construction (and both hash-match the same oracle SQL). */
   private[graft] val bm25TermScore: String =
     """((n_docs - df + 1) * 1000 div (df + 1)) *
-      |(22 * tf * 1000000000000 div
-      | (10 * tf * 1000000 + 3000000 +
-      |  9 * (dl * n_docs * 1000000 div total_len)))""".stripMargin
+      |(22 * least(tf, 400000) * 1000000000000 div
+      | (10 * least(tf, 400000) * 1000000 + 3000000 +
+      |  9 * (dl * 1000000 div greatest(total_len div n_docs, 1))))""".stripMargin
 
   /** L67: hybrid retrieval via Reciprocal Rank Fusion — the standard way
     * production RAG stacks combine a lexical ranker (BM25, l66) with a
@@ -2598,9 +2605,10 @@ object Llm {
       |  SELECT q.query_id, hits.doc_id,
       |    CAST(sum(
       |      ((tot.n_docs - dfreq.df + 1) * 1000 // (dfreq.df + 1)) *
-      |      (22 * hits.tf * 1000000000000 //
-      |       (10 * hits.tf * 1000000 + 3000000 +
-      |        9 * (dlen.dl * tot.n_docs * 1000000 // tot.total_len))))
+      |      (22 * least(hits.tf, 400000) * 1000000000000 //
+      |       (10 * least(hits.tf, 400000) * 1000000 + 3000000 +
+      |        9 * (dlen.dl * 1000000 //
+      |             greatest(tot.total_len // tot.n_docs, 1)))))
       |      AS BIGINT) AS score
       |  FROM hits JOIN q USING (token) JOIN dfreq USING (token)
       |    JOIN dlen USING (doc_id) CROSS JOIN tot
@@ -2959,9 +2967,10 @@ object Llm {
         |scored AS (
         |  SELECT q.query_id, hits.doc_id,
         |    ((tot.n_docs - dfreq.df + 1) * 1000 // (dfreq.df + 1)) *
-        |    (22 * hits.tf * 1000000000000 //
-        |     (10 * hits.tf * 1000000 + 3000000 +
-        |      9 * (dl.dl * tot.n_docs * 1000000 // tot.total_len)))
+        |    (22 * least(hits.tf, 400000) * 1000000000000 //
+        |     (10 * least(hits.tf, 400000) * 1000000 + 3000000 +
+        |      9 * (dl.dl * 1000000 //
+        |           greatest(tot.total_len // tot.n_docs, 1))))
         |      AS term_score
         |  FROM hits JOIN q USING (token) JOIN dfreq USING (token)
         |    JOIN dl USING (doc_id) CROSS JOIN tot),

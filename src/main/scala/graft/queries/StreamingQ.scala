@@ -1331,15 +1331,31 @@ object StreamingQ {
     * is usually update-volume sized (per-user purchase history), but an
     * offline feature store at 100 TB can hold |users| × |updates|
     * intervals — far past broadcastable. So the hint is applied only
-    * when the optimizer's size estimate for the compiled interval frame
-    * fits under `broadcastMaxBytes` (default = Spark's own 10 MB
-    * autoBroadcastJoinThreshold default); above it the join runs as an
-    * un-hinted stream-static join and degrades gracefully to a shuffled
-    * hash join — same semantics, no driver OOM. The large-dim path is
-    * exercised by the ST26 spec with the gate forced to 0 bytes and
-    * must produce the identical row set. */
+    * when a bounded row-count probe of the compiled interval frame fits
+    * under `broadcastMaxBytes` (default = Spark's own 10 MB
+    * autoBroadcastJoinThreshold default) at a conservative 64 B/row;
+    * above it the join runs as an un-hinted stream-static join and
+    * degrades gracefully to a shuffled hash join — same semantics, no
+    * driver OOM. (The r11 gate used the optimizer's `sizeInBytes`
+    * estimate, but without CBO a Filter/Window/Project just propagates
+    * the child scan's size, so the estimate tracks the whole events
+    * table and silently disabled broadcast for small actual dims — the
+    * probe measures the dim itself, costs one `limit(cap+1).count()`
+    * dim-sized job, and keeps the default path broadcast whenever the
+    * dim is genuinely small.) The large-dim path is exercised two ways:
+    * the ST26 spec forces the gate to 0 bytes and asserts the identical
+    * row set, and the registered `st26b` variant runs the shuffled path
+    * against the same j15 oracle so BOTH branches are hash-checked by
+    * the driver. */
   def st26StreamingPitEnrich(spark: SparkSession, dir: String): DataFrame =
     st26StreamingPitEnrich(spark, dir, broadcastMaxBytes = 10L << 20)
+
+  /** ST26b: the same PIT enrichment with the broadcast gate forced shut —
+    * the registered form of the large-dim fallback, so the shuffled
+    * stream-static path carries its own driver CORRECTNESS row against
+    * the identical j15 oracle instead of being spec-only. */
+  def st26bStreamingPitShuffled(spark: SparkSession, dir: String): DataFrame =
+    st26StreamingPitEnrich(spark, dir, broadcastMaxBytes = 0L)
 
   def st26StreamingPitEnrich(
       spark: SparkSession, dir: String, broadcastMaxBytes: Long): DataFrame = {
@@ -1352,11 +1368,17 @@ object StreamingQ {
       .withColumn("to_us", lead($"us", 1).over(
         Window.partitionBy($"user_id").orderBy($"us", $"event_id")))
       .select($"user_id".as("d_user"), $"us".as("from_us"), $"to_us", $"feat")
-    // Size gate: broadcast only when the optimizer's estimate for the
-    // compiled dim fits; a too-big feature history takes the shuffled
-    // stream-static path instead of forcing a driver-sized broadcast.
+    // Size gate: broadcast only when the compiled dim actually fits; a
+    // too-big feature history takes the shuffled stream-static path
+    // instead of forcing a driver-sized broadcast. Probe with a bounded
+    // limit(cap+1).count() at 64 B/row rather than the optimizer's
+    // sizeInBytes estimate — without CBO that estimate propagates the
+    // full scan size through Filter/Window and is uselessly conservative.
+    val rowCap = broadcastMaxBytes / 64L
     val ivDim =
-      if (iv.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastMaxBytes)
+      if (rowCap > 0L &&
+          iv.limit(math.min(rowCap + 1L, Int.MaxValue.toLong).toInt)
+            .count() <= rowCap)
         broadcast(iv)
       else iv
     val out = java.nio.file.Files.createTempDirectory("st26_out").toString
@@ -1548,7 +1570,9 @@ object StreamingQ {
     "st21_streaming_scd2" -> (st21StreamingScd2 _),
     "st24_streaming_drift" -> (st24StreamingDrift _),
     "st25_streaming_baseline_gate" -> (st25StreamingBaselineGate _),
-    "st26_streaming_pit_enrich" -> (st26StreamingPitEnrich _),
+    "st26_streaming_pit_enrich" ->
+      ((s: SparkSession, d: String) => st26StreamingPitEnrich(s, d)),
+    "st26b_streaming_pit_shuffled" -> (st26bStreamingPitShuffled _),
     "st27_auto_compaction" -> (st27AutoCompaction _),
     "st28_streaming_index" -> (st28StreamingIndex _),
     "st19_outer_join" -> (st19OuterJoin _),
@@ -1586,6 +1610,10 @@ object StreamingQ {
     // third formulation of the PIT semantics: stream-static broadcast
     // lookup must reproduce the batch window-carry and the interval join
     "st26_streaming_pit_enrich" ->
+      graft.queries.Relational.oracle("j15_pit_feature_join"),
+    // the forced-shuffled fallback must reproduce the same PIT result —
+    // both branches of the st26 broadcast gate are oracle-checked
+    "st26b_streaming_pit_shuffled" ->
       graft.queries.Relational.oracle("j15_pit_feature_join"),
     // stream-vs-batch equivalence: the incrementally-maintained index
     // must score identically to l66's batch BM25 over the same corpus

@@ -678,25 +678,41 @@ class PipelineOpsSpec extends SparkSpec {
     val tfc = postings.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
     val dl = postings.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
     val totals = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("total_len"))
+    val tfPartExpr =
+      """22 * least(tf, 400000) * 1000000000000 div
+        (10 * least(tf, 400000) * 1000000 + 3000000 +
+         9 * (dl * 1000000 div greatest(total_len div n_docs, 1)))"""
     val tfPart = tfc.join(dl, Seq("doc_id")).crossJoin(broadcast(totals))
-      .select(expr("""22 * tf * 1000000000000 div
-                      (10 * tf * 1000000 + 3000000 +
-                       9 * (dl * n_docs * 1000000 div total_len))""").as("p"))
+      .select(expr(tfPartExpr).as("p"))
     val (pMin, pMax) = tfPart.agg(min($"p"), max($"p")).as[(Long, Long)].head()
     assert(pMax <= 2200000L, s"tf part exceeded the (k1+1) asymptote: $pMax")
     assert(pMin > 0L, "tf part must stay positive")
     // and saturation is monotone: a doc repeating a term more (same doc
     // length class) never scores LESS for that term
     val mono = tfc.join(dl, Seq("doc_id")).crossJoin(broadcast(totals))
-      .select($"dl", $"tf",
-        expr("""22 * tf * 1000000000000 div
-                (10 * tf * 1000000 + 3000000 +
-                 9 * (dl * n_docs * 1000000 div total_len))""").as("p"))
+      .select($"dl", $"tf", expr(tfPartExpr).as("p"))
       .groupBy($"dl").agg(
         max(struct($"tf", $"p")).as("hi"), min(struct($"tf", $"p")).as("lo"))
       .select($"hi.p".as("pHi"), $"lo.p".as("pLo")).as[(Long, Long)].collect()
     assert(mono.forall { case (hi, lo) => hi >= lo },
       "tf part must be monotone in tf at fixed doc length")
+    // int64 headroom (the r11 ADVICE item): the clamped numerator can no
+    // longer wrap for ANY tf, and rel_ppm no longer carries a dl×n_docs
+    // product. Drive the full term score at adversarial magnitudes —
+    // tf = 10⁹ (pre-clamp it would wrap 22·tf·10¹² negative),
+    // dl = 10⁹, n_docs = 4·10⁹ (pre-restructure dl·n_docs·10⁶ wraps) —
+    // and pin a positive in-asymptote score.
+    val extreme = spark.sql(
+      s"""SELECT ${graft.queries.Llm.bm25TermScore
+            .replace('\n', ' ')} AS ts
+         |FROM VALUES (CAST(1000000000 AS BIGINT), CAST(2 AS BIGINT),
+         |  CAST(1000000000 AS BIGINT), CAST(4000000000 AS BIGINT),
+         |  CAST(800000000000000000 AS BIGINT))
+         |  AS t(tf, df, dl, n_docs, total_len)""".stripMargin)
+      .as[Long].head()
+    val idfK = (4000000000L - 2L + 1L) * 1000L / 3L
+    assert(extreme > 0L && extreme <= idfK * 2200000L,
+      s"extreme-magnitude term score out of range: $extreme")
   }
 
   test("L67: RRF fusion equals the leg-rank recomputation and respects its bounds") {

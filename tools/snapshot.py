@@ -110,7 +110,7 @@ def bench_envelope(rnd, bench_out_path):
         "n": rnd,
         "rc": 0 if not summary.get("errors") else 1,
         "cpus": summary.get("cpus"),
-        "sf": 0.1,
+        "sf": summary.get("sf", 0.1),
         "tail": tail,
         "parsed": summary,
     }
