@@ -45,7 +45,12 @@ object Bench {
     * is job-submission latency under load — a sampling problem, not a plan
     * problem. Five timed samples instead of three tighten the committed
     * [min,max] by giving the minimum more chances to land between load
-    * spikes. */
+    * spikes. r12 folded the per-round AQE stage submissions into one
+    * static job (17 -> 6 jobs, see the pageRank doc), after which the only
+    * remaining outlier is the FIRST timed sample at ~1.5x steady state —
+    * the two-execution JIT signature of the big unrolled codegen class
+    * (C1 on the warm-up, C2 kicking in during the next run). Hence TWO
+    * untimed warm-ups here where the plain watchlist takes one. */
   private val wideWatchlist = Set("g4_pagerank")
 
   def main(args: Array[String]): Unit = {
@@ -127,7 +132,7 @@ object Bench {
         // warm-up above. Other queries: two samples, plus a tie-breaking
         // third when they disagree >2x.
         val runs =
-          if (wideWatchlist(name)) { once(): Unit; Seq.fill(5)(once()) }
+          if (wideWatchlist(name)) { once(): Unit; once(): Unit; Seq.fill(5)(once()) }
           else if (watchlist(name)) { once(): Unit; Seq(once(), once(), once()) }
           else {
             val s1 = once(); val s2 = once()
@@ -200,7 +205,7 @@ object Bench {
     val metricLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${times.size},""" +
         s""""value_median":${r3(totalMedian)},""" +
-        s""""runs":"best-of-2-or-3 + adaptive warmup; watchlist: untimed-warmup + best-of-3 (g4: best-of-5)",""" +
+        s""""runs":"best-of-2-or-3 + adaptive warmup; watchlist: untimed-warmup + best-of-3 (g4: 2 untimed + best-of-5)",""" +
         s""""cpus":$cpus,"loadavg":$loadavg,""" +
         s""""queries":${jmap(slowest.map { case (k, v) => k -> r3(v) })},""" +
         s""""spread":${jmap(spread)},"errors":$errs,"sf":"$sfDir"}"""

@@ -95,7 +95,8 @@ object PlanAudit {
       "o17_partition_stats" -> "partition stats: one partial+final agg per day key, distinct pre-aggregated per (day, user)",
       "l66_bm25_retrieval" -> "BM25 retrieval: postings pruned to broadcast query terms before any wide agg, integer-rational BM25 (k1=6/5, b=3/4), per-query top-5 on native TopKPerKey — no SortExec, no doc x doc",
       "l67_hybrid_rrf" -> "hybrid RRF: both legs cap at top-20 per query on TopKPerKey BEFORE fusion — fusion state |queries| x 40 rows, integer 1e6 div (60+rank) contributions, final top-10 on TopKPerKey",
-      "l68_mmr_rerank" -> "MMR re-rank: whole greedy runs INSIDE one exchange — per-query candidates collapse to a row, sim matrix + five argmax rounds are array expressions (aggregate() accumulator), corpus stages untouched from l66/l67",
+      "l68_mmr_rerank" -> "MMR re-rank: whole greedy runs INSIDE one exchange — per-query candidates collapse to a row, sim matrix + five argmax rounds are array expressions (aggregate() accumulator), corpus stages untouched from l66/l67; PlanShapeSpec (\"L68: the MMR greedy runs as expression work above ONE collapse exchange\") pins no join/exchange/TopK above the collapse",
+      "st28_streaming_index" -> "streaming index maintenance: per-batch append-only deltas — postings prune to the broadcast query vocabulary (BroadcastHashJoin on token), 1-row corpus-stat delta, final scoring over bounded state; PlanShapeSpec (\"ST28: per-batch index deltas prune postings through the broadcast vocabulary\") pins the batch-delta shape",
       "s37_snapshot_diff" -> "CDC snapshot diff: two version scans + one anti-join per direction, bounded by table size not history")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries (sf0.01)\n\n")

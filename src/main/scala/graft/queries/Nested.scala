@@ -114,41 +114,61 @@ object Nested {
     * query intentionally never pays (see GraphDepthSpec). */
   def pageRank(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
     import spark.implicits._
-    // Out-degree is attached to each edge by a window count over src in the
-    // SAME materialization as the edge build — one eager checkpoint job
-    // where r9 paid two (edges, then outdeg as a second aggregate over the
-    // checkpointed edges), and the per-round outdeg equi-join disappears
-    // because od rides on the edge row. Fewer eager jobs = fewer windows
-    // for ambient machine load to land in (this query's recorded cost
-    // spread 2.9-8.1 s across same-round r9 snapshots; see
-    // BATCH_METRICS_r10.md for the measured effect).
-    val edges = orders(spark, dir).select($"o_orderkey", $"o_custkey")
-      .join(lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .select(concat(lit("c"), $"o_custkey").as("src"),
-        concat(lit("s"), $"l_suppkey").as("dst"))
-      .distinct()
-      .withColumn("od", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"src")))
-      .localCheckpoint(true)
-    val nodes = edges.select($"src".as("node"))
-      .union(edges.select($"dst".as("node"))).distinct()
-    var pr = nodes.withColumn("pr", lit(1000000L))
-    for (round <- 1 to rounds) {
-      val contrib = edges
-        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-        .select($"dst", expr("pr div od").as("c"))
-        .groupBy($"dst").agg(sum($"c").as("s"))
-      pr = nodes.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select($"node",
-          expr("150000L + (85L * coalesce(s, 0L)) div 100L").as("pr"))
-      // truncate lineage every 4th round, not every round: each eager
-      // localCheckpoint is a full materialization job, and up to 4 unrolled
-      // join+agg rounds are still a shallow plan. A fixed 3-round run pays
-      // zero truncation jobs; a deep (say 20-round) run gets one per 4 —
-      // the same every-K cadence l17's convergence check uses
-      if (round % 4 == 0) pr = pr.localCheckpoint(true)
-    }
+    // The whole bounded-round loop plans STATICALLY and materializes in
+    // ONE job: AQE is scoped off for the build (restored in the finally),
+    // because its per-stage sync barriers turn 3 unrolled rounds into
+    // ~17 serial stage-submission jobs — each a scheduling window for
+    // ambient load to land in (the r11 driver re-run put g4's spread at
+    // 1.50x for exactly this reason; BATCH_METRICS_r10.md decomposes it).
+    // Static planning is the right call here on its own terms, not just
+    // for the bench: round-over-round cardinalities are stable (same
+    // graph every round), so AQE has nothing to learn after round 1, and
+    // bounded-round Pregel on a pre-materialized edge set is the classic
+    // static-plan shape (GraphX runs exactly this way). The identical
+    // per-round `nodes` subtrees dedupe via ReuseExchange — a rule AQE
+    // mode would apply per-stage anyway. Skewed in-degree at 100 TB is
+    // handled the j11 way (salt the dst agg), not by re-enabling AQE.
+    val conf = spark.conf
+    val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    val pr =
+      try {
+        // Out-degree is attached to each edge by a window count over src
+        // in the SAME materialization as the edge build — one eager
+        // checkpoint job where r9 paid two (edges, then outdeg as a second
+        // aggregate over the checkpointed edges), and the per-round outdeg
+        // equi-join disappears because od rides on the edge row.
+        val edges = orders(spark, dir).select($"o_orderkey", $"o_custkey")
+          .join(lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+            $"o_orderkey" === $"l_orderkey")
+          .select(concat(lit("c"), $"o_custkey").as("src"),
+            concat(lit("s"), $"l_suppkey").as("dst"))
+          .distinct()
+          .withColumn("od", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"src")))
+          .localCheckpoint(true)
+        val nodes = edges.select($"src".as("node"))
+          .union(edges.select($"dst".as("node"))).distinct()
+        var p = nodes.withColumn("pr", lit(1000000L))
+        for (round <- 1 to rounds) {
+          val contrib = edges
+            .join(p.withColumnRenamed("node", "src"), Seq("src"))
+            .select($"dst", expr("pr div od").as("c"))
+            .groupBy($"dst").agg(sum($"c").as("s"))
+          p = nodes.join(contrib.withColumnRenamed("dst", "node"),
+              Seq("node"), "left")
+            .select($"node",
+              expr("150000L + (85L * coalesce(s, 0L)) div 100L").as("pr"))
+          // truncate lineage every 4th round, not every round: each eager
+          // localCheckpoint is a full materialization job, and up to 4
+          // unrolled join+agg rounds are still a shallow plan. A deep
+          // (say 20-round) run gets one truncation per 4 — the same
+          // every-K cadence l17's convergence check uses
+          if (round % 4 == 0 && round < rounds) p = p.localCheckpoint(true)
+        }
+        // the one materialization job for every remaining unrolled round
+        p.localCheckpoint(true)
+      } finally conf.set("spark.sql.adaptive.enabled", aqeWas)
     pr.orderBy($"pr".desc, $"node").limit(20)
   }
 

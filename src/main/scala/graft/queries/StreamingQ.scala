@@ -1510,6 +1510,26 @@ object StreamingQ {
   def st28StreamingIndex(spark: SparkSession, dir: String): DataFrame =
     st28StreamingIndexWithState(spark, dir)._1
 
+  /** The per-batch delta derivation behind st28, factored out so the
+    * plan suite can pin its shape on a static frame: the candidate
+    * postings prune to the broadcast query vocabulary (BroadcastHashJoin
+    * on token — the index never stores non-query terms), and the corpus
+    * stat delta is one aggregated row. Returns (hitsDelta, totalsDelta)
+    * where hitsDelta = (doc_id, token, tf, dl). */
+  private[graft] def st28BatchDeltas(
+      batch: DataFrame, qTerms: DataFrame): (DataFrame, DataFrame) = {
+    val toks = batch.select(col("doc_id"),
+      explode(graft.functions.Text.tokens(col("text"))).as("token"))
+    val tfc = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val hitsDelta = tfc.join(broadcast(qTerms), Seq("token"))
+      .join(dl, Seq("doc_id"))
+    val totalsDelta = dl.agg(count(lit(1)).as("batch_docs"),
+      sum(col("dl")).as("batch_len"))
+    (hitsDelta, totalsDelta)
+  }
+
   /** Spec seam: also returns the hits/totals state dirs so the suite can
     * assert the index was maintained by per-batch DELTAS (2 totals rows,
     * no replayed postings), not corpus recomputation. */
@@ -1532,15 +1552,9 @@ object StreamingQ {
         java.nio.file.Files.createTempDirectory("ck_st28").toString)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val toks = batch.select($"doc_id",
-          explode(graft.functions.Text.tokens($"text")).as("token"))
-        val tfc = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-        val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-        tfc.join(broadcast(qTerms), Seq("token"))
-          .join(dl, Seq("doc_id"))
-          .write.mode(SaveMode.Append).parquet(hitsSink)
-        dl.agg(count(lit(1)).as("batch_docs"), sum($"dl").as("batch_len"))
-          .write.mode(SaveMode.Append).parquet(totalsSink): Unit
+        val (hitsDelta, totalsDelta) = st28BatchDeltas(batch, qTerms)
+        hitsDelta.write.mode(SaveMode.Append).parquet(hitsSink)
+        totalsDelta.write.mode(SaveMode.Append).parquet(totalsSink): Unit
       }
       .start()
     q.awaitTermination()

@@ -782,6 +782,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(2500))
   }
 
+  test("L68: the MMR greedy runs as expression work above ONE collapse exchange") {
+    val df = Llm.l68MmrRerank(spark, sfDir)
+    df.collect(): Unit // finalize AQE
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    val cut = plan.indexOf("Exchange")
+    assert(cut > 0, plan.take(3000))
+    // the property the 108s -> 1.6s rewrite bought: everything above the
+    // single query-collapse exchange is map-side expression work — the
+    // explode of the picks, the aggregate() greedy, the sim matrix.
+    // Per-round jobs would reappear here as joins or further exchanges.
+    val greedy = plan.substring(0, cut)
+    assert(greedy.contains("Generate posexplode"), greedy.take(3000))
+    assert(greedy.contains("ObjectHashAggregate"), greedy.take(3000))
+    assert(!greedy.contains("Join"), greedy.take(3000))
+    assert(!greedy.contains("TopKPerKey"), greedy.take(3000))
+    assert(!greedy.contains("Sort ["), greedy.take(3000))
+    // the candidate embeddings attach by broadcast below the collapse,
+    // and nothing anywhere is cartesian
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
+  test("ST28: per-batch index deltas prune postings through the broadcast vocabulary") {
+    import spark.implicits._
+    val batch = Engine.documents(spark, sfDir).select($"doc_id", $"text")
+    val qTerms = Llm.retrievalQueryTerms(spark).select($"token").distinct()
+    val (hits, totals) =
+      graft.queries.StreamingQ.st28BatchDeltas(batch, qTerms)
+    val plan = finalPlanOf(hits)
+    // the index stores only query-vocabulary postings: the prune is a
+    // broadcast hash join on token (the vocabulary side builds), never a
+    // shuffle of the batch against the vocabulary or anything nested-loop
+    assert(nodeCount(plan, "BroadcastHashJoin") >= 1, plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(hits.columns.toSeq == Seq("token", "doc_id", "tf", "dl") ||
+      hits.columns.toSeq == Seq("doc_id", "token", "tf", "dl"),
+      hits.columns.mkString(","))
+    // the corpus-stat delta is one aggregated row per batch — partial +
+    // final agg over the batch, no join anywhere
+    val tplan = finalPlanOf(totals)
+    assert(!tplan.contains("Join"), tplan.take(3000))
+    assert(totals.count() == 1L)
+  }
+
   test("L60: dictionary agg computed once and reused on both sides of the blocked join") {
     val plan = finalPlanOf(graft.queries.Llm.l60FuzzyBlockedJoin(spark, sfDir))
     // the name dictionary is one partial+final agg whose exchange is
