@@ -38,7 +38,14 @@ object Bench {
     "f_string", "s33_schema_evolution", "o16_cached_reuse",
     "j6_bucketed_join", "o11_orc_roundtrip", "a17_histogram_merge",
     "a3_typed_aggregator", "o10_xml_roundtrip", "l2c_minhash_native",
-    "sq5_recursive_backoff", "l20_mixture_plan", "j4_full_outer_reconcile")
+    "sq5_recursive_backoff", "l20_mixture_plan", "j4_full_outer_reconcile",
+    // r11 verdict item 3: l61's 1.2-2.5 s round-over-round swing is its
+    // first execution running 2.5x steady state (JIT of the shingle-HOF
+    // codegen; BATCH_METRICS_r12.md decomposes it — steady-state samples
+    // sit within 1.07x with a stable ~0.2 s driver gap). The adaptive
+    // warm-up rule only catches it when the ratio crosses 2x; watchlist
+    // membership makes the untimed warm-up deterministic.
+    "l61_cross_source_overlap")
 
   /** g4_pagerank's committed driver spread was 1.53x in r10 against a
     * 1.5x bar; its decomposition (BATCH_METRICS_r10.md) shows the residual
