@@ -1522,6 +1522,15 @@ object StreamingQ {
       explode(graft.functions.Text.tokens(col("text"))).as("token"))
     val tfc = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+    // dl re-aggregates the token stream instead of deriving from tfc
+    // (sum of tfs) or persisting the batch — both alternatives MEASURED
+    // SLOWER (r12, sf0.1/sf1 paired StreamMetrics): deriving dl from tfc
+    // serializes the dl branch behind the tfc exchange (2.96 s vs 2.54 s
+    // at sf0.1; 6.93 s vs 4.80 s at sf1), and batch.persist() adds a
+    // columnar-cache materialization barrier that costs more than the
+    // repeated fused tokenize it saves (3.11 s / 6.97 s) — the l63
+    // lesson: cheap fused map work re-run in parallel branches beats
+    // both caching and exchange-reuse serialization.
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val hitsDelta = tfc.join(broadcast(qTerms), Seq("token"))
       .join(dl, Seq("doc_id"))
