@@ -102,6 +102,17 @@ def correctness(sf_dir, out_dir):
     return rec
 
 
+def _sf_of(sf_field, default=0.1):
+    """Bench emits "sf" as the data dir (e.g. .../sf0.1); reduce it to the
+    numeric scale factor so the envelope isn't mislabelled for non-sf0.1
+    runs (and never hardcoded)."""
+    m = re.search(r"sf([0-9.]+)", str(sf_field or ""))
+    try:
+        return float(m.group(1).rstrip(".")) if m else default
+    except ValueError:
+        return default
+
+
 def bench_envelope(rnd, bench_out_path):
     b = json.load(open(bench_out_path))
     summary = b.get("summary", {})
@@ -110,7 +121,7 @@ def bench_envelope(rnd, bench_out_path):
         "n": rnd,
         "rc": 0 if not summary.get("errors") else 1,
         "cpus": summary.get("cpus"),
-        "sf": summary.get("sf", 0.1),
+        "sf": _sf_of(summary.get("sf")),
         "tail": tail,
         "parsed": summary,
     }
