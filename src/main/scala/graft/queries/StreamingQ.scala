@@ -1362,9 +1362,10 @@ object StreamingQ {
     import spark.implicits._
     val staged = Streams.stageEvents(spark, dir, 4)
     val schema = Streams.eventsSchema(spark, dir)
-    val iv = events(spark, dir).filter($"event_type" === "purchase")
+    val base = events(spark, dir).filter($"event_type" === "purchase")
       .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
         $"value".as("feat"))
+    val iv = base
       .withColumn("to_us", lead($"us", 1).over(
         Window.partitionBy($"user_id").orderBy($"us", $"event_id")))
       .select($"user_id".as("d_user"), $"us".as("from_us"), $"to_us", $"feat")
@@ -1374,10 +1375,14 @@ object StreamingQ {
     // limit(cap+1).count() at 64 B/row rather than the optimizer's
     // sizeInBytes estimate — without CBO that estimate propagates the
     // full scan size through Filter/Window and is uselessly conservative.
+    // The probe counts the PRE-window frame: lead() is cardinality-
+    // preserving, so |base| == |iv| exactly, and counting base keeps the
+    // probe a filtered scan with the limit pushed down — no user_id
+    // exchange, no window execution, just the dim-sized read.
     val rowCap = broadcastMaxBytes / 64L
     val ivDim =
       if (rowCap > 0L &&
-          iv.limit(math.min(rowCap + 1L, Int.MaxValue.toLong).toInt)
+          base.limit(math.min(rowCap + 1L, Int.MaxValue.toLong).toInt)
             .count() <= rowCap)
         broadcast(iv)
       else iv

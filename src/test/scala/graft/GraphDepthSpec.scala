@@ -47,6 +47,29 @@ class GraphDepthSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("g4: the 3-round build schedules a bounded static job count") {
+    // the r12 fold: AQE's per-stage barriers turned the 3 unrolled rounds
+    // into ~17 serial stage-submission jobs (the cause of g4's recurring
+    // bench spread); the static build materializes them in ONE job. Pin
+    // the whole-query job count so the fold can't silently regress.
+    val sc = spark.sparkContext
+    sc.setJobGroup("g4-job-pin", "g4 static-fold pin", false)
+    try {
+      graft.queries.Nested.g4PageRank(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    } finally sc.clearJobGroup()
+    // status store updates asynchronously; wait for it to go quiet
+    var jobs, prev = -1
+    var spins = 0
+    while ({ prev = jobs
+             jobs = sc.statusTracker.getJobIdsForGroup("g4-job-pin").length
+             (jobs != prev || jobs == 0) && spins < 40 }) {
+      spins += 1; Thread.sleep(100)
+    }
+    assert(jobs > 0 && jobs <= 8,
+      s"g4 scheduled $jobs jobs — the static fold regressed (was ~17 under AQE)")
+  }
+
   test("g8 star contraction: a 200-deep path converges in log-ish rounds, not diameter") {
     import spark.implicits._
     // a path 0-1-2-...-200 has diameter 200: per-hop label propagation
