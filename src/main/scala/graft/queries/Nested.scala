@@ -224,6 +224,12 @@ object Nested {
     * whole reachability table hash-matches unrolled oracle CTEs. */
   def g7BfsReachability(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // NOT the g4 static fold: r12 measured the AQE-off one-job variant
+    // (per-round checkpoints dropped, ReuseExchange left to dedupe the
+    // doubled frontier subtrees) at 3.4-3.9 s vs 2.0-2.2 s for this
+    // shape — the frontier's doubled references re-execute enough of the
+    // join chain that per-round materialization wins here, unlike g4
+    // where pr is referenced once per round. Measured, reverted.
     // one join builds the forward edge set; the reverse direction (needed
     // so multi-hop paths exist in the bipartite trade graph) is a free
     // projection flip of the SAME checkpointed set — never a second join
