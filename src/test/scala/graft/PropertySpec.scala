@@ -470,4 +470,40 @@ class PropertySpec extends SparkSpec {
     val result = SCTest.check(params, prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("property: the BM25 term score never wraps int64 and is tf-monotone at ANY magnitude") {
+    import spark.implicits._
+    // The r12 hardening contract: with ctf = least(tf, 4e5) and the
+    // avgdl-division rel_ppm, the integer term score stays non-negative
+    // (a wrap would flip it negative; 0 is legitimate — the integer idf
+    // floors to 0 for ultra-common terms with df ≈ n_docs), bounded by
+    // idf_k * 2_200_000 (the (k1+1) asymptote), and non-decreasing in tf
+    // with everything else fixed — for adversarial magnitudes far past
+    // any fixture: tf/dl to 10^12, n_docs to 4·10^9, total_len to ~9e17,
+    // including the degenerate empty-doc corpus where avgdl floors to 0
+    // and the greatest(...,1) guard must hold.
+    val caseGen: Gen[(Long, Long, Long, Long, Long, Long)] = for {
+      nDocs <- Gen.oneOf(Gen.choose(1L, 100L), Gen.choose(1L, 4000000000L))
+      df <- Gen.choose(1L, nDocs)
+      tf1 <- Gen.oneOf(Gen.choose(1L, 500L), Gen.choose(1L, 1000000000000L))
+      tf2 <- Gen.oneOf(Gen.choose(1L, 500L), Gen.choose(1L, 1000000000000L))
+      dl <- Gen.oneOf(Gen.choose(math.max(tf1, tf2), math.max(tf1, tf2) + 1000L),
+        Gen.choose(math.max(tf1, tf2), 1000000000000L))
+      totalLen <- Gen.oneOf(
+        Gen.const(0L), // every other doc empty-ish: avgdl can floor to 0
+        Gen.choose(dl, math.max(dl, 900000000000000000L)))
+    } yield (math.min(tf1, tf2), math.max(tf1, tf2), df, dl, nDocs,
+      math.max(totalLen, dl))
+    val prop = Prop.forAll(caseGen) { case (tfLo, tfHi, df, dl, nDocs, totalLen) =>
+      val rows = Seq((tfLo, df, dl, nDocs, totalLen), (tfHi, df, dl, nDocs, totalLen))
+        .toDF("tf", "df", "dl", "n_docs", "total_len")
+        .select(expr(graft.queries.Llm.bm25TermScore.replace('\n', ' ')).as("s"))
+        .as[Long].collect()
+      val idfK = (BigInt(nDocs) - df + 1) * 1000 / (BigInt(df) + 1)
+      rows.forall(s => s >= 0L && BigInt(s) <= idfK * 2200000) &&
+        rows(1) >= rows(0) // monotone in tf (rows ordered tfLo, tfHi)
+    }
+    val result = SCTest.check(params, prop)
+    assert(result.passed, result.status.toString)
+  }
 }
