@@ -30,6 +30,13 @@ object Engine {
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // ANSI is Spark 4's default, but the engine PINS it rather than
+      // inheriting it: every oracle-checked query was validated under ANSI
+      // error semantics (overflow/div-0/bad-cast THROW, matching DuckDB),
+      // and a future default flip or ambient spark-defaults.conf must not
+      // silently swap those errors for NULLs/wraps. AnsiContractSpec pins
+      // the conf AND the observable semantics.
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.catalog.kb", classOf[graft.sources.KbCatalog].getName)

@@ -65,6 +65,7 @@ object ScaleBench {
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "true")  // pinned, see Engine.session
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.catalog.kb", classOf[graft.sources.KbCatalog].getName)
       .config("spark.ui.enabled", "false")

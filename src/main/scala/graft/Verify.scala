@@ -15,6 +15,7 @@ object Verify {
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.ansi.enabled", "true")  // pinned, see Engine.session
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.catalog.kb", classOf[graft.sources.KbCatalog].getName)
       .config("spark.ui.enabled", "false")
