@@ -255,6 +255,7 @@ class KbArchiveWriter(path: String, stagingSubdir: String, fileName: String)
   private val fs = FileSystem.get(new java.net.URI(path), new Configuration())
   private val out = fs.create(filePath, true)
   private val digest = MessageDigest.getInstance("MD5")
+  private val chaosAfter = WriteChaos.thresholdNow() // -1 unless chaos-armed
   private var rows = 0L
   private var bytes = 0L
 
@@ -265,6 +266,7 @@ class KbArchiveWriter(path: String, stagingSubdir: String, fileName: String)
     out.write(line)
     rows += 1
     bytes += line.length
+    WriteChaos.maybeFail(chaosAfter, rows)
   }
 
   override def commit(): WriterCommitMessage = {

@@ -365,6 +365,7 @@ class KbDimWriter(dir: String, stagingSubdir: String, fileName: String)
     extends DataWriter[InternalRow] {
   private val filePath = new Path(new Path(dir, stagingSubdir), fileName)
   private val out = KbDim.fs(dir).create(filePath, true)
+  private val chaosAfter = WriteChaos.thresholdNow() // -1 unless chaos-armed
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
@@ -381,6 +382,7 @@ class KbDimWriter(dir: String, stagingSubdir: String, fileName: String)
     val line = s"${row.getLong(0)}\t${row.getLong(1)}\t$tag\n"
     out.write(line.getBytes(StandardCharsets.UTF_8))
     rows += 1
+    WriteChaos.maybeFail(chaosAfter, rows)
   }
   override def commit(): WriterCommitMessage = {
     out.close()

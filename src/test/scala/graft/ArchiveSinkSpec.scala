@@ -126,6 +126,20 @@ class ArchiveSinkSpec extends SparkSpec {
     }
   }
 
+  test("task-retry chaos: every first write attempt dies mid-stream, archive invariants hold") {
+    // real Spark job on a retry-enabled local[4, 2] scheduler (subprocess,
+    // see ChaosRetryRunner): all 4 write tasks' first attempts throw after
+    // 5 rows are already staged. The runner JVM asserts the protocol
+    // invariants (manifest rows/bytes/md5 == stored files, readers see
+    // exactly the input, no staging leak, no orphan first-attempt files)
+    // and exits nonzero on any violation; here we assert it ran, and that
+    // the chaos actually fired on every partition — a retry test that
+    // never injected proves nothing.
+    assert(ChaosRetryRunner.stat("archive", "injected") == 4L)
+    assert(ChaosRetryRunner.stat("archive", "rows") == 200L)
+    assert(ChaosRetryRunner.stat("archive", "files") == 4L)
+  }
+
   test("S27: staged parquet carries a real user_id bloom filter, probe-true for present keys") {
     import scala.jdk.CollectionConverters._
     val dir = graft.queries.Sources.stageBloomEvents(spark, sfDir)

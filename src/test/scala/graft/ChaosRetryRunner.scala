@@ -1,0 +1,46 @@
+package graft
+
+/** Spawns `graft.ChaosRetry` ONCE per test run (MemorySpec's subprocess
+  * pattern) and shares its output between ArchiveSinkSpec and KbDimSpec —
+  * the chaos run needs a retry-enabled `local[4, 2]` scheduler, which the
+  * shared test session's fixed SparkContext cannot provide. The runner JVM
+  * does the invariant checks itself (require → nonzero exit); the specs
+  * assert exit 0 and the per-scenario stats line. */
+object ChaosRetryRunner {
+
+  lazy val run: (Int, String, String) = {
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString).filter(_.startsWith("--add-opens"))
+    val cmd = Seq(javaBin) ++ addOpens ++
+      Seq("-Xmx4g", "-cp", sys.props("java.class.path"), "graft.ChaosRetry")
+    val pb = new ProcessBuilder(cmd: _*)
+    val proc = pb.start()
+    val errBuf = new StringBuilder
+    val errThread = new Thread(() =>
+      scala.io.Source.fromInputStream(proc.getErrorStream)
+        .foreach(c => errBuf.synchronized { errBuf.append(c); () }))
+    errThread.setDaemon(true)
+    errThread.start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+    val code = proc.waitFor()
+    errThread.join(2000)
+    (code, out, errBuf.synchronized(errBuf.toString))
+  }
+
+  /** The runner's JSON stats line for `scenario`, failing with the
+    * subprocess's stderr tail if it died. */
+  def line(scenario: String): String = {
+    val (code, out, err) = run
+    assert(code == 0,
+      s"chaos runner exited $code; stderr tail: ${err.takeRight(1200)}")
+    out.linesIterator.find(_.contains(s""""scenario":"$scenario"""")).getOrElse(
+      throw new AssertionError(s"no $scenario line in chaos output: $out"))
+  }
+
+  def stat(scenario: String, key: String): Long = {
+    val l = line(scenario)
+    s""""$key":(-?\\d+)""".r.findFirstMatchIn(l)
+      .getOrElse(throw new AssertionError(s"no $key in $l")).group(1).toLong
+  }
+}

@@ -203,4 +203,17 @@ class KbDimSpec extends SparkSpec {
     assert(deletes.count(_ == ((1L, 10L, "a"))) == 2, deletes.mkString(","))
     assert(a.except(b).count() == 1, "sanity: set-based except collapses")
   }
+
+  test("task-retry chaos: MERGE's ReplaceData write survives a first-attempt task death") {
+    // real MERGE INTO on a retry-enabled local[4, 2] scheduler (subprocess,
+    // see ChaosRetryRunner): the row-level write task dies after 3 rows are
+    // staged, the retry rewrites, and the runner JVM asserts the commit
+    // invariants — final state equals the set-algebra expectation, the dead
+    // attempt burned no version (seed v1 → merge v2 exactly), time travel
+    // to the seed snapshot still reads the old rows, manifest files all
+    // exist, and no staging survives. Here: it ran, and the chaos fired.
+    assert(ChaosRetryRunner.stat("merge", "injected") >= 1L)
+    assert(ChaosRetryRunner.stat("merge", "version") == 2L)
+    assert(ChaosRetryRunner.stat("merge", "rows") == 100L)
+  }
 }
