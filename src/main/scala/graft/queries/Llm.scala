@@ -2132,10 +2132,18 @@ object Llm {
     * where ctf = least(tf, 4·10⁵) (the saturating factor is within
     * 1/1800 of its (k1+1) asymptote there, so the clamp is
     * ranking-neutral and keeps the 22·ctf·10¹² numerator ≤ 8.8·10¹⁸ <
-    * 2⁶³−1 for ANY tf), rel_ppm = dl·10⁶ div max(total_len div N, 1) is
-    * the pivoted relative length — dividing by the integer average doc
-    * length instead of multiplying dl·N keeps it overflow-free up to
-    * dl ≈ 9·10¹² tokens per doc, independent of corpus size — and
+    * 2⁶³−1 for ANY tf), rel_ppm = least(dl·10⁶ div max(total_len div N,
+    * 1), 10¹⁵) is the pivoted relative length — dividing by the integer
+    * average doc length instead of multiplying dl·N removes corpus size
+    * from the bound, and the 10¹⁵ saturation (a doc 10⁹× the average
+    * length; past it tfpart is already ≤ 0.05% of its asymptote — 0 for
+    * tf ≲ 100 — so the clamp can only reorder docs whose scores are
+    * noise) keeps the 9·rel_ppm denominator term ≤
+    * 9·10¹⁵ even in the degenerate avgdl=1 corpus, where the unclamped
+    * term wrapped past dl ≈ 1.02·10¹². The one residual length bound is
+    * the dl·10⁶ product inside the clamp: dl ≤ 9.2·10¹² tokens per doc
+    * (a single ~36 TB document) — under the engine's pinned ANSI mode
+    * that limit ERRORS rather than mis-ranks — and
     * idf_k = (N − df + 1)·1000 div (df + 1) the monotone integer idf
     * surrogate. Floor division agrees between Spark `div` and DuckDB
     * `//` on non-negatives, so the ranking hash-matches where float
@@ -2206,7 +2214,8 @@ object Llm {
     """((n_docs - df + 1) * 1000 div (df + 1)) *
       |(22 * least(tf, 400000) * 1000000000000 div
       | (10 * least(tf, 400000) * 1000000 + 3000000 +
-      |  9 * (dl * 1000000 div greatest(total_len div n_docs, 1))))""".stripMargin
+      |  9 * least(dl * 1000000 div greatest(total_len div n_docs, 1),
+      |            1000000000000000)))""".stripMargin
 
   /** L67: hybrid retrieval via Reciprocal Rank Fusion — the standard way
     * production RAG stacks combine a lexical ranker (BM25, l66) with a
@@ -2607,8 +2616,9 @@ object Llm {
       |      ((tot.n_docs - dfreq.df + 1) * 1000 // (dfreq.df + 1)) *
       |      (22 * least(hits.tf, 400000) * 1000000000000 //
       |       (10 * least(hits.tf, 400000) * 1000000 + 3000000 +
-      |        9 * (dlen.dl * 1000000 //
-      |             greatest(tot.total_len // tot.n_docs, 1)))))
+      |        9 * least(dlen.dl * 1000000 //
+      |                  greatest(tot.total_len // tot.n_docs, 1),
+      |                  1000000000000000))))
       |      AS BIGINT) AS score
       |  FROM hits JOIN q USING (token) JOIN dfreq USING (token)
       |    JOIN dlen USING (doc_id) CROSS JOIN tot
@@ -2969,8 +2979,9 @@ object Llm {
         |    ((tot.n_docs - dfreq.df + 1) * 1000 // (dfreq.df + 1)) *
         |    (22 * least(hits.tf, 400000) * 1000000000000 //
         |     (10 * least(hits.tf, 400000) * 1000000 + 3000000 +
-        |      9 * (dl.dl * 1000000 //
-        |           greatest(tot.total_len // tot.n_docs, 1))))
+        |      9 * least(dl.dl * 1000000 //
+        |                greatest(tot.total_len // tot.n_docs, 1),
+        |                1000000000000000)))
         |      AS term_score
         |  FROM hits JOIN q USING (token) JOIN dfreq USING (token)
         |    JOIN dl USING (doc_id) CROSS JOIN tot),

@@ -109,13 +109,28 @@ object Nested {
   def g4PageRank(spark: SparkSession, dir: String): DataFrame =
     pageRank(spark, dir, rounds = 3)
 
+  /** One AQE-off child session per caller session, created lazily and
+    * reused across pageRank calls (see the scope discussion in
+    * [[pageRank]]). Keyed on the caller so independent sessions in one
+    * JVM each get their own child (inheriting that context's SparkConf);
+    * entries live as long as the JVM, which is bounded by the handful of
+    * sessions a process ever creates. */
+  private val buildSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def aqeOffSession(spark: SparkSession): SparkSession =
+    buildSessions.computeIfAbsent(spark, s => {
+      val b = s.newSession()
+      b.conf.set("spark.sql.adaptive.enabled", "false")
+      b
+    })
+
   /** Parameterized body of G4: a deep run (rounds >= 4) exercises the
     * every-4th-round localCheckpoint cadence that the registered 3-round
     * query intentionally never pays (see GraphDepthSpec). */
   def pageRank(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
     import spark.implicits._
     // The whole bounded-round loop plans STATICALLY and materializes in
-    // ONE job: AQE is scoped off for the build (restored in the finally),
+    // ONE job: AQE is scoped off for the build (thread-locally, see below),
     // because its per-stage sync barriers turn 3 unrolled rounds into
     // ~17 serial stage-submission jobs — each a scheduling window for
     // ambient load to land in (the r11 driver re-run put g4's spread at
@@ -128,18 +143,32 @@ object Nested {
     // per-round `nodes` subtrees dedupe via ReuseExchange — a rule AQE
     // mode would apply per-stage anyway. Skewed in-degree at 100 TB is
     // handled the j11 way (salt the dst agg), not by re-enabling AQE.
-    val conf = spark.conf
-    val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    val pr =
-      try {
+    // The AQE-off scope is a CACHED CHILD SESSION (one `newSession()` per
+    // caller session, lazily created, reused for every pageRank call): the
+    // r12 ADVICE note — a session-global toggle with a finally-restore
+    // isn't concurrency-safe if another query plans on the same session
+    // mid-build, and the restore wrote the conf even when previously
+    // unset. The child shares the SparkContext but owns its SQLConf with
+    // AQE permanently off, so nothing is ever toggled on ANY session and
+    // concurrent planning on the caller's session is untouched. Two
+    // cheaper-looking scopes were tried and rejected with measurements:
+    // a thread-local SQLConf.withExistingConf snapshot does NOT survive
+    // into Dataset actions (SQLExecution re-propagates the session conf
+    // to the thread, so the build planned with AQE on — 18 jobs, the
+    // GraphDepthSpec pin caught it), and a per-call throwaway
+    // newSession() was ~45% slower on g4 (SessionState construction per
+    // call). The returned frame stays on the child session — its final
+    // TakeOrderedAndProject is AQE-indifferent, and callers only write/
+    // collect it.
+    val build = aqeOffSession(spark)
+    val pr = {
         // Out-degree is attached to each edge by a window count over src
         // in the SAME materialization as the edge build — one eager
         // checkpoint job where r9 paid two (edges, then outdeg as a second
         // aggregate over the checkpointed edges), and the per-round outdeg
         // equi-join disappears because od rides on the edge row.
-        val edges = orders(spark, dir).select($"o_orderkey", $"o_custkey")
-          .join(lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+        val edges = orders(build, dir).select($"o_orderkey", $"o_custkey")
+          .join(lineitem(build, dir).select($"l_orderkey", $"l_suppkey"),
             $"o_orderkey" === $"l_orderkey")
           .select(concat(lit("c"), $"o_custkey").as("src"),
             concat(lit("s"), $"l_suppkey").as("dst"))
@@ -168,7 +197,7 @@ object Nested {
         }
         // the one materialization job for every remaining unrolled round
         p.localCheckpoint(true)
-      } finally conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
     pr.orderBy($"pr".desc, $"node").limit(20)
   }
 

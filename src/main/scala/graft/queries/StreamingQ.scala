@@ -1372,14 +1372,21 @@ object StreamingQ {
     // Size gate: broadcast only when the compiled dim actually fits; a
     // too-big feature history takes the shuffled stream-static path
     // instead of forcing a driver-sized broadcast. Probe with a bounded
-    // limit(cap+1).count() at 64 B/row rather than the optimizer's
-    // sizeInBytes estimate — without CBO that estimate propagates the
-    // full scan size through Filter/Window and is uselessly conservative.
-    // The probe counts the PRE-window frame: lead() is cardinality-
-    // preserving, so |base| == |iv| exactly, and counting base keeps the
-    // probe a filtered scan with the limit pushed down — no user_id
-    // exchange, no window execution, just the dim-sized read.
-    val rowCap = broadcastMaxBytes / 64L
+    // limit(cap+1).count() rather than the optimizer's sizeInBytes
+    // estimate — without CBO that estimate propagates the full scan size
+    // through Filter/Window and is uselessly conservative. Bytes/row come
+    // from the dim's OWN schema (r12 ADVICE: a flat 64 B/row misestimates
+    // wide dims several-fold in either direction): per-field defaultSize
+    // + the UnsafeRow null bitset, doubled for the hashed-relation
+    // build overhead a broadcast actually pays. The probe counts the
+    // PRE-window frame: lead() is cardinality-preserving, so
+    // |base| == |iv| exactly, and counting base keeps the probe a
+    // filtered scan with the limit pushed down — no user_id exchange,
+    // no window execution, just the dim-sized read.
+    val bytesPerRow =
+      2L * (iv.schema.map(_.dataType.defaultSize.toLong).sum +
+        8L * ((iv.schema.size + 63) / 64))
+    val rowCap = broadcastMaxBytes / bytesPerRow
     val ivDim =
       if (rowCap > 0L &&
           base.limit(math.min(rowCap + 1L, Int.MaxValue.toLong).toInt)

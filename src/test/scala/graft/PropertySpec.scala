@@ -473,22 +473,27 @@ class PropertySpec extends SparkSpec {
 
   test("property: the BM25 term score never wraps int64 and is tf-monotone at ANY magnitude") {
     import spark.implicits._
-    // The r12 hardening contract: with ctf = least(tf, 4e5) and the
-    // avgdl-division rel_ppm, the integer term score stays non-negative
-    // (a wrap would flip it negative; 0 is legitimate — the integer idf
-    // floors to 0 for ultra-common terms with df ≈ n_docs), bounded by
+    // The r12 hardening contract, r13-extended past the old wrap point:
+    // with ctf = least(tf, 4e5), the avgdl-division rel_ppm AND its 10^15
+    // saturation (ADVICE r12: the unclamped 9·rel_ppm term wrapped past
+    // dl/avgdl ≈ 1.02e12, just beyond this generator's former 1e12 cap),
+    // the integer term score stays non-negative (a wrap would flip it
+    // negative — and under the pinned ANSI mode, THROW), bounded by
     // idf_k * 2_200_000 (the (k1+1) asymptote), and non-decreasing in tf
     // with everything else fixed — for adversarial magnitudes far past
-    // any fixture: tf/dl to 10^12, n_docs to 4·10^9, total_len to ~9e17,
-    // including the degenerate empty-doc corpus where avgdl floors to 0
-    // and the greatest(...,1) guard must hold.
+    // any fixture: tf/dl to 9e12 (the documented residual bound is
+    // dl ≤ 9.2e12, where dl·10^6 itself overflows), n_docs to 4·10^9,
+    // total_len to ~9e17, including the degenerate empty-doc corpus
+    // where avgdl floors to 0 and the greatest(...,1) guard must hold —
+    // there rel_ppm rides the clamp, the exact regime the old expression
+    // wrapped in.
     val caseGen: Gen[(Long, Long, Long, Long, Long, Long)] = for {
       nDocs <- Gen.oneOf(Gen.choose(1L, 100L), Gen.choose(1L, 4000000000L))
       df <- Gen.choose(1L, nDocs)
-      tf1 <- Gen.oneOf(Gen.choose(1L, 500L), Gen.choose(1L, 1000000000000L))
-      tf2 <- Gen.oneOf(Gen.choose(1L, 500L), Gen.choose(1L, 1000000000000L))
+      tf1 <- Gen.oneOf(Gen.choose(1L, 500L), Gen.choose(1L, 9000000000000L))
+      tf2 <- Gen.oneOf(Gen.choose(1L, 500L), Gen.choose(1L, 9000000000000L))
       dl <- Gen.oneOf(Gen.choose(math.max(tf1, tf2), math.max(tf1, tf2) + 1000L),
-        Gen.choose(math.max(tf1, tf2), 1000000000000L))
+        Gen.choose(math.max(tf1, tf2), 9000000000000L))
       totalLen <- Gen.oneOf(
         Gen.const(0L), // every other doc empty-ish: avgdl can floor to 0
         Gen.choose(dl, math.max(dl, 900000000000000000L)))
