@@ -45,7 +45,15 @@ object Bench {
     // sit within 1.07x with a stable ~0.2 s driver gap). The adaptive
     // warm-up rule only catches it when the ratio crosses 2x; watchlist
     // membership makes the untimed warm-up deterministic.
-    "l61_cross_source_overlap")
+    "l61_cross_source_overlap",
+    // r12 verdict item 3: the two 1.95x driver-spread queries.
+    // BATCH_METRICS_r13.md decomposes both: l25 carries the g4/l61
+    // two-execution JIT signature (first TIMED run 1.47 s vs 0.97-1.0 s
+    // steady even after an untimed warm-up — it also joins wideWatchlist
+    // below); o17's 2.4x first-execution cost dies in the untimed
+    // warm-up and steady state sits within 1.12x, so its residual spread
+    // is ambient scheduling on a 0.25 s query — more samples, not code.
+    "l25_ranked_retrieval", "o17_partition_stats")
 
   /** g4_pagerank's committed driver spread was 1.53x in r10 against a
     * 1.5x bar; its decomposition (BATCH_METRICS_r10.md) shows the residual
@@ -57,8 +65,11 @@ object Bench {
     * remaining outlier is the FIRST timed sample at ~1.5x steady state —
     * the two-execution JIT signature of the big unrolled codegen class
     * (C1 on the warm-up, C2 kicking in during the next run). Hence TWO
-    * untimed warm-ups here where the plain watchlist takes one. */
-  private val wideWatchlist = Set("g4_pagerank")
+    * untimed warm-ups here where the plain watchlist takes one.
+    * l25 joins in r13 with the same signature: BATCH_METRICS_r13.md shows
+    * its first timed sample at ~1.5x steady state after one warm-up
+    * (1.467 vs 0.97-1.0 s), the source of its 1.95x r12 driver spread. */
+  private val wideWatchlist = Set("g4_pagerank", "l25_ranked_retrieval")
 
   def main(args: Array[String]): Unit = {
     // args override env (env vars don't reach a forked runMain through the
@@ -213,7 +224,7 @@ object Bench {
     val metricLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${times.size},""" +
         s""""value_median":${r3(totalMedian)},""" +
-        s""""runs":"best-of-2-or-3 + adaptive warmup; watchlist: untimed-warmup + best-of-3 (g4: 2 untimed + best-of-5)",""" +
+        s""""runs":"best-of-2-or-3 + adaptive warmup; watchlist: untimed-warmup + best-of-3 (g4/l25: 2 untimed + best-of-5)",""" +
         s""""cpus":$cpus,"loadavg":$loadavg,""" +
         s""""queries":${jmap(slowest.map { case (k, v) => k -> r3(v) })},""" +
         s""""spread":${jmap(spread)},"errors":$errs,"sf":"$sfDir"}"""
