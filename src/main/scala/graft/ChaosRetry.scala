@@ -33,6 +33,13 @@ import graft.sources.{KbArchive, WriteChaos}
   *    exactly one version was committed by the MERGE (the dead attempts
   *    burned none), time travel to the seed snapshot still reads the old
   *    state, and no staging dirs survive.
+  *  - scenario `stream` (st11's epoch-fenced streaming commit): a
+  *    two-micro-batch AvailableNow stream into the archive sink where
+  *    each epoch's write task dies on its first attempt. Invariants:
+  *    both epochs publish exactly once (one epoch marker each), the
+  *    merged manifest accounts for every input row with verified md5s,
+  *    readers see exactly the input, and neither staging nor dead-attempt
+  *    files survive anywhere.
   *
   * Any violated invariant fails a require() → nonzero exit; the specs
   * assert exit 0 plus the injected-failure counts (a chaos run that never
@@ -79,6 +86,7 @@ object ChaosRetry {
     try {
       archiveScenario(spark)
       mergeScenario(spark, dimDir)
+      streamScenario(spark)
     } finally spark.stop()
   }
 
@@ -128,6 +136,62 @@ object ChaosRetry {
       s"archive: read-back key set wrong (${got.size} keys)")
     println(s"""{"scenario":"archive","injected":$injected,"rows":$n,""" +
       s""""files":${manifest.size},"ok":true}""")
+  }
+
+  private def streamScenario(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("chaos_stream_src").toString
+    // two single-file micro-batches (maxFilesPerTrigger=1); 40 rows each
+    (0 until 2).foreach { b =>
+      spark.range(b * 40L, b * 40L + 40L)
+        .select(concat(lit("k"), $"id").as("key"),
+          concat(lit("p"), $"id").as("payload"))
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val out = Files.createTempDirectory("chaos_stream_archive").toString
+    val (_, injected) = armed(3) {
+      val q = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .outputMode("append")
+        .format(classOf[graft.sources.KbArchiveSink].getName)
+        .option("path", out)
+        .option("checkpointLocation",
+          Files.createTempDirectory("chaos_stream_ck").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    require(injected >= 2,
+      s"stream: expected a first-attempt death in each epoch, injected=$injected")
+
+    val manifest = KbArchive.readManifest(out)
+    require(manifest.map(_.rows).sum == 80L,
+      s"stream: manifest rows ${manifest.map(_.rows).sum} != 80")
+    val fs = fsOf(out)
+    manifest.foreach { e =>
+      val p = new Path(out, e.name)
+      require(fs.exists(p), s"stream: manifest lists missing file ${e.name}")
+      require(KbArchive.md5Of(fs, p) == e.md5, s"stream: md5 mismatch on ${e.name}")
+    }
+    require(visible(out) == manifest.map(_.name).toSet,
+      s"stream: dir holds ${visible(out)} vs manifest ${manifest.map(_.name).toSet}")
+    require(stagingLeft(out).isEmpty, s"stream: staging left ${stagingLeft(out)}")
+    // exactly one epoch marker per committed micro-batch — the dead
+    // attempts published nothing, the replays nothing twice
+    val markers = fs.listStatus(new Path(out, "_epochs"))
+      .flatMap(q => fs.listStatus(q.getPath)).map(_.getPath.getName).toSeq
+    require(markers.sorted == Seq("0", "1"),
+      s"stream: epoch markers $markers != [0, 1]")
+    val got = spark.read.text(out).as[String]
+      .map(_.split("\t", 2)(0)).collect().toSet
+    require(got == (0L until 80L).map(i => s"k$i").toSet,
+      s"stream: read-back key set wrong (${got.size} keys)")
+    println(s"""{"scenario":"stream","injected":$injected,"rows":80,""" +
+      s""""epochs":${markers.size},"ok":true}""")
   }
 
   private def mergeScenario(spark: SparkSession, dimDir: String): Unit = {

@@ -219,6 +219,15 @@ class KbArchiveStreamingWrite(path: String, queryId: String)
     KbArchive.publish(f, path, epochStaging(epochId), admitted.toSeq, truncate = false)
     f.mkdirs(epochMarker(epochId).getParent)
     f.create(epochMarker(epochId), true).close()
+    // publish dropped this epoch's staging subdir; if no later epoch has
+    // started staging yet, drop the now-empty per-query parent too — a
+    // long-lived archive must not accumulate one empty _staging-<queryId>
+    // per stream that ever wrote it (micro-batches are serial within a
+    // query, so nothing can be staging here concurrently). Caught by the
+    // ChaosRetry stream scenario's no-staging-left invariant.
+    val parent = epochStaging(epochId).getParent
+    if (f.exists(parent) && f.listStatus(parent).isEmpty)
+      f.delete(parent, false): Unit
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

@@ -140,6 +140,16 @@ class ArchiveSinkSpec extends SparkSpec {
     assert(ChaosRetryRunner.stat("archive", "files") == 4L)
   }
 
+  test("task-retry chaos: epoch-fenced streaming commits survive a task death per micro-batch") {
+    // same runner, scenario `stream`: a two-batch AvailableNow stream into
+    // the archive where each epoch's write task dies on first attempt —
+    // the runner asserts one epoch marker per batch, exact manifest/md5
+    // accounting, no staging or dead-attempt files, read-back == input
+    assert(ChaosRetryRunner.stat("stream", "injected") >= 2L)
+    assert(ChaosRetryRunner.stat("stream", "rows") == 80L)
+    assert(ChaosRetryRunner.stat("stream", "epochs") == 2L)
+  }
+
   test("S27: staged parquet carries a real user_id bloom filter, probe-true for present keys") {
     import scala.jdk.CollectionConverters._
     val dir = graft.queries.Sources.stageBloomEvents(spark, sfDir)
