@@ -31,11 +31,19 @@ import org.apache.spark.sql.functions._
   * handling, and file-parallel reads behave as they would on a cluster).
   */
 object ScaleUp {
+  /** Default copy count (sf0.1 -> sf1). Arg 3 overrides: 100 builds the
+    * r13 sf10 spot-bench tier. Strides are sized so even 100 copies stay
+    * inside every reserved namespace: doc_id tops out at 994_999 < the
+    * 1e6 planted-copy floor (max sf0.1 doc_id 4999, stride 10_000), and
+    * the stride's factors preserve doc_id parity and mod-5 class, so the
+    * odd/even snapshot splits (l56) and the %5 probe sets (st17) scale
+    * proportionally instead of shifting.  */
   val Copies = 10
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(Copies)
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -49,8 +57,8 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until Copies).map(i => shift(df, i)).reduce(_ unionByName _)
+    def replicate(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(i => shift(df, i)).reduce(_ unionByName _)
 
     def write(name: String, df: DataFrame, files: Int = 8): Unit = {
       df.repartition(files)
@@ -71,28 +79,28 @@ object ScaleUp {
     val orderStride = 10000000L
     val partStride = 1000000L
     val suppStride = 100000L
-    write("customer", copies(raw("customer")) { (df, i) =>
+    write("customer", replicate(raw("customer")) { (df, i) =>
       // c_nationkey stays as-is: region/nation don't scale
       df.withColumn("c_custkey", $"c_custkey" + lit(i * custStride))
     })
-    write("supplier", copies(raw("supplier")) { (df, i) =>
+    write("supplier", replicate(raw("supplier")) { (df, i) =>
       df.withColumn("s_suppkey", $"s_suppkey" + lit(i * suppStride))
     })
-    write("part", copies(raw("part")) { (df, i) =>
+    write("part", replicate(raw("part")) { (df, i) =>
       df.withColumn("p_partkey", $"p_partkey" + lit(i * partStride))
     })
-    write("orders", copies(raw("orders")) { (df, i) =>
+    write("orders", replicate(raw("orders")) { (df, i) =>
       df.withColumn("o_orderkey", $"o_orderkey" + lit(i * orderStride))
         .withColumn("o_custkey", $"o_custkey" + lit(i * custStride))
     })
-    write("lineitem", copies(raw("lineitem")) { (df, i) =>
+    write("lineitem", replicate(raw("lineitem")) { (df, i) =>
       df.withColumn("l_orderkey", $"l_orderkey" + lit(i * orderStride))
         .withColumn("l_partkey", $"l_partkey" + lit(i * partStride))
         .withColumn("l_suppkey", $"l_suppkey" + lit(i * suppStride))
     }, files = 16)
 
     // events: user_id stays far below the 999_999_000 sentinel floor
-    write("events", copies(raw("events")) { (df, i) =>
+    write("events", replicate(raw("events")) { (df, i) =>
       df.withColumn("event_id", $"event_id" + lit(i * 10000000L))
         .withColumn("user_id", $"user_id" + lit(i * 10000L))
     }, files = 16)
@@ -100,16 +108,16 @@ object ScaleUp {
     // documents: doc_id stays below the 1_000_000 planted-copy namespace;
     // tokens suffixed with the copy tag (see scaladoc — keeps stats,
     // breaks cross-copy shingle identity)
-    write("documents", copies(raw("documents")) { (df, i) =>
+    write("documents", replicate(raw("documents")) { (df, i) =>
       val txt = if (i == 0) $"text"
         else array_join(
           transform(split($"text", " "), w => concat(w, lit(i.toString))), " ")
-      df.withColumn("doc_id", $"doc_id" + lit(i * 100000L))
+      df.withColumn("doc_id", $"doc_id" + lit(i * 10000L))
         .withColumn("text", txt)
     })
 
     // embeddings: deterministic per-copy jitter, same dimensionality
-    write("embeddings", copies(raw("embeddings")) { (df, i) =>
+    write("embeddings", replicate(raw("embeddings")) { (df, i) =>
       val emb = if (i == 0) $"embedding"
         else transform($"embedding",
           (v, j) => (v + (pmod(lit(i) * 31 + j, lit(7)) - lit(3)) * lit(0.001f))
@@ -118,7 +126,7 @@ object ScaleUp {
         .withColumn("embedding", emb)
     })
 
-    println(s"sf1-scale dataset complete under $dst")
+    println(s"scaled dataset (x$copies) complete under $dst")
     spark.stop()
   }
 }
