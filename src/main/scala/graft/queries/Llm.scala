@@ -412,8 +412,12 @@ object Llm {
     val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
       .unionByName(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
       .localCheckpoint(true)
-    minLabelPropagate(edges, maxIter = 40)
+    val labels = minLabelPropagate(edges, maxIter = 40)
       .select($"id".as("doc_id"), $"label".as("cluster_id"))
+    // propagation ran eagerly (per-round checkpoints), and the returned
+    // view reads only the final labels checkpoint — the edge set is dead
+    graft.plans.Checkpoints.unpersist(edges)
+    labels
   }
 
   /** Min-label propagation core over undirected edges (`src`,`dst` with
@@ -439,16 +443,22 @@ object Llm {
       val before = labels
       var r = 0
       while (r < 2 && iter < maxIter) {
+        val prev = labels
         val neighborMin = edges
           .join(labels.select($"id".as("dst"), $"label".as("dlabel")), Seq("dst"))
           .groupBy($"src".as("id")).agg(min($"dlabel").as("nlabel"))
         labels = labels.join(neighborMin, Seq("id"), "left")
           .select($"id", least($"label", coalesce($"nlabel", $"label")).as("label"))
           .localCheckpoint(true)
+        // the superseded round's blocks are dead once the new checkpoint
+        // materializes — except `before`, which the convergence count
+        // below still reads (graft.plans.Checkpoints scaladoc)
+        if (prev ne before) graft.plans.Checkpoints.unpersist(prev)
         r += 1; iter += 1
       }
       changed = labels.join(before.select($"id", $"label".as("old")), Seq("id"))
         .filter($"label" =!= $"old").count()
+      graft.plans.Checkpoints.unpersist(before)
     }
     require(changed == 0,
       s"min-label propagation did not converge within $maxIter rounds (graph diameter > cap)")

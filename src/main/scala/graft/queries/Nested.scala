@@ -111,12 +111,20 @@ object Nested {
 
   /** One AQE-off child session per caller session, created lazily and
     * reused across pageRank calls (see the scope discussion in
-    * [[pageRank]]). Keyed on the caller so independent sessions in one
-    * JVM each get their own child (inheriting that context's SparkConf);
-    * entries live as long as the JVM, which is bounded by the handful of
-    * sessions a process ever creates. */
+    * [[pageRank]]). Keyed WEAKLY on the caller (r13 ADVICE) so a
+    * discarded caller session — e.g. per-test sessions in a long-lived
+    * service JVM — doesn't pin its child SessionState forever; the child
+    * shares the SparkContext and holds no reference back to the caller,
+    * so the weak key is actually collectible. `synchronizedMap`'s
+    * `computeIfAbsent` is atomic, matching the old ConcurrentHashMap
+    * contract. Note the child SNAPSHOTS the caller's conf at first
+    * pageRank call: later runtime `conf.set` on the caller does not
+    * propagate to g4 builds — fine for this repo's tools, which fix conf
+    * at builder time, and pinned semantics (ANSI etc.) ride the
+    * SparkConf, which the child always inherits. */
   private val buildSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
   private def aqeOffSession(spark: SparkSession): SparkSession =
     buildSessions.computeIfAbsent(spark, s => {
       val b = s.newSession()
@@ -128,7 +136,6 @@ object Nested {
     * every-4th-round localCheckpoint cadence that the registered 3-round
     * query intentionally never pays (see GraphDepthSpec). */
   def pageRank(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
-    import spark.implicits._
     // The whole bounded-round loop plans STATICALLY and materializes in
     // ONE job: AQE is scoped off for the build (thread-locally, see below),
     // because its per-stage sync barriers turn 3 unrolled rounds into
@@ -160,7 +167,17 @@ object Nested {
     // call). The returned frame stays on the child session — its final
     // TakeOrderedAndProject is AQE-indifferent, and callers only write/
     // collect it.
-    val build = aqeOffSession(spark)
+    pageRankOn(aqeOffSession(spark), dir, rounds)
+  }
+
+  /** pageRank body with the AQE-off build session injected — split out so
+    * [[graft.G4Compare]] can A/B the cached-child-session scope against the
+    * rejected r12 session-global toggle in ONE JVM with interleaved runs
+    * (same JIT/page-cache state for both variants). Production path is
+    * always [[pageRank]] → [[aqeOffSession]]. */
+  private[graft] def pageRankOn(
+      build: SparkSession, dir: String, rounds: Int): DataFrame = {
+    import build.implicits._
     val pr = {
         // Out-degree is attached to each edge by a window count over src
         // in the SAME materialization as the edge build — one eager
@@ -179,6 +196,9 @@ object Nested {
         val nodes = edges.select($"src".as("node"))
           .union(edges.select($"dst".as("node"))).distinct()
         var p = nodes.withColumn("pr", lit(1000000L))
+        // the most recent every-4th-round checkpoint (deep runs only),
+        // tracked so the loop can release the superseded one's blocks
+        var prevCkpt: Option[org.apache.spark.sql.DataFrame] = None
         for (round <- 1 to rounds) {
           val contrib = edges
             .join(p.withColumnRenamed("node", "src"), Seq("src"))
@@ -193,10 +213,25 @@ object Nested {
           // unrolled join+agg rounds are still a shallow plan. A deep
           // (say 20-round) run gets one truncation per 4 — the same
           // every-K cadence l17's convergence check uses
-          if (round % 4 == 0 && round < rounds) p = p.localCheckpoint(true)
+          if (round % 4 == 0 && round < rounds) {
+            p = p.localCheckpoint(true)
+            // deep runs only: the superseded every-4th-round checkpoint is
+            // dead once the new one materializes. Unpersist the TRACKED
+            // bare checkpoint, never the composite `p` plan — its tree
+            // also contains the still-live `edges` LogicalRDD.
+            prevCkpt.foreach(graft.plans.Checkpoints.unpersist)
+            prevCkpt = Some(p)
+          }
         }
         // the one materialization job for every remaining unrolled round
-        p.localCheckpoint(true)
+        val fin = p.localCheckpoint(true)
+        prevCkpt.foreach(graft.plans.Checkpoints.unpersist)
+        // the final ranks are fully materialized — the edge set's blocks
+        // are dead; release them promptly rather than leaving a full edge
+        // copy parked in executor memory until the ContextCleaner's GC
+        // race (in the 285-query bench JVM these accumulated across runs)
+        graft.plans.Checkpoints.unpersist(edges)
+        fin
     }
     pr.orderBy($"pr".desc, $"node").limit(20)
   }
@@ -281,10 +316,19 @@ object Nested {
       // unchecked plan doubles every round — 2^k copies of the base join
       // by round k. The per-round frontier is tiny; materializing it
       // keeps the plan linear in rounds.
+      val prev = reach
       reach = reach.unionByName(next)
         .groupBy($"node").agg(min($"dist").as("dist"))
         .localCheckpoint(true)
+      // the new checkpoint has eagerly materialized, so round k-1's blocks
+      // are dead — release them now instead of waiting on the
+      // ContextCleaner's GC race (graft.plans.Checkpoints scaladoc; the
+      // r13 sf10 record measured the accumulation at 57.8 → 94.9 s drift)
+      graft.plans.Checkpoints.unpersist(prev)
     }
+    // the returned plan is just the final checkpoint — the edge set is
+    // dead too once the loop exits
+    graft.plans.Checkpoints.unpersist(fwd)
     reach
   }
 
@@ -350,6 +394,10 @@ object Nested {
       changed =
         if (next.count() != edges.count()) 1L
         else next.exceptAll(edges).count()
+      // the fixpoint check above was the last read of the old edge set —
+      // release its blocks now (Checkpoints scaladoc); the final round's
+      // set stays: `labels` below is a live view over it
+      graft.plans.Checkpoints.unpersist(edges)
       edges = next
       round += 1
     }
