@@ -53,7 +53,13 @@ object Bench {
     // below); o17's 2.4x first-execution cost dies in the untimed
     // warm-up and steady state sits within 1.12x, so its residual spread
     // is ambient scheduling on a 0.25 s query — more samples, not code.
-    "l25_ranked_retrieval", "o17_partition_stats")
+    "l25_ranked_retrieval", "o17_partition_stats",
+    // r13 verdict item 5: st1's 1.62x driver-vs-committed ratio was the
+    // round's worst — on a ~0.1 s query, where a single scheduling window
+    // is most of the wall (the o17 shape: no code-level fix for scheduler
+    // exposure on a sub-second query; more samples bound the committed
+    // spread instead).
+    "st1_tumbling")
 
   /** g4_pagerank's committed driver spread was 1.53x in r10 against a
     * 1.5x bar; its decomposition (BATCH_METRICS_r10.md) shows the residual

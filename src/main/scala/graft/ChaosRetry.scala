@@ -83,6 +83,14 @@ object ChaosRetry {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR") // retries log scary-looking stacks
+    // The WriteChaos seam arms via sys.props and counts injections in a
+    // shared AtomicLong — both only reach the write tasks because local
+    // mode runs them in THIS JVM. On a cluster master the seam would
+    // silently disarm and every scenario would pass vacuously; fail loudly
+    // instead if the master line above ever changes. (r13 ADVICE)
+    require(spark.sparkContext.isLocal,
+      s"ChaosRetry requires a local master (got ${spark.sparkContext.master}): " +
+        "the chaos seam and its injected-counter live in the driver JVM")
     try {
       archiveScenario(spark)
       mergeScenario(spark, dimDir)

@@ -1383,8 +1383,14 @@ object StreamingQ {
     // |base| == |iv| exactly, and counting base keeps the probe a
     // filtered scan with the limit pushed down — no user_id exchange,
     // no window execution, just the dim-sized read.
+    // max(8, defaultSize) per field: UnsafeRow's fixed-width region is 8
+    // bytes per field regardless of type, so narrow fields (int/short/
+    // boolean) would undercount by up to 2x on defaultSize alone (r13
+    // ADVICE — exact today only because this dim's columns are all
+    // 8-byte types; the floor keeps the gate conservative if the schema
+    // ever gains narrow columns)
     val bytesPerRow =
-      2L * (iv.schema.map(_.dataType.defaultSize.toLong).sum +
+      2L * (iv.schema.map(f => math.max(8L, f.dataType.defaultSize.toLong)).sum +
         8L * ((iv.schema.size + 63) / 64))
     val rowCap = broadcastMaxBytes / bytesPerRow
     val ivDim =

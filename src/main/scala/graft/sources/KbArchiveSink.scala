@@ -205,12 +205,27 @@ class KbArchiveStreamingWrite(path: String, queryId: String)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new KbArchiveStreamingWriterFactory(path, queryId)
 
+  /** Drop the per-query `_staging-<queryId>` parent once it is empty: a
+    * long-lived archive must not accumulate one empty staging dir per
+    * stream that ever wrote it (micro-batches are serial within a query,
+    * so nothing can be staging here concurrently). Runs on BOTH the
+    * publish and the replayed-epoch path — a replay of a stream's last
+    * epoch is exactly the case where nobody comes back to clean up.
+    * Caught by the ChaosRetry stream scenario's no-staging-left
+    * invariant. */
+  private def dropEmptyStagingParent(f: FileSystem, epochId: Long): Unit = {
+    val parent = epochStaging(epochId).getParent
+    if (f.exists(parent) && f.listStatus(parent).isEmpty)
+      f.delete(parent, false): Unit
+  }
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val f = fs
     if (f.exists(epochMarker(epochId))) {
       // replayed epoch (failure after commit, before checkpoint advance):
       // already published — drop the duplicate staging, change nothing
       f.delete(epochStaging(epochId), true)
+      dropEmptyStagingParent(f, epochId)
       return
     }
     val admitted = messages.collect {
@@ -219,15 +234,8 @@ class KbArchiveStreamingWrite(path: String, queryId: String)
     KbArchive.publish(f, path, epochStaging(epochId), admitted.toSeq, truncate = false)
     f.mkdirs(epochMarker(epochId).getParent)
     f.create(epochMarker(epochId), true).close()
-    // publish dropped this epoch's staging subdir; if no later epoch has
-    // started staging yet, drop the now-empty per-query parent too — a
-    // long-lived archive must not accumulate one empty _staging-<queryId>
-    // per stream that ever wrote it (micro-batches are serial within a
-    // query, so nothing can be staging here concurrently). Caught by the
-    // ChaosRetry stream scenario's no-staging-left invariant.
-    val parent = epochStaging(epochId).getParent
-    if (f.exists(parent) && f.listStatus(parent).isEmpty)
-      f.delete(parent, false): Unit
+    // publish dropped this epoch's staging subdir
+    dropEmptyStagingParent(f, epochId)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -265,6 +273,7 @@ class KbArchiveWriter(path: String, stagingSubdir: String, fileName: String)
   private val out = fs.create(filePath, true)
   private val digest = MessageDigest.getInstance("MD5")
   private val chaosAfter = WriteChaos.thresholdNow() // -1 unless chaos-armed
+  private val chaosSlowMs = WriteChaos.slowPerRowNow() // -1 unless armed
   private var rows = 0L
   private var bytes = 0L
 
@@ -276,6 +285,7 @@ class KbArchiveWriter(path: String, stagingSubdir: String, fileName: String)
     rows += 1
     bytes += line.length
     WriteChaos.maybeFail(chaosAfter, rows)
+    WriteChaos.maybeSlow(chaosSlowMs)
   }
 
   override def commit(): WriterCommitMessage = {
