@@ -30,9 +30,40 @@ object WriteChaos {
     * actually fired (a test that never injects proves nothing). */
   val injected = new AtomicLong(0)
 
+  /** Set to a positive ms to make PARTITION 0's first attempt sleep that
+    * long per row — slowed, not killed: the speculation scenario
+    * (ChaosRetry, r13 verdict item 4) needs the original attempt alive
+    * and mid-write while its speculative copy races it through the
+    * commit coordinator. Other partitions and attemptNumber > 0 copies
+    * run clean, so the scheduler sees one straggler. */
+  val SlowProp = "graft.chaos.writeSlowFirstAttemptMsPerRow"
+
+  /** Count of rows the slow seam actually delayed (proves engagement). */
+  val slowedRows = new AtomicLong(0)
+
   /** Read once per writer (task-side) — see class doc. */
   private[sources] def thresholdNow(): Long =
     sys.props.get(Prop).map(_.toLong).getOrElse(-1L)
+
+  /** Env-var form of [[SlowProp]]: the speculation scenario
+    * (graft.ChaosSpeculation, test scope) runs on a real two-worker
+    * standalone cluster whose executors are SEPARATE JVMs — driver
+    * sys.props don't reach them, but `spark.executorEnv.*` does. */
+  val SlowEnv = "GRAFT_CHAOS_SLOW_MS_PER_ROW"
+
+  /** Read once per writer (task-side) — see class doc. */
+  private[sources] def slowPerRowNow(): Long =
+    sys.props.get(SlowProp).orElse(sys.env.get(SlowEnv))
+      .map(_.toLong).getOrElse(-1L)
+
+  private[sources] def maybeSlow(perRowMs: Long): Unit =
+    if (perRowMs > 0) {
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null && tc.attemptNumber() == 0 && tc.partitionId() == 0) {
+        slowedRows.incrementAndGet()
+        Thread.sleep(perRowMs)
+      }
+    }
 
   private[sources] def maybeFail(threshold: Long, rowsStaged: Long): Unit =
     if (threshold > 0 && rowsStaged == threshold) {

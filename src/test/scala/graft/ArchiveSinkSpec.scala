@@ -140,6 +140,22 @@ class ArchiveSinkSpec extends SparkSpec {
     assert(ChaosRetryRunner.stat("archive", "files") == 4L)
   }
 
+  test("speculation chaos: two live attempts of one partition race to commit, exactly one wins") {
+    // the r14 scenario (subprocess graft.ChaosSpeculation): a real
+    // two-host standalone cluster — the only single-machine topology
+    // where speculation can launch at all (local masters never start the
+    // speculation thread; the scheduler refuses a copy on a live
+    // attempt's host) — slows partition 0's first attempt mid-write
+    // while a speculative copy races it through the commit coordinator.
+    // The runner asserts single-commit-per-partition, exact manifest/md5
+    // accounting, no trace of the losing attempt anywhere; here we
+    // assert the race REALLY happened.
+    assert(ChaosRetryRunner.stat("speculation", "speculative") >= 1L)
+    assert(ChaosRetryRunner.stat("speculation", "raced_partitions") >= 1L)
+    assert(ChaosRetryRunner.stat("speculation", "rows") == 200L)
+    assert(ChaosRetryRunner.stat("speculation", "files") == 4L)
+  }
+
   test("task-retry chaos: epoch-fenced streaming commits survive a task death per micro-batch") {
     // same runner, scenario `stream`: a two-batch AvailableNow stream into
     // the archive where each epoch's write task dies on first attempt —

@@ -28,10 +28,42 @@ object ChaosRetryRunner {
     (code, out, errBuf.synchronized(errBuf.toString))
   }
 
+  /** Spawns `graft.ChaosSpeculation` once — the speculative-execution
+    * race (r14). Unlike [[run]], the subprocess hosts a real two-worker
+    * standalone cluster whose workers spawn executor JVMs through the
+    * Spark distribution's launcher, so it needs SPARK_HOME and
+    * SPARK_SCALA_VERSION in its environment (the test JVM itself may not
+    * have them — set explicitly from the known layout). */
+  lazy val speculationRun: (Int, String, String) = {
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString).filter(_.startsWith("--add-opens"))
+    val cmd = Seq(javaBin) ++ addOpens ++
+      Seq("-Xmx2g", "-cp", sys.props("java.class.path"), "graft.ChaosSpeculation")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_HOME",
+      sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    val proc = pb.start()
+    val errBuf = new StringBuilder
+    val errThread = new Thread(() =>
+      scala.io.Source.fromInputStream(proc.getErrorStream)
+        .foreach(c => errBuf.synchronized { errBuf.append(c); () }))
+    errThread.setDaemon(true)
+    errThread.start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+    val code = proc.waitFor()
+    errThread.join(2000)
+    (code, out, errBuf.synchronized(errBuf.toString))
+  }
+
   /** The runner's JSON stats line for `scenario`, failing with the
-    * subprocess's stderr tail if it died. */
+    * subprocess's stderr tail if it died. `speculation` comes from the
+    * two-host cluster subprocess, everything else from the local[4,2]
+    * retry runner. */
   def line(scenario: String): String = {
-    val (code, out, err) = run
+    val (code, out, err) =
+      if (scenario == "speculation") speculationRun else run
     assert(code == 0,
       s"chaos runner exited $code; stderr tail: ${err.takeRight(1200)}")
     out.linesIterator.find(_.contains(s""""scenario":"$scenario"""")).getOrElse(
