@@ -56,6 +56,7 @@ object BatchMetrics {
     val lock = new Object
     val jobs = mutable.ArrayBuffer.empty[JobRec]
     var taskRun, taskGc, taskFetchWait, taskDeser, taskResSer = 0L
+    var inputBytes, shuffleReadBytes, shuffleWriteBytes, spillBytes = 0L
     var nTasks = 0
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
@@ -72,6 +73,13 @@ object BatchMetrics {
             taskFetchWait += m.shuffleReadMetrics.fetchWaitTime
             taskDeser += m.executorDeserializeTime
             taskResSer += m.resultSerializationTime
+            // r14: byte-level decomposition, so scaling-ratio questions
+            // ("is the df-join exchange growing faster than the scan?")
+            // are answered from the record instead of re-argued
+            inputBytes += m.inputMetrics.bytesRead
+            shuffleReadBytes += m.shuffleReadMetrics.totalBytesRead
+            shuffleWriteBytes += m.shuffleWriteMetrics.bytesWritten
+            spillBytes += m.diskBytesSpilled
             nTasks += 1
           }
         }
@@ -97,10 +105,16 @@ object BatchMetrics {
           "shuffle_fetch_wait_ms" -> taskFetchWait,
           "executor_deserialize_ms" -> taskDeser,
           "result_serialization_ms" -> taskResSer,
+          "input_bytes" -> inputBytes,
+          "shuffle_read_bytes" -> shuffleReadBytes,
+          "shuffle_write_bytes" -> shuffleWriteBytes,
+          "disk_spill_bytes" -> spillBytes,
           "n_tasks" -> nTasks.toLong)
         jobs.clear()
         taskRun = 0; taskGc = 0; taskFetchWait = 0; taskDeser = 0
         taskResSer = 0; nTasks = 0
+        inputBytes = 0; shuffleReadBytes = 0; shuffleWriteBytes = 0
+        spillBytes = 0
         (jobWalls, metrics, covered / 1e3)
       }
 
