@@ -68,7 +68,7 @@ object PlanAudit {
       "l46_prefix_filter_join" -> "prefix-filtered similarity join: candidates only on rare prefix shingles, exact verify after",
       "o15_quality_constraints" -> "constraint suite: every rule a conditional agg in one scan, stack unpivot to the report",
       "sq7_sql_udf" -> "SQL-defined function: body inlined at analysis time, decimal arithmetic inside codegen, no UDF node",
-      "l48_tfidf_topterms" -> "TF-IDF top terms: token-sized df agg joined back, broadcast 1-row corpus size, native TopKPerKey per-doc top-3 with no sort",
+      "l48_tfidf_topterms" -> "TF-IDF top terms: ONE tokenize pass (df is a window count over tf - the agg-then-join spelling defeated ReuseExchange and tokenized the corpus twice, r14), broadcast 1-row corpus size, native TopKPerKey per-doc top-3 with no per-doc sort",
       "w19_scd2_history" -> "SCD-2 historization: change-detect, run-number, collapse and close-out over one user_id exchange",
       "l5f_vad_segments" -> "VAD segmentation: decode-local frame energies, integer above-mean gate, gaps-and-islands on one file exchange",
       "w20_mad_outliers" -> "robust MAD outliers: both full-partition medians share one event_type exchange, exact integer arithmetic end to end",

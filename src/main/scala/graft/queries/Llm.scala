@@ -1432,12 +1432,14 @@ object Llm {
 
   /** L48: TF-IDF top terms per document — the keyword-extraction pass a
     * corpus pipeline runs for indexing/labeling, expressed so EVERY stage
-    * is the scale shape: tf is one (doc, token) partial+final agg, df is a
-    * token-sized agg joined back onto the token stream (never a doc×vocab
-    * product), and the per-doc top-3 runs on the native [[graft.plans
-    * .TopKPerKey]] operator — bounded k-buffers after one hash exchange,
-    * no per-doc sort (the same operator w13 proves relationally, here
-    * doing real pipeline work). Scoring uses the integer idf surrogate
+    * is the scale shape: tf is one (doc, token) partial+final agg, df is
+    * a WINDOW count over tf by token (one tf-sized exchange; never a
+    * doc×vocab product, and never a second tokenize pass — see the
+    * in-body comment), and the per-doc top-3 runs on the native
+    * [[graft.plans.TopKPerKey]] operator — bounded k-buffers after one
+    * hash exchange, no per-doc sort (the same operator w13 proves
+    * relationally, here doing real pipeline work). Scoring uses the
+    * integer idf surrogate
     * `tf × (N div df)` (the l35 integer-MLE discipline): floor division
     * agrees between Spark `div` and DuckDB `//` on non-negatives, so the
     * result hash-matches exactly where float ln() would flake at the ulp.
@@ -1453,8 +1455,21 @@ object Llm {
     val tf = docs
       .select($"doc_id", explode(Text.tokens($"text")).as("token"))
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, Seq("token"))
+    // df as a window count over tf (rows per token == docs containing the
+    // token, since tf is one row per (doc, token)), NOT a separate
+    // groupBy(token) aggregate joined back: the agg-then-join spelling
+    // looks like it reuses tf, but column pruning slims the df subtree's
+    // aggregate (no count needed) so ReuseExchange cannot fire, and the
+    // physical plan TOKENIZED AND EXPLODED THE WHOLE CORPUS TWICE — at
+    // sf1 the r14 byte decomposition measured 2x the (doc,token)
+    // exchange and double the tokenize CPU (BATCH_METRICS_r14.md). The
+    // window spelling tokenizes once and pays one tf-sized exchange by
+    // token — the same exchange the join's shuffle side cost — for
+    // strictly less total work. Hot-token skew lands one reducer with
+    // that token's tf rows, same as the join spelling's shuffle side;
+    // at 100 TB either spelling salts the token key the j11 way.
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"token")))
       .crossJoin(broadcast(nDf))
       .select($"doc_id", $"token",
         ($"tf" * expr("n_docs div df")).as("score"))

@@ -357,15 +357,26 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1, plan.take(3000))
   }
 
-  test("L48: TF-IDF top-terms runs on TopKPerKey with no per-doc sort") {
+  test("L48: TF-IDF tokenizes the corpus ONCE; top-terms run on TopKPerKey with no per-doc sort") {
     val df = graft.queries.Llm.l48TfidfTopTerms(spark, sfDir)
     df.collect(): Unit // finalize AQE
     val plan = planOf(df).split("== Initial Plan ==")(0)
     // the per-doc top-3 is the native operator (bounded k-buffers), not a
-    // window rank: no SortExec anywhere in the final plan
+    // window rank — so the ONLY sort in the plan is the window-df's token
+    // sort (WindowExec's required child ordering), never a per-doc one
     assert(plan.contains("TopKPerKey"), plan.take(3000))
     assert(plan.contains("TopKPerKeyPartial"), plan.take(3000))
-    assert(!plan.contains("Sort ["), plan.take(3000))
+    val sorts = "Sort \\[".r.findAllIn(plan).size
+    assert(sorts == 1, s"expected exactly the token sort, got $sorts:\n${plan.take(3000)}")
+    assert("Sort \\[token".r.findAllIn(plan).nonEmpty, plan.take(3000))
+    // the r14 fix this test pins: df comes from a window over tf, NOT a
+    // re-aggregated second token stream — the agg-then-join spelling
+    // defeated ReuseExchange (column pruning slims the df subtree) and
+    // tokenized+exploded the whole corpus twice (BATCH_METRICS_r14.md
+    // measured 2x the (doc,token) exchange at sf1). Exactly ONE explode
+    // may survive in the final plan.
+    val explodes = "Generate explode".r.findAllIn(plan).size
+    assert(explodes == 1, s"corpus must be tokenized once, got $explodes:\n${plan.take(3000)}")
     // the 1-row corpus-size frame joins by broadcast, never an exchange
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan.take(3000))
