@@ -303,7 +303,15 @@ object Nested {
       .select(concat(lit("c"), $"o_custkey").as("src"),
         concat(lit("s"), $"l_suppkey").as("dst"))
       .distinct()
-      .localCheckpoint(true)
+      // DISK_ONLY, not the MEMORY_AND_DISK default (r14, measured both
+      // tiers): the edge set is the query's big frame and is re-read only
+      // once per round, sequentially — page cache makes the re-reads free,
+      // so sf0.1 steady state is equal-or-better (2.8-3.4 vs 3.2-3.6 s in
+      // the RepeatProbe A/B), while at sf10 keeping ~GBs of edge rows out
+      // of the heap cuts per-run GC from 1.2-6.9 s to 0.2-0.7 s — GC that
+      // would otherwise stall every other query sharing the executors.
+      // The tiny per-round frontiers stay at the in-memory default.
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val edges = fwd.unionByName(fwd.select($"dst".as("src"), $"src".as("dst")))
     val seeds = Seq("c1", "c2", "c3").toDF("node")
       .withColumn("dist", lit(0L))
