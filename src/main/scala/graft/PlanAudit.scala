@@ -32,6 +32,7 @@ object PlanAudit {
       "l18_repetition" -> "repetition metrics: array HOFs only, single pass, no explode/shuffle",
       "l19_stratified_sample" -> "stratified sample: md5-bucket predicate evaluated in the scan stage, no RNG state",
       "j13_interval_join" -> "interval join: equi join on day buckets + residual range predicate, no NLJ",
+      "g4_pagerank" -> "3-round pageRank: statically-planned unrolled rounds (AQE-off child session) over one checkpointed edge set, folded straight into TakeOrderedAndProject - no full-rank materialization (r14), per-round nodes subtrees dedupe via ReuseExchange",
       "g6_triangle_count" -> "triangle count: degree-ordered orientation, equi joins only",
       "w9_batch_sessionize" -> "sessionization: one user_id exchange reused by both window passes and the final agg",
       "s18b_catalog_udaf" -> "catalog UDAF: partial_v2aggregator map-side, state (not rows) crosses the exchange",
