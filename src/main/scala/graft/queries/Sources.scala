@@ -984,9 +984,10 @@ object Sources {
     * 100 TB image pipeline needs (decode travels to the data; only small
     * typed features come back). JP2 dimensions are parsed from the REAL
     * container header ([[graft.sources.Jp2Box]] — signature/jp2h/ihdr
-    * boxes, pure byte arithmetic); only the entropy-coded JP2 payload
-    * remains out of scope (no JPEG 2000 codec ships with the JDK or this
-    * environment). Non-image payloads report (-1, -1) — flagged, never
+    * boxes, pure byte arithmetic); full JP2 ENTROPY decode is exercised by
+    * [[l5gJp2Decode]] via the engine's own ISO/IEC 15444-1 codec (this
+    * query's committed fixtures carry opaque payloads, so it stays a
+    * header-truth check). Non-image payloads report (-1, -1) — flagged, never
     * faked. The Spark-side contract — schema, encoder, partition-wise
     * batch shape — is identical for every path and oracle-checked. */
   def l5MultimodalDecode(spark: SparkSession, dir: String): DataFrame = {
@@ -1072,6 +1073,64 @@ object Sources {
         }
       }
       .toDF("file_name", "width", "height", "thumb_w", "thumb_h")
+  }
+
+  private val jp2Staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Synthesize 6 REAL JPEG 2000 files (staged once per JVM): RGB planes
+    * with index-determined per-channel patterns, compressed by the engine's
+    * own spec-complete encoder ([[graft.sources.jp2.Jp2Codec]]: 5/3 DWT +
+    * RCT + EBCOT + MQ + Tier-2 packets) and wrapped in a real JP2
+    * container. Pixel sums are pure index arithmetic, so the DECODED
+    * output is fully DuckDB-oracle-checkable. */
+  private[graft] def stageJp2s(): String =
+    jp2Staged.computeIfAbsent("jp2s", { _ =>
+      val dir = tmp("l5g_jp2")
+      (0 until 6).foreach { i =>
+        val w = 40 + (17 * i) % 113
+        val h = 30 + (23 * i) % 89
+        val comps = Array.tabulate(3) { c =>
+          Array.tabulate(w * h)(j => ((j % w) * 7 + (j / w) * 11 + i * 13 + c * 29) % 256)
+        }
+        val cs = graft.sources.jp2.Jp2Codec.encode(w, h, comps)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/scan_$i.jp2"),
+          graft.sources.Jp2Box.buildContainer(w, h, cs))
+      }
+      dir
+    })
+
+  /** L5g: full JPEG 2000 ENTROPY decode — the one multimodal step that was
+    * a documented stub since round 8 (the reference routes `.jp2` scans by
+    * filename only, 01-scrape-images.py:340; no JP2 codec ships with the
+    * JDK). The engine now carries its own ISO/IEC 15444-1 lossless codec
+    * (MQ coder, EBCOT Tier-1, tag-tree Tier-2, reversible 5/3 DWT + RCT —
+    * [[graft.sources.jp2.Jp2Codec]]), so real `.jp2` containers are decoded
+    * to pixels partition-locally on executors, the same travel-to-the-data
+    * shape as the rest of L5. Emitted per file: SIZ-true dimensions and
+    * per-channel pixel sums, which the DuckDB oracle recomputes from the
+    * staging arithmetic — a hash-match over actual decoded pixel data, not
+    * a rows-only register entry. */
+  def l5gJp2Decode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stageJp2s()
+    spark.read.format("binaryFile").load(staged)
+      .select(element_at(split($"path", "/"), -1).as("file_name"), $"content")
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (name, bytes) =>
+          val img = graft.sources.jp2.Jp2Codec.decode(bytes)
+          def sum(c: Int): Long = {
+            val a = img.comps(c)
+            var s = 0L
+            var i = 0
+            while (i < a.length) { s += a(i); i += 1 }
+            s
+          }
+          (name, img.width.toLong, img.height.toLong, sum(0), sum(1), sum(2))
+        }
+      }
+      .toDF("file_name", "width", "height", "sum_c0", "sum_c1", "sum_c2")
   }
 
   private val wavStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1429,6 +1488,7 @@ object Sources {
     "s26_rebalance_write" -> (s26RebalanceWrite _),
     "s27_bloom_filter_scan" -> (s27BloomFilterScan _),
     "l5c_thumbnail" -> (l5cThumbnail _),
+    "l5g_jp2_decode" -> (l5gJp2Decode _),
     "l5d_audio_features" -> (l5dAudioFeatures _),
     "l5f_vad_segments" -> (l5fVadSegments _),
     "l5e_image_phash" -> (l5eImagePhash _),
@@ -1795,6 +1855,18 @@ object Sources {
         |FROM (SELECT file_name,
         |        unnest(generate_series(0, greatest(least(n_bytes // 8, 4), 1) - 1)) AS i
         |      FROM assets)""".stripMargin,
+    "l5g_jp2_decode" ->
+      """WITH dims AS (
+        |  SELECT i, 40 + (17*i) % 113 AS w, 30 + (23*i) % 89 AS h
+        |  FROM (SELECT unnest(generate_series(0, 5)) AS i)),
+        |px AS (
+        |  SELECT i, w, h, unnest(generate_series(0, w*h - 1)) AS j FROM dims)
+        |SELECT 'scan_' || i || '.jp2' AS file_name,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(SUM(((j % w) * 7 + (j // w) * 11 + i * 13) % 256) AS BIGINT) AS sum_c0,
+        |  CAST(SUM(((j % w) * 7 + (j // w) * 11 + i * 13 + 29) % 256) AS BIGINT) AS sum_c1,
+        |  CAST(SUM(((j % w) * 7 + (j // w) * 11 + i * 13 + 58) % 256) AS BIGINT) AS sum_c2
+        |FROM px GROUP BY i, w, h""".stripMargin,
     "l5_multimodal_decode" ->
       """SELECT * FROM (VALUES
         |('bib13991099_18650102_0_1_0001.jp2', 'image/jp2', CAST(112 AS BIGINT), 2479, 3508),

@@ -13,9 +13,11 @@ package graft.sources
   *     (FF51) carrying Xsiz/Ysiz/XOsiz/YOsiz — image size is the grid
   *     minus the offsets.
   *
-  * Pixel decode stays out of scope (documented stub in l5): parsing the
-  * entropy-coded payload without a codec would be fiction, but the
-  * header fields above are exact.
+  * Header fields here are exact and cheap — the right first gate before
+  * paying a decode. Full pixel decode of the entropy-coded payload lives
+  * in [[graft.sources.jp2.Jp2Codec]] (the engine's own ISO/IEC 15444-1
+  * lossless codec, round 14); it accepts both raw codestreams and JP2
+  * containers built by [[buildContainer]].
   */
 object Jp2Box {
 

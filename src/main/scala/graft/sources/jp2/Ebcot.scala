@@ -1,0 +1,366 @@
+package graft.sources.jp2
+
+/** EBCOT Tier-1 code-block coder — ISO/IEC 15444-1 Annex D. Codes one
+  * code-block of sign-magnitude wavelet coefficients bit-plane by
+  * bit-plane with three passes per plane (significance propagation,
+  * magnitude refinement, cleanup; the top plane is cleanup-only), a
+  * 4-row stripe scan, and the Annex-D context model: 9 zero-coding
+  * contexts (band-orientation dependent), 5 sign contexts, 3 magnitude
+  * refinement contexts, run-length and UNIFORM contexts — all driving
+  * one [[MQEncoder]]/[[MQDecoder]] per code-block (default options: no
+  * bypass, no reset, single codeword segment terminated once).
+  *
+  * Encoder and decoder are exact mirrors; [[Jp2CodecSpec]] round-trips
+  * random blocks through both.
+  */
+object Ebcot {
+
+  /** Band orientations (indexing the ZC context tables). */
+  final val LL = 0; final val HL = 1; final val LH = 2; final val HH = 3
+
+  /** Zero-coding context from neighbor significance counts h (0-2),
+    * v (0-2), d (0-4) — Tables D.1: LL/LH keyed on horizontal first, HL
+    * transposed, HH keyed on the diagonals. */
+  private[jp2] def zcContext(h0: Int, v0: Int, d: Int, band: Int): Int = {
+    val (h, v) = if (band == HL) (v0, h0) else (h0, v0)
+    if (band == HH) {
+      val hv = h + v
+      if (d >= 3) 8
+      else if (d == 2) { if (hv >= 1) 7 else 6 }
+      else if (d == 1) { if (hv >= 2) 5 else if (hv == 1) 4 else 3 }
+      else { if (hv >= 2) 2 else if (hv == 1) 1 else 0 }
+    } else {
+      if (h == 2) 8
+      else if (h == 1) { if (v >= 1) 7 else if (d >= 1) 6 else 5 }
+      else {
+        if (v == 2) 4 else if (v == 1) 3
+        else if (d >= 2) 2 else if (d == 1) 1 else 0
+      }
+    }
+  }
+
+  /** Sign-coding context and XOR bit from the clamped horizontal and
+    * vertical sign contributions (Table D.3). Packed as ctx*2 + xor. */
+  private[jp2] def scContext(hc: Int, vc: Int): Int = (hc: @annotation.switch) match {
+    case 1 =>
+      if (vc == 1) 13 * 2 else if (vc == 0) 12 * 2 else 11 * 2
+    case 0 =>
+      if (vc == 1) 10 * 2 else if (vc == 0) 9 * 2 else 10 * 2 + 1
+    case _ =>
+      if (vc == 1) 11 * 2 + 1 else if (vc == 0) 12 * 2 + 1 else 13 * 2 + 1
+  }
+
+  /** Shared per-block scan state for encode and decode. */
+  private final class State(val w: Int, val h: Int) {
+    val n = w * h
+    val sigma = new Array[Boolean](n) // significant
+    val visited = new Array[Boolean](n) // coded in this plane's SPP
+    val refined = new Array[Boolean](n) // has had a refinement bit
+
+    def sig(x: Int, y: Int): Int =
+      if (x < 0 || y < 0 || x >= w || y >= h) 0
+      else if (sigma(y * w + x)) 1 else 0
+
+    def hCount(x: Int, y: Int): Int = sig(x - 1, y) + sig(x + 1, y)
+    def vCount(x: Int, y: Int): Int = sig(x, y - 1) + sig(x, y + 1)
+    def dCount(x: Int, y: Int): Int =
+      sig(x - 1, y - 1) + sig(x + 1, y - 1) + sig(x - 1, y + 1) + sig(x + 1, y + 1)
+
+    /** Clamped sign contribution along one axis for sign coding. */
+    def signContrib(sgn: Array[Int], x1: Int, y1: Int, x2: Int, y2: Int): Int = {
+      def f(x: Int, y: Int): Int =
+        if (x < 0 || y < 0 || x >= w || y >= h) 0
+        else {
+          val i = y * w + x
+          if (!sigma(i)) 0 else if (sgn(i) == 0) 1 else -1
+        }
+      math.max(-1, math.min(1, f(x1, y1) + f(x2, y2)))
+    }
+  }
+
+  /** Encode a code-block. `coeffs` holds signed coefficients row-major.
+    * Returns (codeword bytes, number of coding passes, numbps); an
+    * all-zero block returns (empty, 0, 0) and is simply not included in
+    * its packet. */
+  def encodeBlock(w: Int, h: Int, coeffs: Array[Int], band: Int): (Array[Byte], Int, Int) = {
+    val n = w * h
+    val mag = new Array[Int](n)
+    val sgn = new Array[Int](n)
+    var maxMag = 0
+    var i = 0
+    while (i < n) {
+      val v = coeffs(i)
+      val m = math.abs(v)
+      mag(i) = m
+      sgn(i) = if (v < 0) 1 else 0
+      if (m > maxMag) maxMag = m
+      i += 1
+    }
+    if (maxMag == 0) return (Array.emptyByteArray, 0, 0)
+    val numbps = 32 - Integer.numberOfLeadingZeros(maxMag)
+    val st = new State(w, h)
+    val mq = new MQEncoder()
+
+    def codeSign(x: Int, y: Int): Unit = {
+      val hc = st.signContrib(sgn, x - 1, y, x + 1, y)
+      val vc = st.signContrib(sgn, x, y - 1, x, y + 1)
+      val packed = scContext(hc, vc)
+      mq.encode(sgn(y * w + x) ^ (packed & 1), packed >> 1)
+    }
+
+    def spp(p: Int): Unit = {
+      var y0 = 0
+      while (y0 < h) {
+        var x = 0
+        while (x < w) {
+          var y = y0
+          val yEnd = math.min(y0 + 4, h)
+          while (y < yEnd) {
+            val i = y * w + x
+            if (!st.sigma(i)) {
+              val hn = st.hCount(x, y); val vn = st.vCount(x, y); val dn = st.dCount(x, y)
+              if (hn + vn + dn > 0) {
+                val bit = (mag(i) >>> p) & 1
+                mq.encode(bit, zcContext(hn, vn, dn, band))
+                if (bit == 1) { st.sigma(i) = true; codeSign(x, y) }
+                st.visited(i) = true
+              }
+            }
+            y += 1
+          }
+          x += 1
+        }
+        y0 += 4
+      }
+    }
+
+    def mrp(p: Int): Unit = {
+      var y0 = 0
+      while (y0 < h) {
+        var x = 0
+        while (x < w) {
+          var y = y0
+          val yEnd = math.min(y0 + 4, h)
+          while (y < yEnd) {
+            val i = y * w + x
+            if (st.sigma(i) && !st.visited(i)) {
+              val ctx =
+                if (st.refined(i)) 16
+                else if (st.hCount(x, y) + st.vCount(x, y) + st.dCount(x, y) > 0) 15
+                else 14
+              mq.encode((mag(i) >>> p) & 1, ctx)
+              st.refined(i) = true
+            }
+            y += 1
+          }
+          x += 1
+        }
+        y0 += 4
+      }
+    }
+
+    def cup(p: Int): Unit = {
+      var y0 = 0
+      while (y0 < h) {
+        var x = 0
+        while (x < w) {
+          val stripeH = math.min(4, h - y0)
+          var y = y0
+          // run-length mode: a full 4-sample column, nothing significant,
+          // nothing visited, all four contexts zero
+          var rl = stripeH == 4
+          if (rl) {
+            var k = 0
+            while (rl && k < 4) {
+              val i = (y0 + k) * w + x
+              if (st.sigma(i) || st.visited(i) ||
+                st.hCount(x, y0 + k) + st.vCount(x, y0 + k) + st.dCount(x, y0 + k) > 0) rl = false
+              k += 1
+            }
+          }
+          if (rl) {
+            var k = -1
+            var j = 0
+            while (k < 0 && j < 4) {
+              if (((mag((y0 + j) * w + x) >>> p) & 1) == 1) k = j
+              j += 1
+            }
+            if (k < 0) {
+              mq.encode(0, MQ.CtxRl)
+              y = y0 + stripeH // whole column stays insignificant
+            } else {
+              mq.encode(1, MQ.CtxRl)
+              mq.encode((k >> 1) & 1, MQ.CtxUni)
+              mq.encode(k & 1, MQ.CtxUni)
+              val i = (y0 + k) * w + x
+              st.sigma(i) = true
+              codeSign(x, y0 + k)
+              y = y0 + k + 1
+            }
+          }
+          while (y < y0 + stripeH) {
+            val i = y * w + x
+            if (!st.sigma(i) && !st.visited(i)) {
+              val hn = st.hCount(x, y); val vn = st.vCount(x, y); val dn = st.dCount(x, y)
+              val bit = (mag(i) >>> p) & 1
+              mq.encode(bit, zcContext(hn, vn, dn, band))
+              if (bit == 1) { st.sigma(i) = true; codeSign(x, y) }
+            }
+            y += 1
+          }
+          x += 1
+        }
+        y0 += 4
+      }
+      java.util.Arrays.fill(st.visited, false)
+    }
+
+    var p = numbps - 1
+    cup(p)
+    p -= 1
+    while (p >= 0) {
+      spp(p); mrp(p); cup(p)
+      p -= 1
+    }
+    (mq.flush(), 3 * numbps - 2, numbps)
+  }
+
+  /** Decode a code-block codeword back to signed coefficients. Mirrors
+    * [[encodeBlock]] pass for pass. */
+  def decodeBlock(w: Int, h: Int, data: Array[Byte], numPasses: Int, numbps: Int,
+      band: Int): Array[Int] = {
+    val n = w * h
+    val mag = new Array[Int](n)
+    val sgn = new Array[Int](n)
+    if (numPasses == 0 || numbps == 0) return new Array[Int](n)
+    val st = new State(w, h)
+    val mq = new MQDecoder(data)
+
+    def decodeSign(x: Int, y: Int): Unit = {
+      val hc = st.signContrib(sgn, x - 1, y, x + 1, y)
+      val vc = st.signContrib(sgn, x, y - 1, x, y + 1)
+      val packed = scContext(hc, vc)
+      sgn(y * w + x) = mq.decode(packed >> 1) ^ (packed & 1)
+    }
+
+    def spp(p: Int): Unit = {
+      var y0 = 0
+      while (y0 < h) {
+        var x = 0
+        while (x < w) {
+          var y = y0
+          val yEnd = math.min(y0 + 4, h)
+          while (y < yEnd) {
+            val i = y * w + x
+            if (!st.sigma(i)) {
+              val hn = st.hCount(x, y); val vn = st.vCount(x, y); val dn = st.dCount(x, y)
+              if (hn + vn + dn > 0) {
+                if (mq.decode(zcContext(hn, vn, dn, band)) == 1) {
+                  st.sigma(i) = true
+                  mag(i) |= 1 << p
+                  decodeSign(x, y)
+                }
+                st.visited(i) = true
+              }
+            }
+            y += 1
+          }
+          x += 1
+        }
+        y0 += 4
+      }
+    }
+
+    def mrp(p: Int): Unit = {
+      var y0 = 0
+      while (y0 < h) {
+        var x = 0
+        while (x < w) {
+          var y = y0
+          val yEnd = math.min(y0 + 4, h)
+          while (y < yEnd) {
+            val i = y * w + x
+            if (st.sigma(i) && !st.visited(i)) {
+              val ctx =
+                if (st.refined(i)) 16
+                else if (st.hCount(x, y) + st.vCount(x, y) + st.dCount(x, y) > 0) 15
+                else 14
+              if (mq.decode(ctx) == 1) mag(i) |= 1 << p
+              st.refined(i) = true
+            }
+            y += 1
+          }
+          x += 1
+        }
+        y0 += 4
+      }
+    }
+
+    def cup(p: Int): Unit = {
+      var y0 = 0
+      while (y0 < h) {
+        var x = 0
+        while (x < w) {
+          val stripeH = math.min(4, h - y0)
+          var y = y0
+          var rl = stripeH == 4
+          if (rl) {
+            var k = 0
+            while (rl && k < 4) {
+              val i = (y0 + k) * w + x
+              if (st.sigma(i) || st.visited(i) ||
+                st.hCount(x, y0 + k) + st.vCount(x, y0 + k) + st.dCount(x, y0 + k) > 0) rl = false
+              k += 1
+            }
+          }
+          if (rl) {
+            if (mq.decode(MQ.CtxRl) == 0) {
+              y = y0 + stripeH
+            } else {
+              val k = (mq.decode(MQ.CtxUni) << 1) | mq.decode(MQ.CtxUni)
+              val i = (y0 + k) * w + x
+              st.sigma(i) = true
+              mag(i) |= 1 << p
+              decodeSign(x, y0 + k)
+              y = y0 + k + 1
+            }
+          }
+          while (y < y0 + stripeH) {
+            val i = y * w + x
+            if (!st.sigma(i) && !st.visited(i)) {
+              val hn = st.hCount(x, y); val vn = st.vCount(x, y); val dn = st.dCount(x, y)
+              if (mq.decode(zcContext(hn, vn, dn, band)) == 1) {
+                st.sigma(i) = true
+                mag(i) |= 1 << p
+                decodeSign(x, y)
+              }
+            }
+            y += 1
+          }
+          x += 1
+        }
+        y0 += 4
+      }
+      java.util.Arrays.fill(st.visited, false)
+    }
+
+    var p = numbps - 1
+    var passes = numPasses
+    cup(p)
+    passes -= 1
+    p -= 1
+    while (p >= 0 && passes > 0) {
+      spp(p); passes -= 1
+      if (passes > 0) { mrp(p); passes -= 1 }
+      if (passes > 0) { cup(p); passes -= 1 }
+      p -= 1
+    }
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (sgn(i) == 1) -mag(i) else mag(i)
+      i += 1
+    }
+    out
+  }
+}

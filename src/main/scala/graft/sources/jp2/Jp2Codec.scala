@@ -1,0 +1,394 @@
+package graft.sources.jp2
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Pure-Scala JPEG 2000 Part-1 codec (lossless path) — ISO/IEC 15444-1.
+  *
+  * Closes the one gap the engine carried since round 8: the reference
+  * pipeline routes `.jp2` newspaper scans it never decodes
+  * (/root/reference/src/01-scrape-images.py:340), and no JPEG 2000
+  * codec ships with the JDK or this sandbox — so the entropy-coded
+  * payload was a documented stub. This codec implements the actual
+  * spec algorithms end to end:
+  *
+  *   - reversible 5/3 DWT + RCT ([[Dwt53]], Annex F/G),
+  *   - EBCOT Tier-1 block coding over the MQ coder ([[Ebcot]], [[MQ]],
+  *     Annexes C/D),
+  *   - Tier-2 packet headers with tag trees and bit stuffing
+  *     ([[TagTree]], [[Bio]], Annex B),
+  *   - the codestream marker syntax (SOC/SIZ/COD/QCD/SOT/SOD/EOC,
+  *     Annex A), wrapped by the existing [[graft.sources.Jp2Box]]
+  *     container when a `.jp2` file (not a raw codestream) is wanted.
+  *
+  * Profile written by the encoder (all within the spec; the decoder
+  * checks and rejects what it does not implement rather than guessing):
+  * single tile at origin 0, LRCP progression, one quality layer, one
+  * precinct per resolution (default 2^15 precincts), code-block style 0
+  * (no bypass/reset/termination options), reversible transform, 1 or 3
+  * components at 8 bpp with RCT for 3. Lossless: decode(encode(img))
+  * is bit-exact (property-tested), and the sandbox's conformance limit
+  * is documented in COVERAGE.md — no third-party codec exists here to
+  * cross-check the bitstream, so the tests pin round-trip, marker
+  * structure, and every layer's own spec invariants instead.
+  */
+object Jp2Codec {
+
+  final case class Image(width: Int, height: Int, comps: Array[Array[Int]])
+
+  /** One subband's placement inside the Mallat-layout array. */
+  private final case class Band(orient: Int, x0: Int, y0: Int, w: Int, h: Int) {
+    def gain: Int = orient match {
+      case Ebcot.LL => 0
+      case Ebcot.HH => 2
+      case _ => 1
+    }
+  }
+
+  private def ceilDiv(a: Int, b: Int): Int = (a + b - 1) / b
+
+  /** Bands of resolution r (0 = LL only; r>=1 = HL/LH/HH of level
+    * nl-r+1), with Mallat-array offsets. Zero-area bands are kept (the
+    * packet walk needs the slot) but carry no code-blocks. */
+  private def bandsAt(w: Int, h: Int, nl: Int, r: Int): Seq[Band] = {
+    def wl(l: Int) = ceilDiv(w, 1 << l)
+    def hl(l: Int) = ceilDiv(h, 1 << l)
+    if (r == 0) Seq(Band(Ebcot.LL, 0, 0, wl(nl), hl(nl)))
+    else {
+      val l = nl - r + 1
+      val wp = wl(l - 1); val hp = hl(l - 1)
+      val lw = ceilDiv(wp, 2); val lh = ceilDiv(hp, 2)
+      val hw = wp - lw; val hh = hp - lh
+      Seq(
+        Band(Ebcot.HL, lw, 0, hw, lh),
+        Band(Ebcot.LH, 0, lh, lw, hh),
+        Band(Ebcot.HH, lw, lh, hw, hh))
+    }
+  }
+
+  private val GuardBits = 2
+  // generous fixed exponent: Mb = eps + guard - 1 must cover the worst
+  // 5/3 coefficient growth of 9-bit RCT chroma over <=5 levels (~2^13)
+  private val BaseExp = 13
+
+  private def mbFor(gain: Int): Int = BaseExp + gain + GuardBits - 1
+
+  private final val CodeBlockExp = 6 // 64x64 code-blocks
+
+  // ---------------------------------------------------------------- encode
+
+  /** Encode to a raw JPEG 2000 codestream (SOC..EOC). `comps` are 8-bit
+    * sample planes (row-major, length w*h); 3 planes get the RCT. */
+  def encode(w: Int, h: Int, comps: Array[Array[Int]], levels: Int = 3): Array[Byte] = {
+    require(w > 0 && h > 0, "empty image")
+    require(comps.length == 1 || comps.length == 3, "1 or 3 components")
+    require(comps.forall(_.length == w * h), "component size mismatch")
+    require(levels >= 0 && levels <= 5, "0..5 decomposition levels")
+    val nc = comps.length
+    val useRct = nc == 3
+
+    // DC level shift then RCT then DWT, per component, into Mallat arrays
+    val planes = comps.map { src =>
+      val a = new Array[Int](w * h)
+      var i = 0
+      while (i < a.length) { a(i) = src(i) - 128; i += 1 }
+      a
+    }
+    if (useRct) Dwt53.rctForward(planes(0), planes(1), planes(2))
+    planes.foreach(Dwt53.forward(_, w, h, levels))
+
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def u32(v: Long): Unit = { u8((v >> 24).toInt); u8((v >> 16).toInt); u8((v >> 8).toInt); u8(v.toInt) }
+
+    // SOC + SIZ
+    u16(0xFF4F)
+    u16(0xFF51); u16(38 + 3 * nc); u16(0)
+    u32(w.toLong); u32(h.toLong); u32(0); u32(0)
+    u32(w.toLong); u32(h.toLong); u32(0); u32(0)
+    u16(nc)
+    for (_ <- 0 until nc) { u8(7); u8(1); u8(1) } // 8-bit unsigned, no subsampling
+    // COD
+    u16(0xFF52); u16(12); u8(0) // Scod: default precincts, no SOP/EPH
+    u8(0) // LRCP
+    u16(1) // 1 layer
+    u8(if (useRct) 1 else 0)
+    u8(levels)
+    u8(CodeBlockExp - 2); u8(CodeBlockExp - 2)
+    u8(0) // code-block style: all defaults
+    u8(1) // 5/3 reversible
+    // QCD: no quantization (style 0), one exponent byte per subband
+    val nBands = 3 * levels + 1
+    u16(0xFF5C); u16(3 + nBands); u8(GuardBits << 5)
+    for (r <- 0 to levels; b <- bandsAt(w, h, levels, r))
+      u8((BaseExp + b.gain) << 3)
+
+    // tile body: packets in LRCP order (1 layer)
+    val body = new java.io.ByteArrayOutputStream()
+    for (r <- 0 to levels; c <- 0 until nc)
+      body.write(encodePacket(planes(c), w, h, levels, r))
+    val bodyBytes = body.toByteArray
+
+    // SOT + SOD + body + EOC
+    u16(0xFF90); u16(10); u16(0)
+    u32(12L + 2L + bodyBytes.length) // Psot: SOT seg through tile end
+    u8(0); u8(1)
+    u16(0xFF93)
+    out.write(bodyBytes)
+    u16(0xFFD9)
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------- decode
+
+  /** Decode a raw codestream or a JP2 container (jp2c box located via
+    * [[graft.sources.Jp2Box]] conventions). */
+  def decode(bytes: Array[Byte]): Image = {
+    val cs = extractCodestream(bytes).getOrElse(
+      throw new IllegalArgumentException("not a JPEG 2000 codestream or JP2 container"))
+    decodeCodestream(cs)
+  }
+
+  /** Raw codestream passthrough, or walk the JP2 boxes to jp2c. */
+  private[jp2] def extractCodestream(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0x4F) return Some(b)
+    if (b.length < 12) return None
+    def be32(i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    if (be32(0) != 12L || be32(4) != 0x6a502020L) return None
+    var from = 12
+    while (from + 8 <= b.length) {
+      val len0 = be32(from)
+      val typ = be32(from + 4)
+      val len = if (len0 == 0L) (b.length - from).toLong else len0
+      if (len0 == 1L || len < 8L || from + len > b.length) return None
+      if (typ == 0x6a703263L) // jp2c
+        return Some(java.util.Arrays.copyOfRange(b, from + 8, (from + len).toInt))
+      from += len.toInt
+    }
+    None
+  }
+
+  private def decodeCodestream(cs: Array[Byte]): Image = {
+    def u8(i: Int): Int = cs(i) & 0xFF
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    require(u16(0) == 0xFF4F, "missing SOC")
+
+    var w = 0; var h = 0; var nc = 0
+    var useRct = false; var levels = -1
+    var pos = 2
+    var bodyStart = -1
+    while (bodyStart < 0) {
+      val marker = u16(pos)
+      require((marker >> 8) == 0xFF, f"bad marker at $pos%d: $marker%04x")
+      marker match {
+        case 0xFF51 => // SIZ
+          val xsiz = u32(pos + 6); val ysiz = u32(pos + 10)
+          val xo = u32(pos + 14); val yo = u32(pos + 18)
+          require(xo == 0 && yo == 0 && u32(pos + 30) == 0 && u32(pos + 34) == 0,
+            "nonzero image/tile origin not supported")
+          require(u32(pos + 22) == xsiz && u32(pos + 26) == ysiz, "multi-tile not supported")
+          w = xsiz.toInt; h = ysiz.toInt
+          nc = u16(pos + 38)
+          require(nc == 1 || nc == 3, s"unsupported component count $nc")
+          for (c <- 0 until nc) {
+            require(u8(pos + 40 + 3 * c) == 7, "only 8-bit unsigned components")
+            require(u8(pos + 41 + 3 * c) == 1 && u8(pos + 42 + 3 * c) == 1, "no subsampling")
+          }
+        case 0xFF52 => // COD
+          require(u8(pos + 4) == 0, "precinct/SOP/EPH options not supported")
+          require(u8(pos + 5) == 0, "only LRCP")
+          require(u16(pos + 6) == 1, "only 1 layer")
+          useRct = u8(pos + 8) == 1
+          levels = u8(pos + 9)
+          require(u8(pos + 10) == CodeBlockExp - 2 && u8(pos + 11) == CodeBlockExp - 2,
+            "only 64x64 code-blocks")
+          require(u8(pos + 12) == 0, "code-block style options not supported")
+          require(u8(pos + 13) == 1, "only the reversible 5/3 transform")
+        case 0xFF5C => // QCD — exponents are fixed by profile; verify guard bits
+          require((u8(pos + 4) >> 5) == GuardBits, "unexpected guard bits")
+        case 0xFF90 => // SOT
+          ()
+        case 0xFF93 => // SOD
+          bodyStart = pos + 2
+        case 0xFFD9 =>
+          throw new IllegalArgumentException("EOC before SOD")
+        case _ => () // skip unknown marker segment (COM etc.)
+      }
+      if (bodyStart < 0)
+        pos += (if (marker == 0xFF93 || marker == 0xFF4F || marker == 0xFFD9) 2
+        else 2 + u16(pos + 2))
+    }
+    require(w > 0 && h > 0 && nc > 0 && levels >= 0, "incomplete header")
+
+    val planes = Array.fill(nc)(new Array[Int](w * h))
+    var p = bodyStart
+    for (r <- 0 to levels; c <- 0 until nc)
+      p = decodePacket(cs, p, planes(c), w, h, levels, r)
+    require(u16(p) == 0xFFD9, "missing EOC after tile body")
+
+    planes.foreach(Dwt53.inverse(_, w, h, levels))
+    if (useRct) Dwt53.rctInverse(planes(0), planes(1), planes(2))
+    planes.foreach { a =>
+      var i = 0
+      while (i < a.length) {
+        val v = a(i) + 128
+        a(i) = if (v < 0) 0 else if (v > 255) 255 else v
+        i += 1
+      }
+    }
+    Image(w, h, planes)
+  }
+
+  // --------------------------------------------- packet encode/decode pair
+
+  private def cbGrid(b: Band): (Int, Int, Int) = {
+    val cb = 1 << CodeBlockExp
+    (cb, ceilDiv(b.w, cb), ceilDiv(b.h, cb))
+  }
+
+  /** One packet: every code-block of every band of resolution `r` for
+    * one component, single layer, single precinct. */
+  private def encodePacket(plane: Array[Int], w: Int, h: Int, nl: Int, r: Int): Array[Byte] = {
+    val bands = bandsAt(w, h, nl, r)
+    // Tier-1 encode every code-block first
+    final case class Cb(band: Band, bx: Int, by: Int, data: Array[Byte], passes: Int, zbp: Int)
+    val blocks = ArrayBuffer.empty[Cb]
+    for (b <- bands if b.w > 0 && b.h > 0) {
+      val (cbSz, ncbx, ncby) = cbGrid(b)
+      for (by <- 0 until ncby; bx <- 0 until ncbx) {
+        val x0 = bx * cbSz; val y0 = by * cbSz
+        val cw = math.min(cbSz, b.w - x0); val ch = math.min(cbSz, b.h - y0)
+        val coeffs = new Array[Int](cw * ch)
+        var y = 0
+        while (y < ch) {
+          var x = 0
+          while (x < cw) {
+            coeffs(y * cw + x) = plane((b.y0 + y0 + y) * w + (b.x0 + x0 + x))
+            x += 1
+          }
+          y += 1
+        }
+        val (data, passes, numbps) = Ebcot.encodeBlock(cw, ch, coeffs, b.orient)
+        val mb = mbFor(b.gain)
+        require(numbps <= mb, s"coefficient magnitude overflows Mb=$mb (numbps=$numbps)")
+        blocks += Cb(b, bx, by, data, passes, if (passes == 0) 0 else mb - numbps)
+      }
+    }
+    val anyIncluded = blocks.exists(_.passes > 0)
+    val bio = new BioWriter
+    if (!anyIncluded) {
+      bio.bit(0) // empty packet
+      return bio.flush()
+    }
+    bio.bit(1)
+    for (b <- bands if b.w > 0 && b.h > 0) {
+      val (_, ncbx, ncby) = cbGrid(b)
+      val incl = new TagTree(ncbx, ncby)
+      val zbps = new TagTree(ncbx, ncby)
+      val bandBlocks = blocks.filter(c => c.band == b)
+      for (c <- bandBlocks) {
+        incl.setValue(c.bx, c.by, if (c.passes > 0) 0 else 1)
+        // zbp values only for included blocks: excluded leaves stay at the
+        // "unset" sentinel so they cannot distort the ancestor minima the
+        // decoder reconstructs (it never walks excluded leaves)
+        if (c.passes > 0) zbps.setValue(c.bx, c.by, c.zbp)
+      }
+      for (c <- bandBlocks) {
+        incl.encode(bio, c.bx, c.by, 1)
+        if (c.passes > 0) {
+          zbps.encode(bio, c.bx, c.by, Int.MaxValue - 1) // encode to full knowledge
+          writeNumPasses(bio, c.passes)
+          // Lblock length signalling (single codeword segment)
+          var lblock = 3
+          val lenBitsNeeded = 32 - Integer.numberOfLeadingZeros(math.max(1, c.data.length))
+          val extra = 31 - Integer.numberOfLeadingZeros(c.passes) // floor(log2(passes))
+          while (lblock + extra < lenBitsNeeded) { bio.bit(1); lblock += 1 }
+          bio.bit(0)
+          bio.bits(c.data.length, lblock + extra)
+        }
+      }
+    }
+    val header = bio.flush()
+    val out = new java.io.ByteArrayOutputStream(header.length + 256)
+    out.write(header)
+    for (c <- blocks if c.passes > 0) out.write(c.data)
+    out.toByteArray
+  }
+
+  private def writeNumPasses(bio: BioWriter, np: Int): Unit = {
+    require(np >= 1 && np <= 164, s"pass count $np out of range")
+    if (np == 1) bio.bit(0)
+    else if (np == 2) { bio.bit(1); bio.bit(0) }
+    else if (np <= 5) { bio.bits(3, 2); bio.bits(np - 3, 2) }
+    else if (np <= 36) { bio.bits(0xF, 4); bio.bits(np - 6, 5) }
+    else { bio.bits(0x1FF, 9); bio.bits(np - 37, 7) }
+  }
+
+  private def readNumPasses(bio: BioReader): Int = {
+    if (bio.bit() == 0) 1
+    else if (bio.bit() == 0) 2
+    else {
+      val t = bio.bits(2)
+      if (t < 3) 3 + t
+      else {
+        val t2 = bio.bits(5)
+        if (t2 < 31) 6 + t2
+        else 37 + bio.bits(7)
+      }
+    }
+  }
+
+  /** Decode one packet starting at `pos`; Tier-1 decodes each included
+    * code-block straight into the component plane. Returns the offset
+    * just past the packet. */
+  private def decodePacket(cs: Array[Byte], pos: Int, plane: Array[Int], w: Int, h: Int,
+      nl: Int, r: Int): Int = {
+    val bands = bandsAt(w, h, nl, r)
+    val bio = new BioReader(cs, pos)
+    if (bio.bit() == 0) return bio.endPos // empty packet
+    final case class Pending(band: Band, bx: Int, by: Int, passes: Int, zbp: Int, len: Int)
+    val pending = ArrayBuffer.empty[Pending]
+    for (b <- bands if b.w > 0 && b.h > 0) {
+      val (_, ncbx, ncby) = cbGrid(b)
+      val incl = new TagTree(ncbx, ncby)
+      val zbps = new TagTree(ncbx, ncby)
+      for (by <- 0 until ncby; bx <- 0 until ncbx) {
+        val included = incl.decode(bio, bx, by, 1)
+        if (included) {
+          var t = 0
+          while (!zbps.decode(bio, bx, by, t + 1)) t += 1
+          val zbp = zbps.leafValue(bx, by)
+          val np = readNumPasses(bio)
+          var lblock = 3
+          while (bio.bit() == 1) lblock += 1
+          val extra = 31 - Integer.numberOfLeadingZeros(np)
+          val len = bio.bits(lblock + extra)
+          pending += Pending(b, bx, by, np, zbp, len)
+        }
+      }
+    }
+    var p = bio.endPos
+    val cbSz = 1 << CodeBlockExp
+    for (c <- pending) {
+      val x0 = c.bx * cbSz; val y0 = c.by * cbSz
+      val cw = math.min(cbSz, c.band.w - x0); val ch = math.min(cbSz, c.band.h - y0)
+      val data = java.util.Arrays.copyOfRange(cs, p, p + c.len)
+      p += c.len
+      val mb = mbFor(c.band.gain)
+      val numbps = mb - c.zbp
+      val coeffs = Ebcot.decodeBlock(cw, ch, data, c.passes, numbps, c.band.orient)
+      var y = 0
+      while (y < ch) {
+        var x = 0
+        while (x < cw) {
+          plane((c.band.y0 + y0 + y) * w + (c.band.x0 + x0 + x)) = coeffs(y * cw + x)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    p
+  }
+}

@@ -1,0 +1,227 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Jp2Box
+import graft.sources.jp2._
+
+/** Layered verification of the pure-Scala JPEG 2000 codec: each stage
+  * (MQ coder, bit I/O, tag trees, DWT/RCT, EBCOT Tier-1, full
+  * codestream) is round-tripped independently, so an end-to-end failure
+  * localizes and a "symmetric but wrong" implementation of any single
+  * layer cannot hide behind the others. The sandbox has no third-party
+  * JPEG 2000 codec to cross-check bitstreams against (that limit is
+  * recorded in COVERAGE.md); what is pinned here is bit-exact lossless
+  * round-trip, spec marker structure, and per-layer invariants. */
+class Jp2CodecSpec extends AnyFunSuite {
+
+  private def rng(seed: Long) = new scala.util.Random(seed)
+
+  // ------------------------------------------------------------------ MQ
+
+  test("MQ coder round-trips random bit/context sequences") {
+    for (seed <- 1 to 8; n <- Seq(0, 1, 5, 100, 5000)) {
+      val r = rng(seed * 1000L + n)
+      val bits = Array.fill(n)(r.nextInt(2))
+      // bias some contexts to exercise MPS/LPS paths and state walks
+      val ctxs = Array.fill(n)(r.nextInt(MQ.NumContexts))
+      val enc = new MQEncoder()
+      var i = 0
+      while (i < n) { enc.encode(bits(i), ctxs(i)); i += 1 }
+      val data = enc.flush()
+      val dec = new MQDecoder(data)
+      i = 0
+      while (i < n) {
+        assert(dec.decode(ctxs(i)) == bits(i), s"seed=$seed n=$n bit $i")
+        i += 1
+      }
+    }
+  }
+
+  test("MQ coder compresses a heavily biased source") {
+    val n = 10000
+    val enc = new MQEncoder()
+    val r = rng(7)
+    val bits = Array.fill(n)(if (r.nextInt(100) == 0) 1 else 0)
+    bits.foreach(enc.encode(_, 0))
+    val data = enc.flush()
+    // ~1% ones should code far below 1 bit/symbol
+    assert(data.length < n / 10, s"no compression: ${data.length} bytes for $n bits")
+    val dec = new MQDecoder(data)
+    bits.foreach(b => assert(dec.decode(0) == b))
+  }
+
+  // ----------------------------------------------------------------- Bio
+
+  test("Bio writer/reader round-trip with 0xFF stuffing") {
+    for (seed <- 1 to 10) {
+      val r = rng(seed)
+      val n = r.nextInt(200)
+      // runs of ones provoke 0xFF bytes and the stuffing path
+      val bits = Array.fill(n)(if (r.nextInt(3) == 0) r.nextInt(2) else 1)
+      val w = new BioWriter
+      bits.foreach(w.bit)
+      val data = w.flush()
+      // stuffing invariant: no byte after a 0xFF may have its MSB set
+      data.sliding(2).foreach {
+        case Array(a, b) => if ((a & 0xFF) == 0xFF) assert((b & 0x80) == 0)
+        case _ => ()
+      }
+      assert(data.isEmpty || (data.last & 0xFF) != 0xFF, "header may not end on 0xFF")
+      val rd = new BioReader(data, 0)
+      bits.foreach(b => assert(rd.bit() == b))
+      assert(rd.endPos <= data.length)
+    }
+  }
+
+  // ------------------------------------------------------------ tag trees
+
+  test("tag tree round-trips random grids at incremental thresholds") {
+    for (seed <- 1 to 6; (w, h) <- Seq((1, 1), (3, 2), (4, 4), (7, 5))) {
+      val r = rng(seed * 37L + w * 100 + h)
+      val vals = Array.fill(h, w)(r.nextInt(8))
+      val enc = new TagTree(w, h)
+      for (y <- 0 until h; x <- 0 until w) enc.setValue(x, y, vals(y)(x))
+      val bio = new BioWriter
+      for (y <- 0 until h; x <- 0 until w) enc.encode(bio, x, y, Int.MaxValue - 1)
+      val data = bio.flush()
+      val dec = new TagTree(w, h)
+      val rd = new BioReader(data, 0)
+      for (y <- 0 until h; x <- 0 until w) {
+        var t = 0
+        while (!dec.decode(rd, x, y, t + 1)) t += 1
+        assert(dec.leafValue(x, y) == vals(y)(x), s"($x,$y) seed=$seed")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- DWT/RCT
+
+  test("5/3 DWT reconstructs bit-exactly at every size parity and level") {
+    for (seed <- 1 to 4; (w, h) <- Seq((1, 1), (1, 7), (8, 1), (5, 7), (8, 8), (13, 9), (64, 64), (113, 89))) {
+      val r = rng(seed * 11L + w * 1000 + h)
+      val orig = Array.fill(w * h)(r.nextInt(512) - 256)
+      for (levels <- 0 to 5) {
+        val a = orig.clone()
+        Dwt53.forward(a, w, h, levels)
+        Dwt53.inverse(a, w, h, levels)
+        assert(java.util.Arrays.equals(a, orig), s"($w x $h) levels=$levels seed=$seed")
+      }
+    }
+  }
+
+  test("RCT is integer-exact invertible including negatives") {
+    val r = rng(99)
+    val n = 4096
+    val c0 = Array.fill(n)(r.nextInt(512) - 256)
+    val c1 = Array.fill(n)(r.nextInt(512) - 256)
+    val c2 = Array.fill(n)(r.nextInt(512) - 256)
+    val (o0, o1, o2) = (c0.clone(), c1.clone(), c2.clone())
+    Dwt53.rctForward(c0, c1, c2)
+    Dwt53.rctInverse(c0, c1, c2)
+    assert(java.util.Arrays.equals(c0, o0))
+    assert(java.util.Arrays.equals(c1, o1))
+    assert(java.util.Arrays.equals(c2, o2))
+  }
+
+  // ---------------------------------------------------------- EBCOT Tier-1
+
+  test("EBCOT round-trips random code-blocks across shapes and bands") {
+    for {
+      band <- Seq(Ebcot.LL, Ebcot.HL, Ebcot.LH, Ebcot.HH)
+      (w, h) <- Seq((1, 1), (3, 2), (4, 4), (5, 7), (16, 16), (64, 64))
+      seed <- 1 to 3
+    } {
+      val r = rng(band * 7919L + w * 131 + h * 17 + seed)
+      // mix of sparse and dense blocks with signed values
+      val dense = r.nextBoolean()
+      val coeffs = Array.fill(w * h) {
+        if (dense || r.nextInt(4) == 0) r.nextInt(2048) - 1024 else 0
+      }
+      val (data, passes, numbps) = Ebcot.encodeBlock(w, h, coeffs, band)
+      if (coeffs.forall(_ == 0)) assert(passes == 0)
+      else {
+        val back = Ebcot.decodeBlock(w, h, data, passes, numbps, band)
+        assert(java.util.Arrays.equals(back, coeffs),
+          s"band=$band ${w}x$h seed=$seed passes=$passes numbps=$numbps")
+      }
+    }
+  }
+
+  test("EBCOT all-zero block is excluded, single-coefficient block survives") {
+    val (d0, p0, n0) = Ebcot.encodeBlock(8, 8, new Array[Int](64), Ebcot.HH)
+    assert(d0.isEmpty && p0 == 0 && n0 == 0)
+    val one = new Array[Int](64)
+    one(37) = -5
+    val (d1, p1, n1) = Ebcot.encodeBlock(8, 8, one, Ebcot.LH)
+    val back = Ebcot.decodeBlock(8, 8, d1, p1, n1, Ebcot.LH)
+    assert(java.util.Arrays.equals(back, one))
+  }
+
+  // ------------------------------------------------------------ full codec
+
+  private def pattern(w: Int, h: Int, k: Int): Array[Int] =
+    Array.tabulate(w * h)(i => ((i % w) * 7 + (i / w) * 11 + k) % 256)
+
+  test("codestream encode/decode is lossless for gray and RGB across sizes") {
+    for ((w, h) <- Seq((1, 1), (3, 2), (7, 5), (16, 16), (64, 64), (65, 33), (113, 89), (152, 118))) {
+      // gray
+      val g = Array(pattern(w, h, 3))
+      val csG = Jp2Codec.encode(w, h, g)
+      val outG = Jp2Codec.decode(csG)
+      assert(outG.width == w && outG.height == h && outG.comps.length == 1)
+      assert(java.util.Arrays.equals(outG.comps(0), g(0)), s"gray ${w}x$h")
+      // RGB (exercises RCT)
+      val rgb = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))
+      val cs = Jp2Codec.encode(w, h, rgb)
+      val out = Jp2Codec.decode(cs)
+      assert(out.comps.length == 3)
+      for (c <- 0 until 3)
+        assert(java.util.Arrays.equals(out.comps(c), rgb(c)), s"rgb c=$c ${w}x$h")
+    }
+  }
+
+  test("random-noise images round-trip at every decomposition level") {
+    for (levels <- 0 to 5; seed <- 1 to 2) {
+      val r = rng(levels * 100L + seed)
+      val (w, h) = (37 + r.nextInt(60), 23 + r.nextInt(60))
+      val comps = Array.fill(3)(Array.fill(w * h)(r.nextInt(256)))
+      val cs = Jp2Codec.encode(w, h, comps, levels)
+      val out = Jp2Codec.decode(cs)
+      for (c <- 0 until 3)
+        assert(java.util.Arrays.equals(out.comps(c), comps(c)), s"levels=$levels seed=$seed")
+    }
+  }
+
+  test("structured images actually compress; the codestream is marker-correct") {
+    val (w, h) = (128, 128)
+    // smooth gradient: the DWT should concentrate energy in LL
+    val comps = Array(Array.tabulate(w * h)(i => ((i % w) + (i / w)) / 2))
+    val cs = Jp2Codec.encode(w, h, comps)
+    assert(cs.length < w * h / 2, s"no compression: ${cs.length} bytes for ${w * h} samples")
+    // marker skeleton: SOC, SIZ, COD, QCD present; ends with EOC
+    assert((cs(0) & 0xFF) == 0xFF && (cs(1) & 0xFF) == 0x4F)
+    assert((cs(2) & 0xFF) == 0xFF && (cs(3) & 0xFF) == 0x51)
+    assert((cs(cs.length - 2) & 0xFF) == 0xFF && (cs(cs.length - 1) & 0xFF) == 0xD9)
+    // SIZ dims parse back through the existing header reader
+    assert(Jp2Box.parseDims(cs).contains((w, h)))
+  }
+
+  test("JP2 container round-trip: build -> decode, and header dims agree") {
+    val (w, h) = (61, 47)
+    val comps = Array(pattern(w, h, 1), pattern(w, h, 2), pattern(w, h, 3))
+    val cs = Jp2Codec.encode(w, h, comps)
+    val container = Jp2Box.buildContainer(w, h, cs)
+    assert(Jp2Box.parseDims(container).contains((w, h)))
+    val out = Jp2Codec.decode(container)
+    assert(out.width == w && out.height == h)
+    for (c <- 0 until 3)
+      assert(java.util.Arrays.equals(out.comps(c), comps(c)))
+  }
+
+  test("decoder rejects garbage and truncated inputs rather than guessing") {
+    intercept[IllegalArgumentException](Jp2Codec.decode(Array[Byte](1, 2, 3)))
+    val cs = Jp2Codec.encode(16, 16, Array(pattern(16, 16, 5)))
+    intercept[Exception](Jp2Codec.decode(java.util.Arrays.copyOf(cs, cs.length / 2)))
+  }
+}
