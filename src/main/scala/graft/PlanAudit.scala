@@ -98,7 +98,8 @@ object PlanAudit {
       "l67_hybrid_rrf" -> "hybrid RRF: both legs cap at top-20 per query on TopKPerKey BEFORE fusion — fusion state |queries| x 40 rows, integer 1e6 div (60+rank) contributions, final top-10 on TopKPerKey",
       "l68_mmr_rerank" -> "MMR re-rank: whole greedy runs INSIDE one exchange — per-query candidates collapse to a row, sim matrix + five argmax rounds are array expressions (aggregate() accumulator), corpus stages untouched from l66/l67; PlanShapeSpec (\"L68: the MMR greedy runs as expression work above ONE collapse exchange\") pins no join/exchange/TopK above the collapse",
       "st28_streaming_index" -> "streaming index maintenance: per-batch append-only deltas — postings prune to the broadcast query vocabulary (BroadcastHashJoin on token), 1-row corpus-stat delta, final scoring over bounded state; PlanShapeSpec (\"ST28: per-batch index deltas prune postings through the broadcast vocabulary\") pins the batch-delta shape",
-      "s37_snapshot_diff" -> "CDC snapshot diff: two version scans + one anti-join per direction, bounded by table size not history")
+      "s37_snapshot_diff" -> "CDC snapshot diff: two version scans + one anti-join per direction, bounded by table size not history",
+      "l5g_jp2_decode" -> "JPEG 2000 entropy decode: binaryFile scan -> partition-local typed MapPartitions (the engine's own 15444-1 codec runs where the bytes are) -> fixed-width scalar projection; no exchange, no driver-side pixels")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries (sf0.01)\n\n")
     sb.append("Generated by `graft.PlanAudit`; re-run after plan-affecting changes.\n\n")
