@@ -219,6 +219,31 @@ class Jp2CodecSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(out.comps(c), comps(c)))
   }
 
+  test("256x256 RGB spans a multi-codeblock grid at every level and stays lossless") {
+    // Largest end-to-end case: a 4x4 grid of 64x64 code-blocks at level 0
+    // and multi-block subbands through all 5 decomposition levels — the
+    // tag-tree inclusion/zero-bitplane signalling over a non-trivial grid
+    // that the <=152x118 cases only partially reach. Half structured, half
+    // noise, so both the RLC fast path and dense coding passes run.
+    val (w, h) = (256, 256)
+    val r = rng(77)
+    val comps = Array.tabulate(3) { c =>
+      Array.tabulate(w * h) { i =>
+        if ((i / w) < h / 2) ((i % w) * 3 + (i / w) * 5 + c * 41) % 256
+        else r.nextInt(256)
+      }
+    }
+    val t0 = System.nanoTime()
+    val cs = Jp2Codec.encode(w, h, comps)
+    val t1 = System.nanoTime()
+    val out = Jp2Codec.decode(cs)
+    val t2 = System.nanoTime()
+    for (c <- 0 until 3)
+      assert(java.util.Arrays.equals(out.comps(c), comps(c)), s"c=$c")
+    val px = w.toLong * h
+    info(f"encode ${px * 1e3 / (t1 - t0)}%.1f Mpx/s, decode ${px * 1e3 / (t2 - t1)}%.1f Mpx/s, ${cs.length} bytes")
+  }
+
   test("decoder rejects garbage and truncated inputs rather than guessing") {
     intercept[IllegalArgumentException](Jp2Codec.decode(Array[Byte](1, 2, 3)))
     val cs = Jp2Codec.encode(16, 16, Array(pattern(16, 16, 5)))
