@@ -75,8 +75,14 @@ object G4Compare {
       else { toggleT += toggle(); childT += child() }
       println(f"pair $i%d: child ${childT.last}%.3f s  toggle ${toggleT.last}%.3f s")
     }
-    def stats(xs: Seq[Double]) =
-      f"min ${xs.min}%.3f  median ${xs.sorted.apply(xs.size / 2)}%.3f  max ${xs.max}%.3f"
+    def stats(xs: Seq[Double]) = {
+      val s = xs.sorted
+      // true midpoint for even-length samples, not the upper-middle element
+      val med =
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      f"min ${s.head}%.3f  median $med%.3f  max ${s.last}%.3f"
+    }
     println(s"child  (cached AQE-off child session): ${stats(childT.toSeq)}")
     println(s"toggle (r12 session-global conf flip): ${stats(toggleT.toSeq)}")
     val loads = java.lang.management.ManagementFactory.getOperatingSystemMXBean

@@ -36,11 +36,16 @@ object RepeatProbe {
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     def scratchBytes: Long = {
-      // every dir this SparkContext created under spark.local.dir
+      // every blockmgr-/spark- dir under spark.local.dir. This sums dirs
+      // from EVERY live Spark JVM on the box, not just this one (the names
+      // carry no app id) — run the probe alone, or the column misattributes
+      // a concurrent process's growth to this one.
       val local = spark.sparkContext.getConf.get("spark.local.dir", "/tmp")
       local.split(",").map(new java.io.File(_)).filter(_.isDirectory).map {
         root =>
-          root.listFiles().filter(f =>
+          // another JVM's shutdown hook can delete root between isDirectory
+          // and listFiles — treat the race as "nothing there", same as du
+          Option(root.listFiles()).getOrElse(Array.empty).filter(f =>
             f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-"))
             .map(du).sum
       }.sum

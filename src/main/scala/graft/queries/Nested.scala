@@ -117,11 +117,12 @@ object Nested {
     * shares the SparkContext and holds no reference back to the caller,
     * so the weak key is actually collectible. `synchronizedMap`'s
     * `computeIfAbsent` is atomic, matching the old ConcurrentHashMap
-    * contract. Note the child SNAPSHOTS the caller's conf at first
-    * pageRank call: later runtime `conf.set` on the caller does not
-    * propagate to g4 builds — fine for this repo's tools, which fix conf
-    * at builder time, and pinned semantics (ANSI etc.) ride the
-    * SparkConf, which the child always inherits. */
+    * contract. Note the child's SQLConf is built FRESH from the shared
+    * SparkConf (`newSession()` copies no runtime SessionState): runtime
+    * `conf.set` on the caller — whether before or after the first
+    * pageRank call — never propagates to g4 builds. Fine for this repo's
+    * tools, which fix conf at builder time, and pinned semantics (ANSI
+    * etc.) ride the SparkConf, which the child always inherits. */
   private val buildSessions =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, SparkSession]())

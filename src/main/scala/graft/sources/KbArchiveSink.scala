@@ -196,8 +196,9 @@ class KbArchiveStreamingWrite(path: String, queryId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private def fs = FileSystem.get(new java.net.URI(path), new Configuration())
+  private def stagingParent = new Path(path, s"_staging-$queryId")
   private def epochStaging(epochId: Long) =
-    new Path(path, s"_staging-$queryId/epoch-$epochId")
+    new Path(stagingParent, s"epoch-$epochId")
   private def epochMarker(epochId: Long) =
     new Path(path, s"_epochs/$queryId/$epochId")
 
@@ -205,18 +206,17 @@ class KbArchiveStreamingWrite(path: String, queryId: String)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new KbArchiveStreamingWriterFactory(path, queryId)
 
-  /** Drop the per-query `_staging-<queryId>` parent once it is empty: a
-    * long-lived archive must not accumulate one empty staging dir per
-    * stream that ever wrote it (micro-batches are serial within a query,
-    * so nothing can be staging here concurrently). Runs on BOTH the
-    * publish and the replayed-epoch path — a replay of a stream's last
-    * epoch is exactly the case where nobody comes back to clean up.
-    * Caught by the ChaosRetry stream scenario's no-staging-left
-    * invariant. */
-  private def dropEmptyStagingParent(f: FileSystem, epochId: Long): Unit = {
-    val parent = epochStaging(epochId).getParent
-    if (f.exists(parent) && f.listStatus(parent).isEmpty)
-      f.delete(parent, false): Unit
+  /** Drop the per-query `_staging-<queryId>` parent (the same dir for
+    * every epoch) once it is empty: a long-lived archive must not
+    * accumulate one empty staging dir per stream that ever wrote it
+    * (micro-batches are serial within a query, so nothing can be staging
+    * here concurrently). Runs on BOTH the publish and the replayed-epoch
+    * path — a replay of a stream's last epoch is exactly the case where
+    * nobody comes back to clean up. Caught by the ChaosRetry stream
+    * scenario's no-staging-left invariant. */
+  private def dropEmptyStagingParent(f: FileSystem): Unit = {
+    if (f.exists(stagingParent) && f.listStatus(stagingParent).isEmpty)
+      f.delete(stagingParent, false): Unit
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -225,7 +225,7 @@ class KbArchiveStreamingWrite(path: String, queryId: String)
       // replayed epoch (failure after commit, before checkpoint advance):
       // already published — drop the duplicate staging, change nothing
       f.delete(epochStaging(epochId), true)
-      dropEmptyStagingParent(f, epochId)
+      dropEmptyStagingParent(f)
       return
     }
     val admitted = messages.collect {
@@ -235,7 +235,7 @@ class KbArchiveStreamingWrite(path: String, queryId: String)
     f.mkdirs(epochMarker(epochId).getParent)
     f.create(epochMarker(epochId), true).close()
     // publish dropped this epoch's staging subdir
-    dropEmptyStagingParent(f, epochId)
+    dropEmptyStagingParent(f)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

@@ -8,13 +8,18 @@ package graft
   * assert exit 0 and the per-scenario stats line. */
 object ChaosRetryRunner {
 
-  lazy val run: (Int, String, String) = {
+  /** Spawn `mainClass` with the test JVM's --add-opens and classpath, drain
+    * stderr on a daemon thread, and return (exitCode, stdout, stderr). */
+  private def spawn(
+      mainClass: String, xmx: String,
+      env: Map[String, String] = Map.empty): (Int, String, String) = {
     val javaBin = sys.props("java.home") + "/bin/java"
     val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.toArray.map(_.toString).filter(_.startsWith("--add-opens"))
     val cmd = Seq(javaBin) ++ addOpens ++
-      Seq("-Xmx4g", "-cp", sys.props("java.class.path"), "graft.ChaosRetry")
+      Seq(s"-Xmx$xmx", "-cp", sys.props("java.class.path"), mainClass)
     val pb = new ProcessBuilder(cmd: _*)
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
     val proc = pb.start()
     val errBuf = new StringBuilder
     val errThread = new Thread(() =>
@@ -28,34 +33,18 @@ object ChaosRetryRunner {
     (code, out, errBuf.synchronized(errBuf.toString))
   }
 
+  lazy val run: (Int, String, String) = spawn("graft.ChaosRetry", "4g")
+
   /** Spawns `graft.ChaosSpeculation` once — the speculative-execution
     * race (r14). Unlike [[run]], the subprocess hosts a real two-worker
     * standalone cluster whose workers spawn executor JVMs through the
     * Spark distribution's launcher, so it needs SPARK_HOME and
     * SPARK_SCALA_VERSION in its environment (the test JVM itself may not
     * have them — set explicitly from the known layout). */
-  lazy val speculationRun: (Int, String, String) = {
-    val javaBin = sys.props("java.home") + "/bin/java"
-    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.toArray.map(_.toString).filter(_.startsWith("--add-opens"))
-    val cmd = Seq(javaBin) ++ addOpens ++
-      Seq("-Xmx2g", "-cp", sys.props("java.class.path"), "graft.ChaosSpeculation")
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.environment().put("SPARK_HOME",
-      sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
-    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
-    val proc = pb.start()
-    val errBuf = new StringBuilder
-    val errThread = new Thread(() =>
-      scala.io.Source.fromInputStream(proc.getErrorStream)
-        .foreach(c => errBuf.synchronized { errBuf.append(c); () }))
-    errThread.setDaemon(true)
-    errThread.start()
-    val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
-    val code = proc.waitFor()
-    errThread.join(2000)
-    (code, out, errBuf.synchronized(errBuf.toString))
-  }
+  lazy val speculationRun: (Int, String, String) =
+    spawn("graft.ChaosSpeculation", "2g", Map(
+      "SPARK_HOME" -> sys.env.getOrElse("SPARK_HOME", "/opt/spark"),
+      "SPARK_SCALA_VERSION" -> "2.13"))
 
   /** The runner's JSON stats line for `scenario`, failing with the
     * subprocess's stderr tail if it died. `speculation` comes from the
