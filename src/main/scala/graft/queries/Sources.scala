@@ -1081,8 +1081,11 @@ object Sources {
     * with index-determined per-channel patterns, compressed by the engine's
     * own spec-complete encoder ([[graft.sources.jp2.Jp2Codec]]: 5/3 DWT +
     * RCT + EBCOT + MQ + Tier-2 packets) and wrapped in a real JP2
-    * container. Pixel sums are pure index arithmetic, so the DECODED
-    * output is fully DuckDB-oracle-checkable. */
+    * container. Odd-indexed files use a 64-px tile grid (the bounded-
+    * memory layout a full-page scan would ship in), so the oracle hash
+    * covers BOTH the single-tile and the multi-tile decode paths. Pixel
+    * sums are pure index arithmetic, so the DECODED output is fully
+    * DuckDB-oracle-checkable. */
   private[graft] def stageJp2s(): String =
     jp2Staged.computeIfAbsent("jp2s", { _ =>
       val dir = tmp("l5g_jp2")
@@ -1092,7 +1095,8 @@ object Sources {
         val comps = Array.tabulate(3) { c =>
           Array.tabulate(w * h)(j => ((j % w) * 7 + (j / w) * 11 + i * 13 + c * 29) % 256)
         }
-        val cs = graft.sources.jp2.Jp2Codec.encode(w, h, comps)
+        val cs = graft.sources.jp2.Jp2Codec.encode(
+          w, h, comps, tileSize = if (i % 2 == 1) 64 else 0)
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$dir/scan_$i.jp2"),
           graft.sources.Jp2Box.buildContainer(w, h, cs))

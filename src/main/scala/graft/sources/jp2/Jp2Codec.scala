@@ -22,14 +22,21 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Profile written by the encoder (all within the spec; the decoder
   * checks and rejects what it does not implement rather than guessing):
-  * single tile at origin 0, LRCP progression, one quality layer, one
-  * precinct per resolution (default 2^15 precincts), code-block style 0
-  * (no bypass/reset/termination options), reversible transform, 1 or 3
-  * components at 8 bpp with RCT for 3. Lossless: decode(encode(img))
-  * is bit-exact (property-tested), and the sandbox's conformance limit
-  * is documented in COVERAGE.md — no third-party codec exists here to
-  * cross-check the bitstream, so the tests pin round-trip, marker
-  * structure, and every layer's own spec invariants instead.
+  * tile grid at origin 0 (one tile-part per tile, raster order; tile
+  * dims must be multiples of 2^levels — see [[encode]]), LRCP
+  * progression, one quality layer, one precinct per resolution (default
+  * 2^15 precincts), code-block style 0 (no bypass/reset/termination
+  * options), reversible transform, 1 or 3 components at 8 bpp with RCT
+  * for 3. Lossless: decode(encode(img)) is bit-exact (property-tested),
+  * and the sandbox's conformance limit is documented in COVERAGE.md —
+  * no third-party codec exists here to cross-check the bitstream, so
+  * the tests pin round-trip, marker structure, and every layer's own
+  * spec invariants instead.
+  *
+  * Tiling is the scale lever: each tile is DC-shifted/RCT'd/DWT'd and
+  * entropy-coded INDEPENDENTLY, so encode and decode working state is
+  * one tile's samples — a 100k x 100k scan streams through in
+  * tile-sized memory instead of materializing the full plane.
   */
 object Jp2Codec {
 
@@ -77,24 +84,31 @@ object Jp2Codec {
   // ---------------------------------------------------------------- encode
 
   /** Encode to a raw JPEG 2000 codestream (SOC..EOC). `comps` are 8-bit
-    * sample planes (row-major, length w*h); 3 planes get the RCT. */
-  def encode(w: Int, h: Int, comps: Array[Array[Int]], levels: Int = 3): Array[Byte] = {
+    * sample planes (row-major, length w*h); 3 planes get the RCT.
+    *
+    * `tileSize = 0` (default) writes one image-sized tile. A positive
+    * `tileSize` writes a square tile grid, one tile-part per tile in
+    * raster order, each tile transformed and entropy-coded independently
+    * (bounded working memory). It must be a multiple of `2^levels`: the
+    * spec computes subband geometry from ABSOLUTE tile coordinates
+    * (B.5 — a tile whose scaled origin is odd splits low/high on the
+    * opposite parity), and keeping every `tileOrigin / 2^l` even is what
+    * lets each tile reuse the origin-0 [[Dwt53]] geometry unchanged.
+    * Spec-legal: the encoder is free to choose tile dimensions. */
+  def encode(w: Int, h: Int, comps: Array[Array[Int]], levels: Int = 3,
+      tileSize: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0, "empty image")
     require(comps.length == 1 || comps.length == 3, "1 or 3 components")
     require(comps.forall(_.length == w * h), "component size mismatch")
     require(levels >= 0 && levels <= 5, "0..5 decomposition levels")
+    require(tileSize >= 0, "negative tile size")
+    require(tileSize == 0 || tileSize % (1 << levels) == 0,
+      s"tile size $tileSize not a multiple of 2^$levels")
     val nc = comps.length
     val useRct = nc == 3
-
-    // DC level shift then RCT then DWT, per component, into Mallat arrays
-    val planes = comps.map { src =>
-      val a = new Array[Int](w * h)
-      var i = 0
-      while (i < a.length) { a(i) = src(i) - 128; i += 1 }
-      a
-    }
-    if (useRct) Dwt53.rctForward(planes(0), planes(1), planes(2))
-    planes.foreach(Dwt53.forward(_, w, h, levels))
+    val xt = if (tileSize == 0) w else tileSize
+    val yt = if (tileSize == 0) h else tileSize
+    val ntx = ceilDiv(w, xt); val nty = ceilDiv(h, yt)
 
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xFF)
@@ -105,7 +119,7 @@ object Jp2Codec {
     u16(0xFF4F)
     u16(0xFF51); u16(38 + 3 * nc); u16(0)
     u32(w.toLong); u32(h.toLong); u32(0); u32(0)
-    u32(w.toLong); u32(h.toLong); u32(0); u32(0)
+    u32(xt.toLong); u32(yt.toLong); u32(0); u32(0)
     u16(nc)
     for (_ <- 0 until nc) { u8(7); u8(1); u8(1) } // 8-bit unsigned, no subsampling
     // COD
@@ -117,24 +131,44 @@ object Jp2Codec {
     u8(CodeBlockExp - 2); u8(CodeBlockExp - 2)
     u8(0) // code-block style: all defaults
     u8(1) // 5/3 reversible
-    // QCD: no quantization (style 0), one exponent byte per subband
+    // QCD: no quantization (style 0), one exponent byte per subband.
+    // Exponents depend only on band gain, so one main-header QCD covers
+    // every tile regardless of tile dimensions.
     val nBands = 3 * levels + 1
     u16(0xFF5C); u16(3 + nBands); u8(GuardBits << 5)
-    for (r <- 0 to levels; b <- bandsAt(w, h, levels, r))
+    for (r <- 0 to levels; b <- bandsAt(xt, yt, levels, r))
       u8((BaseExp + b.gain) << 3)
 
-    // tile body: packets in LRCP order (1 layer)
-    val body = new java.io.ByteArrayOutputStream()
-    for (r <- 0 to levels; c <- 0 until nc)
-      body.write(encodePacket(planes(c), w, h, levels, r))
-    val bodyBytes = body.toByteArray
+    for (t <- 0 until ntx * nty) {
+      val x0 = (t % ntx) * xt; val y0 = (t / ntx) * yt
+      val tw = math.min(xt, w - x0); val th = math.min(yt, h - y0)
+      // tile-local planes: DC level shift then RCT then DWT
+      val planes = comps.map { src =>
+        val a = new Array[Int](tw * th)
+        var y = 0
+        while (y < th) {
+          var x = 0
+          while (x < tw) { a(y * tw + x) = src((y0 + y) * w + (x0 + x)) - 128; x += 1 }
+          y += 1
+        }
+        a
+      }
+      if (useRct) Dwt53.rctForward(planes(0), planes(1), planes(2))
+      planes.foreach(Dwt53.forward(_, tw, th, levels))
 
-    // SOT + SOD + body + EOC
-    u16(0xFF90); u16(10); u16(0)
-    u32(12L + 2L + bodyBytes.length) // Psot: SOT seg through tile end
-    u8(0); u8(1)
-    u16(0xFF93)
-    out.write(bodyBytes)
+      // tile body: packets in LRCP order (1 layer)
+      val body = new java.io.ByteArrayOutputStream()
+      for (r <- 0 to levels; c <- 0 until nc)
+        body.write(encodePacket(planes(c), tw, th, levels, r))
+      val bodyBytes = body.toByteArray
+
+      // SOT + SOD + body (one tile-part per tile)
+      u16(0xFF90); u16(10); u16(t)
+      u32(12L + 2L + bodyBytes.length) // Psot: SOT seg through tile-part end
+      u8(0); u8(1) // TPsot = 0, TNsot = 1
+      u16(0xFF93)
+      out.write(bodyBytes)
+    }
     u16(0xFFD9)
     out.toByteArray
   }
@@ -175,11 +209,12 @@ object Jp2Codec {
     def u32(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     require(u16(0) == 0xFF4F, "missing SOC")
 
-    var w = 0; var h = 0; var nc = 0
+    // ---- main header: SOC .. first SOT
+    var w = 0; var h = 0; var nc = 0; var xt = 0; var yt = 0
     var useRct = false; var levels = -1
     var pos = 2
-    var bodyStart = -1
-    while (bodyStart < 0) {
+    var atSot = false
+    while (!atSot) {
       val marker = u16(pos)
       require((marker >> 8) == 0xFF, f"bad marker at $pos%d: $marker%04x")
       marker match {
@@ -188,8 +223,9 @@ object Jp2Codec {
           val xo = u32(pos + 14); val yo = u32(pos + 18)
           require(xo == 0 && yo == 0 && u32(pos + 30) == 0 && u32(pos + 34) == 0,
             "nonzero image/tile origin not supported")
-          require(u32(pos + 22) == xsiz && u32(pos + 26) == ysiz, "multi-tile not supported")
           w = xsiz.toInt; h = ysiz.toInt
+          xt = u32(pos + 22).toInt; yt = u32(pos + 26).toInt
+          require(xt > 0 && yt > 0, "empty tile grid")
           nc = u16(pos + 38)
           require(nc == 1 || nc == 3, s"unsupported component count $nc")
           for (c <- 0 until nc) {
@@ -209,35 +245,61 @@ object Jp2Codec {
         case 0xFF5C => // QCD — exponents are fixed by profile; verify guard bits
           require((u8(pos + 4) >> 5) == GuardBits, "unexpected guard bits")
         case 0xFF90 => // SOT
-          ()
-        case 0xFF93 => // SOD
-          bodyStart = pos + 2
+          atSot = true
         case 0xFFD9 =>
-          throw new IllegalArgumentException("EOC before SOD")
+          throw new IllegalArgumentException("EOC before any tile")
         case _ => () // skip unknown marker segment (COM etc.)
       }
-      if (bodyStart < 0)
-        pos += (if (marker == 0xFF93 || marker == 0xFF4F || marker == 0xFFD9) 2
-        else 2 + u16(pos + 2))
+      if (!atSot)
+        pos += (if (marker == 0xFF4F) 2 else 2 + u16(pos + 2))
     }
     require(w > 0 && h > 0 && nc > 0 && levels >= 0, "incomplete header")
+    val ntx = ceilDiv(w, xt); val nty = ceilDiv(h, yt)
+    require(ntx * nty == 1 || (xt % (1 << levels) == 0 && yt % (1 << levels) == 0),
+      s"multi-tile grid with tile dims not multiples of 2^$levels (absolute-" +
+        "parity subband geometry) not supported")
 
+    // ---- tile-parts: one SOT..SOD..body per tile, any order, then EOC
     val planes = Array.fill(nc)(new Array[Int](w * h))
-    var p = bodyStart
-    for (r <- 0 to levels; c <- 0 until nc)
-      p = decodePacket(cs, p, planes(c), w, h, levels, r)
-    require(u16(p) == 0xFFD9, "missing EOC after tile body")
-
-    planes.foreach(Dwt53.inverse(_, w, h, levels))
-    if (useRct) Dwt53.rctInverse(planes(0), planes(1), planes(2))
-    planes.foreach { a =>
-      var i = 0
-      while (i < a.length) {
-        val v = a(i) + 128
-        a(i) = if (v < 0) 0 else if (v > 255) 255 else v
-        i += 1
+    val seen = new Array[Boolean](ntx * nty)
+    while (u16(pos) == 0xFF90) {
+      require(u16(pos + 2) == 10, "SOT with tile-part header markers not supported")
+      val isot = u16(pos + 4)
+      val psot = u32(pos + 6)
+      require(isot < ntx * nty, s"tile index $isot out of grid")
+      require(!seen(isot), s"duplicate tile-part for tile $isot")
+      require(u8(pos + 10) == 0 && u8(pos + 11) == 1,
+        "multiple tile-parts per tile not supported")
+      require(u16(pos + 12) == 0xFF93, "expected SOD after SOT")
+      seen(isot) = true
+      val x0 = (isot % ntx) * xt; val y0 = (isot / ntx) * yt
+      val tw = math.min(xt, w - x0); val th = math.min(yt, h - y0)
+      val tile = Array.fill(nc)(new Array[Int](tw * th))
+      var p = pos + 14
+      for (r <- 0 to levels; c <- 0 until nc)
+        p = decodePacket(cs, p, tile(c), tw, th, levels, r)
+      require(p == pos + psot, s"tile $isot body ended at $p, Psot says ${pos + psot}")
+      // tile-local inverse transform chain, then place into the image
+      tile.foreach(Dwt53.inverse(_, tw, th, levels))
+      if (useRct) Dwt53.rctInverse(tile(0), tile(1), tile(2))
+      for (c <- 0 until nc) {
+        val src = tile(c); val dst = planes(c)
+        var y = 0
+        while (y < th) {
+          var x = 0
+          while (x < tw) {
+            val v = src(y * tw + x) + 128
+            dst((y0 + y) * w + (x0 + x)) = if (v < 0) 0 else if (v > 255) 255 else v
+            x += 1
+          }
+          y += 1
+        }
       }
+      pos = (pos + psot).toInt
     }
+    require(u16(pos) == 0xFFD9, "missing EOC after tile data")
+    require(seen.forall(identity),
+      s"missing tile-parts: ${seen.zipWithIndex.collect { case (false, i) => i }.mkString(",")}")
     Image(w, h, planes)
   }
 

@@ -244,6 +244,50 @@ class Jp2CodecSpec extends AnyFunSuite {
     info(f"encode ${px * 1e3 / (t1 - t0)}%.1f Mpx/s, decode ${px * 1e3 / (t2 - t1)}%.1f Mpx/s, ${cs.length} bytes")
   }
 
+  test("tiled codestreams round-trip, carry one SOT per tile, and match the untiled pixels") {
+    def sotCount(cs: Array[Byte]): Int =
+      (0 until cs.length - 1).count(i => (cs(i) & 0xFF) == 0xFF && (cs(i + 1) & 0xFF) == 0x90)
+    for (((w, h), expectTiles) <- Seq(
+        ((57, 53), 1),   // tile larger than the image: grid degenerates to 1
+        ((91, 99), 4),   // 2x2 with ragged right/bottom edges
+        ((125, 56), 2),  // 2x1
+        ((130, 130), 9)) // 3x3, center tile full 64x64
+    ) {
+      val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))
+      val tiled = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64)
+      assert(sotCount(tiled) == expectTiles, s"${w}x$h SOT count")
+      val out = Jp2Codec.decode(tiled)
+      assert(out.width == w && out.height == h)
+      for (c <- 0 until 3)
+        assert(java.util.Arrays.equals(out.comps(c), comps(c)), s"tiled ${w}x$h c=$c")
+      // tiling is a layout choice, not a semantic one: same pixels untiled
+      val flat = Jp2Codec.decode(Jp2Codec.encode(w, h, comps, levels = 3))
+      for (c <- 0 until 3)
+        assert(java.util.Arrays.equals(out.comps(c), flat.comps(c)))
+    }
+  }
+
+  test("tiled noise round-trips at every level with a spec-legal tile size") {
+    for (levels <- 0 to 5) {
+      val r = rng(9000L + levels)
+      val (w, h) = (70 + r.nextInt(60), 70 + r.nextInt(60))
+      val comps = Array.fill(3)(Array.fill(w * h)(r.nextInt(256)))
+      // smallest tile that keeps every scaled tile origin even at this depth
+      val tile = math.max(64, 1 << levels)
+      val out = Jp2Codec.decode(Jp2Codec.encode(w, h, comps, levels, tileSize = tile))
+      for (c <- 0 until 3)
+        assert(java.util.Arrays.equals(out.comps(c), comps(c)), s"levels=$levels")
+    }
+  }
+
+  test("encoder rejects tile sizes that break absolute-parity subband geometry") {
+    val comps = Array(pattern(96, 96, 1))
+    intercept[IllegalArgumentException](
+      Jp2Codec.encode(96, 96, comps, levels = 3, tileSize = 60)) // 60 % 8 != 0
+    intercept[IllegalArgumentException](
+      Jp2Codec.encode(96, 96, comps, levels = 3, tileSize = -1))
+  }
+
   test("decoder rejects garbage and truncated inputs rather than guessing") {
     intercept[IllegalArgumentException](Jp2Codec.decode(Array[Byte](1, 2, 3)))
     val cs = Jp2Codec.encode(16, 16, Array(pattern(16, 16, 5)))
