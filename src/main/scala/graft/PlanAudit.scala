@@ -99,7 +99,8 @@ object PlanAudit {
       "l68_mmr_rerank" -> "MMR re-rank: whole greedy runs INSIDE one exchange — per-query candidates collapse to a row, sim matrix + five argmax rounds are array expressions (aggregate() accumulator), corpus stages untouched from l66/l67; PlanShapeSpec (\"L68: the MMR greedy runs as expression work above ONE collapse exchange\") pins no join/exchange/TopK above the collapse",
       "st28_streaming_index" -> "streaming index maintenance: per-batch append-only deltas — postings prune to the broadcast query vocabulary (BroadcastHashJoin on token), 1-row corpus-stat delta, final scoring over bounded state; PlanShapeSpec (\"ST28: per-batch index deltas prune postings through the broadcast vocabulary\") pins the batch-delta shape",
       "s37_snapshot_diff" -> "CDC snapshot diff: two version scans + one anti-join per direction, bounded by table size not history",
-      "l5g_jp2_decode" -> "JPEG 2000 entropy decode: binaryFile scan -> partition-local typed MapPartitions (the engine's own 15444-1 codec runs where the bytes are) -> fixed-width scalar projection; no exchange, no driver-side pixels")
+      "l5g_jp2_decode" -> "JPEG 2000 entropy decode: binaryFile scan -> partition-local typed MapPartitions (the engine's own 15444-1 codec runs where the bytes are) -> fixed-width scalar projection; no exchange, no driver-side pixels",
+      "l5h_jp2_tiled_parallel" -> "distributed single-scan JP2 decode: Psot-chain split (no entropy work) -> ONE pinned-width exchange spreading the file's tile-parts (REPARTITION_BY_NUM: AQE's byte-based coalescing would fold ~140 B descriptors into one partition and serialize the decode) -> ranged-read + standalone tile decode per task -> partial-agg of channel sums (scalars cross the shuffle, never pixels)")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries (sf0.01)\n\n")
     sb.append("Generated by `graft.PlanAudit`; re-run after plan-affecting changes.\n\n")

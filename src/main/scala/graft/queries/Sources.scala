@@ -1137,6 +1137,103 @@ object Sources {
       .toDF("file_name", "width", "height", "sum_c0", "sum_c1", "sum_c2")
   }
 
+  private val bigJp2Staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Synthesize ONE larger tiled JPEG 2000 scan (staged once per JVM):
+    * 384x192 RGB on a 64-px tile grid — a 6x3 = 18-tile-part codestream,
+    * the layout of [[l5hJp2TiledParallel]]'s distributed decode. Pixel
+    * values are pure coordinate arithmetic for the DuckDB oracle. */
+  private[graft] def stageBigJp2(): String =
+    bigJp2Staged.computeIfAbsent("big", { _ =>
+      val dir = tmp("l5h_jp2")
+      // h = 192, NOT 256: with a full 256-row sweep the per-row offsets
+      // complete the mod-256 cycle and every channel's pixel sum comes out
+      // identical no matter the multipliers — a channel-swap bug would
+      // pass the oracle. 192 breaks the cycle; the per-channel
+      // x-multiplier then makes the three sums pairwise distinct.
+      val (w, h) = (384, 192)
+      val comps = Array.tabulate(3) { c =>
+        Array.tabulate(w * h)(j => ((j % w) * (7 + 2 * c) + (j / w) * 11 + c * 29) % 256)
+      }
+      val cs = graft.sources.jp2.Jp2Codec.encode(w, h, comps, tileSize = 64)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/page_0.jp2"),
+        graft.sources.Jp2Box.buildContainer(w, h, cs))
+      dir
+    })
+
+  /** L5h: decode ONE tiled scan ACROSS the cluster — the intra-file
+    * parallelism a 100 TB page-scan corpus needs when single files are
+    * gigabytes (a full newspaper page at archival resolution): per-tile
+    * latency instead of per-file. JPEG 2000 tiles are independently
+    * entropy-coded, so the split is exact, not heuristic:
+    *
+    *  1. SPLIT (cheap, no entropy work): [[graft.sources.jp2.Jp2Codec
+    *     .tileParts]] walks the Psot chain — one row per tile-part span
+    *     plus the few-ints [[graft.sources.jp2.Jp2Codec.Header]]; at
+    *     scale this step reads only the main header and 12 bytes per
+    *     SOT via ranged reads.
+    *  2. SPREAD: `repartition(defaultParallelism, path, tile)`
+    *     hash-distributes the one file's tiles across executors. The
+    *     partition count is pinned ON PURPOSE: the shuffle carries
+    *     ~140 B descriptors, so AQE's byte-based coalescing folds the
+    *     stage to ONE partition (verified in PLANS.md history) —
+    *     serializing exactly the decode this query parallelizes, and it
+    *     would do the same at any scale because descriptors stay tiny
+    *     no matter how big the tiles they describe are. The classic
+    *     cheap-rows/expensive-downstream case where the human, not AQE,
+    *     knows the cost model.
+    *  3. DECODE: each task RANGED-READS exactly its [pos, pos+len) slice
+    *     (never the whole file) and runs the standalone tile-part decode
+    *     — working memory is one 64x64-tile's samples.
+    *  4. REASSEMBLE: per-channel tile sums partial-agg back to one row;
+    *     only scalars cross the shuffle, never pixels.
+    *
+    * The DuckDB oracle recomputes width/height/tile-count and all three
+    * channel sums from the staging arithmetic, so the hash match proves
+    * the 18 independently-decoded tiles reassemble the exact image. */
+  def l5hJp2TiledParallel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stageBigJp2()
+    val tiles = spark.read.format("binaryFile").load(staged)
+      .select($"path", $"content").as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val hdr = graft.sources.jp2.Jp2Codec.header(bytes)
+        graft.sources.jp2.Jp2Codec.tileParts(bytes).map(s =>
+          (p, s.index, s.pos, s.len,
+            hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels))
+      }
+      .toDF("path", "tile", "pos", "len", "w", "h", "nc", "xt", "yt", "rct", "levels")
+      .repartition(spark.sparkContext.defaultParallelism, col("path"), col("tile"))
+      .as[(String, Int, Int, Int, Int, Int, Int, Int, Int, Boolean, Int)]
+    val perTile = tiles.mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.map { case (p, _, pos, len, w, h, nc, xt, yt, rct, levels) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(conf)
+        val slice = new Array[Byte](len)
+        val in = fs.open(hp)
+        try { in.seek(pos.toLong); in.readFully(slice) } finally in.close()
+        val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels)
+        val t = graft.sources.jp2.Jp2Codec.decodeTilePart(slice, hdr)
+        def sum(c: Int): Long = {
+          val a = t.comps(c)
+          var s = 0L
+          var i = 0
+          while (i < a.length) { s += a(i); i += 1 }
+          s
+        }
+        (p, w.toLong, h.toLong, sum(0), sum(1), sum(2))
+      }
+    }.toDF("path", "width", "height", "s0", "s1", "s2")
+    perTile
+      .groupBy($"path", $"width", $"height")
+      .agg(count(lit(1)).as("n_tiles"),
+        sum($"s0").as("sum_c0"), sum($"s1").as("sum_c1"), sum($"s2").as("sum_c2"))
+      .select(element_at(split($"path", "/"), -1).as("file_name"),
+        $"width", $"height", $"n_tiles", $"sum_c0", $"sum_c1", $"sum_c2")
+  }
+
   private val wavStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Synthesize 4 REAL 16-bit mono PCM WAVs (staged once per JVM): sample
@@ -1493,6 +1590,7 @@ object Sources {
     "s27_bloom_filter_scan" -> (s27BloomFilterScan _),
     "l5c_thumbnail" -> (l5cThumbnail _),
     "l5g_jp2_decode" -> (l5gJp2Decode _),
+    "l5h_jp2_tiled_parallel" -> (l5hJp2TiledParallel _),
     "l5d_audio_features" -> (l5dAudioFeatures _),
     "l5f_vad_segments" -> (l5fVadSegments _),
     "l5e_image_phash" -> (l5eImagePhash _),
@@ -1871,6 +1969,15 @@ object Sources {
         |  CAST(SUM(((j % w) * 7 + (j // w) * 11 + i * 13 + 29) % 256) AS BIGINT) AS sum_c1,
         |  CAST(SUM(((j % w) * 7 + (j // w) * 11 + i * 13 + 58) % 256) AS BIGINT) AS sum_c2
         |FROM px GROUP BY i, w, h""".stripMargin,
+    "l5h_jp2_tiled_parallel" ->
+      """WITH px AS (SELECT unnest(generate_series(0, 384*192 - 1)) AS j)
+        |SELECT 'page_0.jp2' AS file_name,
+        |  CAST(384 AS BIGINT) AS width, CAST(192 AS BIGINT) AS height,
+        |  CAST(18 AS BIGINT) AS n_tiles,
+        |  CAST(SUM(((j % 384) * 7 + (j // 384) * 11) % 256) AS BIGINT) AS sum_c0,
+        |  CAST(SUM(((j % 384) * 9 + (j // 384) * 11 + 29) % 256) AS BIGINT) AS sum_c1,
+        |  CAST(SUM(((j % 384) * 11 + (j // 384) * 11 + 58) % 256) AS BIGINT) AS sum_c2
+        |FROM px""".stripMargin,
     "l5_multimodal_decode" ->
       """SELECT * FROM (VALUES
         |('bib13991099_18650102_0_1_0001.jp2', 'image/jp2', CAST(112 AS BIGINT), 2479, 3508),

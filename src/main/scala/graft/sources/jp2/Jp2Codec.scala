@@ -175,44 +175,126 @@ object Jp2Codec {
 
   // ---------------------------------------------------------------- decode
 
+  /** Parsed main header — everything a tile-part needs to decode
+    * standalone. Small and flat on purpose: a distributed decode ships
+    * THIS (a handful of ints) per tile task, never the pixel planes. */
+  final case class Header(width: Int, height: Int, nc: Int, xt: Int, yt: Int,
+      useRct: Boolean, levels: Int) {
+    def ntx: Int = ceilDiv(width, xt)
+    def nty: Int = ceilDiv(height, yt)
+  }
+
+  /** One decoded tile: its grid position and clamped 8-bit pixel planes
+    * (row-major, length width*height). */
+  final case class Tile(index: Int, x0: Int, y0: Int, width: Int, height: Int,
+      comps: Array[Array[Int]])
+
+  /** Byte span of one tile-part within the input passed to
+    * [[tileParts]] — `pos` is absolute, so a ranged read of
+    * [pos, pos+len) hands [[decodeTilePart]] exactly its slice. */
+  final case class TilePartSpan(index: Int, pos: Int, len: Int)
+
   /** Decode a raw codestream or a JP2 container (jp2c box located via
     * [[graft.sources.Jp2Box]] conventions). */
   def decode(bytes: Array[Byte]): Image = {
-    val cs = extractCodestream(bytes).getOrElse(
-      throw new IllegalArgumentException("not a JPEG 2000 codestream or JP2 container"))
-    decodeCodestream(cs)
+    val (hdr, sot0) = parseMainHeader(bytes)
+    val planes = Array.fill(hdr.nc)(new Array[Int](hdr.width * hdr.height))
+    val seen = new Array[Boolean](hdr.ntx * hdr.nty)
+    def u16(i: Int): Int = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
+    var pos = sot0
+    while (u16(pos) == 0xFF90) {
+      val psot = beU32(bytes, pos + 6)
+      val t = decodeTilePartAt(bytes, pos, hdr)
+      require(!seen(t.index), s"duplicate tile-part for tile ${t.index}")
+      seen(t.index) = true
+      for (c <- 0 until hdr.nc) {
+        val src = t.comps(c); val dst = planes(c)
+        var y = 0
+        while (y < t.height) {
+          System.arraycopy(src, y * t.width, dst, (t.y0 + y) * hdr.width + t.x0, t.width)
+          y += 1
+        }
+      }
+      pos = (pos + psot).toInt
+    }
+    require(u16(pos) == 0xFFD9, "missing EOC after tile data")
+    require(seen.forall(identity),
+      s"missing tile-parts: ${seen.zipWithIndex.collect { case (false, i) => i }.mkString(",")}")
+    Image(hdr.width, hdr.height, planes)
   }
 
-  /** Raw codestream passthrough, or walk the JP2 boxes to jp2c. */
-  private[jp2] def extractCodestream(b: Array[Byte]): Option[Array[Byte]] = {
-    if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0x4F) return Some(b)
+  /** Main header of a codestream or JP2 container — cheap (marker walk,
+    * no entropy work). */
+  def header(bytes: Array[Byte]): Header = parseMainHeader(bytes)._1
+
+  /** Walk the Psot chain and return every tile-part's absolute byte span
+    * within `bytes` — cheap (no entropy work): this is the driver-side
+    * split step of a distributed single-scan decode, after which each
+    * task ranged-reads only its own span. */
+  def tileParts(bytes: Array[Byte]): Seq[TilePartSpan] = {
+    val (hdr, sot0) = parseMainHeader(bytes)
+    def u16(i: Int): Int = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
+    val spans = ArrayBuffer.empty[TilePartSpan]
+    var pos = sot0
+    while (u16(pos) == 0xFF90) {
+      val isot = u16(pos + 4)
+      val psot = beU32(bytes, pos + 6)
+      require(isot < hdr.ntx * hdr.nty, s"tile index $isot out of grid")
+      spans += TilePartSpan(isot, pos, psot.toInt)
+      pos = (pos + psot).toInt
+    }
+    require(u16(pos) == 0xFFD9, "missing EOC after tile data")
+    spans.toSeq
+  }
+
+  /** Decode ONE tile-part from exactly its slice (SOT..tile-part end, as
+    * spanned by [[tileParts]]) given the parsed [[Header]] — the
+    * executor-side step of a distributed single-scan decode. Fully
+    * standalone: inverse DWT, RCT, DC unshift and clamp are tile-local
+    * by construction. */
+  def decodeTilePart(slice: Array[Byte], hdr: Header): Tile =
+    decodeTilePartAt(slice, 0, hdr)
+
+  private def beU32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  /** Raw codestream passthrough, or walk the JP2 boxes to jp2c; returns
+    * the codestream's absolute [start, end) within `b`. */
+  private[jp2] def codestreamSpan(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0x4F)
+      return Some((0, b.length))
     if (b.length < 12) return None
-    def be32(i: Int): Long =
-      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
-    if (be32(0) != 12L || be32(4) != 0x6a502020L) return None
+    if (beU32(b, 0) != 12L || beU32(b, 4) != 0x6a502020L) return None
     var from = 12
     while (from + 8 <= b.length) {
-      val len0 = be32(from)
-      val typ = be32(from + 4)
+      val len0 = beU32(b, from)
+      val typ = beU32(b, from + 4)
       val len = if (len0 == 0L) (b.length - from).toLong else len0
       if (len0 == 1L || len < 8L || from + len > b.length) return None
       if (typ == 0x6a703263L) // jp2c
-        return Some(java.util.Arrays.copyOfRange(b, from + 8, (from + len).toInt))
+        return Some((from + 8, (from + len).toInt))
       from += len.toInt
     }
     None
   }
 
-  private def decodeCodestream(cs: Array[Byte]): Image = {
-    def u8(i: Int): Int = cs(i) & 0xFF
-    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
-    def u32(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
-    require(u16(0) == 0xFF4F, "missing SOC")
+  private[jp2] def extractCodestream(b: Array[Byte]): Option[Array[Byte]] =
+    codestreamSpan(b).map { case (s, e) => java.util.Arrays.copyOfRange(b, s, e) }
 
-    // ---- main header: SOC .. first SOT
+  /** Parse the main header (SOC .. first SOT) of a codestream or JP2
+    * container; returns the [[Header]] and the first SOT's absolute
+    * offset within `bytes`. */
+  private def parseMainHeader(bytes: Array[Byte]): (Header, Int) = {
+    val (start, _) = codestreamSpan(bytes).getOrElse(
+      throw new IllegalArgumentException("not a JPEG 2000 codestream or JP2 container"))
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long = beU32(bytes, i)
+    require(u16(start) == 0xFF4F, "missing SOC")
+
     var w = 0; var h = 0; var nc = 0; var xt = 0; var yt = 0
     var useRct = false; var levels = -1
-    var pos = 2
+    var pos = start + 2
     var atSot = false
     while (!atSot) {
       val marker = u16(pos)
@@ -254,53 +336,44 @@ object Jp2Codec {
         pos += (if (marker == 0xFF4F) 2 else 2 + u16(pos + 2))
     }
     require(w > 0 && h > 0 && nc > 0 && levels >= 0, "incomplete header")
-    val ntx = ceilDiv(w, xt); val nty = ceilDiv(h, yt)
-    require(ntx * nty == 1 || (xt % (1 << levels) == 0 && yt % (1 << levels) == 0),
+    val hdr = Header(w, h, nc, xt, yt, useRct, levels)
+    require(hdr.ntx * hdr.nty == 1 || (xt % (1 << levels) == 0 && yt % (1 << levels) == 0),
       s"multi-tile grid with tile dims not multiples of 2^$levels (absolute-" +
         "parity subband geometry) not supported")
+    (hdr, pos)
+  }
 
-    // ---- tile-parts: one SOT..SOD..body per tile, any order, then EOC
-    val planes = Array.fill(nc)(new Array[Int](w * h))
-    val seen = new Array[Boolean](ntx * nty)
-    while (u16(pos) == 0xFF90) {
-      require(u16(pos + 2) == 10, "SOT with tile-part header markers not supported")
-      val isot = u16(pos + 4)
-      val psot = u32(pos + 6)
-      require(isot < ntx * nty, s"tile index $isot out of grid")
-      require(!seen(isot), s"duplicate tile-part for tile $isot")
-      require(u8(pos + 10) == 0 && u8(pos + 11) == 1,
-        "multiple tile-parts per tile not supported")
-      require(u16(pos + 12) == 0xFF93, "expected SOD after SOT")
-      seen(isot) = true
-      val x0 = (isot % ntx) * xt; val y0 = (isot / ntx) * yt
-      val tw = math.min(xt, w - x0); val th = math.min(yt, h - y0)
-      val tile = Array.fill(nc)(new Array[Int](tw * th))
-      var p = pos + 14
-      for (r <- 0 to levels; c <- 0 until nc)
-        p = decodePacket(cs, p, tile(c), tw, th, levels, r)
-      require(p == pos + psot, s"tile $isot body ended at $p, Psot says ${pos + psot}")
-      // tile-local inverse transform chain, then place into the image
-      tile.foreach(Dwt53.inverse(_, tw, th, levels))
-      if (useRct) Dwt53.rctInverse(tile(0), tile(1), tile(2))
-      for (c <- 0 until nc) {
-        val src = tile(c); val dst = planes(c)
-        var y = 0
-        while (y < th) {
-          var x = 0
-          while (x < tw) {
-            val v = src(y * tw + x) + 128
-            dst((y0 + y) * w + (x0 + x)) = if (v < 0) 0 else if (v > 255) 255 else v
-            x += 1
-          }
-          y += 1
-        }
+  /** Decode one tile-part at absolute offset `pos` (its SOT marker) and
+    * run the tile-local inverse transform chain. */
+  private def decodeTilePartAt(b: Array[Byte], pos: Int, hdr: Header): Tile = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    require(u16(pos) == 0xFF90, "expected SOT")
+    require(u16(pos + 2) == 10, "SOT with tile-part header markers not supported")
+    val isot = u16(pos + 4)
+    val psot = beU32(b, pos + 6)
+    require(isot < hdr.ntx * hdr.nty, s"tile index $isot out of grid")
+    require(u8(pos + 10) == 0 && u8(pos + 11) == 1,
+      "multiple tile-parts per tile not supported")
+    require(u16(pos + 12) == 0xFF93, "expected SOD after SOT")
+    val x0 = (isot % hdr.ntx) * hdr.xt; val y0 = (isot / hdr.ntx) * hdr.yt
+    val tw = math.min(hdr.xt, hdr.width - x0); val th = math.min(hdr.yt, hdr.height - y0)
+    val tile = Array.fill(hdr.nc)(new Array[Int](tw * th))
+    var p = pos + 14
+    for (r <- 0 to hdr.levels; c <- 0 until hdr.nc)
+      p = decodePacket(b, p, tile(c), tw, th, hdr.levels, r)
+    require(p == pos + psot, s"tile $isot body ended at $p, Psot says ${pos + psot}")
+    tile.foreach(Dwt53.inverse(_, tw, th, hdr.levels))
+    if (hdr.useRct) Dwt53.rctInverse(tile(0), tile(1), tile(2))
+    tile.foreach { a =>
+      var i = 0
+      while (i < a.length) {
+        val v = a(i) + 128
+        a(i) = if (v < 0) 0 else if (v > 255) 255 else v
+        i += 1
       }
-      pos = (pos + psot).toInt
     }
-    require(u16(pos) == 0xFFD9, "missing EOC after tile data")
-    require(seen.forall(identity),
-      s"missing tile-parts: ${seen.zipWithIndex.collect { case (false, i) => i }.mkString(",")}")
-    Image(w, h, planes)
+    Tile(isot, x0, y0, tw, th, tile)
   }
 
   // --------------------------------------------- packet encode/decode pair

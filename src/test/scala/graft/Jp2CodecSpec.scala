@@ -280,6 +280,32 @@ class Jp2CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("tileParts spans + standalone slice decode reassemble the full image") {
+    // the distributed-decode contract: ranged-read each span, decode it
+    // with ONLY the parsed header, and the tiles tile the image exactly
+    val (w, h) = (130, 97)
+    val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))
+    val container = Jp2Box.buildContainer(
+      w, h, Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64))
+    val hdr = Jp2Codec.header(container)
+    assert(hdr.width == w && hdr.height == h && hdr.ntx == 3 && hdr.nty == 2)
+    val spans = Jp2Codec.tileParts(container)
+    assert(spans.map(_.index).sorted == (0 until 6))
+    val rebuilt = Array.fill(3)(new Array[Int](w * h))
+    var covered = 0
+    for (s <- spans) {
+      val slice = java.util.Arrays.copyOfRange(container, s.pos, s.pos + s.len)
+      val t = Jp2Codec.decodeTilePart(slice, hdr)
+      assert(t.index == s.index)
+      covered += t.width * t.height
+      for (c <- 0 until 3; y <- 0 until t.height; x <- 0 until t.width)
+        rebuilt(c)((t.y0 + y) * w + (t.x0 + x)) = t.comps(c)(y * t.width + x)
+    }
+    assert(covered == w * h, "tiles must tile the image exactly")
+    for (c <- 0 until 3)
+      assert(java.util.Arrays.equals(rebuilt(c), comps(c)), s"c=$c")
+  }
+
   test("encoder rejects tile sizes that break absolute-parity subband geometry") {
     val comps = Array(pattern(96, 96, 1))
     intercept[IllegalArgumentException](

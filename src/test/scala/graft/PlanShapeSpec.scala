@@ -839,6 +839,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(totals.count() == 1L)
   }
 
+  test("L5H: the tile exchange keeps its pinned width — AQE must not coalesce the decode stage") {
+    val df = graft.queries.Sources.l5hJp2TiledParallel(spark, sfDir)
+    df.collect(): Unit // finalize AQE
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    // the tile-descriptor shuffle is ~140 B/row, so byte-based coalescing
+    // would fold the whole decode onto one task at ANY scale; the explicit
+    // repartition count shows up as REPARTITION_BY_NUM, which AQE honors
+    assert(plan.contains("REPARTITION_BY_NUM"), plan.take(3000))
+    // between the decode MapPartitions and the pinned exchange there must
+    // be no AQE read (the final agg's scalar shuffle above it MAY
+    // coalesce — that one is desirable)
+    val cut = plan.indexOf("REPARTITION_BY_NUM")
+    val decodeMp = plan.lastIndexOf("MapPartitions", cut)
+    assert(decodeMp > 0, plan.take(3000))
+    assert(!plan.substring(decodeMp, cut).contains("AQEShuffleRead"),
+      s"decode stage rides a coalesced read:\n${plan.take(3000)}")
+    // the split stage never ships pixels: only descriptor ints cross
+    assert(plan.contains(s"hashpartitioning(path"), plan.take(3000))
+  }
+
   test("L60: dictionary agg computed once and reused on both sides of the blocked join") {
     val plan = finalPlanOf(graft.queries.Llm.l60FuzzyBlockedJoin(spark, sfDir))
     // the name dictionary is one partial+final agg whose exchange is
