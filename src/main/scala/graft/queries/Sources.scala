@@ -1137,6 +1137,44 @@ object Sources {
       .toDF("file_name", "width", "height", "sum_c0", "sum_c1", "sum_c2")
   }
 
+  /** L5i: thumbnail extraction FROM THE ARCHIVAL MASTER via JPEG 2000
+    * reduced-resolution decode — the capability the reference rents from
+    * the IIIF image server by requesting pre-scaled derivatives
+    * (01-scrape-images.py:110-116): with `decodeReduced(bytes, 2)` each
+    * tile's LRCP packet walk stops after the low-resolution prefix and
+    * jumps to the next tile via Psot, so the high-resolution packets —
+    * the bulk of every scan — are never entropy-decoded (Jp2CodecSpec
+    * proves it by vandalizing them and getting bit-identical thumbnails).
+    * At 100 TB that is the difference between a thumbnail job costing a
+    * full-corpus decode and costing its low-res fraction.
+    *
+    * Verification split, st27-style: the emitted thumb dims are
+    * closed-form (ceil(dim/4)) and hash-match the DuckDB oracle; pixel
+    * content is pinned by Jp2CodecSpec's bit-exact reduced-pyramid
+    * tests, and in-query a discard=0 reduced decode must equal the full
+    * decode pixel-for-pixel (require) on every file, tiled and untiled. */
+  def l5iJp2Thumbnail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stageJp2s()
+    spark.read.format("binaryFile").load(staged)
+      .select(element_at(split($"path", "/"), -1).as("file_name"), $"content")
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (name, bytes) =>
+          val full = graft.sources.jp2.Jp2Codec.decode(bytes)
+          val d0 = graft.sources.jp2.Jp2Codec.decodeReduced(bytes, 0)
+          require(d0.width == full.width && d0.height == full.height &&
+            (0 until full.comps.length).forall(c =>
+              java.util.Arrays.equals(d0.comps(c), full.comps(c))),
+            s"$name: discard=0 reduced decode diverged from the full decode")
+          val thumb = graft.sources.jp2.Jp2Codec.decodeReduced(bytes, 2)
+          (name, full.width.toLong, full.height.toLong,
+            thumb.width.toLong, thumb.height.toLong)
+        }
+      }
+      .toDF("file_name", "width", "height", "thumb_w", "thumb_h")
+  }
+
   private val bigJp2Staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Synthesize ONE larger tiled JPEG 2000 scan (staged once per JVM):
@@ -1591,6 +1629,7 @@ object Sources {
     "l5c_thumbnail" -> (l5cThumbnail _),
     "l5g_jp2_decode" -> (l5gJp2Decode _),
     "l5h_jp2_tiled_parallel" -> (l5hJp2TiledParallel _),
+    "l5i_jp2_thumbnail" -> (l5iJp2Thumbnail _),
     "l5d_audio_features" -> (l5dAudioFeatures _),
     "l5f_vad_segments" -> (l5fVadSegments _),
     "l5e_image_phash" -> (l5eImagePhash _),
@@ -1978,6 +2017,15 @@ object Sources {
         |  CAST(SUM(((j % 384) * 9 + (j // 384) * 11 + 29) % 256) AS BIGINT) AS sum_c1,
         |  CAST(SUM(((j % 384) * 11 + (j // 384) * 11 + 58) % 256) AS BIGINT) AS sum_c2
         |FROM px""".stripMargin,
+    "l5i_jp2_thumbnail" ->
+      """WITH dims AS (
+        |  SELECT i, 40 + (17*i) % 113 AS w, 30 + (23*i) % 89 AS h
+        |  FROM (SELECT unnest(generate_series(0, 5)) AS i))
+        |SELECT 'scan_' || i || '.jp2' AS file_name,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST((w + 3) // 4 AS BIGINT) AS thumb_w,
+        |  CAST((h + 3) // 4 AS BIGINT) AS thumb_h
+        |FROM dims""".stripMargin,
     "l5_multimodal_decode" ->
       """SELECT * FROM (VALUES
         |('bib13991099_18650102_0_1_0001.jp2', 'image/jp2', CAST(112 AS BIGINT), 2479, 3508),

@@ -196,22 +196,39 @@ object Jp2Codec {
 
   /** Decode a raw codestream or a JP2 container (jp2c box located via
     * [[graft.sources.Jp2Box]] conventions). */
-  def decode(bytes: Array[Byte]): Image = {
+  def decode(bytes: Array[Byte]): Image = decodeReduced(bytes, 0)
+
+  /** Decode at reduced resolution: drop the `discard` highest
+    * resolutions (OpenJPEG's `-r`), yielding a ceil(w/2^d) x ceil(h/2^d)
+    * image — the standard JPEG 2000 "reduce" reconstruction (the LL
+    * pyramid, NOT a resample of the full decode). The LRCP layout puts
+    * each tile's low-resolution packets FIRST, and Psot gives the
+    * tile-part end, so the high-resolution packets are never read, let
+    * alone entropy-decoded: a thumbnail of an archival scan costs the
+    * low-res fraction of the bytes. Subband geometry nests (the reduced
+    * Mallat array is the full array's top-left corner), so the reduced
+    * decode is bit-exactly the encoder's own subbands r <= levels-d
+    * inverse-transformed d levels short. */
+  def decodeReduced(bytes: Array[Byte], discard: Int): Image = {
     val (hdr, sot0) = parseMainHeader(bytes)
-    val planes = Array.fill(hdr.nc)(new Array[Int](hdr.width * hdr.height))
+    require(discard >= 0 && discard <= hdr.levels,
+      s"discard $discard out of 0..${hdr.levels}")
+    val rW = ceilDiv(hdr.width, 1 << discard)
+    val rH = ceilDiv(hdr.height, 1 << discard)
+    val planes = Array.fill(hdr.nc)(new Array[Int](rW * rH))
     val seen = new Array[Boolean](hdr.ntx * hdr.nty)
     def u16(i: Int): Int = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
     var pos = sot0
     while (u16(pos) == 0xFF90) {
       val psot = beU32(bytes, pos + 6)
-      val t = decodeTilePartAt(bytes, pos, hdr)
+      val t = decodeTilePartAt(bytes, pos, hdr, discard)
       require(!seen(t.index), s"duplicate tile-part for tile ${t.index}")
       seen(t.index) = true
       for (c <- 0 until hdr.nc) {
         val src = t.comps(c); val dst = planes(c)
         var y = 0
         while (y < t.height) {
-          System.arraycopy(src, y * t.width, dst, (t.y0 + y) * hdr.width + t.x0, t.width)
+          System.arraycopy(src, y * t.width, dst, (t.y0 + y) * rW + t.x0, t.width)
           y += 1
         }
       }
@@ -220,7 +237,7 @@ object Jp2Codec {
     require(u16(pos) == 0xFFD9, "missing EOC after tile data")
     require(seen.forall(identity),
       s"missing tile-parts: ${seen.zipWithIndex.collect { case (false, i) => i }.mkString(",")}")
-    Image(hdr.width, hdr.height, planes)
+    Image(rW, rH, planes)
   }
 
   /** Main header of a codestream or JP2 container — cheap (marker walk,
@@ -251,9 +268,11 @@ object Jp2Codec {
     * spanned by [[tileParts]]) given the parsed [[Header]] — the
     * executor-side step of a distributed single-scan decode. Fully
     * standalone: inverse DWT, RCT, DC unshift and clamp are tile-local
-    * by construction. */
-  def decodeTilePart(slice: Array[Byte], hdr: Header): Tile =
-    decodeTilePartAt(slice, 0, hdr)
+    * by construction. `discard` > 0 returns the tile at reduced
+    * resolution with reduced-grid coordinates (see [[decodeReduced]]) —
+    * only the slice's low-resolution packet prefix is entropy-decoded. */
+  def decodeTilePart(slice: Array[Byte], hdr: Header, discard: Int = 0): Tile =
+    decodeTilePartAt(slice, 0, hdr, discard)
 
   private def beU32(b: Array[Byte], i: Int): Long =
     ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
@@ -344,12 +363,19 @@ object Jp2Codec {
   }
 
   /** Decode one tile-part at absolute offset `pos` (its SOT marker) and
-    * run the tile-local inverse transform chain. */
-  private def decodeTilePartAt(b: Array[Byte], pos: Int, hdr: Header): Tile = {
+    * run the tile-local inverse transform chain. `discard` > 0 decodes
+    * only resolutions 0..levels-discard and never reads past their
+    * packets — legal because the subband geometry nests: the reduced
+    * Mallat array (ceil(tw/2^d) x ceil(th/2^d), levels-d decompositions)
+    * has byte-for-byte the band layout of the full array's top-left
+    * corner, so the SAME packet walk runs with reduced dims. */
+  private def decodeTilePartAt(b: Array[Byte], pos: Int, hdr: Header, discard: Int = 0): Tile = {
     def u8(i: Int): Int = b(i) & 0xFF
     def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     require(u16(pos) == 0xFF90, "expected SOT")
     require(u16(pos + 2) == 10, "SOT with tile-part header markers not supported")
+    require(discard >= 0 && discard <= hdr.levels,
+      s"discard $discard out of 0..${hdr.levels}")
     val isot = u16(pos + 4)
     val psot = beU32(b, pos + 6)
     require(isot < hdr.ntx * hdr.nty, s"tile index $isot out of grid")
@@ -358,12 +384,20 @@ object Jp2Codec {
     require(u16(pos + 12) == 0xFF93, "expected SOD after SOT")
     val x0 = (isot % hdr.ntx) * hdr.xt; val y0 = (isot / hdr.ntx) * hdr.yt
     val tw = math.min(hdr.xt, hdr.width - x0); val th = math.min(hdr.yt, hdr.height - y0)
-    val tile = Array.fill(hdr.nc)(new Array[Int](tw * th))
+    // reduced-grid placement: exact because multi-tile grids require
+    // xt/yt multiples of 2^levels >= 2^discard (single tiles sit at 0)
+    val rx0 = x0 >> discard; val ry0 = y0 >> discard
+    val rw = ceilDiv(tw, 1 << discard); val rh = ceilDiv(th, 1 << discard)
+    val rl = hdr.levels - discard
+    val tile = Array.fill(hdr.nc)(new Array[Int](rw * rh))
     var p = pos + 14
-    for (r <- 0 to hdr.levels; c <- 0 until hdr.nc)
-      p = decodePacket(b, p, tile(c), tw, th, hdr.levels, r)
-    require(p == pos + psot, s"tile $isot body ended at $p, Psot says ${pos + psot}")
-    tile.foreach(Dwt53.inverse(_, tw, th, hdr.levels))
+    for (r <- 0 to rl; c <- 0 until hdr.nc)
+      p = decodePacket(b, p, tile(c), rw, rh, rl, r)
+    if (discard == 0)
+      require(p == pos + psot, s"tile $isot body ended at $p, Psot says ${pos + psot}")
+    else
+      require(p <= pos + psot, s"tile $isot reduced walk overran Psot")
+    tile.foreach(Dwt53.inverse(_, rw, rh, rl))
     if (hdr.useRct) Dwt53.rctInverse(tile(0), tile(1), tile(2))
     tile.foreach { a =>
       var i = 0
@@ -373,7 +407,7 @@ object Jp2Codec {
         i += 1
       }
     }
-    Tile(isot, x0, y0, tw, th, tile)
+    Tile(isot, rx0, ry0, rw, rh, tile)
   }
 
   // --------------------------------------------- packet encode/decode pair

@@ -306,6 +306,88 @@ class Jp2CodecSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(rebuilt(c), comps(c)), s"c=$c")
   }
 
+  /** The decoder's reduced output must equal the encoder's own subbands
+    * r <= levels-d inverse-transformed d levels short — computed here
+    * INDEPENDENTLY by re-running the forward transform and slicing the
+    * reduced Mallat corner. */
+  private def expectedReduced(w: Int, h: Int, comps: Array[Array[Int]],
+      levels: Int, d: Int): Array[Array[Int]] = {
+    val planes = comps.map(_.map(_ - 128))
+    if (planes.length == 3) Dwt53.rctForward(planes(0), planes(1), planes(2))
+    planes.foreach(Dwt53.forward(_, w, h, levels))
+    val rw = (w + (1 << d) - 1) >> d; val rh = (h + (1 << d) - 1) >> d
+    val red = planes.map { a =>
+      val r = new Array[Int](rw * rh)
+      for (y <- 0 until rh; x <- 0 until rw) r(y * rw + x) = a(y * w + x)
+      r
+    }
+    red.foreach(Dwt53.inverse(_, rw, rh, levels - d))
+    if (red.length == 3) Dwt53.rctInverse(red(0), red(1), red(2))
+    red.map(_.map(v => math.max(0, math.min(255, v + 128))))
+  }
+
+  test("reduced decode is bit-exactly the encoder's own low-resolution pyramid") {
+    for ((w, h) <- Seq((113, 89), (128, 96), (57, 42)); d <- 1 to 3) {
+      val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))
+      val cs = Jp2Codec.encode(w, h, comps, levels = 3)
+      val out = Jp2Codec.decodeReduced(cs, d)
+      val rw = (w + (1 << d) - 1) >> d; val rh = (h + (1 << d) - 1) >> d
+      assert(out.width == rw && out.height == rh, s"${w}x$h d=$d dims")
+      val exp = expectedReduced(w, h, comps, 3, d)
+      for (c <- 0 until 3)
+        assert(java.util.Arrays.equals(out.comps(c), exp(c)), s"${w}x$h d=$d c=$c")
+    }
+  }
+
+  test("tiled reduced decode assembles per-tile pyramids on the reduced grid") {
+    val (w, h) = (130, 97) // 3x2 tiles of 64, ragged edges
+    val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))
+    val cs = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64)
+    for (d <- 1 to 3) {
+      val out = Jp2Codec.decodeReduced(cs, d)
+      val rw = (w + (1 << d) - 1) >> d; val rh = (h + (1 << d) - 1) >> d
+      assert(out.width == rw && out.height == rh)
+      // expected: the reduction is TILE-LOCAL (each tile carries its own
+      // pyramid), so compute it per 64-px tile and place on the reduced grid
+      for (ty <- 0 to 1; tx <- 0 to 2) {
+        val x0 = tx * 64; val y0 = ty * 64
+        val tw = math.min(64, w - x0); val th = math.min(64, h - y0)
+        val sub = comps.map { a =>
+          Array.tabulate(tw * th)(j => a((y0 + j / tw) * w + (x0 + j % tw)))
+        }
+        val exp = expectedReduced(tw, th, sub, 3, d)
+        val (rx0, ry0) = (x0 >> d, y0 >> d)
+        val (rtw, rth) = ((tw + (1 << d) - 1) >> d, (th + (1 << d) - 1) >> d)
+        for (c <- 0 until 3; y <- 0 until rth; x <- 0 until rtw)
+          assert(out.comps(c)((ry0 + y) * rw + (rx0 + x)) == exp(c)(y * rtw + x),
+            s"d=$d tile($tx,$ty) c=$c px($x,$y)")
+      }
+    }
+  }
+
+  test("reduced decode never reads the high-resolution packets") {
+    // corrupt the tail of every tile-part (the highest-resolution packets
+    // come last in LRCP); the reduced decode must be bit-identical to the
+    // pristine stream because it jumps to the next tile via Psot without
+    // touching those bytes
+    val (w, h) = (130, 97)
+    val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))
+    val cs = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64)
+    val pristine = Jp2Codec.decodeReduced(cs, 2)
+    val vandalized = cs.clone()
+    for (s <- Jp2Codec.tileParts(cs)) {
+      // flip the last quarter of the tile-part body (safely past the
+      // d=2-needed r<=1 packets, which are a small prefix)
+      for (i <- s.pos + s.len - s.len / 4 until s.pos + s.len)
+        vandalized(i) = (~vandalized(i)).toByte
+    }
+    assert(!java.util.Arrays.equals(vandalized, cs))
+    val out = Jp2Codec.decodeReduced(vandalized, 2)
+    assert(out.width == pristine.width && out.height == pristine.height)
+    for (c <- 0 until 3)
+      assert(java.util.Arrays.equals(out.comps(c), pristine.comps(c)), s"c=$c")
+  }
+
   test("encoder rejects tile sizes that break absolute-parity subband geometry") {
     val comps = Array(pattern(96, 96, 1))
     intercept[IllegalArgumentException](
