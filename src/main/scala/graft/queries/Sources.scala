@@ -1115,6 +1115,14 @@ object Sources {
     * per-channel pixel sums, which the DuckDB oracle recomputes from the
     * staging arithmetic — a hash-match over actual decoded pixel data, not
     * a rows-only register entry. */
+  /** Per-channel pixel sum for the JP2 queries' oracle columns. */
+  private def sumChannel(a: Array[Int]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < a.length) { s += a(i); i += 1 }
+    s
+  }
+
   def l5gJp2Decode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val staged = stageJp2s()
@@ -1124,14 +1132,8 @@ object Sources {
       .mapPartitions { it =>
         it.map { case (name, bytes) =>
           val img = graft.sources.jp2.Jp2Codec.decode(bytes)
-          def sum(c: Int): Long = {
-            val a = img.comps(c)
-            var s = 0L
-            var i = 0
-            while (i < a.length) { s += a(i); i += 1 }
-            s
-          }
-          (name, img.width.toLong, img.height.toLong, sum(0), sum(1), sum(2))
+          (name, img.width.toLong, img.height.toLong,
+            sumChannel(img.comps(0)), sumChannel(img.comps(1)), sumChannel(img.comps(2)))
         }
       }
       .toDF("file_name", "width", "height", "sum_c0", "sum_c1", "sum_c2")
@@ -1254,14 +1256,8 @@ object Sources {
         try { in.seek(pos.toLong); in.readFully(slice) } finally in.close()
         val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels)
         val t = graft.sources.jp2.Jp2Codec.decodeTilePart(slice, hdr)
-        def sum(c: Int): Long = {
-          val a = t.comps(c)
-          var s = 0L
-          var i = 0
-          while (i < a.length) { s += a(i); i += 1 }
-          s
-        }
-        (p, w.toLong, h.toLong, sum(0), sum(1), sum(2))
+        (p, w.toLong, h.toLong,
+          sumChannel(t.comps(0)), sumChannel(t.comps(1)), sumChannel(t.comps(2)))
       }
     }.toDF("path", "width", "height", "s0", "s1", "s2")
     perTile

@@ -109,6 +109,11 @@ object Jp2Codec {
     val xt = if (tileSize == 0) w else tileSize
     val yt = if (tileSize == 0) h else tileSize
     val ntx = ceilDiv(w, xt); val nty = ceilDiv(h, yt)
+    // Isot is a 16-bit field (A.4.2, max 65534): past it the index would
+    // wrap and the distributed decode would silently place tile 65535's
+    // pixels at tile 0 — reject at encode time instead
+    require(ntx.toLong * nty <= 65535L,
+      s"tile grid ${ntx}x$nty exceeds the 16-bit Isot space; use a larger tileSize")
 
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xFF)
@@ -217,10 +222,9 @@ object Jp2Codec {
     val rH = ceilDiv(hdr.height, 1 << discard)
     val planes = Array.fill(hdr.nc)(new Array[Int](rW * rH))
     val seen = new Array[Boolean](hdr.ntx * hdr.nty)
-    def u16(i: Int): Int = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
     var pos = sot0
-    while (u16(pos) == 0xFF90) {
-      val psot = beU32(bytes, pos + 6)
+    while (beU16(bytes, pos) == 0xFF90) {
+      val psot = validatedPsot(bytes, pos)
       val t = decodeTilePartAt(bytes, pos, hdr, discard)
       require(!seen(t.index), s"duplicate tile-part for tile ${t.index}")
       seen(t.index) = true
@@ -232,9 +236,9 @@ object Jp2Codec {
           y += 1
         }
       }
-      pos = (pos + psot).toInt
+      pos += psot
     }
-    require(u16(pos) == 0xFFD9, "missing EOC after tile data")
+    require(beU16(bytes, pos) == 0xFFD9, "missing EOC after tile data")
     require(seen.forall(identity),
       s"missing tile-parts: ${seen.zipWithIndex.collect { case (false, i) => i }.mkString(",")}")
     Image(rW, rH, planes)
@@ -250,17 +254,16 @@ object Jp2Codec {
     * task ranged-reads only its own span. */
   def tileParts(bytes: Array[Byte]): Seq[TilePartSpan] = {
     val (hdr, sot0) = parseMainHeader(bytes)
-    def u16(i: Int): Int = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
     val spans = ArrayBuffer.empty[TilePartSpan]
     var pos = sot0
-    while (u16(pos) == 0xFF90) {
-      val isot = u16(pos + 4)
-      val psot = beU32(bytes, pos + 6)
+    while (beU16(bytes, pos) == 0xFF90) {
+      val isot = beU16(bytes, pos + 4)
+      val psot = validatedPsot(bytes, pos)
       require(isot < hdr.ntx * hdr.nty, s"tile index $isot out of grid")
-      spans += TilePartSpan(isot, pos, psot.toInt)
-      pos = (pos + psot).toInt
+      spans += TilePartSpan(isot, pos, psot)
+      pos += psot
     }
-    require(u16(pos) == 0xFFD9, "missing EOC after tile data")
+    require(beU16(bytes, pos) == 0xFFD9, "missing EOC after tile data")
     spans.toSeq
   }
 
@@ -274,8 +277,23 @@ object Jp2Codec {
   def decodeTilePart(slice: Array[Byte], hdr: Header, discard: Int = 0): Tile =
     decodeTilePartAt(slice, 0, hdr, discard)
 
+  private def beU16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+
   private def beU32(b: Array[Byte], i: Int): Long =
     ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  /** Psot of the SOT at `pos`, validated so the tile walk always
+    * advances and stays in bounds: Psot = 0 (spec-legal only for a
+    * last tile-part streamed to EOC, which this profile never writes)
+    * or a huge value would otherwise loop the walk forever or wrap the
+    * index negative — reject loudly instead of guessing. */
+  private def validatedPsot(b: Array[Byte], pos: Int): Int = {
+    val psot = beU32(b, pos + 6)
+    require(psot >= 14L && pos + psot <= b.length,
+      s"Psot $psot at $pos out of bounds (stream length ${b.length})")
+    psot.toInt
+  }
 
   /** Raw codestream passthrough, or walk the JP2 boxes to jp2c; returns
     * the codestream's absolute [start, end) within `b`. */

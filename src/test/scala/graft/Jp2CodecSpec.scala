@@ -396,6 +396,20 @@ class Jp2CodecSpec extends AnyFunSuite {
       Jp2Codec.encode(96, 96, comps, levels = 3, tileSize = -1))
   }
 
+  test("encoder rejects tile grids past the 16-bit Isot space; walkers reject bad Psot") {
+    // 300x300 at tileSize=1 (legal for levels=0) would need 90000 > 65535
+    // tile indices — the wrap would silently place tile 65536 at tile 0
+    intercept[IllegalArgumentException](
+      Jp2Codec.encode(300, 300, Array(pattern(300, 300, 1)), levels = 0, tileSize = 1))
+    // a zeroed Psot must reject, not loop the tile walk forever
+    val cs = Jp2Codec.encode(130, 97, Array(pattern(130, 97, 2)), levels = 3, tileSize = 64)
+    val first = Jp2Codec.tileParts(cs).head
+    val bad = cs.clone()
+    for (i <- 0 until 4) bad(first.pos + 6 + i) = 0
+    intercept[IllegalArgumentException](Jp2Codec.tileParts(bad))
+    intercept[IllegalArgumentException](Jp2Codec.decodeReduced(bad, 1))
+  }
+
   test("decoder rejects garbage and truncated inputs rather than guessing") {
     intercept[IllegalArgumentException](Jp2Codec.decode(Array[Byte](1, 2, 3)))
     val cs = Jp2Codec.encode(16, 16, Array(pattern(16, 16, 5)))
