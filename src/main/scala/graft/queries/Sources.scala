@@ -1268,6 +1268,59 @@ object Sources {
         $"width", $"height", $"n_tiles", $"sum_c0", $"sum_c1", $"sum_c2")
   }
 
+  /** L5j: the byte-level half of the thumbnail story — l5i showed the
+    * reduced decode SKIPS the high-resolution packets; this query shows a
+    * distributed thumbnail job never READS them from storage. The
+    * encoder's PLT markers give per-packet lengths, so
+    * [[graft.sources.jp2.Jp2Codec.tilePartsReduced]] truncates each
+    * tile-part span to its low-resolution prefix (header walk only, no
+    * entropy work); tasks ranged-read exactly those prefixes and run the
+    * standalone reduced tile decode. An in-query require pins that the
+    * bytes fetched are under half the scan (they are ~a quarter at
+    * d=2); pixel content of the truncated-slice decode is pinned
+    * bit-exact against `decodeReduced` by Jp2CodecSpec, and the emitted
+    * thumbnail dims / tile count are closed-form for the DuckDB oracle.
+    * At 100 TB this is the difference between a thumbnail pass that
+    * fetches the archive and one that fetches its low-res fraction. */
+  def l5jJp2ThumbnailRanged(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stageBigJp2()
+    val discard = 2
+    val tiles = spark.read.format("binaryFile").load(staged)
+      .select($"path", $"content").as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val hdr = graft.sources.jp2.Jp2Codec.header(bytes)
+        val spans = graft.sources.jp2.Jp2Codec.tilePartsReduced(bytes, discard)
+        val prefixBytes = spans.map(_.len.toLong).sum
+        require(prefixBytes * 2 < bytes.length,
+          s"$p: low-res prefixes ($prefixBytes B) not a fraction of ${bytes.length} B")
+        spans.map(s => (p, s.index, s.pos, s.len,
+          hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels))
+      }
+      .toDF("path", "tile", "pos", "len", "w", "h", "nc", "xt", "yt", "rct", "levels")
+      .repartition(spark.sparkContext.defaultParallelism, col("path"), col("tile"))
+      .as[(String, Int, Int, Int, Int, Int, Int, Int, Int, Boolean, Int)]
+    val perTile = tiles.mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.map { case (p, _, pos, len, w, h, nc, xt, yt, rct, levels) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(conf)
+        val slice = new Array[Byte](len) // ONLY the low-res prefix
+        val in = fs.open(hp)
+        try { in.seek(pos.toLong); in.readFully(slice) } finally in.close()
+        val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels)
+        val t = graft.sources.jp2.Jp2Codec.decodeTilePart(slice, hdr, discard)
+        (p, (t.x0 + t.width).toLong, (t.y0 + t.height).toLong)
+      }
+    }.toDF("path", "x1", "y1")
+    perTile
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n_tiles"),
+        max($"x1").as("thumb_w"), max($"y1").as("thumb_h"))
+      .select(element_at(split($"path", "/"), -1).as("file_name"),
+        $"n_tiles", $"thumb_w", $"thumb_h")
+  }
+
   private val wavStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Synthesize 4 REAL 16-bit mono PCM WAVs (staged once per JVM): sample
@@ -1626,6 +1679,7 @@ object Sources {
     "l5g_jp2_decode" -> (l5gJp2Decode _),
     "l5h_jp2_tiled_parallel" -> (l5hJp2TiledParallel _),
     "l5i_jp2_thumbnail" -> (l5iJp2Thumbnail _),
+    "l5j_jp2_thumbnail_ranged" -> (l5jJp2ThumbnailRanged _),
     "l5d_audio_features" -> (l5dAudioFeatures _),
     "l5f_vad_segments" -> (l5fVadSegments _),
     "l5e_image_phash" -> (l5eImagePhash _),
@@ -2022,6 +2076,9 @@ object Sources {
         |  CAST((w + 3) // 4 AS BIGINT) AS thumb_w,
         |  CAST((h + 3) // 4 AS BIGINT) AS thumb_h
         |FROM dims""".stripMargin,
+    "l5j_jp2_thumbnail_ranged" ->
+      """SELECT 'page_0.jp2' AS file_name, CAST(18 AS BIGINT) AS n_tiles,
+        |  CAST(96 AS BIGINT) AS thumb_w, CAST(48 AS BIGINT) AS thumb_h""".stripMargin,
     "l5_multimodal_decode" ->
       """SELECT * FROM (VALUES
         |('bib13991099_18650102_0_1_0001.jp2', 'image/jp2', CAST(112 AS BIGINT), 2479, 3508),

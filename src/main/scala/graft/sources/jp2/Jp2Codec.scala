@@ -161,16 +161,32 @@ object Jp2Codec {
       if (useRct) Dwt53.rctForward(planes(0), planes(1), planes(2))
       planes.foreach(Dwt53.forward(_, tw, th, levels))
 
-      // tile body: packets in LRCP order (1 layer)
-      val body = new java.io.ByteArrayOutputStream()
-      for (r <- 0 to levels; c <- 0 until nc)
-        body.write(encodePacket(planes(c), tw, th, levels, r))
-      val bodyBytes = body.toByteArray
+      // tile body: packets in LRCP order (1 layer), lengths kept for PLT
+      val packets = for (r <- 0 to levels; c <- 0 until nc)
+        yield encodePacket(planes(c), tw, th, levels, r)
+      val bodyBytes = packets.toArray.flatten
 
-      // SOT + SOD + body (one tile-part per tile)
+      // PLT (A.7.3): per-packet lengths as 7-bit-varint Iplt entries. This
+      // is what lets a reduced-resolution reader compute each tile-part's
+      // low-res PREFIX length and ranged-read only those bytes
+      // ([[tilePartsReduced]]) — without it a thumbnail job must fetch
+      // the whole tile-part just to skip the high-res packets.
+      val plt = new java.io.ByteArrayOutputStream()
+      packets.foreach { pk =>
+        val n = pk.length
+        val bits = 32 - Integer.numberOfLeadingZeros(math.max(1, n))
+        var shift = ((bits - 1) / 7) * 7
+        while (shift > 0) { plt.write(0x80 | ((n >> shift) & 0x7F)); shift -= 7 }
+        plt.write(n & 0x7F)
+      }
+      val pltBytes = plt.toByteArray
+
+      // SOT + PLT + SOD + body (one tile-part per tile)
       u16(0xFF90); u16(10); u16(t)
-      u32(12L + 2L + bodyBytes.length) // Psot: SOT seg through tile-part end
+      u32(12L + (5L + pltBytes.length) + 2L + bodyBytes.length) // Psot
       u8(0); u8(1) // TPsot = 0, TNsot = 1
+      u16(0xFF58); u16(3 + pltBytes.length); u8(0) // PLT, Lplt, Zplt = 0
+      out.write(pltBytes)
       u16(0xFF93)
       out.write(bodyBytes)
     }
@@ -267,8 +283,34 @@ object Jp2Codec {
     spans.toSeq
   }
 
-  /** Decode ONE tile-part from exactly its slice (SOT..tile-part end, as
-    * spanned by [[tileParts]]) given the parsed [[Header]] — the
+  /** Like [[tileParts]], but each span is TRUNCATED to the bytes a
+    * `discard`-reduced decode actually needs: the tile-part header plus
+    * the first (levels-discard+1)·nc packets, whose lengths come from
+    * the PLT marker the encoder writes — no entropy work. This is the
+    * byte-level half of the thumbnail story: a distributed reduced
+    * decode ranged-reads ONLY the low-resolution prefix of every
+    * tile-part, so a thumbnail job over a 100 TB archive fetches the
+    * low-res fraction of the bytes from storage, not just decodes less.
+    * Falls back to the full span for a tile-part without PLT. */
+  def tilePartsReduced(bytes: Array[Byte], discard: Int): Seq[TilePartSpan] = {
+    val hdr = header(bytes)
+    require(discard >= 0 && discard <= hdr.levels,
+      s"discard $discard out of 0..${hdr.levels}")
+    val keep = (hdr.levels - discard + 1) * hdr.nc
+    tileParts(bytes).map { s =>
+      val (bodyStart, lens) = tilePartHeader(bytes, s.pos)
+      if (lens == null) s
+      else {
+        require(lens.length >= keep, s"PLT lists ${lens.length} packets, need $keep")
+        val prefix = (bodyStart - s.pos) + lens.take(keep).map(_.toLong).sum
+        s.copy(len = math.min(s.len.toLong, prefix).toInt)
+      }
+    }
+  }
+
+  /** Decode ONE tile-part from exactly its slice (SOT..tile-part end as
+    * spanned by [[tileParts]], or the truncated low-res prefix from
+    * [[tilePartsReduced]]) given the parsed [[Header]] — the
     * executor-side step of a distributed single-scan decode. Fully
     * standalone: inverse DWT, RCT, DC unshift and clamp are tile-local
     * by construction. `discard` > 0 returns the tile at reduced
@@ -279,6 +321,39 @@ object Jp2Codec {
 
   private def beU16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+
+  /** Walk the tile-part header segments between the 12-byte SOT and SOD:
+    * returns (offset just past SOD, PLT packet lengths or null if no PLT).
+    * COM is skipped; anything else (per-tile COD/QCD overrides etc.) is
+    * rejected loudly — this profile never writes them. */
+  private def tilePartHeader(b: Array[Byte], pos: Int): (Int, Array[Int]) = {
+    var p = pos + 12
+    var lens: Array[Int] = null
+    while (beU16(b, p) != 0xFF93) {
+      val marker = beU16(b, p)
+      val lseg = beU16(b, p + 2)
+      marker match {
+        case 0xFF58 => // PLT: big-endian 7-bit varints, one per packet
+          require(b(p + 4) == 0, "split PLT (Zplt != 0) not supported")
+          val buf = ArrayBuffer.empty[Int]
+          var i = p + 5
+          val end = p + 2 + lseg
+          var v = 0
+          while (i < end) {
+            val x = b(i) & 0xFF
+            v = (v << 7) | (x & 0x7F)
+            if ((x & 0x80) == 0) { buf += v; v = 0 }
+            i += 1
+          }
+          lens = buf.toArray
+        case 0xFF64 => () // COM: informational, skip
+        case m => throw new IllegalArgumentException(
+          f"tile-part header marker $m%04x not supported")
+      }
+      p += 2 + lseg
+    }
+    (p + 2, lens)
+  }
 
   private def beU32(b: Array[Byte], i: Int): Long =
     ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
@@ -399,7 +474,7 @@ object Jp2Codec {
     require(isot < hdr.ntx * hdr.nty, s"tile index $isot out of grid")
     require(u8(pos + 10) == 0 && u8(pos + 11) == 1,
       "multiple tile-parts per tile not supported")
-    require(u16(pos + 12) == 0xFF93, "expected SOD after SOT")
+    val (bodyStart, _) = tilePartHeader(b, pos)
     val x0 = (isot % hdr.ntx) * hdr.xt; val y0 = (isot / hdr.ntx) * hdr.yt
     val tw = math.min(hdr.xt, hdr.width - x0); val th = math.min(hdr.yt, hdr.height - y0)
     // reduced-grid placement: exact because multi-tile grids require
@@ -408,7 +483,7 @@ object Jp2Codec {
     val rw = ceilDiv(tw, 1 << discard); val rh = ceilDiv(th, 1 << discard)
     val rl = hdr.levels - discard
     val tile = Array.fill(hdr.nc)(new Array[Int](rw * rh))
-    var p = pos + 14
+    var p = bodyStart
     for (r <- 0 to rl; c <- 0 until hdr.nc)
       p = decodePacket(b, p, tile(c), rw, rh, rl, r)
     if (discard == 0)

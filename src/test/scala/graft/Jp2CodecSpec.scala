@@ -396,6 +396,29 @@ class Jp2CodecSpec extends AnyFunSuite {
       Jp2Codec.encode(96, 96, comps, levels = 3, tileSize = -1))
   }
 
+  test("PLT-truncated spans decode the exact thumbnail from a fraction of the bytes") {
+    val (w, h) = (130, 97)
+    val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))
+    val cs = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64)
+    val hdr = Jp2Codec.header(cs)
+    val full = Jp2Codec.tileParts(cs)
+    val reduced = Jp2Codec.tilePartsReduced(cs, 2)
+    assert(reduced.map(_.index) == full.map(_.index))
+    val (rBytes, fBytes) = (reduced.map(_.len.toLong).sum, full.map(_.len.toLong).sum)
+    // the whole point: the low-res prefix is a small fraction of the tile
+    assert(rBytes * 2 < fBytes, s"reduced $rBytes vs full $fBytes bytes")
+    // decoding ONLY the truncated slices reassembles decodeReduced exactly
+    val whole = Jp2Codec.decodeReduced(cs, 2)
+    for (s <- reduced) {
+      val slice = java.util.Arrays.copyOfRange(cs, s.pos, s.pos + s.len)
+      val t = Jp2Codec.decodeTilePart(slice, hdr, 2)
+      for (c <- 0 until 3; y <- 0 until t.height; x <- 0 until t.width)
+        assert(t.comps(c)(y * t.width + x) ==
+          whole.comps(c)((t.y0 + y) * whole.width + (t.x0 + x)),
+          s"tile ${s.index} c=$c px($x,$y)")
+    }
+  }
+
   test("encoder rejects tile grids past the 16-bit Isot space; walkers reject bad Psot") {
     // 300x300 at tileSize=1 (legal for levels=0) would need 90000 > 65535
     // tile indices — the wrap would silently place tile 65536 at tile 0
