@@ -59,7 +59,14 @@ object Bench {
     // is most of the wall (the o17 shape: no code-level fix for scheduler
     // exposure on a sub-second query; more samples bound the committed
     // spread instead).
-    "st1_tumbling")
+    "st1_tumbling",
+    // r14 verdict item 5: l63's driver spread hit [29.5, 59.0] inside a
+    // host-stall window (quiet steady state is 1.9-3.0 s — the judge
+    // re-ran it); it has a BATCH_METRICS decomposition (under-parallelism
+    // at sf0.1 amortizing at sf1, nothing super-linear) but not the
+    // deterministic-warm-up + >=3-samples policy that bounds the
+    // committed spread for the rest of this set.
+    "l63_lsh_calibration")
 
   /** g4_pagerank's committed driver spread was 1.53x in r10 against a
     * 1.5x bar; its decomposition (BATCH_METRICS_r10.md) shows the residual

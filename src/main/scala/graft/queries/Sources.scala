@@ -1104,6 +1104,14 @@ object Sources {
       dir
     })
 
+  /** Per-channel pixel sum for the JP2 queries' oracle columns. */
+  private def sumChannel(a: Array[Int]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < a.length) { s += a(i); i += 1 }
+    s
+  }
+
   /** L5g: full JPEG 2000 ENTROPY decode — the one multimodal step that was
     * a documented stub since round 8 (the reference routes `.jp2` scans by
     * filename only, 01-scrape-images.py:340; no JP2 codec ships with the
@@ -1115,14 +1123,6 @@ object Sources {
     * per-channel pixel sums, which the DuckDB oracle recomputes from the
     * staging arithmetic — a hash-match over actual decoded pixel data, not
     * a rows-only register entry. */
-  /** Per-channel pixel sum for the JP2 queries' oracle columns. */
-  private def sumChannel(a: Array[Int]): Long = {
-    var s = 0L
-    var i = 0
-    while (i < a.length) { s += a(i); i += 1 }
-    s
-  }
-
   def l5gJp2Decode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val staged = stageJp2s()
@@ -1208,11 +1208,17 @@ object Sources {
     * latency instead of per-file. JPEG 2000 tiles are independently
     * entropy-coded, so the split is exact, not heuristic:
     *
-    *  1. SPLIT (cheap, no entropy work): [[graft.sources.jp2.Jp2Codec
-    *     .tileParts]] walks the Psot chain — one row per tile-part span
-    *     plus the few-ints [[graft.sources.jp2.Jp2Codec.Header]]; at
-    *     scale this step reads only the main header and 12 bytes per
-    *     SOT via ranged reads.
+    *  1. SPLIT (cheap, no entropy work, no file materialization): the
+    *     file LISTING (binaryFile pruned to path+length — content is
+    *     never in the read schema) feeds a streamed
+    *     [[graft.sources.jp2.Jp2Codec.tileParts]] walk over a
+    *     [[graft.sources.HadoopRangedInput]]: the main header is read
+    *     once, then the Psot chain is seek-hopped at 14 bytes per SOT.
+    *     A [[graft.sources.jp2.Jp2Codec.CountingInput]] REQUIRES (not
+    *     just documents) that the walk read < 1/8 of the file — so the
+    *     header-only contract is tested on every run, and a gigabyte
+    *     scan costs the split task a few hundred bytes, with no
+    *     binaryFile 2 GiB cap and no executor-memory spike.
     *  2. SPREAD: `repartition(defaultParallelism, path, tile)`
     *     hash-distributes the one file's tiles across executors. The
     *     partition count is pinned ON PURPOSE: the shuffle carries
@@ -1236,24 +1242,35 @@ object Sources {
     import spark.implicits._
     val staged = stageBigJp2()
     val tiles = spark.read.format("binaryFile").load(staged)
-      .select($"path", $"content").as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) =>
-        val hdr = graft.sources.jp2.Jp2Codec.header(bytes)
-        graft.sources.jp2.Jp2Codec.tileParts(bytes).map(s =>
-          (p, s.index, s.pos, s.len,
+      .select($"path", $"length").as[(String, Long)] // listing only: content never read
+      .flatMap { case (p, fileLen) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val stream = fs.open(hp)
+        try {
+          val in = new graft.sources.jp2.Jp2Codec.CountingInput(
+            new graft.sources.HadoopRangedInput(stream, fileLen))
+          val (hdr, spans) = graft.sources.jp2.Jp2Codec.tileParts(in)
+          // the header-only contract, REQUIRED on every run: the walk
+          // reads the main header + 14 B per SOT, never tile bodies
+          require(in.bytesRead * 8 < fileLen,
+            s"$p: split walk read ${in.bytesRead} B of $fileLen B — not header-only")
+          spans.map(s => (p, s.index, s.pos, s.len,
             hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels))
+        } finally stream.close()
       }
       .toDF("path", "tile", "pos", "len", "w", "h", "nc", "xt", "yt", "rct", "levels")
       .repartition(spark.sparkContext.defaultParallelism, col("path"), col("tile"))
-      .as[(String, Int, Int, Int, Int, Int, Int, Int, Int, Boolean, Int)]
+      .as[(String, Int, Long, Long, Int, Int, Int, Int, Int, Boolean, Int)]
     val perTile = tiles.mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
       it.map { case (p, _, pos, len, w, h, nc, xt, yt, rct, levels) =>
         val hp = new org.apache.hadoop.fs.Path(p)
         val fs = hp.getFileSystem(conf)
-        val slice = new Array[Byte](len)
+        require(len <= Int.MaxValue, s"$p: single tile-part of $len B exceeds 2 GiB")
+        val slice = new Array[Byte](len.toInt)
         val in = fs.open(hp)
-        try { in.seek(pos.toLong); in.readFully(slice) } finally in.close()
+        try { in.readFully(pos, slice) } finally in.close()
         val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels)
         val t = graft.sources.jp2.Jp2Codec.decodeTilePart(slice, hdr)
         (p, w.toLong, h.toLong,
@@ -1273,41 +1290,54 @@ object Sources {
     * distributed thumbnail job never READS them from storage. The
     * encoder's PLT markers give per-packet lengths, so
     * [[graft.sources.jp2.Jp2Codec.tilePartsReduced]] truncates each
-    * tile-part span to its low-resolution prefix (header walk only, no
-    * entropy work); tasks ranged-read exactly those prefixes and run the
-    * standalone reduced tile decode. An in-query require pins that the
-    * bytes fetched are under half the scan (they are ~a quarter at
-    * d=2); pixel content of the truncated-slice decode is pinned
-    * bit-exact against `decodeReduced` by Jp2CodecSpec, and the emitted
-    * thumbnail dims / tile count are closed-form for the DuckDB oracle.
-    * At 100 TB this is the difference between a thumbnail pass that
-    * fetches the archive and one that fetches its low-res fraction. */
+    * tile-part span to its low-resolution prefix (streamed header walk
+    * over a [[graft.sources.HadoopRangedInput]] — the SPLIT stage itself
+    * reads only the main header, 14 B per SOT, and each PLT segment,
+    * never the file, so there is no binaryFile 2 GiB cap and no
+    * executor-memory spike); tasks then ranged-read exactly those
+    * prefixes and run the standalone reduced tile decode. An in-query
+    * require pins that TOTAL bytes fetched — split walk plus prefixes —
+    * are under half the scan (they are ~a quarter at d=2); pixel content
+    * of the truncated-slice decode is pinned bit-exact against
+    * `decodeReduced` by Jp2CodecSpec, and the emitted thumbnail dims /
+    * tile count are closed-form for the DuckDB oracle. At 100 TB this is
+    * the difference between a thumbnail pass that fetches the archive
+    * and one that fetches its low-res fraction. */
   def l5jJp2ThumbnailRanged(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val staged = stageBigJp2()
     val discard = 2
     val tiles = spark.read.format("binaryFile").load(staged)
-      .select($"path", $"content").as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) =>
-        val hdr = graft.sources.jp2.Jp2Codec.header(bytes)
-        val spans = graft.sources.jp2.Jp2Codec.tilePartsReduced(bytes, discard)
-        val prefixBytes = spans.map(_.len.toLong).sum
-        require(prefixBytes * 2 < bytes.length,
-          s"$p: low-res prefixes ($prefixBytes B) not a fraction of ${bytes.length} B")
-        spans.map(s => (p, s.index, s.pos, s.len,
-          hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels))
+      .select($"path", $"length").as[(String, Long)] // listing only: content never read
+      .flatMap { case (p, fileLen) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val stream = fs.open(hp)
+        try {
+          val in = new graft.sources.jp2.Jp2Codec.CountingInput(
+            new graft.sources.HadoopRangedInput(stream, fileLen))
+          val (hdr, spans) = graft.sources.jp2.Jp2Codec.tilePartsReduced(in, discard)
+          val prefixBytes = spans.map(_.len).sum
+          // the whole-query byte contract: header walk + low-res
+          // prefixes together stay a FRACTION of the scan
+          require((in.bytesRead + prefixBytes) * 2 < fileLen,
+            s"$p: walk ${in.bytesRead} B + prefixes $prefixBytes B not a fraction of $fileLen B")
+          spans.map(s => (p, s.index, s.pos, s.len,
+            hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels))
+        } finally stream.close()
       }
       .toDF("path", "tile", "pos", "len", "w", "h", "nc", "xt", "yt", "rct", "levels")
       .repartition(spark.sparkContext.defaultParallelism, col("path"), col("tile"))
-      .as[(String, Int, Int, Int, Int, Int, Int, Int, Int, Boolean, Int)]
+      .as[(String, Int, Long, Long, Int, Int, Int, Int, Int, Boolean, Int)]
     val perTile = tiles.mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
       it.map { case (p, _, pos, len, w, h, nc, xt, yt, rct, levels) =>
         val hp = new org.apache.hadoop.fs.Path(p)
         val fs = hp.getFileSystem(conf)
-        val slice = new Array[Byte](len) // ONLY the low-res prefix
+        require(len <= Int.MaxValue, s"$p: low-res prefix of $len B exceeds 2 GiB")
+        val slice = new Array[Byte](len.toInt) // ONLY the low-res prefix
         val in = fs.open(hp)
-        try { in.seek(pos.toLong); in.readFully(slice) } finally in.close()
+        try { in.readFully(pos, slice) } finally in.close()
         val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels)
         val t = graft.sources.jp2.Jp2Codec.decodeTilePart(slice, hdr, discard)
         (p, (t.x0 + t.width).toLong, (t.y0 + t.height).toLong)

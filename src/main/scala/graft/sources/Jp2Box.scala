@@ -88,11 +88,28 @@ object Jp2Box {
     None
   }
 
+  /** Component count (Csiz) from a raw codestream's SIZ segment; None
+    * when the bytes don't start with SOC or SIZ never arrives. */
+  private def parseNc(b: Array[Byte]): Option[Int] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0x4f) return None
+    var i = 2
+    while (i + 4 <= b.length && (b(i) & 0xff) == 0xff) {
+      if ((b(i + 1) & 0xff) == 0x51) // SIZ: Csiz is 34 bytes past Lsiz
+        return if (i + 40 <= b.length) Some(be16(b, i + 38)) else None
+      i += 2 + be16(b, i + 2)
+    }
+    None
+  }
+
   /** Build a header-true JP2 container: real signature/ftyp/jp2h/ihdr
-    * boxes around an OPAQUE payload in the jp2c box (not a real
-    * codestream — header-only fixtures for tests and docs). */
+    * boxes around the jp2c payload. The payload may be a real codestream
+    * (e.g. from [[graft.sources.jp2.Jp2Codec.encode]]) — then the ihdr
+    * component count is read from its SIZ so container and codestream
+    * can never disagree — or opaque bytes (header-only fixtures for
+    * tests and docs), which default to 3 components. */
   def buildContainer(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
     require(width > 0 && height > 0)
+    val nc = parseNc(payload).getOrElse(3)
     val out = new java.io.ByteArrayOutputStream()
     def u32(v: Long): Unit = {
       out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
@@ -106,7 +123,7 @@ object Jp2Box {
     // jp2h superbox: one ihdr child (8 + 22)
     u32(30L); ascii("jp2h")
     u32(22L); ascii("ihdr"); u32(height.toLong); u32(width.toLong)
-    out.write(0); out.write(3) // nc = 3 components
+    out.write((nc >> 8) & 0xff); out.write(nc & 0xff) // nc from SIZ (or 3)
     out.write(7) // bpc = 8-bit unsigned
     out.write(7) // compression type (wavelet)
     out.write(0); out.write(0) // unkC, IPR

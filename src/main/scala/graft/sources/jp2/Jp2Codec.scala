@@ -212,8 +212,50 @@ object Jp2Codec {
 
   /** Byte span of one tile-part within the input passed to
     * [[tileParts]] — `pos` is absolute, so a ranged read of
-    * [pos, pos+len) hands [[decodeTilePart]] exactly its slice. */
-  final case class TilePartSpan(index: Int, pos: Int, len: Int)
+    * [pos, pos+len) hands [[decodeTilePart]] exactly its slice.
+    * Offsets are Long: archival scans are gigabytes, and the split
+    * walk never materializes the file, so nothing caps at Int. */
+  final case class TilePartSpan(index: Int, pos: Long, len: Long)
+
+  /** Ranged-read abstraction for the header/Psot walks: implementations
+    * fetch exactly [pos, pos+len) and nothing else, so a split step over
+    * a gigabyte file reads O(main header + 12 B per SOT), not the file.
+    * Callers keep at most a few-KB segment in memory at a time. Every
+    * read is bounds-checked against `length` and fails with a typed
+    * IllegalArgumentException — truncated input gets the same loud
+    * contract as any other malformed codestream. */
+  trait RangedInput {
+    def length: Long
+    /** Fetch exactly [pos, pos+len); must throw IllegalArgumentException
+      * (not a raw index error) when the range leaves [0, length). */
+    def read(pos: Long, len: Int): Array[Byte]
+    protected final def checkRange(pos: Long, len: Int): Unit =
+      require(pos >= 0 && len >= 0 && pos + len <= length,
+        s"read [$pos, ${pos + len}) out of bounds (input length $length) — truncated or malformed codestream")
+  }
+
+  /** In-memory [[RangedInput]] — the full-decode paths and tests. */
+  final class BytesInput(b: Array[Byte]) extends RangedInput {
+    def length: Long = b.length.toLong
+    def read(pos: Long, len: Int): Array[Byte] = {
+      checkRange(pos, len)
+      java.util.Arrays.copyOfRange(b, pos.toInt, pos.toInt + len)
+    }
+  }
+
+  /** Wrapper that counts fetched bytes, so a query can REQUIRE (not just
+    * document) that its split stage read only headers. */
+  final class CountingInput(underlying: RangedInput) extends RangedInput {
+    private var n = 0L
+    def bytesRead: Long = n
+    def length: Long = underlying.length
+    def read(pos: Long, len: Int): Array[Byte] = {
+      n += len
+      underlying.read(pos, len)
+    }
+  }
+
+  private def readU16(in: RangedInput, pos: Long): Int = beU16(in.read(pos, 2), 0)
 
   /** Decode a raw codestream or a JP2 container (jp2c box located via
     * [[graft.sources.Jp2Box]] conventions). */
@@ -231,17 +273,15 @@ object Jp2Codec {
     * decode is bit-exactly the encoder's own subbands r <= levels-d
     * inverse-transformed d levels short. */
   def decodeReduced(bytes: Array[Byte], discard: Int): Image = {
-    val (hdr, sot0) = parseMainHeader(bytes)
+    val (hdr, spans) = tileParts(new BytesInput(bytes))
     require(discard >= 0 && discard <= hdr.levels,
       s"discard $discard out of 0..${hdr.levels}")
     val rW = ceilDiv(hdr.width, 1 << discard)
     val rH = ceilDiv(hdr.height, 1 << discard)
     val planes = Array.fill(hdr.nc)(new Array[Int](rW * rH))
     val seen = new Array[Boolean](hdr.ntx * hdr.nty)
-    var pos = sot0
-    while (beU16(bytes, pos) == 0xFF90) {
-      val psot = validatedPsot(bytes, pos)
-      val t = decodeTilePartAt(bytes, pos, hdr, discard)
+    for (s <- spans) {
+      val t = decodeTilePartAt(bytes, s.pos.toInt, hdr, discard)
       require(!seen(t.index), s"duplicate tile-part for tile ${t.index}")
       seen(t.index) = true
       for (c <- 0 until hdr.nc) {
@@ -252,9 +292,7 @@ object Jp2Codec {
           y += 1
         }
       }
-      pos += psot
     }
-    require(beU16(bytes, pos) == 0xFFD9, "missing EOC after tile data")
     require(seen.forall(identity),
       s"missing tile-parts: ${seen.zipWithIndex.collect { case (false, i) => i }.mkString(",")}")
     Image(rW, rH, planes)
@@ -262,25 +300,46 @@ object Jp2Codec {
 
   /** Main header of a codestream or JP2 container — cheap (marker walk,
     * no entropy work). */
-  def header(bytes: Array[Byte]): Header = parseMainHeader(bytes)._1
+  def header(bytes: Array[Byte]): Header = header(new BytesInput(bytes))
+
+  /** Streamed [[header]]: reads only the container boxes and main-header
+    * marker segments via ranged reads — a split task over a gigabyte
+    * file never materializes it. */
+  def header(in: RangedInput): Header = parseMainHeader(in)._1
 
   /** Walk the Psot chain and return every tile-part's absolute byte span
-    * within `bytes` — cheap (no entropy work): this is the driver-side
-    * split step of a distributed single-scan decode, after which each
-    * task ranged-reads only its own span. */
-  def tileParts(bytes: Array[Byte]): Seq[TilePartSpan] = {
-    val (hdr, sot0) = parseMainHeader(bytes)
+    * within `bytes` — cheap (no entropy work): this is the split step of
+    * a distributed single-scan decode, after which each task
+    * ranged-reads only its own span. */
+  def tileParts(bytes: Array[Byte]): Seq[TilePartSpan] =
+    tileParts(new BytesInput(bytes))._2
+
+  /** Streamed [[tileParts]] over ranged reads — the split step for files
+    * too big (or too expensive) to materialize: it fetches the main
+    * header once plus 12 bytes per SOT, seek-hopping the Psot chain, and
+    * returns the parsed [[Header]] alongside the spans so callers don't
+    * pay a second header walk. */
+  def tileParts(in: RangedInput): (Header, Seq[TilePartSpan]) = {
+    val (hdr, sot0) = parseMainHeader(in)
     val spans = ArrayBuffer.empty[TilePartSpan]
     var pos = sot0
-    while (beU16(bytes, pos) == 0xFF90) {
-      val isot = beU16(bytes, pos + 4)
-      val psot = validatedPsot(bytes, pos)
+    var marker = readU16(in, pos)
+    while (marker == 0xFF90) {
+      val sot = in.read(pos, 12) // SOT: marker Lsot Isot Psot TPsot TNsot
+      val isot = beU16(sot, 4)
+      val psot = beU32(sot, 6)
+      // Psot = 0 (spec-legal only for a last tile-part streamed to EOC,
+      // never written by this profile) or a huge value would loop the
+      // walk or run off the input — reject loudly instead of guessing
+      require(psot >= 14L && pos + psot <= in.length,
+        s"Psot $psot at $pos out of bounds (stream length ${in.length})")
       require(isot < hdr.ntx * hdr.nty, s"tile index $isot out of grid")
       spans += TilePartSpan(isot, pos, psot)
       pos += psot
+      marker = readU16(in, pos)
     }
-    require(beU16(bytes, pos) == 0xFFD9, "missing EOC after tile data")
-    spans.toSeq
+    require(marker == 0xFFD9, "missing EOC after tile data")
+    (hdr, spans.toSeq)
   }
 
   /** Like [[tileParts]], but each span is TRUNCATED to the bytes a
@@ -292,20 +351,26 @@ object Jp2Codec {
     * tile-part, so a thumbnail job over a 100 TB archive fetches the
     * low-res fraction of the bytes from storage, not just decodes less.
     * Falls back to the full span for a tile-part without PLT. */
-  def tilePartsReduced(bytes: Array[Byte], discard: Int): Seq[TilePartSpan] = {
-    val hdr = header(bytes)
+  def tilePartsReduced(bytes: Array[Byte], discard: Int): Seq[TilePartSpan] =
+    tilePartsReduced(new BytesInput(bytes), discard)._2
+
+  /** Streamed [[tilePartsReduced]] — adds one tile-part-header read
+    * (SOT + PLT segment, a few dozen bytes) per tile to the
+    * [[tileParts]] walk; still O(headers), never the bodies. */
+  def tilePartsReduced(in: RangedInput, discard: Int): (Header, Seq[TilePartSpan]) = {
+    val (hdr, spans) = tileParts(in)
     require(discard >= 0 && discard <= hdr.levels,
       s"discard $discard out of 0..${hdr.levels}")
     val keep = (hdr.levels - discard + 1) * hdr.nc
-    tileParts(bytes).map { s =>
-      val (bodyStart, lens) = tilePartHeader(bytes, s.pos)
+    (hdr, spans.map { s =>
+      val (bodyStart, lens) = tilePartHeader(in, s.pos)
       if (lens == null) s
       else {
         require(lens.length >= keep, s"PLT lists ${lens.length} packets, need $keep")
         val prefix = (bodyStart - s.pos) + lens.take(keep).map(_.toLong).sum
-        s.copy(len = math.min(s.len.toLong, prefix).toInt)
+        s.copy(len = math.min(s.len, prefix))
       }
-    }
+    })
   }
 
   /** Decode ONE tile-part from exactly its slice (SOT..tile-part end as
@@ -325,22 +390,25 @@ object Jp2Codec {
   /** Walk the tile-part header segments between the 12-byte SOT and SOD:
     * returns (offset just past SOD, PLT packet lengths or null if no PLT).
     * COM is skipped; anything else (per-tile COD/QCD overrides etc.) is
-    * rejected loudly — this profile never writes them. */
-  private def tilePartHeader(b: Array[Byte], pos: Int): (Int, Array[Int]) = {
+    * rejected loudly — this profile never writes them. Ranged reads:
+    * 4 bytes per marker plus the PLT payload, never the tile body. */
+  private def tilePartHeader(in: RangedInput, pos: Long): (Long, Array[Int]) = {
     var p = pos + 12
     var lens: Array[Int] = null
-    while (beU16(b, p) != 0xFF93) {
-      val marker = beU16(b, p)
-      val lseg = beU16(b, p + 2)
+    var marker = readU16(in, p)
+    while (marker != 0xFF93) {
+      require((marker >> 8) == 0xFF, f"bad marker at $p%d: $marker%04x")
+      val lseg = readU16(in, p + 2)
+      require(lseg >= 2, s"marker segment length $lseg at $p too short")
       marker match {
-        case 0xFF58 => // PLT: big-endian 7-bit varints, one per packet
-          require(b(p + 4) == 0, "split PLT (Zplt != 0) not supported")
+        case 0xFF58 => // PLT: Zplt then big-endian 7-bit varints, one per packet
+          val body = in.read(p + 4, lseg - 2)
+          require(body.length >= 1 && body(0) == 0, "split PLT (Zplt != 0) not supported")
           val buf = ArrayBuffer.empty[Int]
-          var i = p + 5
-          val end = p + 2 + lseg
+          var i = 1
           var v = 0
-          while (i < end) {
-            val x = b(i) & 0xFF
+          while (i < body.length) {
+            val x = body(i) & 0xFF
             v = (v << 7) | (x & 0x7F)
             if ((x & 0x80) == 0) { buf += v; v = 0 }
             i += 1
@@ -351,6 +419,7 @@ object Jp2Codec {
           f"tile-part header marker $m%04x not supported")
       }
       p += 2 + lseg
+      marker = readU16(in, p)
     }
     (p + 2, lens)
   }
@@ -358,94 +427,113 @@ object Jp2Codec {
   private def beU32(b: Array[Byte], i: Int): Long =
     ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
 
-  /** Psot of the SOT at `pos`, validated so the tile walk always
-    * advances and stays in bounds: Psot = 0 (spec-legal only for a
-    * last tile-part streamed to EOC, which this profile never writes)
-    * or a huge value would otherwise loop the walk forever or wrap the
-    * index negative — reject loudly instead of guessing. */
-  private def validatedPsot(b: Array[Byte], pos: Int): Int = {
-    val psot = beU32(b, pos + 6)
-    require(psot >= 14L && pos + psot <= b.length,
-      s"Psot $psot at $pos out of bounds (stream length ${b.length})")
-    psot.toInt
-  }
-
   /** Raw codestream passthrough, or walk the JP2 boxes to jp2c; returns
-    * the codestream's absolute [start, end) within `b`. */
-  private[jp2] def codestreamSpan(b: Array[Byte]): Option[(Int, Int)] = {
-    if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0x4F)
-      return Some((0, b.length))
-    if (b.length < 12) return None
-    if (beU32(b, 0) != 12L || beU32(b, 4) != 0x6a502020L) return None
-    var from = 12
-    while (from + 8 <= b.length) {
-      val len0 = beU32(b, from)
-      val typ = beU32(b, from + 4)
-      val len = if (len0 == 0L) (b.length - from).toLong else len0
-      if (len0 == 1L || len < 8L || from + len > b.length) return None
+    * the codestream's absolute [start, end) within the input. Ranged
+    * reads: 8 bytes per box header. */
+  private[jp2] def codestreamSpan(in: RangedInput): Option[(Long, Long)] = {
+    if (in.length < 12) {
+      if (in.length >= 2) {
+        val h2 = in.read(0, 2)
+        if ((h2(0) & 0xFF) == 0xFF && (h2(1) & 0xFF) == 0x4F) return Some((0L, in.length))
+      }
+      return None
+    }
+    val sig = in.read(0, 12)
+    if ((sig(0) & 0xFF) == 0xFF && (sig(1) & 0xFF) == 0x4F)
+      return Some((0L, in.length))
+    if (beU32(sig, 0) != 12L || beU32(sig, 4) != 0x6a502020L) return None
+    var from = 12L
+    while (from + 8 <= in.length) {
+      val bh = in.read(from, 8)
+      val len0 = beU32(bh, 0)
+      val typ = beU32(bh, 4)
+      val len = if (len0 == 0L) in.length - from else len0
+      if (len0 == 1L || len < 8L || from + len > in.length) return None
       if (typ == 0x6a703263L) // jp2c
-        return Some((from + 8, (from + len).toInt))
-      from += len.toInt
+        return Some((from + 8, from + len))
+      from += len
     }
     None
   }
 
   private[jp2] def extractCodestream(b: Array[Byte]): Option[Array[Byte]] =
-    codestreamSpan(b).map { case (s, e) => java.util.Arrays.copyOfRange(b, s, e) }
+    codestreamSpan(new BytesInput(b)).map { case (s, e) =>
+      java.util.Arrays.copyOfRange(b, s.toInt, e.toInt)
+    }
+
+  /** Main-header markers that are informational and safely skippable:
+    * TLM/PLM (pointer hints), CRG (registration hint), COM (comment).
+    * Everything else unknown is REJECTED — in particular the spec's
+    * segment-less marker range 0xFF30-0xFF3F, which carries no length
+    * field: "skip by length" would read payload bytes as a length and
+    * walk into garbage. Reject what we do not implement, never guess. */
+  private val SkippableMainMarkers = Set(0xFF55, 0xFF57, 0xFF63, 0xFF64)
 
   /** Parse the main header (SOC .. first SOT) of a codestream or JP2
     * container; returns the [[Header]] and the first SOT's absolute
-    * offset within `bytes`. */
-  private def parseMainHeader(bytes: Array[Byte]): (Header, Int) = {
-    val (start, _) = codestreamSpan(bytes).getOrElse(
+    * offset. Ranged reads: 4 bytes per marker plus each parsed segment's
+    * payload — a split task over a gigabyte file reads a few hundred
+    * bytes here, never the file. */
+  private def parseMainHeader(in: RangedInput): (Header, Long) = {
+    val (start, _) = codestreamSpan(in).getOrElse(
       throw new IllegalArgumentException("not a JPEG 2000 codestream or JP2 container"))
-    def u8(i: Int): Int = bytes(i) & 0xFF
-    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
-    def u32(i: Int): Long = beU32(bytes, i)
-    require(u16(start) == 0xFF4F, "missing SOC")
+    require(readU16(in, start) == 0xFF4F, "missing SOC")
 
     var w = 0; var h = 0; var nc = 0; var xt = 0; var yt = 0
     var useRct = false; var levels = -1
     var pos = start + 2
     var atSot = false
     while (!atSot) {
-      val marker = u16(pos)
+      val marker = readU16(in, pos)
       require((marker >> 8) == 0xFF, f"bad marker at $pos%d: $marker%04x")
       marker match {
-        case 0xFF51 => // SIZ
-          val xsiz = u32(pos + 6); val ysiz = u32(pos + 10)
-          val xo = u32(pos + 14); val yo = u32(pos + 18)
-          require(xo == 0 && yo == 0 && u32(pos + 30) == 0 && u32(pos + 34) == 0,
-            "nonzero image/tile origin not supported")
-          w = xsiz.toInt; h = ysiz.toInt
-          xt = u32(pos + 22).toInt; yt = u32(pos + 26).toInt
-          require(xt > 0 && yt > 0, "empty tile grid")
-          nc = u16(pos + 38)
-          require(nc == 1 || nc == 3, s"unsupported component count $nc")
-          for (c <- 0 until nc) {
-            require(u8(pos + 40 + 3 * c) == 7, "only 8-bit unsigned components")
-            require(u8(pos + 41 + 3 * c) == 1 && u8(pos + 42 + 3 * c) == 1, "no subsampling")
-          }
-        case 0xFF52 => // COD
-          require(u8(pos + 4) == 0, "precinct/SOP/EPH options not supported")
-          require(u8(pos + 5) == 0, "only LRCP")
-          require(u16(pos + 6) == 1, "only 1 layer")
-          useRct = u8(pos + 8) == 1
-          levels = u8(pos + 9)
-          require(u8(pos + 10) == CodeBlockExp - 2 && u8(pos + 11) == CodeBlockExp - 2,
-            "only 64x64 code-blocks")
-          require(u8(pos + 12) == 0, "code-block style options not supported")
-          require(u8(pos + 13) == 1, "only the reversible 5/3 transform")
-        case 0xFF5C => // QCD — exponents are fixed by profile; verify guard bits
-          require((u8(pos + 4) >> 5) == GuardBits, "unexpected guard bits")
         case 0xFF90 => // SOT
           atSot = true
         case 0xFFD9 =>
           throw new IllegalArgumentException("EOC before any tile")
-        case _ => () // skip unknown marker segment (COM etc.)
+        case m if m >= 0xFF30 && m <= 0xFF3F =>
+          throw new IllegalArgumentException(
+            f"segment-less marker $m%04x in main header not supported")
+        case m =>
+          val lseg = readU16(in, pos + 2)
+          require(lseg >= 2, s"marker segment length $lseg at $pos too short")
+          // body = segment payload after the 2-byte length field
+          def body: Array[Byte] = in.read(pos + 4, lseg - 2)
+          m match {
+            case 0xFF51 => // SIZ: Rsiz X Y XO YO XT YT XTO YTO Csiz comps
+              val b = body
+              def u32(i: Int): Long = beU32(b, i)
+              val xo = u32(10); val yo = u32(14)
+              require(xo == 0 && yo == 0 && u32(26) == 0 && u32(30) == 0,
+                "nonzero image/tile origin not supported")
+              w = u32(2).toInt; h = u32(6).toInt
+              xt = u32(18).toInt; yt = u32(22).toInt
+              require(xt > 0 && yt > 0, "empty tile grid")
+              nc = beU16(b, 34)
+              require(nc == 1 || nc == 3, s"unsupported component count $nc")
+              for (c <- 0 until nc) {
+                require((b(36 + 3 * c) & 0xFF) == 7, "only 8-bit unsigned components")
+                require(b(37 + 3 * c) == 1 && b(38 + 3 * c) == 1, "no subsampling")
+              }
+            case 0xFF52 => // COD: Scod SGcod(prog layers mct) SPcod
+              val b = body
+              require((b(0) & 0xFF) == 0, "precinct/SOP/EPH options not supported")
+              require((b(1) & 0xFF) == 0, "only LRCP")
+              require(beU16(b, 2) == 1, "only 1 layer")
+              useRct = (b(4) & 0xFF) == 1
+              levels = b(5) & 0xFF
+              require((b(6) & 0xFF) == CodeBlockExp - 2 && (b(7) & 0xFF) == CodeBlockExp - 2,
+                "only 64x64 code-blocks")
+              require((b(8) & 0xFF) == 0, "code-block style options not supported")
+              require((b(9) & 0xFF) == 1, "only the reversible 5/3 transform")
+            case 0xFF5C => // QCD — exponents are fixed by profile; verify guard bits
+              require(((body(0) & 0xFF) >> 5) == GuardBits, "unexpected guard bits")
+            case mm if SkippableMainMarkers(mm) => () // informational, skip by length
+            case mm => throw new IllegalArgumentException(
+              f"main header marker $mm%04x not supported")
+          }
+          pos += 2 + lseg
       }
-      if (!atSot)
-        pos += (if (marker == 0xFF4F) 2 else 2 + u16(pos + 2))
     }
     require(w > 0 && h > 0 && nc > 0 && levels >= 0, "incomplete header")
     val hdr = Header(w, h, nc, xt, yt, useRct, levels)
@@ -474,7 +562,8 @@ object Jp2Codec {
     require(isot < hdr.ntx * hdr.nty, s"tile index $isot out of grid")
     require(u8(pos + 10) == 0 && u8(pos + 11) == 1,
       "multiple tile-parts per tile not supported")
-    val (bodyStart, _) = tilePartHeader(b, pos)
+    val (bodyStartL, _) = tilePartHeader(new BytesInput(b), pos.toLong)
+    val bodyStart = bodyStartL.toInt
     val x0 = (isot % hdr.ntx) * hdr.xt; val y0 = (isot / hdr.ntx) * hdr.yt
     val tw = math.min(hdr.xt, hdr.width - x0); val th = math.min(hdr.yt, hdr.height - y0)
     // reduced-grid placement: exact because multi-tile grids require

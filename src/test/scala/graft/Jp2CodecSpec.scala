@@ -294,7 +294,7 @@ class Jp2CodecSpec extends AnyFunSuite {
     val rebuilt = Array.fill(3)(new Array[Int](w * h))
     var covered = 0
     for (s <- spans) {
-      val slice = java.util.Arrays.copyOfRange(container, s.pos, s.pos + s.len)
+      val slice = java.util.Arrays.copyOfRange(container, s.pos.toInt, (s.pos + s.len).toInt)
       val t = Jp2Codec.decodeTilePart(slice, hdr)
       assert(t.index == s.index)
       covered += t.width * t.height
@@ -378,7 +378,7 @@ class Jp2CodecSpec extends AnyFunSuite {
     for (s <- Jp2Codec.tileParts(cs)) {
       // flip the last quarter of the tile-part body (safely past the
       // d=2-needed r<=1 packets, which are a small prefix)
-      for (i <- s.pos + s.len - s.len / 4 until s.pos + s.len)
+      for (i <- (s.pos + s.len - s.len / 4).toInt until (s.pos + s.len).toInt)
         vandalized(i) = (~vandalized(i)).toByte
     }
     assert(!java.util.Arrays.equals(vandalized, cs))
@@ -410,7 +410,7 @@ class Jp2CodecSpec extends AnyFunSuite {
     // decoding ONLY the truncated slices reassembles decodeReduced exactly
     val whole = Jp2Codec.decodeReduced(cs, 2)
     for (s <- reduced) {
-      val slice = java.util.Arrays.copyOfRange(cs, s.pos, s.pos + s.len)
+      val slice = java.util.Arrays.copyOfRange(cs, s.pos.toInt, (s.pos + s.len).toInt)
       val t = Jp2Codec.decodeTilePart(slice, hdr, 2)
       for (c <- 0 until 3; y <- 0 until t.height; x <- 0 until t.width)
         assert(t.comps(c)(y * t.width + x) ==
@@ -428,14 +428,110 @@ class Jp2CodecSpec extends AnyFunSuite {
     val cs = Jp2Codec.encode(130, 97, Array(pattern(130, 97, 2)), levels = 3, tileSize = 64)
     val first = Jp2Codec.tileParts(cs).head
     val bad = cs.clone()
-    for (i <- 0 until 4) bad(first.pos + 6 + i) = 0
+    for (i <- 0 until 4) bad(first.pos.toInt + 6 + i) = 0
     intercept[IllegalArgumentException](Jp2Codec.tileParts(bad))
     intercept[IllegalArgumentException](Jp2Codec.decodeReduced(bad, 1))
+  }
+
+  test("streamed walk reads only headers: main header + 14 B per SOT, never bodies") {
+    // the split-stage contract for gigabyte files: tileParts over a
+    // RangedInput fetches O(header) bytes, and the counting wrapper
+    // proves it — this is what l5h/l5j REQUIRE per file at runtime
+    val (w, h) = (130, 97)
+    val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))
+    val container = Jp2Box.buildContainer(
+      w, h, Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64))
+    val in = new Jp2Codec.CountingInput(new Jp2Codec.BytesInput(container))
+    val (hdr, spans) = Jp2Codec.tileParts(in)
+    // identical results to the array walk
+    assert(hdr == Jp2Codec.header(container))
+    assert(spans == Jp2Codec.tileParts(container))
+    assert(spans.map(_.index).sorted == (0 until 6))
+    // byte contract: a small fraction of the file, independent of body size
+    assert(in.bytesRead * 8 < container.length,
+      s"walk read ${in.bytesRead} B of ${container.length} B")
+
+    // the reduced walk adds only the tile-part headers (SOT + PLT)
+    val in2 = new Jp2Codec.CountingInput(new Jp2Codec.BytesInput(container))
+    val (hdr2, reduced) = Jp2Codec.tilePartsReduced(in2, 2)
+    assert(hdr2 == hdr)
+    assert(reduced == Jp2Codec.tilePartsReduced(container, 2))
+    val prefixBytes = reduced.map(_.len).sum
+    assert((in2.bytesRead + prefixBytes) * 2 < container.length,
+      s"walk ${in2.bytesRead} B + prefixes $prefixBytes B of ${container.length} B")
+  }
+
+  test("streamed walk fails typed on truncated input, never a raw index error") {
+    val cs = Jp2Codec.encode(130, 97, Array(pattern(130, 97, 3)), levels = 3, tileSize = 64)
+    for (cut <- Seq(1, 2, 11, 40, cs.length / 3, cs.length - 1)) {
+      val short = new Jp2Codec.BytesInput(java.util.Arrays.copyOf(cs, cut))
+      val e = intercept[IllegalArgumentException](Jp2Codec.tileParts(short))
+      assert(e.getMessage != null, s"cut=$cut")
+    }
+  }
+
+  test("main-header walk whitelists informational markers and rejects the rest") {
+    val cs = Jp2Codec.encode(32, 32, Array(pattern(32, 32, 7)))
+    // splice a marker segment right after SIZ (whose segment ends before COD)
+    def splice(marker: Int, payload: Array[Byte]): Array[Byte] = {
+      val sizLen = ((cs(4) & 0xFF) << 8) | (cs(5) & 0xFF)
+      val at = 4 + sizLen // SOC(2) + SIZ marker(2) + Lsiz..payload
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(cs, 0, at)
+      out.write(marker >> 8); out.write(marker & 0xFF)
+      val lseg = 2 + payload.length
+      out.write(lseg >> 8); out.write(lseg & 0xFF)
+      out.write(payload)
+      out.write(cs, at, cs.length - at)
+      out.toByteArray
+    }
+    val base = Jp2Codec.decode(cs)
+    // COM (comment) and CRG (registration hint) are informational: skipped
+    for (m <- Seq(0xFF64, 0xFF63)) {
+      val out = Jp2Codec.decode(splice(m, Array[Byte](0, 1, 2, 3)))
+      for (c <- base.comps.indices)
+        assert(java.util.Arrays.equals(out.comps(c), base.comps(c)), f"marker $m%04x")
+    }
+    // POC changes the progression this decoder assumes — must reject
+    intercept[IllegalArgumentException](Jp2Codec.decode(splice(0xFF5F, Array[Byte](0))))
+    // segment-less marker range (0xFF30-0xFF3F) carries NO length field:
+    // "skip by length" would read payload bytes as a length — must reject,
+    // not mis-skip (here 0xFF35 is followed by COD whose bytes would be
+    // misread as a huge segment length)
+    val sizLen = ((cs(4) & 0xFF) << 8) | (cs(5) & 0xFF)
+    val at = 4 + sizLen
+    val segless = new java.io.ByteArrayOutputStream()
+    segless.write(cs, 0, at); segless.write(0xFF); segless.write(0x35)
+    segless.write(cs, at, cs.length - at)
+    intercept[IllegalArgumentException](Jp2Codec.decode(segless.toByteArray))
+  }
+
+  test("buildContainer ihdr component count follows the codestream's SIZ") {
+    // 1-component codestream -> ihdr must say 1, not a hard-coded 3
+    val mono = Jp2Codec.encode(40, 30, Array(pattern(40, 30, 9)))
+    val c1 = Jp2Box.buildContainer(40, 30, mono)
+    val rgb = Jp2Codec.encode(40, 30,
+      Array(pattern(40, 30, 0), pattern(40, 30, 29), pattern(40, 30, 58)))
+    val c3 = Jp2Box.buildContainer(40, 30, rgb)
+    def ihdrNc(b: Array[Byte]): Int = {
+      // ihdr at fixed offsets in our container: sig(12)+ftyp(20)+jp2h hdr(8)+ihdr hdr(8)+h(4)+w(4)
+      ((b(56) & 0xFF) << 8) | (b(57) & 0xFF)
+    }
+    assert(ihdrNc(c1) == 1)
+    assert(ihdrNc(c3) == 3)
+    // and both containers still decode (container walk unaffected)
+    assert(Jp2Codec.decode(c1).comps.length == 1)
+    assert(Jp2Codec.decode(c3).comps.length == 3)
   }
 
   test("decoder rejects garbage and truncated inputs rather than guessing") {
     intercept[IllegalArgumentException](Jp2Codec.decode(Array[Byte](1, 2, 3)))
     val cs = Jp2Codec.encode(16, 16, Array(pattern(16, 16, 5)))
-    intercept[Exception](Jp2Codec.decode(java.util.Arrays.copyOf(cs, cs.length / 2)))
+    // truncation fails through the SAME typed contract as other malformed
+    // input: the bounds-checked ranged reads, not a raw index error
+    intercept[IllegalArgumentException](
+      Jp2Codec.decode(java.util.Arrays.copyOf(cs, cs.length / 2)))
+    intercept[IllegalArgumentException](
+      Jp2Codec.tileParts(java.util.Arrays.copyOf(cs, cs.length / 2)))
   }
 }

@@ -857,6 +857,31 @@ class PlanShapeSpec extends SparkSpec {
       s"decode stage rides a coalesced read:\n${plan.take(3000)}")
     // the split stage never ships pixels: only descriptor ints cross
     assert(plan.contains(s"hashpartitioning(path"), plan.take(3000))
+    // and never READS them either: the binaryFile scan is pruned to the
+    // listing (path+length) — content in the read schema would mean the
+    // split stage materializes whole files (2 GiB cap, memory spike)
+    assert(!plan.contains("content"),
+      s"split stage reads file content:\n${plan.take(3000)}")
+  }
+
+  test("L5J: ranged thumbnail keeps the pinned exchange and a listing-only scan") {
+    val df = graft.queries.Sources.l5jJp2ThumbnailRanged(spark, sfDir)
+    df.collect(): Unit // finalize AQE
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    // same pinned-width story as l5h: ~140 B descriptors would coalesce
+    // to ONE task under byte-based AQE, serializing the decode
+    assert(plan.contains("REPARTITION_BY_NUM"), plan.take(3000))
+    val cut = plan.indexOf("REPARTITION_BY_NUM")
+    val decodeMp = plan.lastIndexOf("MapPartitions", cut)
+    assert(decodeMp > 0, plan.take(3000))
+    assert(!plan.substring(decodeMp, cut).contains("AQEShuffleRead"),
+      s"decode stage rides a coalesced read:\n${plan.take(3000)}")
+    assert(plan.contains(s"hashpartitioning(path"), plan.take(3000))
+    // the split walk is streamed ranged reads over the LISTING: a content
+    // column here would re-introduce the whole-file fetch the query's
+    // fetched-bytes require exists to prevent
+    assert(!plan.contains("content"),
+      s"split stage reads file content:\n${plan.take(3000)}")
   }
 
   test("L60: dictionary agg computed once and reused on both sides of the blocked join") {

@@ -113,18 +113,59 @@ def _sf_of(sf_field, default=0.1):
         return default
 
 
+CONTENTION_BAR = 1.5
+
+
+def contention_check(summary):
+    """Median per-query ratio of this run vs the newest committed
+    quiet-machine record (BENCH_local_r*.json). Twice (r13, r14) a
+    committed driver BENCH record was silently distorted by host load and
+    had to be adjudicated by hand — above CONTENTION_BAR the envelope is
+    stamped "contended" so no future reader mistakes load for a
+    regression. Returns (ratio, reference_file) or (None, None)."""
+    records = sorted(f for f in os.listdir(".")
+                     if re.fullmatch(r"BENCH_local_r\w+\.json", f))
+    if not records:
+        return None, None
+    ref_file = records[-1]
+    try:
+        ref = json.load(open(ref_file))["summary"].get("queries", {})
+    except Exception:
+        return None, None
+    cur = summary.get("queries", {})
+    ratios = sorted(cur[q] / ref[q] for q in cur
+                    if q in ref and ref[q] and ref[q] > 0)
+    if not ratios:
+        return None, None
+    mid = len(ratios) // 2
+    med = (ratios[mid] if len(ratios) % 2
+           else (ratios[mid - 1] + ratios[mid]) / 2)
+    return round(med, 3), ref_file
+
+
 def bench_envelope(rnd, bench_out_path):
     b = json.load(open(bench_out_path))
     summary = b.get("summary", {})
-    tail = json.dumps(summary, separators=(",", ":"))
-    return {
+    env = {
         "n": rnd,
         "rc": 0 if not summary.get("errors") else 1,
         "cpus": summary.get("cpus"),
         "sf": _sf_of(summary.get("sf")),
-        "tail": tail,
+        "tail": None,  # filled after any contention stamp
         "parsed": summary,
     }
+    ratio, ref_file = contention_check(summary)
+    if ratio is not None:
+        env["median_ratio_vs_quiet"] = ratio
+        env["quiet_reference"] = ref_file
+        if ratio > CONTENTION_BAR:
+            env["contended"] = True
+            print(f"WARNING: median per-query ratio {ratio} vs {ref_file} "
+                  f"exceeds {CONTENTION_BAR} — run taken under host "
+                  f"contention; envelope stamped contended=true. Re-run on "
+                  f"a quiet machine (loadavg < 1) for the committed record.")
+    env["tail"] = json.dumps(summary, separators=(",", ":"))
+    return env
 
 
 # Leak scan: each category's pattern is assembled from fragments so this
