@@ -1095,8 +1095,12 @@ object Sources {
         val comps = Array.tabulate(3) { c =>
           Array.tabulate(w * h)(j => ((j % w) * 7 + (j / w) * 11 + i * 13 + c * 29) % 256)
         }
+        // mix single-tile/tiled AND single/multi-layer scans so every
+        // decode path (incl. the RLCP quality-layer machinery) is
+        // hash-covered through the oracle, not just unit-tested
         val cs = graft.sources.jp2.Jp2Codec.encode(
-          w, h, comps, tileSize = if (i % 2 == 1) 64 else 0)
+          w, h, comps, tileSize = if (i % 2 == 1) 64 else 0,
+          layers = if (i % 3 == 2) 2 else 1)
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$dir/scan_$i.jp2"),
           graft.sources.Jp2Box.buildContainer(w, h, cs))
@@ -1181,8 +1185,11 @@ object Sources {
 
   /** Synthesize ONE larger tiled JPEG 2000 scan (staged once per JVM):
     * 384x192 RGB on a 64-px tile grid — a 6x3 = 18-tile-part codestream,
-    * the layout of [[l5hJp2TiledParallel]]'s distributed decode. Pixel
-    * values are pure coordinate arithmetic for the DuckDB oracle. */
+    * the layout of [[l5hJp2TiledParallel]]'s distributed decode — encoded
+    * with TWO quality layers (RLCP), the most common archival-encoder
+    * delta from a minimal profile, so the distributed and ranged decode
+    * queries exercise the layer machinery end-to-end. Pixel values are
+    * pure coordinate arithmetic for the DuckDB oracle. */
   private[graft] def stageBigJp2(): String =
     bigJp2Staged.computeIfAbsent("big", { _ =>
       val dir = tmp("l5h_jp2")
@@ -1195,7 +1202,7 @@ object Sources {
       val comps = Array.tabulate(3) { c =>
         Array.tabulate(w * h)(j => ((j % w) * (7 + 2 * c) + (j / w) * 11 + c * 29) % 256)
       }
-      val cs = graft.sources.jp2.Jp2Codec.encode(w, h, comps, tileSize = 64)
+      val cs = graft.sources.jp2.Jp2Codec.encode(w, h, comps, tileSize = 64, layers = 2)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/page_0.jp2"),
         graft.sources.Jp2Box.buildContainer(w, h, cs))
@@ -1256,22 +1263,24 @@ object Sources {
           require(in.bytesRead * 8 < fileLen,
             s"$p: split walk read ${in.bytesRead} B of $fileLen B — not header-only")
           spans.map(s => (p, s.index, s.pos, s.len,
-            hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels))
+            hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
+            hdr.layers))
         } finally stream.close()
       }
-      .toDF("path", "tile", "pos", "len", "w", "h", "nc", "xt", "yt", "rct", "levels")
+      .toDF("path", "tile", "pos", "len", "w", "h", "nc", "xt", "yt", "rct", "levels",
+        "nlayers")
       .repartition(spark.sparkContext.defaultParallelism, col("path"), col("tile"))
-      .as[(String, Int, Long, Long, Int, Int, Int, Int, Int, Boolean, Int)]
+      .as[(String, Int, Long, Long, Int, Int, Int, Int, Int, Boolean, Int, Int)]
     val perTile = tiles.mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
-      it.map { case (p, _, pos, len, w, h, nc, xt, yt, rct, levels) =>
+      it.map { case (p, _, pos, len, w, h, nc, xt, yt, rct, levels, nlayers) =>
         val hp = new org.apache.hadoop.fs.Path(p)
         val fs = hp.getFileSystem(conf)
         require(len <= Int.MaxValue, s"$p: single tile-part of $len B exceeds 2 GiB")
         val slice = new Array[Byte](len.toInt)
         val in = fs.open(hp)
         try { in.readFully(pos, slice) } finally in.close()
-        val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels)
+        val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels, nlayers)
         val t = graft.sources.jp2.Jp2Codec.decodeTilePart(slice, hdr)
         (p, w.toLong, h.toLong,
           sumChannel(t.comps(0)), sumChannel(t.comps(1)), sumChannel(t.comps(2)))
@@ -1323,22 +1332,24 @@ object Sources {
           require((in.bytesRead + prefixBytes) * 2 < fileLen,
             s"$p: walk ${in.bytesRead} B + prefixes $prefixBytes B not a fraction of $fileLen B")
           spans.map(s => (p, s.index, s.pos, s.len,
-            hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels))
+            hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
+            hdr.layers))
         } finally stream.close()
       }
-      .toDF("path", "tile", "pos", "len", "w", "h", "nc", "xt", "yt", "rct", "levels")
+      .toDF("path", "tile", "pos", "len", "w", "h", "nc", "xt", "yt", "rct", "levels",
+        "nlayers")
       .repartition(spark.sparkContext.defaultParallelism, col("path"), col("tile"))
-      .as[(String, Int, Long, Long, Int, Int, Int, Int, Int, Boolean, Int)]
+      .as[(String, Int, Long, Long, Int, Int, Int, Int, Int, Boolean, Int, Int)]
     val perTile = tiles.mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
-      it.map { case (p, _, pos, len, w, h, nc, xt, yt, rct, levels) =>
+      it.map { case (p, _, pos, len, w, h, nc, xt, yt, rct, levels, nlayers) =>
         val hp = new org.apache.hadoop.fs.Path(p)
         val fs = hp.getFileSystem(conf)
         require(len <= Int.MaxValue, s"$p: low-res prefix of $len B exceeds 2 GiB")
         val slice = new Array[Byte](len.toInt) // ONLY the low-res prefix
         val in = fs.open(hp)
         try { in.readFully(pos, slice) } finally in.close()
-        val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels)
+        val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels, nlayers)
         val t = graft.sources.jp2.Jp2Codec.decodeTilePart(slice, hdr, discard)
         (p, (t.x0 + t.width).toLong, (t.y0 + t.height).toLong)
       }

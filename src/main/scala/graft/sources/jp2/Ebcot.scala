@@ -83,6 +83,21 @@ object Ebcot {
     * all-zero block returns (empty, 0, 0) and is simply not included in
     * its packet. */
   def encodeBlock(w: Int, h: Int, coeffs: Array[Int], band: Int): (Array[Byte], Int, Int) = {
+    val (data, passes, numbps, _) = encodeBlockLayered(w, h, coeffs, band)
+    (data, passes, numbps)
+  }
+
+  /** [[encodeBlock]] plus per-pass truncation lengths for quality-layer
+    * splitting: `truncs(k)` is a byte count such that the first
+    * `truncs(k)` codeword bytes carry every MQ decision through coding
+    * pass k. Taken as the encoder's emitted-byte count at the pass
+    * boundary plus a small guard for the not-yet-pushed flush tail —
+    * conservative (a few bytes above the minimal truncation point), but
+    * always valid and monotone; the final entry is the exact codeword
+    * length. Layer boundaries slice the codeword at these points, so a
+    * decoder that stops after any layer still has complete passes. */
+  def encodeBlockLayered(w: Int, h: Int, coeffs: Array[Int],
+      band: Int): (Array[Byte], Int, Int, Array[Int]) = {
     val n = w * h
     val mag = new Array[Int](n)
     val sgn = new Array[Int](n)
@@ -96,7 +111,7 @@ object Ebcot {
       if (m > maxMag) maxMag = m
       i += 1
     }
-    if (maxMag == 0) return (Array.emptyByteArray, 0, 0)
+    if (maxMag == 0) return (Array.emptyByteArray, 0, 0, Array.emptyIntArray)
     val numbps = 32 - Integer.numberOfLeadingZeros(maxMag)
     val st = new State(w, h)
     val mq = new MQEncoder()
@@ -215,14 +230,22 @@ object Ebcot {
       java.util.Arrays.fill(st.visited, false)
     }
 
+    val passEnds = new Array[Int](3 * numbps - 2)
+    var pi = 0
     var p = numbps - 1
-    cup(p)
+    cup(p); passEnds(pi) = mq.emitted; pi += 1
     p -= 1
     while (p >= 0) {
-      spp(p); mrp(p); cup(p)
+      spp(p); passEnds(pi) = mq.emitted; pi += 1
+      mrp(p); passEnds(pi) = mq.emitted; pi += 1
+      cup(p); passEnds(pi) = mq.emitted; pi += 1
       p -= 1
     }
-    (mq.flush(), 3 * numbps - 2, numbps)
+    val data = mq.flush()
+    // conservative guard: the flush tail is at most a handful of bytes
+    val truncs = passEnds.map(e => math.min(data.length, e + 4))
+    truncs(truncs.length - 1) = data.length
+    (data, 3 * numbps - 2, numbps, truncs)
   }
 
   /** Decode a code-block codeword back to signed coefficients. Mirrors

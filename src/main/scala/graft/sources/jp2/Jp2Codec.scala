@@ -23,11 +23,12 @@ import scala.collection.mutable.ArrayBuffer
   * Profile written by the encoder (all within the spec; the decoder
   * checks and rejects what it does not implement rather than guessing):
   * tile grid at origin 0 (one tile-part per tile, raster order; tile
-  * dims must be multiples of 2^levels — see [[encode]]), LRCP
-  * progression, one quality layer, one precinct per resolution (default
-  * 2^15 precincts), code-block style 0 (no bypass/reset/termination
-  * options), reversible transform, 1 or 3 components at 8 bpp with RCT
-  * for 3. Lossless: decode(encode(img)) is bit-exact (property-tested),
+  * dims must be multiples of 2^levels — see [[encode]]), 1..65535
+  * quality layers (LRCP when single-layer, RLCP when multi-layer so the
+  * low-resolution packets stay a contiguous prefix — see [[encode]]),
+  * one precinct per resolution (default 2^15 precincts), code-block
+  * style 0 (no bypass/reset/termination options), reversible transform,
+  * 1 or 3 components at 8 bpp with RCT for 3. Lossless: decode(encode(img)) is bit-exact (property-tested),
   * and the sandbox's conformance limit is documented in COVERAGE.md —
   * no third-party codec exists here to cross-check the bitstream, so
   * the tests pin round-trip, marker structure, and every layer's own
@@ -94,9 +95,22 @@ object Jp2Codec {
     * (B.5 — a tile whose scaled origin is odd splits low/high on the
     * opposite parity), and keeping every `tileOrigin / 2^l` even is what
     * lets each tile reuse the origin-0 [[Dwt53]] geometry unchanged.
-    * Spec-legal: the encoder is free to choose tile dimensions. */
+    * Spec-legal: the encoder is free to choose tile dimensions.
+    *
+    * `layers > 1` splits every code-block's coding passes across that
+    * many quality layers at spec-valid truncation points
+    * ([[Ebcot.encodeBlockLayered]]), with the packet-header layer
+    * machinery (incremental inclusion tag trees, first-inclusion
+    * thresholds, per-layer pass counts and lengths — B.10). Multi-layer
+    * streams are written in RLCP progression (resolution outermost, A.6.1
+    * order 1) rather than LRCP: resolution scalability is this engine's
+    * access pattern — it keeps each tile-part's low-resolution packets a
+    * contiguous PREFIX across all layers, so [[decodeReduced]] and the
+    * PLT-ranged thumbnail walk ([[tilePartsReduced]]) work unchanged.
+    * `layers = 1` emits the identical LRCP bitstream as before (for one
+    * layer the two orders coincide byte-for-byte). */
   def encode(w: Int, h: Int, comps: Array[Array[Int]], levels: Int = 3,
-      tileSize: Int = 0): Array[Byte] = {
+      tileSize: Int = 0, layers: Int = 1): Array[Byte] = {
     require(w > 0 && h > 0, "empty image")
     require(comps.length == 1 || comps.length == 3, "1 or 3 components")
     require(comps.forall(_.length == w * h), "component size mismatch")
@@ -104,6 +118,7 @@ object Jp2Codec {
     require(tileSize >= 0, "negative tile size")
     require(tileSize == 0 || tileSize % (1 << levels) == 0,
       s"tile size $tileSize not a multiple of 2^$levels")
+    require(layers >= 1 && layers <= 65535, "1..65535 quality layers")
     val nc = comps.length
     val useRct = nc == 3
     val xt = if (tileSize == 0) w else tileSize
@@ -129,8 +144,8 @@ object Jp2Codec {
     for (_ <- 0 until nc) { u8(7); u8(1); u8(1) } // 8-bit unsigned, no subsampling
     // COD
     u16(0xFF52); u16(12); u8(0) // Scod: default precincts, no SOP/EPH
-    u8(0) // LRCP
-    u16(1) // 1 layer
+    u8(if (layers > 1) 1 else 0) // RLCP for multi-layer, LRCP otherwise
+    u16(layers)
     u8(if (useRct) 1 else 0)
     u8(levels)
     u8(CodeBlockExp - 2); u8(CodeBlockExp - 2)
@@ -161,9 +176,14 @@ object Jp2Codec {
       if (useRct) Dwt53.rctForward(planes(0), planes(1), planes(2))
       planes.foreach(Dwt53.forward(_, tw, th, levels))
 
-      // tile body: packets in LRCP order (1 layer), lengths kept for PLT
-      val packets = for (r <- 0 to levels; c <- 0 until nc)
-        yield encodePacket(planes(c), tw, th, levels, r)
+      // tile body: packets resolution-outermost (RLCP; identical to LRCP
+      // for 1 layer), lengths kept for PLT. Tier-1 runs once per
+      // (component, resolution); layers slice its passes.
+      val packets = for (r <- 0 to levels;
+                         encs = comps.indices.map(c =>
+                           new ResEncoder(planes(c), tw, th, levels, r, layers));
+                         l <- 0 until layers; c <- 0 until nc)
+        yield encs(c).encodeLayer(l)
       val bodyBytes = packets.toArray.flatten
 
       // PLT (A.7.3): per-packet lengths as 7-bit-varint Iplt entries. This
@@ -200,7 +220,7 @@ object Jp2Codec {
     * standalone. Small and flat on purpose: a distributed decode ships
     * THIS (a handful of ints) per tile task, never the pixel planes. */
   final case class Header(width: Int, height: Int, nc: Int, xt: Int, yt: Int,
-      useRct: Boolean, levels: Int) {
+      useRct: Boolean, levels: Int, layers: Int = 1) {
     def ntx: Int = ceilDiv(width, xt)
     def nty: Int = ceilDiv(height, yt)
   }
@@ -361,7 +381,9 @@ object Jp2Codec {
     val (hdr, spans) = tileParts(in)
     require(discard >= 0 && discard <= hdr.levels,
       s"discard $discard out of 0..${hdr.levels}")
-    val keep = (hdr.levels - discard + 1) * hdr.nc
+    // packets per kept resolution = layers * components (RLCP keeps them
+    // a contiguous prefix of every tile-part regardless of layer count)
+    val keep = (hdr.levels - discard + 1) * hdr.nc * hdr.layers
     (hdr, spans.map { s =>
       val (bodyStart, lens) = tilePartHeader(in, s.pos)
       if (lens == null) s
@@ -480,7 +502,7 @@ object Jp2Codec {
     require(readU16(in, start) == 0xFF4F, "missing SOC")
 
     var w = 0; var h = 0; var nc = 0; var xt = 0; var yt = 0
-    var useRct = false; var levels = -1
+    var useRct = false; var levels = -1; var layersV = 1
     var pos = start + 2
     var atSot = false
     while (!atSot) {
@@ -518,8 +540,15 @@ object Jp2Codec {
             case 0xFF52 => // COD: Scod SGcod(prog layers mct) SPcod
               val b = body
               require((b(0) & 0xFF) == 0, "precinct/SOP/EPH options not supported")
-              require((b(1) & 0xFF) == 0, "only LRCP")
-              require(beU16(b, 2) == 1, "only 1 layer")
+              val prog = b(1) & 0xFF
+              require(prog == 0 || prog == 1, s"progression order $prog not supported (LRCP/RLCP only)")
+              layersV = beU16(b, 2)
+              require(layersV >= 1, "zero quality layers")
+              // with resolution outermost the two orders coincide for one
+              // layer; LRCP multi-layer would interleave resolutions and
+              // break the low-res-prefix walk — reject, don't guess
+              require(prog == 1 || layersV == 1,
+                "LRCP with multiple layers not supported (this profile writes RLCP for multi-layer)")
               useRct = (b(4) & 0xFF) == 1
               levels = b(5) & 0xFF
               require((b(6) & 0xFF) == CodeBlockExp - 2 && (b(7) & 0xFF) == CodeBlockExp - 2,
@@ -536,7 +565,7 @@ object Jp2Codec {
       }
     }
     require(w > 0 && h > 0 && nc > 0 && levels >= 0, "incomplete header")
-    val hdr = Header(w, h, nc, xt, yt, useRct, levels)
+    val hdr = Header(w, h, nc, xt, yt, useRct, levels, layersV)
     require(hdr.ntx * hdr.nty == 1 || (xt % (1 << levels) == 0 && yt % (1 << levels) == 0),
       s"multi-tile grid with tile dims not multiples of 2^$levels (absolute-" +
         "parity subband geometry) not supported")
@@ -573,8 +602,15 @@ object Jp2Codec {
     val rl = hdr.levels - discard
     val tile = Array.fill(hdr.nc)(new Array[Int](rw * rh))
     var p = bodyStart
-    for (r <- 0 to rl; c <- 0 until hdr.nc)
-      p = decodePacket(b, p, tile(c), rw, rh, rl, r)
+    // resolution-outermost packet walk (RLCP; ≡ LRCP for 1 layer): all of
+    // a resolution's layer packets are consecutive, so per-resolution
+    // decoder state lives only across this inner loop
+    for (r <- 0 to rl) {
+      val decs = Array.fill(hdr.nc)(new ResDecoder(rw, rh, rl, r))
+      for (l <- 0 until hdr.layers; c <- 0 until hdr.nc)
+        p = decs(c).readPacket(b, p, l)
+      for (c <- 0 until hdr.nc) decs(c).finishInto(tile(c))
+    }
     if (discard == 0)
       require(p == pos + psot, s"tile $isot body ended at $p, Psot says ${pos + psot}")
     else
@@ -599,73 +635,109 @@ object Jp2Codec {
     (cb, ceilDiv(b.w, cb), ceilDiv(b.h, cb))
   }
 
-  /** One packet: every code-block of every band of resolution `r` for
-    * one component, single layer, single precinct. */
-  private def encodePacket(plane: Array[Int], w: Int, h: Int, nl: Int, r: Int): Array[Byte] = {
-    val bands = bandsAt(w, h, nl, r)
-    // Tier-1 encode every code-block first
-    final case class Cb(band: Band, bx: Int, by: Int, data: Array[Byte], passes: Int, zbp: Int)
-    val blocks = ArrayBuffer.empty[Cb]
-    for (b <- bands if b.w > 0 && b.h > 0) {
-      val (cbSz, ncbx, ncby) = cbGrid(b)
-      for (by <- 0 until ncby; bx <- 0 until ncbx) {
-        val x0 = bx * cbSz; val y0 = by * cbSz
-        val cw = math.min(cbSz, b.w - x0); val ch = math.min(cbSz, b.h - y0)
-        val coeffs = new Array[Int](cw * ch)
-        var y = 0
-        while (y < ch) {
-          var x = 0
-          while (x < cw) {
-            coeffs(y * cw + x) = plane((b.y0 + y0 + y) * w + (b.x0 + x0 + x))
-            x += 1
-          }
-          y += 1
-        }
-        val (data, passes, numbps) = Ebcot.encodeBlock(cw, ch, coeffs, b.orient)
+  /** Encoder-side Tier-2 state for one (component, resolution): Tier-1
+    * runs once per code-block ([[Ebcot.encodeBlockLayered]], which also
+    * yields the pass-boundary truncation points), then [[encodeLayer]]
+    * emits one packet per quality layer against PERSISTENT tag trees —
+    * B.10.2: inclusion and zero-bit-plane trees span a precinct's
+    * layers, emitting only the increment each layer. Pass split: layer l
+    * carries passes (cum(l-1), cum(l)] with cum(l) = passes·(l+1)/L
+    * (integer division), so low-pass-count blocks first contribute in a
+    * LATER layer — exercising the first-inclusion threshold path — and
+    * the final layer always completes the block (lossless). */
+  private final class ResEncoder(plane: Array[Int], w: Int, h: Int, nl: Int,
+      r: Int, layers: Int) {
+
+    private final class Blk(val bx: Int, val by: Int, val data: Array[Byte],
+        val passes: Int, val zbp: Int, val cumPasses: Array[Int],
+        val cumBytes: Array[Int], val firstLayer: Int) {
+      var lblock = 3
+      def npAt(l: Int): Int = cumPasses(l) - (if (l == 0) 0 else cumPasses(l - 1))
+    }
+
+    private val perBand: Seq[(Band, TagTree, TagTree, Array[Blk])] =
+      bandsAt(w, h, nl, r).filter(b => b.w > 0 && b.h > 0).map { b =>
+        val (cbSz, ncbx, ncby) = cbGrid(b)
+        val incl = new TagTree(ncbx, ncby)
+        val zbps = new TagTree(ncbx, ncby)
         val mb = mbFor(b.gain)
-        require(numbps <= mb, s"coefficient magnitude overflows Mb=$mb (numbps=$numbps)")
-        blocks += Cb(b, bx, by, data, passes, if (passes == 0) 0 else mb - numbps)
+        val blks = for (by <- 0 until ncby; bx <- 0 until ncbx) yield {
+          val x0 = bx * cbSz; val y0 = by * cbSz
+          val cw = math.min(cbSz, b.w - x0); val ch = math.min(cbSz, b.h - y0)
+          val coeffs = new Array[Int](cw * ch)
+          var y = 0
+          while (y < ch) {
+            var x = 0
+            while (x < cw) {
+              coeffs(y * cw + x) = plane((b.y0 + y0 + y) * w + (b.x0 + x0 + x))
+              x += 1
+            }
+            y += 1
+          }
+          val (data, passes, numbps, truncs) =
+            Ebcot.encodeBlockLayered(cw, ch, coeffs, b.orient)
+          require(numbps <= mb, s"coefficient magnitude overflows Mb=$mb (numbps=$numbps)")
+          val cumP = Array.tabulate(layers)(l =>
+            if (l == layers - 1) passes else passes * (l + 1) / layers)
+          val cumB = cumP.map(cp => if (cp == 0) 0 else truncs(cp - 1))
+          val firstLayer = cumP.indexWhere(_ > 0) match {
+            case -1 => layers // never included: >= every threshold used
+            case i => i
+          }
+          // zbp values only for included blocks: excluded leaves stay at
+          // the "unset" sentinel so they cannot distort the ancestor
+          // minima the decoder reconstructs (it never walks them)
+          incl.setValue(bx, by, firstLayer)
+          if (passes > 0) zbps.setValue(bx, by, mb - numbps)
+          new Blk(bx, by, data, passes, if (passes == 0) 0 else mb - numbps,
+            cumP, cumB, firstLayer)
+        }
+        (b, incl, zbps, blks.toArray)
       }
-    }
-    val anyIncluded = blocks.exists(_.passes > 0)
-    val bio = new BioWriter
-    if (!anyIncluded) {
-      bio.bit(0) // empty packet
-      return bio.flush()
-    }
-    bio.bit(1)
-    for (b <- bands if b.w > 0 && b.h > 0) {
-      val (_, ncbx, ncby) = cbGrid(b)
-      val incl = new TagTree(ncbx, ncby)
-      val zbps = new TagTree(ncbx, ncby)
-      val bandBlocks = blocks.filter(c => c.band == b)
-      for (c <- bandBlocks) {
-        incl.setValue(c.bx, c.by, if (c.passes > 0) 0 else 1)
-        // zbp values only for included blocks: excluded leaves stay at the
-        // "unset" sentinel so they cannot distort the ancestor minima the
-        // decoder reconstructs (it never walks excluded leaves)
-        if (c.passes > 0) zbps.setValue(c.bx, c.by, c.zbp)
+
+    /** One packet: layer `l` of every code-block of every band of this
+      * (component, resolution), single precinct. */
+    def encodeLayer(l: Int): Array[Byte] = {
+      val bio = new BioWriter
+      val anyContrib = perBand.exists(_._4.exists(_.npAt(l) > 0))
+      if (!anyContrib) {
+        bio.bit(0) // empty packet
+        return bio.flush()
       }
-      for (c <- bandBlocks) {
-        incl.encode(bio, c.bx, c.by, 1)
-        if (c.passes > 0) {
-          zbps.encode(bio, c.bx, c.by, Int.MaxValue - 1) // encode to full knowledge
-          writeNumPasses(bio, c.passes)
-          // Lblock length signalling (single codeword segment)
-          var lblock = 3
-          val lenBitsNeeded = 32 - Integer.numberOfLeadingZeros(math.max(1, c.data.length))
-          val extra = 31 - Integer.numberOfLeadingZeros(c.passes) // floor(log2(passes))
-          while (lblock + extra < lenBitsNeeded) { bio.bit(1); lblock += 1 }
+      bio.bit(1)
+      val chunks = ArrayBuffer.empty[(Array[Byte], Int, Int)] // (data, from, until)
+      for ((_, incl, zbps, blks) <- perBand; c <- blks) {
+        val np = c.npAt(l)
+        def contribution(): Unit = {
+          writeNumPasses(bio, np)
+          val from = if (l == 0) 0 else c.cumBytes(l - 1)
+          val clen = c.cumBytes(l) - from
+          // Lblock length signalling (single codeword segment split at
+          // pass-boundary truncation points; Lblock persists per block)
+          val lenBitsNeeded = 32 - Integer.numberOfLeadingZeros(math.max(1, clen))
+          val extra = 31 - Integer.numberOfLeadingZeros(np) // floor(log2(np))
+          while (c.lblock + extra < lenBitsNeeded) { bio.bit(1); c.lblock += 1 }
           bio.bit(0)
-          bio.bits(c.data.length, lblock + extra)
+          bio.bits(clen, c.lblock + extra)
+          chunks += ((c.data, from, c.cumBytes(l)))
+        }
+        if (c.firstLayer >= l) { // not included in any earlier layer
+          incl.encode(bio, c.bx, c.by, l + 1)
+          if (c.firstLayer == l) {
+            zbps.encode(bio, c.bx, c.by, Int.MaxValue - 1) // to full knowledge
+            contribution()
+          }
+        } else { // included before: 1 raw bit = contributes this layer
+          bio.bit(if (np > 0) 1 else 0)
+          if (np > 0) contribution()
         }
       }
+      val header = bio.flush()
+      val out = new java.io.ByteArrayOutputStream(header.length + 256)
+      out.write(header)
+      for ((d, from, until) <- chunks) out.write(d, from, until - from)
+      out.toByteArray
     }
-    val header = bio.flush()
-    val out = new java.io.ByteArrayOutputStream(header.length + 256)
-    out.write(header)
-    for (c <- blocks if c.passes > 0) out.write(c.data)
-    out.toByteArray
   }
 
   private def writeNumPasses(bio: BioWriter, np: Int): Unit = {
@@ -691,55 +763,92 @@ object Jp2Codec {
     }
   }
 
-  /** Decode one packet starting at `pos`; Tier-1 decodes each included
-    * code-block straight into the component plane. Returns the offset
-    * just past the packet. */
-  private def decodePacket(cs: Array[Byte], pos: Int, plane: Array[Int], w: Int, h: Int,
-      nl: Int, r: Int): Int = {
-    val bands = bandsAt(w, h, nl, r)
-    val bio = new BioReader(cs, pos)
-    if (bio.bit() == 0) return bio.endPos // empty packet
-    final case class Pending(band: Band, bx: Int, by: Int, passes: Int, zbp: Int, len: Int)
-    val pending = ArrayBuffer.empty[Pending]
-    for (b <- bands if b.w > 0 && b.h > 0) {
-      val (_, ncbx, ncby) = cbGrid(b)
-      val incl = new TagTree(ncbx, ncby)
-      val zbps = new TagTree(ncbx, ncby)
-      for (by <- 0 until ncby; bx <- 0 until ncbx) {
-        val included = incl.decode(bio, bx, by, 1)
-        if (included) {
-          var t = 0
-          while (!zbps.decode(bio, bx, by, t + 1)) t += 1
-          val zbp = zbps.leafValue(bx, by)
-          val np = readNumPasses(bio)
-          var lblock = 3
-          while (bio.bit() == 1) lblock += 1
-          val extra = 31 - Integer.numberOfLeadingZeros(np)
-          val len = bio.bits(lblock + extra)
-          pending += Pending(b, bx, by, np, zbp, len)
+  /** Decoder-side mirror of [[ResEncoder]]: per-(component, resolution)
+    * packet state — persistent tag trees, per-block Lblock / pass / chunk
+    * accumulation across layers — then one Tier-1 decode per included
+    * block over the concatenated chunks once every layer is read. */
+  private final class ResDecoder(w: Int, h: Int, nl: Int, r: Int) {
+
+    private final class BlkState {
+      var included = false
+      var zbp = 0
+      var lblock = 3
+      var passes = 0
+      val chunks = ArrayBuffer.empty[Array[Byte]]
+    }
+
+    private val perBand: Seq[(Band, TagTree, TagTree, Array[BlkState])] =
+      bandsAt(w, h, nl, r).filter(b => b.w > 0 && b.h > 0).map { b =>
+        val (_, ncbx, ncby) = cbGrid(b)
+        (b, new TagTree(ncbx, ncby), new TagTree(ncbx, ncby),
+          Array.fill(ncbx * ncby)(new BlkState))
+      }
+
+    /** Read layer `l`'s packet (header + body) starting at `pos`; returns
+      * the offset just past it. */
+    def readPacket(cs: Array[Byte], pos: Int, l: Int): Int = {
+      val bio = new BioReader(cs, pos)
+      if (bio.bit() == 0) return bio.endPos // empty packet
+      val pending = ArrayBuffer.empty[(BlkState, Int)] // (state, len)
+      for ((b, incl, zbps, states) <- perBand) {
+        val (_, ncbx, ncby) = cbGrid(b)
+        for (by <- 0 until ncby; bx <- 0 until ncbx) {
+          val s = states(by * ncbx + bx)
+          var contributes = false
+          if (!s.included) {
+            if (incl.decode(bio, bx, by, l + 1)) { // first inclusion
+              var t = 0
+              while (!zbps.decode(bio, bx, by, t + 1)) t += 1
+              s.zbp = zbps.leafValue(bx, by)
+              s.included = true
+              contributes = true
+            }
+          } else contributes = bio.bit() == 1
+          if (contributes) {
+            val np = readNumPasses(bio)
+            while (bio.bit() == 1) s.lblock += 1
+            val extra = 31 - Integer.numberOfLeadingZeros(np)
+            val len = bio.bits(s.lblock + extra)
+            s.passes += np
+            pending += ((s, len))
+          }
+        }
+      }
+      var p = bio.endPos
+      for ((s, len) <- pending) {
+        s.chunks += java.util.Arrays.copyOfRange(cs, p, p + len)
+        p += len
+      }
+      p
+    }
+
+    /** Tier-1 decode every included block (all layers' chunks
+      * concatenated — one codeword segment) into the component plane. */
+    def finishInto(plane: Array[Int]): Unit = {
+      val cbSz = 1 << CodeBlockExp
+      for ((b, _, _, states) <- perBand) {
+        val (_, ncbx, ncby) = cbGrid(b)
+        val mb = mbFor(b.gain)
+        for (by <- 0 until ncby; bx <- 0 until ncbx) {
+          val s = states(by * ncbx + bx)
+          if (s.included && s.passes > 0) {
+            val data = s.chunks.toArray.flatten
+            val x0 = bx * cbSz; val y0 = by * cbSz
+            val cw = math.min(cbSz, b.w - x0); val ch = math.min(cbSz, b.h - y0)
+            val numbps = mb - s.zbp
+            val coeffs = Ebcot.decodeBlock(cw, ch, data, s.passes, numbps, b.orient)
+            var y = 0
+            while (y < ch) {
+              var x = 0
+              while (x < cw) {
+                plane((b.y0 + y0 + y) * w + (b.x0 + x0 + x)) = coeffs(y * cw + x)
+                x += 1
+              }
+              y += 1
+            }
+          }
         }
       }
     }
-    var p = bio.endPos
-    val cbSz = 1 << CodeBlockExp
-    for (c <- pending) {
-      val x0 = c.bx * cbSz; val y0 = c.by * cbSz
-      val cw = math.min(cbSz, c.band.w - x0); val ch = math.min(cbSz, c.band.h - y0)
-      val data = java.util.Arrays.copyOfRange(cs, p, p + c.len)
-      p += c.len
-      val mb = mbFor(c.band.gain)
-      val numbps = mb - c.zbp
-      val coeffs = Ebcot.decodeBlock(cw, ch, data, c.passes, numbps, c.band.orient)
-      var y = 0
-      while (y < ch) {
-        var x = 0
-        while (x < cw) {
-          plane((c.band.y0 + y0 + y) * w + (c.band.x0 + x0 + x)) = coeffs(y * cw + x)
-          x += 1
-        }
-        y += 1
-      }
-    }
-    p
   }
 }

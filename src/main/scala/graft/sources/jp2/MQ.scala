@@ -127,6 +127,13 @@ final class MQEncoder(numCtx: Int = MQ.NumContexts) {
     }
   }
 
+  /** Bytes emitted so far (excluding the carry pre-byte). Used by Tier-1
+    * to place conservative truncation lengths at coding-pass boundaries:
+    * every decision through the current pass consumed at most these bytes
+    * plus the small flush tail, so `emitted + guard` is a spec-valid
+    * prefix length for a decoder stopping at this pass. */
+  def emitted: Int = bp
+
   /** FLUSH (C.2.9, software convention): set as many C bits to 1 as the
     * final interval allows, push out two bytes, drop a trailing 0xFF. */
   def flush(): Array[Byte] = {

@@ -524,6 +524,95 @@ class Jp2CodecSpec extends AnyFunSuite {
     assert(Jp2Codec.decode(c3).comps.length == 3)
   }
 
+  test("multi-layer encode round-trips losslessly, tiled and untiled") {
+    for (layers <- Seq(2, 3, 5); (w, h, tile) <- Seq((113, 89, 0), (130, 97, 64))) {
+      val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))
+      val cs = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = tile, layers = layers)
+      val hdr = Jp2Codec.header(cs)
+      assert(hdr.layers == layers)
+      val out = Jp2Codec.decode(cs)
+      for (c <- 0 until 3)
+        assert(java.util.Arrays.equals(out.comps(c), comps(c)),
+          s"layers=$layers ${w}x$h tile=$tile c=$c")
+    }
+    // noise too — exercises dense pass splits across every band
+    val r = rng(4242L)
+    val noise = Array.fill(3)(Array.fill(96 * 80)(r.nextInt(256)))
+    val cs = Jp2Codec.encode(96, 80, noise, levels = 3, tileSize = 0, layers = 3)
+    val out = Jp2Codec.decode(cs)
+    for (c <- 0 until 3)
+      assert(java.util.Arrays.equals(out.comps(c), noise(c)), s"noise c=$c")
+  }
+
+  test("multi-layer first-inclusion in a later layer round-trips") {
+    // near-zero content: most blocks carry 1-3 passes, so the integer
+    // pass split defers their first contribution past layer 0 — the
+    // tag-tree threshold path that single-layer streams never take
+    val (w, h) = (64, 48)
+    val r = rng(99L)
+    val comps = Array(Array.tabulate(w * h)(i =>
+      128 + (if (r.nextInt(17) == 0) r.nextInt(3) - 1 else 0)))
+    for (layers <- Seq(2, 4)) {
+      val cs = Jp2Codec.encode(w, h, comps, levels = 2, layers = layers)
+      val out = Jp2Codec.decode(cs)
+      assert(java.util.Arrays.equals(out.comps(0), comps(0)), s"layers=$layers")
+    }
+  }
+
+  test("multi-layer reduced decode and PLT-ranged slices stay exact (RLCP prefix)") {
+    // RLCP keeps every tile's low-resolution packets — ALL layers of
+    // them — a contiguous prefix, so the reduced walk, the PLT span
+    // truncation, and the vandalized-tail skip-proof all carry over
+    val (w, h) = (130, 97)
+    val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))
+    val cs = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64, layers = 2)
+    val hdr = Jp2Codec.header(cs)
+    // reduced output == the single-layer encoder's reduced output (the
+    // subband data is identical; layering only re-packets it)
+    val ref = Jp2Codec.decodeReduced(
+      Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64), 2)
+    val red = Jp2Codec.decodeReduced(cs, 2)
+    assert(red.width == ref.width && red.height == ref.height)
+    for (c <- 0 until 3)
+      assert(java.util.Arrays.equals(red.comps(c), ref.comps(c)), s"c=$c")
+    // PLT-truncated spans: a fraction of the bytes, bit-exact decode
+    val full = Jp2Codec.tileParts(cs)
+    val reduced = Jp2Codec.tilePartsReduced(cs, 2)
+    val (rBytes, fBytes) = (reduced.map(_.len).sum, full.map(_.len).sum)
+    assert(rBytes * 2 < fBytes, s"reduced $rBytes vs full $fBytes bytes")
+    for (s <- reduced) {
+      val slice = java.util.Arrays.copyOfRange(cs, s.pos.toInt, (s.pos + s.len).toInt)
+      val t = Jp2Codec.decodeTilePart(slice, hdr, 2)
+      for (c <- 0 until 3; y <- 0 until t.height; x <- 0 until t.width)
+        assert(t.comps(c)(y * t.width + x) ==
+          red.comps(c)((t.y0 + y) * red.width + (t.x0 + x)),
+          s"tile ${s.index} c=$c px($x,$y)")
+    }
+    // vandalize the tail of every tile-part: thumbnail bit-identical
+    val vandalized = cs.clone()
+    for (s <- full; i <- (s.pos + s.len - s.len / 4).toInt until (s.pos + s.len).toInt)
+      vandalized(i) = (~vandalized(i)).toByte
+    val out = Jp2Codec.decodeReduced(vandalized, 2)
+    for (c <- 0 until 3)
+      assert(java.util.Arrays.equals(out.comps(c), red.comps(c)), s"vandalized c=$c")
+  }
+
+  test("single-layer streams keep the LRCP byte; LRCP multi-layer is rejected") {
+    val comps = Array(pattern(48, 40, 3))
+    val one = Jp2Codec.encode(48, 40, comps, levels = 2)
+    // COD progression byte: offset SOC(2) + SIZ(2+41 for nc=1) + COD marker(2)+len(2)+Scod(1)
+    val codAt = 2 + 2 + (38 + 3) + 2 + 2 + 1
+    assert(one(codAt) == 0, "single-layer must stay LRCP (byte-stable streams)")
+    val two = Jp2Codec.encode(48, 40, comps, levels = 2, layers = 2)
+    assert(two(codAt) == 1, "multi-layer must be RLCP (low-res prefix)")
+    // patching a single-layer LRCP stream to claim 2 layers must reject:
+    // LRCP multi-layer would interleave resolutions under the prefix walk
+    val patched = one.clone()
+    patched(codAt + 2) = 2 // SGcod layer count low byte
+    val e = intercept[IllegalArgumentException](Jp2Codec.decode(patched))
+    assert(e.getMessage.contains("LRCP with multiple layers"))
+  }
+
   test("decoder rejects garbage and truncated inputs rather than guessing") {
     intercept[IllegalArgumentException](Jp2Codec.decode(Array[Byte](1, 2, 3)))
     val cs = Jp2Codec.encode(16, 16, Array(pattern(16, 16, 5)))
