@@ -1362,6 +1362,86 @@ object Sources {
         $"n_tiles", $"thumb_w", $"thumb_h")
   }
 
+  /** L5k: the QUALITY axis of the ranged-fetch story — l5j fetches only
+    * the low-RESOLUTION prefix of each tile-part; l5k keeps every
+    * resolution but fetches only the FIRST QUALITY LAYER's packets:
+    * full-resolution output at reduced fidelity for the first-layer
+    * fraction of the bytes (progressive-by-quality delivery from the
+    * archival master — the other scalability axis JPEG 2000 exists for).
+    * The split is the same streamed listing-driven header walk
+    * ([[graft.sources.jp2.Jp2Codec.tilePartsQuality]]: PLT arithmetic,
+    * no entropy work, never a body byte); under RLCP each resolution's
+    * layer packets are consecutive, so the kept bytes are one merged
+    * range per resolution. Tasks fetch ONLY those ranges, concatenate
+    * the compacted slice, and run the standalone
+    * [[graft.sources.jp2.Jp2Codec.decodeTilePartQuality]] — every
+    * code-block truncated at its layer boundary, a valid pass-boundary
+    * truncation point by construction. The in-query require pins walk +
+    * fetched ranges under 3/4 of the scan; pixel correctness of the
+    * compacted-slice quality decode (monotone fidelity, exact at
+    * keep=layers) is pinned by Jp2CodecSpec, and the emitted full-res
+    * extents / tile count are closed-form for the DuckDB oracle. */
+  def l5kJp2QualityRanged(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stageBigJp2()
+    val keepLayers = 1
+    val tiles = spark.read.format("binaryFile").load(staged)
+      .select($"path", $"length").as[(String, Long)] // listing only: content never read
+      .flatMap { case (p, fileLen) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val stream = fs.open(hp)
+        try {
+          val in = new graft.sources.jp2.Jp2Codec.CountingInput(
+            new graft.sources.HadoopRangedInput(stream, fileLen))
+          val (hdr, parts) = graft.sources.jp2.Jp2Codec.tilePartsQuality(in, keepLayers)
+          val fetch = parts.map(_.fetchBytes).sum
+          // the byte contract: header walk + first-layer ranges together
+          // stay a fraction of the scan (the dropped refinement layers
+          // are the bulk of a lossless stream's bytes)
+          require((in.bytesRead + fetch) * 4 < fileLen * 3,
+            s"$p: walk ${in.bytesRead} B + layer-$keepLayers ranges $fetch B not a fraction of $fileLen B")
+          parts.map(t => (p, t.index, t.ranges.flatMap(r => Seq(r._1, r._2)),
+            hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
+            hdr.layers))
+        } finally stream.close()
+      }
+      .toDF("path", "tile", "ranges", "w", "h", "nc", "xt", "yt", "rct", "levels",
+        "nlayers")
+      .repartition(spark.sparkContext.defaultParallelism, col("path"), col("tile"))
+      .as[(String, Int, Seq[Long], Int, Int, Int, Int, Int, Boolean, Int, Int)]
+    val perTile = tiles.mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.map { case (p, _, ranges, w, h, nc, xt, yt, rct, levels, nlayers) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(conf)
+        val slice = new java.io.ByteArrayOutputStream()
+        val in = fs.open(hp)
+        try {
+          var i = 0
+          while (i < ranges.length) { // flattened (from, until) pairs
+            val from = ranges(i); val until = ranges(i + 1)
+            require(until - from <= Int.MaxValue, s"$p: range of ${until - from} B exceeds 2 GiB")
+            val buf = new Array[Byte]((until - from).toInt)
+            in.readFully(from, buf)
+            slice.write(buf)
+            i += 2
+          }
+        } finally in.close()
+        val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels, nlayers)
+        val t = graft.sources.jp2.Jp2Codec.decodeTilePartQuality(
+          slice.toByteArray, hdr, keepLayers)
+        (p, (t.x0 + t.width).toLong, (t.y0 + t.height).toLong)
+      }
+    }.toDF("path", "x1", "y1")
+    perTile
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n_tiles"),
+        max($"x1").as("width"), max($"y1").as("height"))
+      .select(element_at(split($"path", "/"), -1).as("file_name"),
+        $"n_tiles", $"width", $"height")
+  }
+
   private val wavStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Synthesize 4 REAL 16-bit mono PCM WAVs (staged once per JVM): sample
@@ -1721,6 +1801,7 @@ object Sources {
     "l5h_jp2_tiled_parallel" -> (l5hJp2TiledParallel _),
     "l5i_jp2_thumbnail" -> (l5iJp2Thumbnail _),
     "l5j_jp2_thumbnail_ranged" -> (l5jJp2ThumbnailRanged _),
+    "l5k_jp2_quality_ranged" -> (l5kJp2QualityRanged _),
     "l5d_audio_features" -> (l5dAudioFeatures _),
     "l5f_vad_segments" -> (l5fVadSegments _),
     "l5e_image_phash" -> (l5eImagePhash _),
@@ -2120,6 +2201,9 @@ object Sources {
     "l5j_jp2_thumbnail_ranged" ->
       """SELECT 'page_0.jp2' AS file_name, CAST(18 AS BIGINT) AS n_tiles,
         |  CAST(96 AS BIGINT) AS thumb_w, CAST(48 AS BIGINT) AS thumb_h""".stripMargin,
+    "l5k_jp2_quality_ranged" ->
+      """SELECT 'page_0.jp2' AS file_name, CAST(18 AS BIGINT) AS n_tiles,
+        |  CAST(384 AS BIGINT) AS width, CAST(192 AS BIGINT) AS height""".stripMargin,
     "l5_multimodal_decode" ->
       """SELECT * FROM (VALUES
         |('bib13991099_18650102_0_1_0001.jp2', 'image/jp2', CAST(112 AS BIGINT), 2479, 3508),

@@ -397,7 +397,8 @@ object Jp2Codec {
 
   /** Decode ONE tile-part from exactly its slice (SOT..tile-part end as
     * spanned by [[tileParts]], or the truncated low-res prefix from
-    * [[tilePartsReduced]]) given the parsed [[Header]] — the
+    * [[tilePartsReduced]], or the compacted quality slice assembled from
+    * [[tilePartsQuality]] ranges) given the parsed [[Header]] — the
     * executor-side step of a distributed single-scan decode. Fully
     * standalone: inverse DWT, RCT, DC unshift and clamp are tile-local
     * by construction. `discard` > 0 returns the tile at reduced
@@ -405,6 +406,66 @@ object Jp2Codec {
     * only the slice's low-resolution packet prefix is entropy-decoded. */
   def decodeTilePart(slice: Array[Byte], hdr: Header, discard: Int = 0): Tile =
     decodeTilePartAt(slice, 0, hdr, discard)
+
+  /** Decode ONE tile-part from a COMPACTED quality slice — the
+    * concatenated bytes of [[tilePartsQuality]]'s ranges (tile-part
+    * header, then per resolution only the first keepLayers layers'
+    * packets, back to back) — the spec's progressive-by-quality
+    * reconstruction: every code-block truncated at its layer boundary (a
+    * valid pass-boundary truncation point by construction), full
+    * resolution, reduced fidelity. A separate entry point on purpose: on
+    * a FULL tile-part slice the dropped layer packets sit between
+    * resolutions, so a keepLayers-truncated walk only parses correctly
+    * on the compacted layout — this method exists so the two cannot be
+    * mixed up. `keepLayers == hdr.layers` equals [[decodeTilePart]]. */
+  def decodeTilePartQuality(slice: Array[Byte], hdr: Header, keepLayers: Int): Tile =
+    decodeTilePartAt(slice, 0, hdr, 0, keepLayers)
+
+  /** Byte ranges of one tile-part that a `keepLayers`-quality decode
+    * needs: the tile-part header, then per resolution the first
+    * keepLayers·nc packets (adjacent ranges merged). `fullLen` is the
+    * whole tile-part's Psot for fraction accounting. */
+  final case class RangedTilePart(index: Int, ranges: Seq[(Long, Long)], fullLen: Long) {
+    def fetchBytes: Long = ranges.map { case (a, b) => b - a }.sum
+  }
+
+  /** The quality axis of the ranged-fetch story (the layer analog of
+    * [[tilePartsReduced]]'s resolution axis): per tile-part, the byte
+    * ranges holding the tile-part header and the first keepLayers
+    * quality layers of EVERY resolution, computed from the PLT packet
+    * lengths — streamed header walk, no entropy work, never a body byte.
+    * Under RLCP each resolution's layer packets are consecutive, so this
+    * is one range per resolution (merged when adjacent); a distributed
+    * progressive fetch reads only these and hands the concatenated
+    * (compacted) slice to [[decodeTilePart]] with the same keepLayers —
+    * full-resolution output at reduced fidelity for the first-layer
+    * fraction of the archive's bytes. Tile-parts without PLT fall back
+    * to the full span. */
+  def tilePartsQuality(in: RangedInput, keepLayers: Int): (Header, Seq[RangedTilePart]) = {
+    val (hdr, spans) = tileParts(in)
+    require(keepLayers >= 1 && keepLayers <= hdr.layers,
+      s"keepLayers $keepLayers out of 1..${hdr.layers}")
+    val perRes = hdr.layers * hdr.nc
+    (hdr, spans.map { s =>
+      val (bodyStart, lens) = tilePartHeader(in, s.pos)
+      if (lens == null) RangedTilePart(s.index, Seq((s.pos, s.pos + s.len)), s.len)
+      else {
+        require(lens.length == (hdr.levels + 1) * perRes,
+          s"PLT lists ${lens.length} packets, expected ${(hdr.levels + 1) * perRes}")
+        val ranges = ArrayBuffer[(Long, Long)]((s.pos, bodyStart))
+        var at = bodyStart
+        for (r <- 0 to hdr.levels) {
+          val group = lens.slice(r * perRes, (r + 1) * perRes)
+          val kept = group.take(keepLayers * hdr.nc).map(_.toLong).sum
+          val (lastFrom, lastUntil) = ranges.last
+          if (lastUntil == at) ranges(ranges.length - 1) = (lastFrom, at + kept)
+          else ranges += ((at, at + kept))
+          at += group.map(_.toLong).sum
+        }
+        RangedTilePart(s.index, ranges.toSeq, s.len)
+      }
+    })
+  }
 
   private def beU16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
@@ -579,13 +640,16 @@ object Jp2Codec {
     * Mallat array (ceil(tw/2^d) x ceil(th/2^d), levels-d decompositions)
     * has byte-for-byte the band layout of the full array's top-left
     * corner, so the SAME packet walk runs with reduced dims. */
-  private def decodeTilePartAt(b: Array[Byte], pos: Int, hdr: Header, discard: Int = 0): Tile = {
+  private def decodeTilePartAt(b: Array[Byte], pos: Int, hdr: Header, discard: Int = 0,
+      keepLayers: Int = Int.MaxValue): Tile = {
     def u8(i: Int): Int = b(i) & 0xFF
     def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     require(u16(pos) == 0xFF90, "expected SOT")
     require(u16(pos + 2) == 10, "SOT with tile-part header markers not supported")
     require(discard >= 0 && discard <= hdr.levels,
       s"discard $discard out of 0..${hdr.levels}")
+    require(keepLayers >= 1, s"keepLayers $keepLayers out of range")
+    val keep = math.min(hdr.layers, keepLayers)
     val isot = u16(pos + 4)
     val psot = beU32(b, pos + 6)
     require(isot < hdr.ntx * hdr.nty, s"tile index $isot out of grid")
@@ -607,14 +671,14 @@ object Jp2Codec {
     // decoder state lives only across this inner loop
     for (r <- 0 to rl) {
       val decs = Array.fill(hdr.nc)(new ResDecoder(rw, rh, rl, r))
-      for (l <- 0 until hdr.layers; c <- 0 until hdr.nc)
+      for (l <- 0 until keep; c <- 0 until hdr.nc)
         p = decs(c).readPacket(b, p, l)
       for (c <- 0 until hdr.nc) decs(c).finishInto(tile(c))
     }
-    if (discard == 0)
+    if (discard == 0 && keep == hdr.layers)
       require(p == pos + psot, s"tile $isot body ended at $p, Psot says ${pos + psot}")
     else
-      require(p <= pos + psot, s"tile $isot reduced walk overran Psot")
+      require(p <= pos + psot, s"tile $isot truncated walk overran Psot")
     tile.foreach(Dwt53.inverse(_, rw, rh, rl))
     if (hdr.useRct) Dwt53.rctInverse(tile(0), tile(1), tile(2))
     tile.foreach { a =>

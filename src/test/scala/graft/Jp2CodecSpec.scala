@@ -597,6 +597,56 @@ class Jp2CodecSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(out.comps(c), red.comps(c)), s"vandalized c=$c")
   }
 
+  test("quality-ranged slices decode progressively: fewer bytes, monotone fidelity") {
+    // the quality axis of the ranged-fetch story: fetch only the first
+    // keepLayers layers' packets of every resolution (PLT arithmetic,
+    // no entropy work), decode full-resolution at reduced fidelity
+    val (w, h) = (130, 97)
+    val r = rng(777L)
+    // noise content so dropped refinement passes carry real information
+    val comps = Array.fill(3)(Array.fill(w * h)(r.nextInt(256)))
+    val layers = 3
+    val cs = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64, layers = layers)
+    val full = Jp2Codec.decode(cs)
+
+    def qualityDecode(keep: Int): (Array[Array[Int]], Long) = {
+      val in = new Jp2Codec.CountingInput(new Jp2Codec.BytesInput(cs))
+      val (hdr, parts) = Jp2Codec.tilePartsQuality(in, keep)
+      // the split walk itself reads only headers
+      assert(in.bytesRead * 4 < cs.length, s"walk read ${in.bytesRead} of ${cs.length}")
+      val planes = Array.fill(3)(new Array[Int](w * h))
+      var fetched = 0L
+      for (part <- parts) {
+        fetched += part.fetchBytes
+        val slice = new java.io.ByteArrayOutputStream()
+        for ((from, until) <- part.ranges)
+          slice.write(cs, from.toInt, (until - from).toInt)
+        val t = Jp2Codec.decodeTilePartQuality(slice.toByteArray, hdr, keep)
+        for (c <- 0 until 3; y <- 0 until t.height; x <- 0 until t.width)
+          planes(c)((t.y0 + y) * w + (t.x0 + x)) = t.comps(c)(y * t.width + x)
+      }
+      (planes, fetched)
+    }
+
+    def err(a: Array[Array[Int]]): Long =
+      (0 until 3).map(c => a(c).zip(full.comps(c)).map { case (x, y) =>
+        math.abs(x - y).toLong }.sum).sum
+
+    val (q1, b1) = qualityDecode(1)
+    val (q2, b2) = qualityDecode(2)
+    val (q3, b3) = qualityDecode(3)
+    // keep == layers reproduces the full decode from the full bytes
+    assert(err(q3) == 0, "keep=layers must be exact")
+    assert(b3 == Jp2Codec.tileParts(cs).map(_.len).sum, "keep=layers fetches everything")
+    // fewer layers -> strictly fewer bytes; fidelity monotone, lossy at 1
+    assert(b1 < b2 && b2 < b3, s"bytes not monotone: $b1 $b2 $b3")
+    assert(b1 * 2 < b3, s"first layer not a fraction: $b1 of $b3")
+    assert(err(q1) >= err(q2), s"fidelity not monotone: ${err(q1)} < ${err(q2)}")
+    assert(err(q1) > 0, "keep=1 on noise must actually be lossy")
+    // full-resolution output regardless of quality truncation
+    assert(q1(0).length == w * h)
+  }
+
   test("single-layer streams keep the LRCP byte; LRCP multi-layer is rejected") {
     val comps = Array(pattern(48, 40, 3))
     val one = Jp2Codec.encode(48, 40, comps, levels = 2)

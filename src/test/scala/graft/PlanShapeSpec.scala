@@ -884,6 +884,26 @@ class PlanShapeSpec extends SparkSpec {
       s"split stage reads file content:\n${plan.take(3000)}")
   }
 
+  test("L5K: quality-ranged fetch keeps the pinned exchange and a listing-only scan") {
+    val df = graft.queries.Sources.l5kJp2QualityRanged(spark, sfDir)
+    df.collect(): Unit // finalize AQE
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    // same pinned-width story as l5h/l5j: tiny descriptors would fold to
+    // one task under AQE's byte-based coalescing, serializing the decode
+    assert(plan.contains("REPARTITION_BY_NUM"), plan.take(3000))
+    val cut = plan.indexOf("REPARTITION_BY_NUM")
+    val decodeMp = plan.lastIndexOf("MapPartitions", cut)
+    assert(decodeMp > 0, plan.take(3000))
+    assert(!plan.substring(decodeMp, cut).contains("AQEShuffleRead"),
+      s"decode stage rides a coalesced read:\n${plan.take(3000)}")
+    assert(plan.contains(s"hashpartitioning(path"), plan.take(3000))
+    // split reads the LISTING; the kept-layer ranges are the ONLY bytes
+    // the decode stage fetches — content in the scan schema would mean
+    // the whole archive is read to deliver its first-layer fraction
+    assert(!plan.contains("content"),
+      s"split stage reads file content:\n${plan.take(3000)}")
+  }
+
   test("L60: dictionary agg computed once and reused on both sides of the blocked join") {
     val plan = finalPlanOf(graft.queries.Llm.l60FuzzyBlockedJoin(spark, sfDir))
     // the name dictionary is one partial+final agg whose exchange is
