@@ -705,10 +705,12 @@ object Jp2Codec {
     * emits one packet per quality layer against PERSISTENT tag trees —
     * B.10.2: inclusion and zero-bit-plane trees span a precinct's
     * layers, emitting only the increment each layer. Pass split: layer l
-    * carries passes (cum(l-1), cum(l)] with cum(l) = passes·(l+1)/L
-    * (integer division), so low-pass-count blocks first contribute in a
-    * LATER layer — exercising the first-inclusion threshold path — and
-    * the final layer always completes the block (lossless). */
+    * carries passes (cum(l-1), cum(l)] chosen BYTE-balanced at the
+    * pass-boundary truncation points (see the cumP computation below),
+    * so blocks whose codeword exceeds the layer-0 byte target first
+    * contribute in a LATER layer — exercising the first-inclusion
+    * threshold path — and the final layer always completes the block
+    * (lossless). */
   private final class ResEncoder(plane: Array[Int], w: Int, h: Int, nl: Int,
       r: Int, layers: Int) {
 
@@ -741,8 +743,33 @@ object Jp2Codec {
           val (data, passes, numbps, truncs) =
             Ebcot.encodeBlockLayered(cw, ch, coeffs, b.orient)
           require(numbps <= mb, s"coefficient magnitude overflows Mb=$mb (numbps=$numbps)")
-          val cumP = Array.tabulate(layers)(l =>
-            if (l == layers - 1) passes else passes * (l + 1) / layers)
+          // byte-balanced layer split (floor): layer l keeps the most
+          // passes whose truncation length stays within (l+1)/L of the
+          // codeword bytes — layers are RATE tiers, as real encoders
+          // allocate them, not pass-count tiers (early passes carry most
+          // of a block's bytes, so an even pass split would leave the
+          // last layers nearly empty). Floor keeps layer 0 at <= 1/L of
+          // the bytes, so a first-layer quality fetch reads ~1/L of the
+          // archive; blocks whose whole codeword exceeds the target
+          // defer their first inclusion to a later layer.
+          val cumP =
+            if (passes == 0) new Array[Int](layers)
+            else {
+              val total = truncs(passes - 1).toLong
+              val arr = new Array[Int](layers)
+              var prev = 0
+              for (l <- 0 until layers) {
+                if (l == layers - 1) arr(l) = passes
+                else {
+                  val target = total * (l + 1) / layers
+                  var k = prev
+                  while (k < passes && truncs(k) <= target) k += 1
+                  arr(l) = k
+                }
+                prev = arr(l)
+              }
+              arr
+            }
           val cumB = cumP.map(cp => if (cp == 0) 0 else truncs(cp - 1))
           val firstLayer = cumP.indexWhere(_ > 0) match {
             case -1 => layers // never included: >= every threshold used
