@@ -1245,9 +1245,15 @@ object Sources {
     * The DuckDB oracle recomputes width/height/tile-count and all three
     * channel sums from the staging arithmetic, so the hash match proves
     * the 18 independently-decoded tiles reassemble the exact image. */
-  def l5hJp2TiledParallel(spark: SparkSession, dir: String): DataFrame = {
+  def l5hJp2TiledParallel(spark: SparkSession, dir: String): DataFrame =
+    jp2TiledChannelSums(spark, stageBigJp2())
+
+  /** The l5h pipeline against any staged directory of `.jp2` scans —
+    * shared with [[graft.Jp2ScaleProbe]], which measures the same code
+    * path at larger scan sizes (so the committed speedups are of THIS
+    * pipeline, not a lookalike). */
+  private[graft] def jp2TiledChannelSums(spark: SparkSession, staged: String): DataFrame = {
     import spark.implicits._
-    val staged = stageBigJp2()
     val tiles = spark.read.format("binaryFile").load(staged)
       .select($"path", $"length").as[(String, Long)] // listing only: content never read
       .flatMap { case (p, fileLen) =>
