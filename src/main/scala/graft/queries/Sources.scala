@@ -1448,6 +1448,97 @@ object Sources {
         $"n_tiles", $"width", $"height")
   }
 
+  /** L5l: REGION (crop) fetch from the archival master — the IIIF
+    * region request the reference rents from data.kb.se's image server
+    * (01-scrape-images.py:271 extracts IIIF ids; the Image API's
+    * `{id}/{region}/{size}/...` shape serves exactly this), done
+    * engine-side: tiles are independently entropy-coded rectangles, so a
+    * clipping of a scan needs ONLY the tile-parts whose grid rectangle
+    * intersects the crop. The streamed split walks the Psot chain
+    * (header-only, required), keeps just the intersecting spans, and
+    * REQUIRES their bytes stay proportional to the cropped tile area;
+    * tasks ranged-read those tile-parts, decode standalone, clip to the
+    * crop, and emit per-channel partial sums — so the oracle hash-match
+    * is over the crop's ACTUAL DECODED PIXELS (closed-form staging
+    * arithmetic over the crop rows/cols), not just extents. At 100 TB
+    * this is "fetch a clipping from every gigapixel page" at the
+    * clipping's fraction of the bytes. */
+  def l5lJp2RegionRanged(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stageBigJp2()
+    // the clipping, in pixels of the 384x192 scan: touches tiles (1..2,1..2)
+    val (cx0, cy0, cw, chh) = (70, 70, 120, 60)
+    val tiles = spark.read.format("binaryFile").load(staged)
+      .select($"path", $"length").as[(String, Long)] // listing only: content never read
+      .flatMap { case (p, fileLen) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val stream = fs.open(hp)
+        try {
+          val in = new graft.sources.jp2.Jp2Codec.CountingInput(
+            new graft.sources.HadoopRangedInput(stream, fileLen))
+          val (hdr, spans) = graft.sources.jp2.Jp2Codec.tileParts(in)
+          require(in.bytesRead * 8 < fileLen,
+            s"$p: split walk read ${in.bytesRead} B of $fileLen B — not header-only")
+          val kept = spans.filter { s =>
+            val tx0 = (s.index % hdr.ntx) * hdr.xt; val ty0 = (s.index / hdr.ntx) * hdr.yt
+            tx0 < cx0 + cw && cx0 < tx0 + hdr.xt && ty0 < cy0 + chh && cy0 < ty0 + hdr.yt
+          }
+          // the region contract: fetched tile-parts stay proportional to
+          // the cropped tile footprint, never the scan (2x slack for
+          // per-tile compression variance)
+          val keptBytes = kept.map(_.len).sum
+          val totalBytes = spans.map(_.len).sum
+          require(keptBytes * spans.length <= 2L * totalBytes * kept.length,
+            s"$p: ${kept.length}/${spans.length} tiles but $keptBytes/$totalBytes B")
+          kept.map(s => (p, s.index, s.pos, s.len,
+            hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
+            hdr.layers))
+        } finally stream.close()
+      }
+      .toDF("path", "tile", "pos", "len", "w", "h", "nc", "xt", "yt", "rct", "levels",
+        "nlayers")
+      .repartition(spark.sparkContext.defaultParallelism, col("path"), col("tile"))
+      .as[(String, Int, Long, Long, Int, Int, Int, Int, Int, Boolean, Int, Int)]
+    val perTile = tiles.mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.map { case (p, _, pos, len, w, h, nc, xt, yt, rct, levels, nlayers) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(conf)
+        require(len <= Int.MaxValue, s"$p: single tile-part of $len B exceeds 2 GiB")
+        val slice = new Array[Byte](len.toInt)
+        val in = fs.open(hp)
+        try { in.readFully(pos, slice) } finally in.close()
+        val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels, nlayers)
+        val t = graft.sources.jp2.Jp2Codec.decodeTilePart(slice, hdr)
+        // clip the decoded tile to the crop and sum channels over it
+        val ix0 = math.max(cx0, t.x0); val ix1 = math.min(cx0 + cw, t.x0 + t.width)
+        val iy0 = math.max(cy0, t.y0); val iy1 = math.min(cy0 + chh, t.y0 + t.height)
+        val sums = new Array[Long](3)
+        var c = 0
+        while (c < nc) {
+          var y = iy0
+          while (y < iy1) {
+            var x = ix0
+            while (x < ix1) {
+              sums(c) += t.comps(c)((y - t.y0) * t.width + (x - t.x0))
+              x += 1
+            }
+            y += 1
+          }
+          c += 1
+        }
+        (p, sums(0), sums(1), sums(2))
+      }
+    }.toDF("path", "s0", "s1", "s2")
+    perTile
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n_tiles_fetched"),
+        sum($"s0").as("sum_c0"), sum($"s1").as("sum_c1"), sum($"s2").as("sum_c2"))
+      .select(element_at(split($"path", "/"), -1).as("file_name"),
+        $"n_tiles_fetched", $"sum_c0", $"sum_c1", $"sum_c2")
+  }
+
   private val wavStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Synthesize 4 REAL 16-bit mono PCM WAVs (staged once per JVM): sample
@@ -1808,6 +1899,7 @@ object Sources {
     "l5i_jp2_thumbnail" -> (l5iJp2Thumbnail _),
     "l5j_jp2_thumbnail_ranged" -> (l5jJp2ThumbnailRanged _),
     "l5k_jp2_quality_ranged" -> (l5kJp2QualityRanged _),
+    "l5l_jp2_region_ranged" -> (l5lJp2RegionRanged _),
     "l5d_audio_features" -> (l5dAudioFeatures _),
     "l5f_vad_segments" -> (l5fVadSegments _),
     "l5e_image_phash" -> (l5eImagePhash _),
@@ -2210,6 +2302,15 @@ object Sources {
     "l5k_jp2_quality_ranged" ->
       """SELECT 'page_0.jp2' AS file_name, CAST(18 AS BIGINT) AS n_tiles,
         |  CAST(384 AS BIGINT) AS width, CAST(192 AS BIGINT) AS height""".stripMargin,
+    "l5l_jp2_region_ranged" ->
+      """WITH px AS (
+        |  SELECT x, y FROM (SELECT unnest(generate_series(70, 189)) AS x),
+        |                   (SELECT unnest(generate_series(70, 129)) AS y))
+        |SELECT 'page_0.jp2' AS file_name, CAST(4 AS BIGINT) AS n_tiles_fetched,
+        |  CAST(SUM((x * 7 + y * 11) % 256) AS BIGINT) AS sum_c0,
+        |  CAST(SUM((x * 9 + y * 11 + 29) % 256) AS BIGINT) AS sum_c1,
+        |  CAST(SUM((x * 11 + y * 11 + 58) % 256) AS BIGINT) AS sum_c2
+        |FROM px""".stripMargin,
     "l5_multimodal_decode" ->
       """SELECT * FROM (VALUES
         |('bib13991099_18650102_0_1_0001.jp2', 'image/jp2', CAST(112 AS BIGINT), 2479, 3508),

@@ -148,6 +148,38 @@ class Jp2CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("EBCOT truncation lengths are VALID: each prefix reproduces its passes exactly") {
+    // the contract every quality-layer boundary stands on (l5k decodes
+    // blocks from layer-truncated prefixes): for every pass boundary k,
+    // decoding truncs(k) bytes with k+1 passes must yield EXACTLY the
+    // coefficients that decoding the full codeword with k+1 passes
+    // yields — if the conservative emitted+guard bound were ever too
+    // short, the truncated decode would silently diverge here
+    for (band <- Seq(Ebcot.LL, Ebcot.HL, Ebcot.LH, Ebcot.HH); seed <- 1 to 4) {
+      val (w, h) = (32, 24)
+      val r = rng(band * 104729L + seed)
+      val dense = seed % 2 == 0
+      val coeffs = Array.fill(w * h) {
+        if (dense || r.nextInt(4) == 0) r.nextInt(512) - 256 else 0
+      }
+      val (data, passes, numbps, truncs) = Ebcot.encodeBlockLayered(w, h, coeffs, band)
+      if (passes > 0) {
+        assert(truncs.length == passes && truncs(passes - 1) == data.length)
+        assert(truncs.zip(truncs.tail).forall { case (a, b) => a <= b }, "non-monotone")
+        for (k <- 0 until passes) {
+          val prefix = java.util.Arrays.copyOf(data, truncs(k))
+          val fromPrefix = Ebcot.decodeBlock(w, h, prefix, k + 1, numbps, band)
+          val fromFull = Ebcot.decodeBlock(w, h, data, k + 1, numbps, band)
+          assert(java.util.Arrays.equals(fromPrefix, fromFull),
+            s"band=$band seed=$seed pass $k: truncated prefix diverges")
+        }
+        // and the full-pass decode over the final trunc is still lossless
+        assert(java.util.Arrays.equals(
+          Ebcot.decodeBlock(w, h, data, passes, numbps, band), coeffs))
+      }
+    }
+  }
+
   test("EBCOT all-zero block is excluded, single-coefficient block survives") {
     val (d0, p0, n0) = Ebcot.encodeBlock(8, 8, new Array[Int](64), Ebcot.HH)
     assert(d0.isEmpty && p0 == 0 && n0 == 0)
