@@ -116,23 +116,34 @@ def _sf_of(sf_field, default=0.1):
 CONTENTION_BAR = 1.5
 
 
-def contention_check(summary):
+def contention_check(record, rnd):
     """Median per-query ratio of this run vs the newest committed
-    quiet-machine record (BENCH_local_r*.json). Twice (r13, r14) a
-    committed driver BENCH record was silently distorted by host load and
-    had to be adjudicated by hand — above CONTENTION_BAR the envelope is
-    stamped "contended" so no future reader mistakes load for a
-    regression. Returns (ratio, reference_file) or (None, None)."""
-    records = sorted(f for f in os.listdir(".")
-                     if re.fullmatch(r"BENCH_local_r\w+\.json", f))
+    quiet-machine record (BENCH_local_r*.json) from a PRIOR round — the
+    same round's local record is this very run, and a self-ratio of 1.0
+    would mask contention. Twice (r13, r14) a committed driver BENCH
+    record was silently distorted by host load and had to be adjudicated
+    by hand — above CONTENTION_BAR the envelope is stamped "contended" so
+    no future reader mistakes load for a regression. Returns
+    (ratio, reference_file) or (None, None)."""
+    def round_of(f):
+        m = re.fullmatch(r"BENCH_local_r(\d+)\w*\.json", f)
+        return int(m.group(1)) if m else None
+    records = sorted(
+        (f for f in os.listdir(".")
+         if round_of(f) is not None and round_of(f) < rnd),
+        key=lambda f: (round_of(f), f))
     if not records:
         return None, None
     ref_file = records[-1]
     try:
-        ref = json.load(open(ref_file))["summary"].get("queries", {})
+        refrec = json.load(open(ref_file))
+        # prefer the full per-query map over the slow-query summary
+        # subset: the subset skews disk-heavy and overstates drift
+        ref = refrec.get("queries_all") or refrec["summary"].get("queries", {})
     except Exception:
         return None, None
-    cur = summary.get("queries", {})
+    cur = (record.get("queries_all")
+           or record.get("summary", {}).get("queries", {}))
     ratios = sorted(cur[q] / ref[q] for q in cur
                     if q in ref and ref[q] and ref[q] > 0)
     if not ratios:
@@ -154,7 +165,7 @@ def bench_envelope(rnd, bench_out_path):
         "tail": None,  # filled after any contention stamp
         "parsed": summary,
     }
-    ratio, ref_file = contention_check(summary)
+    ratio, ref_file = contention_check(b, rnd)
     if ratio is not None:
         env["median_ratio_vs_quiet"] = ratio
         env["quiet_reference"] = ref_file
