@@ -1248,30 +1248,67 @@ object Sources {
   def l5hJp2TiledParallel(spark: SparkSession, dir: String): DataFrame =
     jp2TiledChannelSums(spark, stageBigJp2())
 
+  /** Split-stage scaffolding shared by every ranged JP2 query (l5h, l5j,
+    * l5k, l5l): the LISTING (path, length) feeds a per-file streamed
+    * header walk over one open stream wrapped in a
+    * [[graft.sources.jp2.Jp2Codec.CountingInput]] (so each query can
+    * REQUIRE its byte contract), with one Hadoop Configuration per
+    * PARTITION, not per file. `f` must return an eagerly-materialized
+    * Seq — the stream closes when it returns. */
+  private def jp2RangedSplit[T](listing: org.apache.spark.sql.Dataset[(String, Long)])(
+      f: (String, Long, graft.sources.jp2.Jp2Codec.CountingInput) => Seq[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] =
+    listing.mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.flatMap { case (p, fileLen) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(conf)
+        val stream = fs.open(hp)
+        try f(p, fileLen, new graft.sources.jp2.Jp2Codec.CountingInput(
+          new graft.sources.HadoopRangedInput(stream, fileLen)))
+        finally stream.close()
+      }
+    }
+
+  /** Decode-stage ranged read: exactly the [from, until) slices of
+    * `ranges`, concatenated, through ONE open stream per file. */
+  private def jp2FetchRanges(conf: org.apache.hadoop.conf.Configuration, p: String,
+      ranges: Seq[(Long, Long)]): Array[Byte] = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(conf)
+    val total = ranges.map { case (a, b) => b - a }.sum
+    require(total <= Int.MaxValue, s"$p: ranged read of $total B exceeds 2 GiB")
+    val out = new Array[Byte](total.toInt)
+    val in = fs.open(hp)
+    try {
+      var at = 0
+      for ((from, until) <- ranges) {
+        val n = (until - from).toInt
+        in.readFully(from, out, at, n)
+        at += n
+      }
+    } finally in.close()
+    out
+  }
+
   /** The l5h pipeline against any staged directory of `.jp2` scans —
     * shared with [[graft.Jp2ScaleProbe]], which measures the same code
     * path at larger scan sizes (so the committed speedups are of THIS
     * pipeline, not a lookalike). */
   private[graft] def jp2TiledChannelSums(spark: SparkSession, staged: String): DataFrame = {
     import spark.implicits._
-    val tiles = spark.read.format("binaryFile").load(staged)
-      .select($"path", $"length").as[(String, Long)] // listing only: content never read
-      .flatMap { case (p, fileLen) =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val stream = fs.open(hp)
-        try {
-          val in = new graft.sources.jp2.Jp2Codec.CountingInput(
-            new graft.sources.HadoopRangedInput(stream, fileLen))
-          val (hdr, spans) = graft.sources.jp2.Jp2Codec.tileParts(in)
-          // the header-only contract, REQUIRED on every run: the walk
-          // reads the main header + 14 B per SOT, never tile bodies
-          require(in.bytesRead * 8 < fileLen,
-            s"$p: split walk read ${in.bytesRead} B of $fileLen B — not header-only")
-          spans.map(s => (p, s.index, s.pos, s.len,
-            hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
-            hdr.layers))
-        } finally stream.close()
+    val tiles = jp2RangedSplit(
+      spark.read.format("binaryFile").load(staged)
+        .select($"path", $"length").as[(String, Long)] // listing only: content never read
+    ) { (p, fileLen, in) =>
+        val (hdr, spans) = graft.sources.jp2.Jp2Codec.tileParts(in)
+        // the header-only contract, REQUIRED on every run: the walk
+        // reads the main header + 14 B per SOT, never tile bodies
+        require(in.bytesRead * 8 < fileLen,
+          s"$p: split walk read ${in.bytesRead} B of $fileLen B — not header-only")
+        spans.map(s => (p, s.index, s.pos, s.len,
+          hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
+          hdr.layers))
       }
       .toDF("path", "tile", "pos", "len", "w", "h", "nc", "xt", "yt", "rct", "levels",
         "nlayers")
@@ -1280,12 +1317,7 @@ object Sources {
     val perTile = tiles.mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
       it.map { case (p, _, pos, len, w, h, nc, xt, yt, rct, levels, nlayers) =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        val fs = hp.getFileSystem(conf)
-        require(len <= Int.MaxValue, s"$p: single tile-part of $len B exceeds 2 GiB")
-        val slice = new Array[Byte](len.toInt)
-        val in = fs.open(hp)
-        try { in.readFully(pos, slice) } finally in.close()
+        val slice = jp2FetchRanges(conf, p, Seq((pos, pos + len)))
         val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels, nlayers)
         val t = graft.sources.jp2.Jp2Codec.decodeTilePart(slice, hdr)
         (p, w.toLong, h.toLong,
@@ -1322,25 +1354,19 @@ object Sources {
     import spark.implicits._
     val staged = stageBigJp2()
     val discard = 2
-    val tiles = spark.read.format("binaryFile").load(staged)
-      .select($"path", $"length").as[(String, Long)] // listing only: content never read
-      .flatMap { case (p, fileLen) =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val stream = fs.open(hp)
-        try {
-          val in = new graft.sources.jp2.Jp2Codec.CountingInput(
-            new graft.sources.HadoopRangedInput(stream, fileLen))
-          val (hdr, spans) = graft.sources.jp2.Jp2Codec.tilePartsReduced(in, discard)
-          val prefixBytes = spans.map(_.len).sum
-          // the whole-query byte contract: header walk + low-res
-          // prefixes together stay a FRACTION of the scan
-          require((in.bytesRead + prefixBytes) * 2 < fileLen,
-            s"$p: walk ${in.bytesRead} B + prefixes $prefixBytes B not a fraction of $fileLen B")
-          spans.map(s => (p, s.index, s.pos, s.len,
-            hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
-            hdr.layers))
-        } finally stream.close()
+    val tiles = jp2RangedSplit(
+      spark.read.format("binaryFile").load(staged)
+        .select($"path", $"length").as[(String, Long)] // listing only: content never read
+    ) { (p, fileLen, in) =>
+        val (hdr, spans) = graft.sources.jp2.Jp2Codec.tilePartsReduced(in, discard)
+        val prefixBytes = spans.map(_.len).sum
+        // the whole-query byte contract: header walk + low-res
+        // prefixes together stay a FRACTION of the scan
+        require((in.bytesRead + prefixBytes) * 2 < fileLen,
+          s"$p: walk ${in.bytesRead} B + prefixes $prefixBytes B not a fraction of $fileLen B")
+        spans.map(s => (p, s.index, s.pos, s.len,
+          hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
+          hdr.layers))
       }
       .toDF("path", "tile", "pos", "len", "w", "h", "nc", "xt", "yt", "rct", "levels",
         "nlayers")
@@ -1349,12 +1375,7 @@ object Sources {
     val perTile = tiles.mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
       it.map { case (p, _, pos, len, w, h, nc, xt, yt, rct, levels, nlayers) =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        val fs = hp.getFileSystem(conf)
-        require(len <= Int.MaxValue, s"$p: low-res prefix of $len B exceeds 2 GiB")
-        val slice = new Array[Byte](len.toInt) // ONLY the low-res prefix
-        val in = fs.open(hp)
-        try { in.readFully(pos, slice) } finally in.close()
+        val slice = jp2FetchRanges(conf, p, Seq((pos, pos + len))) // ONLY the low-res prefix
         val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels, nlayers)
         val t = graft.sources.jp2.Jp2Codec.decodeTilePart(slice, hdr, discard)
         (p, (t.x0 + t.width).toLong, (t.y0 + t.height).toLong)
@@ -1391,26 +1412,20 @@ object Sources {
     import spark.implicits._
     val staged = stageBigJp2()
     val keepLayers = 1
-    val tiles = spark.read.format("binaryFile").load(staged)
-      .select($"path", $"length").as[(String, Long)] // listing only: content never read
-      .flatMap { case (p, fileLen) =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val stream = fs.open(hp)
-        try {
-          val in = new graft.sources.jp2.Jp2Codec.CountingInput(
-            new graft.sources.HadoopRangedInput(stream, fileLen))
-          val (hdr, parts) = graft.sources.jp2.Jp2Codec.tilePartsQuality(in, keepLayers)
-          val fetch = parts.map(_.fetchBytes).sum
-          // the byte contract: header walk + first-layer ranges together
-          // stay a fraction of the scan (the dropped refinement layers
-          // are the bulk of a lossless stream's bytes)
-          require((in.bytesRead + fetch) * 4 < fileLen * 3,
-            s"$p: walk ${in.bytesRead} B + layer-$keepLayers ranges $fetch B not a fraction of $fileLen B")
-          parts.map(t => (p, t.index, t.ranges.flatMap(r => Seq(r._1, r._2)),
-            hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
-            hdr.layers))
-        } finally stream.close()
+    val tiles = jp2RangedSplit(
+      spark.read.format("binaryFile").load(staged)
+        .select($"path", $"length").as[(String, Long)] // listing only: content never read
+    ) { (p, fileLen, in) =>
+        val (hdr, parts) = graft.sources.jp2.Jp2Codec.tilePartsQuality(in, keepLayers)
+        val fetch = parts.map(_.fetchBytes).sum
+        // the byte contract: header walk + first-layer ranges together
+        // stay a fraction of the scan (the dropped refinement layers
+        // are the bulk of a lossless stream's bytes)
+        require((in.bytesRead + fetch) * 4 < fileLen * 3,
+          s"$p: walk ${in.bytesRead} B + layer-$keepLayers ranges $fetch B not a fraction of $fileLen B")
+        parts.map(t => (p, t.index, t.ranges.flatMap(r => Seq(r._1, r._2)),
+          hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
+          hdr.layers))
       }
       .toDF("path", "tile", "ranges", "w", "h", "nc", "xt", "yt", "rct", "levels",
         "nlayers")
@@ -1419,24 +1434,11 @@ object Sources {
     val perTile = tiles.mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
       it.map { case (p, _, ranges, w, h, nc, xt, yt, rct, levels, nlayers) =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        val fs = hp.getFileSystem(conf)
-        val slice = new java.io.ByteArrayOutputStream()
-        val in = fs.open(hp)
-        try {
-          var i = 0
-          while (i < ranges.length) { // flattened (from, until) pairs
-            val from = ranges(i); val until = ranges(i + 1)
-            require(until - from <= Int.MaxValue, s"$p: range of ${until - from} B exceeds 2 GiB")
-            val buf = new Array[Byte]((until - from).toInt)
-            in.readFully(from, buf)
-            slice.write(buf)
-            i += 2
-          }
-        } finally in.close()
+        // flattened (from, until) pairs -> one compacted slice
+        val slice = jp2FetchRanges(conf, p,
+          ranges.grouped(2).map(r => (r(0), r(1))).toSeq)
         val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels, nlayers)
-        val t = graft.sources.jp2.Jp2Codec.decodeTilePartQuality(
-          slice.toByteArray, hdr, keepLayers)
+        val t = graft.sources.jp2.Jp2Codec.decodeTilePartQuality(slice, hdr, keepLayers)
         (p, (t.x0 + t.width).toLong, (t.y0 + t.height).toLong)
       }
     }.toDF("path", "x1", "y1")
@@ -1468,33 +1470,27 @@ object Sources {
     val staged = stageBigJp2()
     // the clipping, in pixels of the 384x192 scan: touches tiles (1..2,1..2)
     val (cx0, cy0, cw, chh) = (70, 70, 120, 60)
-    val tiles = spark.read.format("binaryFile").load(staged)
-      .select($"path", $"length").as[(String, Long)] // listing only: content never read
-      .flatMap { case (p, fileLen) =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val stream = fs.open(hp)
-        try {
-          val in = new graft.sources.jp2.Jp2Codec.CountingInput(
-            new graft.sources.HadoopRangedInput(stream, fileLen))
-          val (hdr, spans) = graft.sources.jp2.Jp2Codec.tileParts(in)
-          require(in.bytesRead * 8 < fileLen,
-            s"$p: split walk read ${in.bytesRead} B of $fileLen B — not header-only")
-          val kept = spans.filter { s =>
-            val tx0 = (s.index % hdr.ntx) * hdr.xt; val ty0 = (s.index / hdr.ntx) * hdr.yt
-            tx0 < cx0 + cw && cx0 < tx0 + hdr.xt && ty0 < cy0 + chh && cy0 < ty0 + hdr.yt
-          }
-          // the region contract: fetched tile-parts stay proportional to
-          // the cropped tile footprint, never the scan (2x slack for
-          // per-tile compression variance)
-          val keptBytes = kept.map(_.len).sum
-          val totalBytes = spans.map(_.len).sum
-          require(keptBytes * spans.length <= 2L * totalBytes * kept.length,
-            s"$p: ${kept.length}/${spans.length} tiles but $keptBytes/$totalBytes B")
-          kept.map(s => (p, s.index, s.pos, s.len,
-            hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
-            hdr.layers))
-        } finally stream.close()
+    val tiles = jp2RangedSplit(
+      spark.read.format("binaryFile").load(staged)
+        .select($"path", $"length").as[(String, Long)] // listing only: content never read
+    ) { (p, fileLen, in) =>
+        val (hdr, spans) = graft.sources.jp2.Jp2Codec.tileParts(in)
+        require(in.bytesRead * 8 < fileLen,
+          s"$p: split walk read ${in.bytesRead} B of $fileLen B — not header-only")
+        val kept = spans.filter { s =>
+          val tx0 = (s.index % hdr.ntx) * hdr.xt; val ty0 = (s.index / hdr.ntx) * hdr.yt
+          tx0 < cx0 + cw && cx0 < tx0 + hdr.xt && ty0 < cy0 + chh && cy0 < ty0 + hdr.yt
+        }
+        // the region contract: fetched tile-parts stay proportional to
+        // the cropped tile footprint, never the scan (2x slack for
+        // per-tile compression variance)
+        val keptBytes = kept.map(_.len).sum
+        val totalBytes = spans.map(_.len).sum
+        require(keptBytes * spans.length <= 2L * totalBytes * kept.length,
+          s"$p: ${kept.length}/${spans.length} tiles but $keptBytes/$totalBytes B")
+        kept.map(s => (p, s.index, s.pos, s.len,
+          hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
+          hdr.layers))
       }
       .toDF("path", "tile", "pos", "len", "w", "h", "nc", "xt", "yt", "rct", "levels",
         "nlayers")
@@ -1503,12 +1499,7 @@ object Sources {
     val perTile = tiles.mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
       it.map { case (p, _, pos, len, w, h, nc, xt, yt, rct, levels, nlayers) =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        val fs = hp.getFileSystem(conf)
-        require(len <= Int.MaxValue, s"$p: single tile-part of $len B exceeds 2 GiB")
-        val slice = new Array[Byte](len.toInt)
-        val in = fs.open(hp)
-        try { in.readFully(pos, slice) } finally in.close()
+        val slice = jp2FetchRanges(conf, p, Seq((pos, pos + len)))
         val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels, nlayers)
         val t = graft.sources.jp2.Jp2Codec.decodeTilePart(slice, hdr)
         // clip the decoded tile to the crop and sum channels over it

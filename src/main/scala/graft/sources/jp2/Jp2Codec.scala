@@ -200,6 +200,12 @@ object Jp2Codec {
         plt.write(n & 0x7F)
       }
       val pltBytes = plt.toByteArray
+      // Lplt is a 16-bit field: a silent wrap would emit a stream whose
+      // own header walk misparses (the Isot guard's sibling). One PLT
+      // segment bounds packets-per-tile at ~32k varint bytes — far above
+      // any profile this encoder writes; reject rather than split Zplt.
+      require(3 + pltBytes.length <= 0xFFFF,
+        s"PLT for ${packets.length} packets (${pltBytes.length} B) overflows the 16-bit Lplt; reduce layers")
 
       // SOT + PLT + SOD + body (one tile-part per tile)
       u16(0xFF90); u16(10); u16(t)
@@ -448,8 +454,16 @@ object Jp2Codec {
     val perRes = hdr.layers * hdr.nc
     (hdr, spans.map { s =>
       val (bodyStart, lens) = tilePartHeader(in, s.pos)
-      if (lens == null) RangedTilePart(s.index, Seq((s.pos, s.pos + s.len)), s.len)
-      else {
+      if (lens == null) {
+        // a full span IS the compacted layout only when nothing is
+        // dropped; a keepLayers-truncated walk cannot parse the full
+        // layout (dropped layer packets sit between resolutions), so a
+        // no-PLT tile-part cannot be quality-truncated — reject loudly
+        // rather than hand the decoder a layout it would misparse
+        require(keepLayers == hdr.layers,
+          s"tile-part ${s.index} has no PLT: cannot quality-truncate to $keepLayers of ${hdr.layers} layers")
+        RangedTilePart(s.index, Seq((s.pos, s.pos + s.len)), s.len)
+      } else {
         require(lens.length == (hdr.levels + 1) * perRes,
           s"PLT lists ${lens.length} packets, expected ${(hdr.levels + 1) * perRes}")
         val ranges = ArrayBuffer[(Long, Long)]((s.pos, bodyStart))
@@ -580,11 +594,18 @@ object Jp2Codec {
         case m =>
           val lseg = readU16(in, pos + 2)
           require(lseg >= 2, s"marker segment length $lseg at $pos too short")
-          // body = segment payload after the 2-byte length field
-          def body: Array[Byte] = in.read(pos + 4, lseg - 2)
+          // segment payload after the 2-byte length field, with the
+          // marker's own minimum length enforced as the same typed
+          // contract as every other malformed-input path — fixed-offset
+          // reads below must never surface a raw index error
+          def body(min: Int): Array[Byte] = {
+            require(lseg - 2 >= min,
+              f"marker $m%04x payload ${lseg - 2} B at $pos shorter than the $min B its fields need")
+            in.read(pos + 4, lseg - 2)
+          }
           m match {
             case 0xFF51 => // SIZ: Rsiz X Y XO YO XT YT XTO YTO Csiz comps
-              val b = body
+              val b = body(36)
               def u32(i: Int): Long = beU32(b, i)
               val xo = u32(10); val yo = u32(14)
               require(xo == 0 && yo == 0 && u32(26) == 0 && u32(30) == 0,
@@ -594,12 +615,14 @@ object Jp2Codec {
               require(xt > 0 && yt > 0, "empty tile grid")
               nc = beU16(b, 34)
               require(nc == 1 || nc == 3, s"unsupported component count $nc")
+              require(b.length >= 36 + 3 * nc,
+                s"SIZ payload ${b.length} B lists $nc components but is too short for them")
               for (c <- 0 until nc) {
                 require((b(36 + 3 * c) & 0xFF) == 7, "only 8-bit unsigned components")
                 require(b(37 + 3 * c) == 1 && b(38 + 3 * c) == 1, "no subsampling")
               }
             case 0xFF52 => // COD: Scod SGcod(prog layers mct) SPcod
-              val b = body
+              val b = body(10)
               require((b(0) & 0xFF) == 0, "precinct/SOP/EPH options not supported")
               val prog = b(1) & 0xFF
               require(prog == 0 || prog == 1, s"progression order $prog not supported (LRCP/RLCP only)")
@@ -617,7 +640,7 @@ object Jp2Codec {
               require((b(8) & 0xFF) == 0, "code-block style options not supported")
               require((b(9) & 0xFF) == 1, "only the reversible 5/3 transform")
             case 0xFF5C => // QCD — exponents are fixed by profile; verify guard bits
-              require(((body(0) & 0xFF) >> 5) == GuardBits, "unexpected guard bits")
+              require(((body(1)(0) & 0xFF) >> 5) == GuardBits, "unexpected guard bits")
             case mm if SkippableMainMarkers(mm) => () // informational, skip by length
             case mm => throw new IllegalArgumentException(
               f"main header marker $mm%04x not supported")

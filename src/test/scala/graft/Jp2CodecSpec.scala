@@ -695,6 +695,56 @@ class Jp2CodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("LRCP with multiple layers"))
   }
 
+  test("review-hardened rejections: no-PLT quality truncation, Lplt overflow, short segments") {
+    // quality truncation REQUIRES PLT: a no-PLT tile-part's full span is
+    // the one layout the truncated walk cannot parse — reject, not decode
+    val cs2 = Jp2Codec.encode(64, 48, Array(pattern(64, 48, 4)), levels = 2, layers = 2)
+    // strip the PLT segment from the (single) tile-part: splice bytes out
+    val spans = Jp2Codec.tileParts(cs2)
+    val sotAt = spans.head.pos.toInt
+    // tile-part header: SOT(12) then PLT marker(2)+Lplt(2)+payload
+    assert(((cs2(sotAt + 12) & 0xFF) << 8 | (cs2(sotAt + 13) & 0xFF)) == 0xFF58)
+    val lplt = ((cs2(sotAt + 14) & 0xFF) << 8) | (cs2(sotAt + 15) & 0xFF)
+    val cut = 2 + lplt
+    val noPlt = new java.io.ByteArrayOutputStream()
+    noPlt.write(cs2, 0, sotAt + 12)
+    noPlt.write(cs2, sotAt + 12 + cut, cs2.length - sotAt - 12 - cut)
+    val stripped = noPlt.toByteArray
+    // patch Psot down by the removed bytes (u32 at sot+6)
+    val psot = ((stripped(sotAt + 6) & 0xffL) << 24) | ((stripped(sotAt + 7) & 0xffL) << 16) |
+      ((stripped(sotAt + 8) & 0xffL) << 8) | (stripped(sotAt + 9) & 0xffL)
+    val np = psot - cut
+    stripped(sotAt + 6) = ((np >> 24) & 0xff).toByte
+    stripped(sotAt + 7) = ((np >> 16) & 0xff).toByte
+    stripped(sotAt + 8) = ((np >> 8) & 0xff).toByte
+    stripped(sotAt + 9) = (np & 0xff).toByte
+    assert(Jp2Codec.decode(stripped).width == 64, "stripped stream must still full-decode")
+    val e1 = intercept[IllegalArgumentException](
+      Jp2Codec.tilePartsQuality(new Jp2Codec.BytesInput(stripped), 1))
+    assert(e1.getMessage.contains("no PLT"))
+    // keep == layers is fine without PLT (full span == compacted layout)
+    assert(Jp2Codec.tilePartsQuality(new Jp2Codec.BytesInput(stripped), 2)._2.nonEmpty)
+
+    // Lplt is 16-bit: a layer count whose PLT would overflow must fail
+    // at ENCODE time, not emit a stream whose own header walk misparses
+    val e2 = intercept[IllegalArgumentException](
+      Jp2Codec.encode(32, 32, Array(pattern(32, 32, 6)), levels = 3, layers = 17000))
+    assert(e2.getMessage.contains("Lplt"))
+
+    // an in-bounds but too-short COD payload fails TYPED, not with a raw
+    // index error (lseg=4 -> 2-byte payload, fields need 10)
+    val cs3 = Jp2Codec.encode(32, 32, Array(pattern(32, 32, 8)))
+    val sizLen = ((cs3(4) & 0xFF) << 8) | (cs3(5) & 0xFF)
+    val codAt = 4 + sizLen // COD marker offset
+    val bad = new java.io.ByteArrayOutputStream()
+    bad.write(cs3, 0, codAt + 2)
+    bad.write(0); bad.write(4) // Lcod = 4
+    bad.write(cs3, codAt + 4, 2) // keep 2 payload bytes
+    bad.write(cs3, codAt + 2 + 14, cs3.length - codAt - 16) // skip the rest of real COD
+    val e3 = intercept[IllegalArgumentException](Jp2Codec.decode(bad.toByteArray))
+    assert(e3.getMessage.contains("shorter than"))
+  }
+
   test("decoder rejects garbage and truncated inputs rather than guessing") {
     intercept[IllegalArgumentException](Jp2Codec.decode(Array[Byte](1, 2, 3)))
     val cs = Jp2Codec.encode(16, 16, Array(pattern(16, 16, 5)))

@@ -137,9 +137,17 @@ def contention_check(record, rnd):
     ref_file = records[-1]
     try:
         refrec = json.load(open(ref_file))
+        refsum = refrec.get("summary", {})
+        cursum = record.get("summary", {})
+        # only same-shape runs are comparable: ratioing an sf1 run
+        # against an sf0.1 reference (or across cpu counts) would stamp
+        # a quiet machine "contended" — the inverse of the stamp's job
+        if (_sf_of(cursum.get("sf")) != _sf_of(refsum.get("sf"))
+                or cursum.get("cpus") != refsum.get("cpus")):
+            return None, None
         # prefer the full per-query map over the slow-query summary
         # subset: the subset skews disk-heavy and overstates drift
-        ref = refrec.get("queries_all") or refrec["summary"].get("queries", {})
+        ref = refrec.get("queries_all") or refsum.get("queries", {})
     except Exception:
         return None, None
     cur = (record.get("queries_all")
