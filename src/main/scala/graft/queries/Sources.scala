@@ -1253,8 +1253,10 @@ object Sources {
     * header walk over one open stream wrapped in a
     * [[graft.sources.jp2.Jp2Codec.CountingInput]] (so each query can
     * REQUIRE its byte contract), with one Hadoop Configuration per
-    * PARTITION, not per file. `f` must return an eagerly-materialized
-    * Seq — the stream closes when it returns. */
+    * PARTITION, not per file. The result of `f` is forced to a Vector
+    * HERE, before the stream closes — the materialization contract is
+    * enforced, not documented, so a call site returning a lazy
+    * collection cannot read from a closed stream at task time. */
   private def jp2RangedSplit[T](listing: org.apache.spark.sql.Dataset[(String, Long)])(
       f: (String, Long, graft.sources.jp2.Jp2Codec.CountingInput) => Seq[T])(
       implicit enc: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] =
@@ -1265,7 +1267,7 @@ object Sources {
         val fs = hp.getFileSystem(conf)
         val stream = fs.open(hp)
         try f(p, fileLen, new graft.sources.jp2.Jp2Codec.CountingInput(
-          new graft.sources.HadoopRangedInput(stream, fileLen)))
+          new graft.sources.HadoopRangedInput(stream, fileLen))).toVector
         finally stream.close()
       }
     }

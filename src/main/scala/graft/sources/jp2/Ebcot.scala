@@ -87,15 +87,15 @@ object Ebcot {
     (data, passes, numbps)
   }
 
-  /** [[encodeBlock]] plus per-pass truncation lengths for quality-layer
-    * splitting: `truncs(k)` is a byte count such that the first
-    * `truncs(k)` codeword bytes carry every MQ decision through coding
-    * pass k. Taken as the encoder's emitted-byte count at the pass
-    * boundary plus a small guard for the not-yet-pushed flush tail —
-    * conservative (a few bytes above the minimal truncation point), but
-    * always valid and monotone; the final entry is the exact codeword
-    * length. Layer boundaries slice the codeword at these points, so a
-    * decoder that stops after any layer still has complete passes. */
+  /** [[encodeBlock]] plus per-pass truncation-length CANDIDATES for
+    * quality-layer splitting: `truncs(k)` is the encoder's emitted-byte
+    * count at the pass-k boundary plus a small guard for the
+    * not-yet-pushed flush tail. The guard is empirical — the MQ coder's
+    * pending C-register bits mean a candidate can in principle fall a
+    * byte or two short of decodability — so every candidate that
+    * actually becomes a layer boundary MUST be verified/adjusted through
+    * [[verifiedTrunc]] before use (the Tier-2 encoder does). The final
+    * entry is the exact codeword length. */
   def encodeBlockLayered(w: Int, h: Int, coeffs: Array[Int],
       band: Int): (Array[Byte], Int, Int, Array[Int]) = {
     val n = w * h
@@ -246,6 +246,30 @@ object Ebcot {
     val truncs = passEnds.map(e => math.min(data.length, e + 4))
     truncs(truncs.length - 1) = data.length
     (data, 3 * numbps - 2, numbps, truncs)
+  }
+
+  /** The smallest VERIFIED truncation length >= `startLen` for decoding
+    * exactly `passes` coding passes from a prefix of `data`: proven at
+    * encode time by actually decoding the candidate prefix and comparing
+    * against the full-codeword decode of the same pass count — the
+    * rate-control discipline is "verify, don't bound", so a quality-
+    * truncated decode can never silently diverge no matter how the MQ
+    * coder's pending C-register bits fall. Also refuses a length whose
+    * last byte is 0xFF (B.10.7: a codeword segment may not end in 0xFF —
+    * and the decoder's past-the-end convention would re-interpret it).
+    * Terminates: at `data.length` the prefix IS the codeword (and
+    * [[MQEncoder.flush]] never emits a trailing 0xFF). O(block) decodes
+    * per probe, paid once per layer boundary at encode time only. */
+  def verifiedTrunc(w: Int, h: Int, data: Array[Byte], passes: Int, numbps: Int,
+      band: Int, startLen: Int): Int = {
+    val want = decodeBlock(w, h, data, passes, numbps, band)
+    var len = math.max(1, math.min(startLen, data.length))
+    while (len < data.length && ((data(len - 1) & 0xFF) == 0xFF ||
+        !java.util.Arrays.equals(
+          decodeBlock(w, h, java.util.Arrays.copyOf(data, len), passes, numbps, band),
+          want)))
+      len += 1
+    len
   }
 
   /** Decode a code-block codeword back to signed coefficients. Mirrors

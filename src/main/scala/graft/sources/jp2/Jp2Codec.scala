@@ -346,7 +346,7 @@ object Jp2Codec {
     * returns the parsed [[Header]] alongside the spans so callers don't
     * pay a second header walk. */
   def tileParts(in: RangedInput): (Header, Seq[TilePartSpan]) = {
-    val (hdr, sot0) = parseMainHeader(in)
+    val (hdr, sot0, csEnd) = parseMainHeader(in)
     val spans = ArrayBuffer.empty[TilePartSpan]
     var pos = sot0
     var marker = readU16(in, pos)
@@ -356,9 +356,13 @@ object Jp2Codec {
       val psot = beU32(sot, 6)
       // Psot = 0 (spec-legal only for a last tile-part streamed to EOC,
       // never written by this profile) or a huge value would loop the
-      // walk or run off the input — reject loudly instead of guessing
-      require(psot >= 14L && pos + psot <= in.length,
-        s"Psot $psot at $pos out of bounds (stream length ${in.length})")
+      // walk or run off the input — reject loudly instead of guessing.
+      // Bounded against the CODESTREAM end, not the container: in a JP2
+      // file the jp2c box ends before the trailing container bytes, and
+      // a Psot overrunning into those must fail HERE with the precise
+      // bounds error, not later on the vaguer missing-EOC path.
+      require(psot >= 14L && pos + psot <= csEnd,
+        s"Psot $psot at $pos out of bounds (codestream ends at $csEnd)")
       require(isot < hdr.ntx * hdr.nty, s"tile index $isot out of grid")
       spans += TilePartSpan(isot, pos, psot)
       pos += psot
@@ -567,12 +571,13 @@ object Jp2Codec {
   private val SkippableMainMarkers = Set(0xFF55, 0xFF57, 0xFF63, 0xFF64)
 
   /** Parse the main header (SOC .. first SOT) of a codestream or JP2
-    * container; returns the [[Header]] and the first SOT's absolute
-    * offset. Ranged reads: 4 bytes per marker plus each parsed segment's
-    * payload — a split task over a gigabyte file reads a few hundred
-    * bytes here, never the file. */
-  private def parseMainHeader(in: RangedInput): (Header, Long) = {
-    val (start, _) = codestreamSpan(in).getOrElse(
+    * container; returns the [[Header]], the first SOT's absolute offset,
+    * and the codestream's end offset (the jp2c box end for a container —
+    * the bound the Psot walk must stay inside). Ranged reads: 4 bytes per
+    * marker plus each parsed segment's payload — a split task over a
+    * gigabyte file reads a few hundred bytes here, never the file. */
+  private def parseMainHeader(in: RangedInput): (Header, Long, Long) = {
+    val (start, csEnd) = codestreamSpan(in).getOrElse(
       throw new IllegalArgumentException("not a JPEG 2000 codestream or JP2 container"))
     require(readU16(in, start) == 0xFF4F, "missing SOC")
 
@@ -653,7 +658,7 @@ object Jp2Codec {
     require(hdr.ntx * hdr.nty == 1 || (xt % (1 << levels) == 0 && yt % (1 << levels) == 0),
       s"multi-tile grid with tile dims not multiples of 2^$levels (absolute-" +
         "parity subband geometry) not supported")
-    (hdr, pos)
+    (hdr, pos, csEnd)
   }
 
   /** Decode one tile-part at absolute offset `pos` (its SOT marker) and
@@ -793,7 +798,19 @@ object Jp2Codec {
               }
               arr
             }
-          val cumB = cumP.map(cp => if (cp == 0) 0 else truncs(cp - 1))
+          // layer-boundary byte lengths: the candidate from the encoder's
+          // emitted-byte count is VERIFIED (decode the prefix, compare
+          // against the exact pass-k reconstruction) and bumped until
+          // provably decodable — rigorous, not empirical — and never
+          // ends on 0xFF ([[Ebcot.verifiedTrunc]])
+          val cumB = new Array[Int](layers)
+          for (l <- 0 until layers) {
+            val cp = cumP(l)
+            cumB(l) =
+              if (cp == 0) 0
+              else Ebcot.verifiedTrunc(cw, ch, data, cp, numbps, b.orient,
+                math.max(truncs(cp - 1), if (l == 0) 0 else cumB(l - 1)))
+          }
           val firstLayer = cumP.indexWhere(_ > 0) match {
             case -1 => layers // never included: >= every threshold used
             case i => i

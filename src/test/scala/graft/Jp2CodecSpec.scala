@@ -180,6 +180,34 @@ class Jp2CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("verifiedTrunc proves truncation points by decode, even from a too-short start") {
+    // the structural guarantee the quality layers stand on: start the
+    // probe BELOW the emitted-byte candidate (where the MQ coder's
+    // pending C-register bits usually make the prefix undecodable) and
+    // verifiedTrunc must still land on a length whose prefix decode is
+    // exactly the full-codeword decode of the same passes — and that
+    // never ends on a 0xFF byte
+    for (band <- Seq(Ebcot.LL, Ebcot.HH); seed <- 1 to 3) {
+      val (w, h) = (32, 24)
+      val r = rng(band * 31L + seed)
+      val coeffs = Array.fill(w * h)(if (r.nextInt(3) == 0) r.nextInt(512) - 256 else 0)
+      val (data, passes, numbps, truncs) = Ebcot.encodeBlockLayered(w, h, coeffs, band)
+      if (passes > 2) {
+        for (k <- Seq(passes / 3, passes / 2, passes - 2)) {
+          val len = Ebcot.verifiedTrunc(w, h, data, k + 1, numbps, band,
+            math.max(1, truncs(k) - 6))
+          assert(len <= data.length)
+          assert((data(len - 1) & 0xFF) != 0xFF, "may not end on 0xFF")
+          val fromPrefix = Ebcot.decodeBlock(
+            w, h, java.util.Arrays.copyOf(data, len), k + 1, numbps, band)
+          val fromFull = Ebcot.decodeBlock(w, h, data, k + 1, numbps, band)
+          assert(java.util.Arrays.equals(fromPrefix, fromFull),
+            s"band=$band seed=$seed pass $k len=$len")
+        }
+      }
+    }
+  }
+
   test("EBCOT all-zero block is excluded, single-coefficient block survives") {
     val (d0, p0, n0) = Ebcot.encodeBlock(8, 8, new Array[Int](64), Ebcot.HH)
     assert(d0.isEmpty && p0 == 0 && n0 == 0)
@@ -491,6 +519,34 @@ class Jp2CodecSpec extends AnyFunSuite {
     val prefixBytes = reduced.map(_.len).sum
     assert((in2.bytesRead + prefixBytes) * 2 < container.length,
       s"walk ${in2.bytesRead} B + prefixes $prefixBytes B of ${container.length} B")
+  }
+
+  test("Psot overrunning the codestream but inside the container fails with the bounds error") {
+    // a JP2 container's codestream ends BEFORE the container does; a
+    // corrupt Psot that stays inside trailing container bytes must trip
+    // the precise Psot bounds check, not the vaguer missing-EOC path
+    val (w, h) = (64, 48)
+    val cs = Jp2Codec.encode(w, h, Array(pattern(w, h, 2)), levels = 2)
+    // pad the container with trailing bytes via an extra opaque box
+    val base = Jp2Box.buildContainer(w, h, cs)
+    val padded = new java.io.ByteArrayOutputStream()
+    padded.write(base)
+    val padLen = 64
+    padded.write((padLen + 8) >> 24); padded.write(0); padded.write(0); padded.write(padLen + 8)
+    padded.write("xml ".getBytes("ASCII")) // a spec-legal trailing box type
+    padded.write(new Array[Byte](padLen))
+    val container = padded.toByteArray
+    assert(Jp2Codec.decode(container).width == w, "padded container must still decode")
+    val s = Jp2Codec.tileParts(container).head
+    val bad = container.clone()
+    // bump Psot so the span overruns the jp2c box but stays in the file
+    val np = s.len + 32
+    bad(s.pos.toInt + 6) = ((np >> 24) & 0xff).toByte
+    bad(s.pos.toInt + 7) = ((np >> 16) & 0xff).toByte
+    bad(s.pos.toInt + 8) = ((np >> 8) & 0xff).toByte
+    bad(s.pos.toInt + 9) = (np & 0xff).toByte
+    val e = intercept[IllegalArgumentException](Jp2Codec.tileParts(bad))
+    assert(e.getMessage.contains("codestream ends"), e.getMessage)
   }
 
   test("streamed walk fails typed on truncated input, never a raw index error") {
