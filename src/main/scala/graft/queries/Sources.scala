@@ -1184,12 +1184,14 @@ object Sources {
   private val bigJp2Staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Synthesize ONE larger tiled JPEG 2000 scan (staged once per JVM):
-    * 384x192 RGB on a 64-px tile grid — a 6x3 = 18-tile-part codestream,
-    * the layout of [[l5hJp2TiledParallel]]'s distributed decode — encoded
-    * with TWO quality layers (RLCP), the most common archival-encoder
-    * delta from a minimal profile, so the distributed and ranged decode
-    * queries exercise the layer machinery end-to-end. Pixel values are
-    * pure coordinate arithmetic for the DuckDB oracle. */
+    * 384x192 RGB on a 64-px tile grid — 6x3 = 18 tiles, each split across
+    * TWO tile-parts (TNsot = 2, cut at a resolution boundary) for a
+    * 36-tile-part codestream, the layout of [[l5hJp2TiledParallel]]'s
+    * distributed decode — encoded with TWO quality layers (RLCP). Layers
+    * and tile-part splits are the two most common archival-encoder deltas
+    * from a minimal profile (real encoders bound tile-part length), so
+    * every ranged query exercises the grouping machinery end-to-end.
+    * Pixel values are pure coordinate arithmetic for the DuckDB oracle. */
   private[graft] def stageBigJp2(): String =
     bigJp2Staged.computeIfAbsent("big", { _ =>
       val dir = tmp("l5h_jp2")
@@ -1202,11 +1204,27 @@ object Sources {
       val comps = Array.tabulate(3) { c =>
         Array.tabulate(w * h)(j => ((j % w) * (7 + 2 * c) + (j / w) * 11 + c * 29) % 256)
       }
-      val cs = graft.sources.jp2.Jp2Codec.encode(w, h, comps, tileSize = 64, layers = 2)
+      val cs = graft.sources.jp2.Jp2Codec.encode(w, h, comps, tileSize = 64, layers = 2,
+        partsPerTile = 2)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/page_0.jp2"),
         graft.sources.Jp2Box.buildContainer(w, h, cs))
       dir
+    })
+
+  /** Reference per-channel pixel sums of the staged big scan's d=2
+    * thumbnail, computed ONCE per JVM through the in-memory WHOLE-FILE
+    * [[graft.sources.jp2.Jp2Codec.decodeReduced]] path — deliberately a
+    * different code path from the distributed ranged walk l5j runs, so
+    * an in-query require against these sums cannot cancel out a
+    * ranged-walk regression. */
+  private val bigJp2ReducedRef = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  private[graft] def bigJp2ReducedSums(): Array[Long] =
+    bigJp2ReducedRef.computeIfAbsent("d2", { _ =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"${stageBigJp2()}/page_0.jp2"))
+      val img = graft.sources.jp2.Jp2Codec.decodeReduced(bytes, 2)
+      img.comps.map(sumChannel)
     })
 
   /** L5h: decode ONE tiled scan ACROSS the cluster — the intra-file
@@ -1272,6 +1290,25 @@ object Sources {
       }
     }
 
+  /** Decode-stage ranged read keeping each range a SEPARATE slice (one
+    * per tile-part, for [[graft.sources.jp2.Jp2Codec.decodeTileParts]]),
+    * through ONE open stream per file. Forced to a Vector before the
+    * stream closes. */
+  private def jp2FetchSlices(conf: org.apache.hadoop.conf.Configuration, p: String,
+      ranges: Seq[(Long, Long)]): Seq[Array[Byte]] = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(conf)
+    val in = fs.open(hp)
+    try ranges.map { case (from, until) =>
+      val len = until - from
+      require(len > 0 && len <= Int.MaxValue, s"$p: bad range [$from, $until)")
+      val buf = new Array[Byte](len.toInt)
+      in.readFully(from, buf, 0, len.toInt)
+      buf
+    }.toVector
+    finally in.close()
+  }
+
   /** Decode-stage ranged read: exactly the [from, until) slices of
     * `ranges`, concatenated, through ONE open stream per file. */
   private def jp2FetchRanges(conf: org.apache.hadoop.conf.Configuration, p: String,
@@ -1308,20 +1345,26 @@ object Sources {
         // reads the main header + 14 B per SOT, never tile bodies
         require(in.bytesRead * 8 < fileLen,
           s"$p: split walk read ${in.bytesRead} B of $fileLen B — not header-only")
-        spans.map(s => (p, s.index, s.pos, s.len,
-          hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
-          hdr.layers))
+        // one row per TILE: a tile may span several tile-parts (TNsot>1),
+        // so the payload is its parts' (pos, len) pairs in TPsot order —
+        // the task fetches each part's slice and decodeTileParts regroups
+        spans.groupBy(_.index).toSeq.map { case (isot, parts) =>
+          (p, isot, parts.sortBy(_.part).flatMap(s => Seq(s.pos, s.len)),
+            hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
+            hdr.layers)
+        }
       }
-      .toDF("path", "tile", "pos", "len", "w", "h", "nc", "xt", "yt", "rct", "levels",
+      .toDF("path", "tile", "parts", "w", "h", "nc", "xt", "yt", "rct", "levels",
         "nlayers")
       .repartition(spark.sparkContext.defaultParallelism, col("path"), col("tile"))
-      .as[(String, Int, Long, Long, Int, Int, Int, Int, Int, Boolean, Int, Int)]
+      .as[(String, Int, Seq[Long], Int, Int, Int, Int, Int, Boolean, Int, Int)]
     val perTile = tiles.mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
-      it.map { case (p, _, pos, len, w, h, nc, xt, yt, rct, levels, nlayers) =>
-        val slice = jp2FetchRanges(conf, p, Seq((pos, pos + len)))
+      it.map { case (p, _, parts, w, h, nc, xt, yt, rct, levels, nlayers) =>
+        val slices = jp2FetchSlices(conf, p,
+          parts.grouped(2).map(r => (r(0), r(0) + r(1))).toSeq)
         val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels, nlayers)
-        val t = graft.sources.jp2.Jp2Codec.decodeTilePart(slice, hdr)
+        val t = graft.sources.jp2.Jp2Codec.decodeTileParts(slices, hdr)
         (p, w.toLong, h.toLong,
           sumChannel(t.comps(0)), sumChannel(t.comps(1)), sumChannel(t.comps(2)))
       }
@@ -1344,18 +1387,27 @@ object Sources {
     * reads only the main header, 14 B per SOT, and each PLT segment,
     * never the file, so there is no binaryFile 2 GiB cap and no
     * executor-memory spike); tasks then ranged-read exactly those
-    * prefixes and run the standalone reduced tile decode. An in-query
-    * require pins that TOTAL bytes fetched — split walk plus prefixes —
-    * are under half the scan (they are ~a quarter at d=2); pixel content
-    * of the truncated-slice decode is pinned bit-exact against
-    * `decodeReduced` by Jp2CodecSpec, and the emitted thumbnail dims /
-    * tile count are closed-form for the DuckDB oracle. At 100 TB this is
+    * prefixes and run the standalone reduced tile decode (grouped per
+    * tile — a tile may span several tile-parts, with past-prefix parts
+    * dropped from the span list entirely). An in-query require pins that
+    * TOTAL bytes fetched — split walk plus prefixes — are under half the
+    * scan (they are ~a quarter at d=2); the emitted thumbnail dims /
+    * tile count are closed-form for the DuckDB oracle and the emitted
+    * per-channel PIXEL sums are pinned twice: hash-matched against
+    * frozen oracle constants AND required in-query to equal the
+    * in-memory whole-file decodeReduced path (a different code path, so
+    * a ranged-walk regression cannot cancel out). At 100 TB this is
     * the difference between a thumbnail pass that fetches the archive
     * and one that fetches its low-res fraction. */
   def l5jJp2ThumbnailRanged(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val staged = stageBigJp2()
     val discard = 2
+    // reference thumbnail sums through the in-memory WHOLE-FILE decode —
+    // a different code path from the ranged walk below, captured at plan
+    // time so every run REQUIRES the two paths agree pixel-for-pixel
+    // (sum-for-sum); the oracle additionally pins the values as constants
+    val refSums = bigJp2ReducedSums()
     val tiles = jp2RangedSplit(
       spark.read.format("binaryFile").load(staged)
         .select($"path", $"length").as[(String, Long)] // listing only: content never read
@@ -1366,29 +1418,46 @@ object Sources {
         // prefixes together stay a FRACTION of the scan
         require((in.bytesRead + prefixBytes) * 2 < fileLen,
           s"$p: walk ${in.bytesRead} B + prefixes $prefixBytes B not a fraction of $fileLen B")
-        spans.map(s => (p, s.index, s.pos, s.len,
-          hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
-          hdr.layers))
+        // one row per TILE; parts past the kept resolutions are already
+        // dropped by the reduced walk, the boundary part PLT-truncated
+        spans.groupBy(_.index).toSeq.map { case (isot, parts) =>
+          (p, isot, parts.sortBy(_.part).flatMap(s => Seq(s.pos, s.len)),
+            hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
+            hdr.layers)
+        }
       }
-      .toDF("path", "tile", "pos", "len", "w", "h", "nc", "xt", "yt", "rct", "levels",
+      .toDF("path", "tile", "parts", "w", "h", "nc", "xt", "yt", "rct", "levels",
         "nlayers")
       .repartition(spark.sparkContext.defaultParallelism, col("path"), col("tile"))
-      .as[(String, Int, Long, Long, Int, Int, Int, Int, Int, Boolean, Int, Int)]
+      .as[(String, Int, Seq[Long], Int, Int, Int, Int, Int, Boolean, Int, Int)]
     val perTile = tiles.mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
-      it.map { case (p, _, pos, len, w, h, nc, xt, yt, rct, levels, nlayers) =>
-        val slice = jp2FetchRanges(conf, p, Seq((pos, pos + len))) // ONLY the low-res prefix
+      it.map { case (p, _, parts, w, h, nc, xt, yt, rct, levels, nlayers) =>
+        val slices = jp2FetchSlices(conf, p, // ONLY the low-res prefixes
+          parts.grouped(2).map(r => (r(0), r(0) + r(1))).toSeq)
         val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels, nlayers)
-        val t = graft.sources.jp2.Jp2Codec.decodeTilePart(slice, hdr, discard)
-        (p, (t.x0 + t.width).toLong, (t.y0 + t.height).toLong)
+        val t = graft.sources.jp2.Jp2Codec.decodeTileParts(slices, hdr, discard)
+        (p, (t.x0 + t.width).toLong, (t.y0 + t.height).toLong,
+          sumChannel(t.comps(0)), sumChannel(t.comps(1)), sumChannel(t.comps(2)))
       }
-    }.toDF("path", "x1", "y1")
+    }.toDF("path", "x1", "y1", "s0", "s1", "s2")
     perTile
       .groupBy($"path")
       .agg(count(lit(1)).as("n_tiles"),
-        max($"x1").as("thumb_w"), max($"y1").as("thumb_h"))
+        max($"x1").as("thumb_w"), max($"y1").as("thumb_h"),
+        sum($"s0").as("sum_c0"), sum($"s1").as("sum_c1"), sum($"s2").as("sum_c2"))
       .select(element_at(split($"path", "/"), -1).as("file_name"),
-        $"n_tiles", $"thumb_w", $"thumb_h")
+        $"n_tiles", $"thumb_w", $"thumb_h", $"sum_c0", $"sum_c1", $"sum_c2")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .map { row =>
+        // the two-path pin: distributed ranged-prefix sums must equal the
+        // in-memory whole-file decodeReduced sums computed at plan time
+        require(row._5 == refSums(0) && row._6 == refSums(1) && row._7 == refSums(2),
+          s"${row._1}: ranged thumbnail sums (${row._5},${row._6},${row._7}) diverge " +
+            s"from the whole-file decode (${refSums.mkString(",")})")
+        row
+      }
+      .toDF("file_name", "n_tiles", "thumb_w", "thumb_h", "sum_c0", "sum_c1", "sum_c2")
   }
 
   /** L5k: the QUALITY axis of the ranged-fetch story — l5j fetches only
@@ -1411,9 +1480,18 @@ object Sources {
     * keep=layers) is pinned by Jp2CodecSpec, and the emitted full-res
     * extents / tile count are closed-form for the DuckDB oracle. */
   def l5kJp2QualityRanged(spark: SparkSession, dir: String): DataFrame = {
+    // two arms, one per keepLayers value: keep=1 is the scalability story
+    // (first-layer fraction of the bytes, full-res reduced-fidelity
+    // pixels whose sums the oracle pins as constants), keep=2 (= layers)
+    // is the DEGENERATE arm whose pixels must equal the full decode —
+    // its sums hash-match the same closed-form arithmetic as l5h, so a
+    // quality-machinery corruption cannot hide behind a weak oracle
+    l5kArm(spark, keepLayers = 1).unionAll(l5kArm(spark, keepLayers = 2))
+  }
+
+  private def l5kArm(spark: SparkSession, keepLayers: Int): DataFrame = {
     import spark.implicits._
     val staged = stageBigJp2()
-    val keepLayers = 1
     val tiles = jp2RangedSplit(
       spark.read.format("binaryFile").load(staged)
         .select($"path", $"length").as[(String, Long)] // listing only: content never read
@@ -1422,9 +1500,15 @@ object Sources {
         val fetch = parts.map(_.fetchBytes).sum
         // the byte contract: header walk + first-layer ranges together
         // stay a fraction of the scan (the dropped refinement layers
-        // are the bulk of a lossless stream's bytes)
-        require((in.bytesRead + fetch) * 4 < fileLen * 3,
-          s"$p: walk ${in.bytesRead} B + layer-$keepLayers ranges $fetch B not a fraction of $fileLen B")
+        // are the bulk of a lossless stream's bytes). The degenerate
+        // keep == layers arm keeps everything by design — there the
+        // contract is only that ranges never exceed the file.
+        if (keepLayers < hdr.layers)
+          require((in.bytesRead + fetch) * 4 < fileLen * 3,
+            s"$p: walk ${in.bytesRead} B + layer-$keepLayers ranges $fetch B not a fraction of $fileLen B")
+        else
+          require(in.bytesRead + fetch <= fileLen * 2,
+            s"$p: walk ${in.bytesRead} B + ranges $fetch B exceed the scan")
         parts.map(t => (p, t.index, t.ranges.flatMap(r => Seq(r._1, r._2)),
           hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
           hdr.layers))
@@ -1441,15 +1525,18 @@ object Sources {
           ranges.grouped(2).map(r => (r(0), r(1))).toSeq)
         val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels, nlayers)
         val t = graft.sources.jp2.Jp2Codec.decodeTilePartQuality(slice, hdr, keepLayers)
-        (p, (t.x0 + t.width).toLong, (t.y0 + t.height).toLong)
+        (p, (t.x0 + t.width).toLong, (t.y0 + t.height).toLong,
+          sumChannel(t.comps(0)), sumChannel(t.comps(1)), sumChannel(t.comps(2)))
       }
-    }.toDF("path", "x1", "y1")
+    }.toDF("path", "x1", "y1", "s0", "s1", "s2")
     perTile
       .groupBy($"path")
       .agg(count(lit(1)).as("n_tiles"),
-        max($"x1").as("width"), max($"y1").as("height"))
+        max($"x1").as("width"), max($"y1").as("height"),
+        sum($"s0").as("sum_c0"), sum($"s1").as("sum_c1"), sum($"s2").as("sum_c2"))
       .select(element_at(split($"path", "/"), -1).as("file_name"),
-        $"n_tiles", $"width", $"height")
+        lit(keepLayers.toLong).as("keep_layers"),
+        $"n_tiles", $"width", $"height", $"sum_c0", $"sum_c1", $"sum_c2")
   }
 
   /** L5l: REGION (crop) fetch from the archival master — the IIIF
@@ -1489,21 +1576,25 @@ object Sources {
         val keptBytes = kept.map(_.len).sum
         val totalBytes = spans.map(_.len).sum
         require(keptBytes * spans.length <= 2L * totalBytes * kept.length,
-          s"$p: ${kept.length}/${spans.length} tiles but $keptBytes/$totalBytes B")
-        kept.map(s => (p, s.index, s.pos, s.len,
-          hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
-          hdr.layers))
+          s"$p: ${kept.length}/${spans.length} tile-parts but $keptBytes/$totalBytes B")
+        // one row per intersecting TILE, carrying all its parts' spans
+        kept.groupBy(_.index).toSeq.map { case (isot, parts) =>
+          (p, isot, parts.sortBy(_.part).flatMap(s => Seq(s.pos, s.len)),
+            hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
+            hdr.layers)
+        }
       }
-      .toDF("path", "tile", "pos", "len", "w", "h", "nc", "xt", "yt", "rct", "levels",
+      .toDF("path", "tile", "parts", "w", "h", "nc", "xt", "yt", "rct", "levels",
         "nlayers")
       .repartition(spark.sparkContext.defaultParallelism, col("path"), col("tile"))
-      .as[(String, Int, Long, Long, Int, Int, Int, Int, Int, Boolean, Int, Int)]
+      .as[(String, Int, Seq[Long], Int, Int, Int, Int, Int, Boolean, Int, Int)]
     val perTile = tiles.mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
-      it.map { case (p, _, pos, len, w, h, nc, xt, yt, rct, levels, nlayers) =>
-        val slice = jp2FetchRanges(conf, p, Seq((pos, pos + len)))
+      it.map { case (p, _, parts, w, h, nc, xt, yt, rct, levels, nlayers) =>
+        val slices = jp2FetchSlices(conf, p,
+          parts.grouped(2).map(r => (r(0), r(0) + r(1))).toSeq)
         val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels, nlayers)
-        val t = graft.sources.jp2.Jp2Codec.decodeTilePart(slice, hdr)
+        val t = graft.sources.jp2.Jp2Codec.decodeTileParts(slices, hdr)
         // clip the decoded tile to the crop and sum channels over it
         val ix0 = math.max(cx0, t.x0); val ix1 = math.min(cx0 + cw, t.x0 + t.width)
         val iy0 = math.max(cy0, t.y0); val iy1 = math.min(cy0 + chh, t.y0 + t.height)
@@ -1530,6 +1621,100 @@ object Sources {
         sum($"s0").as("sum_c0"), sum($"s1").as("sum_c1"), sum($"s2").as("sum_c2"))
       .select(element_at(split($"path", "/"), -1).as("file_name"),
         $"n_tiles_fetched", $"sum_c0", $"sum_c1", $"sum_c2")
+  }
+
+  private val lossyJp2Staged = new java.util.concurrent.ConcurrentHashMap[String, (String, Map[String, Long])]()
+
+  /** Synthesize 4 LOSSY (9/7 + ICT + scalar quantization, qShift = -2 →
+    * step 4) JPEG 2000 scans (staged once per JVM) — the dominant
+    * profile of real archival masters (visually-lossless derivatives) —
+    * mixing untiled/tiled, 1/2 quality layers and 1/2 tile-parts so the
+    * lossy path runs through every layout the lossless one does. Pixel
+    * values are the same coordinate arithmetic family as l5g, so a task
+    * can regenerate the EXACT original for error measurement. Alongside
+    * the directory, the staged map carries each scan's LOSSLESS
+    * (reversible 5/3) encoding size, the in-query compression baseline. */
+  private[graft] def stageLossyJp2s(): (String, Map[String, Long]) =
+    lossyJp2Staged.computeIfAbsent("lossy", { _ =>
+      val dir = tmp("l5m_jp2")
+      val sizes = (0 until 4).map { i =>
+        val (w, h) = (64 + (17 * i) % 97, 48 + (23 * i) % 89)
+        val comps = lossyJp2Comps(w, h, i)
+        val cs = graft.sources.jp2.Jp2Codec.encode(w, h, comps,
+          tileSize = if (i % 2 == 1) 64 else 0,
+          layers = if (i == 2) 2 else 1,
+          partsPerTile = if (i == 3) 2 else 1,
+          irreversible = true, qShift = -2)
+        val name = s"lossy_$i.jp2"
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/$name"),
+          graft.sources.Jp2Box.buildContainer(w, h, cs))
+        val lossless = graft.sources.jp2.Jp2Codec.encode(w, h, comps,
+          tileSize = if (i % 2 == 1) 64 else 0)
+        name -> lossless.length.toLong
+      }.toMap
+      (dir, sizes)
+    })
+
+  /** The l5m staging arithmetic, regenerable from the file index alone. */
+  private def lossyJp2Comps(w: Int, h: Int, i: Int): Array[Array[Int]] =
+    Array.tabulate(3) { c =>
+      Array.tabulate(w * h)(j => ((j % w) * (5 + 2 * c) + (j / w) * 13 + i * 17 + c * 37) % 256)
+    }
+
+  /** L5m: LOSSY archival-master decode — the 9/7 irreversible transform
+    * + scalar quantization, the one remaining profile gate a real KB
+    * corpus (data.kb.se serves lossy derivatives) would have tripped on
+    * the l5 family until r16. Whole-file decode on executors (l5g
+    * shape); each task REGENERATES the exact original from the file
+    * index (staging arithmetic) and measures the reconstruction error
+    * in-query, so the emitted columns are PIXEL-dependent:
+    * `max_err` / `mean_err_ppm` are deterministic integers (strictfp
+    * double math + deterministic quantization) hash-matched against
+    * frozen oracle values, and an in-task require bounds them — a
+    * codec regression beyond tolerance fails the run, a subtler pixel
+    * drift fails the hash. `smaller_than_lossless` pins the point of
+    * the profile: the lossy stream must undercut the reversible 5/3
+    * encoding of the same pixels. */
+  def l5mJp2LossyDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (staged, losslessBytes) = stageLossyJp2s()
+    spark.read.format("binaryFile").load(staged)
+      .select(element_at(split($"path", "/"), -1).as("file_name"), $"content", $"length")
+      .as[(String, Array[Byte], Long)]
+      .mapPartitions { it =>
+        it.map { case (name, bytes, streamLen) =>
+          val hdr = graft.sources.jp2.Jp2Codec.header(bytes)
+          require(hdr.irreversible && hdr.qShift == -2,
+            s"$name: expected the lossy 9/7 profile, got $hdr")
+          val img = graft.sources.jp2.Jp2Codec.decode(bytes)
+          val i = name.stripPrefix("lossy_").stripSuffix(".jp2").toInt
+          val orig = lossyJp2Comps(img.width, img.height, i)
+          var maxErr = 0L
+          var absSum = 0L
+          var c = 0
+          while (c < 3) {
+            val a = img.comps(c); val b = orig(c)
+            var j = 0
+            while (j < a.length) {
+              val e = math.abs(a(j) - b(j)).toLong
+              if (e > maxErr) maxErr = e
+              absSum += e
+              j += 1
+            }
+            c += 1
+          }
+          val meanPpm = absSum * 1000000L / (3L * img.width * img.height)
+          // the tolerance contract: step-4 quantization stays visually
+          // bounded — beyond this is a codec defect, not "lossy"
+          require(maxErr <= 32 && meanPpm <= 4000000L,
+            s"$name: lossy reconstruction out of tolerance (maxErr=$maxErr, meanPpm=$meanPpm)")
+          (name, img.width.toLong, img.height.toLong, maxErr, meanPpm,
+            streamLen < losslessBytes(name))
+        }
+      }
+      .toDF("file_name", "width", "height", "max_err", "mean_err_ppm",
+        "smaller_than_lossless")
   }
 
   private val wavStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1893,6 +2078,7 @@ object Sources {
     "l5j_jp2_thumbnail_ranged" -> (l5jJp2ThumbnailRanged _),
     "l5k_jp2_quality_ranged" -> (l5kJp2QualityRanged _),
     "l5l_jp2_region_ranged" -> (l5lJp2RegionRanged _),
+    "l5m_jp2_lossy_decode" -> (l5mJp2LossyDecode _),
     "l5d_audio_features" -> (l5dAudioFeatures _),
     "l5f_vad_segments" -> (l5fVadSegments _),
     "l5e_image_phash" -> (l5eImagePhash _),
@@ -2289,12 +2475,36 @@ object Sources {
         |  CAST((w + 3) // 4 AS BIGINT) AS thumb_w,
         |  CAST((h + 3) // 4 AS BIGINT) AS thumb_h
         |FROM dims""".stripMargin,
+    // the sum_c* columns are PIXEL-dependent: the d=2 thumbnail of a 5/3
+    // lossless stream is deterministic integer arithmetic (not SQL-
+    // expressible), so the values are frozen from the in-memory
+    // whole-file decodeReduced path — which the query ALSO requires
+    // in-query against its distributed ranged walk, so a regression in
+    // either path breaks the hash
     "l5j_jp2_thumbnail_ranged" ->
       """SELECT 'page_0.jp2' AS file_name, CAST(18 AS BIGINT) AS n_tiles,
-        |  CAST(96 AS BIGINT) AS thumb_w, CAST(48 AS BIGINT) AS thumb_h""".stripMargin,
+        |  CAST(96 AS BIGINT) AS thumb_w, CAST(48 AS BIGINT) AS thumb_h,
+        |  CAST(589197 AS BIGINT) AS sum_c0, CAST(588388 AS BIGINT) AS sum_c1,
+        |  CAST(591042 AS BIGINT) AS sum_c2""".stripMargin,
+    // two arms: keep_layers=2 (degenerate, = all layers) must reproduce
+    // the EXACT full-image pixel sums — the same closed-form arithmetic
+    // l5h hash-matches — while keep_layers=1's reduced-fidelity sums are
+    // frozen deterministic values (every code-block truncated at its
+    // verified layer-0 boundary)
     "l5k_jp2_quality_ranged" ->
-      """SELECT 'page_0.jp2' AS file_name, CAST(18 AS BIGINT) AS n_tiles,
-        |  CAST(384 AS BIGINT) AS width, CAST(192 AS BIGINT) AS height""".stripMargin,
+      """WITH px AS (SELECT unnest(generate_series(0, 384*192 - 1)) AS j)
+        |SELECT 'page_0.jp2' AS file_name, CAST(1 AS BIGINT) AS keep_layers,
+        |  CAST(18 AS BIGINT) AS n_tiles,
+        |  CAST(384 AS BIGINT) AS width, CAST(192 AS BIGINT) AS height,
+        |  CAST(9495626 AS BIGINT) AS sum_c0, CAST(9451841 AS BIGINT) AS sum_c1,
+        |  CAST(9482958 AS BIGINT) AS sum_c2
+        |UNION ALL
+        |SELECT 'page_0.jp2', CAST(2 AS BIGINT), CAST(18 AS BIGINT),
+        |  CAST(384 AS BIGINT), CAST(192 AS BIGINT),
+        |  CAST(SUM(((j % 384) * 7 + (j // 384) * 11) % 256) AS BIGINT),
+        |  CAST(SUM(((j % 384) * 9 + (j // 384) * 11 + 29) % 256) AS BIGINT),
+        |  CAST(SUM(((j % 384) * 11 + (j // 384) * 11 + 58) % 256) AS BIGINT)
+        |FROM px""".stripMargin,
     "l5l_jp2_region_ranged" ->
       """WITH px AS (
         |  SELECT x, y FROM (SELECT unnest(generate_series(70, 189)) AS x),
@@ -2304,6 +2514,23 @@ object Sources {
         |  CAST(SUM((x * 9 + y * 11 + 29) % 256) AS BIGINT) AS sum_c1,
         |  CAST(SUM((x * 11 + y * 11 + 58) % 256) AS BIGINT) AS sum_c2
         |FROM px""".stripMargin,
+    // pixel-dependent lossy-reconstruction stats: deterministic integers
+    // (strictfp double lifting + deterministic deadzone quantization),
+    // frozen from the committed codec — ANY decoded-pixel drift flips
+    // the hash, and the query's in-task require additionally bounds the
+    // error so an out-of-tolerance codec fails loudly before the compare
+    "l5m_jp2_lossy_decode" ->
+      """SELECT * FROM (VALUES
+        |('lossy_0.jp2', CAST(64 AS BIGINT), CAST(48 AS BIGINT),
+        |  CAST(17 AS BIGINT), CAST(3282335 AS BIGINT), true),
+        |('lossy_1.jp2', CAST(81 AS BIGINT), CAST(71 AS BIGINT),
+        |  CAST(20 AS BIGINT), CAST(3224250 AS BIGINT), true),
+        |('lossy_2.jp2', CAST(98 AS BIGINT), CAST(94 AS BIGINT),
+        |  CAST(18 AS BIGINT), CAST(3179801 AS BIGINT), true),
+        |('lossy_3.jp2', CAST(115 AS BIGINT), CAST(117 AS BIGINT),
+        |  CAST(22 AS BIGINT), CAST(3170023 AS BIGINT), true)
+        |) AS t(file_name, width, height, max_err, mean_err_ppm,
+        |       smaller_than_lossless)""".stripMargin,
     "l5_multimodal_decode" ->
       """SELECT * FROM (VALUES
         |('bib13991099_18650102_0_1_0001.jp2', 'image/jp2', CAST(112 AS BIGINT), 2479, 3508),

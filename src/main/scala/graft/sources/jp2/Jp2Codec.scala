@@ -22,14 +22,19 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Profile written by the encoder (all within the spec; the decoder
   * checks and rejects what it does not implement rather than guessing):
-  * tile grid at origin 0 (one tile-part per tile, raster order; tile
-  * dims must be multiples of 2^levels — see [[encode]]), 1..65535
+  * tile grid at origin 0 (tiles in raster order, each split across
+  * 1..levels+1 tile-parts cut at resolution boundaries — see
+  * [[encode]]; tile dims must be multiples of 2^levels), 1..65535
   * quality layers (LRCP when single-layer, RLCP when multi-layer so the
   * low-resolution packets stay a contiguous prefix — see [[encode]]),
   * one precinct per resolution (default 2^15 precincts), code-block
-  * style 0 (no bypass/reset/termination options), reversible transform,
-  * 1 or 3 components at 8 bpp with RCT for 3. Lossless: decode(encode(img)) is bit-exact (property-tested),
-  * and the sandbox's conformance limit is documented in COVERAGE.md —
+  * style 0 (no bypass/reset/termination options), the reversible 5/3 +
+  * RCT transform pair OR the irreversible 9/7 + ICT pair with uniform
+  * scalar-expounded quantization (see [[Dwt97]] and [[LossyRb]]),
+  * 1 or 3 components at 8 bpp. Reversible: decode(encode(img)) is
+  * bit-exact (property-tested); irreversible: bounded max-error/PSNR
+  * (property-tested — 9/7 is lossy by design). The sandbox's
+  * conformance limit is documented in COVERAGE.md —
   * no third-party codec exists here to cross-check the bitstream, so
   * the tests pin round-trip, marker structure, and every layer's own
   * spec invariants instead.
@@ -78,7 +83,23 @@ object Jp2Codec {
   // 5/3 coefficient growth of 9-bit RCT chroma over <=5 levels (~2^13)
   private val BaseExp = 13
 
-  private def mbFor(gain: Int): Int = BaseExp + gain + GuardBits - 1
+  /** Nominal dynamic-range exponent of a gain-0 band in the IRREVERSIBLE
+    * (9/7 + ICT) path: 8-bit samples plus one headroom bit for the
+    * lifting filters' l1-norm overshoot. Band b's Rb = LossyRb + gain,
+    * matching [[Dwt97]]'s DC-gain-1/Nyquist-gain-2 normalization; the
+    * quantizer exponent written to QCD is eps_b = Rb + qShift, so the
+    * step is delta_b = 2^(Rb - eps_b) = 2^(-qShift) in sample units for
+    * EVERY band. This convention is shared by encoder and decoder; a
+    * QCD that does not have this uniform shape is rejected loudly. */
+  private val LossyRb = 9
+
+  /** Magnitude bit-planes = (base + band gain); base is the only part
+    * that differs between the reversible profile (BaseExp + guard - 1)
+    * and the irreversible one (eps_LL + guard - 1 = LossyRb + qShift +
+    * guard - 1). */
+  private def mbBaseFor(irreversible: Boolean, qShift: Int): Int =
+    if (irreversible) LossyRb + qShift + GuardBits - 1
+    else BaseExp + GuardBits - 1
 
   private final val CodeBlockExp = 6 // 64x64 code-blocks
 
@@ -108,9 +129,28 @@ object Jp2Codec {
     * contiguous PREFIX across all layers, so [[decodeReduced]] and the
     * PLT-ranged thumbnail walk ([[tilePartsReduced]]) work unchanged.
     * `layers = 1` emits the identical LRCP bitstream as before (for one
-    * layer the two orders coincide byte-for-byte). */
+    * layer the two orders coincide byte-for-byte).
+    *
+    * `partsPerTile > 1` splits every tile's packet sequence across that
+    * many tile-parts (TNsot = N, TPsot = 0..N-1, each with its own SOT /
+    * PLT / SOD — A.4.2), cut at RESOLUTION boundaries so the RLCP
+    * low-res-prefix property survives the split: real archival encoders
+    * bound tile-part length this way (progression interleaving, 32-bit
+    * Psot limits), and the walkers/decoders group the parts back
+    * together ([[decodeTileParts]]). Must be <= levels + 1 (one
+    * resolution group per part at minimum).
+    *
+    * `irreversible = true` encodes the LOSSY archival profile (r16):
+    * ICT + 9/7 DWT ([[Dwt97]]) + scalar-expounded quantization (QCD
+    * style 2, Annex E) at step delta = 2^(-qShift) sample units for
+    * every band (eps_b = Rb + qShift, mu_b = 0 — see [[LossyRb]]).
+    * `qShift` <= 0 compresses (qShift = -2 -> step 4, visually-lossy);
+    * qShift > 0 refines below integer precision. The Tier-1/Tier-2/
+    * layer/tile-part/PLT machinery is transform-agnostic and carries
+    * over unchanged — only the sample<->coefficient ends differ. */
   def encode(w: Int, h: Int, comps: Array[Array[Int]], levels: Int = 3,
-      tileSize: Int = 0, layers: Int = 1): Array[Byte] = {
+      tileSize: Int = 0, layers: Int = 1, partsPerTile: Int = 1,
+      irreversible: Boolean = false, qShift: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0, "empty image")
     require(comps.length == 1 || comps.length == 3, "1 or 3 components")
     require(comps.forall(_.length == w * h), "component size mismatch")
@@ -119,6 +159,10 @@ object Jp2Codec {
     require(tileSize == 0 || tileSize % (1 << levels) == 0,
       s"tile size $tileSize not a multiple of 2^$levels")
     require(layers >= 1 && layers <= 65535, "1..65535 quality layers")
+    require(partsPerTile >= 1 && partsPerTile <= levels + 1,
+      s"partsPerTile $partsPerTile out of 1..${levels + 1} (split at resolution boundaries)")
+    require(irreversible || qShift == 0, "qShift only applies to the irreversible path")
+    require(qShift >= -6 && qShift <= 3, s"qShift $qShift out of -6..3")
     val nc = comps.length
     val useRct = nc == 3
     val xt = if (tileSize == 0) w else tileSize
@@ -150,71 +194,125 @@ object Jp2Codec {
     u8(levels)
     u8(CodeBlockExp - 2); u8(CodeBlockExp - 2)
     u8(0) // code-block style: all defaults
-    u8(1) // 5/3 reversible
-    // QCD: no quantization (style 0), one exponent byte per subband.
-    // Exponents depend only on band gain, so one main-header QCD covers
-    // every tile regardless of tile dimensions.
+    u8(if (irreversible) 0 else 1) // SPcod transform: 0 = 9/7, 1 = 5/3
+    // QCD — exponents depend only on band gain, so one main-header QCD
+    // covers every tile regardless of tile dimensions. Reversible: style
+    // 0 (no quantization), one exponent byte per subband. Irreversible:
+    // style 2 (scalar expounded), u16 (eps << 11 | mu) per subband with
+    // eps_b = LossyRb + gain + qShift and mu = 0 (see [[LossyRb]]).
     val nBands = 3 * levels + 1
-    u16(0xFF5C); u16(3 + nBands); u8(GuardBits << 5)
-    for (r <- 0 to levels; b <- bandsAt(xt, yt, levels, r))
-      u8((BaseExp + b.gain) << 3)
+    if (irreversible) {
+      u16(0xFF5C); u16(3 + 2 * nBands); u8((GuardBits << 5) | 2)
+      for (r <- 0 to levels; b <- bandsAt(xt, yt, levels, r))
+        u16((LossyRb + b.gain + qShift) << 11)
+    } else {
+      u16(0xFF5C); u16(3 + nBands); u8(GuardBits << 5)
+      for (r <- 0 to levels; b <- bandsAt(xt, yt, levels, r))
+        u8((BaseExp + b.gain) << 3)
+    }
 
     for (t <- 0 until ntx * nty) {
       val x0 = (t % ntx) * xt; val y0 = (t / ntx) * yt
       val tw = math.min(xt, w - x0); val th = math.min(yt, h - y0)
-      // tile-local planes: DC level shift then RCT then DWT
-      val planes = comps.map { src =>
-        val a = new Array[Int](tw * th)
-        var y = 0
-        while (y < th) {
-          var x = 0
-          while (x < tw) { a(y * tw + x) = src((y0 + y) * w + (x0 + x)) - 128; x += 1 }
-          y += 1
+      // tile-local planes: DC level shift, then RCT+5/3 (reversible) or
+      // ICT+9/7+deadzone quantization (irreversible) — either way Tier-1
+      // sees integer sign-magnitude coefficients and everything
+      // downstream (layers, PLT, tile-parts) is transform-agnostic
+      val planes =
+        if (!irreversible) {
+          val ps = comps.map { src =>
+            val a = new Array[Int](tw * th)
+            var y = 0
+            while (y < th) {
+              var x = 0
+              while (x < tw) { a(y * tw + x) = src((y0 + y) * w + (x0 + x)) - 128; x += 1 }
+              y += 1
+            }
+            a
+          }
+          if (useRct) Dwt53.rctForward(ps(0), ps(1), ps(2))
+          ps.foreach(Dwt53.forward(_, tw, th, levels))
+          ps
+        } else {
+          val ds = comps.map { src =>
+            val a = new Array[Double](tw * th)
+            var y = 0
+            while (y < th) {
+              var x = 0
+              while (x < tw) { a(y * tw + x) = src((y0 + y) * w + (x0 + x)) - 128.0; x += 1 }
+              y += 1
+            }
+            a
+          }
+          if (useRct) Dwt97.ictForward(ds(0), ds(1), ds(2))
+          ds.foreach(Dwt97.forward(_, tw, th, levels))
+          // deadzone scalar quantization, E.1: q = sign * floor(|v|/delta)
+          // with delta = 2^(-qShift) for every band (uniform by the Rb
+          // convention), so one pass covers the whole Mallat array
+          val scale = math.pow(2.0, qShift.toDouble)
+          ds.map { d =>
+            val a = new Array[Int](d.length)
+            var i = 0
+            while (i < d.length) {
+              val v = d(i)
+              a(i) = if (v >= 0) math.floor(v * scale).toInt
+                     else -math.floor(-v * scale).toInt
+              i += 1
+            }
+            a
+          }
         }
-        a
-      }
-      if (useRct) Dwt53.rctForward(planes(0), planes(1), planes(2))
-      planes.foreach(Dwt53.forward(_, tw, th, levels))
 
       // tile body: packets resolution-outermost (RLCP; identical to LRCP
       // for 1 layer), lengths kept for PLT. Tier-1 runs once per
       // (component, resolution); layers slice its passes.
-      val packets = for (r <- 0 to levels;
-                         encs = comps.indices.map(c =>
-                           new ResEncoder(planes(c), tw, th, levels, r, layers));
-                         l <- 0 until layers; c <- 0 until nc)
-        yield encs(c).encodeLayer(l)
-      val bodyBytes = packets.toArray.flatten
+      val packetsByRes: IndexedSeq[Seq[Array[Byte]]] =
+        for (r <- 0 to levels) yield {
+          val encs = comps.indices.map(c =>
+            new ResEncoder(planes(c), tw, th, levels, r, layers,
+              mbBaseFor(irreversible, qShift)))
+          for (l <- 0 until layers; c <- 0 until nc) yield encs(c).encodeLayer(l)
+        }
 
-      // PLT (A.7.3): per-packet lengths as 7-bit-varint Iplt entries. This
-      // is what lets a reduced-resolution reader compute each tile-part's
-      // low-res PREFIX length and ranged-read only those bytes
-      // ([[tilePartsReduced]]) — without it a thumbnail job must fetch
-      // the whole tile-part just to skip the high-res packets.
-      val plt = new java.io.ByteArrayOutputStream()
-      packets.foreach { pk =>
-        val n = pk.length
-        val bits = 32 - Integer.numberOfLeadingZeros(math.max(1, n))
-        var shift = ((bits - 1) / 7) * 7
-        while (shift > 0) { plt.write(0x80 | ((n >> shift) & 0x7F)); shift -= 7 }
-        plt.write(n & 0x7F)
+      // split the resolution groups across tile-parts as evenly as
+      // possible; part j carries resolutions [j*(levels+1)/N, (j+1)*...)
+      for (part <- 0 until partsPerTile) {
+        val rFrom = part * (levels + 1) / partsPerTile
+        val rUntil = (part + 1) * (levels + 1) / partsPerTile
+        val packets = packetsByRes.slice(rFrom, rUntil).flatten
+        val bodyBytes = packets.toArray.flatten
+
+        // PLT (A.7.3): per-packet lengths as 7-bit-varint Iplt entries.
+        // This is what lets a reduced-resolution reader compute each
+        // tile-part's low-res PREFIX length and ranged-read only those
+        // bytes ([[tilePartsReduced]]) — without it a thumbnail job must
+        // fetch the whole tile-part just to skip the high-res packets.
+        val plt = new java.io.ByteArrayOutputStream()
+        packets.foreach { pk =>
+          val n = pk.length
+          val bits = 32 - Integer.numberOfLeadingZeros(math.max(1, n))
+          var shift = ((bits - 1) / 7) * 7
+          while (shift > 0) { plt.write(0x80 | ((n >> shift) & 0x7F)); shift -= 7 }
+          plt.write(n & 0x7F)
+        }
+        val pltBytes = plt.toByteArray
+        // Lplt is a 16-bit field: a silent wrap would emit a stream whose
+        // own header walk misparses (the Isot guard's sibling). One PLT
+        // segment bounds packets-per-tile-part at ~32k varint bytes — far
+        // above any profile this encoder writes; reject rather than
+        // split Zplt.
+        require(3 + pltBytes.length <= 0xFFFF,
+          s"PLT for ${packets.length} packets (${pltBytes.length} B) overflows the 16-bit Lplt; reduce layers")
+
+        // SOT + PLT + SOD + body
+        u16(0xFF90); u16(10); u16(t)
+        u32(12L + (5L + pltBytes.length) + 2L + bodyBytes.length) // Psot
+        u8(part); u8(partsPerTile) // TPsot, TNsot
+        u16(0xFF58); u16(3 + pltBytes.length); u8(0) // PLT, Lplt, Zplt = 0
+        out.write(pltBytes)
+        u16(0xFF93)
+        out.write(bodyBytes)
       }
-      val pltBytes = plt.toByteArray
-      // Lplt is a 16-bit field: a silent wrap would emit a stream whose
-      // own header walk misparses (the Isot guard's sibling). One PLT
-      // segment bounds packets-per-tile at ~32k varint bytes — far above
-      // any profile this encoder writes; reject rather than split Zplt.
-      require(3 + pltBytes.length <= 0xFFFF,
-        s"PLT for ${packets.length} packets (${pltBytes.length} B) overflows the 16-bit Lplt; reduce layers")
-
-      // SOT + PLT + SOD + body (one tile-part per tile)
-      u16(0xFF90); u16(10); u16(t)
-      u32(12L + (5L + pltBytes.length) + 2L + bodyBytes.length) // Psot
-      u8(0); u8(1) // TPsot = 0, TNsot = 1
-      u16(0xFF58); u16(3 + pltBytes.length); u8(0) // PLT, Lplt, Zplt = 0
-      out.write(pltBytes)
-      u16(0xFF93)
-      out.write(bodyBytes)
     }
     u16(0xFFD9)
     out.toByteArray
@@ -224,9 +322,13 @@ object Jp2Codec {
 
   /** Parsed main header — everything a tile-part needs to decode
     * standalone. Small and flat on purpose: a distributed decode ships
-    * THIS (a handful of ints) per tile task, never the pixel planes. */
+    * THIS (a handful of ints) per tile task, never the pixel planes.
+    * `irreversible`/`qShift` carry the 9/7 + scalar-quantization profile
+    * (flat by the uniform-step convention — see [[LossyRb]]; a QCD
+    * outside that shape is rejected at parse, so two ints suffice). */
   final case class Header(width: Int, height: Int, nc: Int, xt: Int, yt: Int,
-      useRct: Boolean, levels: Int, layers: Int = 1) {
+      useRct: Boolean, levels: Int, layers: Int = 1,
+      irreversible: Boolean = false, qShift: Int = 0) {
     def ntx: Int = ceilDiv(width, xt)
     def nty: Int = ceilDiv(height, yt)
   }
@@ -240,8 +342,13 @@ object Jp2Codec {
     * [[tileParts]] — `pos` is absolute, so a ranged read of
     * [pos, pos+len) hands [[decodeTilePart]] exactly its slice.
     * Offsets are Long: archival scans are gigabytes, and the split
-    * walk never materializes the file, so nothing caps at Int. */
-  final case class TilePartSpan(index: Int, pos: Long, len: Long)
+    * walk never materializes the file, so nothing caps at Int.
+    * `part`/`nparts` are the SOT's TPsot/TNsot: a tile split across
+    * several tile-parts decodes from ALL its parts' slices in TPsot
+    * order ([[decodeTileParts]]) — a distributed split groups spans by
+    * `index` before handing a tile to a task. */
+  final case class TilePartSpan(index: Int, pos: Long, len: Long,
+      part: Int = 0, nparts: Int = 1)
 
   /** Ranged-read abstraction for the header/Psot walks: implementations
     * fetch exactly [pos, pos+len) and nothing else, so a split step over
@@ -306,8 +413,12 @@ object Jp2Codec {
     val rH = ceilDiv(hdr.height, 1 << discard)
     val planes = Array.fill(hdr.nc)(new Array[Int](rW * rH))
     val seen = new Array[Boolean](hdr.ntx * hdr.nty)
-    for (s <- spans) {
-      val t = decodeTilePartAt(bytes, s.pos.toInt, hdr, discard)
+    // group each tile's parts (a tile may span several tile-parts);
+    // decodeTileParts enforces TPsot order/completeness per tile
+    for ((_, parts) <- spans.groupBy(_.index).toSeq.sortBy(_._1)) {
+      val slices = parts.sortBy(_.part).map(s =>
+        java.util.Arrays.copyOfRange(bytes, s.pos.toInt, (s.pos + s.len).toInt))
+      val t = decodeTileParts(slices, hdr, discard)
       require(!seen(t.index), s"duplicate tile-part for tile ${t.index}")
       seen(t.index) = true
       for (c <- 0 until hdr.nc) {
@@ -364,7 +475,14 @@ object Jp2Codec {
       require(psot >= 14L && pos + psot <= csEnd,
         s"Psot $psot at $pos out of bounds (codestream ends at $csEnd)")
       require(isot < hdr.ntx * hdr.nty, s"tile index $isot out of grid")
-      spans += TilePartSpan(isot, pos, psot)
+      val tpsot = sot(10) & 0xFF
+      val tnsot = sot(11) & 0xFF
+      // TNsot = 0 is spec-legal ("count not specified here") but removes
+      // the completeness check a distributed group-by-tile decode stands
+      // on — reject rather than guess how many parts a tile has
+      require(tnsot >= 1, s"TNsot = 0 (unspecified tile-part count) not supported at $pos")
+      require(tpsot < tnsot, s"TPsot $tpsot >= TNsot $tnsot at $pos")
+      spans += TilePartSpan(isot, pos, psot, tpsot, tnsot)
       pos += psot
       marker = readU16(in, pos)
     }
@@ -385,51 +503,146 @@ object Jp2Codec {
     tilePartsReduced(new BytesInput(bytes), discard)._2
 
   /** Streamed [[tilePartsReduced]] — adds one tile-part-header read
-    * (SOT + PLT segment, a few dozen bytes) per tile to the
-    * [[tileParts]] walk; still O(headers), never the bodies. */
+    * (SOT + PLT segment, a few dozen bytes) per tile-part to the
+    * [[tileParts]] walk; still O(headers), never the bodies. For a tile
+    * split across several tile-parts the kept-packet prefix is counted
+    * ACROSS its parts in TPsot order: parts wholly inside the prefix
+    * keep their full span, the boundary part is PLT-truncated, later
+    * parts are dropped — a distributed reduced decode then hands each
+    * tile's remaining slices to [[decodeTileParts]]. */
   def tilePartsReduced(in: RangedInput, discard: Int): (Header, Seq[TilePartSpan]) = {
     val (hdr, spans) = tileParts(in)
     require(discard >= 0 && discard <= hdr.levels,
       s"discard $discard out of 0..${hdr.levels}")
     // packets per kept resolution = layers * components (RLCP keeps them
-    // a contiguous prefix of every tile-part regardless of layer count)
+    // a contiguous prefix of every tile's packet sequence regardless of
+    // layer count)
     val keep = (hdr.levels - discard + 1) * hdr.nc * hdr.layers
-    (hdr, spans.map { s =>
+    // per-tile packet counters across the stream-order walk; the spec
+    // requires a tile's parts to appear in TPsot order (A.4.2), which the
+    // accumulation stands on — enforced, not assumed
+    val pktSeen = new Array[Int](hdr.ntx * hdr.nty)
+    val partSeen = new Array[Int](hdr.ntx * hdr.nty)
+    val out = spans.flatMap { s =>
+      require(s.part == partSeen(s.index),
+        s"tile ${s.index}: tile-part ${s.part} out of TPsot order (expected ${partSeen(s.index)})")
+      partSeen(s.index) += 1
       val (bodyStart, lens) = tilePartHeader(in, s.pos)
-      if (lens == null) s
-      else {
-        require(lens.length >= keep, s"PLT lists ${lens.length} packets, need $keep")
-        val prefix = (bodyStart - s.pos) + lens.take(keep).map(_.toLong).sum
-        s.copy(len = math.min(s.len, prefix))
+      if (lens == null) {
+        require(s.nparts == 1,
+          s"tile ${s.index}: no PLT on a multi-tile-part tile — cannot compute the reduced prefix")
+        Some(s) // no PLT: fall back to the full span
+      } else {
+        val before = pktSeen(s.index)
+        pktSeen(s.index) = before + lens.length
+        if (before >= keep) None // wholly past the prefix: dropped
+        else if (before + lens.length <= keep) Some(s) // wholly inside
+        else {
+          val prefix = (bodyStart - s.pos) + lens.take(keep - before).map(_.toLong).sum
+          Some(s.copy(len = math.min(s.len, prefix)))
+        }
       }
-    })
+    }
+    for (t <- 0 until hdr.ntx * hdr.nty)
+      require(pktSeen(t) == 0 || pktSeen(t) >= keep,
+        s"tile $t: PLT lists ${pktSeen(t)} packets across its parts, need $keep")
+    (hdr, out)
   }
 
   /** Decode ONE tile-part from exactly its slice (SOT..tile-part end as
     * spanned by [[tileParts]], or the truncated low-res prefix from
-    * [[tilePartsReduced]], or the compacted quality slice assembled from
-    * [[tilePartsQuality]] ranges) given the parsed [[Header]] — the
+    * [[tilePartsReduced]]) given the parsed [[Header]] — the
     * executor-side step of a distributed single-scan decode. Fully
     * standalone: inverse DWT, RCT, DC unshift and clamp are tile-local
     * by construction. `discard` > 0 returns the tile at reduced
     * resolution with reduced-grid coordinates (see [[decodeReduced]]) —
-    * only the slice's low-resolution packet prefix is entropy-decoded. */
+    * only the slice's low-resolution packet prefix is entropy-decoded.
+    * For a tile split across several tile-parts use [[decodeTileParts]]
+    * with every part's slice. */
   def decodeTilePart(slice: Array[Byte], hdr: Header, discard: Int = 0): Tile =
-    decodeTilePartAt(slice, 0, hdr, discard)
+    decodeTileParts(Seq(slice), hdr, discard)
 
-  /** Decode ONE tile-part from a COMPACTED quality slice — the
-    * concatenated bytes of [[tilePartsQuality]]'s ranges (tile-part
+  /** Decode one TILE from its tile-parts' slices, in TPsot order — the
+    * executor-side step when a tile spans several tile-parts (TNsot > 1;
+    * real archival encoders split tiles to bound tile-part length). The
+    * slices must be the tile's parts 0..k contiguously: a full decode
+    * (discard = 0) requires ALL TNsot parts; a reduced decode accepts
+    * the prefix of parts that carry the kept resolutions, each possibly
+    * PLT-truncated ([[tilePartsReduced]]). Packet walk state is
+    * per-resolution, so concatenating the part bodies in TPsot order
+    * reconstructs exactly the single-part packet sequence. */
+  def decodeTileParts(slices: Seq[Array[Byte]], hdr: Header, discard: Int = 0): Tile = {
+    require(slices.nonEmpty, "no tile-part slices")
+    require(discard >= 0 && discard <= hdr.levels,
+      s"discard $discard out of 0..${hdr.levels}")
+    val sots = slices.map(parseSliceSot)
+    val isot = sots.head.isot
+    require(sots.forall(_.isot == isot),
+      s"slices from different tiles: ${sots.map(_.isot).distinct.mkString(",")}")
+    val nparts = sots.head.nparts
+    require(sots.forall(_.nparts == nparts), s"tile $isot: inconsistent TNsot")
+    require(sots.map(_.part) == (0 until sots.length),
+      s"tile $isot: slices must be tile-parts 0..k in TPsot order, got ${sots.map(_.part).mkString(",")}")
+    if (discard == 0)
+      require(sots.length == nparts,
+        s"tile $isot: full decode needs all $nparts tile-parts, got ${sots.length}")
+    // a PLT-truncated (reduced-prefix) slice ends before its Psot; only
+    // an all-full-slices decode can assert byte-exact body consumption
+    var truncated = false
+    val bodyLen = slices.zip(sots).map { case (s, i) =>
+      require(s.length <= i.psot, s"tile $isot part ${i.part}: slice longer than Psot")
+      if (s.length < i.psot) truncated = true
+      s.length - i.bodyStart
+    }.sum
+    val body = new Array[Byte](bodyLen)
+    var at = 0
+    for ((s, i) <- slices.zip(sots)) {
+      System.arraycopy(s, i.bodyStart, body, at, s.length - i.bodyStart)
+      at += s.length - i.bodyStart
+    }
+    decodeTileCore(isot, body, hdr, discard, hdr.layers,
+      exact = discard == 0 && !truncated)
+  }
+
+  /** Decode ONE tile from a COMPACTED quality slice — the concatenated
+    * bytes of [[tilePartsQuality]]'s ranges (the FIRST tile-part's
     * header, then per resolution only the first keepLayers layers'
-    * packets, back to back) — the spec's progressive-by-quality
-    * reconstruction: every code-block truncated at its layer boundary (a
-    * valid pass-boundary truncation point by construction), full
-    * resolution, reduced fidelity. A separate entry point on purpose: on
-    * a FULL tile-part slice the dropped layer packets sit between
-    * resolutions, so a keepLayers-truncated walk only parses correctly
-    * on the compacted layout — this method exists so the two cannot be
-    * mixed up. `keepLayers == hdr.layers` equals [[decodeTilePart]]. */
-  def decodeTilePartQuality(slice: Array[Byte], hdr: Header, keepLayers: Int): Tile =
-    decodeTilePartAt(slice, 0, hdr, 0, keepLayers)
+    * packets across all the tile's parts, back to back) — the spec's
+    * progressive-by-quality reconstruction: every code-block truncated
+    * at its layer boundary (a verified pass-boundary truncation point by
+    * construction), full resolution, reduced fidelity. A separate entry
+    * point on purpose: on a FULL tile-part slice the dropped layer
+    * packets sit between resolutions, so a keepLayers-truncated walk
+    * only parses correctly on the compacted layout — this method exists
+    * so the two cannot be mixed up. */
+  def decodeTilePartQuality(slice: Array[Byte], hdr: Header, keepLayers: Int): Tile = {
+    require(keepLayers >= 1 && keepLayers <= hdr.layers,
+      s"keepLayers $keepLayers out of 1..${hdr.layers}")
+    val sot = parseSliceSot(slice)
+    require(sot.part == 0, "compacted quality slice must start at tile-part 0")
+    val body = java.util.Arrays.copyOfRange(slice, sot.bodyStart, slice.length)
+    // the compacted layout contains EXACTLY the kept packets (or, for the
+    // single-part no-PLT fallback with keepLayers == layers, the full
+    // body), so the walk must consume the slice to the last byte
+    decodeTileCore(sot.isot, body, hdr, 0, keepLayers, exact = true)
+  }
+
+  /** Parsed SOT + tile-part header of one slice (offsets slice-local). */
+  private final case class SliceSot(isot: Int, psot: Long, part: Int, nparts: Int,
+      bodyStart: Int)
+
+  private def parseSliceSot(slice: Array[Byte]): SliceSot = {
+    def u8(i: Int): Int = slice(i) & 0xFF
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    require(slice.length >= 14, "tile-part slice shorter than its SOT")
+    require(u16(0) == 0xFF90, "expected SOT")
+    require(u16(2) == 10, s"Lsot ${u16(2)} != 10")
+    val nparts = u8(11)
+    require(nparts >= 1, "TNsot = 0 (unspecified tile-part count) not supported")
+    require(u8(10) < nparts, s"TPsot ${u8(10)} >= TNsot $nparts")
+    val (bodyStart, _) = tilePartHeader(new BytesInput(slice), 0L)
+    SliceSot(u16(4), beU32(slice, 6), u8(10), nparts, bodyStart.toInt)
+  }
 
   /** Byte ranges of one tile-part that a `keepLayers`-quality decode
     * needs: the tile-part header, then per resolution the first
@@ -440,49 +653,73 @@ object Jp2Codec {
   }
 
   /** The quality axis of the ranged-fetch story (the layer analog of
-    * [[tilePartsReduced]]'s resolution axis): per tile-part, the byte
-    * ranges holding the tile-part header and the first keepLayers
-    * quality layers of EVERY resolution, computed from the PLT packet
-    * lengths — streamed header walk, no entropy work, never a body byte.
-    * Under RLCP each resolution's layer packets are consecutive, so this
-    * is one range per resolution (merged when adjacent); a distributed
-    * progressive fetch reads only these and hands the concatenated
-    * (compacted) slice to [[decodeTilePart]] with the same keepLayers —
+    * [[tilePartsReduced]]'s resolution axis): per TILE, the byte ranges
+    * holding the first tile-part's header and the first keepLayers
+    * quality layers of EVERY resolution across all the tile's parts,
+    * computed from the PLT packet lengths — streamed header walk, no
+    * entropy work, never a body byte. Under RLCP each resolution's layer
+    * packets are consecutive, so kept packets merge into one range per
+    * resolution (adjacent ranges coalesced); a distributed progressive
+    * fetch reads only these and hands the concatenated (compacted) slice
+    * to [[decodeTilePartQuality]] with the same keepLayers —
     * full-resolution output at reduced fidelity for the first-layer
-    * fraction of the archive's bytes. Tile-parts without PLT fall back
-    * to the full span. */
+    * fraction of the archive's bytes. A single-part tile without PLT
+    * falls back to the full span (legal only at keepLayers == layers);
+    * a MULTI-part tile without PLT is rejected outright. */
   def tilePartsQuality(in: RangedInput, keepLayers: Int): (Header, Seq[RangedTilePart]) = {
     val (hdr, spans) = tileParts(in)
     require(keepLayers >= 1 && keepLayers <= hdr.layers,
       s"keepLayers $keepLayers out of 1..${hdr.layers}")
     val perRes = hdr.layers * hdr.nc
-    (hdr, spans.map { s =>
-      val (bodyStart, lens) = tilePartHeader(in, s.pos)
-      if (lens == null) {
+    val totalPackets = (hdr.levels + 1) * perRes
+    // group spans per tile in stream order (= TPsot order, enforced)
+    val byTile = scala.collection.mutable.LinkedHashMap.empty[Int, ArrayBuffer[TilePartSpan]]
+    for (s <- spans) byTile.getOrElseUpdate(s.index, ArrayBuffer.empty) += s
+    val out = byTile.iterator.map { case (isot, parts) =>
+      require(parts.map(_.part).toSeq == (0 until parts.length),
+        s"tile $isot: tile-parts out of TPsot order or incomplete: ${parts.map(_.part).mkString(",")}")
+      require(parts.length == parts.head.nparts,
+        s"tile $isot: ${parts.length} tile-parts present, TNsot says ${parts.head.nparts}")
+      val fullLen = parts.map(_.len).sum
+      val headers = parts.map(s => tilePartHeader(in, s.pos))
+      if (headers.exists(_._2 == null)) {
         // a full span IS the compacted layout only when nothing is
-        // dropped; a keepLayers-truncated walk cannot parse the full
-        // layout (dropped layer packets sit between resolutions), so a
-        // no-PLT tile-part cannot be quality-truncated — reject loudly
-        // rather than hand the decoder a layout it would misparse
+        // dropped AND the tile is one part (no inner headers); a
+        // keepLayers-truncated walk cannot parse the full layout
+        // (dropped layer packets sit between resolutions) — reject
+        // loudly rather than hand the decoder a layout it would misparse
+        require(parts.length == 1,
+          s"tile $isot: no PLT on a multi-tile-part tile — cannot assemble a quality slice")
         require(keepLayers == hdr.layers,
-          s"tile-part ${s.index} has no PLT: cannot quality-truncate to $keepLayers of ${hdr.layers} layers")
-        RangedTilePart(s.index, Seq((s.pos, s.pos + s.len)), s.len)
+          s"tile-part $isot has no PLT: cannot quality-truncate to $keepLayers of ${hdr.layers} layers")
+        val s = parts.head
+        RangedTilePart(isot, Seq((s.pos, s.pos + s.len)), fullLen)
       } else {
-        require(lens.length == (hdr.levels + 1) * perRes,
-          s"PLT lists ${lens.length} packets, expected ${(hdr.levels + 1) * perRes}")
-        val ranges = ArrayBuffer[(Long, Long)]((s.pos, bodyStart))
-        var at = bodyStart
-        for (r <- 0 to hdr.levels) {
-          val group = lens.slice(r * perRes, (r + 1) * perRes)
-          val kept = group.take(keepLayers * hdr.nc).map(_.toLong).sum
+        // the compacted slice: part-0 header, then every kept packet in
+        // global (resolution-outermost) order across the parts
+        val ranges = ArrayBuffer[(Long, Long)]((parts.head.pos, headers.head._1))
+        def addRange(from: Long, until: Long): Unit = {
           val (lastFrom, lastUntil) = ranges.last
-          if (lastUntil == at) ranges(ranges.length - 1) = (lastFrom, at + kept)
-          else ranges += ((at, at + kept))
-          at += group.map(_.toLong).sum
+          if (lastUntil == from) ranges(ranges.length - 1) = (lastFrom, until)
+          else ranges += ((from, until))
         }
-        RangedTilePart(s.index, ranges.toSeq, s.len)
+        var gp = 0 // global packet index across the tile's parts
+        for ((s, (bodyStart, lens)) <- parts.zip(headers)) {
+          var at = bodyStart
+          for (len <- lens) {
+            if (gp % perRes < keepLayers * hdr.nc) addRange(at, at + len)
+            at += len
+            gp += 1
+          }
+          require(at == s.pos + s.len,
+            s"tile $isot part ${s.part}: PLT lengths end at $at, Psot says ${s.pos + s.len}")
+        }
+        require(gp == totalPackets,
+          s"tile $isot: PLT lists $gp packets across its parts, expected $totalPackets")
+        RangedTilePart(isot, ranges.toSeq, fullLen)
       }
-    })
+    }.toSeq
+    (hdr, out)
   }
 
   private def beU16(b: Array[Byte], i: Int): Int =
@@ -583,6 +820,11 @@ object Jp2Codec {
 
     var w = 0; var h = 0; var nc = 0; var xt = 0; var yt = 0
     var useRct = false; var levels = -1; var layersV = 1
+    var irrev = false
+    // QCD is validated AFTER the loop: its per-band shape needs `levels`
+    // and the transform, and the spec fixes no marker order within the
+    // main header
+    var qcdBody: Array[Byte] = null
     var pos = start + 2
     var atSot = false
     while (!atSot) {
@@ -643,9 +885,12 @@ object Jp2Codec {
               require((b(6) & 0xFF) == CodeBlockExp - 2 && (b(7) & 0xFF) == CodeBlockExp - 2,
                 "only 64x64 code-blocks")
               require((b(8) & 0xFF) == 0, "code-block style options not supported")
-              require((b(9) & 0xFF) == 1, "only the reversible 5/3 transform")
-            case 0xFF5C => // QCD — exponents are fixed by profile; verify guard bits
-              require(((body(1)(0) & 0xFF) >> 5) == GuardBits, "unexpected guard bits")
+              val transform = b(9) & 0xFF
+              require(transform == 0 || transform == 1,
+                s"unknown wavelet transform $transform")
+              irrev = transform == 0 // 0 = irreversible 9/7, 1 = reversible 5/3
+            case 0xFF5C => // QCD — stashed, validated once levels are known
+              qcdBody = body(1)
             case mm if SkippableMainMarkers(mm) => () // informational, skip by length
             case mm => throw new IllegalArgumentException(
               f"main header marker $mm%04x not supported")
@@ -654,37 +899,62 @@ object Jp2Codec {
       }
     }
     require(w > 0 && h > 0 && nc > 0 && levels >= 0, "incomplete header")
-    val hdr = Header(w, h, nc, xt, yt, useRct, levels, layersV)
+    require(qcdBody != null, "missing QCD marker")
+    require(((qcdBody(0) & 0xFF) >> 5) == GuardBits, "unexpected guard bits")
+    val style = qcdBody(0) & 0x1F
+    var qShiftV = 0
+    if (!irrev) {
+      // reversible 5/3: no quantization (Sqcd style 0); the exponents are
+      // fixed by the profile and the decoder derives them from band gain
+      require(style == 0, s"quantization style $style with the 5/3 transform not supported")
+    } else {
+      // irreversible 9/7: scalar expounded (style 2), and the per-band
+      // (eps, mu) pairs must have THIS codec's uniform-step shape
+      // (eps_b = LossyRb + gain + qShift, mu = 0 — see [[LossyRb]]): the
+      // step then folds into two Header ints. Anything else — derived
+      // style 1, nonzero mantissas, non-uniform offsets — is rejected
+      // loudly rather than decoded at the wrong amplitude.
+      require(style == 2, s"quantization style $style with the 9/7 transform not supported " +
+        "(only scalar expounded)")
+      val bands = (for (r <- 0 to levels; b <- bandsAt(xt, yt, levels, r)) yield b).toSeq
+      require(qcdBody.length >= 1 + 2 * bands.length,
+        s"QCD payload ${qcdBody.length} B too short for ${bands.length} subbands")
+      val e0 = (beU16(qcdBody, 1) >> 11) & 0x1F
+      qShiftV = e0 - LossyRb // LL has gain 0
+      require(qShiftV >= -6 && qShiftV <= 3, s"quantizer exponent $e0 outside this profile")
+      for ((b, i) <- bands.zipWithIndex) {
+        val v = beU16(qcdBody, 1 + 2 * i)
+        val eps = (v >> 11) & 0x1F
+        val mu = v & 0x7FF
+        require(mu == 0 && eps == LossyRb + b.gain + qShiftV,
+          s"non-uniform scalar quantization not supported (band $i: eps=$eps mu=$mu, " +
+            s"expected eps=${LossyRb + b.gain + qShiftV} mu=0)")
+      }
+    }
+    val hdr = Header(w, h, nc, xt, yt, useRct, levels, layersV, irrev, qShiftV)
     require(hdr.ntx * hdr.nty == 1 || (xt % (1 << levels) == 0 && yt % (1 << levels) == 0),
       s"multi-tile grid with tile dims not multiples of 2^$levels (absolute-" +
         "parity subband geometry) not supported")
     (hdr, pos, csEnd)
   }
 
-  /** Decode one tile-part at absolute offset `pos` (its SOT marker) and
-    * run the tile-local inverse transform chain. `discard` > 0 decodes
-    * only resolutions 0..levels-discard and never reads past their
-    * packets — legal because the subband geometry nests: the reduced
-    * Mallat array (ceil(tw/2^d) x ceil(th/2^d), levels-d decompositions)
-    * has byte-for-byte the band layout of the full array's top-left
-    * corner, so the SAME packet walk runs with reduced dims. */
-  private def decodeTilePartAt(b: Array[Byte], pos: Int, hdr: Header, discard: Int = 0,
-      keepLayers: Int = Int.MaxValue): Tile = {
-    def u8(i: Int): Int = b(i) & 0xFF
-    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
-    require(u16(pos) == 0xFF90, "expected SOT")
-    require(u16(pos + 2) == 10, "SOT with tile-part header markers not supported")
+  /** Decode one tile from its concatenated packet BODY (all slices'
+    * tile-part headers already stripped) and run the tile-local inverse
+    * transform chain. `discard` > 0 decodes only resolutions
+    * 0..levels-discard and never reads past their packets — legal
+    * because the subband geometry nests: the reduced Mallat array
+    * (ceil(tw/2^d) x ceil(th/2^d), levels-d decompositions) has
+    * byte-for-byte the band layout of the full array's top-left corner,
+    * so the SAME packet walk runs with reduced dims. `exact` asserts the
+    * walk consumed the body to the last byte (full decodes and compacted
+    * quality slices); prefix decodes assert it stayed inside. */
+  private def decodeTileCore(isot: Int, body: Array[Byte], hdr: Header, discard: Int,
+      keepLayers: Int, exact: Boolean): Tile = {
     require(discard >= 0 && discard <= hdr.levels,
       s"discard $discard out of 0..${hdr.levels}")
     require(keepLayers >= 1, s"keepLayers $keepLayers out of range")
     val keep = math.min(hdr.layers, keepLayers)
-    val isot = u16(pos + 4)
-    val psot = beU32(b, pos + 6)
     require(isot < hdr.ntx * hdr.nty, s"tile index $isot out of grid")
-    require(u8(pos + 10) == 0 && u8(pos + 11) == 1,
-      "multiple tile-parts per tile not supported")
-    val (bodyStartL, _) = tilePartHeader(new BytesInput(b), pos.toLong)
-    val bodyStart = bodyStartL.toInt
     val x0 = (isot % hdr.ntx) * hdr.xt; val y0 = (isot / hdr.ntx) * hdr.yt
     val tw = math.min(hdr.xt, hdr.width - x0); val th = math.min(hdr.yt, hdr.height - y0)
     // reduced-grid placement: exact because multi-tile grids require
@@ -693,28 +963,63 @@ object Jp2Codec {
     val rw = ceilDiv(tw, 1 << discard); val rh = ceilDiv(th, 1 << discard)
     val rl = hdr.levels - discard
     val tile = Array.fill(hdr.nc)(new Array[Int](rw * rh))
-    var p = bodyStart
+    var p = 0
     // resolution-outermost packet walk (RLCP; ≡ LRCP for 1 layer): all of
     // a resolution's layer packets are consecutive, so per-resolution
     // decoder state lives only across this inner loop
     for (r <- 0 to rl) {
-      val decs = Array.fill(hdr.nc)(new ResDecoder(rw, rh, rl, r))
-      for (l <- 0 until keep; c <- 0 until hdr.nc)
-        p = decs(c).readPacket(b, p, l)
+      val decs = Array.fill(hdr.nc)(new ResDecoder(rw, rh, rl, r,
+        mbBaseFor(hdr.irreversible, hdr.qShift)))
+      for (l <- 0 until keep; c <- 0 until hdr.nc) {
+        require(p < body.length,
+          s"tile $isot body exhausted at packet (r=$r,l=$l,c=$c) — missing tile-part slices?")
+        p = decs(c).readPacket(body, p, l)
+      }
       for (c <- 0 until hdr.nc) decs(c).finishInto(tile(c))
     }
-    if (discard == 0 && keep == hdr.layers)
-      require(p == pos + psot, s"tile $isot body ended at $p, Psot says ${pos + psot}")
+    if (exact)
+      require(p == body.length, s"tile $isot body ended at $p of ${body.length}")
     else
-      require(p <= pos + psot, s"tile $isot truncated walk overran Psot")
-    tile.foreach(Dwt53.inverse(_, rw, rh, rl))
-    if (hdr.useRct) Dwt53.rctInverse(tile(0), tile(1), tile(2))
-    tile.foreach { a =>
-      var i = 0
-      while (i < a.length) {
-        val v = a(i) + 128
-        a(i) = if (v < 0) 0 else if (v > 255) 255 else v
-        i += 1
+      require(p <= body.length, s"tile $isot truncated walk overran its slices")
+    if (hdr.irreversible) {
+      // E.1 mid-point dequantization (r = 1/2) at the uniform step
+      // delta = 2^(-qShift), then inverse 9/7 + ICT and rounded clamp
+      val delta = math.pow(2.0, -hdr.qShift.toDouble)
+      val ds = tile.map { q =>
+        val d = new Array[Double](q.length)
+        var i = 0
+        while (i < q.length) {
+          val v = q(i)
+          d(i) = if (v == 0) 0.0
+                 else if (v > 0) (v + 0.5) * delta
+                 else -((-v + 0.5) * delta)
+          i += 1
+        }
+        d
+      }
+      ds.foreach(Dwt97.inverse(_, rw, rh, rl))
+      if (hdr.useRct) Dwt97.ictInverse(ds(0), ds(1), ds(2))
+      var c = 0
+      while (c < hdr.nc) {
+        val d = ds(c); val a = tile(c)
+        var i = 0
+        while (i < a.length) {
+          val v = math.rint(d(i)).toInt + 128
+          a(i) = if (v < 0) 0 else if (v > 255) 255 else v
+          i += 1
+        }
+        c += 1
+      }
+    } else {
+      tile.foreach(Dwt53.inverse(_, rw, rh, rl))
+      if (hdr.useRct) Dwt53.rctInverse(tile(0), tile(1), tile(2))
+      tile.foreach { a =>
+        var i = 0
+        while (i < a.length) {
+          val v = a(i) + 128
+          a(i) = if (v < 0) 0 else if (v > 255) 255 else v
+          i += 1
+        }
       }
     }
     Tile(isot, rx0, ry0, rw, rh, tile)
@@ -740,7 +1045,7 @@ object Jp2Codec {
     * threshold path — and the final layer always completes the block
     * (lossless). */
   private final class ResEncoder(plane: Array[Int], w: Int, h: Int, nl: Int,
-      r: Int, layers: Int) {
+      r: Int, layers: Int, mbBase: Int) {
 
     private final class Blk(val bx: Int, val by: Int, val data: Array[Byte],
         val passes: Int, val zbp: Int, val cumPasses: Array[Int],
@@ -754,7 +1059,7 @@ object Jp2Codec {
         val (cbSz, ncbx, ncby) = cbGrid(b)
         val incl = new TagTree(ncbx, ncby)
         val zbps = new TagTree(ncbx, ncby)
-        val mb = mbFor(b.gain)
+        val mb = mbBase + b.gain
         val blks = for (by <- 0 until ncby; bx <- 0 until ncbx) yield {
           val x0 = bx * cbSz; val y0 = by * cbSz
           val cw = math.min(cbSz, b.w - x0); val ch = math.min(cbSz, b.h - y0)
@@ -898,7 +1203,7 @@ object Jp2Codec {
     * packet state — persistent tag trees, per-block Lblock / pass / chunk
     * accumulation across layers — then one Tier-1 decode per included
     * block over the concatenated chunks once every layer is read. */
-  private final class ResDecoder(w: Int, h: Int, nl: Int, r: Int) {
+  private final class ResDecoder(w: Int, h: Int, nl: Int, r: Int, mbBase: Int) {
 
     private final class BlkState {
       var included = false
@@ -959,7 +1264,7 @@ object Jp2Codec {
       val cbSz = 1 << CodeBlockExp
       for ((b, _, _, states) <- perBand) {
         val (_, ncbx, ncby) = cbGrid(b)
-        val mb = mbFor(b.gain)
+        val mb = mbBase + b.gain
         for (by <- 0 until ncby; bx <- 0 until ncbx) {
           val s = states(by * ncbx + bx)
           if (s.included && s.passes > 0) {

@@ -735,6 +735,282 @@ class Jp2CodecSpec extends AnyFunSuite {
     assert(q1(0).length == w * h)
   }
 
+  // ------------------------------------------------------- 9/7 lossy path
+
+  test("9/7 DWT inverts to numerical identity at every size parity and level") {
+    for (seed <- 1 to 3; (w, h) <- Seq((1, 1), (1, 7), (8, 1), (5, 7), (13, 9), (64, 64), (113, 89))) {
+      val r = rng(seed * 31L + w * 1000 + h)
+      val orig = Array.fill(w * h)(r.nextDouble() * 512 - 256)
+      for (levels <- 0 to 5) {
+        val a = orig.clone()
+        Dwt97.forward(a, w, h, levels)
+        Dwt97.inverse(a, w, h, levels)
+        val maxErr = a.zip(orig).map { case (x, y) => math.abs(x - y) }.max
+        assert(maxErr < 1e-9, s"($w x $h) levels=$levels seed=$seed maxErr=$maxErr")
+      }
+    }
+  }
+
+  test("9/7 DWT has the declared DC/Nyquist gains (quantizer Rb convention)") {
+    // lows 1/K-scaled -> DC gain 1; highs K-scaled -> Nyquist gain 2:
+    // the convention the QCD exponents (Rb = 9 + gain) stand on
+    val n = 64
+    val dc = Array.fill(n)(100.0)
+    Dwt97.forward(dc, n, 1, 1)
+    for (i <- 0 until 32) assert(math.abs(dc(i) - 100.0) < 1e-9, s"low($i)=${dc(i)}")
+    for (i <- 32 until 64) assert(math.abs(dc(i)) < 1e-9, s"high($i)=${dc(i)}")
+    val nyq = Array.tabulate(n)(i => if (i % 2 == 0) 100.0 else -100.0)
+    Dwt97.forward(nyq, n, 1, 1)
+    for (i <- 32 until 64)
+      assert(math.abs(math.abs(nyq(i)) - 200.0) < 0.1, s"high($i)=${nyq(i)}")
+  }
+
+  test("ICT round-trips within numerical tolerance") {
+    val r = rng(123)
+    val n = 4096
+    val c0 = Array.fill(n)(r.nextDouble() * 256 - 128)
+    val c1 = Array.fill(n)(r.nextDouble() * 256 - 128)
+    val c2 = Array.fill(n)(r.nextDouble() * 256 - 128)
+    val (o0, o1, o2) = (c0.clone(), c1.clone(), c2.clone())
+    Dwt97.ictForward(c0, c1, c2)
+    Dwt97.ictInverse(c0, c1, c2)
+    for (i <- 0 until n) {
+      assert(math.abs(c0(i) - o0(i)) < 1e-6)
+      assert(math.abs(c1(i) - o1(i)) < 1e-6)
+      assert(math.abs(c2(i) - o2(i)) < 1e-6)
+    }
+  }
+
+  private def errStats(out: Jp2Codec.Image, comps: Array[Array[Int]]): (Int, Double) = {
+    var maxErr = 0
+    var sq = 0.0
+    var n = 0L
+    for (c <- comps.indices; i <- comps(c).indices) {
+      val e = math.abs(out.comps(c)(i) - comps(c)(i))
+      if (e > maxErr) maxErr = e
+      sq += e.toDouble * e
+      n += 1
+    }
+    val mse = sq / n
+    val psnr = if (mse == 0) Double.PositiveInfinity else 10 * math.log10(255.0 * 255.0 / mse)
+    (maxErr, psnr)
+  }
+
+  test("irreversible 9/7 codec round-trips within tolerance; coarser steps compress more, lose more") {
+    // 9/7 is lossy BY DESIGN: the pins are error bounds and monotone
+    // rate/distortion, not bit equality (COVERAGE.md documents the
+    // sandbox's no-third-party-codec conformance limit)
+    for ((w, h, tile) <- Seq((113, 89, 0), (130, 97, 64))) {
+      val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))
+      val lossless = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = tile)
+      val near = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = tile,
+        irreversible = true, qShift = 0)
+      val lossy = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = tile,
+        irreversible = true, qShift = -2)
+      val hdrN = Jp2Codec.header(near)
+      assert(hdrN.irreversible && hdrN.qShift == 0, s"$hdrN")
+      assert(Jp2Codec.header(lossy).qShift == -2)
+      val (errN, psnrN) = errStats(Jp2Codec.decode(near), comps)
+      val (errL, psnrL) = errStats(Jp2Codec.decode(lossy), comps)
+      // step 1 (qShift=0) is near-lossless; step 4 (qShift=-2) is visually
+      // lossy but bounded; bytes must fall as the step coarsens
+      assert(errN <= 8, s"tile=$tile qShift=0 maxErr=$errN")
+      assert(psnrN >= 40, s"tile=$tile qShift=0 psnr=$psnrN")
+      assert(errL <= 32, s"tile=$tile qShift=-2 maxErr=$errL")
+      assert(psnrL >= 28, s"tile=$tile qShift=-2 psnr=$psnrL")
+      assert(errL >= errN, s"error not monotone in step: $errL < $errN")
+      assert(lossy.length < near.length,
+        s"tile=$tile lossy ${lossy.length} B !< near ${near.length} B")
+      assert(lossy.length < lossless.length,
+        s"tile=$tile lossy ${lossy.length} B !< lossless ${lossless.length} B")
+    }
+    // grayscale too (no ICT)
+    val g = Array(pattern(96, 80, 5))
+    val (errG, psnrG) = errStats(
+      Jp2Codec.decode(Jp2Codec.encode(96, 80, g, levels = 2, irreversible = true,
+        qShift = -2)), g)
+    assert(errG <= 32 && psnrG >= 28, s"gray maxErr=$errG psnr=$psnrG")
+  }
+
+  test("lossy streams reject tampered quantization shapes; encoder rejects bad qShift") {
+    val comps = Array(pattern(64, 48, 3))
+    val cs = Jp2Codec.encode(64, 48, comps, levels = 2, irreversible = true, qShift = -1)
+    // locate QCD (0xFF5C) and tamper the first band's mantissa bits
+    val qcdAt = (0 until cs.length - 1).indexWhere(i =>
+      (cs(i) & 0xFF) == 0xFF && (cs(i + 1) & 0xFF) == 0x5C)
+    assert(qcdAt > 0)
+    val style = cs(qcdAt + 4) & 0x1F
+    assert(style == 2, s"expected scalar-expounded QCD, got style $style")
+    val bad = cs.clone()
+    bad(qcdAt + 6) = (bad(qcdAt + 6) | 0x04).toByte // nonzero mu on band 0
+    val e = intercept[IllegalArgumentException](Jp2Codec.decode(bad))
+    assert(e.getMessage.contains("non-uniform"), e.getMessage)
+    // scalar-derived (style 1) must also reject, not mis-decode
+    val bad2 = cs.clone()
+    bad2(qcdAt + 4) = ((bad2(qcdAt + 4) & 0xE0) | 1).toByte
+    val e2 = intercept[IllegalArgumentException](Jp2Codec.decode(bad2))
+    assert(e2.getMessage.contains("quantization style"), e2.getMessage)
+    // qShift outside the profile fails at encode time
+    intercept[IllegalArgumentException](
+      Jp2Codec.encode(64, 48, comps, levels = 2, irreversible = true, qShift = 4))
+    intercept[IllegalArgumentException](
+      Jp2Codec.encode(64, 48, comps, levels = 2, qShift = -1)) // reversible + qShift
+  }
+
+  test("ranged machinery carries over to lossy streams: reduced, quality, multi-part") {
+    // the PLT arithmetic is transform-agnostic: the 9/7 stream supports
+    // the same three scalability axes as the lossless one
+    val (w, h) = (130, 97)
+    val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))
+    val cs = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64, layers = 2,
+      partsPerTile = 2, irreversible = true, qShift = -2)
+    val hdr = Jp2Codec.header(cs)
+    assert(hdr.irreversible && hdr.layers == 2)
+    val full = Jp2Codec.decode(cs)
+    val (errF, _) = errStats(full, comps)
+    assert(errF <= 32, s"full lossy decode maxErr=$errF")
+
+    // REDUCED: truncated spans decode the exact reduced pyramid and cost
+    // a fraction of the bytes
+    val ref = Jp2Codec.decodeReduced(cs, 2)
+    val fullSpans = Jp2Codec.tileParts(cs)
+    val reduced = Jp2Codec.tilePartsReduced(cs, 2)
+    assert(reduced.map(_.len).sum * 2 < fullSpans.map(_.len).sum)
+    def slice(s: Jp2Codec.TilePartSpan): Array[Byte] =
+      java.util.Arrays.copyOfRange(cs, s.pos.toInt, (s.pos + s.len).toInt)
+    for ((_, parts) <- reduced.groupBy(_.index)) {
+      val t = Jp2Codec.decodeTileParts(parts.sortBy(_.part).map(slice), hdr, 2)
+      for (c <- 0 until 3; y <- 0 until t.height; x <- 0 until t.width)
+        assert(t.comps(c)(y * t.width + x) ==
+          ref.comps(c)((t.y0 + y) * ref.width + (t.x0 + x)))
+    }
+
+    // QUALITY: keep = layers reproduces the full lossy decode EXACTLY
+    // (same quantized coefficients, just re-fetched), keep = 1 is a
+    // byte fraction
+    val (_, q2) = Jp2Codec.tilePartsQuality(new Jp2Codec.BytesInput(cs), 2)
+    for (part <- q2) {
+      val sl = new java.io.ByteArrayOutputStream()
+      for ((from, until) <- part.ranges) sl.write(cs, from.toInt, (until - from).toInt)
+      val t = Jp2Codec.decodeTilePartQuality(sl.toByteArray, hdr, 2)
+      for (c <- 0 until 3; y <- 0 until t.height; x <- 0 until t.width)
+        assert(t.comps(c)(y * t.width + x) ==
+          full.comps(c)((t.y0 + y) * full.width + (t.x0 + x)))
+    }
+    val (_, q1) = Jp2Codec.tilePartsQuality(new Jp2Codec.BytesInput(cs), 1)
+    assert(q1.map(_.fetchBytes).sum < q2.map(_.fetchBytes).sum)
+  }
+
+  test("multi-tile-part streams (TNsot > 1) round-trip and match the single-part pixels") {
+    // real archival encoders split tiles across tile-parts to bound
+    // tile-part length; the split is pure layout — same packets, more
+    // SOT/PLT/SOD framing — so pixels must be identical to 1-part streams
+    def sotCount(cs: Array[Byte]): Int =
+      (0 until cs.length - 1).count(i => (cs(i) & 0xFF) == 0xFF && (cs(i + 1) & 0xFF) == 0x90)
+    for (parts <- Seq(2, 3, 4); (w, h, tile, tiles) <- Seq((113, 89, 0, 1), (130, 97, 64, 6))) {
+      val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))
+      val cs = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = tile, partsPerTile = parts)
+      assert(sotCount(cs) == tiles * parts, s"parts=$parts tile=$tile SOT count")
+      val out = Jp2Codec.decode(cs)
+      for (c <- 0 until 3)
+        assert(java.util.Arrays.equals(out.comps(c), comps(c)), s"parts=$parts tile=$tile c=$c")
+    }
+    // multi-layer AND multi-part together (the archival combination)
+    val comps = Array(pattern(130, 97, 0), pattern(130, 97, 29), pattern(130, 97, 58))
+    val cs = Jp2Codec.encode(130, 97, comps, levels = 3, tileSize = 64, layers = 2,
+      partsPerTile = 2)
+    val out = Jp2Codec.decode(cs)
+    for (c <- 0 until 3)
+      assert(java.util.Arrays.equals(out.comps(c), comps(c)), s"layers+parts c=$c")
+    // encoder rejects more parts than resolution groups
+    intercept[IllegalArgumentException](
+      Jp2Codec.encode(64, 64, Array(pattern(64, 64, 1)), levels = 2, partsPerTile = 4))
+  }
+
+  test("tileParts spans carry TPsot/TNsot; decodeTileParts groups and validates them") {
+    val (w, h) = (130, 97)
+    val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))
+    val cs = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64, partsPerTile = 2)
+    val hdr = Jp2Codec.header(cs)
+    val spans = Jp2Codec.tileParts(cs)
+    assert(spans.length == 12 && spans.forall(_.nparts == 2))
+    assert(spans.groupBy(_.index).forall { case (_, ps) => ps.map(_.part).sorted == Seq(0, 1) })
+    def slice(s: Jp2Codec.TilePartSpan): Array[Byte] =
+      java.util.Arrays.copyOfRange(cs, s.pos.toInt, (s.pos + s.len).toInt)
+    // grouped slices reassemble the image exactly
+    val rebuilt = Array.fill(3)(new Array[Int](w * h))
+    for ((_, parts) <- spans.groupBy(_.index)) {
+      val t = Jp2Codec.decodeTileParts(parts.sortBy(_.part).map(slice), hdr)
+      for (c <- 0 until 3; y <- 0 until t.height; x <- 0 until t.width)
+        rebuilt(c)((t.y0 + y) * w + (t.x0 + x)) = t.comps(c)(y * t.width + x)
+    }
+    for (c <- 0 until 3)
+      assert(java.util.Arrays.equals(rebuilt(c), comps(c)), s"c=$c")
+    // a full decode missing a part must fail typed, not decode garbage
+    val tile0 = spans.filter(_.index == 0).sortBy(_.part)
+    val e1 = intercept[IllegalArgumentException](
+      Jp2Codec.decodeTileParts(Seq(slice(tile0.head)), hdr))
+    assert(e1.getMessage.contains("needs all"), e1.getMessage)
+    // out-of-order or mixed-tile slices fail typed
+    val e2 = intercept[IllegalArgumentException](
+      Jp2Codec.decodeTileParts(tile0.reverse.map(slice), hdr))
+    assert(e2.getMessage.contains("TPsot order"), e2.getMessage)
+    val other = spans.filter(_.index == 1).sortBy(_.part)
+    val e3 = intercept[IllegalArgumentException](
+      Jp2Codec.decodeTileParts(Seq(slice(tile0.head), slice(other.last)), hdr))
+    assert(e3.getMessage.contains("different tiles"), e3.getMessage)
+  }
+
+  test("reduced and quality ranged walks group multi-tile-part tiles correctly") {
+    val (w, h) = (130, 97)
+    val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))
+    val cs = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64, layers = 2,
+      partsPerTile = 2)
+    val hdr = Jp2Codec.header(cs)
+    val ref = Jp2Codec.decodeReduced(cs, 2)
+
+    // REDUCED: parts past the kept-resolution prefix are DROPPED from the
+    // span list entirely (the byte win of the tile-part split), and the
+    // remaining (possibly truncated) slices decode the exact thumbnail
+    val reduced = Jp2Codec.tilePartsReduced(cs, 2)
+    val full = Jp2Codec.tileParts(cs)
+    assert(reduced.length < full.length, "high-res-only parts must be dropped")
+    val (rBytes, fBytes) = (reduced.map(_.len).sum, full.map(_.len).sum)
+    assert(rBytes * 2 < fBytes, s"reduced $rBytes vs full $fBytes bytes")
+    def slice(s: Jp2Codec.TilePartSpan): Array[Byte] =
+      java.util.Arrays.copyOfRange(cs, s.pos.toInt, (s.pos + s.len).toInt)
+    for ((_, parts) <- reduced.groupBy(_.index)) {
+      val t = Jp2Codec.decodeTileParts(parts.sortBy(_.part).map(slice), hdr, 2)
+      for (c <- 0 until 3; y <- 0 until t.height; x <- 0 until t.width)
+        assert(t.comps(c)(y * t.width + x) ==
+          ref.comps(c)((t.y0 + y) * ref.width + (t.x0 + x)),
+          s"tile ${parts.head.index} c=$c px($x,$y)")
+    }
+
+    // QUALITY: per-TILE compacted ranges across the parts; keep=layers is
+    // exact, keep=1 fetches a fraction
+    val fullD = Jp2Codec.decode(cs)
+    val (_, q2) = Jp2Codec.tilePartsQuality(new Jp2Codec.BytesInput(cs), 2)
+    assert(q2.map(_.index).sorted == (0 until 6), "one RangedTilePart per TILE")
+    for (part <- q2) {
+      val sl = new java.io.ByteArrayOutputStream()
+      for ((from, until) <- part.ranges) sl.write(cs, from.toInt, (until - from).toInt)
+      val t = Jp2Codec.decodeTilePartQuality(sl.toByteArray, hdr, 2)
+      for (c <- 0 until 3; y <- 0 until t.height; x <- 0 until t.width)
+        assert(t.comps(c)(y * t.width + x) ==
+          fullD.comps(c)((t.y0 + y) * fullD.width + (t.x0 + x)),
+          s"tile ${part.index} c=$c px($x,$y)")
+    }
+    val (_, q1) = Jp2Codec.tilePartsQuality(new Jp2Codec.BytesInput(cs), 1)
+    assert(q1.map(_.fetchBytes).sum < q2.map(_.fetchBytes).sum)
+    for (part <- q1) {
+      val sl = new java.io.ByteArrayOutputStream()
+      for ((from, until) <- part.ranges) sl.write(cs, from.toInt, (until - from).toInt)
+      val t = Jp2Codec.decodeTilePartQuality(sl.toByteArray, hdr, 1)
+      assert(t.width > 0 && t.height > 0) // full-res decode from layer-1 bytes
+    }
+  }
+
   test("single-layer streams keep the LRCP byte; LRCP multi-layer is rejected") {
     val comps = Array(pattern(48, 40, 3))
     val one = Jp2Codec.encode(48, 40, comps, levels = 2)

@@ -408,6 +408,12 @@ class StreamingSpec extends SparkSpec {
     val guaranteed = truth.filter(_._2 > bound).keySet
     assert(guaranteed.subsetOf(est.keySet),
       s"heavy users ${guaranteed -- est.keySet} above n/(k+1)=$bound missing")
+    // the row-count ENVELOPE: emission is arrival-order-dependent (the
+    // register documents run-to-run row-count variance), but each of the
+    // 4 shards holds at most k=16 counters, so the merged sketch can
+    // never exceed 64 rows — a pathological emission cannot hide behind
+    // "arrival-order-dependent"
+    assert(est.size <= 64, s"sketch emitted ${est.size} rows > shards*k = 64")
   }
 
   test("ST21: SCD2 merge extends/closes correctly and a replayed batch is a no-op") {
