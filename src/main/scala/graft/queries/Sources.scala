@@ -1351,19 +1351,20 @@ object Sources {
         spans.groupBy(_.index).toSeq.map { case (isot, parts) =>
           (p, isot, parts.sortBy(_.part).flatMap(s => Seq(s.pos, s.len)),
             hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
-            hdr.layers)
+            hdr.layers, hdr.irreversible, hdr.qShift)
         }
       }
       .toDF("path", "tile", "parts", "w", "h", "nc", "xt", "yt", "rct", "levels",
-        "nlayers")
+        "nlayers", "irrev", "qshift")
       .repartition(spark.sparkContext.defaultParallelism, col("path"), col("tile"))
-      .as[(String, Int, Seq[Long], Int, Int, Int, Int, Int, Boolean, Int, Int)]
+      .as[(String, Int, Seq[Long], Int, Int, Int, Int, Int, Boolean, Int, Int, Boolean, Int)]
     val perTile = tiles.mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
-      it.map { case (p, _, parts, w, h, nc, xt, yt, rct, levels, nlayers) =>
+      it.map { case (p, _, parts, w, h, nc, xt, yt, rct, levels, nlayers, irrev, qshift) =>
         val slices = jp2FetchSlices(conf, p,
           parts.grouped(2).map(r => (r(0), r(0) + r(1))).toSeq)
-        val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels, nlayers)
+        val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels, nlayers,
+          irrev, qshift)
         val t = graft.sources.jp2.Jp2Codec.decodeTileParts(slices, hdr)
         (p, w.toLong, h.toLong,
           sumChannel(t.comps(0)), sumChannel(t.comps(1)), sumChannel(t.comps(2)))
@@ -1423,19 +1424,20 @@ object Sources {
         spans.groupBy(_.index).toSeq.map { case (isot, parts) =>
           (p, isot, parts.sortBy(_.part).flatMap(s => Seq(s.pos, s.len)),
             hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
-            hdr.layers)
+            hdr.layers, hdr.irreversible, hdr.qShift)
         }
       }
       .toDF("path", "tile", "parts", "w", "h", "nc", "xt", "yt", "rct", "levels",
-        "nlayers")
+        "nlayers", "irrev", "qshift")
       .repartition(spark.sparkContext.defaultParallelism, col("path"), col("tile"))
-      .as[(String, Int, Seq[Long], Int, Int, Int, Int, Int, Boolean, Int, Int)]
+      .as[(String, Int, Seq[Long], Int, Int, Int, Int, Int, Boolean, Int, Int, Boolean, Int)]
     val perTile = tiles.mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
-      it.map { case (p, _, parts, w, h, nc, xt, yt, rct, levels, nlayers) =>
+      it.map { case (p, _, parts, w, h, nc, xt, yt, rct, levels, nlayers, irrev, qshift) =>
         val slices = jp2FetchSlices(conf, p, // ONLY the low-res prefixes
           parts.grouped(2).map(r => (r(0), r(0) + r(1))).toSeq)
-        val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels, nlayers)
+        val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels, nlayers,
+          irrev, qshift)
         val t = graft.sources.jp2.Jp2Codec.decodeTileParts(slices, hdr, discard)
         (p, (t.x0 + t.width).toLong, (t.y0 + t.height).toLong,
           sumChannel(t.comps(0)), sumChannel(t.comps(1)), sumChannel(t.comps(2)))
@@ -1511,19 +1513,20 @@ object Sources {
             s"$p: walk ${in.bytesRead} B + ranges $fetch B exceed the scan")
         parts.map(t => (p, t.index, t.ranges.flatMap(r => Seq(r._1, r._2)),
           hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
-          hdr.layers))
+          hdr.layers, hdr.irreversible, hdr.qShift))
       }
       .toDF("path", "tile", "ranges", "w", "h", "nc", "xt", "yt", "rct", "levels",
-        "nlayers")
+        "nlayers", "irrev", "qshift")
       .repartition(spark.sparkContext.defaultParallelism, col("path"), col("tile"))
-      .as[(String, Int, Seq[Long], Int, Int, Int, Int, Int, Boolean, Int, Int)]
+      .as[(String, Int, Seq[Long], Int, Int, Int, Int, Int, Boolean, Int, Int, Boolean, Int)]
     val perTile = tiles.mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
-      it.map { case (p, _, ranges, w, h, nc, xt, yt, rct, levels, nlayers) =>
+      it.map { case (p, _, ranges, w, h, nc, xt, yt, rct, levels, nlayers, irrev, qshift) =>
         // flattened (from, until) pairs -> one compacted slice
         val slice = jp2FetchRanges(conf, p,
           ranges.grouped(2).map(r => (r(0), r(1))).toSeq)
-        val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels, nlayers)
+        val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels, nlayers,
+          irrev, qshift)
         val t = graft.sources.jp2.Jp2Codec.decodeTilePartQuality(slice, hdr, keepLayers)
         (p, (t.x0 + t.width).toLong, (t.y0 + t.height).toLong,
           sumChannel(t.comps(0)), sumChannel(t.comps(1)), sumChannel(t.comps(2)))
@@ -1581,19 +1584,20 @@ object Sources {
         kept.groupBy(_.index).toSeq.map { case (isot, parts) =>
           (p, isot, parts.sortBy(_.part).flatMap(s => Seq(s.pos, s.len)),
             hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
-            hdr.layers)
+            hdr.layers, hdr.irreversible, hdr.qShift)
         }
       }
       .toDF("path", "tile", "parts", "w", "h", "nc", "xt", "yt", "rct", "levels",
-        "nlayers")
+        "nlayers", "irrev", "qshift")
       .repartition(spark.sparkContext.defaultParallelism, col("path"), col("tile"))
-      .as[(String, Int, Seq[Long], Int, Int, Int, Int, Int, Boolean, Int, Int)]
+      .as[(String, Int, Seq[Long], Int, Int, Int, Int, Int, Boolean, Int, Int, Boolean, Int)]
     val perTile = tiles.mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
-      it.map { case (p, _, parts, w, h, nc, xt, yt, rct, levels, nlayers) =>
+      it.map { case (p, _, parts, w, h, nc, xt, yt, rct, levels, nlayers, irrev, qshift) =>
         val slices = jp2FetchSlices(conf, p,
           parts.grouped(2).map(r => (r(0), r(0) + r(1))).toSeq)
-        val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels, nlayers)
+        val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels, nlayers,
+          irrev, qshift)
         val t = graft.sources.jp2.Jp2Codec.decodeTileParts(slices, hdr)
         // clip the decoded tile to the crop and sum channels over it
         val ix0 = math.max(cx0, t.x0); val ix1 = math.min(cx0 + cw, t.x0 + t.width)
@@ -1649,8 +1653,11 @@ object Sources {
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$dir/$name"),
           graft.sources.Jp2Box.buildContainer(w, h, cs))
-        val lossless = graft.sources.jp2.Jp2Codec.encode(w, h, comps,
-          tileSize = if (i % 2 == 1) 64 else 0)
+        // container-to-container: binaryFile's length below is the lossy
+        // CONTAINER's, so the baseline must carry the same box framing
+        val lossless = graft.sources.Jp2Box.buildContainer(w, h,
+          graft.sources.jp2.Jp2Codec.encode(w, h, comps,
+            tileSize = if (i % 2 == 1) 64 else 0))
         name -> lossless.length.toLong
       }.toMap
       (dir, sizes)

@@ -418,8 +418,10 @@ object Jp2Codec {
     for ((_, parts) <- spans.groupBy(_.index).toSeq.sortBy(_._1)) {
       val slices = parts.sortBy(_.part).map(s =>
         java.util.Arrays.copyOfRange(bytes, s.pos.toInt, (s.pos + s.len).toInt))
+      // duplicate tile-parts are rejected inside decodeTileParts (the
+      // TPsot 0..k contiguity check); `seen` only backs the missing-tiles
+      // check below
       val t = decodeTileParts(slices, hdr, discard)
-      require(!seen(t.index), s"duplicate tile-part for tile ${t.index}")
       seen(t.index) = true
       for (c <- 0 until hdr.nc) {
         val src = t.comps(c); val dst = planes(c)
@@ -1113,6 +1115,7 @@ object Jp2Codec {
             val cp = cumP(l)
             cumB(l) =
               if (cp == 0) 0
+              else if (l > 0 && cp == cumP(l - 1)) cumB(l - 1) // no new passes: nothing to verify
               else Ebcot.verifiedTrunc(cw, ch, data, cp, numbps, b.orient,
                 math.max(truncs(cp - 1), if (l == 0) 0 else cumB(l - 1)))
           }

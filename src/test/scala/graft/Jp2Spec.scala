@@ -51,4 +51,31 @@ class Jp2Spec extends SparkSpec {
     assert(Jp2Box.parseDims(Array[Byte]()).isEmpty)
     assert(Jp2Box.parseDims(Array.fill(64)(0.toByte)).isEmpty)
   }
+
+  test("the distributed ranged pipeline carries the LOSSY profile to executors") {
+    // regression pin for the silent-profile-drop gap: the split stage
+    // parses irreversible/qShift from the main header, and the tile
+    // tasks must rebuild the SAME Header from the shipped columns — a
+    // schema that drops those fields would decode a 9/7 stream through
+    // the reversible path into silently wrong pixels
+    import graft.sources.jp2.Jp2Codec
+    val (w, h) = (256, 128)
+    val comps = Array.tabulate(3) { c =>
+      Array.tabulate(w * h)(j => ((j % w) * (3 + c) + (j / w) * 7 + c * 11) % 256)
+    }
+    val cs = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64, layers = 2,
+      partsPerTile = 2, irreversible = true, qShift = -2)
+    val container = Jp2Box.buildContainer(w, h, cs)
+    val dir = java.nio.file.Files.createTempDirectory("jp2_lossy_ranged").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/lossy.jp2"), container)
+    val whole = Jp2Codec.decode(container)
+    val expected = whole.comps.map(_.map(_.toLong).sum)
+    val row = graft.queries.Sources.jp2TiledChannelSums(spark, dir).collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Long]("n_tiles") == 8)
+    val got = Seq(row(0).getAs[Long]("sum_c0"), row(0).getAs[Long]("sum_c1"),
+      row(0).getAs[Long]("sum_c2"))
+    assert(got == expected.toSeq,
+      s"distributed lossy sums $got != whole-file decode ${expected.toSeq}")
+  }
 }
