@@ -1077,6 +1077,57 @@ class Jp2CodecSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("shorter than"))
   }
 
+  test("property: random profile combinations round-trip across the full encoder surface") {
+    // the cross-product the fixed-size tests only sample: random dims x
+    // levels x tile grid x layers x tile-parts x channels x transform.
+    // Reversible must be bit-exact; irreversible bounded by the step
+    // (coefficient error <= delta, amplified by the bounded synthesis
+    // l1 norms -> maxErr <= 8*delta + 4 is generous but meaningful).
+    for (seed <- 1 to 14) {
+      val r = rng(77000L + seed)
+      val levels = r.nextInt(4) // 0..3
+      val w = 20 + r.nextInt(100)
+      val h = 20 + r.nextInt(100)
+      val tileSize = if (r.nextBoolean()) 0 else (1 << levels) * (1 + r.nextInt(6))
+      val layers = 1 + r.nextInt(3)
+      val parts = 1 + r.nextInt(math.min(levels + 1, 3))
+      val nc = if (r.nextBoolean()) 3 else 1
+      val irrev = r.nextBoolean()
+      val qShift = if (!irrev) 0 else Seq(-3, -1, 0, 1)(r.nextInt(4))
+      val comps = Array.tabulate(nc) { c =>
+        Array.tabulate(w * h) { j =>
+          if (r.nextInt(3) == 0) r.nextInt(256)
+          else ((j % w) * (3 + c) + (j / w) * (5 + c)) % 256
+        }
+      }
+      val label = s"seed=$seed ${w}x$h levels=$levels tile=$tileSize " +
+        s"layers=$layers parts=$parts nc=$nc irrev=$irrev q=$qShift"
+      val cs = Jp2Codec.encode(w, h, comps, levels, tileSize, layers, parts,
+        irrev, qShift)
+      val hdr = Jp2Codec.header(cs)
+      assert(hdr.layers == layers && hdr.irreversible == irrev &&
+        hdr.qShift == qShift, label)
+      val out = Jp2Codec.decode(cs)
+      assert(out.width == w && out.height == h && out.comps.length == nc, label)
+      if (!irrev) {
+        for (c <- 0 until nc)
+          assert(java.util.Arrays.equals(out.comps(c), comps(c)), s"$label c=$c")
+      } else {
+        val delta = math.pow(2.0, -qShift)
+        val bound = (8 * delta + 4).toInt
+        val maxErr = (0 until nc).map(c =>
+          out.comps(c).zip(comps(c)).map { case (x, y) => math.abs(x - y) }.max).max
+        assert(maxErr <= bound, s"$label maxErr=$maxErr > $bound")
+      }
+      // the reduced walk holds for every combination too (dims only —
+      // pixel exactness is pinned by the dedicated tests)
+      if (levels > 0) {
+        val red = Jp2Codec.decodeReduced(cs, 1)
+        assert(red.width == (w + 1) / 2 && red.height == (h + 1) / 2, label)
+      }
+    }
+  }
+
   test("decoder rejects garbage and truncated inputs rather than guessing") {
     intercept[IllegalArgumentException](Jp2Codec.decode(Array[Byte](1, 2, 3)))
     val cs = Jp2Codec.encode(16, 16, Array(pattern(16, 16, 5)))
