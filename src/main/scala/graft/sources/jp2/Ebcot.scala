@@ -262,6 +262,11 @@ object Ebcot {
     * per probe, paid once per layer boundary at encode time only. */
   def verifiedTrunc(w: Int, h: Int, data: Array[Byte], passes: Int, numbps: Int,
       band: Int, startLen: Int): Int = {
+    // precondition, not just convention: passes > 0 implies a nonempty
+    // codeword, and the max(1, …) clamp below would otherwise return an
+    // out-of-range length 1 for empty data — fail here instead
+    require(data.nonEmpty && passes > 0,
+      s"verifiedTrunc needs a nonempty codeword with passes > 0 (got ${data.length} B, $passes passes)")
     val want = decodeBlock(w, h, data, passes, numbps, band)
     var len = math.max(1, math.min(startLen, data.length))
     while (len < data.length && ((data(len - 1) & 0xFF) == 0xFF ||
@@ -275,10 +280,25 @@ object Ebcot {
   /** Decode a code-block codeword back to signed coefficients. Mirrors
     * [[encodeBlock]] pass for pass. */
   def decodeBlock(w: Int, h: Int, data: Array[Byte], numPasses: Int, numbps: Int,
-      band: Int): Array[Int] = {
+      band: Int): Array[Int] = decodeBlockDepth(w, h, data, numPasses, numbps, band, null)
+
+  /** [[decodeBlock]] that also reports each coefficient's LOWEST decoded
+    * bit-plane into `depth` (when non-null, length w*h): a coefficient
+    * whose last significance/refinement bit landed at plane p has its
+    * magnitude known only down to 2^p, so a quality-truncated
+    * dequantizer must reconstruct at the mid-point of the EFFECTIVE step
+    * delta·2^p, not the finest step — reconstructing every coefficient
+    * at (|q|+0.5)·delta biases truncated decodes low (the r16 ADVICE
+    * item). Full decodes drive every coefficient to plane 0, so depth is
+    * all zeros there and the mid-point rule degenerates to the familiar
+    * (|q|+0.5)·delta. Never-significant coefficients keep depth = numbps
+    * (value 0 reconstructs to 0 regardless — deadzone convention). */
+  def decodeBlockDepth(w: Int, h: Int, data: Array[Byte], numPasses: Int, numbps: Int,
+      band: Int, depth: Array[Int]): Array[Int] = {
     val n = w * h
     val mag = new Array[Int](n)
     val sgn = new Array[Int](n)
+    if (depth != null) java.util.Arrays.fill(depth, numbps)
     if (numPasses == 0 || numbps == 0) return new Array[Int](n)
     val st = new State(w, h)
     val mq = new MQDecoder(data)
@@ -305,6 +325,7 @@ object Ebcot {
                 if (mq.decode(zcContext(hn, vn, dn, band)) == 1) {
                   st.sigma(i) = true
                   mag(i) |= 1 << p
+                  if (depth != null) depth(i) = p
                   decodeSign(x, y)
                 }
                 st.visited(i) = true
@@ -333,6 +354,7 @@ object Ebcot {
                 else if (st.hCount(x, y) + st.vCount(x, y) + st.dCount(x, y) > 0) 15
                 else 14
               if (mq.decode(ctx) == 1) mag(i) |= 1 << p
+              if (depth != null) depth(i) = p
               st.refined(i) = true
             }
             y += 1
@@ -368,6 +390,7 @@ object Ebcot {
               val i = (y0 + k) * w + x
               st.sigma(i) = true
               mag(i) |= 1 << p
+              if (depth != null) depth(i) = p
               decodeSign(x, y0 + k)
               y = y0 + k + 1
             }
@@ -379,6 +402,7 @@ object Ebcot {
               if (mq.decode(zcContext(hn, vn, dn, band)) == 1) {
                 st.sigma(i) = true
                 mag(i) |= 1 << p
+                if (depth != null) depth(i) = p
                 decodeSign(x, y)
               }
             }

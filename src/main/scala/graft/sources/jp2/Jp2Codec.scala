@@ -907,8 +907,14 @@ object Jp2Codec {
     var qShiftV = 0
     if (!irrev) {
       // reversible 5/3: no quantization (Sqcd style 0); the exponents are
-      // fixed by the profile and the decoder derives them from band gain
+      // fixed by the profile and the decoder derives them from band gain.
+      // Length checked EXACTLY (one exponent byte per subband): trailing
+      // garbage inside the segment is rejected, not silently accepted —
+      // same "reject loudly rather than guess" contract as every other
+      // malformed-header path.
       require(style == 0, s"quantization style $style with the 5/3 transform not supported")
+      require(qcdBody.length == 1 + (3 * levels + 1),
+        s"QCD payload ${qcdBody.length} B != ${1 + 3 * levels + 1} B for ${3 * levels + 1} subbands (style 0)")
     } else {
       // irreversible 9/7: scalar expounded (style 2), and the per-band
       // (eps, mu) pairs must have THIS codec's uniform-step shape
@@ -919,8 +925,8 @@ object Jp2Codec {
       require(style == 2, s"quantization style $style with the 9/7 transform not supported " +
         "(only scalar expounded)")
       val bands = (for (r <- 0 to levels; b <- bandsAt(xt, yt, levels, r)) yield b).toSeq
-      require(qcdBody.length >= 1 + 2 * bands.length,
-        s"QCD payload ${qcdBody.length} B too short for ${bands.length} subbands")
+      require(qcdBody.length == 1 + 2 * bands.length,
+        s"QCD payload ${qcdBody.length} B != ${1 + 2 * bands.length} B for ${bands.length} subbands (style 2)")
       val e0 = (beU16(qcdBody, 1) >> 11) & 0x1F
       qShiftV = e0 - LossyRb // LL has gain 0
       require(qShiftV >= -6 && qShiftV <= 3, s"quantizer exponent $e0 outside this profile")
@@ -965,6 +971,14 @@ object Jp2Codec {
     val rw = ceilDiv(tw, 1 << discard); val rh = ceilDiv(th, 1 << discard)
     val rl = hdr.levels - discard
     val tile = Array.fill(hdr.nc)(new Array[Int](rw * rh))
+    // per-coefficient decoded bit-plane depth, tracked only when a LOSSY
+    // stream is quality-truncated: dropped layers leave low bit-planes
+    // undecoded, so the dequantizer below must widen its mid-point to the
+    // effective step delta·2^depth — at keep == layers every depth is 0
+    // and the reconstruction is the familiar (|q|+0.5)·delta
+    val quantDepth =
+      if (hdr.irreversible && keep < hdr.layers) Array.fill(hdr.nc)(new Array[Int](rw * rh))
+      else null
     var p = 0
     // resolution-outermost packet walk (RLCP; ≡ LRCP for 1 layer): all of
     // a resolution's layer packets are consecutive, so per-resolution
@@ -977,7 +991,8 @@ object Jp2Codec {
           s"tile $isot body exhausted at packet (r=$r,l=$l,c=$c) — missing tile-part slices?")
         p = decs(c).readPacket(body, p, l)
       }
-      for (c <- 0 until hdr.nc) decs(c).finishInto(tile(c))
+      for (c <- 0 until hdr.nc)
+        decs(c).finishInto(tile(c), if (quantDepth == null) null else quantDepth(c))
     }
     if (exact)
       require(p == body.length, s"tile $isot body ended at $p of ${body.length}")
@@ -985,16 +1000,24 @@ object Jp2Codec {
       require(p <= body.length, s"tile $isot truncated walk overran its slices")
     if (hdr.irreversible) {
       // E.1 mid-point dequantization (r = 1/2) at the uniform step
-      // delta = 2^(-qShift), then inverse 9/7 + ICT and rounded clamp
+      // delta = 2^(-qShift), then inverse 9/7 + ICT and rounded clamp.
+      // For a quality-truncated decode the mid-point is taken at the
+      // EFFECTIVE step delta·2^depth (depth = lowest decoded bit-plane,
+      // 0 on a full decode): |v| is known only to lie in
+      // [|q|·delta, (|q|+2^depth)·delta), and reconstructing at the
+      // finest step's mid-point would bias every truncated coefficient
+      // toward zero.
       val delta = math.pow(2.0, -hdr.qShift.toDouble)
-      val ds = tile.map { q =>
+      val ds = tile.zipWithIndex.map { case (q, c) =>
+        val dep = if (quantDepth == null) null else quantDepth(c)
         val d = new Array[Double](q.length)
         var i = 0
         while (i < q.length) {
           val v = q(i)
+          val half = if (dep == null) 0.5 else 0.5 * (1 << dep(i))
           d(i) = if (v == 0) 0.0
-                 else if (v > 0) (v + 0.5) * delta
-                 else -((-v + 0.5) * delta)
+                 else if (v > 0) (v + half) * delta
+                 else -((-v + half) * delta)
           i += 1
         }
         d
@@ -1262,8 +1285,12 @@ object Jp2Codec {
     }
 
     /** Tier-1 decode every included block (all layers' chunks
-      * concatenated — one codeword segment) into the component plane. */
-    def finishInto(plane: Array[Int]): Unit = {
+      * concatenated — one codeword segment) into the component plane.
+      * When `depthPlane` is non-null it receives each coefficient's
+      * lowest decoded bit-plane ([[Ebcot.decodeBlockDepth]]) so a
+      * quality-truncated lossy dequantizer can reconstruct at the
+      * EFFECTIVE step's mid-point instead of biasing low. */
+    def finishInto(plane: Array[Int], depthPlane: Array[Int] = null): Unit = {
       val cbSz = 1 << CodeBlockExp
       for ((b, _, _, states) <- perBand) {
         val (_, ncbx, ncby) = cbGrid(b)
@@ -1275,12 +1302,15 @@ object Jp2Codec {
             val x0 = bx * cbSz; val y0 = by * cbSz
             val cw = math.min(cbSz, b.w - x0); val ch = math.min(cbSz, b.h - y0)
             val numbps = mb - s.zbp
-            val coeffs = Ebcot.decodeBlock(cw, ch, data, s.passes, numbps, b.orient)
+            val depth = if (depthPlane == null) null else new Array[Int](cw * ch)
+            val coeffs = Ebcot.decodeBlockDepth(cw, ch, data, s.passes, numbps, b.orient, depth)
             var y = 0
             while (y < ch) {
               var x = 0
               while (x < cw) {
-                plane((b.y0 + y0 + y) * w + (b.x0 + x0 + x)) = coeffs(y * cw + x)
+                val dst = (b.y0 + y0 + y) * w + (b.x0 + x0 + x)
+                plane(dst) = coeffs(y * cw + x)
+                if (depthPlane != null) depthPlane(dst) = depth(y * cw + x)
                 x += 1
               }
               y += 1
