@@ -1,0 +1,376 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.jp2.Jp2Codec
+
+/** Hand-assembled, spec-derived JPEG 2000 codestreams — ISO/IEC 15444-1
+  * Annexes A (markers), B (Tier-2 packet headers, tag trees), C (MQ
+  * coder), D (Tier-1 context model), E (quantization), F/G (transforms).
+  *
+  * WHY THIS FILE EXISTS (r16 verdict ask #1): until now every stream the
+  * decoder ever saw was produced by this repo's OWN encoder (plus tamper
+  * tests), so a complementary encode/decode bug pair — a sign
+  * convention, a tag-tree bit order, a quantization rounding — would
+  * cancel invisibly, even under the randomized round-trip property
+  * tests. Every byte in this file was assembled BY HAND from the
+  * published spec rules, with the MQ-coder register arithmetic
+  * (A/C/CT, Table C.2 state machine) worked out decision by decision in
+  * the comments, and the expected pixels derived on paper from the
+  * lifting/quantization arithmetic — NOT by running the codec. The
+  * decoder therefore decodes bytes it has never encoded; separately,
+  * the encoder is pinned byte-for-byte against the same hand assembly.
+  * A deliberate corruption of each fixture must fail loudly (typed
+  * error or different pixels), proving the assertions have teeth.
+  *
+  * Hand-assembly conventions used below (all from the spec):
+  *  - Markers: SOC FF4F; SIZ FF51; COD FF52; QCD FF5C; SOT FF90;
+  *    PLT FF58; SOD FF93; EOC FFD9 (A.2).
+  *  - This profile's fixed fields: Rsiz 0, origin 0, 8-bit unsigned
+  *    components (Ssiz 7), no subsampling, 64x64 code-blocks
+  *    (SPcod xcb-2 = 4), guard bits 2, reversible exponent
+  *    eps_b = 13 + gain_b (QCD style 0), irreversible
+  *    eps_b = 9 + gain_b + qShift with mu = 0 (style 2).
+  *  - Packet headers are MSB-first bits, zero-padded to a byte (B.10.1;
+  *    no fixture header contains a 0xFF byte, so bit stuffing never
+  *    triggers and plain packing is exact).
+  *  - MQ initial states (Table D.7): all contexts state 0 / MPS 0
+  *    except ZC context 0 -> state 4, run-length -> state 3,
+  *    UNIFORM -> state 46. Qe(0)=0x5601, Qe(1)=0x3401, Qe(3)=0x0AC1,
+  *    Qe(4)=0x0521, Qe(12)=0x1C01, Qe(46)=0x5601 (Table C.2).
+  *    Encoder init: A=0x8000, C=0, CT=12 (C.2.6); flush per C.2.9 with
+  *    the standard software conventions (carry pre-byte, trailing-0xFF
+  *    drop).
+  */
+class Jp2HandFixtureSpec extends AnyFunSuite {
+
+  private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  /** SIZ for this profile: w x h image, xt x yt tiles, nc components. */
+  private def siz(w: Int, h: Int, xt: Int, yt: Int, nc: Int): Array[Byte] = {
+    def u32(v: Int) = Seq(v >>> 24, (v >>> 16) & 0xFF, (v >>> 8) & 0xFF, v & 0xFF)
+    val fields = Seq(0xFF, 0x51, 0, 38 + 3 * nc, 0, 0) ++ // marker, Lsiz, Rsiz=0
+      u32(w) ++ u32(h) ++ u32(0) ++ u32(0) ++              // X Y XO YO
+      u32(xt) ++ u32(yt) ++ u32(0) ++ u32(0) ++            // XT YT XTO YTO
+      Seq(0, nc) ++                                        // Csiz
+      (0 until nc).flatMap(_ => Seq(7, 1, 1))              // Ssiz=7 (8-bit), no subsampling
+    bytes(fields: _*)
+  }
+
+  /** COD: Scod 0, SGcod(prog, layers, mct), SPcod(levels, 4, 4, 0, transform). */
+  private def cod(prog: Int, layers: Int, mct: Int, levels: Int, transform: Int): Array[Byte] =
+    bytes(0xFF, 0x52, 0, 12, 0, prog, layers >>> 8, layers & 0xFF, mct, levels, 4, 4, 0, transform)
+
+  /** QCD style 0 (reversible): one exponent byte (13+gain)<<3 per subband. */
+  private def qcdRev(levels: Int): Array[Byte] = {
+    val exps = Seq(13 << 3) ++ (1 to levels).flatMap(_ => Seq(14 << 3, 14 << 3, 15 << 3))
+    bytes(Seq(0xFF, 0x5C, 0, 3 + exps.length, 2 << 5) ++ exps: _*)
+  }
+
+  /** QCD style 2 (irreversible scalar expounded): u16 (9+gain+qShift)<<11 per subband. */
+  private def qcdIrrev(levels: Int, qShift: Int): Array[Byte] = {
+    val eps = Seq(9) ++ (1 to levels).flatMap(_ => Seq(10, 10, 11))
+    val body = eps.map(_ + qShift).flatMap(e => Seq((e << 11) >>> 8, (e << 11) & 0xFF))
+    bytes(Seq(0xFF, 0x5C, 0, 3 + body.length, (2 << 5) | 2) ++ body: _*)
+  }
+
+  /** SOT + PLT + SOD for one tile-part whose packets have the given lengths
+    * (every fixture packet is < 128 B, so each Iplt is one varint byte). */
+  private def tilePart(isot: Int, tpsot: Int, tnsot: Int, packets: Array[Byte]*): Array[Byte] = {
+    val lens = packets.map(_.length)
+    val plt = bytes(Seq(0xFF, 0x58, 0, 3 + lens.length, 0) ++ lens: _*)
+    val body = packets.flatten.toArray
+    val psot = 12 + plt.length + 2 + body.length
+    bytes(0xFF, 0x90, 0, 10, isot >>> 8, isot & 0xFF,
+      psot >>> 24, (psot >>> 16) & 0xFF, (psot >>> 8) & 0xFF, psot & 0xFF,
+      tpsot, tnsot) ++ plt ++ bytes(0xFF, 0x93) ++ body
+  }
+
+  private val SOC = bytes(0xFF, 0x4F)
+  private val EOC = bytes(0xFF, 0xD9)
+
+  private def pixels(img: Jp2Codec.Image): Seq[Seq[Int]] = img.comps.map(_.toSeq).toSeq
+
+  /** Every corruption of a hand fixture must fail LOUDLY: either a typed
+    * IllegalArgumentException from a violated contract, or pixels that
+    * differ from the expected plane (an MQ/Tier-2 bit flip legitimately
+    * decodes to different coefficients — that IS the loud failure). */
+  private def assertFlipFails(cs: Array[Byte], at: Int, expected: Seq[Seq[Int]]): Unit = {
+    val bad = cs.clone()
+    bad(at) = (bad(at) ^ 0x40).toByte
+    val r = try Some(Jp2Codec.decode(bad)) catch { case _: IllegalArgumentException => None }
+    r.foreach(img => assert(pixels(img) != expected, s"bit flip at byte $at went unnoticed"))
+  }
+
+
+  // ------------------------------------------------------------------
+  // Fixture A — 4x4 gray, all pixels 128, levels 0: after the DC level
+  // shift every coefficient is 0, the single code-block is never
+  // included, and the one packet is the EMPTY packet: header bit 0,
+  // zero-padded -> one byte 0x00 (B.9). No MQ coding at all.
+  // ------------------------------------------------------------------
+  test("hand fixture A: empty-packet constant image decodes to all-128") {
+    val cs = SOC ++ siz(4, 4, 4, 4, 1) ++ cod(0, 1, 0, 0, 1) ++ qcdRev(0) ++
+      tilePart(0, 0, 1, bytes(0x00)) ++ EOC
+    val expected = Seq(Seq.fill(16)(128))
+    assert(pixels(Jp2Codec.decode(cs)) == expected)
+    // the encoder must emit these exact bytes for the same image
+    val enc = Jp2Codec.encode(4, 4, Array(Array.fill(16)(128)), levels = 0)
+    assert(enc.sameElements(cs), "encoder diverges from the hand-assembled stream")
+    // NOTE: flipping the empty-packet bit itself (0x00 -> 0x80) is NOT a
+    // detectable corruption — a non-empty header whose inclusion bit then
+    // reads 0 is an alternate LEGAL encoding of the same pixels — so the
+    // loud-failure probe corrupts the SOD marker instead (the walk must
+    // reject the unknown marker or run out of bounds, typed either way)
+    assertFlipFails(cs, cs.length - 4, expected)
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture B — 2x2 gray, pixel (0,0) = 129, levels 0. One coefficient
+  // +1, numbps 1, one cleanup pass. h=2 < 4 so the stripe is short and
+  // run-length mode never arms (D.3.4): plain ZC/SC coding.
+  //
+  // Tier-1 decisions in scan order (column within stripe):
+  //   (0,0): ZC ctx 0 (no significant neighbors), bit 1; then sign,
+  //          SC ctx 9 XOR 0 (h=v=0, Table D.3), bit 0 (positive).
+  //   (0,1): v-neighbor significant -> ZC ctx 3, bit 0.
+  //   (1,0): h-neighbor significant -> ZC ctx 5, bit 0.
+  //   (1,1): diagonal only          -> ZC ctx 1, bit 0.
+  // MQ trace (A,C,CT after each step; Table C.2 arithmetic):
+  //   init A=8000 C=0 CT=12
+  //   1 LPS  ctx0@st4  Qe=0521: A=0521, renorm x5 -> A=A420 C=0     CT=7
+  //   2 MPS  ctx9@st0  Qe=5601: A=4E1F<5601 -> A=5601, renorm
+  //                                          -> A=AC02 C=0     CT=6
+  //   3 MPS  ctx3@st0  Qe=5601: A=5601, C+=5601 -> A=AC02 C=AC02 CT=5
+  //   4 MPS  ctx5@st0  Qe=5601: C=10203, renorm -> A=AC02 C=20406 CT=4
+  //   5 MPS  ctx1@st0  Qe=5601: C=25A07, renorm -> A=AC02 C=4B40E CT=3
+  //   flush: C|=FFFF=4FFFF < C+A=56010 -> keep; C<<=3 = 27FFF8;
+  //   byteout 27FFF8>>19 = 04; C=7FFF8 CT=8; C<<=8 = 7FFF800;
+  //   byteout -> FF, dropped as trailing. Codeword = [04].
+  // Packet header bits (B.10): 1 nonempty | 1 inclusion (1x1 tag tree,
+  // layer 0) | 13 zeros + 1 (zero-bitplane tag tree: mb=13+2-1=14,
+  // numbps=1 -> zbp=13) | 0 (one pass) | 0 (Lblock stays 3) |
+  // 001 (length 1 in 3 bits) -> 1100 0000 0000 0001 0000 1000
+  //                          -> C0 01 08.
+  // ------------------------------------------------------------------
+  private val fixtureB: Array[Byte] =
+    SOC ++ siz(2, 2, 2, 2, 1) ++ cod(0, 1, 0, 0, 1) ++ qcdRev(0) ++
+      tilePart(0, 0, 1, bytes(0xC0, 0x01, 0x08, 0x04)) ++ EOC
+  private val expectedB = Seq(Seq(129, 128, 128, 128))
+
+  test("hand fixture B: single +1 coefficient, hand-traced MQ codeword 0x04") {
+    assert(pixels(Jp2Codec.decode(fixtureB)) == expectedB)
+    val enc = Jp2Codec.encode(2, 2, Array(Array(129, 128, 128, 128)), levels = 0)
+    assert(enc.sameElements(fixtureB), "encoder diverges from the hand-assembled stream")
+    // flip a bit in the MQ codeword byte and in the packet header
+    assertFlipFails(fixtureB, fixtureB.length - 3, expectedB)
+    assertFlipFails(fixtureB, fixtureB.length - 6, expectedB)
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture C — 4x4 gray, pixel (0,2) = 129, levels 0: exercises the
+  // cleanup pass's RUN-LENGTH mode (full 4-column, nothing significant).
+  //
+  // Tier-1 decisions (D.3.4 + D.2):
+  //   col 0: RL armed, first set bit at k=2 -> (1, RL ctx), then k as
+  //          two UNIFORM bits (1, 0); sign SC ctx 9 bit 0; then (0,3):
+  //          v-neighbor -> ZC ctx 3, bit 0.
+  //   col 1: (0,2) is its h/d-neighbor -> RL disarmed; ZC ctx 0 bit 0
+  //          at (1,0), ctx 1 at (1,1) (diag), ctx 5 at (1,2) (h),
+  //          ctx 1 at (1,3) (diag).
+  //   col 2, col 3: RL armed, no set bit -> (0, RL ctx) each.
+  // MQ trace:
+  //   init A=8000 C=0 CT=12
+  //    1 LPS RL@st3   Qe=0AC1: A=0AC1 renorm x4 -> A=AC10 C=0      CT=8  (RL->st12)
+  //    2 LPS UNI@st46 Qe=5601: A=560F>=Qe -> A=5601, renorm
+  //                                        -> A=AC02 C=0      CT=7
+  //    3 MPS UNI@st46 Qe=5601: A=5601 C+=5601 renorm -> A=AC02 C=AC02  CT=6
+  //    4 MPS SC9@st0  Qe=5601: C=10203 renorm -> A=AC02 C=20406 CT=5
+  //    5 MPS ZC3@st0  Qe=5601: C=25A07 renorm -> A=AC02 C=4B40E CT=4
+  //    6 MPS ZC0@st4  Qe=0521: A=A6E1 (no renorm) C=4B92F       CT=4
+  //    7 MPS ZC1@st0  Qe=5601: A=50E0<Qe -> A=5601 renorm
+  //                                        -> A=AC02 C=9725E  CT=3
+  //    8 MPS ZC5@st0  Qe=5601: C=9C85F renorm -> A=AC02 C=1390BE CT=2
+  //    9 MPS ZC1@st1  Qe=3401: A=7801 C=13C4BF renorm
+  //                                        -> A=F002 C=27897E CT=1
+  //   10 MPS RL@st12  Qe=1C01: A=D401 (no renorm) C=27A57F      CT=1
+  //   11 MPS RL@st12  Qe=1C01: A=B800 (no renorm) C=27C180      CT=1
+  //   flush: C|=FFFF=27FFFF < C+A=287980 -> keep; C<<=1 = 4FFFFE;
+  //   byteout >>19 = 09; C=7FFFE CT=8; C<<=8 -> FF dropped.
+  //   Codeword = [09]. Same 1-block packet header as fixture B.
+  // ------------------------------------------------------------------
+  test("hand fixture C: run-length mode, hand-traced MQ codeword 0x09") {
+    val cs = SOC ++ siz(4, 4, 4, 4, 1) ++ cod(0, 1, 0, 0, 1) ++ qcdRev(0) ++
+      tilePart(0, 0, 1, bytes(0xC0, 0x01, 0x08, 0x09)) ++ EOC
+    val expected = Seq((0 until 16).map(i => if (i == 2 * 4 + 0) 129 else 128))
+    assert(pixels(Jp2Codec.decode(cs)) == expected)
+    val enc = Jp2Codec.encode(4, 4, Array(expected.head.toArray), levels = 0)
+    assert(enc.sameElements(cs), "encoder diverges from the hand-assembled stream")
+    assertFlipFails(cs, cs.length - 3, expected)
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture D — 1x1 RGB (129, 128, 127), levels 0, RCT on (G.2):
+  //   DC shift -> (1, 0, -1); Y = (1 + 0 - 1) >> 2 = 0, Cb = b - g = -1,
+  //   Cr = r - g = 1. Three packets (one per component, B.12.1.1 with
+  //   one resolution): Y is all-zero -> empty packet 0x00; Cb codes
+  //   (1, ZC ctx0), then sign BIT 1 (negative) in SC ctx 9; Cr the same
+  //   with sign bit 0.
+  // Cb MQ trace: init A=8000 C=0 CT=12
+  //   1 LPS ctx0@st4 Qe=0521: A=0521 renorm x5 -> A=A420 C=0 CT=7
+  //   2 LPS ctx9@st0 Qe=5601: A=4E1F<Qe -> C+=5601=5601, MPS flips
+  //     (SWITCH(0)=1), renorm -> A=9C3E C=AC02 CT=6
+  //   flush: C|=FFFF=FFFF < C+A=14840 -> keep; C<<=6=3FFFC0;
+  //   byteout >>19 = 07; then FF dropped. Codeword = [07].
+  // Cr MQ trace: step 2 is MPS: A=4E1F<Qe -> A=5601 renorm
+  //   -> A=AC02 C=0 CT=6; flush: C|=FFFF=FFFF >= C+A=AC02
+  //   -> C-=8000=7FFF; C<<=6=1FFFC0; byteout >>19 = 03; FF dropped.
+  //   Codeword = [03].
+  // Packet headers: same 1-block shape as fixture B (zbp 13, 1 pass,
+  // 1 byte) -> C0 01 08. Expected pixels: RCT inverse of (0,-1,1):
+  // g = 0 - ((-1+1)>>2) = 0, r = 1, b = -1 -> (129, 128, 127). Exact.
+  // ------------------------------------------------------------------
+  test("hand fixture D: 1x1 RGB through the RCT, sign coding both ways") {
+    val cs = SOC ++ siz(1, 1, 1, 1, 3) ++ cod(0, 1, 1, 0, 1) ++ qcdRev(0) ++
+      tilePart(0, 0, 1,
+        bytes(0x00),                   // Y: all-zero component, empty packet
+        bytes(0xC0, 0x01, 0x08, 0x07), // Cb = -1
+        bytes(0xC0, 0x01, 0x08, 0x03)  // Cr = +1
+      ) ++ EOC
+    val expected = Seq(Seq(129), Seq(128), Seq(127))
+    assert(pixels(Jp2Codec.decode(cs)) == expected)
+    val enc = Jp2Codec.encode(1, 1, Array(Array(129), Array(128), Array(127)), levels = 0)
+    assert(enc.sameElements(cs), "encoder diverges from the hand-assembled stream")
+    assertFlipFails(cs, cs.length - 3, expected) // Cr codeword byte
+    assertFlipFails(cs, cs.length - 7, expected) // Cb codeword byte
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture E — 9/7 + scalar quantization (the lossy profile), 2x2 gray
+  // with pixel (0,0) = 129, levels 0, qShift 0 (E.1 + Annex F.4):
+  //   DC shift -> 1.0; zero-level 9/7 transform is the identity;
+  //   deadzone quantizer q = floor(|1.0| / 1) = 1. Tier-1 input is the
+  //   SAME +1 coefficient block as fixture B -> codeword [04] (the MQ
+  //   trace does not depend on mb). What changes is the header: lossy
+  //   mb = 9 + 0 + 2 - 1 = 10, so zbp = 9 -> the zero-bitplane tag tree
+  //   emits 9 zeros + 1 (not 13): bits 1 1 000000000 1 0 0 001 pad
+  //   -> C0 10 80. QCD is style 2 with eps_LL = 9 (0x4800).
+  // Expected pixels, BY HAND from E.1 (not from the codec): the
+  // mid-point dequantizer reconstructs q=1 as (1+0.5)*1 = 1.5; the
+  // zero-level inverse transform is the identity; rint(1.5) = 2
+  // (IEEE round-half-even) -> pixel 130, the rest exactly 128. The
+  // lossy reconstruction error of this stream is therefore EXACTLY
+  // max_err = 1 — an l5m-family expectation anchored entirely outside
+  // Jp2Codec (r16 verdict ask #5).
+  // ------------------------------------------------------------------
+  test("hand fixture E: lossy 9/7 stream with hand-computed reconstruction error") {
+    val cs = SOC ++ siz(2, 2, 2, 2, 1) ++ cod(0, 1, 0, 0, 0) ++ qcdIrrev(0, 0) ++
+      tilePart(0, 0, 1, bytes(0xC0, 0x10, 0x80, 0x04)) ++ EOC
+    val expected = Seq(Seq(130, 128, 128, 128))
+    assert(pixels(Jp2Codec.decode(cs)) == expected)
+    val enc = Jp2Codec.encode(2, 2, Array(Array(129, 128, 128, 128)), levels = 0,
+      irreversible = true, qShift = 0)
+    assert(enc.sameElements(cs), "encoder diverges from the hand-assembled stream")
+    // hand-computed lossy error: |130 - 129| = 1, every other pixel exact
+    val orig = Seq(129, 128, 128, 128)
+    val errs = expected.head.zip(orig).map { case (a, b) => math.abs(a - b) }
+    assert(errs == Seq(1, 0, 0, 0))
+    assertFlipFails(cs, cs.length - 3, expected)
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture F — two quality layers (B.10.7 layer machinery), 2x2 gray
+  // with pixel (0,0) = 129, levels 0. The byte-balanced layer split puts
+  // the whole 1-byte codeword past the layer-0 target (floor(1*1/2)=0
+  // bytes), so the block's FIRST INCLUSION is layer 1:
+  //   packet L0: no contributions -> empty packet 0x00.
+  //   packet L1: 1 nonempty | inclusion tag tree to threshold 2 over a
+  //   leaf value of 1 -> bits 0,1 | zbp tree 13 zeros + 1 | 1 pass -> 0
+  //   | Lblock 0 | length 1 -> 001: bits 1 01 0000000000001 0 0 001 pad
+  //   -> A0 00 84; body [04]. COD says RLCP (prog 1), 2 layers.
+  // Quality truncation BY HAND: keeping only layer 0 keeps zero packets
+  // with content -> the block never becomes significant -> all-128.
+  // ------------------------------------------------------------------
+  test("hand fixture F: two-layer stream, first inclusion deferred to layer 1") {
+    val cs = SOC ++ siz(2, 2, 2, 2, 1) ++ cod(1, 2, 0, 0, 1) ++ qcdRev(0) ++
+      tilePart(0, 0, 1, bytes(0x00), bytes(0xA0, 0x00, 0x84, 0x04)) ++ EOC
+    assert(pixels(Jp2Codec.decode(cs)) == expectedB)
+    val enc = Jp2Codec.encode(2, 2, Array(Array(129, 128, 128, 128)), levels = 0, layers = 2)
+    assert(enc.sameElements(cs), "encoder diverges from the hand-assembled stream")
+    // hand-derived quality truncation: layer 0 alone decodes to all-128
+    val (hdr, parts) = Jp2Codec.tilePartsQuality(new Jp2Codec.BytesInput(cs), 1)
+    val slice = parts.head.ranges.flatMap { case (a, b) =>
+      cs.slice(a.toInt, b.toInt)
+    }.toArray
+    val t = Jp2Codec.decodeTilePartQuality(slice, hdr, 1)
+    assert(t.comps(0).toSeq == Seq(128, 128, 128, 128))
+    assertFlipFails(cs, cs.length - 3, expectedB)
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture G — multi-tile grid: 8x4 gray, 4x4 tiles, levels 0. Tile 0
+  // is fixture C's run-length block (pixel (0,2) = 129), tile 1 is
+  // constant 128 (empty packet). Each tile is independently coded
+  // (A.4.2), so the hand-assembly is literally fixture C's tile-part
+  // followed by fixture A's, with Isot 0 and 1.
+  // ------------------------------------------------------------------
+  test("hand fixture G: two tiles place pixels at absolute coordinates") {
+    val cs = SOC ++ siz(8, 4, 4, 4, 1) ++ cod(0, 1, 0, 0, 1) ++ qcdRev(0) ++
+      tilePart(0, 0, 1, bytes(0xC0, 0x01, 0x08, 0x09)) ++
+      tilePart(1, 0, 1, bytes(0x00)) ++ EOC
+    val expected = (0 until 32).map(i => if (i == 2 * 8 + 0) 129 else 128)
+    assert(pixels(Jp2Codec.decode(cs)) == Seq(expected))
+    val enc = Jp2Codec.encode(8, 4, Array(expected.toArray), levels = 0, tileSize = 4)
+    assert(enc.sameElements(cs), "encoder diverges from the hand-assembled stream")
+    // a tile-part claiming an out-of-grid Isot fails loudly
+    val bad = cs.clone()
+    val sot1 = cs.length - (12 + 6 + 2 + 1 + 2) // second SOT offset
+    assert((bad(sot1) & 0xFF) == 0xFF && (bad(sot1 + 1) & 0xFF) == 0x90)
+    bad(sot1 + 5) = 9 // Isot 1 -> 9
+    assertThrows[IllegalArgumentException](Jp2Codec.decode(bad))
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture H — multi tile-part (TNsot = 2) with one decomposition
+  // level, 8x8 constant gray: the 5/3 lifting of a constant plane is
+  // zero everywhere after the DC shift (high-pass of a constant is 0,
+  // low-pass update adds floor((0+0+2)/4) = 0), so both resolutions'
+  // packets are empty. Tile-part 0 carries the r=0 packet, tile-part 1
+  // the r=1 packet (resolution-boundary split, A.4.2 TPsot/TNsot).
+  // QCD style 0 now lists 4 subbands: LL 13, HL/LH 14, HH 15 (<<3).
+  // The d=1 reduced decode of the hand stream is the 4x4 LL pyramid:
+  // all 128 BY HAND (LL of a constant-0 plane is 0).
+  // ------------------------------------------------------------------
+  test("hand fixture H: two tile-parts split at the resolution boundary") {
+    val cs = SOC ++ siz(8, 8, 8, 8, 1) ++ cod(0, 1, 0, 1, 1) ++ qcdRev(1) ++
+      tilePart(0, 0, 2, bytes(0x00)) ++
+      tilePart(0, 1, 2, bytes(0x00)) ++ EOC
+    assert(pixels(Jp2Codec.decode(cs)) == Seq(Seq.fill(64)(128)))
+    val enc = Jp2Codec.encode(8, 8, Array(Array.fill(64)(128)), levels = 1, partsPerTile = 2)
+    assert(enc.sameElements(cs), "encoder diverges from the hand-assembled stream")
+    val red = Jp2Codec.decodeReduced(cs, 1)
+    assert(red.width == 4 && red.height == 4 && red.comps(0).toSeq == Seq.fill(16)(128))
+    // dropping the second tile-part must fail the completeness check
+    val truncated = cs.dropRight(EOC.length + 21) ++ EOC // 21 = part 1's Psot
+    assertThrows[IllegalArgumentException](Jp2Codec.decode(truncated))
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture I — JP2 container assembled by hand (ISO 15444-1 Annex I):
+  // signature box (12 B fixed), a minimal ftyp box, then the jp2c box
+  // wrapping fixture B's codestream. The box walk must find the
+  // codestream and decode the same pixels.
+  // ------------------------------------------------------------------
+  test("hand fixture I: hand-built JP2 container walks to jp2c") {
+    val sig = bytes(0x00, 0x00, 0x00, 0x0C, 0x6A, 0x50, 0x20, 0x20, 0x0D, 0x0A, 0x87, 0x0A)
+    val ftypLen = 8 + 4 + 4 + 4 // brand jp2\040, minor 0, compat jp2\040
+    val ftyp = bytes(0, 0, 0, ftypLen, 'f', 't', 'y', 'p',
+      'j', 'p', '2', ' ', 0, 0, 0, 0, 'j', 'p', '2', ' ')
+    val jp2cLen = 8 + fixtureB.length
+    val jp2c = bytes((jp2cLen >>> 24), (jp2cLen >>> 16) & 0xFF, (jp2cLen >>> 8) & 0xFF,
+      jp2cLen & 0xFF, 'j', 'p', '2', 'c') ++ fixtureB
+    val container = sig ++ ftyp ++ jp2c
+    assert(pixels(Jp2Codec.decode(container)) == expectedB)
+    val hdr = Jp2Codec.header(container)
+    assert(hdr.width == 2 && hdr.height == 2 && hdr.nc == 1)
+  }
+}
