@@ -103,7 +103,8 @@ object PlanAudit {
       "l5h_jp2_tiled_parallel" -> "distributed single-scan JP2 decode: streamed Psot-chain split over the file LISTING (binaryFile pruned to path+length; ranged header reads, REQUIRED < 1/8 of the file — no 2 GiB cap, no whole-file fetch) -> ONE pinned-width exchange spreading the file's tile-parts (REPARTITION_BY_NUM: AQE's byte-based coalescing would fold ~140 B descriptors into one partition and serialize the decode) -> ranged-read + standalone tile decode per task -> partial-agg of channel sums (scalars cross the shuffle, never pixels)",
       "l5j_jp2_thumbnail_ranged" -> "distributed ranged thumbnail: the same streamed listing-driven split as l5h, with spans TRUNCATED to each tile-part's PLT low-res prefix (split walk + prefixes together REQUIRED < 1/2 the scan) -> pinned-width exchange (same ~140 B-descriptor AQE-coalescing hazard) -> per-task ranged read of ONLY the prefix + standalone reduced tile decode -> max-agg of reduced-grid extents",
       "l5k_jp2_quality_ranged" -> "distributed quality-progressive fetch (the LAYER axis; l5j is the resolution axis): streamed listing-driven split computes per tile-part the byte ranges of the FIRST quality layer's packets across all resolutions from PLT (walk + ranges REQUIRED < 3/4 the scan) -> pinned-width exchange -> per-task scattered ranged reads assemble the compacted slice + standalone quality-truncated decode (full resolution, reduced fidelity) -> max-agg of full-res extents",
-      "l5l_jp2_region_ranged" -> "distributed region (crop) fetch (the SPATIAL axis; the IIIF region request done engine-side): streamed listing-driven split keeps only tile-part spans whose grid rectangle intersects the crop (kept bytes REQUIRED proportional to the cropped tile footprint) -> pinned-width exchange -> per-task ranged read + standalone decode + clip -> sum-agg of the crop's ACTUAL decoded pixels, hash-matched against the closed-form crop arithmetic")
+      "l5l_jp2_region_ranged" -> "distributed region (crop) fetch (the SPATIAL axis; the IIIF region request done engine-side): streamed listing-driven split keeps only tile-part spans whose grid rectangle intersects the crop (kept bytes REQUIRED proportional to the cropped tile footprint) -> pinned-width exchange -> per-task ranged read + standalone decode + clip -> sum-agg of the crop's ACTUAL decoded pixels, hash-matched against the closed-form crop arithmetic",
+      "l5n_jp2_precinct_region" -> "PRECINCT-granular region fetch (r17; what precincts exist for): on a precinct-partitioned master the streamed split keeps only the PACKETS of precincts inside the inverse-DWT-dilated crop (PLT arithmetic; walk + ranges REQUIRED < 1/2 the scan even though EVERY 192-tile intersects the crop) -> pinned-width exchange -> per-task scattered ranged reads + precinct-filtered decode (skipped precincts stay zero; margin makes crop pixels bit-exact) + clip -> sum-agg hash-matched against the closed-form crop arithmetic")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries (sf0.01)\n\n")
     sb.append("Generated by `graft.PlanAudit`; re-run after plan-affecting changes.\n\n")

@@ -1627,6 +1627,104 @@ object Sources {
         $"n_tiles_fetched", $"sum_c0", $"sum_c1", $"sum_c2")
   }
 
+  private val precinctJp2Staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Synthesize one PRECINCT-PARTITIONED scan (staged once per JVM):
+    * 384x192 RGB, two 192-tiles each split in 2 tile-parts, 2 quality
+    * layers, 32x32 precincts on every resolution (Scod bit 0, the
+    * Kakadu-style random-access profile real archival masters carry).
+    * Pixel formula is the l5h/l5j family so the oracle is closed-form. */
+  private[graft] def stagePrecinctJp2(): String =
+    precinctJp2Staged.computeIfAbsent("prec", { _ =>
+      val dir = tmp("l5n_jp2")
+      val (w, h) = (768, 384)
+      val comps = Array.tabulate(3) { c =>
+        Array.tabulate(w * h)(j => ((j % w) * (7 + 2 * c) + (j / w) * 11 + c * 29) % 256)
+      }
+      val cs = graft.sources.jp2.Jp2Codec.encode(w, h, comps, levels = 3,
+        tileSize = 384, layers = 2, partsPerTile = 2, precinctExp = 5)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/page_0.jp2"),
+        graft.sources.Jp2Box.buildContainer(w, h, cs))
+      dir
+    })
+
+  /** L5n: PRECINCT-granular region fetch — the reason precincts exist
+    * (B.6): l5l fetches whole TILE-parts intersecting the crop; on a
+    * precinct-partitioned master the split keeps only the PACKETS of
+    * precincts inside the crop dilated by the inverse-DWT dependency
+    * margin ([[graft.sources.jp2.Jp2Codec.tilePartsRegion]]: PLT
+    * arithmetic over the streamed header walk, never a body byte), so a
+    * crop of a gigapixel page fetches the crop's fraction of BYTES even
+    * when tiles are huge. Tasks ranged-read the kept ranges, run the
+    * precinct-filtered [[graft.sources.jp2.Jp2Codec.decodeTileRegion]]
+    * (skipped precincts stay zero; the margin makes every pixel INSIDE
+    * the crop bit-exact — pinned by Jp2CodecSpec), clip, and emit
+    * per-channel sums the oracle recomputes closed-form from the staging
+    * arithmetic — the hash is over the crop's actual decoded pixels. The
+    * in-query require pins walk + fetch under half the scan (the crop is
+    * ~10% of the pixels; tile-granular fetch would need 100% — both
+    * tiles intersect the crop). */
+  def l5nJp2PrecinctRegion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stagePrecinctJp2()
+    // the clipping spans both 384-tiles: x 300..539, y 140..259 (~10%
+    // of the pixels; the dilation margin amortizes at this tile size)
+    val (cx0, cy0, cx1, cy1) = (300, 140, 540, 260)
+    val tiles = jp2RangedSplit(
+      spark.read.format("binaryFile").load(staged)
+        .select($"path", $"length").as[(String, Long)] // listing only: content never read
+    ) { (p, fileLen, in) =>
+        val (hdr, parts) = graft.sources.jp2.Jp2Codec.tilePartsRegion(in, cx0, cy0, cx1, cy1)
+        val fetch = parts.map(_.fetchBytes).sum
+        // precinct-granularity contract: header walk + kept packet ranges
+        // stay under half the scan even though EVERY tile intersects the
+        // crop (tile-granular fetch would read the whole file)
+        require((in.bytesRead + fetch) * 2 < fileLen,
+          s"$p: walk ${in.bytesRead} B + region ranges $fetch B not a fraction of $fileLen B")
+        parts.map(t => (p, t.index, t.ranges.flatMap(r => Seq(r._1, r._2)),
+          hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
+          hdr.layers, hdr.pp))
+      }
+      .toDF("path", "tile", "ranges", "w", "h", "nc", "xt", "yt", "rct", "levels",
+        "nlayers", "pp")
+      .repartition(spark.sparkContext.defaultParallelism, col("path"), col("tile"))
+      .as[(String, Int, Seq[Long], Int, Int, Int, Int, Int, Boolean, Int, Int, Int)]
+    val perTile = tiles.mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.map { case (p, _, ranges, w, h, nc, xt, yt, rct, levels, nlayers, pp) =>
+        val slice = jp2FetchRanges(conf, p,
+          ranges.grouped(2).map(r => (r(0), r(1))).toSeq)
+        val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels,
+          nlayers, pp = pp)
+        val t = graft.sources.jp2.Jp2Codec.decodeTileRegion(slice, hdr, cx0, cy0, cx1, cy1)
+        val ix0 = math.max(cx0, t.x0); val ix1 = math.min(cx1, t.x0 + t.width)
+        val iy0 = math.max(cy0, t.y0); val iy1 = math.min(cy1, t.y0 + t.height)
+        val sums = new Array[Long](3)
+        var c = 0
+        while (c < nc) {
+          var y = iy0
+          while (y < iy1) {
+            var x = ix0
+            while (x < ix1) {
+              sums(c) += t.comps(c)((y - t.y0) * t.width + (x - t.x0))
+              x += 1
+            }
+            y += 1
+          }
+          c += 1
+        }
+        (p, sums(0), sums(1), sums(2))
+      }
+    }.toDF("path", "s0", "s1", "s2")
+    perTile
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n_tiles_fetched"),
+        sum($"s0").as("sum_c0"), sum($"s1").as("sum_c1"), sum($"s2").as("sum_c2"))
+      .select(element_at(split($"path", "/"), -1).as("file_name"),
+        $"n_tiles_fetched", $"sum_c0", $"sum_c1", $"sum_c2")
+  }
+
   private val lossyJp2Staged = new java.util.concurrent.ConcurrentHashMap[String, (String, Map[String, Long])]()
 
   /** Synthesize 4 LOSSY (9/7 + ICT + scalar quantization, qShift = -2 →
@@ -2086,6 +2184,7 @@ object Sources {
     "l5k_jp2_quality_ranged" -> (l5kJp2QualityRanged _),
     "l5l_jp2_region_ranged" -> (l5lJp2RegionRanged _),
     "l5m_jp2_lossy_decode" -> (l5mJp2LossyDecode _),
+    "l5n_jp2_precinct_region" -> (l5nJp2PrecinctRegion _),
     "l5d_audio_features" -> (l5dAudioFeatures _),
     "l5f_vad_segments" -> (l5fVadSegments _),
     "l5e_image_phash" -> (l5eImagePhash _),
@@ -2517,6 +2616,18 @@ object Sources {
         |  SELECT x, y FROM (SELECT unnest(generate_series(70, 189)) AS x),
         |                   (SELECT unnest(generate_series(70, 129)) AS y))
         |SELECT 'page_0.jp2' AS file_name, CAST(4 AS BIGINT) AS n_tiles_fetched,
+        |  CAST(SUM((x * 7 + y * 11) % 256) AS BIGINT) AS sum_c0,
+        |  CAST(SUM((x * 9 + y * 11 + 29) % 256) AS BIGINT) AS sum_c1,
+        |  CAST(SUM((x * 11 + y * 11 + 58) % 256) AS BIGINT) AS sum_c2
+        |FROM px""".stripMargin,
+    // the crop's pixels recomputed closed-form from the staging
+    // arithmetic — the precinct-filtered decode must reproduce them
+    // bit-exactly from the region's fraction of the bytes
+    "l5n_jp2_precinct_region" ->
+      """WITH px AS (
+        |  SELECT x, y FROM (SELECT unnest(generate_series(300, 539)) AS x),
+        |                   (SELECT unnest(generate_series(140, 259)) AS y))
+        |SELECT 'page_0.jp2' AS file_name, CAST(2 AS BIGINT) AS n_tiles_fetched,
         |  CAST(SUM((x * 7 + y * 11) % 256) AS BIGINT) AS sum_c0,
         |  CAST(SUM((x * 9 + y * 11 + 29) % 256) AS BIGINT) AS sum_c1,
         |  CAST(SUM((x * 11 + y * 11 + 58) % 256) AS BIGINT) AS sum_c2

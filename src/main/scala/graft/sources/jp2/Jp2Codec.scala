@@ -150,7 +150,8 @@ object Jp2Codec {
     * over unchanged — only the sample<->coefficient ends differ. */
   def encode(w: Int, h: Int, comps: Array[Array[Int]], levels: Int = 3,
       tileSize: Int = 0, layers: Int = 1, partsPerTile: Int = 1,
-      irreversible: Boolean = false, qShift: Int = 0): Array[Byte] = {
+      irreversible: Boolean = false, qShift: Int = 0,
+      precinctExp: Int = 15, sop: Boolean = false, eph: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0, "empty image")
     require(comps.length == 1 || comps.length == 3, "1 or 3 components")
     require(comps.forall(_.length == w * h), "component size mismatch")
@@ -163,6 +164,13 @@ object Jp2Codec {
       s"partsPerTile $partsPerTile out of 1..${levels + 1} (split at resolution boundaries)")
     require(irreversible || qShift == 0, "qShift only applies to the irreversible path")
     require(qShift >= -6 && qShift <= 3, s"qShift $qShift out of -6..3")
+    // pp = 15 is the spec default ("no precinct subdivision" in practice:
+    // 2^15 precincts, Scod bit 0 clear); smaller values partition every
+    // resolution into 2^pp x 2^pp precincts (uniform square — the common
+    // archival-encoder shape). pp >= 1 keeps the band-coordinate exponent
+    // pp-1 >= 0 for r > 0 (B.6).
+    require(precinctExp >= 1 && precinctExp <= 15,
+      s"precinctExp $precinctExp out of 1..15")
     val nc = comps.length
     val useRct = nc == 3
     val xt = if (tileSize == 0) w else tileSize
@@ -186,8 +194,11 @@ object Jp2Codec {
     u32(xt.toLong); u32(yt.toLong); u32(0); u32(0)
     u16(nc)
     for (_ <- 0 until nc) { u8(7); u8(1); u8(1) } // 8-bit unsigned, no subsampling
-    // COD
-    u16(0xFF52); u16(12); u8(0) // Scod: default precincts, no SOP/EPH
+    // COD — Scod bit 0 flags explicit precinct sizes (one SPcod byte per
+    // resolution, PPy<<4 | PPx), bits 1/2 flag SOP/EPH markers (A.6.1)
+    val explicitPrec = precinctExp < 15
+    val scod = (if (explicitPrec) 1 else 0) | (if (sop) 2 else 0) | (if (eph) 4 else 0)
+    u16(0xFF52); u16(12 + (if (explicitPrec) levels + 1 else 0)); u8(scod)
     u8(if (layers > 1) 1 else 0) // RLCP for multi-layer, LRCP otherwise
     u16(layers)
     u8(if (useRct) 1 else 0)
@@ -195,6 +206,7 @@ object Jp2Codec {
     u8(CodeBlockExp - 2); u8(CodeBlockExp - 2)
     u8(0) // code-block style: all defaults
     u8(if (irreversible) 0 else 1) // SPcod transform: 0 = 9/7, 1 = 5/3
+    if (explicitPrec) for (_ <- 0 to levels) u8(precinctExp | (precinctExp << 4))
     // QCD — exponents depend only on band gain, so one main-header QCD
     // covers every tile regardless of tile dimensions. Reversible: style
     // 0 (no quantization), one exponent byte per subband. Irreversible:
@@ -264,14 +276,31 @@ object Jp2Codec {
         }
 
       // tile body: packets resolution-outermost (RLCP; identical to LRCP
-      // for 1 layer), lengths kept for PLT. Tier-1 runs once per
-      // (component, resolution); layers slice its passes.
+      // for 1 layer), within a resolution layer{component{precinct}}
+      // (A.6.1), lengths kept for PLT. Tier-1 runs once per (component,
+      // resolution); layers slice its passes. Nsop numbers packets per
+      // tile across all its tile-parts (A.8.1).
+      var nsop = 0
       val packetsByRes: IndexedSeq[Seq[Array[Byte]]] =
         for (r <- 0 to levels) yield {
           val encs = comps.indices.map(c =>
             new ResEncoder(planes(c), tw, th, levels, r, layers,
-              mbBaseFor(irreversible, qShift)))
-          for (l <- 0 until layers; c <- 0 until nc) yield encs(c).encodeLayer(l)
+              mbBaseFor(irreversible, qShift), x0, y0, precinctExp))
+          val np = encs.head.grid.num
+          for (l <- 0 until layers; c <- 0 until nc; p <- 0 until np) yield {
+            val pkt = encs(c).encodeLayer(l, p, eph)
+            val out =
+              if (!sop) pkt
+              else {
+                val o = new Array[Byte](6 + pkt.length)
+                o(0) = 0xFF.toByte; o(1) = 0x91.toByte; o(2) = 0; o(3) = 4
+                o(4) = ((nsop >> 8) & 0xFF).toByte; o(5) = (nsop & 0xFF).toByte
+                System.arraycopy(pkt, 0, o, 6, pkt.length)
+                o
+              }
+            nsop = (nsop + 1) & 0xFFFF
+            out
+          }
         }
 
       // split the resolution groups across tile-parts as evenly as
@@ -328,7 +357,8 @@ object Jp2Codec {
     * outside that shape is rejected at parse, so two ints suffice). */
   final case class Header(width: Int, height: Int, nc: Int, xt: Int, yt: Int,
       useRct: Boolean, levels: Int, layers: Int = 1,
-      irreversible: Boolean = false, qShift: Int = 0) {
+      irreversible: Boolean = false, qShift: Int = 0,
+      pp: Int = 15, sop: Boolean = false, eph: Boolean = false) {
     def ntx: Int = ceilDiv(width, xt)
     def nty: Int = ceilDiv(height, yt)
   }
@@ -516,10 +546,11 @@ object Jp2Codec {
     val (hdr, spans) = tileParts(in)
     require(discard >= 0 && discard <= hdr.levels,
       s"discard $discard out of 0..${hdr.levels}")
-    // packets per kept resolution = layers * components (RLCP keeps them
-    // a contiguous prefix of every tile's packet sequence regardless of
-    // layer count)
-    val keep = (hdr.levels - discard + 1) * hdr.nc * hdr.layers
+    // packets per kept resolution = layers * components * precincts(r)
+    // (RLCP keeps them a contiguous prefix of every tile's packet
+    // sequence regardless of layer count); precinct counts are per tile,
+    // so the kept-prefix length is too
+    def keepFor(t: Int): Int = packetsPerRes(hdr, t).take(hdr.levels - discard + 1).sum
     // per-tile packet counters across the stream-order walk; the spec
     // requires a tile's parts to appear in TPsot order (A.4.2), which the
     // accumulation stands on — enforced, not assumed
@@ -535,6 +566,7 @@ object Jp2Codec {
           s"tile ${s.index}: no PLT on a multi-tile-part tile — cannot compute the reduced prefix")
         Some(s) // no PLT: fall back to the full span
       } else {
+        val keep = keepFor(s.index)
         val before = pktSeen(s.index)
         pktSeen(s.index) = before + lens.length
         if (before >= keep) None // wholly past the prefix: dropped
@@ -546,8 +578,8 @@ object Jp2Codec {
       }
     }
     for (t <- 0 until hdr.ntx * hdr.nty)
-      require(pktSeen(t) == 0 || pktSeen(t) >= keep,
-        s"tile $t: PLT lists ${pktSeen(t)} packets across its parts, need $keep")
+      require(pktSeen(t) == 0 || pktSeen(t) >= keepFor(t),
+        s"tile $t: PLT lists ${pktSeen(t)} packets across its parts, need ${keepFor(t)}")
     (hdr, out)
   }
 
@@ -672,8 +704,6 @@ object Jp2Codec {
     val (hdr, spans) = tileParts(in)
     require(keepLayers >= 1 && keepLayers <= hdr.layers,
       s"keepLayers $keepLayers out of 1..${hdr.layers}")
-    val perRes = hdr.layers * hdr.nc
-    val totalPackets = (hdr.levels + 1) * perRes
     // group spans per tile in stream order (= TPsot order, enforced)
     val byTile = scala.collection.mutable.LinkedHashMap.empty[Int, ArrayBuffer[TilePartSpan]]
     for (s <- spans) byTile.getOrElseUpdate(s.index, ArrayBuffer.empty) += s
@@ -698,7 +728,14 @@ object Jp2Codec {
         RangedTilePart(isot, Seq((s.pos, s.pos + s.len)), fullLen)
       } else {
         // the compacted slice: part-0 header, then every kept packet in
-        // global (resolution-outermost) order across the parts
+        // global (resolution-outermost) order across the parts. Within
+        // resolution r packets run layer{component{precinct}}, so the
+        // kept set is the first keepLayers*nc*precincts(r) of each
+        // resolution's chunk — per-tile precinct counts from the same
+        // absolute grid the coders use.
+        val pkr = packetsPerRes(hdr, isot)
+        val cum = pkr.scanLeft(0)(_ + _)
+        val totalPackets = cum.last
         val ranges = ArrayBuffer[(Long, Long)]((parts.head.pos, headers.head._1))
         def addRange(from: Long, until: Long): Unit = {
           val (lastFrom, lastUntil) = ranges.last
@@ -706,10 +743,15 @@ object Jp2Codec {
           else ranges += ((from, until))
         }
         var gp = 0 // global packet index across the tile's parts
+        var res = 0 // resolution of packet gp (walk pointer)
         for ((s, (bodyStart, lens)) <- parts.zip(headers)) {
           var at = bodyStart
           for (len <- lens) {
-            if (gp % perRes < keepLayers * hdr.nc) addRange(at, at + len)
+            require(gp < totalPackets,
+              s"tile $isot: PLT lists more than $totalPackets packets")
+            while (gp >= cum(res + 1)) res += 1
+            val keptOfRes = keepLayers * hdr.nc * (pkr(res) / (hdr.layers * hdr.nc))
+            if (gp - cum(res) < keptOfRes) addRange(at, at + len)
             at += len
             gp += 1
           }
@@ -722,6 +764,119 @@ object Jp2Codec {
       }
     }.toSeq
     (hdr, out)
+  }
+
+  /** Inverse-DWT dependency margin, RESOLUTION-grid samples: a pixel in
+    * the crop depends on level-l coefficients within radius <= 4 of the
+    * crop's level-l footprint per lifting stage chain (9/7, the wider
+    * filter; 5/3 needs 2), compounding down the pyramid as
+    * R/2^l + 4 + 4/2 + ... < R/2^l + 8 in band coords — so 16 on the
+    * resolution grid covers every band of every resolution. Shared by
+    * [[tilePartsRegion]] and [[decodeTileRegion]]: the two MUST agree or
+    * the compacted slice would misparse. */
+  private val RegionMargin = 16
+
+  /** Does precinct `p` of (tile dims tw x th at absolute (atx, aty),
+    * resolution r) intersect the crop dilated by [[RegionMargin]]? */
+  private def precinctInRegion(tw: Int, th: Int, nl: Int, r: Int, atx: Int, aty: Int,
+      pp: Int, p: Int, cx0: Int, cy0: Int, cx1: Int, cy1: Int): Boolean = {
+    val g = precGrid(tw, th, nl, r, atx, aty, pp)
+    val px = g.p0x + p % g.npx; val py = g.p0y + p / g.npx
+    val shift = nl - r
+    val rx0 = (cx0 >> shift) - RegionMargin
+    val ry0 = (cy0 >> shift) - RegionMargin
+    val rx1 = ceilDiv(cx1, 1 << shift) + RegionMargin
+    val ry1 = ceilDiv(cy1, 1 << shift) + RegionMargin
+    (px << pp) < rx1 && rx0 < ((px + 1) << pp) &&
+      (py << pp) < ry1 && ry0 < ((py + 1) << pp)
+  }
+
+  /** The SPATIAL axis of the ranged-fetch story at PRECINCT granularity
+    * (what precincts exist for — B.6): per tile INTERSECTING the crop,
+    * the byte ranges holding the first tile-part's header plus only the
+    * packets of precincts whose resolution-grid rectangle intersects the
+    * crop dilated by the inverse-DWT dependency margin — computed from
+    * the PLT packet lengths, streamed header walk, never a body byte.
+    * Tiles are transformed independently, so tile SELECTION needs no
+    * margin; within a tile the margin makes the filtered decode
+    * bit-exact inside the crop. Hand the concatenated ranges to
+    * [[decodeTileRegion]] with the same crop. A crop of a precinct-
+    * partitioned gigapixel page thus fetches the crop's fraction of
+    * BYTES, not the tile's — tile-granular fetch ([[tileParts]] + span
+    * filter, the l5l shape) is the degenerate pp = 15 case. Requires
+    * PLT (this profile always writes it). */
+  def tilePartsRegion(in: RangedInput, cx0: Int, cy0: Int, cx1: Int,
+      cy1: Int): (Header, Seq[RangedTilePart]) = {
+    val (hdr, spans) = tileParts(in)
+    require(cx0 >= 0 && cy0 >= 0 && cx0 < cx1 && cy0 < cy1 &&
+      cx1 <= hdr.width && cy1 <= hdr.height,
+      s"crop [$cx0,$cx1)x[$cy0,$cy1) outside the ${hdr.width}x${hdr.height} image")
+    val byTile = scala.collection.mutable.LinkedHashMap.empty[Int, ArrayBuffer[TilePartSpan]]
+    for (s <- spans) byTile.getOrElseUpdate(s.index, ArrayBuffer.empty) += s
+    val out = byTile.iterator.flatMap { case (isot, parts) =>
+      val tx0 = (isot % hdr.ntx) * hdr.xt; val ty0 = (isot / hdr.ntx) * hdr.yt
+      val tw = math.min(hdr.xt, hdr.width - tx0); val th = math.min(hdr.yt, hdr.height - ty0)
+      if (!(tx0 < cx1 && cx0 < tx0 + tw && ty0 < cy1 && cy0 < ty0 + th)) None
+      else {
+        require(parts.map(_.part).toSeq == (0 until parts.length),
+          s"tile $isot: tile-parts out of TPsot order or incomplete: ${parts.map(_.part).mkString(",")}")
+        require(parts.length == parts.head.nparts,
+          s"tile $isot: ${parts.length} tile-parts present, TNsot says ${parts.head.nparts}")
+        val fullLen = parts.map(_.len).sum
+        val headers = parts.map(s => tilePartHeader(in, s.pos))
+        require(headers.forall(_._2 != null),
+          s"tile $isot: no PLT — cannot region-truncate to precinct ranges")
+        val pkr = packetsPerRes(hdr, isot)
+        val cum = pkr.scanLeft(0)(_ + _)
+        val totalPackets = cum.last
+        val ranges = ArrayBuffer[(Long, Long)]((parts.head.pos, headers.head._1))
+        def addRange(from: Long, until: Long): Unit = {
+          val (lastFrom, lastUntil) = ranges.last
+          if (lastUntil == from) ranges(ranges.length - 1) = (lastFrom, until)
+          else ranges += ((from, until))
+        }
+        var gp = 0
+        var res = 0
+        for ((s, (bodyStart, lens)) <- parts.zip(headers)) {
+          var at = bodyStart
+          for (len <- lens) {
+            require(gp < totalPackets, s"tile $isot: PLT lists more than $totalPackets packets")
+            while (gp >= cum(res + 1)) res += 1
+            val np = pkr(res) / (hdr.layers * hdr.nc)
+            val p = (gp - cum(res)) % np // within res: layer{component{precinct}}
+            if (precinctInRegion(tw, th, hdr.levels, res, tx0, ty0, hdr.pp, p,
+                cx0, cy0, cx1, cy1)) addRange(at, at + len)
+            at += len
+            gp += 1
+          }
+          require(at == s.pos + s.len,
+            s"tile $isot part ${s.part}: PLT lengths end at $at, Psot says ${s.pos + s.len}")
+        }
+        require(gp == totalPackets,
+          s"tile $isot: PLT lists $gp packets across its parts, expected $totalPackets")
+        Some(RangedTilePart(isot, ranges.toSeq, fullLen))
+      }
+    }.toSeq
+    (hdr, out)
+  }
+
+  /** Decode ONE tile from a COMPACTED region slice (the concatenated
+    * bytes of [[tilePartsRegion]]'s ranges) — the packet walk visits
+    * exactly the precincts the walker kept (same crop, same margin), so
+    * the slice is consumed to the last byte; coefficients of skipped
+    * precincts stay zero, and the [[RegionMargin]] dependency bound
+    * makes every pixel INSIDE the crop bit-exact (outside it, margin
+    * pixels decay — callers clip to the crop). */
+  def decodeTileRegion(slice: Array[Byte], hdr: Header, cx0: Int, cy0: Int,
+      cx1: Int, cy1: Int): Tile = {
+    val sot = parseSliceSot(slice)
+    require(sot.part == 0, "compacted region slice must start at tile-part 0")
+    val tx0 = (sot.isot % hdr.ntx) * hdr.xt; val ty0 = (sot.isot / hdr.ntx) * hdr.yt
+    val tw = math.min(hdr.xt, hdr.width - tx0); val th = math.min(hdr.yt, hdr.height - ty0)
+    val body = java.util.Arrays.copyOfRange(slice, sot.bodyStart, slice.length)
+    decodeTileCore(sot.isot, body, hdr, 0, hdr.layers, exact = true,
+      keepPrec = (r, p) => precinctInRegion(tw, th, hdr.levels, r, tx0, ty0,
+        hdr.pp, p, cx0, cy0, cx1, cy1))
   }
 
   private def beU16(b: Array[Byte], i: Int): Int =
@@ -823,6 +978,7 @@ object Jp2Codec {
     var w = 0; var h = 0; var nc = 0; var xt = 0; var yt = 0
     var useRct = false; var levels = -1; var layersV = 1
     var irrev = false
+    var ppV = 15; var sopV = false; var ephV = false
     // QCD is validated AFTER the loop: its per-band shape needs `levels`
     // and the transform, and the spec fixes no marker order within the
     // main header
@@ -870,9 +1026,12 @@ object Jp2Codec {
                 require((b(36 + 3 * c) & 0xFF) == 7, "only 8-bit unsigned components")
                 require(b(37 + 3 * c) == 1 && b(38 + 3 * c) == 1, "no subsampling")
               }
-            case 0xFF52 => // COD: Scod SGcod(prog layers mct) SPcod
+            case 0xFF52 => // COD: Scod SGcod(prog layers mct) SPcod [+precincts]
               val b = body(10)
-              require((b(0) & 0xFF) == 0, "precinct/SOP/EPH options not supported")
+              val scod = b(0) & 0xFF
+              // bit 0 = explicit precinct sizes, bit 1 = SOP, bit 2 = EPH;
+              // anything above is outside Part 1 — reject, don't guess
+              require((scod & ~0x07) == 0, f"Scod options $scod%02x not supported")
               val prog = b(1) & 0xFF
               require(prog == 0 || prog == 1, s"progression order $prog not supported (LRCP/RLCP only)")
               layersV = beU16(b, 2)
@@ -891,6 +1050,26 @@ object Jp2Codec {
               require(transform == 0 || transform == 1,
                 s"unknown wavelet transform $transform")
               irrev = transform == 0 // 0 = irreversible 9/7, 1 = reversible 5/3
+              sopV = (scod & 2) != 0
+              ephV = (scod & 4) != 0
+              if ((scod & 1) != 0) {
+                // one precinct-size byte per resolution (PPy<<4 | PPx).
+                // This profile decodes UNIFORM SQUARE precincts (the
+                // common archival shape) — per-resolution or rectangular
+                // sizes are rejected loudly rather than walked wrong.
+                require(b.length == 10 + levels + 1,
+                  s"COD payload ${b.length} B != ${10 + levels + 1} B with explicit precincts")
+                val pe = b(10) & 0x0F
+                require((0 to levels).forall { i =>
+                  val v = b(10 + i) & 0xFF
+                  (v & 0x0F) == pe && (v >> 4) == pe
+                }, "non-uniform or non-square precinct sizes not supported")
+                require(pe >= 1 && pe <= 15, s"precinct exponent $pe out of 1..15")
+                ppV = pe
+              } else {
+                require(b.length == 10, s"COD payload ${b.length} B != 10 B")
+                ppV = 15
+              }
             case 0xFF5C => // QCD — stashed, validated once levels are known
               qcdBody = body(1)
             case mm if SkippableMainMarkers(mm) => () // informational, skip by length
@@ -939,7 +1118,8 @@ object Jp2Codec {
             s"expected eps=${LossyRb + b.gain + qShiftV} mu=0)")
       }
     }
-    val hdr = Header(w, h, nc, xt, yt, useRct, levels, layersV, irrev, qShiftV)
+    val hdr = Header(w, h, nc, xt, yt, useRct, levels, layersV, irrev, qShiftV,
+      ppV, sopV, ephV)
     require(hdr.ntx * hdr.nty == 1 || (xt % (1 << levels) == 0 && yt % (1 << levels) == 0),
       s"multi-tile grid with tile dims not multiples of 2^$levels (absolute-" +
         "parity subband geometry) not supported")
@@ -957,7 +1137,8 @@ object Jp2Codec {
     * walk consumed the body to the last byte (full decodes and compacted
     * quality slices); prefix decodes assert it stayed inside. */
   private def decodeTileCore(isot: Int, body: Array[Byte], hdr: Header, discard: Int,
-      keepLayers: Int, exact: Boolean): Tile = {
+      keepLayers: Int, exact: Boolean,
+      keepPrec: (Int, Int) => Boolean = null): Tile = {
     require(discard >= 0 && discard <= hdr.levels,
       s"discard $discard out of 0..${hdr.levels}")
     require(keepLayers >= 1, s"keepLayers $keepLayers out of range")
@@ -982,14 +1163,20 @@ object Jp2Codec {
     var p = 0
     // resolution-outermost packet walk (RLCP; ≡ LRCP for 1 layer): all of
     // a resolution's layer packets are consecutive, so per-resolution
-    // decoder state lives only across this inner loop
+    // decoder state lives only across this inner loop. Within a
+    // resolution the order is layer{component{precinct}} (A.6.1); the
+    // reduced geometry reproduces the full stream's precinct grid
+    // exactly (origins and dims all scale by 2^discard).
     for (r <- 0 to rl) {
       val decs = Array.fill(hdr.nc)(new ResDecoder(rw, rh, rl, r,
-        mbBaseFor(hdr.irreversible, hdr.qShift)))
-      for (l <- 0 until keep; c <- 0 until hdr.nc) {
-        require(p < body.length,
-          s"tile $isot body exhausted at packet (r=$r,l=$l,c=$c) — missing tile-part slices?")
-        p = decs(c).readPacket(body, p, l)
+        mbBaseFor(hdr.irreversible, hdr.qShift), rx0, ry0, hdr.pp, hdr.sop, hdr.eph))
+      val np = decs(0).grid.num
+      for (l <- 0 until keep; c <- 0 until hdr.nc; pr <- 0 until np) {
+        if (keepPrec == null || keepPrec(r, pr)) {
+          require(p < body.length,
+            s"tile $isot body exhausted at packet (r=$r,l=$l,c=$c,p=$pr) — missing tile-part slices?")
+          p = decs(c).readPacket(body, p, l, pr)
+        }
       }
       for (c <- 0 until hdr.nc)
         decs(c).finishInto(tile(c), if (quantDepth == null) null else quantDepth(c))
@@ -1052,9 +1239,94 @@ object Jp2Codec {
 
   // --------------------------------------------- packet encode/decode pair
 
-  private def cbGrid(b: Band): (Int, Int, Int) = {
-    val cb = 1 << CodeBlockExp
-    (cb, ceilDiv(b.w, cb), ceilDiv(b.h, cb))
+  /** Precinct grid of one (tile, resolution) — ISO 15444-1 B.6: precincts
+    * of size 2^pp × 2^pp partition the RESOLUTION grid anchored at (0,0)
+    * ABSOLUTE, so the tile's precinct indices run from floor(tr0/2^pp)
+    * to ceil(tr1/2^pp) and edge precincts may be partial. All subbands
+    * of the resolution share this grid (band coords are the resolution
+    * coords halved for r > 0, hence the ppb = pp-1 exponent there). */
+  private final case class PrecGrid(p0x: Int, p0y: Int, npx: Int, npy: Int) {
+    def num: Int = npx * npy
+  }
+
+  private def precGrid(tw: Int, th: Int, nl: Int, r: Int, atx: Int, aty: Int,
+      pp: Int): PrecGrid = {
+    val shift = nl - r
+    val trx0 = atx >> shift; val try0 = aty >> shift
+    val resW = ceilDiv(tw, 1 << shift); val resH = ceilDiv(th, 1 << shift)
+    val p0x = trx0 >> pp; val p0y = try0 >> pp
+    val npx = if (resW == 0) 0 else ceilDiv(trx0 + resW, 1 << pp) - p0x
+    val npy = if (resH == 0) 0 else ceilDiv(try0 + resH, 1 << pp) - p0y
+    PrecGrid(p0x, p0y, npx, npy)
+  }
+
+  /** Packets per resolution of tile `tIdx` under the header's profile:
+    * layers * components * precincts(r), precinct counts from the same
+    * absolute grid the coders use — this is what keeps the ranged
+    * header-only walkers ([[tilePartsReduced]], [[tilePartsQuality]])
+    * exact on precinct-partitioned streams. */
+  private[jp2] def packetsPerRes(hdr: Header, tIdx: Int): IndexedSeq[Int] = {
+    val x0 = (tIdx % hdr.ntx) * hdr.xt; val y0 = (tIdx / hdr.ntx) * hdr.yt
+    val tw = math.min(hdr.xt, hdr.width - x0); val th = math.min(hdr.yt, hdr.height - y0)
+    (0 to hdr.levels).map { r =>
+      hdr.layers * hdr.nc * precGrid(tw, th, hdr.levels, r, x0, y0, hdr.pp).num
+    }
+  }
+
+  /** One code-block's place in the Tier-2 layout: its precinct (raster
+    * index within the tile's precinct grid), its tag-tree coordinates
+    * WITHIN that precinct, and its band-LOCAL pixel rectangle. */
+  private final case class BlkRect(prec: Int, tx: Int, ty: Int,
+      lx0: Int, ly0: Int, cw: Int, ch: Int)
+
+  /** Code-block and tag-tree layout of one subband under the precinct
+    * partition — B.7: the code-block grid has size 2^min(xcb, ppb),
+    * anchored at (0,0) of the ABSOLUTE band coordinate system (NOT the
+    * tile-local band origin: a tile whose band origin is off-grid gets a
+    * partial FIRST block — the multi-tile anchoring this codec got
+    * wrong before round 17). Returns the blocks grouped per precinct in
+    * precinct-local raster order, plus each precinct's tag-tree dims. */
+  private final case class BandLayout(treeDims: Array[(Int, Int)],
+      blocks: Array[ArrayBuffer[BlkRect]])
+
+  private def bandLayout(b: Band, nl: Int, r: Int, atx: Int, aty: Int, pp: Int,
+      g: PrecGrid): BandLayout = {
+    val l = if (r == 0) nl else nl - r + 1
+    val ax0 = atx >> l; val ay0 = aty >> l
+    val ppb = if (r == 0) pp else pp - 1
+    val cbe = math.min(CodeBlockExp, ppb)
+    val dims = Array.fill(g.num)((0, 0))
+    val blocks = Array.fill(g.num)(ArrayBuffer.empty[BlkRect])
+    if (b.w > 0 && b.h > 0) {
+      val gx0 = ax0 >> cbe; val gx1 = ceilDiv(ax0 + b.w, 1 << cbe)
+      val gy0 = ay0 >> cbe; val gy1 = ceilDiv(ay0 + b.h, 1 << cbe)
+      // per-precinct first-block index and count along each axis
+      def firstIn(p: Int, g0: Int): Int = math.max(g0, (p << ppb) >> cbe)
+      def lastIn(p: Int, g1: Int): Int = math.min(g1, ((p + 1) << ppb) >> cbe)
+      var gy = gy0
+      while (gy < gy1) {
+        val prow = (gy << cbe) >> ppb
+        var gx = gx0
+        while (gx < gx1) {
+          val pcol = (gx << cbe) >> ppb
+          require(pcol >= g.p0x && pcol < g.p0x + g.npx &&
+            prow >= g.p0y && prow < g.p0y + g.npy,
+            s"code-block ($gx,$gy) outside the precinct grid — geometry bug")
+          val p = (prow - g.p0y) * g.npx + (pcol - g.p0x)
+          dims(p) = (lastIn(pcol, gx1) - firstIn(pcol, gx0),
+            lastIn(prow, gy1) - firstIn(prow, gy0))
+          val lx0 = math.max(ax0, gx << cbe) - ax0
+          val ly0 = math.max(ay0, gy << cbe) - ay0
+          val lx1 = math.min(ax0 + b.w, (gx + 1) << cbe) - ax0
+          val ly1 = math.min(ay0 + b.h, (gy + 1) << cbe) - ay0
+          blocks(p) += BlkRect(p, gx - firstIn(pcol, gx0), gy - firstIn(prow, gy0),
+            lx0, ly0, lx1 - lx0, ly1 - ly0)
+          gx += 1
+        }
+        gy += 1
+      }
+    }
+    BandLayout(dims, blocks)
   }
 
   /** Encoder-side Tier-2 state for one (component, resolution): Tier-1
@@ -1070,7 +1342,9 @@ object Jp2Codec {
     * threshold path — and the final layer always completes the block
     * (lossless). */
   private final class ResEncoder(plane: Array[Int], w: Int, h: Int, nl: Int,
-      r: Int, layers: Int, mbBase: Int) {
+      r: Int, layers: Int, mbBase: Int, atx: Int, aty: Int, pp: Int) {
+
+    val grid: PrecGrid = precGrid(w, h, nl, r, atx, aty, pp)
 
     private final class Blk(val bx: Int, val by: Int, val data: Array[Byte],
         val passes: Int, val zbp: Int, val cumPasses: Array[Int],
@@ -1079,25 +1353,42 @@ object Jp2Codec {
       def npAt(l: Int): Int = cumPasses(l) - (if (l == 0) 0 else cumPasses(l - 1))
     }
 
-    private val perBand: Seq[(Band, TagTree, TagTree, Array[Blk])] =
+    // per band, per precinct: inclusion + zero-bitplane tag trees (B.10.2:
+    // tag trees span a PRECINCT's layers, one pair per band-precinct) and
+    // the precinct's code-blocks in precinct-local raster order
+    private val perBand: Seq[(Band, Array[(TagTree, TagTree, Array[Blk])])] =
       bandsAt(w, h, nl, r).filter(b => b.w > 0 && b.h > 0).map { b =>
-        val (cbSz, ncbx, ncby) = cbGrid(b)
-        val incl = new TagTree(ncbx, ncby)
-        val zbps = new TagTree(ncbx, ncby)
+        val layout = bandLayout(b, nl, r, atx, aty, pp, grid)
         val mb = mbBase + b.gain
-        val blks = for (by <- 0 until ncby; bx <- 0 until ncbx) yield {
-          val x0 = bx * cbSz; val y0 = by * cbSz
-          val cw = math.min(cbSz, b.w - x0); val ch = math.min(cbSz, b.h - y0)
-          val coeffs = new Array[Int](cw * ch)
-          var y = 0
-          while (y < ch) {
-            var x = 0
-            while (x < cw) {
-              coeffs(y * cw + x) = plane((b.y0 + y0 + y) * w + (b.x0 + x0 + x))
-              x += 1
+        val perPrec = Array.tabulate(grid.num) { p =>
+          val (tw, th) = layout.treeDims(p)
+          if (tw == 0 || th == 0) (null: TagTree, null: TagTree, Array.empty[Blk])
+          else {
+            val incl = new TagTree(tw, th)
+            val zbps = new TagTree(tw, th)
+            val blks = layout.blocks(p).toArray.map { rect =>
+              mkBlk(b, rect, mb, incl, zbps)
             }
-            y += 1
+            (incl, zbps, blks)
           }
+        }
+        (b, perPrec)
+      }
+
+    private def mkBlk(b: Band, rect: BlkRect, mb: Int,
+        incl: TagTree, zbps: TagTree): Blk = {
+      val bx = rect.tx; val by = rect.ty
+      val cw = rect.cw; val ch = rect.ch
+      val coeffs = new Array[Int](cw * ch)
+      var cy = 0
+      while (cy < ch) {
+        var cx = 0
+        while (cx < cw) {
+          coeffs(cy * cw + cx) = plane((b.y0 + rect.ly0 + cy) * w + (b.x0 + rect.lx0 + cx))
+          cx += 1
+        }
+        cy += 1
+      }
           val (data, passes, numbps, truncs) =
             Ebcot.encodeBlockLayered(cw, ch, coeffs, b.orient)
           require(numbps <= mb, s"coefficient magnitude overflows Mb=$mb (numbps=$numbps)")
@@ -1153,22 +1444,26 @@ object Jp2Codec {
           if (passes > 0) zbps.setValue(bx, by, mb - numbps)
           new Blk(bx, by, data, passes, if (passes == 0) 0 else mb - numbps,
             cumP, cumB, firstLayer)
-        }
-        (b, incl, zbps, blks.toArray)
-      }
+    }
 
-    /** One packet: layer `l` of every code-block of every band of this
-      * (component, resolution), single precinct. */
-    def encodeLayer(l: Int): Array[Byte] = {
+    /** One packet: layer `l` of precinct `p`'s code-blocks across every
+      * band of this (component, resolution). `eph` appends the
+      * end-of-packet-header marker after the header bits (A.8.2). */
+    def encodeLayer(l: Int, p: Int, eph: Boolean): Array[Byte] = {
       val bio = new BioWriter
-      val anyContrib = perBand.exists(_._4.exists(_.npAt(l) > 0))
+      val anyContrib = perBand.exists(_._2(p)._3.exists(_.npAt(l) > 0))
       if (!anyContrib) {
         bio.bit(0) // empty packet
-        return bio.flush()
+        val header = bio.flush()
+        if (!eph) return header
+        val out = new java.io.ByteArrayOutputStream(header.length + 2)
+        out.write(header); out.write(0xFF); out.write(0x92)
+        return out.toByteArray
       }
       bio.bit(1)
       val chunks = ArrayBuffer.empty[(Array[Byte], Int, Int)] // (data, from, until)
-      for ((_, incl, zbps, blks) <- perBand; c <- blks) {
+      for ((_, perPrec) <- perBand; c <- perPrec(p)._3) {
+        val incl = perPrec(p)._1; val zbps = perPrec(p)._2
         val np = c.npAt(l)
         def contribution(): Unit = {
           writeNumPasses(bio, np)
@@ -1197,6 +1492,7 @@ object Jp2Codec {
       val header = bio.flush()
       val out = new java.io.ByteArrayOutputStream(header.length + 256)
       out.write(header)
+      if (eph) { out.write(0xFF); out.write(0x92) }
       for ((d, from, until) <- chunks) out.write(d, from, until - from)
       out.toByteArray
     }
@@ -1229,9 +1525,12 @@ object Jp2Codec {
     * packet state — persistent tag trees, per-block Lblock / pass / chunk
     * accumulation across layers — then one Tier-1 decode per included
     * block over the concatenated chunks once every layer is read. */
-  private final class ResDecoder(w: Int, h: Int, nl: Int, r: Int, mbBase: Int) {
+  private final class ResDecoder(w: Int, h: Int, nl: Int, r: Int, mbBase: Int,
+      atx: Int, aty: Int, pp: Int, sop: Boolean, eph: Boolean) {
 
-    private final class BlkState {
+    val grid: PrecGrid = precGrid(w, h, nl, r, atx, aty, pp)
+
+    private final class BlkState(val rect: BlkRect) {
       var included = false
       var zbp = 0
       var lblock = 3
@@ -1239,23 +1538,50 @@ object Jp2Codec {
       val chunks = ArrayBuffer.empty[Array[Byte]]
     }
 
-    private val perBand: Seq[(Band, TagTree, TagTree, Array[BlkState])] =
+    // mirror of the encoder's layout: per band, per precinct
+    private val perBand: Seq[(Band, Array[(TagTree, TagTree, Array[BlkState])])] =
       bandsAt(w, h, nl, r).filter(b => b.w > 0 && b.h > 0).map { b =>
-        val (_, ncbx, ncby) = cbGrid(b)
-        (b, new TagTree(ncbx, ncby), new TagTree(ncbx, ncby),
-          Array.fill(ncbx * ncby)(new BlkState))
+        val layout = bandLayout(b, nl, r, atx, aty, pp, grid)
+        val perPrec = Array.tabulate(grid.num) { p =>
+          val (tw, th) = layout.treeDims(p)
+          if (tw == 0 || th == 0) (null: TagTree, null: TagTree, Array.empty[BlkState])
+          else (new TagTree(tw, th), new TagTree(tw, th),
+            layout.blocks(p).toArray.map(new BlkState(_)))
+        }
+        (b, perPrec)
       }
 
-    /** Read layer `l`'s packet (header + body) starting at `pos`; returns
-      * the offset just past it. */
-    def readPacket(cs: Array[Byte], pos: Int, l: Int): Int = {
-      val bio = new BioReader(cs, pos)
-      if (bio.bit() == 0) return bio.endPos // empty packet
+    /** Read layer `l`'s packet for precinct `p` (header + body) starting
+      * at `pos`; returns the offset just past it. An SOP segment before
+      * the packet is skipped when the COD flags it (its structure is
+      * checked; Nsop continuity is NOT — compacted quality slices and
+      * reduced prefixes legitimately skip packets). EPH after the header
+      * is REQUIRED when flagged (A.8.2 "shall"). */
+    def readPacket(cs: Array[Byte], pos: Int, l: Int, p: Int): Int = {
+      var at = pos
+      if (sop && at + 6 <= cs.length &&
+          (cs(at) & 0xFF) == 0xFF && (cs(at + 1) & 0xFF) == 0x91) {
+        // SOP is optional per packet even when flagged (A.8.1 "may")
+        require(((cs(at + 2) & 0xFF) << 8 | (cs(at + 3) & 0xFF)) == 4,
+          s"SOP marker at $at with Lsop != 4")
+        at += 6
+      }
+      val bio = new BioReader(cs, at)
+      var end = -1
+      if (bio.bit() == 0) { // empty packet
+        end = bio.endPos
+        if (eph) {
+          require(end + 2 <= cs.length && (cs(end) & 0xFF) == 0xFF &&
+            (cs(end + 1) & 0xFF) == 0x92, s"missing EPH after empty packet header at $end")
+          end += 2
+        }
+        return end
+      }
       val pending = ArrayBuffer.empty[(BlkState, Int)] // (state, len)
-      for ((b, incl, zbps, states) <- perBand) {
-        val (_, ncbx, ncby) = cbGrid(b)
-        for (by <- 0 until ncby; bx <- 0 until ncbx) {
-          val s = states(by * ncbx + bx)
+      for ((_, perPrec) <- perBand) {
+        val (incl, zbps, states) = perPrec(p)
+        for (s <- states) {
+          val bx = s.rect.tx; val by = s.rect.ty
           var contributes = false
           if (!s.included) {
             if (incl.decode(bio, bx, by, l + 1)) { // first inclusion
@@ -1276,12 +1602,17 @@ object Jp2Codec {
           }
         }
       }
-      var p = bio.endPos
-      for ((s, len) <- pending) {
-        s.chunks += java.util.Arrays.copyOfRange(cs, p, p + len)
-        p += len
+      var q = bio.endPos
+      if (eph) {
+        require(q + 2 <= cs.length && (cs(q) & 0xFF) == 0xFF &&
+          (cs(q + 1) & 0xFF) == 0x92, s"missing EPH after packet header at $q")
+        q += 2
       }
-      p
+      for ((s, len) <- pending) {
+        s.chunks += java.util.Arrays.copyOfRange(cs, q, q + len)
+        q += len
+      }
+      q
     }
 
     /** Tier-1 decode every included block (all layers' chunks
@@ -1291,30 +1622,24 @@ object Jp2Codec {
       * quality-truncated lossy dequantizer can reconstruct at the
       * EFFECTIVE step's mid-point instead of biasing low. */
     def finishInto(plane: Array[Int], depthPlane: Array[Int] = null): Unit = {
-      val cbSz = 1 << CodeBlockExp
-      for ((b, _, _, states) <- perBand) {
-        val (_, ncbx, ncby) = cbGrid(b)
-        val mb = mbBase + b.gain
-        for (by <- 0 until ncby; bx <- 0 until ncbx) {
-          val s = states(by * ncbx + bx)
-          if (s.included && s.passes > 0) {
-            val data = s.chunks.toArray.flatten
-            val x0 = bx * cbSz; val y0 = by * cbSz
-            val cw = math.min(cbSz, b.w - x0); val ch = math.min(cbSz, b.h - y0)
-            val numbps = mb - s.zbp
-            val depth = if (depthPlane == null) null else new Array[Int](cw * ch)
-            val coeffs = Ebcot.decodeBlockDepth(cw, ch, data, s.passes, numbps, b.orient, depth)
-            var y = 0
-            while (y < ch) {
-              var x = 0
-              while (x < cw) {
-                val dst = (b.y0 + y0 + y) * w + (b.x0 + x0 + x)
-                plane(dst) = coeffs(y * cw + x)
-                if (depthPlane != null) depthPlane(dst) = depth(y * cw + x)
-                x += 1
-              }
-              y += 1
+      for ((b, perPrec) <- perBand; (_, _, states) <- perPrec; s <- states) {
+        if (s.included && s.passes > 0) {
+          val mb = mbBase + b.gain
+          val data = s.chunks.toArray.flatten
+          val cw = s.rect.cw; val ch = s.rect.ch
+          val numbps = mb - s.zbp
+          val depth = if (depthPlane == null) null else new Array[Int](cw * ch)
+          val coeffs = Ebcot.decodeBlockDepth(cw, ch, data, s.passes, numbps, b.orient, depth)
+          var y = 0
+          while (y < ch) {
+            var x = 0
+            while (x < cw) {
+              val dst = (b.y0 + s.rect.ly0 + y) * w + (b.x0 + s.rect.lx0 + x)
+              plane(dst) = coeffs(y * cw + x)
+              if (depthPlane != null) depthPlane(dst) = depth(y * cw + x)
+              x += 1
             }
+            y += 1
           }
         }
       }

@@ -1094,6 +1094,11 @@ class Jp2CodecSpec extends AnyFunSuite {
       val nc = if (r.nextBoolean()) 3 else 1
       val irrev = r.nextBoolean()
       val qShift = if (!irrev) 0 else Seq(-3, -1, 0, 1)(r.nextInt(4))
+      // r17: precincts (explicit small sizes force multi-precinct grids
+      // and capped code-blocks), SOP/EPH markers
+      val precinctExp = Seq(15, 15, 3, 4, 5, 6, 7)(r.nextInt(7))
+      val sop = r.nextInt(3) == 0
+      val eph = r.nextInt(3) == 0
       val comps = Array.tabulate(nc) { c =>
         Array.tabulate(w * h) { j =>
           if (r.nextInt(3) == 0) r.nextInt(256)
@@ -1101,12 +1106,14 @@ class Jp2CodecSpec extends AnyFunSuite {
         }
       }
       val label = s"seed=$seed ${w}x$h levels=$levels tile=$tileSize " +
-        s"layers=$layers parts=$parts nc=$nc irrev=$irrev q=$qShift"
+        s"layers=$layers parts=$parts nc=$nc irrev=$irrev q=$qShift " +
+        s"pp=$precinctExp sop=$sop eph=$eph"
       val cs = Jp2Codec.encode(w, h, comps, levels, tileSize, layers, parts,
-        irrev, qShift)
+        irrev, qShift, precinctExp, sop, eph)
       val hdr = Jp2Codec.header(cs)
       assert(hdr.layers == layers && hdr.irreversible == irrev &&
-        hdr.qShift == qShift, label)
+        hdr.qShift == qShift && hdr.pp == precinctExp &&
+        hdr.sop == sop && hdr.eph == eph, label)
       val out = Jp2Codec.decode(cs)
       assert(out.width == w && out.height == h && out.comps.length == nc, label)
       if (!irrev) {
@@ -1126,6 +1133,157 @@ class Jp2CodecSpec extends AnyFunSuite {
         assert(red.width == (w + 1) / 2 && red.height == (h + 1) / 2, label)
       }
     }
+  }
+
+  test("precinct streams round-trip and keep the full ranged machinery exact") {
+    // r17: explicit precincts (B.6) — 32x32 on every resolution grid, so
+    // r=3 of a 64-tile has 2x2 precincts and the band code-blocks are
+    // capped at 16x16 (ppb = 4). Pixels must equal the one-precinct
+    // stream's decode bit-for-bit (precincts only re-packet the same
+    // subband data), and both ranged walkers must stay exact on the
+    // precinct-dependent per-tile packet counts.
+    val (w, h) = (130, 97)
+    val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))
+    val base = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64, layers = 2)
+    val cs = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64, layers = 2,
+      precinctExp = 5)
+    val hdr = Jp2Codec.header(cs)
+    assert(hdr.pp == 5)
+    val ref = Jp2Codec.decode(base)
+    val out = Jp2Codec.decode(cs)
+    for (c <- 0 until 3)
+      assert(java.util.Arrays.equals(out.comps(c), ref.comps(c)), s"c=$c")
+    // reduced walk: PLT-truncated spans decode the exact thumbnail
+    val red = Jp2Codec.decodeReduced(cs, 2)
+    val redRef = Jp2Codec.decodeReduced(base, 2)
+    for (c <- 0 until 3)
+      assert(java.util.Arrays.equals(red.comps(c), redRef.comps(c)), s"red c=$c")
+    val reduced = Jp2Codec.tilePartsReduced(cs, 2)
+    assert(reduced.map(_.len).sum * 2 < Jp2Codec.tileParts(cs).map(_.len).sum)
+    for (s <- reduced) {
+      val slice = java.util.Arrays.copyOfRange(cs, s.pos.toInt, (s.pos + s.len).toInt)
+      val t = Jp2Codec.decodeTilePart(slice, hdr, 2)
+      for (c <- 0 until 3; y <- 0 until t.height; x <- 0 until t.width)
+        assert(t.comps(c)(y * t.width + x) ==
+          red.comps(c)((t.y0 + y) * red.width + (t.x0 + x)), s"tile ${s.index}")
+    }
+    // quality walk: keep = layers is exact from compacted precinct slices
+    val (qh, parts) = Jp2Codec.tilePartsQuality(new Jp2Codec.BytesInput(cs), 2)
+    val planes = Array.fill(3)(new Array[Int](w * h))
+    for (part <- parts) {
+      val slice = new java.io.ByteArrayOutputStream()
+      for ((from, until) <- part.ranges) slice.write(cs, from.toInt, (until - from).toInt)
+      val t = Jp2Codec.decodeTilePartQuality(slice.toByteArray, qh, 2)
+      for (c <- 0 until 3; y <- 0 until t.height; x <- 0 until t.width)
+        planes(c)((t.y0 + y) * w + (t.x0 + x)) = t.comps(c)(y * t.width + x)
+    }
+    for (c <- 0 until 3)
+      assert(java.util.Arrays.equals(planes(c), ref.comps(c)), s"quality c=$c")
+    // keep=1 fetches a fraction and still parses the precinct layout
+    val (q1h, p1) = Jp2Codec.tilePartsQuality(new Jp2Codec.BytesInput(cs), 1)
+    assert(p1.map(_.fetchBytes).sum < parts.map(_.fetchBytes).sum)
+    for (part <- p1) {
+      val slice = new java.io.ByteArrayOutputStream()
+      for ((from, until) <- part.ranges) slice.write(cs, from.toInt, (until - from).toInt)
+      Jp2Codec.decodeTilePartQuality(slice.toByteArray, q1h, 1) // must parse exactly
+    }
+    // multi tile-part + precincts compose
+    val mp = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64, layers = 2,
+      partsPerTile = 2, precinctExp = 5)
+    val mpOut = Jp2Codec.decode(mp)
+    for (c <- 0 until 3)
+      assert(java.util.Arrays.equals(mpOut.comps(c), ref.comps(c)), s"mp c=$c")
+  }
+
+  test("SOP/EPH streams round-trip; a missing flagged EPH fails loudly") {
+    val (w, h) = (67, 41)
+    val comps = Array(pattern(w, h, 7))
+    val plain = Jp2Codec.encode(w, h, comps, levels = 2)
+    val cs = Jp2Codec.encode(w, h, comps, levels = 2, sop = true, eph = true)
+    assert(cs.length > plain.length) // the markers are really in there
+    val hdr = Jp2Codec.header(cs)
+    assert(hdr.sop && hdr.eph)
+    assert(java.util.Arrays.equals(Jp2Codec.decode(cs).comps(0), comps(0)))
+    // reduced + quality walks span SOP/EPH bytes via the PLT lengths
+    assert(java.util.Arrays.equals(Jp2Codec.decodeReduced(cs, 1).comps(0),
+      Jp2Codec.decodeReduced(plain, 1).comps(0)))
+    // flip the first EPH marker's second byte: the decoder must refuse
+    val ephAt = {
+      var i = 0
+      while (i + 1 < cs.length && !((cs(i) & 0xFF) == 0xFF && (cs(i + 1) & 0xFF) == 0x92)) i += 1
+      i
+    }
+    val bad = cs.clone(); bad(ephAt + 1) = 0x7F
+    intercept[Exception](Jp2Codec.decode(bad))
+  }
+
+  test("precinct-granular region fetch: crop pixels bit-exact from a fraction of the bytes") {
+    // the point of precincts: a crop fetch reads only the packets of
+    // precincts inside the dilated crop, NOT whole tiles. The margin
+    // (RegionMargin resolution samples) must make every pixel inside the
+    // crop bit-exact even though out-of-region coefficients stay zero.
+    val (w, h) = (384, 192)
+    val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))
+    // one big tile + 32x32 precincts: tile-granular fetch would read the
+    // whole file, precinct-granular reads the crop's neighborhood
+    val cs = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 0, layers = 2,
+      precinctExp = 5)
+    val full = Jp2Codec.decode(cs)
+    val (cx0, cy0, cx1, cy1) = (200, 80, 280, 140)
+    val in = new Jp2Codec.CountingInput(new Jp2Codec.BytesInput(cs))
+    val (hdr, parts) = Jp2Codec.tilePartsRegion(in, cx0, cy0, cx1, cy1)
+    assert(in.bytesRead * 4 < cs.length, "walk not header-only")
+    assert(parts.length == 1)
+    val fetched = parts.head.fetchBytes
+    assert(fetched * 2 < parts.head.fullLen,
+      s"region fetch $fetched B of ${parts.head.fullLen} B — not precinct-granular")
+    val slice = new java.io.ByteArrayOutputStream()
+    for ((from, until) <- parts.head.ranges) slice.write(cs, from.toInt, (until - from).toInt)
+    val t = Jp2Codec.decodeTileRegion(slice.toByteArray, hdr, cx0, cy0, cx1, cy1)
+    for (c <- 0 until 3; y <- cy0 until cy1; x <- cx0 until cx1)
+      assert(t.comps(c)((y - t.y0) * t.width + (x - t.x0)) ==
+        full.comps(c)(y * w + x), s"c=$c px($x,$y)")
+    // tiled + multi-part + precincts: the region walk groups per tile
+    val tiled = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 128,
+      layers = 2, partsPerTile = 2, precinctExp = 5)
+    val th2 = Jp2Codec.header(tiled)
+    val (_, tparts) = Jp2Codec.tilePartsRegion(new Jp2Codec.BytesInput(tiled),
+      cx0, cy0, cx1, cy1)
+    assert(tparts.map(_.index).toSet == Set(1, 2, 4, 5),
+      "crop [200,280)x[80,140) touches tile cols 1-2 of both 128-tile rows")
+    for (part <- tparts) {
+      val sl = new java.io.ByteArrayOutputStream()
+      for ((from, until) <- part.ranges) sl.write(tiled, from.toInt, (until - from).toInt)
+      val tt = Jp2Codec.decodeTileRegion(sl.toByteArray, th2, cx0, cy0, cx1, cy1)
+      val ix0 = math.max(cx0, tt.x0); val ix1 = math.min(cx1, tt.x0 + tt.width)
+      val iy0 = math.max(cy0, tt.y0); val iy1 = math.min(cy1, tt.y0 + tt.height)
+      for (c <- 0 until 3; y <- iy0 until iy1; x <- ix0 until ix1)
+        assert(tt.comps(c)((y - tt.y0) * tt.width + (x - tt.x0)) ==
+          full.comps(c)(y * w + x), s"tiled c=$c px($x,$y)")
+    }
+  }
+
+  test("review-hardened precinct rejections: non-square, zero, unknown Scod bits") {
+    val cs = Jp2Codec.encode(32, 32, Array(pattern(32, 32, 3)), levels = 1,
+      precinctExp = 4)
+    // locate COD (FF52); its precinct bytes sit at payload offset 10+
+    var cod = 0
+    while (!((cs(cod) & 0xFF) == 0xFF && (cs(cod + 1) & 0xFF) == 0x52)) cod += 1
+    val precAt = cod + 4 + 10
+    assert((cs(precAt) & 0xFF) == 0x44 && (cs(precAt + 1) & 0xFF) == 0x44)
+    def tampered(f: Array[Byte] => Unit): Array[Byte] = { val b = cs.clone(); f(b); b }
+    // rectangular precincts: PPy != PPx
+    intercept[IllegalArgumentException](Jp2Codec.header(
+      tampered(_(precAt) = 0x54)))
+    // per-resolution sizes: second byte differs
+    intercept[IllegalArgumentException](Jp2Codec.header(
+      tampered(_(precAt + 1) = 0x55)))
+    // zero exponent (r>0 band exponent would be -1)
+    intercept[IllegalArgumentException](Jp2Codec.header(
+      tampered(b => { b(precAt) = 0x00; b(precAt + 1) = 0x00 })))
+    // Scod bits above SOP/EPH are outside Part 1
+    intercept[IllegalArgumentException](Jp2Codec.header(
+      tampered(_(cod + 4) = 0x09)))
   }
 
   test("decoder rejects garbage and truncated inputs rather than guessing") {

@@ -56,9 +56,12 @@ class Jp2HandFixtureSpec extends AnyFunSuite {
     bytes(fields: _*)
   }
 
-  /** COD: Scod 0, SGcod(prog, layers, mct), SPcod(levels, 4, 4, 0, transform). */
-  private def cod(prog: Int, layers: Int, mct: Int, levels: Int, transform: Int): Array[Byte] =
-    bytes(0xFF, 0x52, 0, 12, 0, prog, layers >>> 8, layers & 0xFF, mct, levels, 4, 4, 0, transform)
+  /** COD: Scod, SGcod(prog, layers, mct), SPcod(levels, 4, 4, 0, transform
+    * [, precinct bytes when Scod bit 0 is set]). */
+  private def cod(prog: Int, layers: Int, mct: Int, levels: Int, transform: Int,
+      scod: Int = 0, prec: Seq[Int] = Nil): Array[Byte] =
+    bytes(Seq(0xFF, 0x52, 0, 12 + prec.length, scod, prog, layers >>> 8, layers & 0xFF,
+      mct, levels, 4, 4, 0, transform) ++ prec: _*)
 
   /** QCD style 0 (reversible): one exponent byte (13+gain)<<3 per subband. */
   private def qcdRev(levels: Int): Array[Byte] = {
@@ -352,6 +355,94 @@ class Jp2HandFixtureSpec extends AnyFunSuite {
     // dropping the second tile-part must fail the completeness check
     val truncated = cs.dropRight(EOC.length + 21) ++ EOC // 21 = part 1's Psot
     assertThrows[IllegalArgumentException](Jp2Codec.decode(truncated))
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture J — explicit precincts (B.6): 8x4 gray, levels 0, precinct
+  // exponent 2 (4x4 precincts on the resolution grid -> code-blocks
+  // capped at 2^min(6,2) = 4). The LL band splits into two 4x4 blocks,
+  // one per precinct, so the single resolution carries TWO packets:
+  // precinct 0 (all-zero block -> empty packet 0x00) and precinct 1,
+  // whose block holds +1 at precinct-local (0,2) — EXACTLY fixture C's
+  // coefficients, so its hand-traced codeword [09] and 1-block packet
+  // header C0 01 08 carry over verbatim. COD grows the Scod-bit-0
+  // precinct byte (PPy<<4 | PPx) = 0x22 per resolution.
+  // ------------------------------------------------------------------
+  test("hand fixture J: two precincts, the second carrying fixture C's block") {
+    val cs = SOC ++ siz(8, 4, 8, 4, 1) ++
+      cod(0, 1, 0, 0, 1, scod = 1, prec = Seq(0x22)) ++ qcdRev(0) ++
+      tilePart(0, 0, 1, bytes(0x00), bytes(0xC0, 0x01, 0x08, 0x09)) ++ EOC
+    val expected = Seq((0 until 32).map(i => if (i == 2 * 8 + 4) 129 else 128))
+    assert(pixels(Jp2Codec.decode(cs)) == expected)
+    val enc = Jp2Codec.encode(8, 4, Array(expected.head.toArray), levels = 0,
+      precinctExp = 2)
+    assert(enc.sameElements(cs), "encoder diverges from the hand-assembled stream")
+    assertFlipFails(cs, cs.length - 3, expected)
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture K — ABSOLUTE code-block anchoring (B.7): 240x8 gray, 120x120
+  // tiles, levels 1. Tile 1's bands start at absolute band coordinate
+  // 60, so its 60-wide LL band crosses the absolute 64-grid and splits
+  // into blocks [60,64) and [64,120) — a partial 4-wide FIRST block,
+  // the shape a tile-local anchoring gets wrong (this codec did, before
+  // r17; both sides of the closure agreed, so only a hand assembly
+  // could tell). The pixel +1 at absolute (120,0) is tile 1's local
+  // (0,0); the 5/3 lift of a single +1 at an even index leaves one LL
+  // coefficient +1 at band-local (0,0) — inside the partial block — and
+  // zero high bands.
+  //
+  // Tile 1, r=0 packet header (two-leaf tag trees, root value 0):
+  //   1 nonempty | incl block0: root 1, leaf 1 | zbp: root 13 zeros
+  //   + 1, leaf 1 | 1 pass -> 0 | Lblock 0 | len 2 in 3 bits -> 010 |
+  //   incl block1 (leaf bit only, root known): 0
+  //   -> 111 0000000000001 1 0 0 010 0 -> E0 00 C4.
+  // Block 0's cleanup (4x4, +1 at (0,0)): col 0 RL interrupt k=0
+  //   (1,RL)(0,UNI)(0,UNI), sign (0,SC9), then ZC3/ZC0/ZC0 zeros down
+  //   the column; col 1 ZC5/ZC1/ZC0/ZC0; cols 2-3 RL zeros.
+  // MQ trace (13 decisions, Table C.2 arithmetic as in fixtures B/C):
+  //   1 LPS RL@3 -> A=AC10 C=0 CT=8; 2 MPS UNI -> A=AC1E C=AC02 CT=7;
+  //   3 MPS UNI -> A=AC3A C=20406 CT=6; 4 MPS SC9 -> A=AC72 C=4B40E;
+  //   5 MPS ZC3 -> A=ACE2 C=A141E CT=4; 6-7 MPS ZC0@4 (no renorm)
+  //   C=A1E60; 8 MPS ZC5 -> A=AC02 C=143CC0 CT=3; 9 MPS ZC1 ->
+  //   C=292582 CT=2; 10-11 MPS ZC0@4 C=292FC4; 12 MPS RL@12 (no
+  //   renorm) C=294BC5; 13 MPS RL@12 -> A=D37C C=52CF8C CT=1.
+  //   flush: C|FFFF=52FFFF < C+A=53A308 -> keep; <<1 = A5FFFE ->
+  //   byte 14; C=5FFFE <<8 -> byte BF. Codeword = [14 BF].
+  // ------------------------------------------------------------------
+  test("hand fixture K: absolute block-grid anchoring splits tile 1's band") {
+    val cs = SOC ++ siz(240, 8, 120, 120, 1) ++ cod(0, 1, 0, 1, 1) ++ qcdRev(1) ++
+      tilePart(0, 0, 1, bytes(0x00), bytes(0x00)) ++
+      tilePart(1, 0, 1, bytes(0xE0, 0x00, 0xC4, 0x14, 0xBF), bytes(0x00)) ++ EOC
+    val expected = Seq((0 until 240 * 8).map(i => if (i == 120) 129 else 128))
+    assert(pixels(Jp2Codec.decode(cs)) == expected)
+    val enc = Jp2Codec.encode(240, 8, Array(expected.head.toArray),
+      levels = 1, tileSize = 120)
+    assert(enc.sameElements(cs), "encoder diverges from the hand-assembled stream")
+    assertFlipFails(cs, cs.length - 4, expected) // codeword byte 0xBF
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture L — SOP/EPH markers (A.8): fixture B's stream with Scod
+  // bits 1|2 set. Every packet gains a 6-byte SOP segment
+  // (FF91 0004 Nsop) before it and the EPH marker FF92 right after its
+  // header bits; the PLT length covers all of it (packet = 4+6+2 = 12).
+  // ------------------------------------------------------------------
+  test("hand fixture L: SOP/EPH-wrapped packet decodes; stripped EPH fails") {
+    val pkt = bytes(0xFF, 0x91, 0x00, 0x04, 0x00, 0x00, // SOP, Nsop 0
+      0xC0, 0x01, 0x08,                                  // fixture B header
+      0xFF, 0x92,                                        // EPH
+      0x04)                                              // fixture B codeword
+    val cs = SOC ++ siz(2, 2, 2, 2, 1) ++ cod(0, 1, 0, 0, 1, scod = 6) ++
+      qcdRev(0) ++ tilePart(0, 0, 1, pkt) ++ EOC
+    assert(pixels(Jp2Codec.decode(cs)) == expectedB)
+    val enc = Jp2Codec.encode(2, 2, Array(Array(129, 128, 128, 128)), levels = 0,
+      sop = true, eph = true)
+    assert(enc.sameElements(cs), "encoder diverges from the hand-assembled stream")
+    // EPH is mandatory when flagged: overwrite it with header padding
+    val bad = cs.clone()
+    bad(cs.length - 5) = 0x00; bad(cs.length - 4) = 0x00
+    assertThrows[IllegalArgumentException](Jp2Codec.decode(bad))
   }
 
   // ------------------------------------------------------------------

@@ -921,6 +921,23 @@ class PlanShapeSpec extends SparkSpec {
       s"split stage reads file content:\n${plan.take(3000)}")
   }
 
+  test("L5N: precinct region fetch keeps the pinned exchange and a listing-only scan") {
+    val df = graft.queries.Sources.l5nJp2PrecinctRegion(spark, sfDir)
+    df.collect(): Unit // finalize AQE
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    assert(plan.contains("REPARTITION_BY_NUM"), plan.take(3000))
+    val cut = plan.indexOf("REPARTITION_BY_NUM")
+    val decodeMp = plan.lastIndexOf("MapPartitions", cut)
+    assert(decodeMp > 0, plan.take(3000))
+    assert(!plan.substring(decodeMp, cut).contains("AQEShuffleRead"),
+      s"decode stage rides a coalesced read:\n${plan.take(3000)}")
+    // the split reads the LISTING and the decode stage ONLY the kept
+    // precincts' packet ranges; content in the scan schema would fetch
+    // the scan to serve a clipping
+    assert(!plan.contains("content"),
+      s"split stage reads file content:\n${plan.take(3000)}")
+  }
+
   test("L60: dictionary agg computed once and reused on both sides of the blocked join") {
     val plan = finalPlanOf(graft.queries.Llm.l60FuzzyBlockedJoin(spark, sfDir))
     // the name dictionary is one partial+final agg whose exchange is
