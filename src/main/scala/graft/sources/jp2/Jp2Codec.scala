@@ -29,8 +29,10 @@ import scala.collection.mutable.ArrayBuffer
   * low-resolution packets stay a contiguous prefix — see [[encode]]),
   * one precinct per resolution (default 2^15 precincts), code-block
   * style 0 (no bypass/reset/termination options), the reversible 5/3 +
-  * RCT transform pair OR the irreversible 9/7 + ICT pair with uniform
-  * scalar-expounded quantization (see [[Dwt97]] and [[LossyRb]]),
+  * RCT transform pair OR the irreversible 9/7 + ICT pair with scalar
+  * quantization (any spec-legal style 0/1/2 QCD shape on decode since
+  * r17 — see [[Dwt97]] and [[Quant]]; the encoder writes the uniform,
+  * norm-derived, or derived shape per `quantMode`),
   * 1 or 3 components at 8 bpp. Reversible: decode(encode(img)) is
   * bit-exact (property-tested); irreversible: bounded max-error/PSNR
   * (property-tested — 9/7 is lossy by design). The sandbox's
@@ -83,23 +85,119 @@ object Jp2Codec {
   // 5/3 coefficient growth of 9-bit RCT chroma over <=5 levels (~2^13)
   private val BaseExp = 13
 
-  /** Nominal dynamic-range exponent of a gain-0 band in the IRREVERSIBLE
-    * (9/7 + ICT) path: 8-bit samples plus one headroom bit for the
-    * lifting filters' l1-norm overshoot. Band b's Rb = LossyRb + gain,
-    * matching [[Dwt97]]'s DC-gain-1/Nyquist-gain-2 normalization; the
-    * quantizer exponent written to QCD is eps_b = Rb + qShift, so the
-    * step is delta_b = 2^(Rb - eps_b) = 2^(-qShift) in sample units for
-    * EVERY band. This convention is shared by encoder and decoder; a
-    * QCD that does not have this uniform shape is rejected loudly. */
-  private val LossyRb = 9
+  /** Component bit depth of the profile (SIZ Ssiz = 7, 8-bit unsigned).
+    * E.1.1 defines the nominal dynamic range of subband b as
+    * Rb = Prec + gain_b, and the quantizer step as
+    * Delta_b = 2^(Rb - eps_b) * (1 + mu_b / 2^11) — the formula every
+    * conformant decoder applies, so the QCD this encoder writes must be
+    * read back at the SAME amplitude by OpenJPEG/Kakadu. (Until r17 the
+    * encoder signaled eps against a 9-bit "headroom" range, which a
+    * spec decoder would have reconstructed at double amplitude.) */
+  private val Prec = 8
 
-  /** Magnitude bit-planes = (base + band gain); base is the only part
-    * that differs between the reversible profile (BaseExp + guard - 1)
-    * and the irreversible one (eps_LL + guard - 1 = LossyRb + qShift +
-    * guard - 1). */
-  private def mbBaseFor(irreversible: Boolean, qShift: Int): Int =
-    if (irreversible) LossyRb + qShift + GuardBits - 1
-    else BaseExp + GuardBits - 1
+  /** Guard bits the IRREVERSIBLE path signals: with the spec's
+    * Rb = Prec + gain, Mb = eps + G - 1 needs G = 3 to keep the two
+    * headroom bit-planes that cover the 9/7 lifting overshoot above the
+    * nominal range (the reversible path keeps G = 2 over its generous
+    * BaseExp). Mb values are unchanged from the pre-r17 convention —
+    * only the signaled (eps, guard) split moved to the spec's. */
+  private val LossyGuardBits = 3
+
+  /** QCD band index: 0 = LL, then 3 per resolution in HL,LH,HH order
+    * (the A.6.4 / E.1 signalling sequence). `ord` is the band's
+    * position within resolution r's [[bandsAt]] list. */
+  private def bandIndex(r: Int, ord: Int): Int = if (r == 0) 0 else 3 * (r - 1) + 1 + ord
+
+  /** Scalar quantization parsed from QCD (Annex E), generalized in r17
+    * from the former uniform-step-only shape to ANY spec-legal scalar
+    * QCD: per-band (eps_b, mu_b) — style 2 signals them expounded,
+    * style 1 signals (eps_0, mu_0) and derives eps_b = eps_0 - (r - 1)
+    * with mu_b = mu_0 (E-5, bands grouped by resolution), style 0 (the
+    * reversible path) signals exponents that only feed Mb. Indexed by
+    * [[bandIndex]]. Vectors (not arrays) so Header stays structurally
+    * comparable. */
+  final case class Quant(guard: Int, eps: IndexedSeq[Int], mu: IndexedSeq[Int]) {
+    /** Magnitude bit-planes of band b: Mb = eps_b + G - 1 (E-2). */
+    def mb(bandIdx: Int): Int = eps(bandIdx) + guard - 1
+    /** Step in sample units: Delta_b = 2^(Prec + gain - eps_b) *
+      * (1 + mu_b / 2^11) (E-3 with Rb = Prec + gain). */
+    def delta(bandIdx: Int, gain: Int): Double =
+      math.pow(2.0, (Prec + gain - eps(bandIdx)).toDouble) * (1.0 + mu(bandIdx) / 2048.0)
+  }
+
+  object Quant {
+    /** The profile this encoder writes by default: reversible bands at
+      * eps = BaseExp + gain (Mb = BaseExp + gain + 1, Delta unused);
+      * irreversible at eps = Prec + gain + qShift, mu = 0 — a uniform
+      * step 2^(-qShift) in sample units for every band. */
+    def uniform(levels: Int, irreversible: Boolean, qShift: Int): Quant = {
+      val n = 3 * levels + 1
+      val gains = Vector.tabulate(n)(gainOf)
+      if (irreversible)
+        Quant(LossyGuardBits, gains.map(g => Prec + g + qShift), Vector.fill(n)(0))
+      else
+        Quant(GuardBits, gains.map(g => BaseExp + g), Vector.fill(n)(0))
+    }
+    /** Table E-1 gain of QCD band index i: LL 0; HL/LH 1; HH 2. */
+    def gainOf(i: Int): Int = if (i == 0) 0 else ((i - 1) % 3) match {
+      case 0 | 1 => 1
+      case _ => 2
+    }
+    /** E-5 derived expansion: eps_b = eps_0 - (r - 1), mu_b = mu_0 for
+      * every band of resolution r >= 1 (LL keeps eps_0 exactly). */
+    def derived(levels: Int, guard: Int, eps0: Int, mu0: Int): Quant = {
+      val eps = Vector.tabulate(3 * levels + 1) { i =>
+        if (i == 0) eps0 else eps0 - ((i - 1) / 3)
+      }
+      Quant(guard, eps, Vector.fill(3 * levels + 1)(mu0))
+    }
+  }
+
+  /** Mantissa the "derived" quantMode signals: step x1.5 over the pure
+    * power of two, so style-1 streams exercise the mu arithmetic. */
+  private val DerivedMu0 = 1024
+
+  /** Invert E-3: the (eps, mu) pair whose step best approximates
+    * `delta` (sample units) for a band of the given gain — eps is the
+    * unique exponent with 2^(Prec+gain-eps) <= delta < 2^(..+1), mu the
+    * rounded 11-bit mantissa (rounding up to 2048 carries into eps). */
+  private def stepToEpsMu(delta: Double, gain: Int): (Int, Int) = {
+    require(delta > 0.0, s"non-positive step $delta")
+    var e = math.floor(math.log(delta) / math.log(2.0)).toInt
+    // guard against log rounding at exact powers of two
+    if (math.pow(2.0, (e + 1).toDouble) <= delta) e += 1
+    if (math.pow(2.0, e.toDouble) > delta) e -= 1
+    var mu = math.round((delta / math.pow(2.0, e.toDouble) - 1.0) * 2048.0).toInt
+    if (mu == 2048) { mu = 0; e += 1 }
+    val eps = Prec + gain - e
+    require(eps >= 1 && eps <= 31, s"quantizer exponent $eps out of QCD range for step $delta")
+    (eps, mu)
+  }
+
+  /** L2 norm of the SYNTHESIS basis function of band (r, ord) under
+    * [[Dwt97.inverse]] at `levels` decompositions — measured numerically
+    * (unit impulse at the band's center, inverse transform, L2) rather
+    * than tabulated, so it is exact for THIS implementation's filter
+    * normalization. quantMode = "norms" sets delta_b ~ 1/norm_b, making
+    * every band's quantization error contribute equally to pixel-domain
+    * MSE — the per-band QCD shape real archival encoders produce. */
+  private val synthNormCache = new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), java.lang.Double]()
+  private def synthNorm(levels: Int, r: Int, ord: Int): Double = {
+    val key = (levels, r, ord)
+    val hit = synthNormCache.get(key)
+    if (hit != null) return hit.doubleValue()
+    val s = math.max(64, 1 << (levels + 4))
+    val a = new Array[Double](s * s)
+    val b = bandsAt(s, s, levels, r)(ord)
+    a((b.y0 + b.h / 2) * s + (b.x0 + b.w / 2)) = 1.0
+    Dwt97.inverse(a, s, s, levels)
+    var sum = 0.0
+    var i = 0
+    while (i < a.length) { sum += a(i) * a(i); i += 1 }
+    val n = math.sqrt(sum)
+    synthNormCache.put(key, n)
+    n
+  }
 
   private final val CodeBlockExp = 6 // 64x64 code-blocks
 
@@ -141,17 +239,21 @@ object Jp2Codec {
     * resolution group per part at minimum).
     *
     * `irreversible = true` encodes the LOSSY archival profile (r16):
-    * ICT + 9/7 DWT ([[Dwt97]]) + scalar-expounded quantization (QCD
-    * style 2, Annex E) at step delta = 2^(-qShift) sample units for
-    * every band (eps_b = Rb + qShift, mu_b = 0 — see [[LossyRb]]).
-    * `qShift` <= 0 compresses (qShift = -2 -> step 4, visually-lossy);
-    * qShift > 0 refines below integer precision. The Tier-1/Tier-2/
-    * layer/tile-part/PLT machinery is transform-agnostic and carries
-    * over unchanged — only the sample<->coefficient ends differ. */
+    * ICT + 9/7 DWT ([[Dwt97]]) + deadzone scalar quantization (Annex
+    * E). `quantMode` picks the QCD shape — "uniform" (default, style 2,
+    * one step 2^(-qShift) in sample units for every band), "norms"
+    * (style 2, per-band steps weighted by the measured synthesis-basis
+    * norms — see [[synthNorm]]), or "derived" (style 1, one signaled
+    * (eps_0, mu_0 = 1024) expanded per E-5). `qShift` <= 0 compresses
+    * (qShift = -2 -> LL step 4, visually-lossy); qShift > 0 refines
+    * below integer precision. The Tier-1/Tier-2/layer/tile-part/PLT
+    * machinery is transform-agnostic and carries over unchanged — only
+    * the sample<->coefficient ends differ. */
   def encode(w: Int, h: Int, comps: Array[Array[Int]], levels: Int = 3,
       tileSize: Int = 0, layers: Int = 1, partsPerTile: Int = 1,
       irreversible: Boolean = false, qShift: Int = 0,
-      precinctExp: Int = 15, sop: Boolean = false, eph: Boolean = false): Array[Byte] = {
+      precinctExp: Int = 15, sop: Boolean = false, eph: Boolean = false,
+      quantMode: String = "uniform"): Array[Byte] = {
     require(w > 0 && h > 0, "empty image")
     require(comps.length == 1 || comps.length == 3, "1 or 3 components")
     require(comps.forall(_.length == w * h), "component size mismatch")
@@ -164,6 +266,10 @@ object Jp2Codec {
       s"partsPerTile $partsPerTile out of 1..${levels + 1} (split at resolution boundaries)")
     require(irreversible || qShift == 0, "qShift only applies to the irreversible path")
     require(qShift >= -6 && qShift <= 3, s"qShift $qShift out of -6..3")
+    require(quantMode == "uniform" || quantMode == "norms" || quantMode == "derived",
+      s"quantMode $quantMode not one of uniform|norms|derived")
+    require(irreversible || quantMode == "uniform",
+      "norm-derived / derived quantization only applies to the irreversible path")
     // pp = 15 is the spec default ("no precinct subdivision" in practice:
     // 2^15 precincts, Scod bit 0 clear); smaller values partition every
     // resolution into 2^pp x 2^pp precincts (uniform square — the common
@@ -207,20 +313,41 @@ object Jp2Codec {
     u8(0) // code-block style: all defaults
     u8(if (irreversible) 0 else 1) // SPcod transform: 0 = 9/7, 1 = 5/3
     if (explicitPrec) for (_ <- 0 to levels) u8(precinctExp | (precinctExp << 4))
-    // QCD — exponents depend only on band gain, so one main-header QCD
-    // covers every tile regardless of tile dimensions. Reversible: style
-    // 0 (no quantization), one exponent byte per subband. Irreversible:
-    // style 2 (scalar expounded), u16 (eps << 11 | mu) per subband with
-    // eps_b = LossyRb + gain + qShift and mu = 0 (see [[LossyRb]]).
+    // QCD — exponents depend only on band gain/level, so one main-header
+    // QCD covers every tile regardless of tile dimensions. Reversible:
+    // style 0 (no quantization), one exponent byte per subband.
+    // Irreversible: the quantMode picks the spec shape —
+    //   "uniform" (default): style 2, eps_b = Prec + gain + qShift,
+    //     mu = 0 — one step 2^(-qShift) in sample units for every band;
+    //   "norms":   style 2, per-band steps 2^(-qShift)/norm_b from the
+    //     measured synthesis-basis L2 norms ([[synthNorm]]) — each
+    //     band's quantization error contributes equally to pixel-domain
+    //     MSE, the shape real archival encoders (Kakadu -Qstep,
+    //     OpenJPEG -r) produce;
+    //   "derived": style 1, only (eps_0, mu_0) signaled and the decoder
+    //     expands eps_b = eps_0 - (r-1), mu_b = mu_0 (E-5); mu_0 = 1024
+    //     exercises the mantissa arithmetic (step x1.5).
     val nBands = 3 * levels + 1
+    val qspec: Quant = quantMode match {
+      case "uniform" => Quant.uniform(levels, irreversible, qShift)
+      case "norms" =>
+        val base = math.pow(2.0, -qShift.toDouble)
+        val em = Vector.tabulate(nBands) { i =>
+          val r = if (i == 0) 0 else (i - 1) / 3 + 1
+          val ord = if (i == 0) 0 else (i - 1) % 3
+          stepToEpsMu(base / synthNorm(levels, r, ord), Quant.gainOf(i))
+        }
+        Quant(LossyGuardBits, em.map(_._1), em.map(_._2))
+      case "derived" => Quant.derived(levels, LossyGuardBits, Prec + qShift, DerivedMu0)
+    }
     if (irreversible) {
-      u16(0xFF5C); u16(3 + 2 * nBands); u8((GuardBits << 5) | 2)
-      for (r <- 0 to levels; b <- bandsAt(xt, yt, levels, r))
-        u16((LossyRb + b.gain + qShift) << 11)
+      val style = if (quantMode == "derived") 1 else 2
+      val nSig = if (style == 1) 1 else nBands
+      u16(0xFF5C); u16(3 + 2 * nSig); u8((qspec.guard << 5) | style)
+      for (i <- 0 until nSig) u16((qspec.eps(i) << 11) | qspec.mu(i))
     } else {
-      u16(0xFF5C); u16(3 + nBands); u8(GuardBits << 5)
-      for (r <- 0 to levels; b <- bandsAt(xt, yt, levels, r))
-        u8((BaseExp + b.gain) << 3)
+      u16(0xFF5C); u16(3 + nBands); u8(qspec.guard << 5)
+      for (i <- 0 until nBands) u8(qspec.eps(i) << 3)
     }
 
     for (t <- 0 until ntx * nty) {
@@ -258,18 +385,26 @@ object Jp2Codec {
           }
           if (useRct) Dwt97.ictForward(ds(0), ds(1), ds(2))
           ds.foreach(Dwt97.forward(_, tw, th, levels))
-          // deadzone scalar quantization, E.1: q = sign * floor(|v|/delta)
-          // with delta = 2^(-qShift) for every band (uniform by the Rb
-          // convention), so one pass covers the whole Mallat array
-          val scale = math.pow(2.0, qShift.toDouble)
+          // deadzone scalar quantization, E.1: q = sign * floor(|v|/delta_b)
+          // per band — the bands of resolutions 0..levels tile the
+          // Mallat array exactly once, so this is the same single pass
+          // as the old uniform-step loop, just with a per-rect step
           ds.map { d =>
             val a = new Array[Int](d.length)
-            var i = 0
-            while (i < d.length) {
-              val v = d(i)
-              a(i) = if (v >= 0) math.floor(v * scale).toInt
-                     else -math.floor(-v * scale).toInt
-              i += 1
+            for (r <- 0 to levels; (b, ord) <- bandsAt(tw, th, levels, r).zipWithIndex) {
+              val delta = qspec.delta(bandIndex(r, ord), b.gain)
+              var y = 0
+              while (y < b.h) {
+                var x = 0
+                while (x < b.w) {
+                  val i = (b.y0 + y) * tw + (b.x0 + x)
+                  val v = d(i)
+                  a(i) = if (v >= 0) math.floor(v / delta).toInt
+                         else -math.floor(-v / delta).toInt
+                  x += 1
+                }
+                y += 1
+              }
             }
             a
           }
@@ -285,7 +420,7 @@ object Jp2Codec {
         for (r <- 0 to levels) yield {
           val encs = comps.indices.map(c =>
             new ResEncoder(planes(c), tw, th, levels, r, layers,
-              mbBaseFor(irreversible, qShift), x0, y0, precinctExp))
+              qspec, x0, y0, precinctExp))
           val np = encs.head.grid.num
           for (l <- 0 until layers; c <- 0 until nc; p <- 0 until np) yield {
             val pkt = encs(c).encodeLayer(l, p, eph)
@@ -352,15 +487,22 @@ object Jp2Codec {
   /** Parsed main header — everything a tile-part needs to decode
     * standalone. Small and flat on purpose: a distributed decode ships
     * THIS (a handful of ints) per tile task, never the pixel planes.
-    * `irreversible`/`qShift` carry the 9/7 + scalar-quantization profile
-    * (flat by the uniform-step convention — see [[LossyRb]]; a QCD
-    * outside that shape is rejected at parse, so two ints suffice). */
+    * `irreversible` selects the transform pair; `quant` carries the
+    * per-band scalar quantization parsed from QCD (any spec-legal
+    * style 0/1/2 shape since r17 — see [[Quant]]); `qShift` remains as
+    * the LL band's step exponent offset (eps_LL - Prec for the
+    * irreversible path, 0 otherwise) — the scalar the uniform-profile
+    * queries assert on, and exactly the old uniform-profile knob. */
   final case class Header(width: Int, height: Int, nc: Int, xt: Int, yt: Int,
       useRct: Boolean, levels: Int, layers: Int = 1,
       irreversible: Boolean = false, qShift: Int = 0,
-      pp: Int = 15, sop: Boolean = false, eph: Boolean = false) {
+      pp: Int = 15, sop: Boolean = false, eph: Boolean = false,
+      quant: Quant = null) {
     def ntx: Int = ceilDiv(width, xt)
     def nty: Int = ceilDiv(height, yt)
+    /** The quantization in force — a Header built without one (tests,
+      * query staging) gets the uniform profile its qShift implies. */
+    def q: Quant = if (quant ne null) quant else Quant.uniform(levels, irreversible, qShift)
   }
 
   /** One decoded tile: its grid position and clamped 8-bit pixel planes
@@ -1081,45 +1223,48 @@ object Jp2Codec {
     }
     require(w > 0 && h > 0 && nc > 0 && levels >= 0, "incomplete header")
     require(qcdBody != null, "missing QCD marker")
-    require(((qcdBody(0) & 0xFF) >> 5) == GuardBits, "unexpected guard bits")
+    val guard = (qcdBody(0) & 0xFF) >> 5
+    require(guard >= 1 && guard <= 7, s"guard bits $guard out of 1..7")
     val style = qcdBody(0) & 0x1F
-    var qShiftV = 0
-    if (!irrev) {
-      // reversible 5/3: no quantization (Sqcd style 0); the exponents are
-      // fixed by the profile and the decoder derives them from band gain.
-      // Length checked EXACTLY (one exponent byte per subband): trailing
-      // garbage inside the segment is rejected, not silently accepted —
-      // same "reject loudly rather than guess" contract as every other
-      // malformed-header path.
-      require(style == 0, s"quantization style $style with the 5/3 transform not supported")
-      require(qcdBody.length == 1 + (3 * levels + 1),
-        s"QCD payload ${qcdBody.length} B != ${1 + 3 * levels + 1} B for ${3 * levels + 1} subbands (style 0)")
-    } else {
-      // irreversible 9/7: scalar expounded (style 2), and the per-band
-      // (eps, mu) pairs must have THIS codec's uniform-step shape
-      // (eps_b = LossyRb + gain + qShift, mu = 0 — see [[LossyRb]]): the
-      // step then folds into two Header ints. Anything else — derived
-      // style 1, nonzero mantissas, non-uniform offsets — is rejected
-      // loudly rather than decoded at the wrong amplitude.
-      require(style == 2, s"quantization style $style with the 9/7 transform not supported " +
-        "(only scalar expounded)")
-      val bands = (for (r <- 0 to levels; b <- bandsAt(xt, yt, levels, r)) yield b).toSeq
-      require(qcdBody.length == 1 + 2 * bands.length,
-        s"QCD payload ${qcdBody.length} B != ${1 + 2 * bands.length} B for ${bands.length} subbands (style 2)")
-      val e0 = (beU16(qcdBody, 1) >> 11) & 0x1F
-      qShiftV = e0 - LossyRb // LL has gain 0
-      require(qShiftV >= -6 && qShiftV <= 3, s"quantizer exponent $e0 outside this profile")
-      for ((b, i) <- bands.zipWithIndex) {
-        val v = beU16(qcdBody, 1 + 2 * i)
-        val eps = (v >> 11) & 0x1F
-        val mu = v & 0x7FF
-        require(mu == 0 && eps == LossyRb + b.gain + qShiftV,
-          s"non-uniform scalar quantization not supported (band $i: eps=$eps mu=$mu, " +
-            s"expected eps=${LossyRb + b.gain + qShiftV} mu=0)")
+    val nBands = 3 * levels + 1
+    // Any spec-legal scalar QCD is admitted since r17 (Annex E): style 0
+    // with the 5/3 transform (exponents feed only Mb), style 1 derived
+    // or style 2 expounded with the 9/7 — per-band (eps, mu) with
+    // Delta_b = 2^(Prec + gain - eps)(1 + mu/2^11) and Mb = eps+G-1.
+    // Lengths are checked EXACTLY: trailing garbage inside the segment
+    // is rejected, not silently accepted — the same "reject loudly
+    // rather than guess" contract as every other malformed-header path.
+    val quantV: Quant =
+      if (!irrev) {
+        require(style == 0, s"quantization style $style with the 5/3 transform not supported")
+        require(qcdBody.length == 1 + nBands,
+          s"QCD payload ${qcdBody.length} B != ${1 + nBands} B for $nBands subbands (style 0)")
+        val eps = Vector.tabulate(nBands)(i => ((qcdBody(1 + i) & 0xFF) >> 3))
+        Quant(guard, eps, Vector.fill(nBands)(0))
+      } else if (style == 1) {
+        require(qcdBody.length == 3,
+          s"QCD payload ${qcdBody.length} B != 3 B (style 1 signals one value)")
+        val v = beU16(qcdBody, 1)
+        Quant.derived(levels, guard, (v >> 11) & 0x1F, v & 0x7FF)
+      } else {
+        require(style == 2, s"quantization style $style with the 9/7 transform not supported")
+        require(qcdBody.length == 1 + 2 * nBands,
+          s"QCD payload ${qcdBody.length} B != ${1 + 2 * nBands} B for $nBands subbands (style 2)")
+        val vs = Vector.tabulate(nBands)(i => beU16(qcdBody, 1 + 2 * i))
+        Quant(guard, vs.map(v => (v >> 11) & 0x1F), vs.map(_ & 0x7FF))
       }
+    for (i <- 0 until nBands) {
+      require(quantV.eps(i) >= 1 && quantV.eps(i) <= 31,
+        s"quantizer exponent ${quantV.eps(i)} of band $i out of 1..31")
+      require(quantV.mb(i) >= 1 && quantV.mb(i) <= 30,
+        s"Mb ${quantV.mb(i)} of band $i out of 1..30 (eps=${quantV.eps(i)}, G=$guard)")
     }
+    // LL step exponent offset — the uniform-profile knob the staged
+    // queries assert on; well-defined for every stream (it is simply
+    // eps_LL - Prec), equal to the encoder's qShift on uniform streams
+    val qShiftV = if (irrev) quantV.eps(0) - Prec else 0
     val hdr = Header(w, h, nc, xt, yt, useRct, levels, layersV, irrev, qShiftV,
-      ppV, sopV, ephV)
+      ppV, sopV, ephV, quantV)
     require(hdr.ntx * hdr.nty == 1 || (xt % (1 << levels) == 0 && yt % (1 << levels) == 0),
       s"multi-tile grid with tile dims not multiples of 2^$levels (absolute-" +
         "parity subband geometry) not supported")
@@ -1169,7 +1314,7 @@ object Jp2Codec {
     // exactly (origins and dims all scale by 2^discard).
     for (r <- 0 to rl) {
       val decs = Array.fill(hdr.nc)(new ResDecoder(rw, rh, rl, r,
-        mbBaseFor(hdr.irreversible, hdr.qShift), rx0, ry0, hdr.pp, hdr.sop, hdr.eph))
+        hdr.q, rx0, ry0, hdr.pp, hdr.sop, hdr.eph))
       val np = decs(0).grid.num
       for (l <- 0 until keep; c <- 0 until hdr.nc; pr <- 0 until np) {
         if (keepPrec == null || keepPrec(r, pr)) {
@@ -1186,26 +1331,37 @@ object Jp2Codec {
     else
       require(p <= body.length, s"tile $isot truncated walk overran its slices")
     if (hdr.irreversible) {
-      // E.1 mid-point dequantization (r = 1/2) at the uniform step
-      // delta = 2^(-qShift), then inverse 9/7 + ICT and rounded clamp.
+      // E.1 mid-point dequantization (r = 1/2) at each band's own step
+      // Delta_b (per-band since r17 — the Mallat rects of resolutions
+      // 0..rl tile the array exactly once; in a reduced decode the kept
+      // bands keep their ORIGINAL QCD indices because discard drops the
+      // finest resolutions), then inverse 9/7 + ICT and rounded clamp.
       // For a quality-truncated decode the mid-point is taken at the
-      // EFFECTIVE step delta·2^depth (depth = lowest decoded bit-plane,
-      // 0 on a full decode): |v| is known only to lie in
-      // [|q|·delta, (|q|+2^depth)·delta), and reconstructing at the
+      // EFFECTIVE step Delta_b·2^depth (depth = lowest decoded
+      // bit-plane, 0 on a full decode): |v| is known only to lie in
+      // [|q|·Delta_b, (|q|+2^depth)·Delta_b), and reconstructing at the
       // finest step's mid-point would bias every truncated coefficient
       // toward zero.
-      val delta = math.pow(2.0, -hdr.qShift.toDouble)
+      val qspec = hdr.q
       val ds = tile.zipWithIndex.map { case (q, c) =>
         val dep = if (quantDepth == null) null else quantDepth(c)
         val d = new Array[Double](q.length)
-        var i = 0
-        while (i < q.length) {
-          val v = q(i)
-          val half = if (dep == null) 0.5 else 0.5 * (1 << dep(i))
-          d(i) = if (v == 0) 0.0
-                 else if (v > 0) (v + half) * delta
-                 else -((-v + half) * delta)
-          i += 1
+        for (r <- 0 to rl; (b, ord) <- bandsAt(rw, rh, rl, r).zipWithIndex) {
+          val delta = qspec.delta(bandIndex(r, ord), b.gain)
+          var y = 0
+          while (y < b.h) {
+            var x = 0
+            while (x < b.w) {
+              val i = (b.y0 + y) * rw + (b.x0 + x)
+              val v = q(i)
+              val half = if (dep == null) 0.5 else 0.5 * (1 << dep(i))
+              d(i) = if (v == 0) 0.0
+                     else if (v > 0) (v + half) * delta
+                     else -((-v + half) * delta)
+              x += 1
+            }
+            y += 1
+          }
         }
         d
       }
@@ -1342,7 +1498,7 @@ object Jp2Codec {
     * threshold path — and the final layer always completes the block
     * (lossless). */
   private final class ResEncoder(plane: Array[Int], w: Int, h: Int, nl: Int,
-      r: Int, layers: Int, mbBase: Int, atx: Int, aty: Int, pp: Int) {
+      r: Int, layers: Int, quant: Quant, atx: Int, aty: Int, pp: Int) {
 
     val grid: PrecGrid = precGrid(w, h, nl, r, atx, aty, pp)
 
@@ -1357,9 +1513,9 @@ object Jp2Codec {
     // tag trees span a PRECINCT's layers, one pair per band-precinct) and
     // the precinct's code-blocks in precinct-local raster order
     private val perBand: Seq[(Band, Array[(TagTree, TagTree, Array[Blk])])] =
-      bandsAt(w, h, nl, r).filter(b => b.w > 0 && b.h > 0).map { b =>
+      bandsAt(w, h, nl, r).zipWithIndex.filter(_._1.w > 0).filter(_._1.h > 0).map { case (b, ord) =>
         val layout = bandLayout(b, nl, r, atx, aty, pp, grid)
-        val mb = mbBase + b.gain
+        val mb = quant.mb(bandIndex(r, ord))
         val perPrec = Array.tabulate(grid.num) { p =>
           val (tw, th) = layout.treeDims(p)
           if (tw == 0 || th == 0) (null: TagTree, null: TagTree, Array.empty[Blk])
@@ -1525,7 +1681,7 @@ object Jp2Codec {
     * packet state — persistent tag trees, per-block Lblock / pass / chunk
     * accumulation across layers — then one Tier-1 decode per included
     * block over the concatenated chunks once every layer is read. */
-  private final class ResDecoder(w: Int, h: Int, nl: Int, r: Int, mbBase: Int,
+  private final class ResDecoder(w: Int, h: Int, nl: Int, r: Int, quant: Quant,
       atx: Int, aty: Int, pp: Int, sop: Boolean, eph: Boolean) {
 
     val grid: PrecGrid = precGrid(w, h, nl, r, atx, aty, pp)
@@ -1538,9 +1694,10 @@ object Jp2Codec {
       val chunks = ArrayBuffer.empty[Array[Byte]]
     }
 
-    // mirror of the encoder's layout: per band, per precinct
-    private val perBand: Seq[(Band, Array[(TagTree, TagTree, Array[BlkState])])] =
-      bandsAt(w, h, nl, r).filter(b => b.w > 0 && b.h > 0).map { b =>
+    // mirror of the encoder's layout: per band (with its QCD-indexed
+    // Mb), per precinct
+    private val perBand: Seq[(Band, Int, Array[(TagTree, TagTree, Array[BlkState])])] =
+      bandsAt(w, h, nl, r).zipWithIndex.filter(_._1.w > 0).filter(_._1.h > 0).map { case (b, ord) =>
         val layout = bandLayout(b, nl, r, atx, aty, pp, grid)
         val perPrec = Array.tabulate(grid.num) { p =>
           val (tw, th) = layout.treeDims(p)
@@ -1548,7 +1705,7 @@ object Jp2Codec {
           else (new TagTree(tw, th), new TagTree(tw, th),
             layout.blocks(p).toArray.map(new BlkState(_)))
         }
-        (b, perPrec)
+        (b, quant.mb(bandIndex(r, ord)), perPrec)
       }
 
     /** Read layer `l`'s packet for precinct `p` (header + body) starting
@@ -1578,7 +1735,7 @@ object Jp2Codec {
         return end
       }
       val pending = ArrayBuffer.empty[(BlkState, Int)] // (state, len)
-      for ((_, perPrec) <- perBand) {
+      for ((_, _, perPrec) <- perBand) {
         val (incl, zbps, states) = perPrec(p)
         for (s <- states) {
           val bx = s.rect.tx; val by = s.rect.ty
@@ -1622,9 +1779,8 @@ object Jp2Codec {
       * quality-truncated lossy dequantizer can reconstruct at the
       * EFFECTIVE step's mid-point instead of biasing low. */
     def finishInto(plane: Array[Int], depthPlane: Array[Int] = null): Unit = {
-      for ((b, perPrec) <- perBand; (_, _, states) <- perPrec; s <- states) {
+      for ((b, mb, perPrec) <- perBand; (_, _, states) <- perPrec; s <- states) {
         if (s.included && s.passes > 0) {
-          val mb = mbBase + b.gain
           val data = s.chunks.toArray.flatten
           val cw = s.rect.cw; val ch = s.rect.ch
           val numbps = mb - s.zbp

@@ -832,24 +832,38 @@ class Jp2CodecSpec extends AnyFunSuite {
     assert(errG <= 32 && psnrG >= 28, s"gray maxErr=$errG psnr=$psnrG")
   }
 
-  test("lossy streams reject tampered quantization shapes; encoder rejects bad qShift") {
+  test("tampered QCD: mantissas are honored, illegal styles/exponents reject") {
     val comps = Array(pattern(64, 48, 3))
     val cs = Jp2Codec.encode(64, 48, comps, levels = 2, irreversible = true, qShift = -1)
-    // locate QCD (0xFF5C) and tamper the first band's mantissa bits
+    // locate QCD (0xFF5C); layout FF 5C len16 Sqcd [eps<<11|mu]...
     val qcdAt = (0 until cs.length - 1).indexWhere(i =>
       (cs(i) & 0xFF) == 0xFF && (cs(i + 1) & 0xFF) == 0x5C)
     assert(qcdAt > 0)
     val style = cs(qcdAt + 4) & 0x1F
     assert(style == 2, s"expected scalar-expounded QCD, got style $style")
+    // a non-uniform mantissa is spec-legal since r17 — the decoder must
+    // APPLY it (LL step x2 here), not ignore it: pixels must move
     val bad = cs.clone()
-    bad(qcdAt + 6) = (bad(qcdAt + 6) | 0x04).toByte // nonzero mu on band 0
-    val e = intercept[IllegalArgumentException](Jp2Codec.decode(bad))
-    assert(e.getMessage.contains("non-uniform"), e.getMessage)
-    // scalar-derived (style 1) must also reject, not mis-decode
+    bad(qcdAt + 5) = (bad(qcdAt + 5) | 0x07).toByte
+    bad(qcdAt + 6) = 0xFF.toByte // band 0 mu = 2047
+    val base = Jp2Codec.decode(cs).comps.map(_.toSeq).toSeq
+    val wider = Jp2Codec.decode(bad).comps.map(_.toSeq).toSeq
+    assert(base != wider, "a ~2x LL step must change the reconstruction")
+    // style 3 does not exist
     val bad2 = cs.clone()
-    bad2(qcdAt + 4) = ((bad2(qcdAt + 4) & 0xE0) | 1).toByte
+    bad2(qcdAt + 4) = ((bad2(qcdAt + 4) & 0xE0) | 3).toByte
     val e2 = intercept[IllegalArgumentException](Jp2Codec.decode(bad2))
     assert(e2.getMessage.contains("quantization style"), e2.getMessage)
+    // style 1 carrying an expounded-length payload is a length error
+    val bad3 = cs.clone()
+    bad3(qcdAt + 4) = ((bad3(qcdAt + 4) & 0xE0) | 1).toByte
+    val e3 = intercept[IllegalArgumentException](Jp2Codec.decode(bad3))
+    assert(e3.getMessage.contains("QCD payload"), e3.getMessage)
+    // eps = 0 is outside E.1's 1..31
+    val bad4 = cs.clone()
+    bad4(qcdAt + 5) = (bad4(qcdAt + 5) & 0x07).toByte
+    val e4 = intercept[IllegalArgumentException](Jp2Codec.decode(bad4))
+    assert(e4.getMessage.contains("quantizer exponent"), e4.getMessage)
     // qShift outside the profile fails at encode time
     intercept[IllegalArgumentException](
       Jp2Codec.encode(64, 48, comps, levels = 2, irreversible = true, qShift = 4))
@@ -1099,6 +1113,10 @@ class Jp2CodecSpec extends AnyFunSuite {
       val precinctExp = Seq(15, 15, 3, 4, 5, 6, 7)(r.nextInt(7))
       val sop = r.nextInt(3) == 0
       val eph = r.nextInt(3) == 0
+      // r17: the QCD shape axis — norm-weighted expounded steps and the
+      // style-1 derived signalling join the uniform profile
+      val quantMode = if (!irrev) "uniform"
+                      else Seq("uniform", "uniform", "norms", "derived")(r.nextInt(4))
       val comps = Array.tabulate(nc) { c =>
         Array.tabulate(w * h) { j =>
           if (r.nextInt(3) == 0) r.nextInt(256)
@@ -1107,21 +1125,32 @@ class Jp2CodecSpec extends AnyFunSuite {
       }
       val label = s"seed=$seed ${w}x$h levels=$levels tile=$tileSize " +
         s"layers=$layers parts=$parts nc=$nc irrev=$irrev q=$qShift " +
-        s"pp=$precinctExp sop=$sop eph=$eph"
+        s"pp=$precinctExp sop=$sop eph=$eph quant=$quantMode"
       val cs = Jp2Codec.encode(w, h, comps, levels, tileSize, layers, parts,
-        irrev, qShift, precinctExp, sop, eph)
+        irrev, qShift, precinctExp, sop, eph, quantMode)
       val hdr = Jp2Codec.header(cs)
       assert(hdr.layers == layers && hdr.irreversible == irrev &&
-        hdr.qShift == qShift && hdr.pp == precinctExp &&
-        hdr.sop == sop && hdr.eph == eph, label)
+        hdr.pp == precinctExp && hdr.sop == sop && hdr.eph == eph, label)
+      // hdr.qShift is the LL step exponent offset: the encoder knob for
+      // uniform AND derived (eps_0 = Prec + qShift both ways); norms
+      // weights the LL by its synthesis norm so only a range holds
+      if (quantMode != "norms") assert(hdr.qShift == qShift, label)
+      else assert(hdr.qShift >= qShift, s"$label llShift=${hdr.qShift}")
       val out = Jp2Codec.decode(cs)
       assert(out.width == w && out.height == h && out.comps.length == nc, label)
       if (!irrev) {
         for (c <- 0 until nc)
           assert(java.util.Arrays.equals(out.comps(c), comps(c)), s"$label c=$c")
       } else {
-        val delta = math.pow(2.0, -qShift)
-        val bound = (8 * delta + 4).toInt
+        // per-band steps from the PARSED header (style-1 expansion and
+        // the mu arithmetic included), so the bound itself exercises the
+        // QCD read-back: coefficient error <= delta_b, amplified by the
+        // bounded synthesis l1 norms -> 8*deltaMax + 4 (generous but
+        // catches any amplitude/sign/indexing slip)
+        val q = hdr.q
+        val deltaMax = (0 until 3 * levels + 1).map(i =>
+          q.delta(i, graft.sources.jp2.Jp2Codec.Quant.gainOf(i))).max
+        val bound = (8 * deltaMax + 4).toInt
         val maxErr = (0 until nc).map(c =>
           out.comps(c).zip(comps(c)).map { case (x, y) => math.abs(x - y) }.max).max
         assert(maxErr <= bound, s"$label maxErr=$maxErr > $bound")
@@ -1133,6 +1162,47 @@ class Jp2CodecSpec extends AnyFunSuite {
         assert(red.width == (w + 1) / 2 && red.height == (h + 1) / 2, label)
       }
     }
+  }
+
+  test("norm-weighted and derived quantization: QCD shapes, expansion, round-trip") {
+    val (w, h) = (96, 80)
+    val comps = Array(pattern(w, h, 3))
+
+    // "norms": style 2 with genuinely non-uniform per-band steps — the
+    // signaled exponents must differ across bands, at least one band
+    // must carry a nonzero mantissa, and the reconstruction must stay
+    // archival-quality at qShift = -2 (same PSNR floor as the uniform
+    // profile's dedicated test)
+    val csN = Jp2Codec.encode(w, h, comps, levels = 3, irreversible = true,
+      qShift = -2, quantMode = "norms")
+    val qN = Jp2Codec.header(csN).q
+    assert(qN.eps.distinct.size >= 2, s"norms eps not non-uniform: ${qN.eps}")
+    assert(qN.mu.exists(_ != 0), s"norms mantissas all zero: ${qN.mu}")
+    val outN = Jp2Codec.decode(csN)
+    val (errN, psnrN) = errStats(outN, comps)
+    assert(errN <= 32 && psnrN >= 28, s"norms maxErr=$errN psnr=$psnrN")
+
+    // "derived": style 1 signals ONE (eps_0, mu_0) in a 5-byte QCD; the
+    // parsed header must carry the E-5 expansion eps_b = eps_0 - (r-1),
+    // mu_b = mu_0 — pinned against a hand-written vector, not the
+    // codec's own expander
+    val csD = Jp2Codec.encode(w, h, comps, levels = 2, irreversible = true,
+      qShift = 0, quantMode = "derived")
+    val qcdAt = (0 until csD.length - 1).indexWhere(i =>
+      (csD(i) & 0xFF) == 0xFF && (csD(i + 1) & 0xFF) == 0x5C)
+    assert(((csD(qcdAt + 2) & 0xFF) << 8 | (csD(qcdAt + 3) & 0xFF)) == 5,
+      "style-1 QCD must signal exactly one (eps, mu)")
+    assert((csD(qcdAt + 4) & 0x1F) == 1, "Sqcd style must be 1")
+    val qD = Jp2Codec.header(csD).q
+    // levels=2 bands: LL, (HL1,LH1,HH1) at r=1, (HL2,LH2,HH2) at r=2;
+    // eps_0 = 8, so E-5 gives 8, 8,8,8, 7,7,7 with mu = 1024 everywhere
+    assert(qD.eps == Vector(8, 8, 8, 8, 7, 7, 7), s"derived eps ${qD.eps}")
+    assert(qD.mu == Vector.fill(7)(1024), s"derived mu ${qD.mu}")
+    val outD = Jp2Codec.decode(csD)
+    val (errD, psnrD) = errStats(outD, comps)
+    // derived quantizes fine detail coarsely by design (step doubles per
+    // finer resolution, x1.5 mantissa): bounded, not near-lossless
+    assert(errD <= 48 && psnrD >= 22, s"derived maxErr=$errD psnr=$psnrD")
   }
 
   test("precinct streams round-trip and keep the full ranged machinery exact") {

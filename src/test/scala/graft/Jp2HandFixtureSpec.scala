@@ -27,9 +27,11 @@ import graft.sources.jp2.Jp2Codec
   *    PLT FF58; SOD FF93; EOC FFD9 (A.2).
   *  - This profile's fixed fields: Rsiz 0, origin 0, 8-bit unsigned
   *    components (Ssiz 7), no subsampling, 64x64 code-blocks
-  *    (SPcod xcb-2 = 4), guard bits 2, reversible exponent
-  *    eps_b = 13 + gain_b (QCD style 0), irreversible
-  *    eps_b = 9 + gain_b + qShift with mu = 0 (style 2).
+  *    (SPcod xcb-2 = 4), reversible exponent eps_b = 13 + gain_b with
+  *    2 guard bits (QCD style 0), irreversible the E.1.1 spec shape
+  *    eps_b = Rb + qShift = 8 + gain_b + qShift with mu = 0 and
+  *    3 guard bits (style 2) — fixtures M/N carry foreign non-uniform
+  *    and style-1 shapes the encoder never writes.
   *  - Packet headers are MSB-first bits, zero-padded to a byte (B.10.1;
   *    no fixture header contains a 0xFF byte, so bit stuffing never
   *    triggers and plain packing is exact).
@@ -69,11 +71,14 @@ class Jp2HandFixtureSpec extends AnyFunSuite {
     bytes(Seq(0xFF, 0x5C, 0, 3 + exps.length, 2 << 5) ++ exps: _*)
   }
 
-  /** QCD style 2 (irreversible scalar expounded): u16 (9+gain+qShift)<<11 per subband. */
+  /** QCD style 2 (irreversible scalar expounded), the spec shape E.1.1:
+    * eps_b = Rb + qShift with Rb = prec + gain = 8 + gain (the formula a
+    * conformant decoder applies — OpenJPEG/Kakadu would reconstruct
+    * these streams at exactly the signaled step), 3 guard bits. */
   private def qcdIrrev(levels: Int, qShift: Int): Array[Byte] = {
-    val eps = Seq(9) ++ (1 to levels).flatMap(_ => Seq(10, 10, 11))
+    val eps = Seq(8) ++ (1 to levels).flatMap(_ => Seq(9, 9, 10))
     val body = eps.map(_ + qShift).flatMap(e => Seq((e << 11) >>> 8, (e << 11) & 0xFF))
-    bytes(Seq(0xFF, 0x5C, 0, 3 + body.length, (2 << 5) | 2) ++ body: _*)
+    bytes(Seq(0xFF, 0x5C, 0, 3 + body.length, (3 << 5) | 2) ++ body: _*)
   }
 
   /** SOT + PLT + SOD for one tile-part whose packets have the given lengths
@@ -251,12 +256,16 @@ class Jp2HandFixtureSpec extends AnyFunSuite {
   // Fixture E — 9/7 + scalar quantization (the lossy profile), 2x2 gray
   // with pixel (0,0) = 129, levels 0, qShift 0 (E.1 + Annex F.4):
   //   DC shift -> 1.0; zero-level 9/7 transform is the identity;
-  //   deadzone quantizer q = floor(|1.0| / 1) = 1. Tier-1 input is the
-  //   SAME +1 coefficient block as fixture B -> codeword [04] (the MQ
-  //   trace does not depend on mb). What changes is the header: lossy
-  //   mb = 9 + 0 + 2 - 1 = 10, so zbp = 9 -> the zero-bitplane tag tree
-  //   emits 9 zeros + 1 (not 13): bits 1 1 000000000 1 0 0 001 pad
-  //   -> C0 10 80. QCD is style 2 with eps_LL = 9 (0x4800).
+  //   deadzone quantizer: QCD signals eps_LL = 8 with the spec's E.1.1
+  //   step Delta = 2^(Rb - eps) = 2^(8 - 8) = 1 (Rb = prec + gain = 8 —
+  //   the formula OpenJPEG/Kakadu apply, so this fixture anchors the
+  //   AMPLITUDE convention outside the codec too), q = floor(1.0/1) = 1.
+  //   Tier-1 input is the SAME +1 coefficient block as fixture B ->
+  //   codeword [04] (the MQ trace does not depend on mb). What changes
+  //   is the header: lossy mb = eps + G - 1 = 8 + 3 - 1 = 10, so
+  //   zbp = 9 -> the zero-bitplane tag tree emits 9 zeros + 1 (not 13):
+  //   bits 1 1 000000000 1 0 0 001 pad -> C0 10 80. QCD is style 2 with
+  //   eps_LL = 8, mu = 0 (0x4000), 3 guard bits.
   // Expected pixels, BY HAND from E.1 (not from the codec): the
   // mid-point dequantizer reconstructs q=1 as (1+0.5)*1 = 1.5; the
   // zero-level inverse transform is the identity; rint(1.5) = 2
@@ -451,6 +460,60 @@ class Jp2HandFixtureSpec extends AnyFunSuite {
   // wrapping fixture B's codestream. The box walk must find the
   // codestream and decode the same pixels.
   // ------------------------------------------------------------------
+  // ------------------------------------------------------------------
+  // Fixture M — FOREIGN quantization shape (r17): style-2 QCD with a
+  // nonzero mantissa, eps = 7, mu = 1024, 3 guard bits — a shape this
+  // repo's encoder NEVER writes (its expounded modes emit eps = 8 + gain
+  // + qShift at levels 0), so the mantissa amplitude arithmetic is
+  // anchored entirely outside the codec. 2x2 gray, pixel (0,0) = 131,
+  // levels 0:
+  //   E.1.1: Delta = 2^(Rb - eps)(1 + mu/2^11) = 2^(8-7) * 1.5 = 3.
+  //   DC shift -> v = 3.0; deadzone q = floor(3/3) = 1 -> the SAME +1
+  //   coefficient block as fixture B -> codeword [04].
+  //   mb = eps + G - 1 = 7 + 3 - 1 = 9 -> zbp = 8: header bits
+  //   1 1 00000000 1 0 0 001 (16 bits) -> C0 21.
+  // Expected pixels BY HAND: mid-point recon (1+0.5)*3 = 4.5;
+  // rint(4.5) = 4 (half-even) -> pixel 132. The pin discriminates the
+  // plausible bugs: a mu-IGNORING decoder uses Delta = 2 -> recon 3 ->
+  // pixel 131; an eps misread as 8 uses Delta = 1.5 -> recon 2.25 ->
+  // rint 2 -> pixel 130. Only the spec arithmetic lands on 132.
+  // ------------------------------------------------------------------
+  test("hand fixture M: foreign non-uniform mantissa quantization, hand-computed amplitude") {
+    val qcd = bytes(0xFF, 0x5C, 0, 5, (3 << 5) | 2, 0x3C, 0x00) // eps=7, mu=1024
+    val cs = SOC ++ siz(2, 2, 2, 2, 1) ++ cod(0, 1, 0, 0, 0) ++ qcd ++
+      tilePart(0, 0, 1, bytes(0xC0, 0x21, 0x04)) ++ EOC
+    val expected = Seq(Seq(132, 128, 128, 128))
+    assert(pixels(Jp2Codec.decode(cs)) == expected)
+    val hdr = Jp2Codec.header(cs)
+    assert(hdr.q.eps == Vector(7) && hdr.q.mu == Vector(1024) && hdr.q.guard == 3)
+    assertFlipFails(cs, cs.length - 3, expected)  // codeword byte
+    assertFlipFails(cs, cs.length - 27, expected) // QCD value high byte (eps bits)
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture N — style-1 (scalar derived) QCD, the OTHER signalling path
+  // (r17): one (eps_0 = 7, mu_0 = 1024) pair in a 5-byte segment,
+  // Sqcd = (3<<5)|1 = 0x61, value 0x3C00. Same 2x2/131 image and
+  // Tier-1 bytes as fixture M (at levels 0 the E-5 expansion is just
+  // the LL band), so the expected pixels are fixture M's 132 — decoded
+  // through the style-1 parse. This exact stream IS what the encoder's
+  // "derived" mode emits at qShift = -1, so the encoder is pinned
+  // byte-for-byte against the hand assembly here (the expansion at
+  // levels > 0 is pinned against a hand-written vector in
+  // Jp2CodecSpec's norm/derived test).
+  // ------------------------------------------------------------------
+  test("hand fixture N: scalar-derived (style 1) QCD signals one value") {
+    val qcd = bytes(0xFF, 0x5C, 0, 5, (3 << 5) | 1, 0x3C, 0x00)
+    val cs = SOC ++ siz(2, 2, 2, 2, 1) ++ cod(0, 1, 0, 0, 0) ++ qcd ++
+      tilePart(0, 0, 1, bytes(0xC0, 0x21, 0x04)) ++ EOC
+    val expected = Seq(Seq(132, 128, 128, 128))
+    assert(pixels(Jp2Codec.decode(cs)) == expected)
+    val enc = Jp2Codec.encode(2, 2, Array(Array(131, 128, 128, 128)), levels = 0,
+      irreversible = true, qShift = -1, quantMode = "derived")
+    assert(enc.sameElements(cs), "derived-mode encoder diverges from the hand-assembled stream")
+    assertFlipFails(cs, cs.length - 3, expected)
+  }
+
   test("hand fixture I: hand-built JP2 container walks to jp2c") {
     val sig = bytes(0x00, 0x00, 0x00, 0x0C, 0x6A, 0x50, 0x20, 0x20, 0x0D, 0x0A, 0x87, 0x0A)
     val ftypLen = 8 + 4 + 4 + 4 // brand jp2\040, minor 0, compat jp2\040
