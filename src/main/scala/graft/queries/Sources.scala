@@ -1727,26 +1727,30 @@ object Sources {
 
   private val lossyJp2Staged = new java.util.concurrent.ConcurrentHashMap[String, (String, Map[String, Long])]()
 
-  /** Synthesize 4 LOSSY (9/7 + ICT + scalar quantization, qShift = -2 →
-    * step 4) JPEG 2000 scans (staged once per JVM) — the dominant
-    * profile of real archival masters (visually-lossless derivatives) —
-    * mixing untiled/tiled, 1/2 quality layers and 1/2 tile-parts so the
-    * lossy path runs through every layout the lossless one does. Pixel
-    * values are the same coordinate arithmetic family as l5g, so a task
-    * can regenerate the EXACT original for error measurement. Alongside
-    * the directory, the staged map carries each scan's LOSSLESS
-    * (reversible 5/3) encoding size, the in-query compression baseline. */
+  /** Synthesize 6 LOSSY (9/7 + ICT + scalar quantization) JPEG 2000
+    * scans (staged once per JVM) — the dominant profile of real archival
+    * masters (visually-lossless derivatives) — mixing untiled/tiled,
+    * 1/2 quality layers, 1/2 tile-parts AND (r17) the three spec QCD
+    * shapes: files 0-3 the uniform step (qShift = -2 → step 4), file 4
+    * the norm-weighted per-band expounded QCD (nonzero mantissas,
+    * non-uniform exponents — the shape Kakadu/OpenJPEG masters carry),
+    * file 5 the style-1 scalar-derived signalling. Pixel values are the
+    * same coordinate arithmetic family as l5g, so a task can regenerate
+    * the EXACT original for error measurement. Alongside the directory,
+    * the staged map carries each scan's LOSSLESS (reversible 5/3)
+    * encoding size, the in-query compression baseline. */
   private[graft] def stageLossyJp2s(): (String, Map[String, Long]) =
     lossyJp2Staged.computeIfAbsent("lossy", { _ =>
       val dir = tmp("l5m_jp2")
-      val sizes = (0 until 4).map { i =>
+      val sizes = (0 until 6).map { i =>
         val (w, h) = (64 + (17 * i) % 97, 48 + (23 * i) % 89)
         val comps = lossyJp2Comps(w, h, i)
         val cs = graft.sources.jp2.Jp2Codec.encode(w, h, comps,
           tileSize = if (i % 2 == 1) 64 else 0,
           layers = if (i == 2) 2 else 1,
           partsPerTile = if (i == 3) 2 else 1,
-          irreversible = true, qShift = -2)
+          irreversible = true, qShift = if (i == 5) 0 else -2,
+          quantMode = i match { case 4 => "norms"; case 5 => "derived"; case _ => "uniform" })
         val name = s"lossy_$i.jp2"
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$dir/$name"),
@@ -1789,11 +1793,20 @@ object Sources {
       .as[(String, Array[Byte], Long)]
       .mapPartitions { it =>
         it.map { case (name, bytes, streamLen) =>
-          val hdr = graft.sources.jp2.Jp2Codec.header(bytes)
-          require(hdr.irreversible && hdr.qShift == -2,
-            s"$name: expected the lossy 9/7 profile, got $hdr")
-          val img = graft.sources.jp2.Jp2Codec.decode(bytes)
           val i = name.stripPrefix("lossy_").stripSuffix(".jp2").toInt
+          val hdr = graft.sources.jp2.Jp2Codec.header(bytes)
+          require(hdr.irreversible, s"$name: expected the lossy 9/7 profile, got $hdr")
+          // per-file QCD-shape contract: the uniform files pin the step,
+          // file 4 must really be non-uniform with mantissas, file 5 must
+          // carry exactly the E-5 derived expansion
+          i match {
+            case 4 => require(hdr.q.mu.exists(_ != 0) && hdr.q.eps.distinct.size >= 2,
+              s"$name: expected the norm-weighted non-uniform QCD, got ${hdr.q}")
+            case 5 => require(hdr.q == graft.sources.jp2.Jp2Codec.Quant.derived(hdr.levels, 3, 8, 1024),
+              s"$name: expected the scalar-derived QCD, got ${hdr.q}")
+            case _ => require(hdr.qShift == -2, s"$name: expected qShift -2, got $hdr")
+          }
+          val img = graft.sources.jp2.Jp2Codec.decode(bytes)
           val orig = lossyJp2Comps(img.width, img.height, i)
           var maxErr = 0L
           var absSum = 0L
@@ -1811,8 +1824,12 @@ object Sources {
           }
           val meanPpm = absSum * 1000000L / (3L * img.width * img.height)
           // the tolerance contract: step-4 quantization stays visually
-          // bounded — beyond this is a codec defect, not "lossy"
-          require(maxErr <= 32 && meanPpm <= 4000000L,
+          // bounded — beyond this is a codec defect, not "lossy". The
+          // derived profile (file 5) quantizes fine detail coarsely by
+          // design (step doubles per finer resolution), so its bound is
+          // wider but still a defect gate.
+          val (maxTol, ppmTol) = if (i == 5) (64L, 8000000L) else (32L, 4000000L)
+          require(maxErr <= maxTol && meanPpm <= ppmTol,
             s"$name: lossy reconstruction out of tolerance (maxErr=$maxErr, meanPpm=$meanPpm)")
           (name, img.width.toLong, img.height.toLong, maxErr, meanPpm,
             streamLen < losslessBytes(name))
@@ -2646,7 +2663,11 @@ object Sources {
         |('lossy_2.jp2', CAST(98 AS BIGINT), CAST(94 AS BIGINT),
         |  CAST(18 AS BIGINT), CAST(3179801 AS BIGINT), true),
         |('lossy_3.jp2', CAST(115 AS BIGINT), CAST(117 AS BIGINT),
-        |  CAST(22 AS BIGINT), CAST(3170023 AS BIGINT), true)
+        |  CAST(22 AS BIGINT), CAST(3170023 AS BIGINT), true),
+        |('lossy_4.jp2', CAST(132 AS BIGINT), CAST(51 AS BIGINT),
+        |  CAST(11 AS BIGINT), CAST(1790701 AS BIGINT), true),
+        |('lossy_5.jp2', CAST(149 AS BIGINT), CAST(74 AS BIGINT),
+        |  CAST(36 AS BIGINT), CAST(5192756 AS BIGINT), true)
         |) AS t(file_name, width, height, max_err, mean_err_ppm,
         |       smaller_than_lossless)""".stripMargin,
     "l5_multimodal_decode" ->
