@@ -7,8 +7,17 @@ package graft.sources.jp2
   * 4-row stripe scan, and the Annex-D context model: 9 zero-coding
   * contexts (band-orientation dependent), 5 sign contexts, 3 magnitude
   * refinement contexts, run-length and UNIFORM contexts — all driving
-  * one [[MQEncoder]]/[[MQDecoder]] per code-block (default options: no
-  * bypass, no reset, single codeword segment terminated once).
+  * one [[MQEncoder]]/[[MQDecoder]] per code-block.
+  *
+  * Code-block style options (r17, SPcod/SPcoc bit values, Table A.19):
+  * RESET re-initializes every MQ context at each coding-pass boundary
+  * (D.2 option), CAUSAL makes context formation vertically causal —
+  * a sample in stripe row 3 sees the stripe below as insignificant
+  * (D.3.3), SEGSYM codes the four-bit symbol 1010 in the UNIFORM
+  * context at the end of every cleanup pass and the decoder verifies it
+  * (D.4.2 error resilience). Selective bypass and per-pass termination
+  * (multi-segment codewords) remain outside the profile and are
+  * rejected at the COD parse.
   *
   * Encoder and decoder are exact mirrors; [[Jp2CodecSpec]] round-trips
   * random blocks through both.
@@ -17,6 +26,11 @@ object Ebcot {
 
   /** Band orientations (indexing the ZC context tables). */
   final val LL = 0; final val HL = 1; final val LH = 2; final val HH = 3
+
+  /** Code-block style option bits — the SPcod byte's own values. */
+  final val OptReset = 0x02
+  final val OptCausal = 0x08
+  final val OptSegSym = 0x20
 
   /** Zero-coding context from neighbor significance counts h (0-2),
     * v (0-2), d (0-4) — Tables D.1: LL/LH keyed on horizontal first, HL
@@ -50,8 +64,12 @@ object Ebcot {
       if (vc == 1) 11 * 2 + 1 else if (vc == 0) 12 * 2 + 1 else 13 * 2 + 1
   }
 
-  /** Shared per-block scan state for encode and decode. */
-  private final class State(val w: Int, val h: Int) {
+  /** Shared per-block scan state for encode and decode. With `causal`
+    * (vertically causal context formation, D.3.3) a sample in the last
+    * row of its 4-row stripe treats every stripe-below neighbor — the
+    * three lower significance neighbors AND the lower sign
+    * contribution — as insignificant. */
+  private final class State(val w: Int, val h: Int, val causal: Boolean) {
     val n = w * h
     val sigma = new Array[Boolean](n) // significant
     val visited = new Array[Boolean](n) // coded in this plane's SPP
@@ -61,29 +79,41 @@ object Ebcot {
       if (x < 0 || y < 0 || x >= w || y >= h) 0
       else if (sigma(y * w + x)) 1 else 0
 
-    def hCount(x: Int, y: Int): Int = sig(x - 1, y) + sig(x + 1, y)
-    def vCount(x: Int, y: Int): Int = sig(x, y - 1) + sig(x, y + 1)
-    def dCount(x: Int, y: Int): Int =
-      sig(x - 1, y - 1) + sig(x + 1, y - 1) + sig(x - 1, y + 1) + sig(x + 1, y + 1)
+    /** The stripe below `cy` is hidden from context formation. */
+    @inline private def hideBelow(cy: Int): Boolean = causal && (cy & 3) == 3
 
-    /** Clamped sign contribution along one axis for sign coding. */
-    def signContrib(sgn: Array[Int], x1: Int, y1: Int, x2: Int, y2: Int): Int = {
-      def f(x: Int, y: Int): Int =
-        if (x < 0 || y < 0 || x >= w || y >= h) 0
-        else {
-          val i = y * w + x
-          if (!sigma(i)) 0 else if (sgn(i) == 0) 1 else -1
-        }
-      math.max(-1, math.min(1, f(x1, y1) + f(x2, y2)))
-    }
+    def hCount(x: Int, y: Int): Int = sig(x - 1, y) + sig(x + 1, y)
+    def vCount(x: Int, y: Int): Int =
+      sig(x, y - 1) + (if (hideBelow(y)) 0 else sig(x, y + 1))
+    def dCount(x: Int, y: Int): Int =
+      sig(x - 1, y - 1) + sig(x + 1, y - 1) +
+        (if (hideBelow(y)) 0 else sig(x - 1, y + 1) + sig(x + 1, y + 1))
+
+    private def signAt(sgn: Array[Int], x: Int, y: Int): Int =
+      if (x < 0 || y < 0 || x >= w || y >= h) 0
+      else {
+        val i = y * w + x
+        if (!sigma(i)) 0 else if (sgn(i) == 0) 1 else -1
+      }
+
+    /** Clamped horizontal sign contribution for sign coding. */
+    def signContribH(sgn: Array[Int], x: Int, y: Int): Int =
+      math.max(-1, math.min(1, signAt(sgn, x - 1, y) + signAt(sgn, x + 1, y)))
+
+    /** Clamped vertical sign contribution (stripe-below hidden when
+      * vertically causal). */
+    def signContribV(sgn: Array[Int], x: Int, y: Int): Int =
+      math.max(-1, math.min(1, signAt(sgn, x, y - 1) +
+        (if (hideBelow(y)) 0 else signAt(sgn, x, y + 1))))
   }
 
   /** Encode a code-block. `coeffs` holds signed coefficients row-major.
     * Returns (codeword bytes, number of coding passes, numbps); an
     * all-zero block returns (empty, 0, 0) and is simply not included in
     * its packet. */
-  def encodeBlock(w: Int, h: Int, coeffs: Array[Int], band: Int): (Array[Byte], Int, Int) = {
-    val (data, passes, numbps, _) = encodeBlockLayered(w, h, coeffs, band)
+  def encodeBlock(w: Int, h: Int, coeffs: Array[Int], band: Int,
+      opts: Int = 0): (Array[Byte], Int, Int) = {
+    val (data, passes, numbps, _) = encodeBlockLayered(w, h, coeffs, band, opts)
     (data, passes, numbps)
   }
 
@@ -97,7 +127,7 @@ object Ebcot {
     * [[verifiedTrunc]] before use (the Tier-2 encoder does). The final
     * entry is the exact codeword length. */
   def encodeBlockLayered(w: Int, h: Int, coeffs: Array[Int],
-      band: Int): (Array[Byte], Int, Int, Array[Int]) = {
+      band: Int, opts: Int = 0): (Array[Byte], Int, Int, Array[Int]) = {
     val n = w * h
     val mag = new Array[Int](n)
     val sgn = new Array[Int](n)
@@ -113,12 +143,12 @@ object Ebcot {
     }
     if (maxMag == 0) return (Array.emptyByteArray, 0, 0, Array.emptyIntArray)
     val numbps = 32 - Integer.numberOfLeadingZeros(maxMag)
-    val st = new State(w, h)
+    val st = new State(w, h, (opts & OptCausal) != 0)
     val mq = new MQEncoder()
 
     def codeSign(x: Int, y: Int): Unit = {
-      val hc = st.signContrib(sgn, x - 1, y, x + 1, y)
-      val vc = st.signContrib(sgn, x, y - 1, x, y + 1)
+      val hc = st.signContribH(sgn, x, y)
+      val vc = st.signContribV(sgn, x, y)
       val packed = scContext(hc, vc)
       mq.encode(sgn(y * w + x) ^ (packed & 1), packed >> 1)
     }
@@ -227,18 +257,27 @@ object Ebcot {
         }
         y0 += 4
       }
+      // D.4.2: the segmentation symbol 1010 closes every cleanup pass
+      if ((opts & OptSegSym) != 0) {
+        mq.encode(1, MQ.CtxUni); mq.encode(0, MQ.CtxUni)
+        mq.encode(1, MQ.CtxUni); mq.encode(0, MQ.CtxUni)
+      }
       java.util.Arrays.fill(st.visited, false)
     }
+
+    // D.2: RESET re-initializes the adaptive contexts at every
+    // coding-pass boundary (the arithmetic registers continue)
+    def passDone(): Unit = if ((opts & OptReset) != 0) mq.resetContexts()
 
     val passEnds = new Array[Int](3 * numbps - 2)
     var pi = 0
     var p = numbps - 1
-    cup(p); passEnds(pi) = mq.emitted; pi += 1
+    cup(p); passDone(); passEnds(pi) = mq.emitted; pi += 1
     p -= 1
     while (p >= 0) {
-      spp(p); passEnds(pi) = mq.emitted; pi += 1
-      mrp(p); passEnds(pi) = mq.emitted; pi += 1
-      cup(p); passEnds(pi) = mq.emitted; pi += 1
+      spp(p); passDone(); passEnds(pi) = mq.emitted; pi += 1
+      mrp(p); passDone(); passEnds(pi) = mq.emitted; pi += 1
+      cup(p); passDone(); passEnds(pi) = mq.emitted; pi += 1
       p -= 1
     }
     val data = mq.flush()
@@ -261,18 +300,22 @@ object Ebcot {
     * [[MQEncoder.flush]] never emits a trailing 0xFF). O(block) decodes
     * per probe, paid once per layer boundary at encode time only. */
   def verifiedTrunc(w: Int, h: Int, data: Array[Byte], passes: Int, numbps: Int,
-      band: Int, startLen: Int): Int = {
+      band: Int, startLen: Int, opts: Int = 0): Int = {
     // precondition, not just convention: passes > 0 implies a nonempty
     // codeword, and the max(1, …) clamp below would otherwise return an
     // out-of-range length 1 for empty data — fail here instead
     require(data.nonEmpty && passes > 0,
       s"verifiedTrunc needs a nonempty codeword with passes > 0 (got ${data.length} B, $passes passes)")
-    val want = decodeBlock(w, h, data, passes, numbps, band)
+    val want = decodeBlock(w, h, data, passes, numbps, band, opts)
+    // a too-short prefix may not merely mis-decode but fail a typed
+    // contract (segmentation-symbol mismatch) — both mean "not this len"
+    def prefixOk(len: Int): Boolean =
+      try java.util.Arrays.equals(
+        decodeBlock(w, h, java.util.Arrays.copyOf(data, len), passes, numbps, band, opts),
+        want)
+      catch { case _: IllegalArgumentException => false }
     var len = math.max(1, math.min(startLen, data.length))
-    while (len < data.length && ((data(len - 1) & 0xFF) == 0xFF ||
-        !java.util.Arrays.equals(
-          decodeBlock(w, h, java.util.Arrays.copyOf(data, len), passes, numbps, band),
-          want)))
+    while (len < data.length && ((data(len - 1) & 0xFF) == 0xFF || !prefixOk(len)))
       len += 1
     len
   }
@@ -280,7 +323,8 @@ object Ebcot {
   /** Decode a code-block codeword back to signed coefficients. Mirrors
     * [[encodeBlock]] pass for pass. */
   def decodeBlock(w: Int, h: Int, data: Array[Byte], numPasses: Int, numbps: Int,
-      band: Int): Array[Int] = decodeBlockDepth(w, h, data, numPasses, numbps, band, null)
+      band: Int, opts: Int = 0): Array[Int] =
+    decodeBlockDepth(w, h, data, numPasses, numbps, band, null, opts)
 
   /** [[decodeBlock]] that also reports each coefficient's LOWEST decoded
     * bit-plane into `depth` (when non-null, length w*h): a coefficient
@@ -294,18 +338,18 @@ object Ebcot {
     * (|q|+0.5)·delta. Never-significant coefficients keep depth = numbps
     * (value 0 reconstructs to 0 regardless — deadzone convention). */
   def decodeBlockDepth(w: Int, h: Int, data: Array[Byte], numPasses: Int, numbps: Int,
-      band: Int, depth: Array[Int]): Array[Int] = {
+      band: Int, depth: Array[Int], opts: Int = 0): Array[Int] = {
     val n = w * h
     val mag = new Array[Int](n)
     val sgn = new Array[Int](n)
     if (depth != null) java.util.Arrays.fill(depth, numbps)
     if (numPasses == 0 || numbps == 0) return new Array[Int](n)
-    val st = new State(w, h)
+    val st = new State(w, h, (opts & OptCausal) != 0)
     val mq = new MQDecoder(data)
 
     def decodeSign(x: Int, y: Int): Unit = {
-      val hc = st.signContrib(sgn, x - 1, y, x + 1, y)
-      val vc = st.signContrib(sgn, x, y - 1, x, y + 1)
+      val hc = st.signContribH(sgn, x, y)
+      val vc = st.signContribV(sgn, x, y)
       val packed = scContext(hc, vc)
       sgn(y * w + x) = mq.decode(packed >> 1) ^ (packed & 1)
     }
@@ -412,18 +456,29 @@ object Ebcot {
         }
         y0 += 4
       }
+      // D.4.2: verify the segmentation symbol — four UNIFORM-context
+      // bits that must read 1010; anything else means the codeword is
+      // corrupt (the error-resilience point of the option)
+      if ((opts & OptSegSym) != 0) {
+        val sym = (mq.decode(MQ.CtxUni) << 3) | (mq.decode(MQ.CtxUni) << 2) |
+          (mq.decode(MQ.CtxUni) << 1) | mq.decode(MQ.CtxUni)
+        require(sym == 0xA,
+          f"segmentation symbol mismatch at plane $p%d: read $sym%X, want A — corrupt codeword")
+      }
       java.util.Arrays.fill(st.visited, false)
     }
 
+    def passDone(): Unit = if ((opts & OptReset) != 0) mq.resetContexts()
+
     var p = numbps - 1
     var passes = numPasses
-    cup(p)
+    cup(p); passDone()
     passes -= 1
     p -= 1
     while (p >= 0 && passes > 0) {
-      spp(p); passes -= 1
-      if (passes > 0) { mrp(p); passes -= 1 }
-      if (passes > 0) { cup(p); passes -= 1 }
+      spp(p); passDone(); passes -= 1
+      if (passes > 0) { mrp(p); passDone(); passes -= 1 }
+      if (passes > 0) { cup(p); passDone(); passes -= 1 }
       p -= 1
     }
     val out = new Array[Int](n)

@@ -253,7 +253,7 @@ object Jp2Codec {
       tileSize: Int = 0, layers: Int = 1, partsPerTile: Int = 1,
       irreversible: Boolean = false, qShift: Int = 0,
       precinctExp: Int = 15, sop: Boolean = false, eph: Boolean = false,
-      quantMode: String = "uniform"): Array[Byte] = {
+      quantMode: String = "uniform", blockStyle: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0, "empty image")
     require(comps.length == 1 || comps.length == 3, "1 or 3 components")
     require(comps.forall(_.length == w * h), "component size mismatch")
@@ -270,6 +270,8 @@ object Jp2Codec {
       s"quantMode $quantMode not one of uniform|norms|derived")
     require(irreversible || quantMode == "uniform",
       "norm-derived / derived quantization only applies to the irreversible path")
+    require((blockStyle & ~(Ebcot.OptReset | Ebcot.OptCausal | Ebcot.OptSegSym)) == 0,
+      f"code-block style $blockStyle%02x outside the profile (reset/causal/segsym only)")
     // pp = 15 is the spec default ("no precinct subdivision" in practice:
     // 2^15 precincts, Scod bit 0 clear); smaller values partition every
     // resolution into 2^pp x 2^pp precincts (uniform square — the common
@@ -310,7 +312,7 @@ object Jp2Codec {
     u8(if (useRct) 1 else 0)
     u8(levels)
     u8(CodeBlockExp - 2); u8(CodeBlockExp - 2)
-    u8(0) // code-block style: all defaults
+    u8(blockStyle) // code-block style (reset/causal/segsym within profile)
     u8(if (irreversible) 0 else 1) // SPcod transform: 0 = 9/7, 1 = 5/3
     if (explicitPrec) for (_ <- 0 to levels) u8(precinctExp | (precinctExp << 4))
     // QCD — exponents depend only on band gain/level, so one main-header
@@ -420,7 +422,7 @@ object Jp2Codec {
         for (r <- 0 to levels) yield {
           val encs = comps.indices.map(c =>
             new ResEncoder(planes(c), tw, th, levels, r, layers,
-              qspec, x0, y0, precinctExp))
+              qspec, x0, y0, precinctExp, blockStyle))
           val np = encs.head.grid.num
           for (l <- 0 until layers; c <- 0 until nc; p <- 0 until np) yield {
             val pkt = encs(c).encodeLayer(l, p, eph)
@@ -497,7 +499,7 @@ object Jp2Codec {
       useRct: Boolean, levels: Int, layers: Int = 1,
       irreversible: Boolean = false, qShift: Int = 0,
       pp: Int = 15, sop: Boolean = false, eph: Boolean = false,
-      quant: Quant = null) {
+      quant: Quant = null, blockStyle: Int = 0) {
     def ntx: Int = ceilDiv(width, xt)
     def nty: Int = ceilDiv(height, yt)
     /** The quantization in force — a Header built without one (tests,
@@ -1121,6 +1123,7 @@ object Jp2Codec {
     var useRct = false; var levels = -1; var layersV = 1
     var irrev = false
     var ppV = 15; var sopV = false; var ephV = false
+    var blockStyleV = 0
     // QCD is validated AFTER the loop: its per-band shape needs `levels`
     // and the transform, and the spec fixes no marker order within the
     // main header
@@ -1187,7 +1190,16 @@ object Jp2Codec {
               levels = b(5) & 0xFF
               require((b(6) & 0xFF) == CodeBlockExp - 2 && (b(7) & 0xFF) == CodeBlockExp - 2,
                 "only 64x64 code-blocks")
-              require((b(8) & 0xFF) == 0, "code-block style options not supported")
+              blockStyleV = b(8) & 0xFF
+              // r17: RESET (0x02), vertically-causal (0x08) and
+              // segmentation symbols (0x20) are in the profile; selective
+              // bypass (0x01) and per-pass termination (0x04) would make
+              // codewords multi-segment (per-segment packet lengths) and
+              // predictable termination (0x10) changes the flush — all
+              // three remain loud rejections, not guesses
+              require((blockStyleV & ~(0x02 | 0x08 | 0x20)) == 0,
+                f"code-block style options $blockStyleV%02x not supported " +
+                  "(bypass/termination/predictable-termination)")
               val transform = b(9) & 0xFF
               require(transform == 0 || transform == 1,
                 s"unknown wavelet transform $transform")
@@ -1264,7 +1276,7 @@ object Jp2Codec {
     // eps_LL - Prec), equal to the encoder's qShift on uniform streams
     val qShiftV = if (irrev) quantV.eps(0) - Prec else 0
     val hdr = Header(w, h, nc, xt, yt, useRct, levels, layersV, irrev, qShiftV,
-      ppV, sopV, ephV, quantV)
+      ppV, sopV, ephV, quantV, blockStyleV)
     require(hdr.ntx * hdr.nty == 1 || (xt % (1 << levels) == 0 && yt % (1 << levels) == 0),
       s"multi-tile grid with tile dims not multiples of 2^$levels (absolute-" +
         "parity subband geometry) not supported")
@@ -1314,7 +1326,7 @@ object Jp2Codec {
     // exactly (origins and dims all scale by 2^discard).
     for (r <- 0 to rl) {
       val decs = Array.fill(hdr.nc)(new ResDecoder(rw, rh, rl, r,
-        hdr.q, rx0, ry0, hdr.pp, hdr.sop, hdr.eph))
+        hdr.q, rx0, ry0, hdr.pp, hdr.sop, hdr.eph, hdr.blockStyle))
       val np = decs(0).grid.num
       for (l <- 0 until keep; c <- 0 until hdr.nc; pr <- 0 until np) {
         if (keepPrec == null || keepPrec(r, pr)) {
@@ -1498,7 +1510,8 @@ object Jp2Codec {
     * threshold path — and the final layer always completes the block
     * (lossless). */
   private final class ResEncoder(plane: Array[Int], w: Int, h: Int, nl: Int,
-      r: Int, layers: Int, quant: Quant, atx: Int, aty: Int, pp: Int) {
+      r: Int, layers: Int, quant: Quant, atx: Int, aty: Int, pp: Int,
+      opts: Int) {
 
     val grid: PrecGrid = precGrid(w, h, nl, r, atx, aty, pp)
 
@@ -1546,7 +1559,7 @@ object Jp2Codec {
         cy += 1
       }
           val (data, passes, numbps, truncs) =
-            Ebcot.encodeBlockLayered(cw, ch, coeffs, b.orient)
+            Ebcot.encodeBlockLayered(cw, ch, coeffs, b.orient, opts)
           require(numbps <= mb, s"coefficient magnitude overflows Mb=$mb (numbps=$numbps)")
           // byte-balanced layer split (floor): layer l keeps the most
           // passes whose truncation length stays within (l+1)/L of the
@@ -1587,7 +1600,7 @@ object Jp2Codec {
               if (cp == 0) 0
               else if (l > 0 && cp == cumP(l - 1)) cumB(l - 1) // no new passes: nothing to verify
               else Ebcot.verifiedTrunc(cw, ch, data, cp, numbps, b.orient,
-                math.max(truncs(cp - 1), if (l == 0) 0 else cumB(l - 1)))
+                math.max(truncs(cp - 1), if (l == 0) 0 else cumB(l - 1)), opts)
           }
           val firstLayer = cumP.indexWhere(_ > 0) match {
             case -1 => layers // never included: >= every threshold used
@@ -1682,7 +1695,7 @@ object Jp2Codec {
     * accumulation across layers — then one Tier-1 decode per included
     * block over the concatenated chunks once every layer is read. */
   private final class ResDecoder(w: Int, h: Int, nl: Int, r: Int, quant: Quant,
-      atx: Int, aty: Int, pp: Int, sop: Boolean, eph: Boolean) {
+      atx: Int, aty: Int, pp: Int, sop: Boolean, eph: Boolean, opts: Int) {
 
     val grid: PrecGrid = precGrid(w, h, nl, r, atx, aty, pp)
 
@@ -1785,7 +1798,7 @@ object Jp2Codec {
           val cw = s.rect.cw; val ch = s.rect.ch
           val numbps = mb - s.zbp
           val depth = if (depthPlane == null) null else new Array[Int](cw * ch)
-          val coeffs = Ebcot.decodeBlockDepth(cw, ch, data, s.passes, numbps, b.orient, depth)
+          val coeffs = Ebcot.decodeBlockDepth(cw, ch, data, s.passes, numbps, b.orient, depth, opts)
           var y = 0
           while (y < ch) {
             var x = 0

@@ -71,6 +71,12 @@ final class MQEncoder(numCtx: Int = MQ.NumContexts) {
   private val mps = new Array[Int](numCtx)
   MQ.initStates(states, mps)
 
+  /** Re-initialize every context to Table D.7 (the RESET code-block
+    * style option applies this at each coding-pass boundary). The
+    * arithmetic registers (A/C/CT) are untouched — only the adaptive
+    * probability states reset. */
+  def resetContexts(): Unit = MQ.initStates(states, mps)
+
   def encode(bit: Int, cx: Int): Unit = {
     val s = states(cx)
     val qe = MQ.Qe(s)
@@ -162,6 +168,9 @@ final class MQDecoder(data: Array[Byte], numCtx: Int = MQ.NumContexts) {
   private val states = new Array[Int](numCtx)
   private val mps = new Array[Int](numCtx)
   MQ.initStates(states, mps)
+
+  /** Mirror of [[MQEncoder.resetContexts]] for the RESET style option. */
+  def resetContexts(): Unit = MQ.initStates(states, mps)
 
   private def byteAt(i: Int): Int =
     if (i < data.length) data(i) & 0xFF else 0xFF

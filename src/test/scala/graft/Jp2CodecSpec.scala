@@ -1117,6 +1117,9 @@ class Jp2CodecSpec extends AnyFunSuite {
       // style-1 derived signalling join the uniform profile
       val quantMode = if (!irrev) "uniform"
                       else Seq("uniform", "uniform", "norms", "derived")(r.nextInt(4))
+      // r17: code-block style options (reset / vertically-causal /
+      // segmentation symbols, alone and combined)
+      val blockStyle = Seq(0, 0, 0x02, 0x08, 0x20, 0x2A)(r.nextInt(6))
       val comps = Array.tabulate(nc) { c =>
         Array.tabulate(w * h) { j =>
           if (r.nextInt(3) == 0) r.nextInt(256)
@@ -1125,12 +1128,13 @@ class Jp2CodecSpec extends AnyFunSuite {
       }
       val label = s"seed=$seed ${w}x$h levels=$levels tile=$tileSize " +
         s"layers=$layers parts=$parts nc=$nc irrev=$irrev q=$qShift " +
-        s"pp=$precinctExp sop=$sop eph=$eph quant=$quantMode"
+        s"pp=$precinctExp sop=$sop eph=$eph quant=$quantMode style=$blockStyle"
       val cs = Jp2Codec.encode(w, h, comps, levels, tileSize, layers, parts,
-        irrev, qShift, precinctExp, sop, eph, quantMode)
+        irrev, qShift, precinctExp, sop, eph, quantMode, blockStyle)
       val hdr = Jp2Codec.header(cs)
       assert(hdr.layers == layers && hdr.irreversible == irrev &&
-        hdr.pp == precinctExp && hdr.sop == sop && hdr.eph == eph, label)
+        hdr.pp == precinctExp && hdr.sop == sop && hdr.eph == eph &&
+        hdr.blockStyle == blockStyle, label)
       // hdr.qShift is the LL step exponent offset: the encoder knob for
       // uniform AND derived (eps_0 = Prec + qShift both ways); norms
       // weights the LL by its synthesis norm so only a range holds
@@ -1161,6 +1165,49 @@ class Jp2CodecSpec extends AnyFunSuite {
         val red = Jp2Codec.decodeReduced(cs, 1)
         assert(red.width == (w + 1) / 2 && red.height == (h + 1) / 2, label)
       }
+    }
+  }
+
+  test("code-block style options: round-trips, segsym error detection, rejections") {
+    val (w, h) = (96, 80)
+    val comps = Array(pattern(w, h, 7), pattern(w, h, 31), pattern(w, h, 63))
+    val base = Jp2Codec.decode(Jp2Codec.encode(w, h, comps, levels = 2))
+    for (style <- Seq(0x02, 0x08, 0x20, 0x2A)) {
+      // reversible + any in-profile style combination stays bit-exact
+      // AND equals the style-0 decode (options change the coded bits,
+      // never the coefficients)
+      val cs = Jp2Codec.encode(w, h, comps, levels = 2, layers = 2, blockStyle = style)
+      assert(Jp2Codec.header(cs).blockStyle == style)
+      val out = Jp2Codec.decode(cs)
+      for (c <- 0 until 3)
+        assert(java.util.Arrays.equals(out.comps(c), base.comps(c)), s"style=$style c=$c")
+      // quality truncation (verifiedTrunc under the style's own decode
+      // semantics) still reconstructs something bounded, not garbage
+      val red = Jp2Codec.decodeReduced(cs, 1)
+      assert(red.width == (w + 1) / 2)
+    }
+    // the segmentation symbol has teeth: corrupting a codeword byte in a
+    // segsym stream is DETECTED as the typed contract error (a plain
+    // stream would silently decode different pixels)
+    val segCs = Jp2Codec.encode(w, h, comps, levels = 0, blockStyle = 0x20)
+    val sodAt = (0 until segCs.length - 1).indexWhere(i =>
+      (segCs(i) & 0xFF) == 0xFF && (segCs(i + 1) & 0xFF) == 0x93)
+    val bad = segCs.clone()
+    bad(sodAt + 20) = (bad(sodAt + 20) ^ 0x55).toByte
+    val e = intercept[IllegalArgumentException](Jp2Codec.decode(bad))
+    assert(e.getMessage.contains("segmentation symbol"), e.getMessage)
+    // bypass / per-pass termination / predictable termination: encoder
+    // refuses to write them, decoder refuses to guess at them
+    intercept[IllegalArgumentException](
+      Jp2Codec.encode(w, h, comps, levels = 2, blockStyle = 0x01))
+    for (badStyle <- Seq(0x01, 0x04, 0x10)) {
+      val cs0 = Jp2Codec.encode(w, h, comps, levels = 2)
+      val codAt = (0 until cs0.length - 1).indexWhere(i =>
+        (cs0(i) & 0xFF) == 0xFF && (cs0(i + 1) & 0xFF) == 0x52)
+      val t = cs0.clone()
+      t(codAt + 12) = badStyle.toByte // SPcod style byte
+      val e2 = intercept[IllegalArgumentException](Jp2Codec.decode(t))
+      assert(e2.getMessage.contains("code-block style"), s"style=$badStyle: ${e2.getMessage}")
     }
   }
 

@@ -61,9 +61,9 @@ class Jp2HandFixtureSpec extends AnyFunSuite {
   /** COD: Scod, SGcod(prog, layers, mct), SPcod(levels, 4, 4, 0, transform
     * [, precinct bytes when Scod bit 0 is set]). */
   private def cod(prog: Int, layers: Int, mct: Int, levels: Int, transform: Int,
-      scod: Int = 0, prec: Seq[Int] = Nil): Array[Byte] =
+      scod: Int = 0, prec: Seq[Int] = Nil, style: Int = 0): Array[Byte] =
     bytes(Seq(0xFF, 0x52, 0, 12 + prec.length, scod, prog, layers >>> 8, layers & 0xFF,
-      mct, levels, 4, 4, 0, transform) ++ prec: _*)
+      mct, levels, 4, 4, style, transform) ++ prec: _*)
 
   /** QCD style 0 (reversible): one exponent byte (13+gain)<<3 per subband. */
   private def qcdRev(levels: Int): Array[Byte] = {
@@ -512,6 +512,37 @@ class Jp2HandFixtureSpec extends AnyFunSuite {
       irreversible = true, qShift = -1, quantMode = "derived")
     assert(enc.sameElements(cs), "derived-mode encoder diverges from the hand-assembled stream")
     assertFlipFails(cs, cs.length - 3, expected)
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture O — segmentation symbols (r17, SPcod style 0x20, D.4.2):
+  // fixture B's image and Tier-1 decisions, then the four-bit symbol
+  // 1010 in the UNIFORM context (state 46, Qe=5601, MPS 0) closing the
+  // cleanup pass. Continuing fixture B's hand trace from
+  // A=AC02 C=4B40E CT=3:
+  //   6 LPS  uni@46: A-Qe=5601 !< Qe -> A=Qe=5601; renorm ->
+  //                                          A=AC02 C=9681C  CT=2
+  //   7 MPS  uni@46: A=5601 top clear, !<Qe -> C+=5601=9BE1D; renorm ->
+  //                                          A=AC02 C=137C3A CT=1
+  //   8 LPS  uni@46: A=5601; renorm: C=26F874 CT=0 -> BYTEOUT emits
+  //          26F874>>19 = 04, C&=7FFFF=6F874 CT=8 -> A=AC02
+  //   9 MPS  uni@46: C+=5601=74E75; renorm -> A=AC02 C=E9CEA CT=7
+  //   flush: tempc=C+A=F48EC; C|=FFFF=EFFFF < tempc -> keep;
+  //   C<<=7=77FFF80; byteout emits 77FFF80>>19 = EF, C&=7FFFF=7FF80;
+  //   C<<=8=7FF8000; byteout emits FF -> dropped as trailing.
+  //   Codeword = [04 EF].
+  // Packet header: same shape as fixture B but length 2 -> bits
+  // 1 1 (13 zeros) 1 0 0 010 pad -> C0 01 10.
+  // ------------------------------------------------------------------
+  test("hand fixture O: segmentation symbol closes the cleanup pass, verified on decode") {
+    val cs = SOC ++ siz(2, 2, 2, 2, 1) ++ cod(0, 1, 0, 0, 1, style = 0x20) ++ qcdRev(0) ++
+      tilePart(0, 0, 1, bytes(0xC0, 0x01, 0x10, 0x04, 0xEF)) ++ EOC
+    assert(pixels(Jp2Codec.decode(cs)) == expectedB)
+    val enc = Jp2Codec.encode(2, 2, Array(Array(129, 128, 128, 128)), levels = 0,
+      blockStyle = 0x20)
+    assert(enc.sameElements(cs), "segsym encoder diverges from the hand-assembled stream")
+    assertFlipFails(cs, cs.length - 3, expectedB) // symbol byte
+    assertFlipFails(cs, cs.length - 4, expectedB) // coefficient byte
   }
 
   test("hand fixture I: hand-built JP2 container walks to jp2c") {
