@@ -1098,14 +1098,16 @@ object Sources {
         // mix single-tile/tiled AND single/multi-layer scans so every
         // decode path (incl. the RLCP quality-layer machinery) is
         // hash-covered through the oracle, not just unit-tested; r17
-        // adds code-block style options (segsym on file 4, the full
-        // reset+causal+segsym trio on file 5 crossed with tiling AND
-        // 2 layers) — styles re-code the same coefficients, so the
-        // frozen pixel-sum oracle values cover them unchanged
+        // adds code-block style options (segsym on file 4; bypass +
+        // reset + per-pass termination + causal + segsym, 0x2F, on
+        // file 5 crossed with tiling AND 2 layers, so multi-segment
+        // codewords run distributed) — styles re-code the same
+        // coefficients, so the frozen pixel-sum oracle values cover
+        // them unchanged
         val cs = graft.sources.jp2.Jp2Codec.encode(
           w, h, comps, tileSize = if (i % 2 == 1) 64 else 0,
           layers = if (i % 3 == 2) 2 else 1,
-          blockStyle = i match { case 4 => 0x20; case 5 => 0x2A; case _ => 0 })
+          blockStyle = i match { case 4 => 0x20; case 5 => 0x2F; case _ => 0 })
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$dir/scan_$i.jp2"),
           graft.sources.Jp2Box.buildContainer(w, h, cs))

@@ -270,8 +270,8 @@ object Jp2Codec {
       s"quantMode $quantMode not one of uniform|norms|derived")
     require(irreversible || quantMode == "uniform",
       "norm-derived / derived quantization only applies to the irreversible path")
-    require((blockStyle & ~(Ebcot.OptReset | Ebcot.OptCausal | Ebcot.OptSegSym)) == 0,
-      f"code-block style $blockStyle%02x outside the profile (reset/causal/segsym only)")
+    require((blockStyle & 0x10) == 0 && (blockStyle & ~0x3F) == 0,
+      f"code-block style $blockStyle%02x outside the profile (predictable termination unsupported)")
     // pp = 15 is the spec default ("no precinct subdivision" in practice:
     // 2^15 precincts, Scod bit 0 clear); smaller values partition every
     // resolution into 2^pp x 2^pp precincts (uniform square — the common
@@ -1191,15 +1191,16 @@ object Jp2Codec {
               require((b(6) & 0xFF) == CodeBlockExp - 2 && (b(7) & 0xFF) == CodeBlockExp - 2,
                 "only 64x64 code-blocks")
               blockStyleV = b(8) & 0xFF
-              // r17: RESET (0x02), vertically-causal (0x08) and
-              // segmentation symbols (0x20) are in the profile; selective
-              // bypass (0x01) and per-pass termination (0x04) would make
-              // codewords multi-segment (per-segment packet lengths) and
-              // predictable termination (0x10) changes the flush — all
-              // three remain loud rejections, not guesses
-              require((blockStyleV & ~(0x02 | 0x08 | 0x20)) == 0,
+              // r17: selective bypass (0x01), RESET (0x02), per-pass
+              // termination (0x04), vertically-causal (0x08) and
+              // segmentation symbols (0x20) are all in the profile —
+              // bypass/termination codewords are multi-segment and the
+              // packet parser reads one length per segment. Predictable
+              // termination (0x10) changes the flush arithmetic this MQ
+              // coder does not implement — loud rejection, not a guess
+              require((blockStyleV & 0x10) == 0 && (blockStyleV & ~0x3F) == 0,
                 f"code-block style options $blockStyleV%02x not supported " +
-                  "(bypass/termination/predictable-termination)")
+                  "(predictable termination)")
               val transform = b(9) & 0xFF
               require(transform == 0 || transform == 1,
                 s"unknown wavelet transform $transform")
@@ -1517,7 +1518,9 @@ object Jp2Codec {
 
     private final class Blk(val bx: Int, val by: Int, val data: Array[Byte],
         val passes: Int, val zbp: Int, val cumPasses: Array[Int],
-        val cumBytes: Array[Int], val firstLayer: Int) {
+        val cumBytes: Array[Int], val firstLayer: Int,
+        val segEndPasses: Array[Int], val segEndBytes: Array[Int],
+        val mseg: Boolean) {
       var lblock = 3
       def npAt(l: Int): Int = cumPasses(l) - (if (l == 0) 0 else cumPasses(l - 1))
     }
@@ -1558,9 +1561,10 @@ object Jp2Codec {
         }
         cy += 1
       }
-          val (data, passes, numbps, truncs) =
-            Ebcot.encodeBlockLayered(cw, ch, coeffs, b.orient, opts)
+          val code = Ebcot.encodeBlockCode(cw, ch, coeffs, b.orient, opts)
+          val data = code.data; val passes = code.passes; val numbps = code.numbps
           require(numbps <= mb, s"coefficient magnitude overflows Mb=$mb (numbps=$numbps)")
+          val mseg = passes > 0 && Ebcot.multiSeg(numbps, opts)
           // byte-balanced layer split (floor): layer l keeps the most
           // passes whose truncation length stays within (l+1)/L of the
           // codeword bytes — layers are RATE tiers, as real encoders
@@ -1569,10 +1573,26 @@ object Jp2Codec {
           // last layers nearly empty). Floor keeps layer 0 at <= 1/L of
           // the bytes, so a first-layer quality fetch reads ~1/L of the
           // archive; blocks whose whole codeword exceeds the target
-          // defer their first inclusion to a later layer.
+          // defer their first inclusion to a later layer. Multi-segment
+          // codewords (bypass / per-pass termination) snap the split to
+          // SEGMENT boundaries — each one exactly terminated, so the
+          // lengths are exact by construction.
           val cumP =
             if (passes == 0) new Array[Int](layers)
-            else {
+            else if (mseg) {
+              val total = data.length.toLong
+              Array.tabulate(layers) { l =>
+                if (l == layers - 1) passes
+                else {
+                  val target = total * (l + 1) / layers
+                  var si = -1
+                  while (si + 1 < code.segEndBytes.length &&
+                    code.segEndBytes(si + 1) <= target) si += 1
+                  if (si < 0) 0 else code.segEndPasses(si)
+                }
+              }
+            } else {
+              val truncs = code.truncs
               val total = truncs(passes - 1).toLong
               val arr = new Array[Int](layers)
               var prev = 0
@@ -1588,7 +1608,8 @@ object Jp2Codec {
               }
               arr
             }
-          // layer-boundary byte lengths: the candidate from the encoder's
+          // layer-boundary byte lengths. Multi-segment: exact terminated
+          // offsets. Single-segment: the candidate from the encoder's
           // emitted-byte count is VERIFIED (decode the prefix, compare
           // against the exact pass-k reconstruction) and bumped until
           // provably decodable — rigorous, not empirical — and never
@@ -1598,9 +1619,11 @@ object Jp2Codec {
             val cp = cumP(l)
             cumB(l) =
               if (cp == 0) 0
+              else if (mseg)
+                code.segEndBytes(java.util.Arrays.binarySearch(code.segEndPasses, cp))
               else if (l > 0 && cp == cumP(l - 1)) cumB(l - 1) // no new passes: nothing to verify
               else Ebcot.verifiedTrunc(cw, ch, data, cp, numbps, b.orient,
-                math.max(truncs(cp - 1), if (l == 0) 0 else cumB(l - 1)), opts)
+                math.max(code.truncs(cp - 1), if (l == 0) 0 else cumB(l - 1)), opts)
           }
           val firstLayer = cumP.indexWhere(_ > 0) match {
             case -1 => layers // never included: >= every threshold used
@@ -1612,7 +1635,7 @@ object Jp2Codec {
           incl.setValue(bx, by, firstLayer)
           if (passes > 0) zbps.setValue(bx, by, mb - numbps)
           new Blk(bx, by, data, passes, if (passes == 0) 0 else mb - numbps,
-            cumP, cumB, firstLayer)
+            cumP, cumB, firstLayer, code.segEndPasses, code.segEndBytes, mseg)
     }
 
     /** One packet: layer `l` of precinct `p`'s code-blocks across every
@@ -1637,14 +1660,42 @@ object Jp2Codec {
         def contribution(): Unit = {
           writeNumPasses(bio, np)
           val from = if (l == 0) 0 else c.cumBytes(l - 1)
-          val clen = c.cumBytes(l) - from
-          // Lblock length signalling (single codeword segment split at
-          // pass-boundary truncation points; Lblock persists per block)
-          val lenBitsNeeded = 32 - Integer.numberOfLeadingZeros(math.max(1, clen))
-          val extra = 31 - Integer.numberOfLeadingZeros(np) // floor(log2(np))
-          while (c.lblock + extra < lenBitsNeeded) { bio.bit(1); c.lblock += 1 }
-          bio.bit(0)
-          bio.bits(clen, c.lblock + extra)
+          if (!c.mseg) {
+            val clen = c.cumBytes(l) - from
+            // Lblock length signalling (single codeword segment split at
+            // pass-boundary truncation points; Lblock persists per block)
+            val lenBitsNeeded = 32 - Integer.numberOfLeadingZeros(math.max(1, clen))
+            val extra = 31 - Integer.numberOfLeadingZeros(np) // floor(log2(np))
+            while (c.lblock + extra < lenBitsNeeded) { bio.bit(1); c.lblock += 1 }
+            bio.bit(0)
+            bio.bits(clen, c.lblock + extra)
+          } else {
+            // multi-segment codeword: ONE length per segment in this
+            // contribution (B.10.7.4/5), each signalled with
+            // Lblock + floor(log2(passes in that segment)) bits; the
+            // Lblock update run is shared by the whole contribution.
+            // Layer boundaries sit on segment ends by construction, so
+            // every signalled length is a whole terminated segment.
+            val fromP = if (l == 0) 0 else c.cumPasses(l - 1)
+            val toP = c.cumPasses(l)
+            val segs = c.segEndPasses.indices.filter(i =>
+              c.segEndPasses(i) > fromP && c.segEndPasses(i) <= toP)
+            val lens = segs.map { i =>
+              val sb = if (i == 0) 0 else c.segEndBytes(i - 1)
+              val sp = if (i == 0) 0 else c.segEndPasses(i - 1)
+              (c.segEndBytes(i) - sb, c.segEndPasses(i) - sp)
+            }
+            var need = c.lblock
+            for ((len, snp) <- lens) {
+              val bitsNeeded = 32 - Integer.numberOfLeadingZeros(math.max(1, len))
+              val extra = 31 - Integer.numberOfLeadingZeros(snp)
+              need = math.max(need, bitsNeeded - extra)
+            }
+            while (c.lblock < need) { bio.bit(1); c.lblock += 1 }
+            bio.bit(0)
+            for ((len, snp) <- lens)
+              bio.bits(len, c.lblock + (31 - Integer.numberOfLeadingZeros(snp)))
+          }
           chunks += ((c.data, from, c.cumBytes(l)))
         }
         if (c.firstLayer >= l) { // not included in any earlier layer
@@ -1705,6 +1756,10 @@ object Jp2Codec {
       var lblock = 3
       var passes = 0
       val chunks = ArrayBuffer.empty[Array[Byte]]
+      // per-SEGMENT lengths parsed so far (multi-segment codewords only):
+      // chunk bytes arrive layer by layer, but Tier-1 needs the segment
+      // boundaries within their concatenation
+      val segLens = ArrayBuffer.empty[Int]
     }
 
     // mirror of the encoder's layout: per band (with its QCD-indexed
@@ -1748,7 +1803,7 @@ object Jp2Codec {
         return end
       }
       val pending = ArrayBuffer.empty[(BlkState, Int)] // (state, len)
-      for ((_, _, perPrec) <- perBand) {
+      for ((_, mb, perPrec) <- perBand) {
         val (incl, zbps, states) = perPrec(p)
         for (s <- states) {
           val bx = s.rect.tx; val by = s.rect.ty
@@ -1765,10 +1820,38 @@ object Jp2Codec {
           if (contributes) {
             val np = readNumPasses(bio)
             while (bio.bit() == 1) s.lblock += 1
-            val extra = 31 - Integer.numberOfLeadingZeros(np)
-            val len = bio.bits(s.lblock + extra)
-            s.passes += np
-            pending += ((s, len))
+            val numbps = mb - s.zbp
+            if (!Ebcot.multiSeg(numbps, opts)) {
+              val extra = 31 - Integer.numberOfLeadingZeros(np)
+              val len = bio.bits(s.lblock + extra)
+              s.passes += np
+              pending += ((s, len))
+            } else {
+              // multi-segment codeword (bypass / per-pass termination):
+              // one length per segment in (passes, passes+np], each with
+              // Lblock + floor(log2(segment's own pass count)) bits
+              // (B.10.7.4/5). This profile's packets carry whole
+              // terminated segments — a contribution whose boundaries
+              // fall mid-segment is spec-legal but rejected loudly.
+              val ends = Ebcot.segmentEnds(numbps, opts)
+              val fromP = s.passes; val toP = s.passes + np
+              require(fromP == 0 || ends.contains(fromP),
+                s"contribution starts mid-segment (pass $fromP) — not supported")
+              require(ends.contains(toP),
+                s"contribution ends mid-segment (pass $toP) — not supported")
+              var total = 0
+              var prevP = fromP
+              for (i <- ends.indices if ends(i) > fromP && ends(i) <= toP) {
+                val snp = ends(i) - prevP
+                val extra = 31 - Integer.numberOfLeadingZeros(snp)
+                val len = bio.bits(s.lblock + extra)
+                s.segLens += len
+                total += len
+                prevP = ends(i)
+              }
+              s.passes = toP
+              pending += ((s, total))
+            }
           }
         }
       }
@@ -1798,7 +1881,13 @@ object Jp2Codec {
           val cw = s.rect.cw; val ch = s.rect.ch
           val numbps = mb - s.zbp
           val depth = if (depthPlane == null) null else new Array[Int](cw * ch)
-          val coeffs = Ebcot.decodeBlockDepth(cw, ch, data, s.passes, numbps, b.orient, depth, opts)
+          val coeffs =
+            if (Ebcot.multiSeg(numbps, opts)) {
+              val segB = new Array[Int](s.segLens.length)
+              var acc = 0; var i = 0
+              while (i < segB.length) { acc += s.segLens(i); segB(i) = acc; i += 1 }
+              Ebcot.decodeBlockSegDepth(cw, ch, data, segB, s.passes, numbps, b.orient, depth, opts)
+            } else Ebcot.decodeBlockDepth(cw, ch, data, s.passes, numbps, b.orient, depth, opts)
           var y = 0
           while (y < ch) {
             var x = 0

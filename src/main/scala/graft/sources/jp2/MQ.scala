@@ -77,6 +77,19 @@ final class MQEncoder(numCtx: Int = MQ.NumContexts) {
     * probability states reset. */
   def resetContexts(): Unit = MQ.initStates(states, mps)
 
+  /** Terminate the current codeword SEGMENT (C.2.9 flush) and restart
+    * the arithmetic per INITENC — contexts persist across segments
+    * (D.4.1: only RESET touches them). Returns the segment's bytes;
+    * the encoder is immediately ready for the next segment. Used by
+    * the per-pass-termination and bypass code-block styles, whose
+    * codewords are sequences of individually-decodable segments. */
+  def terminate(): Array[Byte] = {
+    val seg = flush()
+    a = 0x8000; c = 0L; ct = 12
+    bytes.clear(); bytes += 0; bp = 0
+    seg
+  }
+
   def encode(bit: Int, cx: Int): Unit = {
     val s = states(cx)
     val qe = MQ.Qe(s)
@@ -171,6 +184,21 @@ final class MQDecoder(data: Array[Byte], numCtx: Int = MQ.NumContexts) {
 
   /** Mirror of [[MQEncoder.resetContexts]] for the RESET style option. */
   def resetContexts(): Unit = MQ.initStates(states, mps)
+
+  /** Adopt another decoder's adaptive context states — segment N+1 of a
+    * multi-segment codeword continues where segment N's contexts left
+    * off (a fresh MQDecoder per segment restarts only the arithmetic,
+    * mirroring [[MQEncoder.terminate]]). */
+  private[jp2] def importContexts(s: Array[Int], m: Array[Int]): Unit = {
+    System.arraycopy(s, 0, states, 0, states.length)
+    System.arraycopy(m, 0, mps, 0, mps.length)
+  }
+
+  /** Export the adaptive context states for the next segment's decoder. */
+  private[jp2] def exportContexts(s: Array[Int], m: Array[Int]): Unit = {
+    System.arraycopy(states, 0, s, 0, states.length)
+    System.arraycopy(mps, 0, m, 0, mps.length)
+  }
 
   private def byteAt(i: Int): Int =
     if (i < data.length) data(i) & 0xFF else 0xFF

@@ -148,6 +148,76 @@ class Jp2CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("EBCOT multi-segment codewords (bypass / per-pass termination) round-trip") {
+    for {
+      band <- Seq(Ebcot.LL, Ebcot.HL, Ebcot.LH, Ebcot.HH)
+      opts <- Seq(Ebcot.OptBypass, Ebcot.OptRestart,
+        Ebcot.OptBypass | Ebcot.OptRestart,
+        Ebcot.OptBypass | Ebcot.OptReset | Ebcot.OptCausal | Ebcot.OptSegSym)
+      seed <- 1 to 3
+    } {
+      val (w, h) = (32, 24)
+      val r = rng(band * 50021L + opts * 7 + seed)
+      val dense = r.nextBoolean()
+      val coeffs = Array.fill(w * h) {
+        if (dense || r.nextInt(3) == 0) r.nextInt(4096) - 2048 else 0
+      }
+      val code = Ebcot.encodeBlockCode(w, h, coeffs, band, opts)
+      val label = s"band=$band opts=$opts seed=$seed numbps=${code.numbps}"
+      // the layout is the shared contract: segment ends must match the
+      // closed-form layout both codec sides compute
+      assert(code.segEndPasses.sameElements(Ebcot.segmentEnds(code.numbps, opts)), label)
+      assert(code.segEndBytes.last == code.data.length, label)
+      val back = Ebcot.decodeBlockSegDepth(w, h, code.data, code.segEndBytes,
+        code.passes, code.numbps, band, null, opts)
+      assert(java.util.Arrays.equals(back, coeffs), label)
+      // every SEGMENT boundary is an exactly-terminated truncation
+      // point: decoding only the first s segments' bytes and passes
+      // reproduces the full decode of that pass count
+      for (s <- code.segEndPasses.indices) {
+        val passes = code.segEndPasses(s)
+        val bytes = java.util.Arrays.copyOf(code.data, code.segEndBytes(s))
+        val wantFull = Ebcot.decodeBlockSegDepth(w, h, code.data, code.segEndBytes,
+          passes, code.numbps, band, null, opts)
+        val got = Ebcot.decodeBlockSegDepth(w, h, bytes,
+          java.util.Arrays.copyOf(code.segEndBytes, s + 1),
+          passes, code.numbps, band, null, opts)
+        assert(java.util.Arrays.equals(got, wantFull), s"$label seg=$s passes=$passes")
+      }
+    }
+  }
+
+  test("bypass raw segments: layout and bytes pinned BY HAND against D.7") {
+    // the segment layout is a closed-form spec rule — pin it against
+    // hand-written vectors, not the codec's own expander
+    assert(Ebcot.segmentEnds(5, Ebcot.OptBypass).toSeq == Seq(10, 12, 13))
+    assert(Ebcot.segmentEnds(6, Ebcot.OptBypass).toSeq == Seq(10, 12, 13, 15, 16))
+    assert(Ebcot.segmentEnds(2, Ebcot.OptBypass).toSeq == Seq(4)) // never activates
+    assert(Ebcot.segmentEnds(3, Ebcot.OptRestart).toSeq == (1 to 7))
+    // 2x1 block, coefficients (+16, -1), numbps 5, bypass: the MQ prefix
+    // carries passes 1-10 (planes 4..1); pass 11 is the RAW significance
+    // pass of plane 0 — sample 1 (neighbor significant) codes bit 1 and
+    // then its RAW sign 1 (negative, no context/XOR per D.7); pass 12 is
+    // the RAW refinement of sample 0: bit (16 >> 0) & 1 = 0. Raw bits
+    // 1,1,0 packed MSB-first and zero-padded -> the raw segment is
+    // EXACTLY [0xC0] — sign polarity, bit order, significance-then-sign
+    // order and padding all derived on paper, not from the codec.
+    val code = Ebcot.encodeBlockCode(2, 1, Array(16, -1), Ebcot.LL, Ebcot.OptBypass)
+    assert(code.numbps == 5 && code.passes == 13)
+    assert(code.segEndPasses.toSeq == Seq(10, 12, 13))
+    val rawSeg = java.util.Arrays.copyOfRange(code.data, code.segEndBytes(0), code.segEndBytes(1))
+    assert(rawSeg.toSeq == Seq(0xC0.toByte), s"raw segment ${rawSeg.map(b => f"$b%02X").mkString}")
+    val back = Ebcot.decodeBlockSegDepth(2, 1, code.data, code.segEndBytes,
+      code.passes, code.numbps, Ebcot.LL, null, Ebcot.OptBypass)
+    assert(back.toSeq == Seq(16, -1))
+    // flipping the raw sign bit must decode to (+16, +1)
+    val bad = code.data.clone()
+    bad(code.segEndBytes(0)) = 0x80.toByte // bits 1,0,0: sign positive
+    val flipped = Ebcot.decodeBlockSegDepth(2, 1, bad, code.segEndBytes,
+      code.passes, code.numbps, Ebcot.LL, null, Ebcot.OptBypass)
+    assert(flipped.toSeq == Seq(16, 1))
+  }
+
   test("EBCOT truncation lengths are VALID: each prefix reproduces its passes exactly") {
     // the contract every quality-layer boundary stands on (l5k decodes
     // blocks from layer-truncated prefixes): for every pass boundary k,
@@ -1117,9 +1187,9 @@ class Jp2CodecSpec extends AnyFunSuite {
       // style-1 derived signalling join the uniform profile
       val quantMode = if (!irrev) "uniform"
                       else Seq("uniform", "uniform", "norms", "derived")(r.nextInt(4))
-      // r17: code-block style options (reset / vertically-causal /
-      // segmentation symbols, alone and combined)
-      val blockStyle = Seq(0, 0, 0x02, 0x08, 0x20, 0x2A)(r.nextInt(6))
+      // r17: code-block style options (bypass / reset / per-pass
+      // termination / vertically-causal / segsym, alone and combined)
+      val blockStyle = Seq(0, 0, 0x02, 0x08, 0x20, 0x2A, 0x01, 0x04, 0x05, 0x2F)(r.nextInt(10))
       val comps = Array.tabulate(nc) { c =>
         Array.tabulate(w * h) { j =>
           if (r.nextInt(3) == 0) r.nextInt(256)
@@ -1172,7 +1242,7 @@ class Jp2CodecSpec extends AnyFunSuite {
     val (w, h) = (96, 80)
     val comps = Array(pattern(w, h, 7), pattern(w, h, 31), pattern(w, h, 63))
     val base = Jp2Codec.decode(Jp2Codec.encode(w, h, comps, levels = 2))
-    for (style <- Seq(0x02, 0x08, 0x20, 0x2A)) {
+    for (style <- Seq(0x02, 0x08, 0x20, 0x2A, 0x01, 0x04, 0x05, 0x2F)) {
       // reversible + any in-profile style combination stays bit-exact
       // AND equals the style-0 decode (options change the coded bits,
       // never the coefficients)
@@ -1196,11 +1266,11 @@ class Jp2CodecSpec extends AnyFunSuite {
     bad(sodAt + 20) = (bad(sodAt + 20) ^ 0x55).toByte
     val e = intercept[IllegalArgumentException](Jp2Codec.decode(bad))
     assert(e.getMessage.contains("segmentation symbol"), e.getMessage)
-    // bypass / per-pass termination / predictable termination: encoder
-    // refuses to write them, decoder refuses to guess at them
+    // predictable termination: encoder refuses to write it, decoder
+    // refuses to guess at it (the flush arithmetic differs)
     intercept[IllegalArgumentException](
-      Jp2Codec.encode(w, h, comps, levels = 2, blockStyle = 0x01))
-    for (badStyle <- Seq(0x01, 0x04, 0x10)) {
+      Jp2Codec.encode(w, h, comps, levels = 2, blockStyle = 0x10))
+    for (badStyle <- Seq(0x10, 0x11, 0x40)) {
       val cs0 = Jp2Codec.encode(w, h, comps, levels = 2)
       val codAt = (0 until cs0.length - 1).indexWhere(i =>
         (cs0(i) & 0xFF) == 0xFF && (cs0(i + 1) & 0xFF) == 0x52)
