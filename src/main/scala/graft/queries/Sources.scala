@@ -1741,7 +1741,9 @@ object Sources {
     * shapes: files 0-3 the uniform step (qShift = -2 → step 4), file 4
     * the norm-weighted per-band expounded QCD (nonzero mantissas,
     * non-uniform exponents — the shape Kakadu/OpenJPEG masters carry),
-    * file 5 the style-1 scalar-derived signalling. Pixel values are the
+    * file 5 the style-1 scalar-derived signalling, file 6 QCC chroma
+    * overrides (luma step 4, chroma step 8 — coarse chroma, the
+    * classic archival rate split). Pixel values are the
     * same coordinate arithmetic family as l5g, so a task can regenerate
     * the EXACT original for error measurement. Alongside the directory,
     * the staged map carries each scan's LOSSLESS (reversible 5/3)
@@ -1749,7 +1751,7 @@ object Sources {
   private[graft] def stageLossyJp2s(): (String, Map[String, Long]) =
     lossyJp2Staged.computeIfAbsent("lossy", { _ =>
       val dir = tmp("l5m_jp2")
-      val sizes = (0 until 6).map { i =>
+      val sizes = (0 until 7).map { i =>
         val (w, h) = (64 + (17 * i) % 97, 48 + (23 * i) % 89)
         val comps = lossyJp2Comps(w, h, i)
         val cs = graft.sources.jp2.Jp2Codec.encode(w, h, comps,
@@ -1757,7 +1759,8 @@ object Sources {
           layers = if (i == 2) 2 else 1,
           partsPerTile = if (i == 3) 2 else 1,
           irreversible = true, qShift = if (i == 5) 0 else -2,
-          quantMode = i match { case 4 => "norms"; case 5 => "derived"; case _ => "uniform" })
+          quantMode = i match { case 4 => "norms"; case 5 => "derived"; case _ => "uniform" },
+          chromaQShift = if (i == 6) -3 else 99)
         val name = s"lossy_$i.jp2"
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$dir/$name"),
@@ -1811,6 +1814,9 @@ object Sources {
               s"$name: expected the norm-weighted non-uniform QCD, got ${hdr.q}")
             case 5 => require(hdr.q == graft.sources.jp2.Jp2Codec.Quant.derived(hdr.levels, 3, 8, 1024),
               s"$name: expected the scalar-derived QCD, got ${hdr.q}")
+            case 6 => require(hdr.qShift == -2 && hdr.qcc.keySet == Set(1, 2) &&
+              hdr.qFor(1).eps(0) == 8 - 3,
+              s"$name: expected QCC chroma overrides (eps 5), got ${hdr.qcc}")
             case _ => require(hdr.qShift == -2, s"$name: expected qShift -2, got $hdr")
           }
           val img = graft.sources.jp2.Jp2Codec.decode(bytes)
@@ -1835,7 +1841,8 @@ object Sources {
           // derived profile (file 5) quantizes fine detail coarsely by
           // design (step doubles per finer resolution), so its bound is
           // wider but still a defect gate.
-          val (maxTol, ppmTol) = if (i == 5) (64L, 8000000L) else (32L, 4000000L)
+          val (maxTol, ppmTol) =
+            if (i == 5 || i == 6) (64L, 8000000L) else (32L, 4000000L)
           require(maxErr <= maxTol && meanPpm <= ppmTol,
             s"$name: lossy reconstruction out of tolerance (maxErr=$maxErr, meanPpm=$meanPpm)")
           (name, img.width.toLong, img.height.toLong, maxErr, meanPpm,
@@ -2674,7 +2681,9 @@ object Sources {
         |('lossy_4.jp2', CAST(132 AS BIGINT), CAST(51 AS BIGINT),
         |  CAST(11 AS BIGINT), CAST(1790701 AS BIGINT), true),
         |('lossy_5.jp2', CAST(149 AS BIGINT), CAST(74 AS BIGINT),
-        |  CAST(36 AS BIGINT), CAST(5192756 AS BIGINT), true)
+        |  CAST(36 AS BIGINT), CAST(5192756 AS BIGINT), true),
+        |('lossy_6.jp2', CAST(69 AS BIGINT), CAST(97 AS BIGINT),
+        |  CAST(37 AS BIGINT), CAST(5509736 AS BIGINT), true)
         |) AS t(file_name, width, height, max_err, mean_err_ppm,
         |       smaller_than_lossless)""".stripMargin,
     "l5_multimodal_decode" ->

@@ -253,7 +253,8 @@ object Jp2Codec {
       tileSize: Int = 0, layers: Int = 1, partsPerTile: Int = 1,
       irreversible: Boolean = false, qShift: Int = 0,
       precinctExp: Int = 15, sop: Boolean = false, eph: Boolean = false,
-      quantMode: String = "uniform", blockStyle: Int = 0): Array[Byte] = {
+      quantMode: String = "uniform", blockStyle: Int = 0,
+      chromaQShift: Int = 99): Array[Byte] = {
     require(w > 0 && h > 0, "empty image")
     require(comps.length == 1 || comps.length == 3, "1 or 3 components")
     require(comps.forall(_.length == w * h), "component size mismatch")
@@ -272,6 +273,15 @@ object Jp2Codec {
       "norm-derived / derived quantization only applies to the irreversible path")
     require((blockStyle & 0x10) == 0 && (blockStyle & ~0x3F) == 0,
       f"code-block style $blockStyle%02x outside the profile (predictable termination unsupported)")
+    // chromaQShift (r17): quantize the two ICT chroma components at
+    // their own uniform step 2^(-chromaQShift), signaled via QCC
+    // markers — the common archival RGB shape (chroma coarser than
+    // luma). 99 = no override.
+    require(chromaQShift == 99 ||
+      (irreversible && comps.length == 3 && quantMode == "uniform"),
+      "chromaQShift needs the irreversible 3-component uniform profile")
+    require(chromaQShift == 99 || (chromaQShift >= -6 && chromaQShift <= 3),
+      s"chromaQShift $chromaQShift out of -6..3")
     // pp = 15 is the spec default ("no precinct subdivision" in practice:
     // 2^15 precincts, Scod bit 0 clear); smaller values partition every
     // resolution into 2^pp x 2^pp precincts (uniform square — the common
@@ -351,6 +361,19 @@ object Jp2Codec {
       u16(0xFF5C); u16(3 + nBands); u8(qspec.guard << 5)
       for (i <- 0 until nBands) u8(qspec.eps(i) << 3)
     }
+    // QCC (A.6.5) for the chroma override: same expounded shape as the
+    // uniform QCD, eps_b = Prec + gain + chromaQShift, one marker per
+    // chroma component
+    val chromaSpec: Quant =
+      if (chromaQShift == 99) null
+      else Quant(LossyGuardBits,
+        Vector.tabulate(nBands)(i => Prec + Quant.gainOf(i) + chromaQShift),
+        Vector.fill(nBands)(0))
+    if (chromaSpec != null) for (c <- 1 to 2) {
+      u16(0xFF5D); u16(4 + 2 * nBands); u8(c); u8((chromaSpec.guard << 5) | 2)
+      for (i <- 0 until nBands) u16((chromaSpec.eps(i) << 11) | chromaSpec.mu(i))
+    }
+    def qspecFor(c: Int): Quant = if (chromaSpec != null && c > 0) chromaSpec else qspec
 
     for (t <- 0 until ntx * nty) {
       val x0 = (t % ntx) * xt; val y0 = (t / ntx) * yt
@@ -391,10 +414,11 @@ object Jp2Codec {
           // per band — the bands of resolutions 0..levels tile the
           // Mallat array exactly once, so this is the same single pass
           // as the old uniform-step loop, just with a per-rect step
-          ds.map { d =>
+          ds.zipWithIndex.map { case (d, c) =>
+            val cq = qspecFor(c)
             val a = new Array[Int](d.length)
             for (r <- 0 to levels; (b, ord) <- bandsAt(tw, th, levels, r).zipWithIndex) {
-              val delta = qspec.delta(bandIndex(r, ord), b.gain)
+              val delta = cq.delta(bandIndex(r, ord), b.gain)
               var y = 0
               while (y < b.h) {
                 var x = 0
@@ -422,7 +446,7 @@ object Jp2Codec {
         for (r <- 0 to levels) yield {
           val encs = comps.indices.map(c =>
             new ResEncoder(planes(c), tw, th, levels, r, layers,
-              qspec, x0, y0, precinctExp, blockStyle))
+              qspecFor(c), x0, y0, precinctExp, blockStyle))
           val np = encs.head.grid.num
           for (l <- 0 until layers; c <- 0 until nc; p <- 0 until np) yield {
             val pkt = encs(c).encodeLayer(l, p, eph)
@@ -499,12 +523,15 @@ object Jp2Codec {
       useRct: Boolean, levels: Int, layers: Int = 1,
       irreversible: Boolean = false, qShift: Int = 0,
       pp: Int = 15, sop: Boolean = false, eph: Boolean = false,
-      quant: Quant = null, blockStyle: Int = 0) {
+      quant: Quant = null, blockStyle: Int = 0,
+      qcc: Map[Int, Quant] = Map.empty) {
     def ntx: Int = ceilDiv(width, xt)
     def nty: Int = ceilDiv(height, yt)
     /** The quantization in force — a Header built without one (tests,
       * query staging) gets the uniform profile its qShift implies. */
     def q: Quant = if (quant ne null) quant else Quant.uniform(levels, irreversible, qShift)
+    /** Component c's quantization: its QCC override, else the QCD. */
+    def qFor(c: Int): Quant = qcc.getOrElse(c, q)
   }
 
   /** One decoded tile: its grid position and clamped 8-bit pixel planes
@@ -1128,6 +1155,7 @@ object Jp2Codec {
     // and the transform, and the spec fixes no marker order within the
     // main header
     var qcdBody: Array[Byte] = null
+    val qccBodies = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var pos = start + 2
     var atSot = false
     while (!atSot) {
@@ -1227,6 +1255,8 @@ object Jp2Codec {
               }
             case 0xFF5C => // QCD — stashed, validated once levels are known
               qcdBody = body(1)
+            case 0xFF5D => // QCC (r17) — per-component override, stashed too
+              qccBodies += body(2)
             case mm if SkippableMainMarkers(mm) => () // informational, skip by length
             case mm => throw new IllegalArgumentException(
               f"main header marker $mm%04x not supported")
@@ -1236,48 +1266,64 @@ object Jp2Codec {
     }
     require(w > 0 && h > 0 && nc > 0 && levels >= 0, "incomplete header")
     require(qcdBody != null, "missing QCD marker")
-    val guard = (qcdBody(0) & 0xFF) >> 5
-    require(guard >= 1 && guard <= 7, s"guard bits $guard out of 1..7")
-    val style = qcdBody(0) & 0x1F
-    val nBands = 3 * levels + 1
-    // Any spec-legal scalar QCD is admitted since r17 (Annex E): style 0
-    // with the 5/3 transform (exponents feed only Mb), style 1 derived
-    // or style 2 expounded with the 9/7 — per-band (eps, mu) with
-    // Delta_b = 2^(Prec + gain - eps)(1 + mu/2^11) and Mb = eps+G-1.
-    // Lengths are checked EXACTLY: trailing garbage inside the segment
-    // is rejected, not silently accepted — the same "reject loudly
-    // rather than guess" contract as every other malformed-header path.
-    val quantV: Quant =
-      if (!irrev) {
-        require(style == 0, s"quantization style $style with the 5/3 transform not supported")
-        require(qcdBody.length == 1 + nBands,
-          s"QCD payload ${qcdBody.length} B != ${1 + nBands} B for $nBands subbands (style 0)")
-        val eps = Vector.tabulate(nBands)(i => ((qcdBody(1 + i) & 0xFF) >> 3))
-        Quant(guard, eps, Vector.fill(nBands)(0))
-      } else if (style == 1) {
-        require(qcdBody.length == 3,
-          s"QCD payload ${qcdBody.length} B != 3 B (style 1 signals one value)")
-        val v = beU16(qcdBody, 1)
-        Quant.derived(levels, guard, (v >> 11) & 0x1F, v & 0x7FF)
-      } else {
-        require(style == 2, s"quantization style $style with the 9/7 transform not supported")
-        require(qcdBody.length == 1 + 2 * nBands,
-          s"QCD payload ${qcdBody.length} B != ${1 + 2 * nBands} B for $nBands subbands (style 2)")
-        val vs = Vector.tabulate(nBands)(i => beU16(qcdBody, 1 + 2 * i))
-        Quant(guard, vs.map(v => (v >> 11) & 0x1F), vs.map(_ & 0x7FF))
+    // Any spec-legal scalar quantization segment is admitted since r17
+    // (Annex E): style 0 with the 5/3 transform (exponents feed only
+    // Mb), style 1 derived or style 2 expounded with the 9/7 — per-band
+    // (eps, mu) with Delta_b = 2^(Prec + gain - eps)(1 + mu/2^11) and
+    // Mb = eps+G-1. Lengths are checked EXACTLY: trailing garbage
+    // inside the segment is rejected, not silently accepted — the same
+    // "reject loudly rather than guess" contract as every other
+    // malformed-header path. QCD and QCC share this shape (the QCC body
+    // starts one byte later, after Cqcc).
+    def parseQuant(body: Array[Byte], off: Int, what: String): Quant = {
+      val guard = (body(off) & 0xFF) >> 5
+      require(guard >= 1 && guard <= 7, s"guard bits $guard out of 1..7")
+      val style = body(off) & 0x1F
+      val nBands = 3 * levels + 1
+      val payload = body.length - off
+      val q: Quant =
+        if (!irrev) {
+          require(style == 0, s"quantization style $style with the 5/3 transform not supported")
+          require(payload == 1 + nBands,
+            s"$what payload $payload B != ${1 + nBands} B for $nBands subbands (style 0)")
+          val eps = Vector.tabulate(nBands)(i => ((body(off + 1 + i) & 0xFF) >> 3))
+          Quant(guard, eps, Vector.fill(nBands)(0))
+        } else if (style == 1) {
+          require(payload == 3,
+            s"$what payload $payload B != 3 B (style 1 signals one value)")
+          val v = beU16(body, off + 1)
+          Quant.derived(levels, guard, (v >> 11) & 0x1F, v & 0x7FF)
+        } else {
+          require(style == 2, s"quantization style $style with the 9/7 transform not supported")
+          require(payload == 1 + 2 * nBands,
+            s"$what payload $payload B != ${1 + 2 * nBands} B for $nBands subbands (style 2)")
+          val vs = Vector.tabulate(nBands)(i => beU16(body, off + 1 + 2 * i))
+          Quant(guard, vs.map(v => (v >> 11) & 0x1F), vs.map(_ & 0x7FF))
+        }
+      for (i <- 0 until nBands) {
+        require(q.eps(i) >= 1 && q.eps(i) <= 31,
+          s"$what quantizer exponent ${q.eps(i)} of band $i out of 1..31")
+        require(q.mb(i) >= 1 && q.mb(i) <= 30,
+          s"$what Mb ${q.mb(i)} of band $i out of 1..30 (eps=${q.eps(i)}, G=$guard)")
       }
-    for (i <- 0 until nBands) {
-      require(quantV.eps(i) >= 1 && quantV.eps(i) <= 31,
-        s"quantizer exponent ${quantV.eps(i)} of band $i out of 1..31")
-      require(quantV.mb(i) >= 1 && quantV.mb(i) <= 30,
-        s"Mb ${quantV.mb(i)} of band $i out of 1..30 (eps=${quantV.eps(i)}, G=$guard)")
+      q
     }
+    val quantV = parseQuant(qcdBody, 0, "QCD")
+    // QCC (A.6.5): per-component quantization overrides — the common
+    // archival RGB shape quantizes chroma coarser than luma
+    val qccV: Map[Int, Quant] = qccBodies.map { b =>
+      val c = b(0) & 0xFF
+      require(c < nc, s"QCC component $c out of range (Csiz $nc)")
+      c -> parseQuant(b, 1, s"QCC(c=$c)")
+    }.toMap
+    require(qccV.size == qccBodies.length, "duplicate QCC for one component")
     // LL step exponent offset — the uniform-profile knob the staged
     // queries assert on; well-defined for every stream (it is simply
-    // eps_LL - Prec), equal to the encoder's qShift on uniform streams
-    val qShiftV = if (irrev) quantV.eps(0) - Prec else 0
+    // component 0's eps_LL - Prec), equal to the encoder's qShift on
+    // uniform streams
+    val qShiftV = if (irrev) qccV.getOrElse(0, quantV).eps(0) - Prec else 0
     val hdr = Header(w, h, nc, xt, yt, useRct, levels, layersV, irrev, qShiftV,
-      ppV, sopV, ephV, quantV, blockStyleV)
+      ppV, sopV, ephV, quantV, blockStyleV, qccV)
     require(hdr.ntx * hdr.nty == 1 || (xt % (1 << levels) == 0 && yt % (1 << levels) == 0),
       s"multi-tile grid with tile dims not multiples of 2^$levels (absolute-" +
         "parity subband geometry) not supported")
@@ -1326,8 +1372,8 @@ object Jp2Codec {
     // reduced geometry reproduces the full stream's precinct grid
     // exactly (origins and dims all scale by 2^discard).
     for (r <- 0 to rl) {
-      val decs = Array.fill(hdr.nc)(new ResDecoder(rw, rh, rl, r,
-        hdr.q, rx0, ry0, hdr.pp, hdr.sop, hdr.eph, hdr.blockStyle))
+      val decs = Array.tabulate(hdr.nc)(c => new ResDecoder(rw, rh, rl, r,
+        hdr.qFor(c), rx0, ry0, hdr.pp, hdr.sop, hdr.eph, hdr.blockStyle))
       val np = decs(0).grid.num
       for (l <- 0 until keep; c <- 0 until hdr.nc; pr <- 0 until np) {
         if (keepPrec == null || keepPrec(r, pr)) {
@@ -1355,8 +1401,8 @@ object Jp2Codec {
       // [|q|·Delta_b, (|q|+2^depth)·Delta_b), and reconstructing at the
       // finest step's mid-point would bias every truncated coefficient
       // toward zero.
-      val qspec = hdr.q
       val ds = tile.zipWithIndex.map { case (q, c) =>
+        val qspec = hdr.qFor(c)
         val dep = if (quantDepth == null) null else quantDepth(c)
         val d = new Array[Double](q.length)
         for (r <- 0 to rl; (b, ord) <- bandsAt(rw, rh, rl, r).zipWithIndex) {

@@ -1190,6 +1190,9 @@ class Jp2CodecSpec extends AnyFunSuite {
       // r17: code-block style options (bypass / reset / per-pass
       // termination / vertically-causal / segsym, alone and combined)
       val blockStyle = Seq(0, 0, 0x02, 0x08, 0x20, 0x2A, 0x01, 0x04, 0x05, 0x2F)(r.nextInt(10))
+      // r17: per-component QCC chroma override (uniform 3-comp lossy only)
+      val chromaQ = if (irrev && nc == 3 && quantMode == "uniform" && r.nextBoolean())
+        Seq(-4, -2, 1)(r.nextInt(3)) else 99
       val comps = Array.tabulate(nc) { c =>
         Array.tabulate(w * h) { j =>
           if (r.nextInt(3) == 0) r.nextInt(256)
@@ -1198,9 +1201,9 @@ class Jp2CodecSpec extends AnyFunSuite {
       }
       val label = s"seed=$seed ${w}x$h levels=$levels tile=$tileSize " +
         s"layers=$layers parts=$parts nc=$nc irrev=$irrev q=$qShift " +
-        s"pp=$precinctExp sop=$sop eph=$eph quant=$quantMode style=$blockStyle"
+        s"pp=$precinctExp sop=$sop eph=$eph quant=$quantMode style=$blockStyle cq=$chromaQ"
       val cs = Jp2Codec.encode(w, h, comps, levels, tileSize, layers, parts,
-        irrev, qShift, precinctExp, sop, eph, quantMode, blockStyle)
+        irrev, qShift, precinctExp, sop, eph, quantMode, blockStyle, chromaQ)
       val hdr = Jp2Codec.header(cs)
       assert(hdr.layers == layers && hdr.irreversible == irrev &&
         hdr.pp == precinctExp && hdr.sop == sop && hdr.eph == eph &&
@@ -1221,9 +1224,8 @@ class Jp2CodecSpec extends AnyFunSuite {
         // QCD read-back: coefficient error <= delta_b, amplified by the
         // bounded synthesis l1 norms -> 8*deltaMax + 4 (generous but
         // catches any amplitude/sign/indexing slip)
-        val q = hdr.q
-        val deltaMax = (0 until 3 * levels + 1).map(i =>
-          q.delta(i, graft.sources.jp2.Jp2Codec.Quant.gainOf(i))).max
+        val deltaMax = (for (c <- 0 until nc; i <- 0 until 3 * levels + 1)
+          yield hdr.qFor(c).delta(i, graft.sources.jp2.Jp2Codec.Quant.gainOf(i))).max
         val bound = (8 * deltaMax + 4).toInt
         val maxErr = (0 until nc).map(c =>
           out.comps(c).zip(comps(c)).map { case (x, y) => math.abs(x - y) }.max).max
@@ -1279,6 +1281,38 @@ class Jp2CodecSpec extends AnyFunSuite {
       val e2 = intercept[IllegalArgumentException](Jp2Codec.decode(t))
       assert(e2.getMessage.contains("code-block style"), s"style=$badStyle: ${e2.getMessage}")
     }
+  }
+
+  test("QCC per-component overrides: chroma quantized coarser, parsed and applied") {
+    val (w, h) = (96, 80)
+    val comps = Array(pattern(w, h, 7), pattern(w, h, 31), pattern(w, h, 63))
+    val cs = Jp2Codec.encode(w, h, comps, levels = 2, irreversible = true,
+      qShift = 0, chromaQShift = -3)
+    val hdr = Jp2Codec.header(cs)
+    // structural contract: two QCC markers, luma untouched, chroma at
+    // the coarser uniform shape
+    assert(hdr.qcc.keySet == Set(1, 2))
+    assert(hdr.qFor(0).eps(0) == 8 && hdr.qFor(1).eps(0) == 5 && hdr.qFor(2).eps(0) == 5)
+    assert(hdr.qShift == 0, "Header.qShift is component 0's LL offset")
+    val out = Jp2Codec.decode(cs)
+    val (err, psnr) = errStats(out, comps)
+    // chroma step 8 in ICT space spreads across RGB via the inverse —
+    // bounded, clearly lossier than luma-only, still structured
+    assert(err <= 48 && psnr >= 22, s"qcc maxErr=$err psnr=$psnr")
+    // the override must actually be APPLIED: dropping the QCC markers
+    // (decode believing chroma used the luma step) must change pixels
+    val noQcc = Jp2Codec.encode(w, h, comps, levels = 2, irreversible = true, qShift = 0)
+    assert(!java.util.Arrays.equals(out.comps(2), Jp2Codec.decode(noQcc).comps(2)))
+    // a QCC naming a component outside Csiz rejects loudly
+    val qccAt = (0 until cs.length - 1).indexWhere(i =>
+      (cs(i) & 0xFF) == 0xFF && (cs(i + 1) & 0xFF) == 0x5D)
+    val bad = cs.clone()
+    bad(qccAt + 4) = 7 // Cqcc = 7 > nc
+    val e = intercept[IllegalArgumentException](Jp2Codec.decode(bad))
+    assert(e.getMessage.contains("QCC component"), e.getMessage)
+    // reversible + chromaQShift is a contradiction the encoder refuses
+    intercept[IllegalArgumentException](
+      Jp2Codec.encode(w, h, comps, levels = 2, chromaQShift = -2))
   }
 
   test("norm-weighted and derived quantization: QCD shapes, expansion, round-trip") {

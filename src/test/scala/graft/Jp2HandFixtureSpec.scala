@@ -545,6 +545,48 @@ class Jp2HandFixtureSpec extends AnyFunSuite {
     assertFlipFails(cs, cs.length - 4, expectedB) // coefficient byte
   }
 
+  // ------------------------------------------------------------------
+  // Fixture P — QCC per-component overrides (r17, A.6.5): 1x1 RGB
+  // (129, 128, 127), lossy 9/7 + ICT, levels 0. QCD signals eps = 8
+  // (luma Delta 1); two QCC markers give the chroma components eps = 9
+  // (Delta 0.5) — chroma quantized FINER here so the tiny signal
+  // survives. All arithmetic BY HAND from G.1/E.1:
+  //   DC shift -> (1, 0, -1); ICT: Y = .299 - .114 = 0.185,
+  //   Cb = (-1 - 0.185)/1.772 = -0.668735..., Cr = (1 - 0.185)/1.402
+  //   = 0.581312...
+  //   Quantize: Y at Delta 1 -> q 0 (empty packet); Cb at Delta 0.5 ->
+  //   q = -1; Cr at Delta 0.5 -> q = +1 — the SAME lone +-1 1x1 blocks
+  //   as fixture D, so codewords [07] and [03] (traces don't depend on
+  //   mb). mb = 9 + 3 - 1 = 11 -> zbp = 10: headers
+  //   1 1 (10 zeros) 1 0 0 001 -> C0 08 40.
+  //   Dequantize at the mid-point: Cb = -0.75, Cr = +0.75; inverse ICT:
+  //   R = 1.402*0.75 = 1.0515 -> rint 1 -> 129; B = 1.772*(-0.75)
+  //   = -1.329 -> rint -1 -> 127; G = (0 - .299*1.0515 - .114*(-1.329))
+  //   / .587 = -0.2775 -> rint 0 -> 128. Expected (129, 128, 127) —
+  //   and a QCC-IGNORING decoder (chroma at Delta 1) reconstructs
+  //   (130, 128, 125): the pin discriminates.
+  // ------------------------------------------------------------------
+  test("hand fixture P: QCC chroma overrides through the ICT, hand-computed pixels") {
+    val qcc1 = bytes(0xFF, 0x5D, 0, 6, 1, (3 << 5) | 2, 0x48, 0x00)
+    val qcc2 = bytes(0xFF, 0x5D, 0, 6, 2, (3 << 5) | 2, 0x48, 0x00)
+    val cs = SOC ++ siz(1, 1, 1, 1, 3) ++ cod(0, 1, 1, 0, 0) ++ qcdIrrev(0, 0) ++
+      qcc1 ++ qcc2 ++
+      tilePart(0, 0, 1,
+        bytes(0x00),                         // Y: q = 0, empty packet
+        bytes(0xC0, 0x08, 0x40, 0x07),       // Cb = -1 at Delta 0.5
+        bytes(0xC0, 0x08, 0x40, 0x03)        // Cr = +1 at Delta 0.5
+      ) ++ EOC
+    val expected = Seq(Seq(129), Seq(128), Seq(127))
+    assert(pixels(Jp2Codec.decode(cs)) == expected)
+    val hdr = Jp2Codec.header(cs)
+    assert(hdr.qcc.keySet == Set(1, 2) && hdr.qFor(1).eps == Vector(9))
+    val enc = Jp2Codec.encode(1, 1, Array(Array(129), Array(128), Array(127)),
+      levels = 0, irreversible = true, qShift = 0, chromaQShift = 1)
+    assert(enc.sameElements(cs), "QCC encoder diverges from the hand-assembled stream")
+    assertFlipFails(cs, cs.length - 3, expected)  // Cr codeword
+    assertFlipFails(cs, cs.length - 7, expected)  // Cb codeword
+  }
+
   test("hand fixture I: hand-built JP2 container walks to jp2c") {
     val sig = bytes(0x00, 0x00, 0x00, 0x0C, 0x6A, 0x50, 0x20, 0x20, 0x0D, 0x0A, 0x87, 0x0A)
     val ftypLen = 8 + 4 + 4 + 4 // brand jp2\040, minor 0, compat jp2\040
