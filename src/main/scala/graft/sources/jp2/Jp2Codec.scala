@@ -1224,11 +1224,18 @@ object Jp2Codec {
               // segmentation symbols (0x20) are all in the profile —
               // bypass/termination codewords are multi-segment and the
               // packet parser reads one length per segment. Predictable
-              // termination (0x10) changes the flush arithmetic this MQ
-              // coder does not implement — loud rejection, not a guess
-              require((blockStyleV & 0x10) == 0 && (blockStyleV & ~0x3F) == 0,
-                f"code-block style options $blockStyleV%02x not supported " +
-                  "(predictable termination)")
+              // termination (0x10) is TOLERATED on decode: the option
+              // constrains only the ENCODER's choice of spare bits at
+              // each flush (C.2.10) so that resilient decoders MAY
+              // detect errors — the decoding procedure is identical,
+              // and this decoder simply doesn't exploit the detection
+              // opportunity (the same stance OpenJPEG takes). This
+              // encoder never writes it. The 0x10 bit is masked off
+              // before Tier-1 so the segment layout and pass machinery
+              // see only the bits that change behavior.
+              require((blockStyleV & ~0x3F) == 0,
+                f"code-block style options $blockStyleV%02x not supported")
+              blockStyleV &= ~0x10
               val transform = b(9) & 0xFF
               require(transform == 0 || transform == 1,
                 s"unknown wavelet transform $transform")

@@ -1268,19 +1268,26 @@ class Jp2CodecSpec extends AnyFunSuite {
     bad(sodAt + 20) = (bad(sodAt + 20) ^ 0x55).toByte
     val e = intercept[IllegalArgumentException](Jp2Codec.decode(bad))
     assert(e.getMessage.contains("segmentation symbol"), e.getMessage)
-    // predictable termination: encoder refuses to write it, decoder
-    // refuses to guess at it (the flush arithmetic differs)
+    // predictable termination (0x10): the encoder never writes it, but
+    // the DECODING procedure is defined to be identical (C.2.10 only
+    // constrains the encoder's flush spare bits for error resilience),
+    // so a foreign stream carrying the flag decodes to the same pixels
     intercept[IllegalArgumentException](
       Jp2Codec.encode(w, h, comps, levels = 2, blockStyle = 0x10))
-    for (badStyle <- Seq(0x10, 0x11, 0x40)) {
-      val cs0 = Jp2Codec.encode(w, h, comps, levels = 2)
-      val codAt = (0 until cs0.length - 1).indexWhere(i =>
-        (cs0(i) & 0xFF) == 0xFF && (cs0(i + 1) & 0xFF) == 0x52)
-      val t = cs0.clone()
-      t(codAt + 12) = badStyle.toByte // SPcod style byte
-      val e2 = intercept[IllegalArgumentException](Jp2Codec.decode(t))
-      assert(e2.getMessage.contains("code-block style"), s"style=$badStyle: ${e2.getMessage}")
-    }
+    val cs0 = Jp2Codec.encode(w, h, comps, levels = 2)
+    val codAt = (0 until cs0.length - 1).indexWhere(i =>
+      (cs0(i) & 0xFF) == 0xFF && (cs0(i + 1) & 0xFF) == 0x52)
+    val tol = cs0.clone()
+    tol(codAt + 12) = 0x10.toByte
+    val outTol = Jp2Codec.decode(tol)
+    for (c <- 0 until 3)
+      assert(java.util.Arrays.equals(outTol.comps(c), base.comps(c)),
+        "predictable-termination flag must not change the decode")
+    // undefined style bits (0x40+) still reject loudly
+    val t = cs0.clone()
+    t(codAt + 12) = 0x40.toByte
+    val e2 = intercept[IllegalArgumentException](Jp2Codec.decode(t))
+    assert(e2.getMessage.contains("code-block style"), e2.getMessage)
   }
 
   test("QCC per-component overrides: chroma quantized coarser, parsed and applied") {
