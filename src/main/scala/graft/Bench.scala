@@ -81,8 +81,15 @@ object Bench {
     * untimed warm-ups here where the plain watchlist takes one.
     * l25 joins in r13 with the same signature: BATCH_METRICS_r13.md shows
     * its first timed sample at ~1.5x steady state after one warm-up
-    * (1.467 vs 0.97-1.0 s), the source of its 1.95x r12 driver spread. */
-  private val wideWatchlist = Set("g4_pagerank", "l25_ranked_retrieval")
+    * (1.467 vs 0.97-1.0 s), the source of its 1.95x r12 driver spread.
+    * g7 joins in r18 (r17 verdict ask #2): its quiet record drifted
+    * 2.50 -> 3.09 s across r14-r17 on untouched code while the r17
+    * driver's contended re-run hit 23.0 s with spread to 53.6 — the
+    * same load-dominated iterative-graph profile as g4, so one
+    * contended sample must not be able to dominate a committed record
+    * again (2 untimed warm-ups + best-of-5). */
+  private val wideWatchlist = Set("g4_pagerank", "l25_ranked_retrieval",
+    "g7_bfs_reachability")
 
   def main(args: Array[String]): Unit = {
     // args override env (env vars don't reach a forked runMain through the
@@ -237,7 +244,7 @@ object Bench {
     val metricLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${times.size},""" +
         s""""value_median":${r3(totalMedian)},""" +
-        s""""runs":"best-of-2-or-3 + adaptive warmup; watchlist: untimed-warmup + best-of-3 (g4/l25: 2 untimed + best-of-5)",""" +
+        s""""runs":"best-of-2-or-3 + adaptive warmup; watchlist: untimed-warmup + best-of-3 (g4/g7/l25: 2 untimed + best-of-5)",""" +
         s""""cpus":$cpus,"loadavg":$loadavg,""" +
         s""""queries":${jmap(slowest.map { case (k, v) => k -> r3(v) })},""" +
         s""""spread":${jmap(spread)},"errors":$errs,"sf":"$sfDir"}"""

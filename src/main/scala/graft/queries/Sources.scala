@@ -1734,7 +1734,7 @@ object Sources {
 
   private val lossyJp2Staged = new java.util.concurrent.ConcurrentHashMap[String, (String, Map[String, Long])]()
 
-  /** Synthesize 6 LOSSY (9/7 + ICT + scalar quantization) JPEG 2000
+  /** Synthesize 7 LOSSY (9/7 + ICT + scalar quantization) JPEG 2000
     * scans (staged once per JVM) — the dominant profile of real archival
     * masters (visually-lossless derivatives) — mixing untiled/tiled,
     * 1/2 quality layers, 1/2 tile-parts AND (r17) the three spec QCD

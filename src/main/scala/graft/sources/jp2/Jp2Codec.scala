@@ -201,6 +201,11 @@ object Jp2Codec {
 
   private final val CodeBlockExp = 6 // 64x64 code-blocks
 
+  /** Sentinel for [[encode]]'s `chromaQShift`: no QCC chroma override.
+    * A named constant (not a bare 99) so the no-override case reads as
+    * what it is at every call site and comparison. */
+  final val NoChromaOverride = 99
+
   // ---------------------------------------------------------------- encode
 
   /** Encode to a raw JPEG 2000 codestream (SOC..EOC). `comps` are 8-bit
@@ -254,7 +259,7 @@ object Jp2Codec {
       irreversible: Boolean = false, qShift: Int = 0,
       precinctExp: Int = 15, sop: Boolean = false, eph: Boolean = false,
       quantMode: String = "uniform", blockStyle: Int = 0,
-      chromaQShift: Int = 99): Array[Byte] = {
+      chromaQShift: Int = NoChromaOverride): Array[Byte] = {
     require(w > 0 && h > 0, "empty image")
     require(comps.length == 1 || comps.length == 3, "1 or 3 components")
     require(comps.forall(_.length == w * h), "component size mismatch")
@@ -276,11 +281,11 @@ object Jp2Codec {
     // chromaQShift (r17): quantize the two ICT chroma components at
     // their own uniform step 2^(-chromaQShift), signaled via QCC
     // markers — the common archival RGB shape (chroma coarser than
-    // luma). 99 = no override.
-    require(chromaQShift == 99 ||
+    // luma). NoChromaOverride = no override.
+    require(chromaQShift == NoChromaOverride ||
       (irreversible && comps.length == 3 && quantMode == "uniform"),
       "chromaQShift needs the irreversible 3-component uniform profile")
-    require(chromaQShift == 99 || (chromaQShift >= -6 && chromaQShift <= 3),
+    require(chromaQShift == NoChromaOverride || (chromaQShift >= -6 && chromaQShift <= 3),
       s"chromaQShift $chromaQShift out of -6..3")
     // pp = 15 is the spec default ("no precinct subdivision" in practice:
     // 2^15 precincts, Scod bit 0 clear); smaller values partition every
@@ -365,7 +370,7 @@ object Jp2Codec {
     // uniform QCD, eps_b = Prec + gain + chromaQShift, one marker per
     // chroma component
     val chromaSpec: Quant =
-      if (chromaQShift == 99) null
+      if (chromaQShift == NoChromaOverride) null
       else Quant(LossyGuardBits,
         Vector.tabulate(nBands)(i => Prec + Quant.gainOf(i) + chromaQShift),
         Vector.fill(nBands)(0))
@@ -532,6 +537,13 @@ object Jp2Codec {
     def q: Quant = if (quant ne null) quant else Quant.uniform(levels, irreversible, qShift)
     /** Component c's quantization: its QCC override, else the QCD. */
     def qFor(c: Int): Quant = qcc.getOrElse(c, q)
+    /** The style bits Tier-1 acts on: `blockStyle` keeps the RAW
+      * signaled SPcod byte (a foreign stream's predictable-termination
+      * flag 0x10 must survive into diagnostics/re-encode), but 0x10
+      * changes only the encoder's flush spare bits (C.2.10), so the
+      * decoding machinery masks it off HERE — the one consumption
+      * point — rather than at parse time. */
+    def tier1Style: Int = blockStyle & ~0x10
   }
 
   /** One decoded tile: its grid position and clamped 8-bit pixel planes
@@ -1230,12 +1242,13 @@ object Jp2Codec {
               // detect errors — the decoding procedure is identical,
               // and this decoder simply doesn't exploit the detection
               // opportunity (the same stance OpenJPEG takes). This
-              // encoder never writes it. The 0x10 bit is masked off
-              // before Tier-1 so the segment layout and pass machinery
-              // see only the bits that change behavior.
+              // encoder never writes it. The Header keeps the RAW
+              // signaled style (diagnostics must reflect the stream);
+              // the 0x10 bit is masked off where Tier-1 consumes the
+              // options ([[tier1Style]]) so the segment layout and pass
+              // machinery see only the bits that change behavior.
               require((blockStyleV & ~0x3F) == 0,
                 f"code-block style options $blockStyleV%02x not supported")
-              blockStyleV &= ~0x10
               val transform = b(9) & 0xFF
               require(transform == 0 || transform == 1,
                 s"unknown wavelet transform $transform")
@@ -1380,7 +1393,7 @@ object Jp2Codec {
     // exactly (origins and dims all scale by 2^discard).
     for (r <- 0 to rl) {
       val decs = Array.tabulate(hdr.nc)(c => new ResDecoder(rw, rh, rl, r,
-        hdr.qFor(c), rx0, ry0, hdr.pp, hdr.sop, hdr.eph, hdr.blockStyle))
+        hdr.qFor(c), rx0, ry0, hdr.pp, hdr.sop, hdr.eph, hdr.tier1Style))
       val np = decs(0).grid.num
       for (l <- 0 until keep; c <- 0 until hdr.nc; pr <- 0 until np) {
         if (keepPrec == null || keepPrec(r, pr)) {

@@ -1279,6 +1279,11 @@ class Jp2CodecSpec extends AnyFunSuite {
       (cs0(i) & 0xFF) == 0xFF && (cs0(i + 1) & 0xFF) == 0x52)
     val tol = cs0.clone()
     tol(codAt + 12) = 0x10.toByte
+    // the RAW signaled style survives into the Header (r18, advice):
+    // diagnostics/re-encode must reflect the stream, and only the
+    // Tier-1 view masks the behavior-neutral bit
+    val tolHdr = Jp2Codec.header(tol)
+    assert(tolHdr.blockStyle == 0x10 && tolHdr.tier1Style == 0x00)
     val outTol = Jp2Codec.decode(tol)
     for (c <- 0 until 3)
       assert(java.util.Arrays.equals(outTol.comps(c), base.comps(c)),
