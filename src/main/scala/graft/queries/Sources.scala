@@ -1077,7 +1077,7 @@ object Sources {
 
   private val jp2Staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Synthesize 6 REAL JPEG 2000 files (staged once per JVM): RGB planes
+  /** Synthesize 7 REAL JPEG 2000 files (staged once per JVM): RGB planes
     * with index-determined per-channel patterns, compressed by the engine's
     * own spec-complete encoder ([[graft.sources.jp2.Jp2Codec]]: 5/3 DWT +
     * RCT + EBCOT + MQ + Tier-2 packets) and wrapped in a real JP2
@@ -1089,7 +1089,7 @@ object Sources {
   private[graft] def stageJp2s(): String =
     jp2Staged.computeIfAbsent("jp2s", { _ =>
       val dir = tmp("l5g_jp2")
-      (0 until 6).foreach { i =>
+      (0 until 7).foreach { i =>
         val w = 40 + (17 * i) % 113
         val h = 30 + (23 * i) % 89
         val comps = Array.tabulate(3) { c =>
@@ -1103,11 +1103,18 @@ object Sources {
         // file 5 crossed with tiling AND 2 layers, so multi-segment
         // codewords run distributed) — styles re-code the same
         // coefficients, so the frozen pixel-sum oracle values cover
-        // them unchanged
+        // them unchanged. r18 adds file 6: RPCL progression crossed
+        // with tiles, 32-px precincts AND 2 layers (the Kakadu-style
+        // random-access pairing), so the general B.12.1 packet
+        // iterator runs distributed under the same closed-form oracle
+        // — progressions re-ORDER the same packets, pixel sums are
+        // order-invariant.
         val cs = graft.sources.jp2.Jp2Codec.encode(
-          w, h, comps, tileSize = if (i % 2 == 1) 64 else 0,
-          layers = if (i % 3 == 2) 2 else 1,
-          blockStyle = i match { case 4 => 0x20; case 5 => 0x2F; case _ => 0 })
+          w, h, comps, tileSize = if (i % 2 == 1 || i == 6) 64 else 0,
+          layers = if (i % 3 == 2 || i == 6) 2 else 1,
+          blockStyle = i match { case 4 => 0x20; case 5 => 0x2F; case _ => 0 },
+          precinctExp = if (i == 6) 5 else 15,
+          prog = if (i == 6) graft.sources.jp2.Jp2Codec.RPCL else -1)
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$dir/scan_$i.jp2"),
           graft.sources.Jp2Box.buildContainer(w, h, cs))
@@ -1636,23 +1643,36 @@ object Sources {
 
   private val precinctJp2Staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Synthesize one PRECINCT-PARTITIONED scan (staged once per JVM):
-    * 384x192 RGB, two 192-tiles each split in 2 tile-parts, 2 quality
+  /** Synthesize two PRECINCT-PARTITIONED scans (staged once per JVM):
+    * 768x384 RGB, two 384-tiles each split in 2 tile-parts, 2 quality
     * layers, 32x32 precincts on every resolution (Scod bit 0, the
-    * Kakadu-style random-access profile real archival masters carry).
-    * Pixel formula is the l5h/l5j family so the oracle is closed-form. */
+    * Kakadu-style random-access profile real archival masters carry) —
+    * page_0 in the auto RLCP order, page_1 (r18) in RPCL, the
+    * resolution-major position order that profile actually ships in.
+    * Pixel formulas are the l5h/l5j family so the oracle is closed-form. */
   private[graft] def stagePrecinctJp2(): String =
     precinctJp2Staged.computeIfAbsent("prec", { _ =>
       val dir = tmp("l5n_jp2")
       val (w, h) = (768, 384)
-      val comps = Array.tabulate(3) { c =>
-        Array.tabulate(w * h)(j => ((j % w) * (7 + 2 * c) + (j / w) * 11 + c * 29) % 256)
+      // page_0: the r17 profile (auto RLCP); page_1 (r18): the SAME
+      // random-access shape in RPCL — the resolution-major position
+      // order real Kakadu masters actually pair precincts with, so the
+      // region walker's packet arithmetic is hash-covered on both
+      // orders. Distinct per-page pixel formulas keep the closed-form
+      // oracle rows discriminating.
+      for ((prog, idx) <- Seq(-1 -> 0, graft.sources.jp2.Jp2Codec.RPCL -> 1)) {
+        val comps = Array.tabulate(3) { c =>
+          Array.tabulate(w * h)(j =>
+            if (idx == 0) ((j % w) * (7 + 2 * c) + (j / w) * 11 + c * 29) % 256
+            else ((j % w) * (8 + 3 * c) + (j / w) * 13 + c * 31) % 256)
+        }
+        val cs = graft.sources.jp2.Jp2Codec.encode(w, h, comps, levels = 3,
+          tileSize = 384, layers = 2, partsPerTile = 2, precinctExp = 5,
+          prog = prog)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/page_$idx.jp2"),
+          graft.sources.Jp2Box.buildContainer(w, h, cs))
       }
-      val cs = graft.sources.jp2.Jp2Codec.encode(w, h, comps, levels = 3,
-        tileSize = 384, layers = 2, partsPerTile = 2, precinctExp = 5)
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"$dir/page_0.jp2"),
-        graft.sources.Jp2Box.buildContainer(w, h, cs))
       dir
     })
 
@@ -1691,19 +1711,21 @@ object Sources {
           s"$p: walk ${in.bytesRead} B + region ranges $fetch B not a fraction of $fileLen B")
         parts.map(t => (p, t.index, t.ranges.flatMap(r => Seq(r._1, r._2)),
           hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
-          hdr.layers, hdr.pp))
+          hdr.layers, hdr.pp, hdr.prog))
       }
       .toDF("path", "tile", "ranges", "w", "h", "nc", "xt", "yt", "rct", "levels",
-        "nlayers", "pp")
+        "nlayers", "pp", "prog")
       .repartition(spark.sparkContext.defaultParallelism, col("path"), col("tile"))
-      .as[(String, Int, Seq[Long], Int, Int, Int, Int, Int, Boolean, Int, Int, Int)]
+      .as[(String, Int, Seq[Long], Int, Int, Int, Int, Int, Boolean, Int, Int, Int, Int)]
     val perTile = tiles.mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
-      it.map { case (p, _, ranges, w, h, nc, xt, yt, rct, levels, nlayers, pp) =>
+      it.map { case (p, _, ranges, w, h, nc, xt, yt, rct, levels, nlayers, pp, prog) =>
         val slice = jp2FetchRanges(conf, p,
           ranges.grouped(2).map(r => (r(0), r(1))).toSeq)
+        // prog travels with the header fields: the compacted-slice walk
+        // must follow the STREAM's packet order (page_1 is RPCL)
         val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels,
-          nlayers, pp = pp)
+          nlayers, pp = pp, prog = prog)
         val t = graft.sources.jp2.Jp2Codec.decodeTileRegion(slice, hdr, cx0, cy0, cx1, cy1)
         val ix0 = math.max(cx0, t.x0); val ix1 = math.min(cx1, t.x0 + t.width)
         val iy0 = math.max(cy0, t.y0); val iy1 = math.min(cy1, t.y0 + t.height)
@@ -2585,7 +2607,7 @@ object Sources {
     "l5g_jp2_decode" ->
       """WITH dims AS (
         |  SELECT i, 40 + (17*i) % 113 AS w, 30 + (23*i) % 89 AS h
-        |  FROM (SELECT unnest(generate_series(0, 5)) AS i)),
+        |  FROM (SELECT unnest(generate_series(0, 6)) AS i)),
         |px AS (
         |  SELECT i, w, h, unnest(generate_series(0, w*h - 1)) AS j FROM dims)
         |SELECT 'scan_' || i || '.jp2' AS file_name,
@@ -2606,7 +2628,7 @@ object Sources {
     "l5i_jp2_thumbnail" ->
       """WITH dims AS (
         |  SELECT i, 40 + (17*i) % 113 AS w, 30 + (23*i) % 89 AS h
-        |  FROM (SELECT unnest(generate_series(0, 5)) AS i))
+        |  FROM (SELECT unnest(generate_series(0, 6)) AS i))
         |SELECT 'scan_' || i || '.jp2' AS file_name,
         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  CAST((w + 3) // 4 AS BIGINT) AS thumb_w,
@@ -2662,6 +2684,12 @@ object Sources {
         |  CAST(SUM((x * 7 + y * 11) % 256) AS BIGINT) AS sum_c0,
         |  CAST(SUM((x * 9 + y * 11 + 29) % 256) AS BIGINT) AS sum_c1,
         |  CAST(SUM((x * 11 + y * 11 + 58) % 256) AS BIGINT) AS sum_c2
+        |FROM px
+        |UNION ALL
+        |SELECT 'page_1.jp2', CAST(2 AS BIGINT),
+        |  CAST(SUM((x * 8 + y * 13) % 256) AS BIGINT),
+        |  CAST(SUM((x * 11 + y * 13 + 31) % 256) AS BIGINT),
+        |  CAST(SUM((x * 14 + y * 13 + 62) % 256) AS BIGINT)
         |FROM px""".stripMargin,
     // pixel-dependent lossy-reconstruction stats: deterministic integers
     // (strictfp double lifting + deterministic deadzone quantization),

@@ -225,14 +225,14 @@ object Jp2Codec {
     * many quality layers at spec-valid truncation points
     * ([[Ebcot.encodeBlockLayered]]), with the packet-header layer
     * machinery (incremental inclusion tag trees, first-inclusion
-    * thresholds, per-layer pass counts and lengths — B.10). Multi-layer
-    * streams are written in RLCP progression (resolution outermost, A.6.1
-    * order 1) rather than LRCP: resolution scalability is this engine's
-    * access pattern — it keeps each tile-part's low-resolution packets a
-    * contiguous PREFIX across all layers, so [[decodeReduced]] and the
-    * PLT-ranged thumbnail walk ([[tilePartsReduced]]) work unchanged.
-    * `layers = 1` emits the identical LRCP bitstream as before (for one
-    * layer the two orders coincide byte-for-byte).
+    * thresholds, per-layer pass counts and lengths — B.10). `prog`
+    * picks the A.6.1 progression (see [[packetOrder]]); the -1 default
+    * keeps the pre-r18 auto choice byte-for-byte: multi-layer streams
+    * in RLCP (resolution outermost — it keeps each tile-part's
+    * low-resolution packets a contiguous PREFIX across all layers, so
+    * [[decodeReduced]] and the PLT-ranged thumbnail walk
+    * ([[tilePartsReduced]]) work unchanged), `layers = 1` in LRCP
+    * (coinciding with RLCP byte-for-byte at one layer).
     *
     * `partsPerTile > 1` splits every tile's packet sequence across that
     * many tile-parts (TNsot = N, TPsot = 0..N-1, each with its own SOT /
@@ -259,7 +259,7 @@ object Jp2Codec {
       irreversible: Boolean = false, qShift: Int = 0,
       precinctExp: Int = 15, sop: Boolean = false, eph: Boolean = false,
       quantMode: String = "uniform", blockStyle: Int = 0,
-      chromaQShift: Int = NoChromaOverride): Array[Byte] = {
+      chromaQShift: Int = NoChromaOverride, prog: Int = -1): Array[Byte] = {
     require(w > 0 && h > 0, "empty image")
     require(comps.length == 1 || comps.length == 3, "1 or 3 components")
     require(comps.forall(_.length == w * h), "component size mismatch")
@@ -294,6 +294,19 @@ object Jp2Codec {
     // pp-1 >= 0 for r > 0 (B.6).
     require(precinctExp >= 1 && precinctExp <= 15,
       s"precinctExp $precinctExp out of 1..15")
+    // prog = -1 (default) keeps the pre-r18 auto choice byte-for-byte:
+    // LRCP for one layer, RLCP for multi-layer (resolution outermost
+    // either way — this engine's access pattern). Any of the five
+    // A.6.1 orders may be forced explicitly (r18: RPCL is what real
+    // Kakadu-style random-access masters pair with precincts); the
+    // packet CONTENT is order-independent, only emission order and the
+    // ranged-walk properties change.
+    require(prog == -1 || (prog >= LRCP && prog <= CPRL),
+      s"progression order $prog not one of -1 (auto), 0..4 (LRCP/RLCP/RPCL/PCRL/CPRL)")
+    val progV = if (prog == -1) { if (layers > 1) RLCP else LRCP } else prog
+    // the resolution-boundary tile-part split needs resolution outermost
+    require(partsPerTile == 1 || resMajor(progV, layers),
+      s"partsPerTile $partsPerTile needs a resolution-major progression (got $progV)")
     val nc = comps.length
     val useRct = nc == 3
     val xt = if (tileSize == 0) w else tileSize
@@ -322,7 +335,7 @@ object Jp2Codec {
     val explicitPrec = precinctExp < 15
     val scod = (if (explicitPrec) 1 else 0) | (if (sop) 2 else 0) | (if (eph) 4 else 0)
     u16(0xFF52); u16(12 + (if (explicitPrec) levels + 1 else 0)); u8(scod)
-    u8(if (layers > 1) 1 else 0) // RLCP for multi-layer, LRCP otherwise
+    u8(progV) // SGcod progression order (auto: RLCP multi-layer, else LRCP)
     u16(layers)
     u8(if (useRct) 1 else 0)
     u8(levels)
@@ -441,40 +454,44 @@ object Jp2Codec {
           }
         }
 
-      // tile body: packets resolution-outermost (RLCP; identical to LRCP
-      // for 1 layer), within a resolution layer{component{precinct}}
-      // (A.6.1), lengths kept for PLT. Tier-1 runs once per (component,
-      // resolution); layers slice its passes. Nsop numbers packets per
-      // tile across all its tile-parts (A.8.1).
+      // tile body: packets in the chosen progression order (B.12.1 via
+      // [[packetOrder]] — the same sequence the decoder walks), lengths
+      // kept for PLT. Tier-1 runs once per (component, resolution);
+      // layers slice its passes; encodeLayer sees each (c, r, p)'s
+      // layers in ascending order under EVERY A.6.1 progression (l is a
+      // sort key in all five), which the persistent tag trees need.
+      // Nsop numbers packets per tile across all its tile-parts in
+      // stream order (A.8.1).
+      val encs = Array.tabulate(nc, levels + 1)((c, r) =>
+        new ResEncoder(planes(c), tw, th, levels, r, layers,
+          qspecFor(c), x0, y0, precinctExp, blockStyle))
+      val order = packetOrder(progV, layers, nc, levels, tw, th, x0, y0, precinctExp)
       var nsop = 0
-      val packetsByRes: IndexedSeq[Seq[Array[Byte]]] =
-        for (r <- 0 to levels) yield {
-          val encs = comps.indices.map(c =>
-            new ResEncoder(planes(c), tw, th, levels, r, layers,
-              qspecFor(c), x0, y0, precinctExp, blockStyle))
-          val np = encs.head.grid.num
-          for (l <- 0 until layers; c <- 0 until nc; p <- 0 until np) yield {
-            val pkt = encs(c).encodeLayer(l, p, eph)
-            val out =
-              if (!sop) pkt
-              else {
-                val o = new Array[Byte](6 + pkt.length)
-                o(0) = 0xFF.toByte; o(1) = 0x91.toByte; o(2) = 0; o(3) = 4
-                o(4) = ((nsop >> 8) & 0xFF).toByte; o(5) = (nsop & 0xFF).toByte
-                System.arraycopy(pkt, 0, o, 6, pkt.length)
-                o
-              }
-            nsop = (nsop + 1) & 0xFFFF
-            out
+      val emitted: IndexedSeq[Array[Byte]] = order.map { k =>
+        val pkt = encs(k.c)(k.r).encodeLayer(k.l, k.p, eph)
+        val out =
+          if (!sop) pkt
+          else {
+            val o = new Array[Byte](6 + pkt.length)
+            o(0) = 0xFF.toByte; o(1) = 0x91.toByte; o(2) = 0; o(3) = 4
+            o(4) = ((nsop >> 8) & 0xFF).toByte; o(5) = (nsop & 0xFF).toByte
+            System.arraycopy(pkt, 0, o, 6, pkt.length)
+            o
           }
-        }
+        nsop = (nsop + 1) & 0xFFFF
+        out
+      }
 
       // split the resolution groups across tile-parts as evenly as
       // possible; part j carries resolutions [j*(levels+1)/N, (j+1)*...)
+      // — a contiguous packet run because partsPerTile > 1 requires a
+      // resolution-major order (checked above)
       for (part <- 0 until partsPerTile) {
         val rFrom = part * (levels + 1) / partsPerTile
         val rUntil = (part + 1) * (levels + 1) / partsPerTile
-        val packets = packetsByRes.slice(rFrom, rUntil).flatten
+        val packets = order.zip(emitted).collect {
+          case (k, b) if k.r >= rFrom && k.r < rUntil => b
+        }
         val bodyBytes = packets.toArray.flatten
 
         // PLT (A.7.3): per-packet lengths as 7-bit-varint Iplt entries.
@@ -529,7 +546,7 @@ object Jp2Codec {
       irreversible: Boolean = false, qShift: Int = 0,
       pp: Int = 15, sop: Boolean = false, eph: Boolean = false,
       quant: Quant = null, blockStyle: Int = 0,
-      qcc: Map[Int, Quant] = Map.empty) {
+      qcc: Map[Int, Quant] = Map.empty, prog: Int = RLCP) {
     def ntx: Int = ceilDiv(width, xt)
     def nty: Int = ceilDiv(height, yt)
     /** The quantization in force — a Header built without one (tests,
@@ -610,7 +627,8 @@ object Jp2Codec {
   /** Decode at reduced resolution: drop the `discard` highest
     * resolutions (OpenJPEG's `-r`), yielding a ceil(w/2^d) x ceil(h/2^d)
     * image — the standard JPEG 2000 "reduce" reconstruction (the LL
-    * pyramid, NOT a resample of the full decode). The LRCP layout puts
+    * pyramid, NOT a resample of the full decode). A resolution-major
+    * layout (RLCP/RPCL, or 1-layer LRCP — required here, typed) puts
     * each tile's low-resolution packets FIRST, and Psot gives the
     * tile-part end, so the high-resolution packets are never read, let
     * alone entropy-decoded: a thumbnail of an archival scan costs the
@@ -729,6 +747,12 @@ object Jp2Codec {
     val (hdr, spans) = tileParts(in)
     require(discard >= 0 && discard <= hdr.levels,
       s"discard $discard out of 0..${hdr.levels}")
+    // the reduced walk truncates each tile to a byte PREFIX, which holds
+    // the kept resolutions only when resolution is the outermost axis —
+    // LRCP(multi-layer)/PCRL/CPRL streams get this RANGED-use rejection
+    // (distinct from whole-file decode, which admits all five orders)
+    require(resMajor(hdr.prog, hdr.layers),
+      s"progression order ${hdr.prog} is not resolution-major: the ranged reduced-resolution walk needs RLCP/RPCL (or 1-layer LRCP); whole-file decode still admits this stream")
     // packets per kept resolution = layers * components * precincts(r)
     // (RLCP keeps them a contiguous prefix of every tile's packet
     // sequence regardless of layer count); precinct counts are per tile,
@@ -911,14 +935,16 @@ object Jp2Codec {
         RangedTilePart(isot, Seq((s.pos, s.pos + s.len)), fullLen)
       } else {
         // the compacted slice: part-0 header, then every kept packet in
-        // global (resolution-outermost) order across the parts. Within
-        // resolution r packets run layer{component{precinct}}, so the
-        // kept set is the first keepLayers*nc*precincts(r) of each
-        // resolution's chunk — per-tile precinct counts from the same
-        // absolute grid the coders use.
-        val pkr = packetsPerRes(hdr, isot)
-        val cum = pkr.scanLeft(0)(_ + _)
-        val totalPackets = cum.last
+        // STREAM order across the parts. Packet gp of the tile is
+        // [[packetOrder]] entry gp (any of the five A.6.1 orders since
+        // r18 — the generator and [[decodeTileCore]] share one
+        // sequence), and a packet is kept iff its layer index is under
+        // keepLayers. Under RLCP the kept packets of a resolution are
+        // one consecutive run; under RPCL/PCRL/CPRL they interleave per
+        // precinct and the adjacent-range merge just yields more,
+        // shorter ranges — same contract, same decoder.
+        val order = packetOrder(hdr, isot)
+        val totalPackets = order.length
         val ranges = ArrayBuffer[(Long, Long)]((parts.head.pos, headers.head._1))
         def addRange(from: Long, until: Long): Unit = {
           val (lastFrom, lastUntil) = ranges.last
@@ -926,15 +952,12 @@ object Jp2Codec {
           else ranges += ((from, until))
         }
         var gp = 0 // global packet index across the tile's parts
-        var res = 0 // resolution of packet gp (walk pointer)
         for ((s, (bodyStart, lens)) <- parts.zip(headers)) {
           var at = bodyStart
           for (len <- lens) {
             require(gp < totalPackets,
               s"tile $isot: PLT lists more than $totalPackets packets")
-            while (gp >= cum(res + 1)) res += 1
-            val keptOfRes = keepLayers * hdr.nc * (pkr(res) / (hdr.layers * hdr.nc))
-            if (gp - cum(res) < keptOfRes) addRange(at, at + len)
+            if (order(gp).l < keepLayers) addRange(at, at + len)
             at += len
             gp += 1
           }
@@ -1009,9 +1032,11 @@ object Jp2Codec {
         val headers = parts.map(s => tilePartHeader(in, s.pos))
         require(headers.forall(_._2 != null),
           s"tile $isot: no PLT — cannot region-truncate to precinct ranges")
-        val pkr = packetsPerRes(hdr, isot)
-        val cum = pkr.scanLeft(0)(_ + _)
-        val totalPackets = cum.last
+        // packet gp's precinct comes from the shared [[packetOrder]]
+        // sequence (any A.6.1 order since r18), replacing the former
+        // RLCP-only index arithmetic
+        val order = packetOrder(hdr, isot)
+        val totalPackets = order.length
         val ranges = ArrayBuffer[(Long, Long)]((parts.head.pos, headers.head._1))
         def addRange(from: Long, until: Long): Unit = {
           val (lastFrom, lastUntil) = ranges.last
@@ -1019,15 +1044,12 @@ object Jp2Codec {
           else ranges += ((from, until))
         }
         var gp = 0
-        var res = 0
         for ((s, (bodyStart, lens)) <- parts.zip(headers)) {
           var at = bodyStart
           for (len <- lens) {
             require(gp < totalPackets, s"tile $isot: PLT lists more than $totalPackets packets")
-            while (gp >= cum(res + 1)) res += 1
-            val np = pkr(res) / (hdr.layers * hdr.nc)
-            val p = (gp - cum(res)) % np // within res: layer{component{precinct}}
-            if (precinctInRegion(tw, th, hdr.levels, res, tx0, ty0, hdr.pp, p,
+            val k = order(gp)
+            if (precinctInRegion(tw, th, hdr.levels, k.r, tx0, ty0, hdr.pp, k.p,
                 cx0, cy0, cx1, cy1)) addRange(at, at + len)
             at += len
             gp += 1
@@ -1163,6 +1185,7 @@ object Jp2Codec {
     var irrev = false
     var ppV = 15; var sopV = false; var ephV = false
     var blockStyleV = 0
+    var progV = RLCP
     // QCD is validated AFTER the loop: its per-band shape needs `levels`
     // and the transform, and the spec fixes no marker order within the
     // main header
@@ -1217,15 +1240,16 @@ object Jp2Codec {
               // bit 0 = explicit precinct sizes, bit 1 = SOP, bit 2 = EPH;
               // anything above is outside Part 1 — reject, don't guess
               require((scod & ~0x07) == 0, f"Scod options $scod%02x not supported")
-              val prog = b(1) & 0xFF
-              require(prog == 0 || prog == 1, s"progression order $prog not supported (LRCP/RLCP only)")
+              // all five Part-1 progression orders are admitted on
+              // whole-file decode since r18 (the packet walk follows
+              // [[packetOrder]]); the byte-prefix REDUCED walkers
+              // additionally require a resolution-major order and
+              // reject the rest with their own typed error
+              progV = b(1) & 0xFF
+              require(progV >= LRCP && progV <= CPRL,
+                s"progression order $progV not supported (LRCP/RLCP/RPCL/PCRL/CPRL)")
               layersV = beU16(b, 2)
               require(layersV >= 1, "zero quality layers")
-              // with resolution outermost the two orders coincide for one
-              // layer; LRCP multi-layer would interleave resolutions and
-              // break the low-res-prefix walk — reject, don't guess
-              require(prog == 1 || layersV == 1,
-                "LRCP with multiple layers not supported (this profile writes RLCP for multi-layer)")
               useRct = (b(4) & 0xFF) == 1
               levels = b(5) & 0xFF
               require((b(6) & 0xFF) == CodeBlockExp - 2 && (b(7) & 0xFF) == CodeBlockExp - 2,
@@ -1343,7 +1367,7 @@ object Jp2Codec {
     // uniform streams
     val qShiftV = if (irrev) qccV.getOrElse(0, quantV).eps(0) - Prec else 0
     val hdr = Header(w, h, nc, xt, yt, useRct, levels, layersV, irrev, qShiftV,
-      ppV, sopV, ephV, quantV, blockStyleV, qccV)
+      ppV, sopV, ephV, quantV, blockStyleV, qccV, progV)
     require(hdr.ntx * hdr.nty == 1 || (xt % (1 << levels) == 0 && yt % (1 << levels) == 0),
       s"multi-tile grid with tile dims not multiples of 2^$levels (absolute-" +
         "parity subband geometry) not supported")
@@ -1384,27 +1408,32 @@ object Jp2Codec {
     val quantDepth =
       if (hdr.irreversible && keep < hdr.layers) Array.fill(hdr.nc)(new Array[Int](rw * rh))
       else null
+    // a discard-truncated body is the stream's byte PREFIX, which drops
+    // exactly the r > rl packets only when resolution is the outermost
+    // axis — reject the other orders here with the decode-side typed
+    // error (the ranged walker has its own)
+    require(discard == 0 || resMajor(hdr.prog, hdr.layers),
+      s"progression order ${hdr.prog} is not resolution-major: reduced (discard > 0) decode needs RLCP/RPCL (or 1-layer LRCP)")
+    // packet walk in the header's progression order — the SAME
+    // [[packetOrder]] sequence the encoder emitted and the ranged
+    // walkers kept, filtered identically (layers beyond `keep` and
+    // precincts outside `keepPrec` were removed from the body by the
+    // compacting walker, so skipping them here keeps the two aligned).
+    // The reduced geometry reproduces the full stream's precinct grid
+    // exactly (origins and dims all scale by 2^discard), so generating
+    // the order from the reduced dims yields the surviving prefix.
+    val decs = Array.tabulate(hdr.nc, rl + 1)((c, r) => new ResDecoder(rw, rh, rl, r,
+      hdr.qFor(c), rx0, ry0, hdr.pp, hdr.sop, hdr.eph, hdr.tier1Style))
     var p = 0
-    // resolution-outermost packet walk (RLCP; ≡ LRCP for 1 layer): all of
-    // a resolution's layer packets are consecutive, so per-resolution
-    // decoder state lives only across this inner loop. Within a
-    // resolution the order is layer{component{precinct}} (A.6.1); the
-    // reduced geometry reproduces the full stream's precinct grid
-    // exactly (origins and dims all scale by 2^discard).
-    for (r <- 0 to rl) {
-      val decs = Array.tabulate(hdr.nc)(c => new ResDecoder(rw, rh, rl, r,
-        hdr.qFor(c), rx0, ry0, hdr.pp, hdr.sop, hdr.eph, hdr.tier1Style))
-      val np = decs(0).grid.num
-      for (l <- 0 until keep; c <- 0 until hdr.nc; pr <- 0 until np) {
-        if (keepPrec == null || keepPrec(r, pr)) {
-          require(p < body.length,
-            s"tile $isot body exhausted at packet (r=$r,l=$l,c=$c,p=$pr) — missing tile-part slices?")
-          p = decs(c).readPacket(body, p, l, pr)
-        }
+    for (pkt <- packetOrder(hdr.prog, hdr.layers, hdr.nc, rl, rw, rh, rx0, ry0, hdr.pp)) {
+      if (pkt.l < keep && (keepPrec == null || keepPrec(pkt.r, pkt.p))) {
+        require(p < body.length,
+          s"tile $isot body exhausted at packet (r=${pkt.r},l=${pkt.l},c=${pkt.c},p=${pkt.p}) — missing tile-part slices?")
+        p = decs(pkt.c)(pkt.r).readPacket(body, p, pkt.l, pkt.p)
       }
-      for (c <- 0 until hdr.nc)
-        decs(c).finishInto(tile(c), if (quantDepth == null) null else quantDepth(c))
     }
+    for (c <- 0 until hdr.nc; r <- 0 to rl)
+      decs(c)(r).finishInto(tile(c), if (quantDepth == null) null else quantDepth(c))
     if (exact)
       require(p == body.length, s"tile $isot body ended at $p of ${body.length}")
     else
@@ -1473,6 +1502,80 @@ object Jp2Codec {
   }
 
   // --------------------------------------------- packet encode/decode pair
+
+  /** Progression orders (A.6.1, Table A-16). All five are admitted on
+    * whole-file decode since r18; the byte-prefix REDUCED-resolution
+    * walkers additionally need resolution outermost ([[resMajor]]). */
+  final val LRCP = 0
+  final val RLCP = 1
+  final val RPCL = 2
+  final val PCRL = 3
+  final val CPRL = 4
+
+  /** Does this (progression, layers) keep every tile's low-resolution
+    * packets a byte PREFIX of its packet sequence? That is the property
+    * [[tilePartsReduced]] / [[decodeReduced]]'s discard walk stands on:
+    * true for the two resolution-major orders, and for LRCP with one
+    * layer (where it coincides with RLCP packet-for-packet). */
+  private[jp2] def resMajor(prog: Int, layers: Int): Boolean =
+    prog == RLCP || prog == RPCL || (prog == LRCP && layers == 1)
+
+  /** One packet's coordinates within a tile: resolution, layer,
+    * component, precinct (raster index within the tile's precinct grid
+    * at that resolution). */
+  private[jp2] final case class PktRef(r: Int, l: Int, c: Int, p: Int)
+
+  /** The within-tile packet sequence under `prog` — the ONE place the
+    * B.12.1 progression iterations live, consumed by the encoder's
+    * emission loop, [[decodeTileCore]]'s walk, and the ranged
+    * quality/region walkers (so the four can never disagree on order).
+    *
+    * B.12.1.2-6 define each order as nested loops; position-major
+    * orders (RPCL/PCRL/CPRL) iterate the tile's reference-grid points
+    * y-major and emit a precinct when the point hits its upper-left
+    * corner OR the tile origin (a precinct clipped by the tile edge is
+    * visited at the tile origin, B.12.1.3's x == tx0 arm). With this
+    * profile's uniform square precincts and unsubsampled components
+    * that reduces to sorting all (r, l, c, p) tuples by the order's
+    * key, with each precinct positioned at
+    * max(tileOrigin, precinctOrigin << (pp + levels - r)) on the
+    * reference grid:
+    *   LRCP (l, r, c, pos) | RLCP (r, l, c, pos) | RPCL (r, pos, c, l)
+    *   PCRL (pos, c, r, l) | CPRL (c, pos, r, l),  pos = (y, x).
+    * For one layer LRCP and RLCP coincide; for one precinct per
+    * resolution RLCP and RPCL coincide — the degenerate shapes the
+    * pre-r18 hard-coded RLCP walk covered. */
+  private[jp2] def packetOrder(prog: Int, layers: Int, nc: Int, levels: Int,
+      tw: Int, th: Int, atx: Int, aty: Int, pp: Int): IndexedSeq[PktRef] = {
+    require(prog >= LRCP && prog <= CPRL, s"progression order $prog not supported")
+    val entries = ArrayBuffer.empty[(PktRef, Long, Long)] // pkt, posY, posX
+    for (r <- 0 to levels) {
+      val g = precGrid(tw, th, levels, r, atx, aty, pp)
+      val shift = pp + (levels - r)
+      for (p <- 0 until g.num) {
+        val px = math.max(atx.toLong, (g.p0x + p % g.npx).toLong << shift)
+        val py = math.max(aty.toLong, (g.p0y + p / g.npx).toLong << shift)
+        for (c <- 0 until nc; l <- 0 until layers)
+          entries += ((PktRef(r, l, c, p), py, px))
+      }
+    }
+    val keyed = prog match {
+      case LRCP => entries.sortBy { case (k, _, _) => (k.l.toLong, k.r.toLong, k.c.toLong, k.p.toLong, 0L) }
+      case RLCP => entries.sortBy { case (k, _, _) => (k.r.toLong, k.l.toLong, k.c.toLong, k.p.toLong, 0L) }
+      case RPCL => entries.sortBy { case (k, y, x) => (k.r.toLong, y, x, k.c.toLong, k.l.toLong) }
+      case PCRL => entries.sortBy { case (k, y, x) => (y, x, k.c.toLong, k.r.toLong, k.l.toLong) }
+      case CPRL => entries.sortBy { case (k, y, x) => (k.c.toLong, y, x, k.r.toLong, k.l.toLong) }
+    }
+    keyed.map(_._1).toIndexedSeq
+  }
+
+  /** [[packetOrder]] for tile `tIdx` under the header's own profile —
+    * the walkers' entry point (per-tile dims/origin from the grid). */
+  private[jp2] def packetOrder(hdr: Header, tIdx: Int): IndexedSeq[PktRef] = {
+    val x0 = (tIdx % hdr.ntx) * hdr.xt; val y0 = (tIdx / hdr.ntx) * hdr.yt
+    val tw = math.min(hdr.xt, hdr.width - x0); val th = math.min(hdr.yt, hdr.height - y0)
+    packetOrder(hdr.prog, hdr.layers, hdr.nc, hdr.levels, tw, th, x0, y0, hdr.pp)
+  }
 
   /** Precinct grid of one (tile, resolution) — ISO 15444-1 B.6: precincts
     * of size 2^pp × 2^pp partition the RESOLUTION grid anchored at (0,0)

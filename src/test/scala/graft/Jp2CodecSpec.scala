@@ -1095,20 +1095,29 @@ class Jp2CodecSpec extends AnyFunSuite {
     }
   }
 
-  test("single-layer streams keep the LRCP byte; LRCP multi-layer is rejected") {
+  test("single-layer streams keep the LRCP byte; LRCP multi-layer decodes whole-file, rejects ranged") {
     val comps = Array(pattern(48, 40, 3))
     val one = Jp2Codec.encode(48, 40, comps, levels = 2)
     // COD progression byte: offset SOC(2) + SIZ(2+41 for nc=1) + COD marker(2)+len(2)+Scod(1)
     val codAt = 2 + 2 + (38 + 3) + 2 + 2 + 1
     assert(one(codAt) == 0, "single-layer must stay LRCP (byte-stable streams)")
     val two = Jp2Codec.encode(48, 40, comps, levels = 2, layers = 2)
-    assert(two(codAt) == 1, "multi-layer must be RLCP (low-res prefix)")
-    // patching a single-layer LRCP stream to claim 2 layers must reject:
-    // LRCP multi-layer would interleave resolutions under the prefix walk
-    val patched = one.clone()
-    patched(codAt + 2) = 2 // SGcod layer count low byte
-    val e = intercept[IllegalArgumentException](Jp2Codec.decode(patched))
-    assert(e.getMessage.contains("LRCP with multiple layers"))
+    assert(two(codAt) == 1, "multi-layer must default to RLCP (low-res prefix)")
+    // r18 (general progression iterator): true LRCP multi-layer is
+    // ADMITTED on whole-file decode — layer-outermost interleaves
+    // resolutions, which the packetOrder-driven walk follows exactly
+    val lrcp2 = Jp2Codec.encode(48, 40, comps, levels = 2, layers = 2,
+      prog = Jp2Codec.LRCP)
+    assert(lrcp2(codAt) == 0 && !lrcp2.sameElements(two),
+      "explicit LRCP multi-layer must reorder packets")
+    assert(java.util.Arrays.equals(Jp2Codec.decode(lrcp2).comps(0), comps(0)))
+    // ...but the byte-prefix REDUCED walk needs resolution outermost:
+    // RANGED use rejects with its own typed error, distinct from decode
+    val e = intercept[IllegalArgumentException](Jp2Codec.decodeReduced(lrcp2, 1))
+    assert(e.getMessage.contains("not resolution-major"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Jp2Codec.tilePartsReduced(lrcp2, 1))
+    assert(e2.getMessage.contains("not resolution-major"), e2.getMessage)
   }
 
   test("review-hardened rejections: no-PLT quality truncation, Lplt overflow, short segments") {
@@ -1426,6 +1435,100 @@ class Jp2CodecSpec extends AnyFunSuite {
     val mpOut = Jp2Codec.decode(mp)
     for (c <- 0 until 3)
       assert(java.util.Arrays.equals(mpOut.comps(c), ref.comps(c)), s"mp c=$c")
+  }
+
+  test("progression orders (r18): RPCL/PCRL/CPRL reorder the same packets; walkers follow or reject typed") {
+    val (w, h) = (130, 97)
+    val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))
+    val base = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64, layers = 2,
+      precinctExp = 5)
+    val ref = Jp2Codec.decode(base)
+
+    // RPCL — the pairing real Kakadu-style random-access masters ship
+    // (precincts + resolution-major position order). Packet CONTENT is
+    // order-independent (tag-tree/Lblock state is per-precinct and each
+    // precinct's layers stay ascending under every A.6.1 order), so the
+    // stream is the same bytes re-ordered: same length, same pixels.
+    val rpcl = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64, layers = 2,
+      precinctExp = 5, prog = Jp2Codec.RPCL)
+    assert(Jp2Codec.header(rpcl).prog == Jp2Codec.RPCL)
+    assert(!rpcl.sameElements(base) && rpcl.length == base.length,
+      "RPCL must emit the same packets in a different order")
+    val outR = Jp2Codec.decode(rpcl)
+    for (c <- 0 until 3)
+      assert(java.util.Arrays.equals(outR.comps(c), ref.comps(c)), s"rpcl c=$c")
+    // RPCL is resolution-major: the byte-prefix reduced walk stays exact
+    val redR = Jp2Codec.decodeReduced(rpcl, 2)
+    val redRef = Jp2Codec.decodeReduced(base, 2)
+    for (c <- 0 until 3)
+      assert(java.util.Arrays.equals(redR.comps(c), redRef.comps(c)), s"rpcl red c=$c")
+    // quality walker on RPCL: kept layer-0 packets interleave per
+    // precinct (NOT one run per resolution) — keep=2 exact, keep=1 parses
+    val (qh, parts) = Jp2Codec.tilePartsQuality(new Jp2Codec.BytesInput(rpcl), 2)
+    val planes = Array.fill(3)(new Array[Int](w * h))
+    for (part <- parts) {
+      val slice = new java.io.ByteArrayOutputStream()
+      for ((from, until) <- part.ranges) slice.write(rpcl, from.toInt, (until - from).toInt)
+      val t = Jp2Codec.decodeTilePartQuality(slice.toByteArray, qh, 2)
+      for (c <- 0 until 3; y <- 0 until t.height; x <- 0 until t.width)
+        planes(c)((t.y0 + y) * w + (t.x0 + x)) = t.comps(c)(y * t.width + x)
+    }
+    for (c <- 0 until 3)
+      assert(java.util.Arrays.equals(planes(c), ref.comps(c)), s"rpcl quality c=$c")
+    val (q1h, p1) = Jp2Codec.tilePartsQuality(new Jp2Codec.BytesInput(rpcl), 1)
+    assert(p1.map(_.fetchBytes).sum < parts.map(_.fetchBytes).sum)
+    for (part <- p1) {
+      val slice = new java.io.ByteArrayOutputStream()
+      for ((from, until) <- part.ranges) slice.write(rpcl, from.toInt, (until - from).toInt)
+      Jp2Codec.decodeTilePartQuality(slice.toByteArray, q1h, 1) // must parse exactly
+    }
+    // region walker on RPCL: crop pixels bit-exact vs the RLCP fetch
+    val crop = (40, 30, 100, 80)
+    def cropSum(cs: Array[Byte]): Seq[Long] = {
+      val hdr2 = Jp2Codec.header(cs)
+      val (_, rps) = Jp2Codec.tilePartsRegion(new Jp2Codec.BytesInput(cs),
+        crop._1, crop._2, crop._3, crop._4)
+      val sums = Array.fill(3)(0L)
+      for (part <- rps) {
+        val slice = new java.io.ByteArrayOutputStream()
+        for ((from, until) <- part.ranges) slice.write(cs, from.toInt, (until - from).toInt)
+        val t = Jp2Codec.decodeTileRegion(slice.toByteArray, hdr2,
+          crop._1, crop._2, crop._3, crop._4)
+        val ix0 = math.max(crop._1, t.x0); val ix1 = math.min(crop._3, t.x0 + t.width)
+        val iy0 = math.max(crop._2, t.y0); val iy1 = math.min(crop._4, t.y0 + t.height)
+        for (c <- 0 until 3; y <- iy0 until iy1; x <- ix0 until ix1)
+          sums(c) += t.comps(c)((y - t.y0) * t.width + (x - t.x0))
+      }
+      sums.toSeq
+    }
+    assert(cropSum(rpcl) == cropSum(base), "RPCL region fetch must match RLCP's")
+
+    // PCRL / CPRL: admitted whole-file (the general iterator), but NOT
+    // resolution-major — the ranged reduced walk rejects with the typed
+    // RANGED-use error while full decode stays exact
+    for (prog <- Seq(Jp2Codec.PCRL, Jp2Codec.CPRL)) {
+      val cs = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64, layers = 2,
+        precinctExp = 5, prog = prog)
+      assert(Jp2Codec.header(cs).prog == prog)
+      val out = Jp2Codec.decode(cs)
+      for (c <- 0 until 3)
+        assert(java.util.Arrays.equals(out.comps(c), ref.comps(c)), s"prog=$prog c=$c")
+      val e = intercept[IllegalArgumentException](Jp2Codec.tilePartsReduced(cs, 1))
+      assert(e.getMessage.contains("not resolution-major"), e.getMessage)
+      // quality truncation keeps working position-major: the kept set
+      // comes from the shared packetOrder, not a prefix assumption
+      val (qh3, p3) = Jp2Codec.tilePartsQuality(new Jp2Codec.BytesInput(cs), 1)
+      for (part <- p3) {
+        val slice = new java.io.ByteArrayOutputStream()
+        for ((from, until) <- part.ranges) slice.write(cs, from.toInt, (until - from).toInt)
+        Jp2Codec.decodeTilePartQuality(slice.toByteArray, qh3, 1)
+      }
+    }
+    // tile-part splits need resolution outermost — typed encoder reject
+    val eTp = intercept[IllegalArgumentException](
+      Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64, layers = 2,
+        partsPerTile = 2, prog = Jp2Codec.PCRL))
+    assert(eTp.getMessage.contains("resolution-major"), eTp.getMessage)
   }
 
   test("SOP/EPH streams round-trip; a missing flagged EPH fails loudly") {

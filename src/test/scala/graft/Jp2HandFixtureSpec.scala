@@ -587,6 +587,155 @@ class Jp2HandFixtureSpec extends AnyFunSuite {
     assertFlipFails(cs, cs.length - 7, expected)  // Cb codeword
   }
 
+  // ------------------------------------------------------------------
+  // Fixture Q — RPCL progression (r18, B.12.1.3): 8x4 RGB, levels 0,
+  // 4x4 precincts (pp = 2 -> two precincts, two 4x4 code-blocks per
+  // component), RCT on, one layer. The B.12.1.3 iteration is
+  //   for r: for y: for x: for c: for l
+  // — position OUTSIDE component — so the six packets run
+  //   p0c0 p0c1 p0c2 | p1c0 p1c1 p1c2,
+  // whereas RLCP (B.12.1.2, the order this codec hard-coded before
+  // r18) runs c0p0 c0p1 c1p0 c1p1 c2p0 c2p1. Content is placed to
+  // DISCRIMINATE the two: the nonempty packets sit at sequence
+  // positions 2 and 3 under RPCL but 1 and 4 under RLCP, so a decoder
+  // walking the wrong order assigns the codewords to the wrong
+  // (component, precinct) pairs and the pixels move.
+  //   pixel (0,2) = (129,128,128): RCT (G.2) of DC-shifted (1,0,0) ->
+  //     Y = (1+0+0)>>2 = 0, Cb = 0, Cr = +1 -> Cr precinct 0's block
+  //     holds +1 at block-local (0,2) — EXACTLY fixture C's 4x4 block,
+  //     so its hand-traced codeword [09] and header C0 01 08 carry
+  //     over verbatim (mb = 14, zbp = 13, 1 pass, 1 byte).
+  //   pixel (4,2) = (129,129,129): RCT of (1,1,1) -> Y = 1, Cb = Cr =
+  //     0 -> Y precinct 1's block holds +1 at block-local (0,2) — the
+  //     same fixture-C block again.
+  // Inverse RCT check (on paper): (Y,Cb,Cr) = (0,0,1) -> G = 0 -
+  // ((0+1)>>2) = 0, R = 1+0 = 1, B = 0 -> (129,128,128); (1,0,0) ->
+  // G = 1, R = 1, B = 1 -> (129,129,129).
+  // ------------------------------------------------------------------
+  test("hand fixture Q: RPCL packet sequence from B.12.1.3 discriminates the order") {
+    val pkts = Seq(
+      bytes(0x00),                   // p0 c0 (Y):  zero block, empty
+      bytes(0x00),                   // p0 c1 (Cb): empty
+      bytes(0xC0, 0x01, 0x08, 0x09), // p0 c2 (Cr): fixture C's block
+      bytes(0xC0, 0x01, 0x08, 0x09), // p1 c0 (Y):  fixture C's block
+      bytes(0x00),                   // p1 c1 (Cb): empty
+      bytes(0x00))                   // p1 c2 (Cr): empty
+    val cs = SOC ++ siz(8, 4, 8, 4, 3) ++
+      cod(2, 1, 1, 0, 1, scod = 1, prec = Seq(0x22)) ++ qcdRev(0) ++
+      tilePart(0, 0, 1, pkts: _*) ++ EOC
+    val comps = Array.tabulate(3) { c =>
+      (0 until 32).map { i =>
+        if (i == 2 * 8 + 0) Seq(129, 128, 128)(c)
+        else if (i == 2 * 8 + 4) 129
+        else 128
+      }.toArray
+    }
+    val expected = comps.map(_.toSeq).toSeq
+    assert(pixels(Jp2Codec.decode(cs)) == expected)
+    val hdr = Jp2Codec.header(cs)
+    assert(hdr.prog == Jp2Codec.RPCL && hdr.pp == 2)
+    val enc = Jp2Codec.encode(8, 4, comps, levels = 0, precinctExp = 2,
+      prog = Jp2Codec.RPCL)
+    assert(enc.sameElements(cs), "RPCL encoder diverges from the hand-assembled stream")
+    // the order pin has teeth: patching the COD progression byte to
+    // RLCP makes the same bytes parse as the OTHER interleave — the
+    // codewords land on the wrong (component, precinct) pairs, so the
+    // pixels must move (or the walk must fail loudly)
+    val codAt = (0 until cs.length - 1).indexWhere(i =>
+      (cs(i) & 0xFF) == 0xFF && (cs(i + 1) & 0xFF) == 0x52)
+    val bad = cs.clone()
+    bad(codAt + 5) = 1 // SGcod progression byte: RPCL -> RLCP
+    val r = try Some(Jp2Codec.decode(bad)) catch { case _: IllegalArgumentException => None }
+    r.foreach(img => assert(pixels(img) != expected,
+      "an RLCP walk of the RPCL stream went unnoticed"))
+    // corruption probe targets the p1c0 CODEWORD (cs = ... 09 00 00 FF D9:
+    // the two trailing empty packets are an alternate-legal-encoding
+    // blind spot, per fixture A's note)
+    assertFlipFails(cs, cs.length - 5, expected)
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture R — two-resolution, two-precinct RPCL (the r17 verdict's
+  // prescribed shape): 16x8 gray, levels 1, pp = 2, TWO quality
+  // layers. Geometry on paper (B.5/B.6/B.7):
+  //   r=0: resolution grid 8x4, 4x4 precincts -> 2 precincts; the LL
+  //        band splits into two 4x4 code-blocks (cbe = min(6, pp) = 2).
+  //   r=1: resolution grid 16x8, 4x4 precincts -> 4x2 = 8 precincts;
+  //        band coords halve (ppb = pp-1 = 1), one 2x2 block per band
+  //        per precinct.
+  // Content: pixel (0,0) = 129 -> after the DC shift the 5/3 forward
+  // lift of a lone +1 at an even index is L = +1, H = 0 in each
+  // dimension (F.4: H(n) = Y(2n+1) - floor((Y(2n)+Y(2n+2))/2) = 0;
+  // L(n) = Y(2n) + floor((H(n-1)+H(n)+2)/4) = 1), so the ONLY nonzero
+  // coefficient is LL(0,0) = +1 — precinct 0 of r=0, and its 4x4
+  // block is EXACTLY fixture K's block 0, codeword [14 BF] (2 bytes,
+  // 1 cleanup pass, mb = 14 -> zbp = 13).
+  // Layer split (the encoder's byte-balanced rule, and a spec-valid
+  // truncation either way): layer-0 byte target floor(2*1/2) = 1 < 2
+  // -> ZERO passes in layer 0, first inclusion in layer 1 (fixture F's
+  // deferral). Packet headers:
+  //   (r0 p0 l0): no contributions -> empty packet 0x00.
+  //   (r0 p0 l1): 1 nonempty | inclusion tree to threshold 2 over
+  //     leaf 1 -> 0,1 | zbp 13 zeros + 1 | 1 pass -> 0 | Lblock 0 |
+  //     length 2 in 3 bits -> 010: bits 1 01 0000000000000 1 0 0 010
+  //     -> A0 00 88; body [14 BF].
+  //   every other packet (r0 p1 l0/l1, r1's 8 precincts x 2 layers):
+  //     empty -> 0x00.
+  // B.12.1.3 sequence: r outermost, then position raster (p0 at x=0,
+  // p1 at x=4 for r0; 8 positions for r1), LAYER INNERMOST — so the
+  // 20 packets run [p0l0, p0l1, p1l0, p1l1, r1...] and the content
+  // packet sits at sequence position 1, where RLCP (layer outer:
+  // l0{p0,p1}, l1{p0,p1}) would put it at position 2 — the two orders
+  // are discriminated by a 2-layer 2-precinct stream exactly as the
+  // r17 verdict prescribed.
+  // ------------------------------------------------------------------
+  test("hand fixture R: two-resolution two-precinct RPCL, layer-deferred content") {
+    val content = bytes(0xA0, 0x00, 0x88, 0x14, 0xBF)
+    val pkts = Seq(bytes(0x00), content, bytes(0x00), bytes(0x00)) ++
+      Seq.fill(16)(bytes(0x00))
+    val cs = SOC ++ siz(16, 8, 16, 8, 1) ++
+      cod(2, 2, 0, 1, 1, scod = 1, prec = Seq(0x22, 0x22)) ++ qcdRev(1) ++
+      tilePart(0, 0, 1, pkts: _*) ++ EOC
+    val plane = (0 until 16 * 8).map(i => if (i == 0) 129 else 128).toArray
+    val expected = Seq(plane.toSeq)
+    assert(pixels(Jp2Codec.decode(cs)) == expected)
+    val enc = Jp2Codec.encode(16, 8, Array(plane), levels = 1, layers = 2,
+      precinctExp = 2, prog = Jp2Codec.RPCL)
+    assert(enc.sameElements(cs), "RPCL encoder diverges from the hand-assembled stream")
+    // reduced walk: RPCL is resolution-major, so the r0 prefix is a
+    // byte prefix — 4 packets = 8 body bytes; the LL pyramid holds the
+    // +1 at (0,0) -> 129 on the 8x4 thumbnail
+    val in = new Jp2Codec.BytesInput(cs)
+    val (hdr, redSpans) = Jp2Codec.tilePartsReduced(in, 1)
+    assert(redSpans.length == 1)
+    val full = Jp2Codec.tileParts(cs)
+    assert(redSpans.head.len == full.head.len - 16,
+      "reduced span must drop exactly the 16 one-byte r1 packets")
+    val red = Jp2Codec.decodeReduced(cs, 1)
+    assert(red.width == 8 && red.height == 4 &&
+      red.comps(0).toSeq == (0 until 32).map(i => if (i == 0) 129 else 128))
+    // quality walk: keepLayers = 1 keeps the l0 packets — positions
+    // 0 and 2 of r0 plus r1's eight l0 packets, 10 body bytes, and the
+    // content (layer 1) is dropped -> all-128 at full resolution
+    val (qh, qparts) = Jp2Codec.tilePartsQuality(new Jp2Codec.BytesInput(cs), 1)
+    assert(qparts.length == 1)
+    val slice = qparts.head.ranges.flatMap { case (a, b) =>
+      cs.slice(a.toInt, b.toInt)
+    }.toArray
+    val t = Jp2Codec.decodeTilePartQuality(slice, qh, 1)
+    assert(t.comps(0).forall(_ == 128), "layer-0 truncation must drop the deferred content")
+    // the order pin has teeth: an RLCP walk reads the content packet as
+    // (r0 l0 p1) — the +1 lands in precinct 1 (pixel x = 8) instead
+    val codAt = (0 until cs.length - 1).indexWhere(i =>
+      (cs(i) & 0xFF) == 0xFF && (cs(i + 1) & 0xFF) == 0x52)
+    val bad = cs.clone()
+    bad(codAt + 5) = 1
+    val r = try Some(Jp2Codec.decode(bad)) catch { case _: IllegalArgumentException => None }
+    r.foreach(img => assert(pixels(img) != expected,
+      "an RLCP walk of the RPCL stream went unnoticed"))
+    assertFlipFails(cs, cs.length - 2, expected) // codeword byte 0xBF
+  }
+
   test("hand fixture I: hand-built JP2 container walks to jp2c") {
     val sig = bytes(0x00, 0x00, 0x00, 0x0C, 0x6A, 0x50, 0x20, 0x20, 0x0D, 0x0A, 0x87, 0x0A)
     val ftypLen = 8 + 4 + 4 + 4 // brand jp2\040, minor 0, compat jp2\040
