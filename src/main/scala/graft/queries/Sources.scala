@@ -1769,11 +1769,16 @@ object Sources {
     * same coordinate arithmetic family as l5g, so a task can regenerate
     * the EXACT original for error measurement. Alongside the directory,
     * the staged map carries each scan's LOSSLESS (reversible 5/3)
-    * encoding size, the in-query compression baseline. */
+    * encoding size, the in-query compression baseline. r18b appends
+    * file 7 (2x2 64-px tiles, PER-TILE QCD retunes — tile 0 at the
+    * main step 4, tiles 1-3 re-signaled via tile-part-0 QCD to steps
+    * 2/1/8: the A.6.4 per-tile precedence running distributed) and
+    * file 8 (COC chroma decomposition levels 1 under COD levels 3 with
+    * per-component QCC sizing — the A.6.2 shape). */
   private[graft] def stageLossyJp2s(): (String, Map[String, Long]) =
     lossyJp2Staged.computeIfAbsent("lossy", { _ =>
       val dir = tmp("l5m_jp2")
-      val sizes = (0 until 7).map { i =>
+      val sizes = (0 until 9).map { i =>
         val (w, h) = (64 + (17 * i) % 97, 48 + (23 * i) % 89)
         val comps = lossyJp2Comps(w, h, i)
         val cs = graft.sources.jp2.Jp2Codec.encode(w, h, comps,
@@ -1782,7 +1787,9 @@ object Sources {
           partsPerTile = if (i == 3) 2 else 1,
           irreversible = true, qShift = if (i == 5) 0 else -2,
           quantMode = i match { case 4 => "norms"; case 5 => "derived"; case _ => "uniform" },
-          chromaQShift = if (i == 6) -3 else 99)
+          chromaQShift = if (i == 6) -3 else 99,
+          tileQShifts = if (i == 7) Seq(-2, -1, 0, -3) else null,
+          chromaLevels = if (i == 8) 1 else -1)
         val name = s"lossy_$i.jp2"
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$dir/$name"),
@@ -1839,6 +1846,12 @@ object Sources {
             case 6 => require(hdr.qShift == -2 && hdr.qcc.keySet == Set(1, 2) &&
               hdr.qFor(1).eps(0) == 8 - 3,
               s"$name: expected QCC chroma overrides (eps 5), got ${hdr.qcc}")
+            case 7 => require(hdr.qShift == -2 && hdr.ntx * hdr.nty == 4,
+              s"$name: expected the 4-tile per-tile-QCD scan at main qShift -2, got $hdr")
+            case 8 => require(hdr.coc.keySet == Set(1, 2) &&
+              hdr.levelsFor(1) == 1 && hdr.levelsFor(0) == 3 &&
+              hdr.qcc.keySet == Set(1, 2) && hdr.qcc(1).eps.length == 4,
+              s"$name: expected COC chroma levels 1 with per-component QCC, got $hdr")
             case _ => require(hdr.qShift == -2, s"$name: expected qShift -2, got $hdr")
           }
           val img = graft.sources.jp2.Jp2Codec.decode(bytes)
@@ -1864,7 +1877,7 @@ object Sources {
           // design (step doubles per finer resolution), so its bound is
           // wider but still a defect gate.
           val (maxTol, ppmTol) =
-            if (i == 5 || i == 6) (64L, 8000000L) else (32L, 4000000L)
+            if (i == 5 || i == 6 || i == 7) (64L, 8000000L) else (32L, 4000000L)
           require(maxErr <= maxTol && meanPpm <= ppmTol,
             s"$name: lossy reconstruction out of tolerance (maxErr=$maxErr, meanPpm=$meanPpm)")
           (name, img.width.toLong, img.height.toLong, maxErr, meanPpm,
@@ -2711,7 +2724,11 @@ object Sources {
         |('lossy_5.jp2', CAST(149 AS BIGINT), CAST(74 AS BIGINT),
         |  CAST(36 AS BIGINT), CAST(5192756 AS BIGINT), true),
         |('lossy_6.jp2', CAST(69 AS BIGINT), CAST(97 AS BIGINT),
-        |  CAST(37 AS BIGINT), CAST(5509736 AS BIGINT), true)
+        |  CAST(37 AS BIGINT), CAST(5509736 AS BIGINT), true),
+        |('lossy_7.jp2', CAST(86 AS BIGINT), CAST(120 AS BIGINT),
+        |  CAST(39 AS BIGINT), CAST(2465342 AS BIGINT), false),
+        |('lossy_8.jp2', CAST(103 AS BIGINT), CAST(54 AS BIGINT),
+        |  CAST(14 AS BIGINT), CAST(2610511 AS BIGINT), true)
         |) AS t(file_name, width, height, max_err, mean_err_ppm,
         |       smaller_than_lossless)""".stripMargin,
     "l5_multimodal_decode" ->

@@ -259,7 +259,8 @@ object Jp2Codec {
       irreversible: Boolean = false, qShift: Int = 0,
       precinctExp: Int = 15, sop: Boolean = false, eph: Boolean = false,
       quantMode: String = "uniform", blockStyle: Int = 0,
-      chromaQShift: Int = NoChromaOverride, prog: Int = -1): Array[Byte] = {
+      chromaQShift: Int = NoChromaOverride, prog: Int = -1,
+      chromaLevels: Int = -1, tileQShifts: Seq[Int] = null): Array[Byte] = {
     require(w > 0 && h > 0, "empty image")
     require(comps.length == 1 || comps.length == 3, "1 or 3 components")
     require(comps.forall(_.length == w * h), "component size mismatch")
@@ -307,6 +308,24 @@ object Jp2Codec {
     // the resolution-boundary tile-part split needs resolution outermost
     require(partsPerTile == 1 || resMajor(progV, layers),
       s"partsPerTile $partsPerTile needs a resolution-major progression (got $progV)")
+    // chromaLevels (r18b): give the two chroma components a SHALLOWER
+    // decomposition pyramid, signaled by main-header COC markers with
+    // per-component QCC (the sizing rule: a COC'd component's band
+    // list is its own) — the real-corpus "chroma coarser than luma"
+    // shape on the LEVELS axis, the sibling of chromaQShift's STEP axis
+    require(chromaLevels == -1 ||
+      (comps.length == 3 && chromaLevels >= 0 && chromaLevels <= levels &&
+        quantMode == "uniform"),
+      "chromaLevels (COC) needs 3 components, 0..levels, uniform quantMode")
+    // tileQShifts (r18b): per-tile uniform quantizer retune, signaled by
+    // a tile-part-0 QCD override (A.6.4 allows QCD in the first
+    // tile-part of a tile; precedence: tile QCD > main QCD) — the
+    // "retune busy pages coarser" shape real archival encoders produce
+    require(tileQShifts == null ||
+      (irreversible && quantMode == "uniform" && chromaLevels == -1 &&
+        chromaQShift == NoChromaOverride &&
+        tileQShifts.forall(v => v >= -6 && v <= 3)),
+      "tileQShifts (per-tile QCD) needs the irreversible uniform profile without chroma overrides, values in -6..3")
     val nc = comps.length
     val useRct = nc == 3
     val xt = if (tileSize == 0) w else tileSize
@@ -317,6 +336,9 @@ object Jp2Codec {
     // pixels at tile 0 — reject at encode time instead
     require(ntx.toLong * nty <= 65535L,
       s"tile grid ${ntx}x$nty exceeds the 16-bit Isot space; use a larger tileSize")
+    require(tileQShifts == null || tileQShifts.length == ntx * nty,
+      s"tileQShifts has ${if (tileQShifts == null) 0 else tileQShifts.length} entries for a ${ntx * nty}-tile grid")
+    def levelsOfC(c: Int): Int = if (c > 0 && chromaLevels >= 0) chromaLevels else levels
 
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xFF)
@@ -379,19 +401,57 @@ object Jp2Codec {
       u16(0xFF5C); u16(3 + nBands); u8(qspec.guard << 5)
       for (i <- 0 until nBands) u8(qspec.eps(i) << 3)
     }
-    // QCC (A.6.5) for the chroma override: same expounded shape as the
-    // uniform QCD, eps_b = Prec + gain + chromaQShift, one marker per
-    // chroma component
+    // COC (A.6.2, r18b) for the chroma-levels override: one marker per
+    // chroma component carrying its own SPcoc — levels differ, every
+    // other axis (code-blocks, style, transform, precincts) repeats the
+    // COD's, which is exactly what the decoder requires
+    if (chromaLevels >= 0) for (c <- 1 to 2) {
+      val lv = levelsOfC(c)
+      u16(0xFF53); u16(2 + 7 + (if (explicitPrec) lv + 1 else 0))
+      u8(c); u8(if (explicitPrec) 1 else 0)
+      u8(lv); u8(CodeBlockExp - 2); u8(CodeBlockExp - 2); u8(blockStyle)
+      u8(if (irreversible) 0 else 1)
+      if (explicitPrec) for (_ <- 0 to lv) u8(precinctExp | (precinctExp << 4))
+    }
+    // QCC (A.6.5) for the chroma overrides: written whenever chroma
+    // quantization OR levels differ — a COC'd component's band list is
+    // its own (the decoder's sizing rule), so the QCC is sized for the
+    // chroma pyramid. Shape per transform: style 0 (reversible, Mb
+    // exponents only) or style 2 expounded at
+    // eps_b = Prec + gain + (chromaQShift | qShift).
     val chromaSpec: Quant =
-      if (chromaQShift == NoChromaOverride) null
-      else Quant(LossyGuardBits,
-        Vector.tabulate(nBands)(i => Prec + Quant.gainOf(i) + chromaQShift),
-        Vector.fill(nBands)(0))
+      if (chromaQShift == NoChromaOverride && chromaLevels == -1) null
+      else {
+        val nb = 3 * levelsOfC(1) + 1
+        if (irreversible) {
+          val shift = if (chromaQShift == NoChromaOverride) qShift else chromaQShift
+          Quant(LossyGuardBits,
+            Vector.tabulate(nb)(i => Prec + Quant.gainOf(i) + shift),
+            Vector.fill(nb)(0))
+        } else
+          Quant(GuardBits,
+            Vector.tabulate(nb)(i => BaseExp + Quant.gainOf(i)),
+            Vector.fill(nb)(0))
+      }
     if (chromaSpec != null) for (c <- 1 to 2) {
-      u16(0xFF5D); u16(4 + 2 * nBands); u8(c); u8((chromaSpec.guard << 5) | 2)
-      for (i <- 0 until nBands) u16((chromaSpec.eps(i) << 11) | chromaSpec.mu(i))
+      val nb = chromaSpec.eps.length
+      if (irreversible) {
+        u16(0xFF5D); u16(4 + 2 * nb); u8(c); u8((chromaSpec.guard << 5) | 2)
+        for (i <- 0 until nb) u16((chromaSpec.eps(i) << 11) | chromaSpec.mu(i))
+      } else {
+        u16(0xFF5D); u16(4 + nb); u8(c); u8(chromaSpec.guard << 5)
+        for (i <- 0 until nb) u8(chromaSpec.eps(i) << 3)
+      }
     }
     def qspecFor(c: Int): Quant = if (chromaSpec != null && c > 0) chromaSpec else qspec
+    // per-tile effective quantization: tile t's retune (or null = main)
+    def tileSpec(t: Int): Quant =
+      if (tileQShifts == null || tileQShifts(t) == qShift) null
+      else Quant.uniform(levels, irreversible = true, tileQShifts(t))
+    def qspecForTile(t: Int, c: Int): Quant = {
+      val ts = tileSpec(t)
+      if (ts != null) ts else qspecFor(c)
+    }
 
     for (t <- 0 until ntx * nty) {
       val x0 = (t % ntx) * xt; val y0 = (t / ntx) * yt
@@ -413,7 +473,7 @@ object Jp2Codec {
             a
           }
           if (useRct) Dwt53.rctForward(ps(0), ps(1), ps(2))
-          ps.foreach(Dwt53.forward(_, tw, th, levels))
+          for ((a, c) <- ps.zipWithIndex) Dwt53.forward(a, tw, th, levelsOfC(c))
           ps
         } else {
           val ds = comps.map { src =>
@@ -427,15 +487,15 @@ object Jp2Codec {
             a
           }
           if (useRct) Dwt97.ictForward(ds(0), ds(1), ds(2))
-          ds.foreach(Dwt97.forward(_, tw, th, levels))
+          for ((a, c) <- ds.zipWithIndex) Dwt97.forward(a, tw, th, levelsOfC(c))
           // deadzone scalar quantization, E.1: q = sign * floor(|v|/delta_b)
           // per band — the bands of resolutions 0..levels tile the
           // Mallat array exactly once, so this is the same single pass
           // as the old uniform-step loop, just with a per-rect step
           ds.zipWithIndex.map { case (d, c) =>
-            val cq = qspecFor(c)
+            val cq = qspecForTile(t, c)
             val a = new Array[Int](d.length)
-            for (r <- 0 to levels; (b, ord) <- bandsAt(tw, th, levels, r).zipWithIndex) {
+            for (r <- 0 to levelsOfC(c); (b, ord) <- bandsAt(tw, th, levelsOfC(c), r).zipWithIndex) {
               val delta = cq.delta(bandIndex(r, ord), b.gain)
               var y = 0
               while (y < b.h) {
@@ -462,10 +522,10 @@ object Jp2Codec {
       // sort key in all five), which the persistent tag trees need.
       // Nsop numbers packets per tile across all its tile-parts in
       // stream order (A.8.1).
-      val encs = Array.tabulate(nc, levels + 1)((c, r) =>
-        new ResEncoder(planes(c), tw, th, levels, r, layers,
-          qspecFor(c), x0, y0, precinctExp, blockStyle))
-      val order = packetOrder(progV, layers, nc, levels, tw, th, x0, y0, precinctExp)
+      val encs = Array.tabulate(nc)(c => Array.tabulate(levelsOfC(c) + 1)(r =>
+        new ResEncoder(planes(c), tw, th, levelsOfC(c), r, layers,
+          qspecForTile(t, c), x0, y0, precinctExp, blockStyle)))
+      val order = packetOrder(progV, layers, nc, levelsOfC _, tw, th, x0, y0, precinctExp)
       var nsop = 0
       val emitted: IndexedSeq[Array[Byte]] = order.map { k =>
         val pkt = encs(k.c)(k.r).encodeLayer(k.l, k.p, eph)
@@ -516,10 +576,17 @@ object Jp2Codec {
         require(3 + pltBytes.length <= 0xFFFF,
           s"PLT for ${packets.length} packets (${pltBytes.length} B) overflows the 16-bit Lplt; reduce layers")
 
-        // SOT + PLT + SOD + body
+        // SOT [+ tile QCD retune, part 0 only — A.6.4] + PLT + SOD + body
+        val tq = if (part == 0) tileSpec(t) else null
+        // marker(2) + Lqcd(2) + Sqcd(1) + 2 B per band
+        val tqLen = if (tq == null) 0L else 5L + 2L * (3 * levels + 1)
         u16(0xFF90); u16(10); u16(t)
-        u32(12L + (5L + pltBytes.length) + 2L + bodyBytes.length) // Psot
+        u32(12L + tqLen + (5L + pltBytes.length) + 2L + bodyBytes.length) // Psot
         u8(part); u8(partsPerTile) // TPsot, TNsot
+        if (tq != null) {
+          u16(0xFF5C); u16(3 + 2 * (3 * levels + 1)); u8((tq.guard << 5) | 2)
+          for (i <- 0 until 3 * levels + 1) u16((tq.eps(i) << 11) | tq.mu(i))
+        }
         u16(0xFF58); u16(3 + pltBytes.length); u8(0) // PLT, Lplt, Zplt = 0
         out.write(pltBytes)
         u16(0xFF93)
@@ -541,12 +608,21 @@ object Jp2Codec {
     * the LL band's step exponent offset (eps_LL - Prec for the
     * irreversible path, 0 otherwise) — the scalar the uniform-profile
     * queries assert on, and exactly the old uniform-profile knob. */
+  /** Per-component coding-style override parsed from COC (A.6.2, r18b):
+    * the axes this profile lets a COC change are the DECOMPOSITION
+    * LEVELS (the real-corpus case — chroma pyramids shallower than
+    * luma) and the code-block style; everything else (64x64 blocks,
+    * transform, precinct shape) must match the COD and is rejected
+    * typed at parse. */
+  final case class CompCoding(levels: Int, blockStyle: Int)
+
   final case class Header(width: Int, height: Int, nc: Int, xt: Int, yt: Int,
       useRct: Boolean, levels: Int, layers: Int = 1,
       irreversible: Boolean = false, qShift: Int = 0,
       pp: Int = 15, sop: Boolean = false, eph: Boolean = false,
       quant: Quant = null, blockStyle: Int = 0,
-      qcc: Map[Int, Quant] = Map.empty, prog: Int = RLCP) {
+      qcc: Map[Int, Quant] = Map.empty, prog: Int = RLCP,
+      coc: Map[Int, CompCoding] = Map.empty) {
     def ntx: Int = ceilDiv(width, xt)
     def nty: Int = ceilDiv(height, yt)
     /** The quantization in force — a Header built without one (tests,
@@ -554,6 +630,21 @@ object Jp2Codec {
     def q: Quant = if (quant ne null) quant else Quant.uniform(levels, irreversible, qShift)
     /** Component c's quantization: its QCC override, else the QCD. */
     def qFor(c: Int): Quant = qcc.getOrElse(c, q)
+    /** Component c's decomposition levels: its COC override, else COD's. */
+    def levelsFor(c: Int): Int = coc.get(c).map(_.levels).getOrElse(levels)
+    /** Smallest level count across components — the bound on `discard`
+      * for reduced decodes of COC'd streams. */
+    def minLevels: Int = (0 until nc).map(levelsFor).min
+    /** Do all components share the COD's decomposition levels? The
+      * byte-prefix reduced walkers stand on this: with per-component
+      * levels a component's top-resolution packets sit INSIDE a lower
+      * global resolution group, so the kept set is not a prefix. */
+    def uniformLevels: Boolean = coc.valuesIterator.forall(_.levels == levels)
+    /** The style bits Tier-1 acts on for component c (COC override,
+      * else COD), with the behavior-neutral 0x10 masked as in
+      * [[tier1Style]]. */
+    def tier1StyleFor(c: Int): Int =
+      coc.get(c).map(_.blockStyle).getOrElse(blockStyle) & ~0x10
     /** The style bits Tier-1 acts on: `blockStyle` keeps the RAW
       * signaled SPcod byte (a foreign stream's predictable-termination
       * flag 0x10 must survive into diagnostics/re-encode), but 0x10
@@ -753,27 +844,44 @@ object Jp2Codec {
     // (distinct from whole-file decode, which admits all five orders)
     require(resMajor(hdr.prog, hdr.layers),
       s"progression order ${hdr.prog} is not resolution-major: the ranged reduced-resolution walk needs RLCP/RPCL (or 1-layer LRCP); whole-file decode still admits this stream")
+    // same prefix argument per component: a COC'd component's own top
+    // resolutions sit INSIDE lower global groups, so the kept set is
+    // not a byte prefix — RANGED-use rejection, whole-file decode fine
+    require(hdr.uniformLevels,
+      "per-component COC decomposition levels: the ranged reduced-resolution walk is unsupported (kept packets are not a byte prefix); whole-file decode still admits this stream")
     // packets per kept resolution = layers * components * precincts(r)
     // (RLCP keeps them a contiguous prefix of every tile's packet
     // sequence regardless of layer count); precinct counts are per tile,
     // so the kept-prefix length is too
-    def keepFor(t: Int): Int = packetsPerRes(hdr, t).take(hdr.levels - discard + 1).sum
     // per-tile packet counters across the stream-order walk; the spec
     // requires a tile's parts to appear in TPsot order (A.4.2), which the
-    // accumulation stands on — enforced, not assumed
+    // accumulation stands on — enforced, not assumed. Per-tile override
+    // markers (r18b) resolve an EFFECTIVE header per tile whose
+    // progression/layer count drives the kept-prefix arithmetic.
     val pktSeen = new Array[Int](hdr.ntx * hdr.nty)
     val partSeen = new Array[Int](hdr.ntx * hdr.nty)
+    val keepTarget = new Array[Int](hdr.ntx * hdr.nty)
     val out = spans.flatMap { s =>
       require(s.part == partSeen(s.index),
         s"tile ${s.index}: tile-part ${s.part} out of TPsot order (expected ${partSeen(s.index)})")
       partSeen(s.index) += 1
-      val (bodyStart, lens) = tilePartHeader(in, s.pos)
+      val th = tilePartHeader(in, s.pos)
+      if (s.part == 0) {
+        val eff = applyTileOverrides(hdr, th)
+        require(resMajor(eff.prog, eff.layers),
+          s"tile ${s.index}: effective progression order ${eff.prog} is not resolution-major — ranged reduced walk unsupported")
+        require(eff.uniformLevels,
+          s"tile ${s.index}: per-component COC levels — ranged reduced walk unsupported")
+        keepTarget(s.index) = packetsPerRes(eff, s.index).take(eff.levels - discard + 1).sum
+      } else require(!th.hasOverrides,
+        s"tile ${s.index}: COD/COC/QCD/QCC outside the first tile-part not allowed (A.6)")
+      val bodyStart = th.bodyStart; val lens = th.plt
       if (lens == null) {
         require(s.nparts == 1,
           s"tile ${s.index}: no PLT on a multi-tile-part tile — cannot compute the reduced prefix")
         Some(s) // no PLT: fall back to the full span
       } else {
-        val keep = keepFor(s.index)
+        val keep = keepTarget(s.index)
         val before = pktSeen(s.index)
         pktSeen(s.index) = before + lens.length
         if (before >= keep) None // wholly past the prefix: dropped
@@ -785,8 +893,8 @@ object Jp2Codec {
       }
     }
     for (t <- 0 until hdr.ntx * hdr.nty)
-      require(pktSeen(t) == 0 || pktSeen(t) >= keepFor(t),
-        s"tile $t: PLT lists ${pktSeen(t)} packets across its parts, need ${keepFor(t)}")
+      require(pktSeen(t) == 0 || pktSeen(t) >= keepTarget(t),
+        s"tile $t: PLT lists ${pktSeen(t)} packets across its parts, need ${keepTarget(t)}")
     (hdr, out)
   }
 
@@ -841,7 +949,11 @@ object Jp2Codec {
       System.arraycopy(s, i.bodyStart, body, at, s.length - i.bodyStart)
       at += s.length - i.bodyStart
     }
-    decodeTileCore(isot, body, hdr, discard, hdr.layers,
+    // per-tile COD/COC/QCD/QCC (r18b): first tile-part only (A.6)
+    for (i <- sots.drop(1)) require(!i.head.hasOverrides,
+      s"tile $isot: COD/COC/QCD/QCC outside the first tile-part not allowed (A.6)")
+    val eff = applyTileOverrides(hdr, sots.head.head)
+    decodeTileCore(isot, body, eff, discard, eff.layers,
       exact = discard == 0 && !truncated)
   }
 
@@ -865,12 +977,14 @@ object Jp2Codec {
     // the compacted layout contains EXACTLY the kept packets (or, for the
     // single-part no-PLT fallback with keepLayers == layers, the full
     // body), so the walk must consume the slice to the last byte
-    decodeTileCore(sot.isot, body, hdr, 0, keepLayers, exact = true)
+    decodeTileCore(sot.isot, body, applyTileOverrides(hdr, sot.head), 0,
+      keepLayers, exact = true)
   }
 
-  /** Parsed SOT + tile-part header of one slice (offsets slice-local). */
+  /** Parsed SOT + tile-part header of one slice (offsets slice-local);
+    * carries the override markers for [[applyTileOverrides]]. */
   private final case class SliceSot(isot: Int, psot: Long, part: Int, nparts: Int,
-      bodyStart: Int)
+      bodyStart: Int, head: TileHead)
 
   private def parseSliceSot(slice: Array[Byte]): SliceSot = {
     def u8(i: Int): Int = slice(i) & 0xFF
@@ -881,8 +995,8 @@ object Jp2Codec {
     val nparts = u8(11)
     require(nparts >= 1, "TNsot = 0 (unspecified tile-part count) not supported")
     require(u8(10) < nparts, s"TPsot ${u8(10)} >= TNsot $nparts")
-    val (bodyStart, _) = tilePartHeader(new BytesInput(slice), 0L)
-    SliceSot(u16(4), beU32(slice, 6), u8(10), nparts, bodyStart.toInt)
+    val th = tilePartHeader(new BytesInput(slice), 0L)
+    SliceSot(u16(4), beU32(slice, 6), u8(10), nparts, th.bodyStart.toInt, th)
   }
 
   /** Byte ranges of one tile-part that a `keepLayers`-quality decode
@@ -921,7 +1035,10 @@ object Jp2Codec {
         s"tile $isot: ${parts.length} tile-parts present, TNsot says ${parts.head.nparts}")
       val fullLen = parts.map(_.len).sum
       val headers = parts.map(s => tilePartHeader(in, s.pos))
-      if (headers.exists(_._2 == null)) {
+      for (th <- headers.drop(1)) require(!th.hasOverrides,
+        s"tile $isot: COD/COC/QCD/QCC outside the first tile-part not allowed (A.6)")
+      val eff = applyTileOverrides(hdr, headers.head)
+      if (headers.exists(_.plt == null)) {
         // a full span IS the compacted layout only when nothing is
         // dropped AND the tile is one part (no inner headers); a
         // keepLayers-truncated walk cannot parse the full layout
@@ -929,8 +1046,8 @@ object Jp2Codec {
         // loudly rather than hand the decoder a layout it would misparse
         require(parts.length == 1,
           s"tile $isot: no PLT on a multi-tile-part tile — cannot assemble a quality slice")
-        require(keepLayers == hdr.layers,
-          s"tile-part $isot has no PLT: cannot quality-truncate to $keepLayers of ${hdr.layers} layers")
+        require(keepLayers == eff.layers,
+          s"tile-part $isot has no PLT: cannot quality-truncate to $keepLayers of ${eff.layers} layers")
         val s = parts.head
         RangedTilePart(isot, Seq((s.pos, s.pos + s.len)), fullLen)
       } else {
@@ -943,17 +1060,18 @@ object Jp2Codec {
         // one consecutive run; under RPCL/PCRL/CPRL they interleave per
         // precinct and the adjacent-range merge just yields more,
         // shorter ranges — same contract, same decoder.
-        val order = packetOrder(hdr, isot)
+        val order = packetOrder(eff, isot)
         val totalPackets = order.length
-        val ranges = ArrayBuffer[(Long, Long)]((parts.head.pos, headers.head._1))
+        val ranges = ArrayBuffer[(Long, Long)]((parts.head.pos, headers.head.bodyStart))
         def addRange(from: Long, until: Long): Unit = {
           val (lastFrom, lastUntil) = ranges.last
           if (lastUntil == from) ranges(ranges.length - 1) = (lastFrom, until)
           else ranges += ((from, until))
         }
         var gp = 0 // global packet index across the tile's parts
-        for ((s, (bodyStart, lens)) <- parts.zip(headers)) {
-          var at = bodyStart
+        for ((s, th) <- parts.zip(headers)) {
+          var at = th.bodyStart
+          val lens = th.plt
           for (len <- lens) {
             require(gp < totalPackets,
               s"tile $isot: PLT lists more than $totalPackets packets")
@@ -1030,27 +1148,31 @@ object Jp2Codec {
           s"tile $isot: ${parts.length} tile-parts present, TNsot says ${parts.head.nparts}")
         val fullLen = parts.map(_.len).sum
         val headers = parts.map(s => tilePartHeader(in, s.pos))
-        require(headers.forall(_._2 != null),
+        for (h2 <- headers.drop(1)) require(!h2.hasOverrides,
+          s"tile $isot: COD/COC/QCD/QCC outside the first tile-part not allowed (A.6)")
+        val eff = applyTileOverrides(hdr, headers.head)
+        require(headers.forall(_.plt != null),
           s"tile $isot: no PLT — cannot region-truncate to precinct ranges")
         // packet gp's precinct comes from the shared [[packetOrder]]
         // sequence (any A.6.1 order since r18), replacing the former
         // RLCP-only index arithmetic
-        val order = packetOrder(hdr, isot)
+        val order = packetOrder(eff, isot)
         val totalPackets = order.length
-        val ranges = ArrayBuffer[(Long, Long)]((parts.head.pos, headers.head._1))
+        val ranges = ArrayBuffer[(Long, Long)]((parts.head.pos, headers.head.bodyStart))
         def addRange(from: Long, until: Long): Unit = {
           val (lastFrom, lastUntil) = ranges.last
           if (lastUntil == from) ranges(ranges.length - 1) = (lastFrom, until)
           else ranges += ((from, until))
         }
         var gp = 0
-        for ((s, (bodyStart, lens)) <- parts.zip(headers)) {
-          var at = bodyStart
+        for ((s, h2) <- parts.zip(headers)) {
+          var at = h2.bodyStart
+          val lens = h2.plt
           for (len <- lens) {
             require(gp < totalPackets, s"tile $isot: PLT lists more than $totalPackets packets")
             val k = order(gp)
-            if (precinctInRegion(tw, th, hdr.levels, k.r, tx0, ty0, hdr.pp, k.p,
-                cx0, cy0, cx1, cy1)) addRange(at, at + len)
+            if (precinctInRegion(tw, th, eff.levelsFor(k.c), k.r, tx0, ty0,
+                eff.pp, k.p, cx0, cy0, cx1, cy1)) addRange(at, at + len)
             at += len
             gp += 1
           }
@@ -1079,31 +1201,52 @@ object Jp2Codec {
     val tx0 = (sot.isot % hdr.ntx) * hdr.xt; val ty0 = (sot.isot / hdr.ntx) * hdr.yt
     val tw = math.min(hdr.xt, hdr.width - tx0); val th = math.min(hdr.yt, hdr.height - ty0)
     val body = java.util.Arrays.copyOfRange(slice, sot.bodyStart, slice.length)
-    decodeTileCore(sot.isot, body, hdr, 0, hdr.layers, exact = true,
-      keepPrec = (r, p) => precinctInRegion(tw, th, hdr.levels, r, tx0, ty0,
-        hdr.pp, p, cx0, cy0, cx1, cy1))
+    val eff = applyTileOverrides(hdr, sot.head)
+    decodeTileCore(sot.isot, body, eff, 0, eff.layers, exact = true,
+      keepPrec = (r, c, p) => precinctInRegion(tw, th, eff.levelsFor(c), r,
+        tx0, ty0, eff.pp, p, cx0, cy0, cx1, cy1))
   }
 
   private def beU16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
 
-  /** Walk the tile-part header segments between the 12-byte SOT and SOD:
-    * returns (offset just past SOD, PLT packet lengths or null if no PLT).
-    * COM is skipped; anything else (per-tile COD/QCD overrides etc.) is
-    * rejected loudly — this profile never writes them. Ranged reads:
-    * 4 bytes per marker plus the PLT payload, never the tile body. */
-  private def tilePartHeader(in: RangedInput, pos: Long): (Long, Array[Int]) = {
+  /** Parsed tile-part header: offset just past SOD, PLT packet lengths
+    * (null if no PLT), and the raw override marker bodies (r18b —
+    * per-tile COD/QCD/COC/QCC, legal only in a tile's FIRST tile-part
+    * per A.6.1-A.6.5; resolved against the main header by
+    * [[applyTileOverrides]]). */
+  private[jp2] final case class TileHead(bodyStart: Long, plt: Array[Int],
+      cod: Option[Array[Byte]], coc: Seq[Array[Byte]],
+      qcd: Option[Array[Byte]], qcc: Seq[Array[Byte]]) {
+    def hasOverrides: Boolean = cod.nonEmpty || coc.nonEmpty || qcd.nonEmpty || qcc.nonEmpty
+  }
+
+  /** Walk the tile-part header segments between the 12-byte SOT and SOD.
+    * COM is skipped; per-tile COD/COC/QCD/QCC override markers are
+    * COLLECTED (admitted since r18b) for [[applyTileOverrides]];
+    * anything else is rejected loudly. Ranged reads: 4 bytes per marker
+    * plus each parsed payload, never the tile body. */
+  private def tilePartHeader(in: RangedInput, pos: Long): TileHead = {
     var p = pos + 12
     var lens: Array[Int] = null
+    var codB: Option[Array[Byte]] = None
+    var qcdB: Option[Array[Byte]] = None
+    val cocB = ArrayBuffer.empty[Array[Byte]]
+    val qccB = ArrayBuffer.empty[Array[Byte]]
     var marker = readU16(in, p)
     while (marker != 0xFF93) {
       require((marker >> 8) == 0xFF, f"bad marker at $p%d: $marker%04x")
       val lseg = readU16(in, p + 2)
       require(lseg >= 2, s"marker segment length $lseg at $p too short")
+      def seg(min: Int): Array[Byte] = {
+        require(lseg - 2 >= min,
+          f"marker $marker%04x payload ${lseg - 2} B at $p shorter than the $min B its fields need")
+        in.read(p + 4, lseg - 2)
+      }
       marker match {
         case 0xFF58 => // PLT: Zplt then big-endian 7-bit varints, one per packet
-          val body = in.read(p + 4, lseg - 2)
-          require(body.length >= 1 && body(0) == 0, "split PLT (Zplt != 0) not supported")
+          val body = seg(1)
+          require(body(0) == 0, "split PLT (Zplt != 0) not supported")
           val buf = ArrayBuffer.empty[Int]
           var i = 1
           var v = 0
@@ -1114,6 +1257,14 @@ object Jp2Codec {
             i += 1
           }
           lens = buf.toArray
+        case 0xFF52 =>
+          require(codB.isEmpty, "duplicate tile-part COD")
+          codB = Some(seg(10))
+        case 0xFF53 => cocB += seg(7)
+        case 0xFF5C =>
+          require(qcdB.isEmpty, "duplicate tile-part QCD")
+          qcdB = Some(seg(1))
+        case 0xFF5D => qccB += seg(2)
         case 0xFF64 => () // COM: informational, skip
         case m => throw new IllegalArgumentException(
           f"tile-part header marker $m%04x not supported")
@@ -1121,7 +1272,88 @@ object Jp2Codec {
       p += 2 + lseg
       marker = readU16(in, p)
     }
-    (p + 2, lens)
+    TileHead(p + 2, lens, codB, cocB.toSeq, qcdB, qccB.toSeq)
+  }
+
+  /** Resolve one tile's EFFECTIVE header from the main header and its
+    * first tile-part's override markers — the A.6 precedence rules:
+    * coding, per component: tile COC > tile COD > main COC > main COD;
+    * quantization, per component: tile QCC > tile QCD > main QCC >
+    * main QCD (a tile QCD beats a MAIN QCC — the precedence real
+    * decoders get wrong first). A tile COD may retune the progression,
+    * layer count and block style; the geometry the ranged walkers
+    * share (levels, code-blocks, precincts, transform, MCT) must match
+    * the main header's — typed rejections otherwise. */
+  private[jp2] def applyTileOverrides(hdr: Header, th: TileHead): Header = {
+    if (!th.hasOverrides) return hdr
+    var eff = hdr
+    for (b <- th.cod) {
+      val scod = b(0) & 0xFF
+      require((scod & ~0x07) == 0, f"tile COD Scod options $scod%02x not supported")
+      val prog = b(1) & 0xFF
+      require(prog >= LRCP && prog <= CPRL, s"tile COD progression order $prog not supported")
+      val layers = beU16(b, 2)
+      require(layers >= 1, "tile COD: zero quality layers")
+      require(((b(4) & 0xFF) == 1) == hdr.useRct,
+        "tile COD toggles the MCT — not supported")
+      require((b(5) & 0xFF) == hdr.levels,
+        s"tile COD decomposition levels ${b(5) & 0xFF} differ from the main header's ${hdr.levels} — not supported")
+      require((b(6) & 0xFF) == CodeBlockExp - 2 && (b(7) & 0xFF) == CodeBlockExp - 2,
+        "tile COD: only 64x64 code-blocks")
+      val style = b(8) & 0xFF
+      require((style & ~0x3F) == 0, f"tile COD code-block style $style%02x not supported")
+      require((b(9) & 0xFF) == (if (hdr.irreversible) 0 else 1),
+        "tile COD transform differs from the main header's — not supported")
+      val pe =
+        if ((scod & 1) != 0) {
+          require(b.length == 10 + hdr.levels + 1,
+            s"tile COD payload ${b.length} B != ${10 + hdr.levels + 1} B with explicit precincts")
+          val p0 = b(10) & 0x0F
+          require((0 to hdr.levels).forall { i =>
+            val v = b(10 + i) & 0xFF
+            (v & 0x0F) == p0 && (v >> 4) == p0
+          }, "tile COD: non-uniform or non-square precinct sizes not supported")
+          p0
+        } else { require(b.length == 10, s"tile COD payload ${b.length} B != 10 B"); 15 }
+      require(pe == hdr.pp,
+        s"tile COD precinct exponent $pe differs from the main header's ${hdr.pp} — not supported")
+      require(((scod & 2) != 0) == hdr.sop && ((scod & 4) != 0) == hdr.eph,
+        "tile COD toggles SOP/EPH — not supported")
+      eff = eff.copy(prog = prog, layers = layers, blockStyle = style)
+    }
+    // tile COC: per-component coding for THIS tile (beats tile COD)
+    val tileCoc = th.coc.map(parseCocBody(_, hdr.nc, hdr.pp, hdr.irreversible))
+    require(tileCoc.map(_._1).distinct.size == tileCoc.size, "duplicate tile COC for one component")
+    if (th.cod.nonEmpty || tileCoc.nonEmpty) {
+      // STRICT A.6 precedence: a tile COD shadows every main COC (a
+      // main-COC'd component without a tile COC reverts to the tile
+      // COD's parameters wholesale — levels included); a tile COC wins
+      // outright over both
+      val base = if (th.cod.nonEmpty) Map.empty[Int, CompCoding] else hdr.coc
+      eff = eff.copy(coc = base ++ tileCoc.toMap)
+    }
+    // quantization precedence: tile QCC > tile QCD > main QCC > main QCD
+    def lvlOf(c: Int): Int = eff.levelsFor(c)
+    val tileQcd = th.qcd.map(b => (parseQuantSeg(b, 0, "tile QCD", hdr.levels, hdr.irreversible), b(0) & 0x1F))
+    val tileQcc: Map[Int, Quant] = th.qcc.map { b =>
+      val c = b(0) & 0xFF
+      require(c < hdr.nc, s"tile QCC component $c out of range (Csiz ${hdr.nc})")
+      c -> parseQuantSeg(b, 1, s"tile QCC(c=$c)", lvlOf(c), hdr.irreversible)
+    }.toMap
+    require(tileQcc.size == th.qcc.size, "duplicate tile QCC for one component")
+    if (tileQcd.nonEmpty || tileQcc.nonEmpty) {
+      val (baseQ, baseStyle) = tileQcd.getOrElse((eff.q, if (hdr.irreversible) 2 else 0))
+      // with a tile QCD present, main QCCs are out-ranked for every
+      // component; without one they remain the fallback under tile QCCs
+      val qccBase = if (tileQcd.nonEmpty) Map.empty[Int, Quant] else eff.qcc
+      val qccEff = resolveQuantSizing(hdr.nc, hdr.levels, eff.coc, baseQ, baseStyle,
+        qccBase ++ tileQcc, hdr.irreversible, "tile-part header")
+      eff = eff.copy(quant = baseQ, qcc = qccEff)
+    } else if (tileCoc.nonEmpty)
+      // new COC levels may invalidate the main quant sizing for this tile
+      eff = eff.copy(qcc = resolveQuantSizing(hdr.nc, hdr.levels, eff.coc, eff.q,
+        if (hdr.irreversible) 2 else 0, eff.qcc, hdr.irreversible, "tile-part header"))
+    eff.copy(qShift = if (hdr.irreversible) eff.qFor(0).eps(0) - Prec else 0)
   }
 
   private def beU32(b: Array[Byte], i: Int): Long =
@@ -1191,6 +1423,7 @@ object Jp2Codec {
     // main header
     var qcdBody: Array[Byte] = null
     val qccBodies = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val cocBodies = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var pos = start + 2
     var atSot = false
     while (!atSot) {
@@ -1297,6 +1530,8 @@ object Jp2Codec {
                 require(b.length == 10, s"COD payload ${b.length} B != 10 B")
                 ppV = 15
               }
+            case 0xFF53 => // COC (r18b) — per-component coding, stashed
+              cocBodies += body(7)
             case 0xFF5C => // QCD — stashed, validated once levels are known
               qcdBody = body(1)
             case 0xFF5D => // QCC (r17) — per-component override, stashed too
@@ -1310,68 +1545,147 @@ object Jp2Codec {
     }
     require(w > 0 && h > 0 && nc > 0 && levels >= 0, "incomplete header")
     require(qcdBody != null, "missing QCD marker")
-    // Any spec-legal scalar quantization segment is admitted since r17
-    // (Annex E): style 0 with the 5/3 transform (exponents feed only
-    // Mb), style 1 derived or style 2 expounded with the 9/7 — per-band
-    // (eps, mu) with Delta_b = 2^(Prec + gain - eps)(1 + mu/2^11) and
-    // Mb = eps+G-1. Lengths are checked EXACTLY: trailing garbage
-    // inside the segment is rejected, not silently accepted — the same
-    // "reject loudly rather than guess" contract as every other
-    // malformed-header path. QCD and QCC share this shape (the QCC body
-    // starts one byte later, after Cqcc).
-    def parseQuant(body: Array[Byte], off: Int, what: String): Quant = {
-      val guard = (body(off) & 0xFF) >> 5
-      require(guard >= 1 && guard <= 7, s"guard bits $guard out of 1..7")
-      val style = body(off) & 0x1F
-      val nBands = 3 * levels + 1
-      val payload = body.length - off
-      val q: Quant =
-        if (!irrev) {
-          require(style == 0, s"quantization style $style with the 5/3 transform not supported")
-          require(payload == 1 + nBands,
-            s"$what payload $payload B != ${1 + nBands} B for $nBands subbands (style 0)")
-          val eps = Vector.tabulate(nBands)(i => ((body(off + 1 + i) & 0xFF) >> 3))
-          Quant(guard, eps, Vector.fill(nBands)(0))
-        } else if (style == 1) {
-          require(payload == 3,
-            s"$what payload $payload B != 3 B (style 1 signals one value)")
-          val v = beU16(body, off + 1)
-          Quant.derived(levels, guard, (v >> 11) & 0x1F, v & 0x7FF)
-        } else {
-          require(style == 2, s"quantization style $style with the 9/7 transform not supported")
-          require(payload == 1 + 2 * nBands,
-            s"$what payload $payload B != ${1 + 2 * nBands} B for $nBands subbands (style 2)")
-          val vs = Vector.tabulate(nBands)(i => beU16(body, off + 1 + 2 * i))
-          Quant(guard, vs.map(v => (v >> 11) & 0x1F), vs.map(_ & 0x7FF))
-        }
-      for (i <- 0 until nBands) {
-        require(q.eps(i) >= 1 && q.eps(i) <= 31,
-          s"$what quantizer exponent ${q.eps(i)} of band $i out of 1..31")
-        require(q.mb(i) >= 1 && q.mb(i) <= 30,
-          s"$what Mb ${q.mb(i)} of band $i out of 1..30 (eps=${q.eps(i)}, G=$guard)")
-      }
-      q
+    // COC (A.6.2, r18b) — per-component decomposition levels and block
+    // style, every other axis pinned to the COD's; parsed before the
+    // quantization so QCC sizing can follow each component's own level
+    // count
+    val cocV: Map[Int, CompCoding] = {
+      val pairs = cocBodies.map(parseCocBody(_, nc, ppV, irrev))
+      require(pairs.map(_._1).distinct.size == pairs.length,
+        "duplicate COC for one component")
+      pairs.toMap
     }
-    val quantV = parseQuant(qcdBody, 0, "QCD")
+    def levelsOfC(c: Int): Int = cocV.get(c).map(_.levels).getOrElse(levels)
+    val quantV = parseQuantSeg(qcdBody, 0, "QCD", levels, irrev)
     // QCC (A.6.5): per-component quantization overrides — the common
-    // archival RGB shape quantizes chroma coarser than luma
-    val qccV: Map[Int, Quant] = qccBodies.map { b =>
+    // archival RGB shape quantizes chroma coarser than luma; a COC'd
+    // component's QCC is sized for ITS OWN subband count
+    val qccV0: Map[Int, Quant] = qccBodies.map { b =>
       val c = b(0) & 0xFF
       require(c < nc, s"QCC component $c out of range (Csiz $nc)")
-      c -> parseQuant(b, 1, s"QCC(c=$c)")
+      c -> parseQuantSeg(b, 1, s"QCC(c=$c)", levelsOfC(c), irrev)
     }.toMap
-    require(qccV.size == qccBodies.length, "duplicate QCC for one component")
+    require(qccV0.size == qccBodies.length, "duplicate QCC for one component")
+    val qccV = resolveQuantSizing(nc, levels, cocV, quantV, qcdBody(0) & 0x1F,
+      qccV0, irrev, "main header")
     // LL step exponent offset — the uniform-profile knob the staged
     // queries assert on; well-defined for every stream (it is simply
     // component 0's eps_LL - Prec), equal to the encoder's qShift on
     // uniform streams
     val qShiftV = if (irrev) qccV.getOrElse(0, quantV).eps(0) - Prec else 0
     val hdr = Header(w, h, nc, xt, yt, useRct, levels, layersV, irrev, qShiftV,
-      ppV, sopV, ephV, quantV, blockStyleV, qccV, progV)
-    require(hdr.ntx * hdr.nty == 1 || (xt % (1 << levels) == 0 && yt % (1 << levels) == 0),
-      s"multi-tile grid with tile dims not multiples of 2^$levels (absolute-" +
+      ppV, sopV, ephV, quantV, blockStyleV, qccV, progV, cocV)
+    val maxL = (0 until nc).map(hdr.levelsFor).max
+    require(hdr.ntx * hdr.nty == 1 || (xt % (1 << maxL) == 0 && yt % (1 << maxL) == 0),
+      s"multi-tile grid with tile dims not multiples of 2^$maxL (absolute-" +
         "parity subband geometry) not supported")
     (hdr, pos, csEnd)
+  }
+
+  /** Parse one quantization segment body sized for `lvl` decomposition
+    * levels (QCD at off 0; QCC at off 1, past Cqcc) — any spec-legal
+    * scalar shape since r17 (Annex E): style 0 with the 5/3 transform
+    * (exponents feed only Mb), style 1 derived or style 2 expounded
+    * with the 9/7 — per-band (eps, mu) with
+    * Delta_b = 2^(Prec + gain - eps)(1 + mu/2^11) and Mb = eps+G-1.
+    * Lengths are checked EXACTLY: trailing garbage inside the segment
+    * is rejected, not silently accepted — the same "reject loudly
+    * rather than guess" contract as every other malformed-header path. */
+  private def parseQuantSeg(body: Array[Byte], off: Int, what: String,
+      lvl: Int, irrev: Boolean): Quant = {
+    val guard = (body(off) & 0xFF) >> 5
+    require(guard >= 1 && guard <= 7, s"guard bits $guard out of 1..7")
+    val style = body(off) & 0x1F
+    val nBands = 3 * lvl + 1
+    val payload = body.length - off
+    val q: Quant =
+      if (!irrev) {
+        require(style == 0, s"quantization style $style with the 5/3 transform not supported")
+        require(payload == 1 + nBands,
+          s"$what payload $payload B != ${1 + nBands} B for $nBands subbands (style 0)")
+        val eps = Vector.tabulate(nBands)(i => ((body(off + 1 + i) & 0xFF) >> 3))
+        Quant(guard, eps, Vector.fill(nBands)(0))
+      } else if (style == 1) {
+        require(payload == 3,
+          s"$what payload $payload B != 3 B (style 1 signals one value)")
+        val v = beU16(body, off + 1)
+        Quant.derived(lvl, guard, (v >> 11) & 0x1F, v & 0x7FF)
+      } else {
+        require(style == 2, s"quantization style $style with the 9/7 transform not supported")
+        require(payload == 1 + 2 * nBands,
+          s"$what payload $payload B != ${1 + 2 * nBands} B for $nBands subbands (style 2)")
+        val vs = Vector.tabulate(nBands)(i => beU16(body, off + 1 + 2 * i))
+        Quant(guard, vs.map(v => (v >> 11) & 0x1F), vs.map(_ & 0x7FF))
+      }
+    for (i <- 0 until nBands) {
+      require(q.eps(i) >= 1 && q.eps(i) <= 31,
+        s"$what quantizer exponent ${q.eps(i)} of band $i out of 1..31")
+      require(q.mb(i) >= 1 && q.mb(i) <= 30,
+        s"$what Mb ${q.mb(i)} of band $i out of 1..30 (eps=${q.eps(i)}, G=$guard)")
+    }
+    q
+  }
+
+  /** Parse one COC body (A.6.2): Ccoc, Scoc, SPcoc — the axes this
+    * profile lets a COC change are decomposition levels and block
+    * style; code-block size, transform and precinct shape must match
+    * the COD (typed rejections — the packet geometry the ranged
+    * walkers share would otherwise fork per component). */
+  private def parseCocBody(b: Array[Byte], nc: Int, codPp: Int,
+      codIrrev: Boolean): (Int, CompCoding) = {
+    val c = b(0) & 0xFF
+    require(c < nc, s"COC component $c out of range (Csiz $nc)")
+    val scoc = b(1) & 0xFF
+    require((scoc & ~0x01) == 0, f"Scoc options $scoc%02x not supported")
+    val lv = b(2) & 0xFF
+    require((b(3) & 0xFF) == CodeBlockExp - 2 && (b(4) & 0xFF) == CodeBlockExp - 2,
+      "COC: only 64x64 code-blocks")
+    val style = b(5) & 0xFF
+    require((style & ~0x3F) == 0, f"COC code-block style options $style%02x not supported")
+    val transform = b(6) & 0xFF
+    require(transform == 0 || transform == 1, s"COC: unknown wavelet transform $transform")
+    require((transform == 0) == codIrrev,
+      "COC transform differs from the COD's — mixed transforms per component not supported")
+    val pe =
+      if ((scoc & 1) != 0) {
+        require(b.length == 7 + lv + 1,
+          s"COC payload ${b.length} B != ${7 + lv + 1} B with explicit precincts")
+        val p0 = b(7) & 0x0F
+        require((0 to lv).forall { i =>
+          val v = b(7 + i) & 0xFF
+          (v & 0x0F) == p0 && (v >> 4) == p0
+        }, "COC: non-uniform or non-square precinct sizes not supported")
+        require(p0 >= 1 && p0 <= 15, s"COC precinct exponent $p0 out of 1..15")
+        p0
+      } else {
+        require(b.length == 7, s"COC payload ${b.length} B != 7 B")
+        15
+      }
+    require(pe == codPp,
+      s"COC precinct exponent $pe differs from the COD's $codPp — per-component precincts not supported")
+    (c, CompCoding(lv, style))
+  }
+
+  /** The COC/quantization sizing rule: a component whose decomposition
+    * level count differs from the QCD's sizing has an ambiguous band
+    * mapping onto the QCD's eps list, so it needs its OWN QCC — except
+    * under a style-1 (derived) QCD, whose E-5 expansion is naturally
+    * per-component. Returns the qcc map with derived expansions
+    * synthesized in; rejects typed otherwise. */
+  private def resolveQuantSizing(nc: Int, codLevels: Int,
+      coc: Map[Int, CompCoding], quant: Quant, qcdStyle: Int,
+      qcc: Map[Int, Quant], irrev: Boolean, what: String): Map[Int, Quant] = {
+    var out = qcc
+    for (c <- 0 until nc) {
+      val lc = coc.get(c).map(_.levels).getOrElse(codLevels)
+      if (lc != codLevels && !out.contains(c)) {
+        if (irrev && qcdStyle == 1)
+          out += c -> Quant.derived(lc, quant.guard, quant.eps(0), quant.mu(0))
+        else throw new IllegalArgumentException(
+          s"$what: component $c has COC decomposition levels $lc but the QCD is sized for $codLevels levels — needs a QCC")
+      }
+    }
+    out
   }
 
   /** Decode one tile from its concatenated packet BODY (all slices'
@@ -1386,9 +1700,16 @@ object Jp2Codec {
     * quality slices); prefix decodes assert it stayed inside. */
   private def decodeTileCore(isot: Int, body: Array[Byte], hdr: Header, discard: Int,
       keepLayers: Int, exact: Boolean,
-      keepPrec: (Int, Int) => Boolean = null): Tile = {
-    require(discard >= 0 && discard <= hdr.levels,
-      s"discard $discard out of 0..${hdr.levels}")
+      keepPrec: (Int, Int, Int) => Boolean = null): Tile = {
+    require(discard >= 0 && discard <= hdr.minLevels,
+      s"discard $discard out of 0..${hdr.minLevels}")
+    // a discard-truncated body drops each component's own finest
+    // resolutions, which form a byte SUFFIX only when every component
+    // shares the COD's level count (a COC'd component's top packets
+    // sit inside a lower global resolution group) — typed, like the
+    // progression-order rule below
+    require(discard == 0 || hdr.uniformLevels,
+      "reduced (discard > 0) decode of a stream with per-component COC decomposition levels not supported")
     require(keepLayers >= 1, s"keepLayers $keepLayers out of range")
     val keep = math.min(hdr.layers, keepLayers)
     require(isot < hdr.ntx * hdr.nty, s"tile index $isot out of grid")
@@ -1398,7 +1719,10 @@ object Jp2Codec {
     // xt/yt multiples of 2^levels >= 2^discard (single tiles sit at 0)
     val rx0 = x0 >> discard; val ry0 = y0 >> discard
     val rw = ceilDiv(tw, 1 << discard); val rh = ceilDiv(th, 1 << discard)
-    val rl = hdr.levels - discard
+    // per-component reduced level count (COC, r18b): component c keeps
+    // its own pyramid minus the discarded top — same output dims for
+    // every component because each drops d of ITS finest resolutions
+    def rlOf(c: Int): Int = hdr.levelsFor(c) - discard
     val tile = Array.fill(hdr.nc)(new Array[Int](rw * rh))
     // per-coefficient decoded bit-plane depth, tracked only when a LOSSY
     // stream is quality-truncated: dropped layers leave low bit-planes
@@ -1422,17 +1746,18 @@ object Jp2Codec {
     // The reduced geometry reproduces the full stream's precinct grid
     // exactly (origins and dims all scale by 2^discard), so generating
     // the order from the reduced dims yields the surviving prefix.
-    val decs = Array.tabulate(hdr.nc, rl + 1)((c, r) => new ResDecoder(rw, rh, rl, r,
-      hdr.qFor(c), rx0, ry0, hdr.pp, hdr.sop, hdr.eph, hdr.tier1Style))
+    val decs = Array.tabulate(hdr.nc)(c => Array.tabulate(rlOf(c) + 1)(r =>
+      new ResDecoder(rw, rh, rlOf(c), r,
+        hdr.qFor(c), rx0, ry0, hdr.pp, hdr.sop, hdr.eph, hdr.tier1StyleFor(c))))
     var p = 0
-    for (pkt <- packetOrder(hdr.prog, hdr.layers, hdr.nc, rl, rw, rh, rx0, ry0, hdr.pp)) {
-      if (pkt.l < keep && (keepPrec == null || keepPrec(pkt.r, pkt.p))) {
+    for (pkt <- packetOrder(hdr.prog, hdr.layers, hdr.nc, rlOf _, rw, rh, rx0, ry0, hdr.pp)) {
+      if (pkt.l < keep && (keepPrec == null || keepPrec(pkt.r, pkt.c, pkt.p))) {
         require(p < body.length,
           s"tile $isot body exhausted at packet (r=${pkt.r},l=${pkt.l},c=${pkt.c},p=${pkt.p}) — missing tile-part slices?")
         p = decs(pkt.c)(pkt.r).readPacket(body, p, pkt.l, pkt.p)
       }
     }
-    for (c <- 0 until hdr.nc; r <- 0 to rl)
+    for (c <- 0 until hdr.nc; r <- 0 to rlOf(c))
       decs(c)(r).finishInto(tile(c), if (quantDepth == null) null else quantDepth(c))
     if (exact)
       require(p == body.length, s"tile $isot body ended at $p of ${body.length}")
@@ -1454,7 +1779,7 @@ object Jp2Codec {
         val qspec = hdr.qFor(c)
         val dep = if (quantDepth == null) null else quantDepth(c)
         val d = new Array[Double](q.length)
-        for (r <- 0 to rl; (b, ord) <- bandsAt(rw, rh, rl, r).zipWithIndex) {
+        for (r <- 0 to rlOf(c); (b, ord) <- bandsAt(rw, rh, rlOf(c), r).zipWithIndex) {
           val delta = qspec.delta(bandIndex(r, ord), b.gain)
           var y = 0
           while (y < b.h) {
@@ -1473,7 +1798,7 @@ object Jp2Codec {
         }
         d
       }
-      ds.foreach(Dwt97.inverse(_, rw, rh, rl))
+      for ((d, c) <- ds.zipWithIndex) Dwt97.inverse(d, rw, rh, rlOf(c))
       if (hdr.useRct) Dwt97.ictInverse(ds(0), ds(1), ds(2))
       var c = 0
       while (c < hdr.nc) {
@@ -1487,7 +1812,7 @@ object Jp2Codec {
         c += 1
       }
     } else {
-      tile.foreach(Dwt53.inverse(_, rw, rh, rl))
+      for ((a, c) <- tile.zipWithIndex) Dwt53.inverse(a, rw, rh, rlOf(c))
       if (hdr.useRct) Dwt53.rctInverse(tile(0), tile(1), tile(2))
       tile.foreach { a =>
         var i = 0
@@ -1546,16 +1871,25 @@ object Jp2Codec {
     * resolution RLCP and RPCL coincide — the degenerate shapes the
     * pre-r18 hard-coded RLCP walk covered. */
   private[jp2] def packetOrder(prog: Int, layers: Int, nc: Int, levels: Int,
+      tw: Int, th: Int, atx: Int, aty: Int, pp: Int): IndexedSeq[PktRef] =
+    packetOrder(prog, layers, nc, (_: Int) => levels, tw, th, atx, aty, pp)
+
+  /** Per-component-levels [[packetOrder]] (r18b, COC): component c has
+    * levelsOf(c)+1 resolutions of its OWN pyramid, so packets (r, c)
+    * exist only for r <= levelsOf(c) and each component's precinct
+    * grid/position scaling comes from its own level count — exactly
+    * B.12.1's per-component N_L. */
+  private[jp2] def packetOrder(prog: Int, layers: Int, nc: Int, levelsOf: Int => Int,
       tw: Int, th: Int, atx: Int, aty: Int, pp: Int): IndexedSeq[PktRef] = {
     require(prog >= LRCP && prog <= CPRL, s"progression order $prog not supported")
     val entries = ArrayBuffer.empty[(PktRef, Long, Long)] // pkt, posY, posX
-    for (r <- 0 to levels) {
-      val g = precGrid(tw, th, levels, r, atx, aty, pp)
-      val shift = pp + (levels - r)
+    for (c <- 0 until nc; r <- 0 to levelsOf(c)) {
+      val g = precGrid(tw, th, levelsOf(c), r, atx, aty, pp)
+      val shift = pp + (levelsOf(c) - r)
       for (p <- 0 until g.num) {
         val px = math.max(atx.toLong, (g.p0x + p % g.npx).toLong << shift)
         val py = math.max(aty.toLong, (g.p0y + p / g.npx).toLong << shift)
-        for (c <- 0 until nc; l <- 0 until layers)
+        for (l <- 0 until layers)
           entries += ((PktRef(r, l, c, p), py, px))
       }
     }
@@ -1574,7 +1908,7 @@ object Jp2Codec {
   private[jp2] def packetOrder(hdr: Header, tIdx: Int): IndexedSeq[PktRef] = {
     val x0 = (tIdx % hdr.ntx) * hdr.xt; val y0 = (tIdx / hdr.ntx) * hdr.yt
     val tw = math.min(hdr.xt, hdr.width - x0); val th = math.min(hdr.yt, hdr.height - y0)
-    packetOrder(hdr.prog, hdr.layers, hdr.nc, hdr.levels, tw, th, x0, y0, hdr.pp)
+    packetOrder(hdr.prog, hdr.layers, hdr.nc, hdr.levelsFor _, tw, th, x0, y0, hdr.pp)
   }
 
   /** Precinct grid of one (tile, resolution) — ISO 15444-1 B.6: precincts
@@ -1606,8 +1940,12 @@ object Jp2Codec {
   private[jp2] def packetsPerRes(hdr: Header, tIdx: Int): IndexedSeq[Int] = {
     val x0 = (tIdx % hdr.ntx) * hdr.xt; val y0 = (tIdx / hdr.ntx) * hdr.yt
     val tw = math.min(hdr.xt, hdr.width - x0); val th = math.min(hdr.yt, hdr.height - y0)
-    (0 to hdr.levels).map { r =>
-      hdr.layers * hdr.nc * precGrid(tw, th, hdr.levels, r, x0, y0, hdr.pp).num
+    val maxL = (0 until hdr.nc).map(hdr.levelsFor).max
+    (0 to maxL).map { r =>
+      hdr.layers * (0 until hdr.nc).map { c =>
+        if (r > hdr.levelsFor(c)) 0
+        else precGrid(tw, th, hdr.levelsFor(c), r, x0, y0, hdr.pp).num
+      }.sum
     }
   }
 

@@ -1437,6 +1437,109 @@ class Jp2CodecSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(mpOut.comps(c), ref.comps(c)), s"mp c=$c")
   }
 
+  test("per-tile QCD retunes (r18b): each tile reconstructs at its own step; walkers ride the overrides") {
+    val (w, h) = (128, 96)
+    val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))
+    // 2x2 64-tile grid, per-tile steps 8 / 1 / 4 / 2 (tile 0 keeps the
+    // main QCD's -3? no: main qShift -2 = step 4; tiles 1..3 retuned)
+    val shifts = Seq(-3, 0, -2, -1)
+    val cs = Jp2Codec.encode(w, h, comps, levels = 2, tileSize = 64,
+      irreversible = true, qShift = -2, tileQShifts = shifts)
+    val hdr = Jp2Codec.header(cs)
+    assert(hdr.qShift == -2, "main header keeps the COD-level qShift")
+    val out = Jp2Codec.decode(cs)
+    def maxErrIn(tx: Int, ty: Int): Int = {
+      var m = 0
+      for (c <- 0 until 3; y <- ty * 64 until math.min(h, (ty + 1) * 64);
+           x <- tx * 64 until math.min(w, (tx + 1) * 64))
+        m = math.max(m, math.abs(out.comps(c)(y * w + x) - comps(c)(y * w + x)))
+      m
+    }
+    // per-tile error tracks each tile's OWN step: the step-1 tile must
+    // beat the step-8 tile, and a decoder ignoring the tile QCD would
+    // reconstruct tile 0 at 2x amplitude (err >> 8)
+    assert(maxErrIn(1, 0) < maxErrIn(0, 0),
+      s"retuned steps must order the per-tile error (${maxErrIn(1, 0)} vs ${maxErrIn(0, 0)})")
+    // bound per tile at 4x its step — the l5m-calibrated envelope for
+    // 9/7 multi-band error accumulation (step 4 decodes to max err
+    // ~13-28 across this corpus family, never 2x-amplitude territory)
+    assert(maxErrIn(0, 0) <= 32 && maxErrIn(1, 0) <= 4 &&
+      maxErrIn(0, 1) <= 16 && maxErrIn(1, 1) <= 8,
+      s"per-tile max errors ${Seq(maxErrIn(0,0), maxErrIn(1,0), maxErrIn(0,1), maxErrIn(1,1))} exceed 4x their steps")
+    // the ranged walkers resolve the per-tile effective header from the
+    // first tile-part's markers: reduced spans decode the exact thumbnail
+    val red = Jp2Codec.decodeReduced(cs, 1)
+    val spans = Jp2Codec.tilePartsReduced(cs, 1)
+    for (s <- spans) {
+      val slice = java.util.Arrays.copyOfRange(cs, s.pos.toInt, (s.pos + s.len).toInt)
+      val t = Jp2Codec.decodeTilePart(slice, hdr, 1)
+      for (c <- 0 until 3; y <- 0 until t.height; x <- 0 until t.width)
+        assert(t.comps(c)(y * t.width + x) ==
+          red.comps(c)((t.y0 + y) * red.width + (t.x0 + x)), s"tile ${s.index}")
+    }
+    // override markers outside the first tile-part reject typed
+    val mp = Jp2Codec.encode(w, h, comps, levels = 2, tileSize = 64,
+      irreversible = true, qShift = -2, tileQShifts = shifts, partsPerTile = 2)
+    assert(java.util.Arrays.equals(Jp2Codec.decode(mp).comps(0), out.comps(0)),
+      "tile QCD + multi tile-part must compose")
+  }
+
+  test("COC chroma decomposition levels (r18b): lossless round-trip, sizing rule, ranged rejection") {
+    val (w, h) = (130, 97)
+    val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))
+    // reversible: fewer chroma levels is still LOSSLESS — bit-exact
+    val rev = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64, chromaLevels = 1)
+    val hdr = Jp2Codec.header(rev)
+    assert(hdr.coc == Map(1 -> Jp2Codec.CompCoding(1, 0), 2 -> Jp2Codec.CompCoding(1, 0)))
+    assert(hdr.qcc.keySet == Set(1, 2) && hdr.qcc(1).eps.length == 4,
+      "COC'd components need a QCC sized for their own pyramid")
+    assert(hdr.levelsFor(0) == 3 && hdr.levelsFor(1) == 1 && !hdr.uniformLevels)
+    val out = Jp2Codec.decode(rev)
+    for (c <- 0 until 3)
+      assert(java.util.Arrays.equals(out.comps(c), comps(c)), s"c=$c")
+    // the byte-prefix reduced walk rejects typed (a chroma top-res
+    // packet sits inside a lower global group); whole-file decode fine
+    val e = intercept[IllegalArgumentException](Jp2Codec.tilePartsReduced(rev, 1))
+    assert(e.getMessage.contains("COC"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](Jp2Codec.decodeReduced(rev, 1))
+    assert(e2.getMessage.contains("COC"), e2.getMessage)
+    // lossy + layers: quality walker rides per-component pyramids
+    val lossy = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64,
+      irreversible = true, qShift = -2, layers = 2, chromaLevels = 2)
+    val ref = Jp2Codec.decode(lossy)
+    // step-4 quantization: pixel-domain error accumulates across bands
+    // through the inverse DWT + ICT — the l5m-calibrated envelope for
+    // this step is max err 32 (a 2x-amplitude bug would show ~250)
+    for (c <- 0 until 3; i <- 0 until w * h)
+      assert(math.abs(ref.comps(c)(i) - comps(c)(i)) <= 32, s"lossy COC err at c=$c i=$i")
+    val (qh, qparts) = Jp2Codec.tilePartsQuality(new Jp2Codec.BytesInput(lossy), 2)
+    val planes = Array.fill(3)(new Array[Int](w * h))
+    for (part <- qparts) {
+      val slice = new java.io.ByteArrayOutputStream()
+      for ((from, until) <- part.ranges) slice.write(lossy, from.toInt, (until - from).toInt)
+      val t = Jp2Codec.decodeTilePartQuality(slice.toByteArray, qh, 2)
+      for (c <- 0 until 3; y <- 0 until t.height; x <- 0 until t.width)
+        planes(c)((t.y0 + y) * w + (t.x0 + x)) = t.comps(c)(y * t.width + x)
+    }
+    for (c <- 0 until 3)
+      assert(java.util.Arrays.equals(planes(c), ref.comps(c)), s"quality c=$c")
+    // a QCD mis-sized for a COC'd component (no QCC) rejects typed:
+    // strip both QCC markers from the reversible stream
+    val stripped = {
+      val outB = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < rev.length) {
+        if (i + 1 < rev.length && (rev(i) & 0xFF) == 0xFF && (rev(i + 1) & 0xFF) == 0x5D) {
+          val l = ((rev(i + 2) & 0xFF) << 8) | (rev(i + 3) & 0xFF)
+          i += 2 + l
+        } else { outB.write(rev(i)); i += 1 }
+      }
+      outB.toByteArray
+    }
+    val e3 = intercept[IllegalArgumentException](Jp2Codec.decode(stripped))
+    assert(e3.getMessage.contains("needs a QCC"), e3.getMessage)
+  }
+
   test("progression orders (r18): RPCL/PCRL/CPRL reorder the same packets; walkers follow or reject typed") {
     val (w, h) = (130, 97)
     val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))

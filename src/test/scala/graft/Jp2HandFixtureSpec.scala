@@ -736,6 +736,128 @@ class Jp2HandFixtureSpec extends AnyFunSuite {
     assertFlipFails(cs, cs.length - 2, expected) // codeword byte 0xBF
   }
 
+  // ------------------------------------------------------------------
+  // Fixture S — QUANTIZATION MARKER PRECEDENCE (r18b, A.6.4/A.6.5):
+  // tile QCC > tile QCD > MAIN QCC > main QCD — the middle inequality
+  // (a TILE QCD out-ranking a MAIN QCC) is the one real decoders get
+  // wrong first, and this fixture's amplitudes discriminate it.
+  // 2x1 image, 1x1 tiles, 3 components, 9/7, NO MCT (SGcod mct = 0,
+  // spec-legal for 3 components — each component's arithmetic stays
+  // independent so every amplitude is a one-line E.1 derivation).
+  // Signaled quantization (levels 0, one band each, 3 guard bits):
+  //   main QCD:      eps 8           -> Delta = 2^(8-8)        = 1
+  //   main QCC(c2):  eps 7           -> Delta = 2^(8-7)        = 2
+  //   tile-1 QCD:    eps 7, mu 1024  -> Delta = 2 * 1.5        = 3
+  //   tile-1 QCC(c1): eps 6          -> Delta = 2^(8-6)        = 4
+  // Every (tile, component) carries q = +1 (the 1x1 block of fixture
+  // D's Cr: codeword [03]; the MQ trace does not depend on mb), so the
+  // DC-shifted input v = Delta exactly and the mid-point reconstruction
+  // is 1.5 * Delta:
+  //   tile 0: c0 (main QCD, v=1)  -> 1.5  -> rint 2 -> 130
+  //           c1 (main QCD, v=1)  -> 1.5  -> 130
+  //           c2 (MAIN QCC, v=2)  -> 3.0  -> 131
+  //   tile 1: c0 (TILE QCD, v=3)  -> 4.5  -> rint 4 (half-even) -> 132
+  //           c1 (TILE QCC, v=4)  -> 6.0  -> 134
+  //           c2 (TILE QCD, v=3)  -> 4.5  -> 132   <- THE PRECEDENCE PIN:
+  //              a decoder using main QCC (Delta 2) reconstructs 3.0 ->
+  //              131; one ignoring the tile QCD entirely (Delta 1)
+  //              reconstructs 1.5 -> 130. Only tile-QCD-beats-main-QCC
+  //              lands on 132.
+  // Packet headers (1 nonempty | 1 incl | zbp zeros + 1 | 0 | 0 | 001):
+  //   mb = eps + 3 - 1: eps 8 -> zbp 9  -> C0 10 80 (fixture E's);
+  //   eps 7 -> zbp 8 -> C0 21 (fixture M's); eps 6 -> zbp 7 -> C0 42.
+  // ------------------------------------------------------------------
+  test("hand fixture S: tile QCD out-ranks main QCC, amplitudes discriminate the precedence") {
+    val h9 = bytes(0xC0, 0x10, 0x80, 0x03)  // zbp 9 header + codeword [03]
+    val h8 = bytes(0xC0, 0x21, 0x03)        // zbp 8
+    val h7 = bytes(0xC0, 0x42, 0x03)        // zbp 7
+    val mainQcc2 = bytes(0xFF, 0x5D, 0, 6, 2, (3 << 5) | 2, 0x38, 0x00) // eps 7
+    val tileQcd = bytes(0xFF, 0x5C, 0, 5, (3 << 5) | 2, 0x3C, 0x00)     // eps 7 mu 1024
+    val tileQcc1 = bytes(0xFF, 0x5D, 0, 6, 1, (3 << 5) | 2, 0x30, 0x00) // eps 6
+    // tile 1's part carries the overrides between SOT and PLT
+    def tilePartOv(isot: Int, ov: Array[Byte], packets: Array[Byte]*): Array[Byte] = {
+      val lens = packets.map(_.length)
+      val plt = bytes(Seq(0xFF, 0x58, 0, 3 + lens.length, 0) ++ lens: _*)
+      val body = packets.flatten.toArray
+      val psot = 12 + ov.length + plt.length + 2 + body.length
+      bytes(0xFF, 0x90, 0, 10, isot >>> 8, isot & 0xFF,
+        psot >>> 24, (psot >>> 16) & 0xFF, (psot >>> 8) & 0xFF, psot & 0xFF,
+        0, 1) ++ ov ++ plt ++ bytes(0xFF, 0x93) ++ body
+    }
+    val cs = SOC ++ siz(2, 1, 1, 1, 3) ++ cod(0, 1, 0, 0, 0) ++ qcdIrrev(0, 0) ++
+      mainQcc2 ++
+      tilePart(0, 0, 1, h9, h9, h8) ++
+      tilePartOv(1, tileQcd ++ tileQcc1, h8, h7, h8) ++ EOC
+    val expected = Seq(Seq(130, 132), Seq(130, 134), Seq(131, 132))
+    assert(pixels(Jp2Codec.decode(cs)) == expected)
+    val hdr = Jp2Codec.header(cs)
+    assert(hdr.q.eps == Vector(8) && hdr.qcc.keySet == Set(2) &&
+      hdr.qcc(2).eps == Vector(7), "main-header view keeps only the main markers")
+    // corruption probes: the tile QCD's eps/mu value bytes and the tile
+    // QCC's — a flip moves zbp or Delta, so pixels move or the walk fails
+    val tileQcdVal = cs.length - (EOC.length + 3 + 3 + 3 + 2 + 6 + 2 + 8 + 2) // 0x3C byte
+    assert((cs(tileQcdVal) & 0xFF) == 0x3C, f"offset aim ${cs(tileQcdVal)}%02x")
+    assertFlipFails(cs, tileQcdVal, expected)
+    assertFlipFails(cs, tileQcdVal + 8, expected) // tile QCC value byte 0x30
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture T — COC per-component decomposition levels (r18b, A.6.2):
+  // 2x2 RGB, RCT on, COD levels 1, chroma COC levels 0 — the real
+  // archival "chroma pyramid shallower than luma" shape. ALL pixels
+  // (129,129,129): RCT of (1,1,1) -> Y = 1 everywhere, Cb = Cr = 0;
+  // the 5/3 forward of a CONSTANT plane is zero high bands with the DC
+  // in the low band (H(n) = Y(2n+1) - floor((Y(2n)+Y(2n+2))/2) = 0;
+  // L(n) = Y(2n) + floor((0+0+2)/4) = 1), so Y's 1x1 LL = [+1].
+  // (A lone +1 does NOT work at this size: the 2-sample symmetric
+  // extension Y(2) = Y(0) leaks an even-index delta into H — the
+  // constant plane is the clean hand case.) So:
+  //   c0 (levels 1): r0 = 1x1 LL block, +1 -> fixture D's codeword
+  //     [03] under mb 14 -> zbp 13 -> header C0 01 08; r1 = three 1x1
+  //     zero bands -> empty packet 0x00.
+  //   c1, c2 (COC levels 0): one 2x2 zero block each -> empty 0x00.
+  // LRCP sequence with PER-COMPONENT resolution counts (B.12.1: r
+  // iterates to each component's own N_L): r0: c0 c1 c2, r1: c0 only
+  // -> packets [C0 01 08 03], 00, 00, 00 — a COC-ignoring decoder
+  // expects SIX packets (r1 for the chroma too) and dies on the
+  // exhausted body.
+  // The QCD (style 0) is sized for the COD's 4 subbands; the sizing
+  // rule gives each COC'd chroma component its own 1-band QCC.
+  // Expected pixels, BY HAND: LL = [1] inverse-lifts to the constant
+  // +1 plane (Y(0) = 1 - floor(2/4) = 1; Y(1) = 0 + floor((1+1)/2)
+  // = 1 with the symmetric extension); RCT inverse of (1,0,0) ->
+  // (1,1,1) -> every pixel (129,129,129).
+  // ------------------------------------------------------------------
+  test("hand fixture T: COC chroma levels, per-component resolution counts, encoder-pinned") {
+    val coc1 = bytes(0xFF, 0x53, 0, 9, 1, 0, 0, 4, 4, 0, 1)
+    val coc2 = bytes(0xFF, 0x53, 0, 9, 2, 0, 0, 4, 4, 0, 1)
+    val qcc1 = bytes(0xFF, 0x5D, 0, 5, 1, 2 << 5, 13 << 3)
+    val qcc2 = bytes(0xFF, 0x5D, 0, 5, 2, 2 << 5, 13 << 3)
+    val cs = SOC ++ siz(2, 2, 2, 2, 3) ++ cod(0, 1, 1, 1, 1) ++ qcdRev(1) ++
+      coc1 ++ coc2 ++ qcc1 ++ qcc2 ++
+      tilePart(0, 0, 1,
+        bytes(0xC0, 0x01, 0x08, 0x03), // c0 r0: LL +1
+        bytes(0x00),                   // c1 r0
+        bytes(0x00),                   // c2 r0
+        bytes(0x00)                    // c0 r1: zero high bands
+      ) ++ EOC
+    val expected = Seq(Seq.fill(4)(129), Seq.fill(4)(129), Seq.fill(4)(129))
+    assert(pixels(Jp2Codec.decode(cs)) == expected)
+    val hdr = Jp2Codec.header(cs)
+    assert(hdr.levelsFor(0) == 1 && hdr.levelsFor(1) == 0 && hdr.levelsFor(2) == 0)
+    assert(hdr.qcc(1).eps == Vector(13) && hdr.qcc(2).eps == Vector(13))
+    val comps = Array.tabulate(3)(_ => Array.fill(4)(129))
+    val enc = Jp2Codec.encode(2, 2, comps, levels = 1, chromaLevels = 0)
+    assert(enc.sameElements(cs), "COC encoder diverges from the hand-assembled stream")
+    // teeth: flipping the COC levels byte forks the packet geometry —
+    // the walk must fail typed or decode different pixels
+    val cocLevelsAt = (0 until cs.length - 1).indexWhere(i =>
+      (cs(i) & 0xFF) == 0xFF && (cs(i + 1) & 0xFF) == 0x53) + 6
+    assert((cs(cocLevelsAt) & 0xFF) == 0)
+    assertFlipFails(cs, cocLevelsAt, expected)
+    assertFlipFails(cs, cs.length - 6, expected) // c0 r0 codeword byte
+  }
+
   test("hand fixture I: hand-built JP2 container walks to jp2c") {
     val sig = bytes(0x00, 0x00, 0x00, 0x0C, 0x6A, 0x50, 0x20, 0x20, 0x0D, 0x0A, 0x87, 0x0A)
     val ftypLen = 8 + 4 + 4 + 4 // brand jp2\040, minor 0, compat jp2\040
