@@ -1089,11 +1089,17 @@ object Sources {
   private[graft] def stageJp2s(): String =
     jp2Staged.computeIfAbsent("jp2s", { _ =>
       val dir = tmp("l5g_jp2")
-      (0 until 7).foreach { i =>
+      (0 until 8).foreach { i =>
         val w = 40 + (17 * i) % 113
         val h = 30 + (23 * i) % 89
+        // file 7 (r18c) is a 16-BIT RGB master (Ssiz 15) — the deep
+        // archival scan depth — with its own mod-65536 closed form so
+        // the oracle covers the widened sample range end to end
         val comps = Array.tabulate(3) { c =>
-          Array.tabulate(w * h)(j => ((j % w) * 7 + (j / w) * 11 + i * 13 + c * 29) % 256)
+          if (i == 7)
+            Array.tabulate(w * h)(j => ((j % w) * 731 + (j / w) * 1109 + c * 4099) % 65536)
+          else
+            Array.tabulate(w * h)(j => ((j % w) * 7 + (j / w) * 11 + i * 13 + c * 29) % 256)
         }
         // mix single-tile/tiled AND single/multi-layer scans so every
         // decode path (incl. the RLCP quality-layer machinery) is
@@ -1114,7 +1120,8 @@ object Sources {
           layers = if (i % 3 == 2 || i == 6) 2 else 1,
           blockStyle = i match { case 4 => 0x20; case 5 => 0x2F; case _ => 0 },
           precinctExp = if (i == 6) 5 else 15,
-          prog = if (i == 6) graft.sources.jp2.Jp2Codec.RPCL else -1)
+          prog = if (i == 6) graft.sources.jp2.Jp2Codec.RPCL else -1,
+          bitDepth = if (i == 7) 16 else 8)
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$dir/scan_$i.jp2"),
           graft.sources.Jp2Box.buildContainer(w, h, cs))
@@ -2622,13 +2629,20 @@ object Sources {
         |  SELECT i, 40 + (17*i) % 113 AS w, 30 + (23*i) % 89 AS h
         |  FROM (SELECT unnest(generate_series(0, 6)) AS i)),
         |px AS (
-        |  SELECT i, w, h, unnest(generate_series(0, w*h - 1)) AS j FROM dims)
+        |  SELECT i, w, h, unnest(generate_series(0, w*h - 1)) AS j FROM dims),
+        |px16 AS (SELECT unnest(generate_series(0, 46*102 - 1)) AS j)
         |SELECT 'scan_' || i || '.jp2' AS file_name,
         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  CAST(SUM(((j % w) * 7 + (j // w) * 11 + i * 13) % 256) AS BIGINT) AS sum_c0,
         |  CAST(SUM(((j % w) * 7 + (j // w) * 11 + i * 13 + 29) % 256) AS BIGINT) AS sum_c1,
         |  CAST(SUM(((j % w) * 7 + (j // w) * 11 + i * 13 + 58) % 256) AS BIGINT) AS sum_c2
-        |FROM px GROUP BY i, w, h""".stripMargin,
+        |FROM px GROUP BY i, w, h
+        |UNION ALL
+        |SELECT 'scan_7.jp2', CAST(46 AS BIGINT), CAST(102 AS BIGINT),
+        |  CAST(SUM(((j % 46) * 731 + (j // 46) * 1109) % 65536) AS BIGINT),
+        |  CAST(SUM(((j % 46) * 731 + (j // 46) * 1109 + 4099) % 65536) AS BIGINT),
+        |  CAST(SUM(((j % 46) * 731 + (j // 46) * 1109 + 8198) % 65536) AS BIGINT)
+        |FROM px16""".stripMargin,
     "l5h_jp2_tiled_parallel" ->
       """WITH px AS (SELECT unnest(generate_series(0, 384*192 - 1)) AS j)
         |SELECT 'page_0.jp2' AS file_name,
@@ -2641,7 +2655,7 @@ object Sources {
     "l5i_jp2_thumbnail" ->
       """WITH dims AS (
         |  SELECT i, 40 + (17*i) % 113 AS w, 30 + (23*i) % 89 AS h
-        |  FROM (SELECT unnest(generate_series(0, 6)) AS i))
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS i))
         |SELECT 'scan_' || i || '.jp2' AS file_name,
         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  CAST((w + 3) // 4 AS BIGINT) AS thumb_w,

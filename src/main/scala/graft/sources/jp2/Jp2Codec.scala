@@ -81,13 +81,17 @@ object Jp2Codec {
   }
 
   private val GuardBits = 2
-  // generous fixed exponent: Mb = eps + guard - 1 must cover the worst
-  // 5/3 coefficient growth of 9-bit RCT chroma over <=5 levels (~2^13)
-  private val BaseExp = 13
+  // generous reversible exponent: Mb = eps + guard - 1 must cover the
+  // worst 5/3 coefficient growth of (prec+1)-bit RCT chroma over <=5
+  // levels — a factor 2^4 of headroom over the sample range, i.e.
+  // prec + 5 (13 for the 8-bit profile, byte-stable with pre-r18c)
+  private def baseExp(prec: Int): Int = prec + 5
 
-  /** Component bit depth of the profile (SIZ Ssiz = 7, 8-bit unsigned).
-    * E.1.1 defines the nominal dynamic range of subband b as
-    * Rb = Prec + gain_b, and the quantizer step as
+  /** DEFAULT component bit depth (SIZ Ssiz = 7, 8-bit unsigned) — the
+    * dominant archival profile; since r18c any 8..16-bit unsigned
+    * depth is admitted and `prec` is threaded through the quantizer
+    * arithmetic. E.1.1 defines the nominal dynamic range of subband b
+    * as Rb = prec + gain_b, and the quantizer step as
     * Delta_b = 2^(Rb - eps_b) * (1 + mu_b / 2^11) — the formula every
     * conformant decoder applies, so the QCD this encoder writes must be
     * read back at the SAME amplitude by OpenJPEG/Kakadu. (Until r17 the
@@ -119,10 +123,10 @@ object Jp2Codec {
   final case class Quant(guard: Int, eps: IndexedSeq[Int], mu: IndexedSeq[Int]) {
     /** Magnitude bit-planes of band b: Mb = eps_b + G - 1 (E-2). */
     def mb(bandIdx: Int): Int = eps(bandIdx) + guard - 1
-    /** Step in sample units: Delta_b = 2^(Prec + gain - eps_b) *
-      * (1 + mu_b / 2^11) (E-3 with Rb = Prec + gain). */
-    def delta(bandIdx: Int, gain: Int): Double =
-      math.pow(2.0, (Prec + gain - eps(bandIdx)).toDouble) * (1.0 + mu(bandIdx) / 2048.0)
+    /** Step in sample units: Delta_b = 2^(prec + gain - eps_b) *
+      * (1 + mu_b / 2^11) (E-3 with Rb = prec + gain). */
+    def delta(bandIdx: Int, gain: Int, prec: Int = Prec): Double =
+      math.pow(2.0, (prec + gain - eps(bandIdx)).toDouble) * (1.0 + mu(bandIdx) / 2048.0)
   }
 
   object Quant {
@@ -130,13 +134,14 @@ object Jp2Codec {
       * eps = BaseExp + gain (Mb = BaseExp + gain + 1, Delta unused);
       * irreversible at eps = Prec + gain + qShift, mu = 0 — a uniform
       * step 2^(-qShift) in sample units for every band. */
-    def uniform(levels: Int, irreversible: Boolean, qShift: Int): Quant = {
+    def uniform(levels: Int, irreversible: Boolean, qShift: Int,
+        prec: Int = Prec): Quant = {
       val n = 3 * levels + 1
       val gains = Vector.tabulate(n)(gainOf)
       if (irreversible)
-        Quant(LossyGuardBits, gains.map(g => Prec + g + qShift), Vector.fill(n)(0))
+        Quant(LossyGuardBits, gains.map(g => prec + g + qShift), Vector.fill(n)(0))
       else
-        Quant(GuardBits, gains.map(g => BaseExp + g), Vector.fill(n)(0))
+        Quant(GuardBits, gains.map(g => baseExp(prec) + g), Vector.fill(n)(0))
     }
     /** Table E-1 gain of QCD band index i: LL 0; HL/LH 1; HH 2. */
     def gainOf(i: Int): Int = if (i == 0) 0 else ((i - 1) % 3) match {
@@ -161,7 +166,7 @@ object Jp2Codec {
     * `delta` (sample units) for a band of the given gain — eps is the
     * unique exponent with 2^(Prec+gain-eps) <= delta < 2^(..+1), mu the
     * rounded 11-bit mantissa (rounding up to 2048 carries into eps). */
-  private def stepToEpsMu(delta: Double, gain: Int): (Int, Int) = {
+  private def stepToEpsMu(delta: Double, gain: Int, prec: Int = Prec): (Int, Int) = {
     require(delta > 0.0, s"non-positive step $delta")
     var e = math.floor(math.log(delta) / math.log(2.0)).toInt
     // guard against log rounding at exact powers of two
@@ -169,7 +174,7 @@ object Jp2Codec {
     if (math.pow(2.0, e.toDouble) > delta) e -= 1
     var mu = math.round((delta / math.pow(2.0, e.toDouble) - 1.0) * 2048.0).toInt
     if (mu == 2048) { mu = 0; e += 1 }
-    val eps = Prec + gain - e
+    val eps = prec + gain - e
     require(eps >= 1 && eps <= 31, s"quantizer exponent $eps out of QCD range for step $delta")
     (eps, mu)
   }
@@ -260,8 +265,10 @@ object Jp2Codec {
       precinctExp: Int = 15, sop: Boolean = false, eph: Boolean = false,
       quantMode: String = "uniform", blockStyle: Int = 0,
       chromaQShift: Int = NoChromaOverride, prog: Int = -1,
-      chromaLevels: Int = -1, tileQShifts: Seq[Int] = null): Array[Byte] = {
+      chromaLevels: Int = -1, tileQShifts: Seq[Int] = null,
+      bitDepth: Int = 8): Array[Byte] = {
     require(w > 0 && h > 0, "empty image")
+    require(bitDepth >= 8 && bitDepth <= 16, s"bitDepth $bitDepth out of 8..16")
     require(comps.length == 1 || comps.length == 3, "1 or 3 components")
     require(comps.forall(_.length == w * h), "component size mismatch")
     require(levels >= 0 && levels <= 5, "0..5 decomposition levels")
@@ -351,7 +358,7 @@ object Jp2Codec {
     u32(w.toLong); u32(h.toLong); u32(0); u32(0)
     u32(xt.toLong); u32(yt.toLong); u32(0); u32(0)
     u16(nc)
-    for (_ <- 0 until nc) { u8(7); u8(1); u8(1) } // 8-bit unsigned, no subsampling
+    for (_ <- 0 until nc) { u8(bitDepth - 1); u8(1); u8(1) } // unsigned, no subsampling
     // COD — Scod bit 0 flags explicit precinct sizes (one SPcod byte per
     // resolution, PPy<<4 | PPx), bits 1/2 flag SOP/EPH markers (A.6.1)
     val explicitPrec = precinctExp < 15
@@ -381,16 +388,16 @@ object Jp2Codec {
     //     exercises the mantissa arithmetic (step x1.5).
     val nBands = 3 * levels + 1
     val qspec: Quant = quantMode match {
-      case "uniform" => Quant.uniform(levels, irreversible, qShift)
+      case "uniform" => Quant.uniform(levels, irreversible, qShift, bitDepth)
       case "norms" =>
         val base = math.pow(2.0, -qShift.toDouble)
         val em = Vector.tabulate(nBands) { i =>
           val r = if (i == 0) 0 else (i - 1) / 3 + 1
           val ord = if (i == 0) 0 else (i - 1) % 3
-          stepToEpsMu(base / synthNorm(levels, r, ord), Quant.gainOf(i))
+          stepToEpsMu(base / synthNorm(levels, r, ord), Quant.gainOf(i), bitDepth)
         }
         Quant(LossyGuardBits, em.map(_._1), em.map(_._2))
-      case "derived" => Quant.derived(levels, LossyGuardBits, Prec + qShift, DerivedMu0)
+      case "derived" => Quant.derived(levels, LossyGuardBits, bitDepth + qShift, DerivedMu0)
     }
     if (irreversible) {
       val style = if (quantMode == "derived") 1 else 2
@@ -426,11 +433,11 @@ object Jp2Codec {
         if (irreversible) {
           val shift = if (chromaQShift == NoChromaOverride) qShift else chromaQShift
           Quant(LossyGuardBits,
-            Vector.tabulate(nb)(i => Prec + Quant.gainOf(i) + shift),
+            Vector.tabulate(nb)(i => bitDepth + Quant.gainOf(i) + shift),
             Vector.fill(nb)(0))
         } else
           Quant(GuardBits,
-            Vector.tabulate(nb)(i => BaseExp + Quant.gainOf(i)),
+            Vector.tabulate(nb)(i => baseExp(bitDepth) + Quant.gainOf(i)),
             Vector.fill(nb)(0))
       }
     if (chromaSpec != null) for (c <- 1 to 2) {
@@ -447,7 +454,7 @@ object Jp2Codec {
     // per-tile effective quantization: tile t's retune (or null = main)
     def tileSpec(t: Int): Quant =
       if (tileQShifts == null || tileQShifts(t) == qShift) null
-      else Quant.uniform(levels, irreversible = true, tileQShifts(t))
+      else Quant.uniform(levels, irreversible = true, tileQShifts(t), bitDepth)
     def qspecForTile(t: Int, c: Int): Quant = {
       val ts = tileSpec(t)
       if (ts != null) ts else qspecFor(c)
@@ -467,7 +474,7 @@ object Jp2Codec {
             var y = 0
             while (y < th) {
               var x = 0
-              while (x < tw) { a(y * tw + x) = src((y0 + y) * w + (x0 + x)) - 128; x += 1 }
+              while (x < tw) { a(y * tw + x) = src((y0 + y) * w + (x0 + x)) - (1 << (bitDepth - 1)); x += 1 }
               y += 1
             }
             a
@@ -481,7 +488,7 @@ object Jp2Codec {
             var y = 0
             while (y < th) {
               var x = 0
-              while (x < tw) { a(y * tw + x) = src((y0 + y) * w + (x0 + x)) - 128.0; x += 1 }
+              while (x < tw) { a(y * tw + x) = src((y0 + y) * w + (x0 + x)) - (1 << (bitDepth - 1)).toDouble; x += 1 }
               y += 1
             }
             a
@@ -496,7 +503,7 @@ object Jp2Codec {
             val cq = qspecForTile(t, c)
             val a = new Array[Int](d.length)
             for (r <- 0 to levelsOfC(c); (b, ord) <- bandsAt(tw, th, levelsOfC(c), r).zipWithIndex) {
-              val delta = cq.delta(bandIndex(r, ord), b.gain)
+              val delta = cq.delta(bandIndex(r, ord), b.gain, bitDepth)
               var y = 0
               while (y < b.h) {
                 var x = 0
@@ -622,12 +629,12 @@ object Jp2Codec {
       pp: Int = 15, sop: Boolean = false, eph: Boolean = false,
       quant: Quant = null, blockStyle: Int = 0,
       qcc: Map[Int, Quant] = Map.empty, prog: Int = RLCP,
-      coc: Map[Int, CompCoding] = Map.empty) {
+      coc: Map[Int, CompCoding] = Map.empty, prec: Int = 8) {
     def ntx: Int = ceilDiv(width, xt)
     def nty: Int = ceilDiv(height, yt)
     /** The quantization in force — a Header built without one (tests,
       * query staging) gets the uniform profile its qShift implies. */
-    def q: Quant = if (quant ne null) quant else Quant.uniform(levels, irreversible, qShift)
+    def q: Quant = if (quant ne null) quant else Quant.uniform(levels, irreversible, qShift, prec)
     /** Component c's quantization: its QCC override, else the QCD. */
     def qFor(c: Int): Quant = qcc.getOrElse(c, q)
     /** Component c's decomposition levels: its COC override, else COD's. */
@@ -1353,7 +1360,7 @@ object Jp2Codec {
       // new COC levels may invalidate the main quant sizing for this tile
       eff = eff.copy(qcc = resolveQuantSizing(hdr.nc, hdr.levels, eff.coc, eff.q,
         if (hdr.irreversible) 2 else 0, eff.qcc, hdr.irreversible, "tile-part header"))
-    eff.copy(qShift = if (hdr.irreversible) eff.qFor(0).eps(0) - Prec else 0)
+    eff.copy(qShift = if (hdr.irreversible) eff.qFor(0).eps(0) - hdr.prec else 0)
   }
 
   private def beU32(b: Array[Byte], i: Int): Long =
@@ -1418,6 +1425,7 @@ object Jp2Codec {
     var ppV = 15; var sopV = false; var ephV = false
     var blockStyleV = 0
     var progV = RLCP
+    var precV = 8
     // QCD is validated AFTER the loop: its per-band shape needs `levels`
     // and the transform, and the spec fixes no marker order within the
     // main header
@@ -1463,10 +1471,21 @@ object Jp2Codec {
               require(nc == 1 || nc == 3, s"unsupported component count $nc")
               require(b.length >= 36 + 3 * nc,
                 s"SIZ payload ${b.length} B lists $nc components but is too short for them")
+              // Ssiz: bit 7 flags SIGNED samples (rejected — the DC
+              // shift/clamp pipeline is unsigned); low bits = depth-1.
+              // 8..16-bit unsigned admitted since r18c, uniform across
+              // components (mixed depths would fork the RCT/clamp per
+              // component — typed rejection, not a real archival shape)
               for (c <- 0 until nc) {
-                require((b(36 + 3 * c) & 0xFF) == 7, "only 8-bit unsigned components")
+                val sb = b(36 + 3 * c) & 0xFF
+                require((sb & 0x80) == 0, "signed components not supported")
+                val d = (sb & 0x7F) + 1
+                require(d >= 8 && d <= 16, s"component depth $d out of 8..16 bits")
+                require(d == (b(36) & 0x7F) + 1,
+                  "mixed per-component bit depths not supported")
                 require(b(37 + 3 * c) == 1 && b(38 + 3 * c) == 1, "no subsampling")
               }
+              precV = (b(36) & 0x7F) + 1
             case 0xFF52 => // COD: Scod SGcod(prog layers mct) SPcod [+precincts]
               val b = body(10)
               val scod = b(0) & 0xFF
@@ -1572,9 +1591,9 @@ object Jp2Codec {
     // queries assert on; well-defined for every stream (it is simply
     // component 0's eps_LL - Prec), equal to the encoder's qShift on
     // uniform streams
-    val qShiftV = if (irrev) qccV.getOrElse(0, quantV).eps(0) - Prec else 0
+    val qShiftV = if (irrev) qccV.getOrElse(0, quantV).eps(0) - precV else 0
     val hdr = Header(w, h, nc, xt, yt, useRct, levels, layersV, irrev, qShiftV,
-      ppV, sopV, ephV, quantV, blockStyleV, qccV, progV, cocV)
+      ppV, sopV, ephV, quantV, blockStyleV, qccV, progV, cocV, precV)
     val maxL = (0 until nc).map(hdr.levelsFor).max
     require(hdr.ntx * hdr.nty == 1 || (xt % (1 << maxL) == 0 && yt % (1 << maxL) == 0),
       s"multi-tile grid with tile dims not multiples of 2^$maxL (absolute-" +
@@ -1780,7 +1799,7 @@ object Jp2Codec {
         val dep = if (quantDepth == null) null else quantDepth(c)
         val d = new Array[Double](q.length)
         for (r <- 0 to rlOf(c); (b, ord) <- bandsAt(rw, rh, rlOf(c), r).zipWithIndex) {
-          val delta = qspec.delta(bandIndex(r, ord), b.gain)
+          val delta = qspec.delta(bandIndex(r, ord), b.gain, hdr.prec)
           var y = 0
           while (y < b.h) {
             var x = 0
@@ -1800,13 +1819,14 @@ object Jp2Codec {
       }
       for ((d, c) <- ds.zipWithIndex) Dwt97.inverse(d, rw, rh, rlOf(c))
       if (hdr.useRct) Dwt97.ictInverse(ds(0), ds(1), ds(2))
+      val dc = 1 << (hdr.prec - 1); val maxV = (1 << hdr.prec) - 1
       var c = 0
       while (c < hdr.nc) {
         val d = ds(c); val a = tile(c)
         var i = 0
         while (i < a.length) {
-          val v = math.rint(d(i)).toInt + 128
-          a(i) = if (v < 0) 0 else if (v > 255) 255 else v
+          val v = math.rint(d(i)).toInt + dc
+          a(i) = if (v < 0) 0 else if (v > maxV) maxV else v
           i += 1
         }
         c += 1
@@ -1814,11 +1834,12 @@ object Jp2Codec {
     } else {
       for ((a, c) <- tile.zipWithIndex) Dwt53.inverse(a, rw, rh, rlOf(c))
       if (hdr.useRct) Dwt53.rctInverse(tile(0), tile(1), tile(2))
+      val dc = 1 << (hdr.prec - 1); val maxV = (1 << hdr.prec) - 1
       tile.foreach { a =>
         var i = 0
         while (i < a.length) {
-          val v = a(i) + 128
-          a(i) = if (v < 0) 0 else if (v > 255) 255 else v
+          val v = a(i) + dc
+          a(i) = if (v < 0) 0 else if (v > maxV) maxV else v
           i += 1
         }
       }

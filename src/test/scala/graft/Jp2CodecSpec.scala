@@ -1437,6 +1437,47 @@ class Jp2CodecSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(mpOut.comps(c), ref.comps(c)), s"mp c=$c")
   }
 
+  test("16-bit components (r18c): reversible bit-exact, lossy bounded, walkers unchanged") {
+    val (w, h) = (96, 70)
+    // 16-bit gray master — the deep-scan archival shape; values span
+    // the full unsigned range
+    val deep = Array(Array.tabulate(w * h)(j => (j * 523 + 11) % 65536))
+    val rev = Jp2Codec.encode(w, h, Array(deep(0)), levels = 3, tileSize = 64,
+      bitDepth = 16)
+    val hdr = Jp2Codec.header(rev)
+    assert(hdr.prec == 16)
+    assert(java.util.Arrays.equals(Jp2Codec.decode(rev).comps(0), deep(0)),
+      "16-bit reversible must round-trip bit-exactly")
+    // reduced walk: the PLT prefix machinery is depth-agnostic
+    val red = Jp2Codec.decodeReduced(rev, 2)
+    assert(red.width == 24 && red.height == 18)
+    // 16-bit RGB through the RCT, with layers + quality walk
+    val rgb = Array.tabulate(3)(c => Array.tabulate(w * h)(j => (j * (523 + 2 * c) + c) % 65536))
+    val rgbCs = Jp2Codec.encode(w, h, rgb, levels = 2, layers = 2, bitDepth = 16)
+    val out = Jp2Codec.decode(rgbCs)
+    for (c <- 0 until 3)
+      assert(java.util.Arrays.equals(out.comps(c), rgb(c)), s"rgb16 c=$c")
+    // lossy 16-bit: E.1.1 steps against Rb = 16 + gain; qShift -2 is a
+    // step of 4 SIXTEEN-BIT units — same relative shape as 8-bit
+    val lossy = Jp2Codec.encode(w, h, Array(deep(0)), levels = 3,
+      irreversible = true, qShift = -2, bitDepth = 16)
+    assert(Jp2Codec.header(lossy).prec == 16 &&
+      Jp2Codec.header(lossy).qShift == -2)
+    val lout = Jp2Codec.decode(lossy)
+    var maxE = 0
+    for (i <- 0 until w * h)
+      maxE = math.max(maxE, math.abs(lout.comps(0)(i) - deep(0)(i)))
+    assert(maxE <= 32, s"16-bit lossy step-4 max err $maxE out of the calibrated envelope")
+    // signed components stay rejected typed
+    val signedSiz = rev.clone()
+    // SOC(2) + SIZ marker(2) + Lsiz(2) + Rsiz(2) + 8 u32 + Csiz(2) = offset of Ssiz_0
+    val ssizAt = 2 + 2 + 2 + 2 + 32 + 2
+    assert((signedSiz(ssizAt) & 0xFF) == 15, "Ssiz byte aim")
+    signedSiz(ssizAt) = (0x80 | 15).toByte
+    val e = intercept[IllegalArgumentException](Jp2Codec.decode(signedSiz))
+    assert(e.getMessage.contains("signed"), e.getMessage)
+  }
+
   test("per-tile QCD retunes (r18b): each tile reconstructs at its own step; walkers ride the overrides") {
     val (w, h) = (128, 96)
     val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))

@@ -929,6 +929,38 @@ class Jp2HandFixtureSpec extends AnyFunSuite {
     assert(!e2.getMessage.contains("mid-segment"), e2.getMessage)
   }
 
+  // ------------------------------------------------------------------
+  // Fixture W — 16-BIT components (r18c): 2x2 gray, Ssiz = 15 (16-bit
+  // unsigned), levels 0. Pixel (0,0) = 32769: the DC shift is now
+  // 2^15 = 32768, so the coefficient block is the SAME lone +1 as
+  // fixture B — codeword [04] carries over verbatim (the MQ trace
+  // never sees the depth). What the depth changes is the QCD and the
+  // zbp arithmetic: the reversible exponent is prec + 5 = 21
+  // (signaled 21<<3 = 0xA8), mb = 21 + 2 - 1 = 22, zbp = 21 -> the
+  // zero-bitplane tree emits 21 zeros + 1. Header bits
+  //   1 1 (21 zeros) 1 0 0 001 -> C0 00 01 08.
+  // Expected pixels BY HAND: +1 un-shifts to 32769; the rest 32768.
+  // ------------------------------------------------------------------
+  test("hand fixture W: 16-bit stream shifts the DC and zbp arithmetic, not the MQ trace") {
+    val sizDeep = {
+      val b = siz(2, 2, 2, 2, 1).clone()
+      b(b.length - 3) = 15 // Ssiz: 16-bit unsigned
+      b
+    }
+    val qcd16 = bytes(0xFF, 0x5C, 0, 4, 2 << 5, 21 << 3)
+    val cs = SOC ++ sizDeep ++ cod(0, 1, 0, 0, 1) ++ qcd16 ++
+      tilePart(0, 0, 1, bytes(0xC0, 0x00, 0x01, 0x08, 0x04)) ++ EOC
+    val expected = Seq(Seq(32769, 32768, 32768, 32768))
+    assert(pixels(Jp2Codec.decode(cs)) == expected)
+    val hdr = Jp2Codec.header(cs)
+    assert(hdr.prec == 16 && hdr.q.eps == Vector(21))
+    val enc = Jp2Codec.encode(2, 2, Array(Array(32769, 32768, 32768, 32768)),
+      levels = 0, bitDepth = 16)
+    assert(enc.sameElements(cs), "16-bit encoder diverges from the hand-assembled stream")
+    assertFlipFails(cs, cs.length - 3, expected) // codeword byte
+    assertFlipFails(cs, cs.length - 5, expected) // zbp-tree header byte
+  }
+
   test("hand fixture I: hand-built JP2 container walks to jp2c") {
     val sig = bytes(0x00, 0x00, 0x00, 0x0C, 0x6A, 0x50, 0x20, 0x20, 0x0D, 0x0A, 0x87, 0x0A)
     val ftypLen = 8 + 4 + 4 + 4 // brand jp2\040, minor 0, compat jp2\040
