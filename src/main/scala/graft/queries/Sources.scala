@@ -1077,7 +1077,7 @@ object Sources {
 
   private val jp2Staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Synthesize 7 REAL JPEG 2000 files (staged once per JVM): RGB planes
+  /** Synthesize 8 REAL JPEG 2000 files (staged once per JVM): RGB planes
     * with index-determined per-channel patterns, compressed by the engine's
     * own spec-complete encoder ([[graft.sources.jp2.Jp2Codec]]: 5/3 DWT +
     * RCT + EBCOT + MQ + Tier-2 packets) and wrapped in a real JP2
@@ -1089,7 +1089,7 @@ object Sources {
   private[graft] def stageJp2s(): String =
     jp2Staged.computeIfAbsent("jp2s", { _ =>
       val dir = tmp("l5g_jp2")
-      (0 until 8).foreach { i =>
+      (0 until 9).foreach { i =>
         val w = 40 + (17 * i) % 113
         val h = 30 + (23 * i) % 89
         // file 7 (r18c) is a 16-BIT RGB master (Ssiz 15) — the deep
@@ -1115,12 +1115,22 @@ object Sources {
         // iterator runs distributed under the same closed-form oracle
         // — progressions re-ORDER the same packets, pixel sums are
         // order-invariant.
+        // file 8 (r19): PCRL — a position-major order — crossed with a
+        // 32-px tile grid (63x36 -> 2x2 tiles), 32-px precincts and 2
+        // layers: the B.12.1.3 position-major packet walk runs
+        // distributed under the closed-form oracle, and the byte-prefix
+        // REDUCED walk's typed rejection for it is pinned through l5i
         val cs = graft.sources.jp2.Jp2Codec.encode(
-          w, h, comps, tileSize = if (i % 2 == 1 || i == 6) 64 else 0,
+          w, h, comps,
+          tileSize = if (i == 8) 32 else if (i % 2 == 1 || i == 6) 64 else 0,
           layers = if (i % 3 == 2 || i == 6) 2 else 1,
           blockStyle = i match { case 4 => 0x20; case 5 => 0x2F; case _ => 0 },
-          precinctExp = if (i == 6) 5 else 15,
-          prog = if (i == 6) graft.sources.jp2.Jp2Codec.RPCL else -1,
+          precinctExp = if (i == 6 || i == 8) 5 else 15,
+          prog = i match {
+            case 6 => graft.sources.jp2.Jp2Codec.RPCL
+            case 8 => graft.sources.jp2.Jp2Codec.PCRL
+            case _ => -1
+          },
           bitDepth = if (i == 7) 16 else 8)
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$dir/scan_$i.jp2"),
@@ -1194,9 +1204,19 @@ object Sources {
             (0 until full.comps.length).forall(c =>
               java.util.Arrays.equals(d0.comps(c), full.comps(c))),
             s"$name: discard=0 reduced decode diverged from the full decode")
-          val thumb = graft.sources.jp2.Jp2Codec.decodeReduced(bytes, 2)
-          (name, full.width.toLong, full.height.toLong,
-            thumb.width.toLong, thumb.height.toLong)
+          // position-major streams (scan_8 is PCRL) have no low-res byte
+          // prefix: the reduced walk rejects them TYPED, and this query
+          // pins that contract through the oracle as (-1, -1) thumb dims
+          // — only the specific rejection is caught, anything else
+          // still fails the task loudly
+          val (tw, th) = try {
+            val thumb = graft.sources.jp2.Jp2Codec.decodeReduced(bytes, 2)
+            (thumb.width.toLong, thumb.height.toLong)
+          } catch {
+            case e: IllegalArgumentException
+                if e.getMessage.contains("not resolution-major") => (-1L, -1L)
+          }
+          (name, full.width.toLong, full.height.toLong, tw, th)
         }
       }
       .toDF("file_name", "width", "height", "thumb_w", "thumb_h")
@@ -1520,6 +1540,9 @@ object Sources {
         .select($"path", $"length").as[(String, Long)] // listing only: content never read
     ) { (p, fileLen, in) =>
         val (hdr, parts) = graft.sources.jp2.Jp2Codec.tilePartsQuality(in, keepLayers)
+        // same scalar-header caveat as l5n: the walker admits POC, the
+        // tuple below cannot carry it — typed guard over a wrong decode
+        require(hdr.poc.isEmpty, s"$p: POC stream in a scalar-header query path")
         val fetch = parts.map(_.fetchBytes).sum
         // the byte contract: header walk + first-layer ranges together
         // stay a fraction of the scan (the dropped refinement layers
@@ -1710,6 +1733,11 @@ object Sources {
         .select($"path", $"length").as[(String, Long)] // listing only: content never read
     ) { (p, fileLen, in) =>
         val (hdr, parts) = graft.sources.jp2.Jp2Codec.tilePartsRegion(in, cx0, cy0, cx1, cy1)
+        // the codec-level walkers admit POC, but THIS query ships the
+        // header as scalar columns (below) and a rebuilt Header would
+        // silently drop the POC volumes — reject loudly if a POC file
+        // ever lands in this corpus instead of decoding it wrong
+        require(hdr.poc.isEmpty, s"$p: POC stream in a scalar-header query path")
         val fetch = parts.map(_.fetchBytes).sum
         // precinct-granularity contract: header walk + kept packet ranges
         // stay under half the scan even though EVERY tile intersects the
@@ -1763,7 +1791,7 @@ object Sources {
 
   private val lossyJp2Staged = new java.util.concurrent.ConcurrentHashMap[String, (String, Map[String, Long])]()
 
-  /** Synthesize 7 LOSSY (9/7 + ICT + scalar quantization) JPEG 2000
+  /** Synthesize 9 LOSSY (9/7 + ICT + scalar quantization) JPEG 2000
     * scans (staged once per JVM) — the dominant profile of real archival
     * masters (visually-lossless derivatives) — mixing untiled/tiled,
     * 1/2 quality layers, 1/2 tile-parts AND (r17) the three spec QCD
@@ -1781,22 +1809,30 @@ object Sources {
     * main step 4, tiles 1-3 re-signaled via tile-part-0 QCD to steps
     * 2/1/8: the A.6.4 per-tile precedence running distributed) and
     * file 8 (COC chroma decomposition levels 1 under COD levels 3 with
-    * per-component QCC sizing — the A.6.2 shape). */
+    * per-component QCC sizing — the A.6.2 shape). r19 appends file 9:
+    * a main-header POC (A.6.6) on a tiled 2-layer master — layer 0
+    * delivered RLCP, then the refinement layer LRCP — the progression
+    * handoff rate-allocating encoders (Kakadu masters) signal POC for;
+    * the packet walk follows the POC volumes, not the COD order. */
   private[graft] def stageLossyJp2s(): (String, Map[String, Long]) =
     lossyJp2Staged.computeIfAbsent("lossy", { _ =>
       val dir = tmp("l5m_jp2")
-      val sizes = (0 until 9).map { i =>
+      val sizes = (0 until 10).map { i =>
         val (w, h) = (64 + (17 * i) % 97, 48 + (23 * i) % 89)
         val comps = lossyJp2Comps(w, h, i)
         val cs = graft.sources.jp2.Jp2Codec.encode(w, h, comps,
           tileSize = if (i % 2 == 1) 64 else 0,
-          layers = if (i == 2) 2 else 1,
+          layers = if (i == 2 || i == 9) 2 else 1,
           partsPerTile = if (i == 3) 2 else 1,
           irreversible = true, qShift = if (i == 5) 0 else -2,
           quantMode = i match { case 4 => "norms"; case 5 => "derived"; case _ => "uniform" },
           chromaQShift = if (i == 6) -3 else 99,
           tileQShifts = if (i == 7) Seq(-2, -1, 0, -3) else null,
-          chromaLevels = if (i == 8) 1 else -1)
+          chromaLevels = if (i == 8) 1 else -1,
+          poc = if (i == 9) Seq(
+            graft.sources.jp2.Jp2Codec.PocEntry(0, 0, 1, 4, 3, graft.sources.jp2.Jp2Codec.RLCP),
+            graft.sources.jp2.Jp2Codec.PocEntry(0, 0, 2, 4, 3, graft.sources.jp2.Jp2Codec.LRCP))
+          else Nil)
         val name = s"lossy_$i.jp2"
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$dir/$name"),
@@ -1859,6 +1895,11 @@ object Sources {
               hdr.levelsFor(1) == 1 && hdr.levelsFor(0) == 3 &&
               hdr.qcc.keySet == Set(1, 2) && hdr.qcc(1).eps.length == 4,
               s"$name: expected COC chroma levels 1 with per-component QCC, got $hdr")
+            case 9 => require(hdr.qShift == -2 && hdr.layers == 2 &&
+              hdr.poc == Seq(
+                graft.sources.jp2.Jp2Codec.PocEntry(0, 0, 1, 4, 3, graft.sources.jp2.Jp2Codec.RLCP),
+                graft.sources.jp2.Jp2Codec.PocEntry(0, 0, 2, 4, 3, graft.sources.jp2.Jp2Codec.LRCP)),
+              s"$name: expected the 2-volume POC master, got $hdr")
             case _ => require(hdr.qShift == -2, s"$name: expected qShift -2, got $hdr")
           }
           val img = graft.sources.jp2.Jp2Codec.decode(bytes)
@@ -2627,7 +2668,7 @@ object Sources {
     "l5g_jp2_decode" ->
       """WITH dims AS (
         |  SELECT i, 40 + (17*i) % 113 AS w, 30 + (23*i) % 89 AS h
-        |  FROM (SELECT unnest(generate_series(0, 6)) AS i)),
+        |  FROM (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 8]) AS i)),
         |px AS (
         |  SELECT i, w, h, unnest(generate_series(0, w*h - 1)) AS j FROM dims),
         |px16 AS (SELECT unnest(generate_series(0, 46*102 - 1)) AS j)
@@ -2652,14 +2693,17 @@ object Sources {
         |  CAST(SUM(((j % 384) * 9 + (j // 384) * 11 + 29) % 256) AS BIGINT) AS sum_c1,
         |  CAST(SUM(((j % 384) * 11 + (j // 384) * 11 + 58) % 256) AS BIGINT) AS sum_c2
         |FROM px""".stripMargin,
+    // scan_8 (PCRL) carries (-1, -1) thumb dims: the byte-prefix reduced
+    // walk is a TYPED rejection for position-major orders, and the
+    // oracle pins the rejection (not just the happy path)
     "l5i_jp2_thumbnail" ->
       """WITH dims AS (
         |  SELECT i, 40 + (17*i) % 113 AS w, 30 + (23*i) % 89 AS h
-        |  FROM (SELECT unnest(generate_series(0, 7)) AS i))
+        |  FROM (SELECT unnest(generate_series(0, 8)) AS i))
         |SELECT 'scan_' || i || '.jp2' AS file_name,
         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-        |  CAST((w + 3) // 4 AS BIGINT) AS thumb_w,
-        |  CAST((h + 3) // 4 AS BIGINT) AS thumb_h
+        |  CAST(CASE WHEN i = 8 THEN -1 ELSE (w + 3) // 4 END AS BIGINT) AS thumb_w,
+        |  CAST(CASE WHEN i = 8 THEN -1 ELSE (h + 3) // 4 END AS BIGINT) AS thumb_h
         |FROM dims""".stripMargin,
     // the sum_c* columns are PIXEL-dependent: the d=2 thumbnail of a 5/3
     // lossless stream is deterministic integer arithmetic (not SQL-
@@ -2742,7 +2786,9 @@ object Sources {
         |('lossy_7.jp2', CAST(86 AS BIGINT), CAST(120 AS BIGINT),
         |  CAST(39 AS BIGINT), CAST(2465342 AS BIGINT), false),
         |('lossy_8.jp2', CAST(103 AS BIGINT), CAST(54 AS BIGINT),
-        |  CAST(14 AS BIGINT), CAST(2610511 AS BIGINT), true)
+        |  CAST(14 AS BIGINT), CAST(2610511 AS BIGINT), true),
+        |('lossy_9.jp2', CAST(120 AS BIGINT), CAST(77 AS BIGINT),
+        |  CAST(20 AS BIGINT), CAST(3238239 AS BIGINT), true)
         |) AS t(file_name, width, height, max_err, mean_err_ppm,
         |       smaller_than_lossless)""".stripMargin,
     "l5_multimodal_decode" ->

@@ -88,14 +88,23 @@ object Jp2Box {
     None
   }
 
-  /** Component count (Csiz) from a raw codestream's SIZ segment; None
-    * when the bytes don't start with SOC or SIZ never arrives. */
-  private def parseNc(b: Array[Byte]): Option[Int] = {
+  /** Component count (Csiz) and per-component Ssiz bytes from a raw
+    * codestream's SIZ segment; None when the bytes don't start with SOC
+    * or SIZ never arrives. Ssiz carries depth-1 in bits 0..6 and the
+    * signed flag in bit 7 — exactly the encoding ihdr BPC / bpcc reuse
+    * (ISO/IEC 15444-1 I.5.3.1), so the values pass through unchanged. */
+  private def parseSiz(b: Array[Byte]): Option[(Int, Seq[Int])] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0x4f) return None
     var i = 2
     while (i + 4 <= b.length && (b(i) & 0xff) == 0xff) {
-      if ((b(i + 1) & 0xff) == 0x51) // SIZ: Csiz is 34 bytes past Lsiz
-        return if (i + 40 <= b.length) Some(be16(b, i + 38)) else None
+      if ((b(i + 1) & 0xff) == 0x51) { // SIZ: Csiz is 34 bytes past Lsiz
+        if (i + 40 > b.length) return None
+        val nc = be16(b, i + 38)
+        // per-component triplets (Ssiz, XRsiz, YRsiz) follow Csiz
+        if (i + 40 + 3 * nc > b.length) return None
+        val ssiz = (0 until nc).map(c => b(i + 40 + 3 * c) & 0xff)
+        return Some((nc, ssiz))
+      }
       i += 2 + be16(b, i + 2)
     }
     None
@@ -104,12 +113,16 @@ object Jp2Box {
   /** Build a header-true JP2 container: real signature/ftyp/jp2h/ihdr
     * boxes around the jp2c payload. The payload may be a real codestream
     * (e.g. from [[graft.sources.jp2.Jp2Codec.encode]]) — then the ihdr
-    * component count is read from its SIZ so container and codestream
-    * can never disagree — or opaque bytes (header-only fixtures for
-    * tests and docs), which default to 3 components. */
+    * component count AND bit depth are read from its SIZ so container
+    * and codestream can never disagree (I.5.3.1: ihdr BPC must equal the
+    * SIZ Ssiz, or be 0xFF with a bpcc box when components differ) — or
+    * opaque bytes (header-only fixtures for tests and docs), which
+    * default to 3 components of 8-bit unsigned. */
   def buildContainer(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
     require(width > 0 && height > 0)
-    val nc = parseNc(payload).getOrElse(3)
+    val (nc, ssiz) = parseSiz(payload).getOrElse((3, Seq(7, 7, 7)))
+    val uniform = ssiz.distinct.size == 1
+    val bpc = if (uniform) ssiz.head else 0xff
     val out = new java.io.ByteArrayOutputStream()
     def u32(v: Long): Unit = {
       out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
@@ -120,13 +133,18 @@ object Jp2Box {
     u32(12L); ascii("jP  "); u32(0x0d0a870aL)
     // ftyp box: brand jp2, minor 0, compatible jp2
     u32(20L); ascii("ftyp"); ascii("jp2 "); u32(0L); ascii("jp2 ")
-    // jp2h superbox: one ihdr child (8 + 22)
-    u32(30L); ascii("jp2h")
+    // jp2h superbox: one ihdr child (8 + 22), plus a bpcc child when
+    // component depths differ and ihdr BPC must signal 0xFF
+    val bpccLen = if (uniform) 0 else 8 + nc
+    u32(30L + bpccLen); ascii("jp2h")
     u32(22L); ascii("ihdr"); u32(height.toLong); u32(width.toLong)
     out.write((nc >> 8) & 0xff); out.write(nc & 0xff) // nc from SIZ (or 3)
-    out.write(7) // bpc = 8-bit unsigned
+    out.write(bpc) // BPC: Ssiz passthrough (depth-1, bit 7 = signed)
     out.write(7) // compression type (wavelet)
     out.write(0); out.write(0) // unkC, IPR
+    if (!uniform) {
+      u32(8L + nc); ascii("bpcc"); ssiz.foreach(out.write)
+    }
     // jp2c box with the opaque payload
     u32(8L + payload.length); ascii("jp2c"); out.write(payload)
     out.toByteArray

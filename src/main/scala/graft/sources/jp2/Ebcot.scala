@@ -21,8 +21,11 @@ package graft.sources.jp2
   * sequence of terminated SEGMENTS with a layout ([[segmentEnds]])
   * both codec sides compute from (numbps, opts); Tier-2 signals one
   * length per segment. Only predictable termination (0x10) stays
-  * outside the profile (it changes the flush arithmetic) and is
-  * rejected at the COD parse.
+  * outside the ENCODER's profile (it changes the flush arithmetic) and
+  * is rejected at encode ([[graft.sources.jp2.Jp2Codec.encode]]); on
+  * DECODE it is tolerated since r17 — a predictably-terminated foreign
+  * stream decodes identically because the decoder never depends on the
+  * flush style (hand fixture U pins this).
   *
   * Encoder and decoder are exact mirrors; [[Jp2CodecSpec]] round-trips
   * random blocks through both.

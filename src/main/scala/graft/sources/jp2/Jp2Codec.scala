@@ -266,7 +266,7 @@ object Jp2Codec {
       quantMode: String = "uniform", blockStyle: Int = 0,
       chromaQShift: Int = NoChromaOverride, prog: Int = -1,
       chromaLevels: Int = -1, tileQShifts: Seq[Int] = null,
-      bitDepth: Int = 8): Array[Byte] = {
+      bitDepth: Int = 8, poc: Seq[PocEntry] = Nil): Array[Byte] = {
     require(w > 0 && h > 0, "empty image")
     require(bitDepth >= 8 && bitDepth <= 16, s"bitDepth $bitDepth out of 8..16")
     require(comps.length == 1 || comps.length == 3, "1 or 3 components")
@@ -315,6 +315,19 @@ object Jp2Codec {
     // the resolution-boundary tile-part split needs resolution outermost
     require(partsPerTile == 1 || resMajor(progV, layers),
       s"partsPerTile $partsPerTile needs a resolution-major progression (got $progV)")
+    // poc (r19): emit a main-header POC whose progression volumes drive
+    // the packet sequence (the COD's order is then overridden, A.6.6).
+    // The emission [[packetOrder]] itself rejects a POC that fails to
+    // cover every packet, so an incomplete spec dies typed at encode.
+    require(poc.isEmpty || partsPerTile == 1,
+      "POC with partsPerTile > 1 not supported (the resolution-boundary split needs one global resolution-major order)")
+    for ((e, i) <- poc.zipWithIndex) {
+      require(e.prog >= LRCP && e.prog <= CPRL, s"poc entry $i: progression ${e.prog} not in 0..4")
+      require(e.rs >= 0 && e.rs < e.re && e.re <= 33, s"poc entry $i: resolutions [${e.rs}, ${e.re}) invalid")
+      require(e.cs >= 0 && e.cs < e.ce && e.cs < comps.length && e.ce <= 255,
+        s"poc entry $i: components [${e.cs}, ${e.ce}) invalid for ${comps.length} components")
+      require(e.lye >= 1 && e.lye <= 65535, s"poc entry $i: layer bound ${e.lye} out of 1..65535")
+    }
     // chromaLevels (r18b): give the two chroma components a SHALLOWER
     // decomposition pyramid, signaled by main-header COC markers with
     // per-component QCC (the sizing rule: a COC'd component's band
@@ -450,6 +463,12 @@ object Jp2Codec {
         for (i <- 0 until nb) u8(chromaSpec.eps(i) << 3)
       }
     }
+    // POC (A.6.6, r19): RSpoc CSpoc LYEpoc(2) REpoc CEpoc Ppoc per
+    // entry (1-byte component form, Csiz < 257 always holds here)
+    if (poc.nonEmpty) {
+      u16(0xFF5F); u16(2 + 7 * poc.length)
+      for (e <- poc) { u8(e.rs); u8(e.cs); u16(e.lye); u8(e.re); u8(e.ce); u8(e.prog) }
+    }
     def qspecFor(c: Int): Quant = if (chromaSpec != null && c > 0) chromaSpec else qspec
     // per-tile effective quantization: tile t's retune (or null = main)
     def tileSpec(t: Int): Quant =
@@ -532,7 +551,7 @@ object Jp2Codec {
       val encs = Array.tabulate(nc)(c => Array.tabulate(levelsOfC(c) + 1)(r =>
         new ResEncoder(planes(c), tw, th, levelsOfC(c), r, layers,
           qspecForTile(t, c), x0, y0, precinctExp, blockStyle)))
-      val order = packetOrder(progV, layers, nc, levelsOfC _, tw, th, x0, y0, precinctExp)
+      val order = packetOrder(progV, layers, nc, levelsOfC _, tw, th, x0, y0, precinctExp, poc)
       var nsop = 0
       val emitted: IndexedSeq[Array[Byte]] = order.map { k =>
         val pkt = encs(k.c)(k.r).encodeLayer(k.l, k.p, eph)
@@ -623,13 +642,23 @@ object Jp2Codec {
     * typed at parse. */
   final case class CompCoding(levels: Int, blockStyle: Int)
 
+  /** One POC progression volume (A.6.6, Table A-32): packets of
+    * resolutions [rs, re), components [cs, ce), layers [0, lye) follow
+    * progression `prog`, each entry claiming only packets no earlier
+    * entry already emitted (B.12.1.7's "not previously included"). The
+    * marker overrides the COD's progression outright — real encoders
+    * (rate-allocated Kakadu masters) emit it when the allocation
+    * changes progression mid-stream. */
+  final case class PocEntry(rs: Int, cs: Int, lye: Int, re: Int, ce: Int, prog: Int)
+
   final case class Header(width: Int, height: Int, nc: Int, xt: Int, yt: Int,
       useRct: Boolean, levels: Int, layers: Int = 1,
       irreversible: Boolean = false, qShift: Int = 0,
       pp: Int = 15, sop: Boolean = false, eph: Boolean = false,
       quant: Quant = null, blockStyle: Int = 0,
       qcc: Map[Int, Quant] = Map.empty, prog: Int = RLCP,
-      coc: Map[Int, CompCoding] = Map.empty, prec: Int = 8) {
+      coc: Map[Int, CompCoding] = Map.empty, prec: Int = 8,
+      poc: Seq[PocEntry] = Nil) {
     def ntx: Int = ceilDiv(width, xt)
     def nty: Int = ceilDiv(height, yt)
     /** The quantization in force — a Header built without one (tests,
@@ -851,6 +880,12 @@ object Jp2Codec {
     // (distinct from whole-file decode, which admits all five orders)
     require(resMajor(hdr.prog, hdr.layers),
       s"progression order ${hdr.prog} is not resolution-major: the ranged reduced-resolution walk needs RLCP/RPCL (or 1-layer LRCP); whole-file decode still admits this stream")
+    // POC replaces the global order with per-volume progressions, so no
+    // byte prefix holds the kept resolutions — RANGED-use rejection
+    // (the ranged QUALITY/REGION walkers, which keep packets by ranges
+    // from [[packetOrder]], admit POC)
+    require(hdr.poc.isEmpty,
+      "POC (progression order change): the ranged reduced-resolution walk is unsupported (kept packets are not a byte prefix); whole-file decode still admits this stream")
     // same prefix argument per component: a COC'd component's own top
     // resolutions sit INSIDE lower global groups, so the kept set is
     // not a byte prefix — RANGED-use rejection, whole-file decode fine
@@ -877,6 +912,8 @@ object Jp2Codec {
         val eff = applyTileOverrides(hdr, th)
         require(resMajor(eff.prog, eff.layers),
           s"tile ${s.index}: effective progression order ${eff.prog} is not resolution-major — ranged reduced walk unsupported")
+        require(eff.poc.isEmpty,
+          s"tile ${s.index}: POC in effect — ranged reduced walk unsupported")
         require(eff.uniformLevels,
           s"tile ${s.index}: per-component COC levels — ranged reduced walk unsupported")
         keepTarget(s.index) = packetsPerRes(eff, s.index).take(eff.levels - discard + 1).sum
@@ -1224,8 +1261,10 @@ object Jp2Codec {
     * [[applyTileOverrides]]). */
   private[jp2] final case class TileHead(bodyStart: Long, plt: Array[Int],
       cod: Option[Array[Byte]], coc: Seq[Array[Byte]],
-      qcd: Option[Array[Byte]], qcc: Seq[Array[Byte]]) {
-    def hasOverrides: Boolean = cod.nonEmpty || coc.nonEmpty || qcd.nonEmpty || qcc.nonEmpty
+      qcd: Option[Array[Byte]], qcc: Seq[Array[Byte]],
+      poc: Option[Array[Byte]] = None) {
+    def hasOverrides: Boolean =
+      cod.nonEmpty || coc.nonEmpty || qcd.nonEmpty || qcc.nonEmpty || poc.nonEmpty
   }
 
   /** Walk the tile-part header segments between the 12-byte SOT and SOD.
@@ -1238,6 +1277,7 @@ object Jp2Codec {
     var lens: Array[Int] = null
     var codB: Option[Array[Byte]] = None
     var qcdB: Option[Array[Byte]] = None
+    var pocB: Option[Array[Byte]] = None
     val cocB = ArrayBuffer.empty[Array[Byte]]
     val qccB = ArrayBuffer.empty[Array[Byte]]
     var marker = readU16(in, p)
@@ -1272,6 +1312,9 @@ object Jp2Codec {
           require(qcdB.isEmpty, "duplicate tile-part QCD")
           qcdB = Some(seg(1))
         case 0xFF5D => qccB += seg(2)
+        case 0xFF5F => // POC (r19): tile progression override, stashed
+          require(pocB.isEmpty, "duplicate tile-part POC")
+          pocB = Some(seg(7))
         case 0xFF64 => () // COM: informational, skip
         case m => throw new IllegalArgumentException(
           f"tile-part header marker $m%04x not supported")
@@ -1279,7 +1322,7 @@ object Jp2Codec {
       p += 2 + lseg
       marker = readU16(in, p)
     }
-    TileHead(p + 2, lens, codB, cocB.toSeq, qcdB, qccB.toSeq)
+    TileHead(p + 2, lens, codB, cocB.toSeq, qcdB, qccB.toSeq, pocB)
   }
 
   /** Resolve one tile's EFFECTIVE header from the main header and its
@@ -1356,10 +1399,18 @@ object Jp2Codec {
       val qccEff = resolveQuantSizing(hdr.nc, hdr.levels, eff.coc, baseQ, baseStyle,
         qccBase ++ tileQcc, hdr.irreversible, "tile-part header")
       eff = eff.copy(quant = baseQ, qcc = qccEff)
-    } else if (tileCoc.nonEmpty)
-      // new COC levels may invalidate the main quant sizing for this tile
+    } else if (th.cod.nonEmpty || tileCoc.nonEmpty)
+      // the effective coc map changed (a tile COD clears main COCs, a
+      // tile COC re-levels a component) with no tile quant markers to
+      // re-signal sizing — main quant entries may now be sized for the
+      // wrong pyramid depth; re-validate instead of indexing past an
+      // eps vector at decode
       eff = eff.copy(qcc = resolveQuantSizing(hdr.nc, hdr.levels, eff.coc, eff.q,
         if (hdr.irreversible) 2 else 0, eff.qcc, hdr.irreversible, "tile-part header"))
+    // tile POC (A.6.6): a tile-part POC REPLACES the main header's POC
+    // (and the COD progression) for this tile's packet sequence
+    for (b <- th.poc)
+      eff = eff.copy(poc = parsePocBody(b, hdr.nc, "tile-part header"))
     eff.copy(qShift = if (hdr.irreversible) eff.qFor(0).eps(0) - hdr.prec else 0)
   }
 
@@ -1430,6 +1481,7 @@ object Jp2Codec {
     // and the transform, and the spec fixes no marker order within the
     // main header
     var qcdBody: Array[Byte] = null
+    var pocBody: Array[Byte] = null
     val qccBodies = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     val cocBodies = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var pos = start + 2
@@ -1555,6 +1607,9 @@ object Jp2Codec {
               qcdBody = body(1)
             case 0xFF5D => // QCC (r17) — per-component override, stashed too
               qccBodies += body(2)
+            case 0xFF5F => // POC (r19) — progression order change, stashed
+              require(pocBody == null, "duplicate POC in main header (A.6.6)")
+              pocBody = body(7)
             case mm if SkippableMainMarkers(mm) => () // informational, skip by length
             case mm => throw new IllegalArgumentException(
               f"main header marker $mm%04x not supported")
@@ -1592,8 +1647,9 @@ object Jp2Codec {
     // component 0's eps_LL - Prec), equal to the encoder's qShift on
     // uniform streams
     val qShiftV = if (irrev) qccV.getOrElse(0, quantV).eps(0) - precV else 0
+    val pocV = if (pocBody == null) Nil else parsePocBody(pocBody, nc, "main header")
     val hdr = Header(w, h, nc, xt, yt, useRct, levels, layersV, irrev, qShiftV,
-      ppV, sopV, ephV, quantV, blockStyleV, qccV, progV, cocV, precV)
+      ppV, sopV, ephV, quantV, blockStyleV, qccV, progV, cocV, precV, pocV)
     val maxL = (0 until nc).map(hdr.levelsFor).max
     require(hdr.ntx * hdr.nty == 1 || (xt % (1 << maxL) == 0 && yt % (1 << maxL) == 0),
       s"multi-tile grid with tile dims not multiples of 2^$maxL (absolute-" +
@@ -1650,6 +1706,34 @@ object Jp2Codec {
     * style; code-block size, transform and precinct shape must match
     * the COD (typed rejections — the packet geometry the ranged
     * walkers share would otherwise fork per component). */
+  /** Parse a POC segment body (A.6.6, Table A-32): 7 bytes per entry
+    * with Csiz < 257 — RSpoc(1) CSpoc(1) LYEpoc(2) REpoc(1) CEpoc(1)
+    * Ppoc(1). Validation is the spec's own loop bounds: the B.12.1.7
+    * iterations clamp REpoc/CEpoc to what exists (so an REpoc of 33
+    * over a 5-level stream is legal and means "all"), but an EMPTY
+    * volume or a backwards range is an authoring error — rejected.
+    * CEpoc = 0 means 256 in the 1-byte form; with Csiz <= 3 here it is
+    * out of range either way. */
+  private def parsePocBody(b: Array[Byte], nc: Int, what: String): Seq[PocEntry] = {
+    require(b.length % 7 == 0 && b.length >= 7,
+      s"$what POC payload ${b.length} B is not a positive multiple of 7 (one-byte component form)")
+    (0 until b.length / 7).map { i =>
+      val o = i * 7
+      val rs = b(o) & 0xFF
+      val cs = b(o + 1) & 0xFF
+      val lye = beU16(b, o + 2)
+      val re = b(o + 4) & 0xFF
+      val ce0 = b(o + 5) & 0xFF
+      val ce = if (ce0 == 0) 256 else ce0
+      val pr = b(o + 6) & 0xFF
+      require(pr >= LRCP && pr <= CPRL, s"$what POC entry $i progression $pr not supported")
+      require(rs < re && re <= 33, s"$what POC entry $i resolutions [$rs, $re) invalid")
+      require(cs < ce && cs < nc, s"$what POC entry $i components [$cs, $ce) empty for Csiz $nc")
+      require(lye >= 1, s"$what POC entry $i: zero layers")
+      PocEntry(rs, cs, lye, re, ce, pr)
+    }
+  }
+
   private def parseCocBody(b: Array[Byte], nc: Int, codPp: Int,
       codIrrev: Boolean): (Int, CompCoding) = {
     val c = b(0) & 0xFF
@@ -1697,6 +1781,14 @@ object Jp2Codec {
     var out = qcc
     for (c <- 0 until nc) {
       val lc = coc.get(c).map(_.levels).getOrElse(codLevels)
+      // a quant entry sized for a different pyramid depth (e.g. a main
+      // QCC surviving a tile COD that cleared the main COCs) would index
+      // past its eps vector at decode — typed rejection, never an IOOBE
+      out.get(c).foreach { q =>
+        require(q.eps.length == 3 * lc + 1,
+          s"$what: component $c QCC signals ${(q.eps.length - 1) / 3} decomposition levels " +
+            s"but the effective coding signals $lc — needs a re-signaled QCC")
+      }
       if (lc != codLevels && !out.contains(c)) {
         if (irrev && qcdStyle == 1)
           out += c -> Quant.derived(lc, quant.guard, quant.eps(0), quant.mu(0))
@@ -1757,6 +1849,12 @@ object Jp2Codec {
     // error (the ranged walker has its own)
     require(discard == 0 || resMajor(hdr.prog, hdr.layers),
       s"progression order ${hdr.prog} is not resolution-major: reduced (discard > 0) decode needs RLCP/RPCL (or 1-layer LRCP)")
+    // a POC stream's packet sequence follows its progression volumes,
+    // not one global order — the byte-prefix argument above has no
+    // analogue, so reduced decode is a typed RANGED-style rejection
+    // while whole-file decode (discard 0) admits POC
+    require(discard == 0 || hdr.poc.isEmpty,
+      "POC (progression order change): reduced (discard > 0) decode unsupported — the kept packets are not a byte prefix; whole-file decode admits this stream")
     // packet walk in the header's progression order — the SAME
     // [[packetOrder]] sequence the encoder emitted and the ranged
     // walkers kept, filtered identically (layers beyond `keep` and
@@ -1769,7 +1867,7 @@ object Jp2Codec {
       new ResDecoder(rw, rh, rlOf(c), r,
         hdr.qFor(c), rx0, ry0, hdr.pp, hdr.sop, hdr.eph, hdr.tier1StyleFor(c))))
     var p = 0
-    for (pkt <- packetOrder(hdr.prog, hdr.layers, hdr.nc, rlOf _, rw, rh, rx0, ry0, hdr.pp)) {
+    for (pkt <- packetOrder(hdr.prog, hdr.layers, hdr.nc, rlOf _, rw, rh, rx0, ry0, hdr.pp, hdr.poc)) {
       if (pkt.l < keep && (keepPrec == null || keepPrec(pkt.r, pkt.c, pkt.p))) {
         require(p < body.length,
           s"tile $isot body exhausted at packet (r=${pkt.r},l=${pkt.l},c=${pkt.c},p=${pkt.p}) — missing tile-part slices?")
@@ -1901,8 +1999,10 @@ object Jp2Codec {
     * grid/position scaling comes from its own level count — exactly
     * B.12.1's per-component N_L. */
   private[jp2] def packetOrder(prog: Int, layers: Int, nc: Int, levelsOf: Int => Int,
-      tw: Int, th: Int, atx: Int, aty: Int, pp: Int): IndexedSeq[PktRef] = {
-    require(prog >= LRCP && prog <= CPRL, s"progression order $prog not supported")
+      tw: Int, th: Int, atx: Int, aty: Int, pp: Int,
+      poc: Seq[PocEntry] = Nil): IndexedSeq[PktRef] = {
+    require(poc.nonEmpty || (prog >= LRCP && prog <= CPRL),
+      s"progression order $prog not supported")
     val entries = ArrayBuffer.empty[(PktRef, Long, Long)] // pkt, posY, posX
     for (c <- 0 until nc; r <- 0 to levelsOf(c)) {
       val g = precGrid(tw, th, levelsOf(c), r, atx, aty, pp)
@@ -1914,14 +2014,35 @@ object Jp2Codec {
           entries += ((PktRef(r, l, c, p), py, px))
       }
     }
-    val keyed = prog match {
-      case LRCP => entries.sortBy { case (k, _, _) => (k.l.toLong, k.r.toLong, k.c.toLong, k.p.toLong, 0L) }
-      case RLCP => entries.sortBy { case (k, _, _) => (k.r.toLong, k.l.toLong, k.c.toLong, k.p.toLong, 0L) }
-      case RPCL => entries.sortBy { case (k, y, x) => (k.r.toLong, y, x, k.c.toLong, k.l.toLong) }
-      case PCRL => entries.sortBy { case (k, y, x) => (y, x, k.c.toLong, k.r.toLong, k.l.toLong) }
-      case CPRL => entries.sortBy { case (k, y, x) => (k.c.toLong, y, x, k.r.toLong, k.l.toLong) }
+    def sortedBy(es: ArrayBuffer[(PktRef, Long, Long)], p: Int) = p match {
+      case LRCP => es.sortBy { case (k, _, _) => (k.l.toLong, k.r.toLong, k.c.toLong, k.p.toLong, 0L) }
+      case RLCP => es.sortBy { case (k, _, _) => (k.r.toLong, k.l.toLong, k.c.toLong, k.p.toLong, 0L) }
+      case RPCL => es.sortBy { case (k, y, x) => (k.r.toLong, y, x, k.c.toLong, k.l.toLong) }
+      case PCRL => es.sortBy { case (k, y, x) => (y, x, k.c.toLong, k.r.toLong, k.l.toLong) }
+      case CPRL => es.sortBy { case (k, y, x) => (k.c.toLong, y, x, k.r.toLong, k.l.toLong) }
     }
-    keyed.map(_._1).toIndexedSeq
+    if (poc.isEmpty) sortedBy(entries, prog).map(_._1).toIndexedSeq
+    else {
+      // POC (A.6.6 / B.12.1.7): the entries apply IN ORDER, each one
+      // iterating its own progression over its volume — resolutions
+      // [rs, re), components [cs, ce), layers [0, lye), bounds clamped
+      // to what exists — and claiming only packets no earlier entry
+      // already emitted. A POC that leaves packets unclaimed describes
+      // a codestream whose tail order is UNDEFINED for this decoder —
+      // typed rejection, never a guess.
+      val out = ArrayBuffer.empty[PktRef]
+      val seen = scala.collection.mutable.HashSet.empty[PktRef]
+      for (e <- poc) {
+        val vol = entries.filter { case (k, _, _) =>
+          k.r >= e.rs && k.r < e.re && k.c >= e.cs && k.c < e.ce &&
+            k.l < e.lye && !seen(k)
+        }
+        for ((k, _, _) <- sortedBy(vol, e.prog)) { out += k; seen += k }
+      }
+      require(seen.size == entries.size,
+        s"POC progression volumes cover ${seen.size} of ${entries.size} packets — incomplete POC not supported")
+      out.toIndexedSeq
+    }
   }
 
   /** [[packetOrder]] for tile `tIdx` under the header's own profile —
@@ -1929,7 +2050,7 @@ object Jp2Codec {
   private[jp2] def packetOrder(hdr: Header, tIdx: Int): IndexedSeq[PktRef] = {
     val x0 = (tIdx % hdr.ntx) * hdr.xt; val y0 = (tIdx / hdr.ntx) * hdr.yt
     val tw = math.min(hdr.xt, hdr.width - x0); val th = math.min(hdr.yt, hdr.height - y0)
-    packetOrder(hdr.prog, hdr.layers, hdr.nc, hdr.levelsFor _, tw, th, x0, y0, hdr.pp)
+    packetOrder(hdr.prog, hdr.layers, hdr.nc, hdr.levelsFor _, tw, th, x0, y0, hdr.pp, hdr.poc)
   }
 
   /** Precinct grid of one (tile, resolution) — ISO 15444-1 B.6: precincts

@@ -682,6 +682,73 @@ class Jp2CodecSpec extends AnyFunSuite {
     assert(Jp2Codec.decode(c3).comps.length == 3)
   }
 
+  test("buildContainer ihdr BPC follows the codestream's SIZ Ssiz") {
+    // ihdr BPC must equal the SIZ Ssiz (I.5.3.1) — 8-bit writes 7,
+    // 16-bit writes 15; a container disagreeing with its codestream
+    // would hand conformant external decoders the wrong depth
+    def ihdrBpc(b: Array[Byte]): Int = b(58) & 0xFF // right after the 2-byte NC
+    val p8 = Array(pattern(40, 30, 9))
+    val c8 = Jp2Box.buildContainer(40, 30, Jp2Codec.encode(40, 30, p8))
+    assert(ihdrBpc(c8) == 7)
+    val p16 = Array(Array.tabulate(40 * 30)(i => (i * 257) % 65536))
+    val cs16 = Jp2Codec.encode(40, 30, p16, bitDepth = 16)
+    val c16 = Jp2Box.buildContainer(40, 30, cs16)
+    assert(ihdrBpc(c16) == 15)
+    val d16 = Jp2Codec.decode(c16)
+    assert(d16.comps(0).sameElements(p16(0)))
+    // opaque payload (no SIZ): the documented 3-component 8-bit default
+    val fix = Jp2Box.buildContainer(4, 4, Array.fill(10)(0x5a.toByte))
+    assert(ihdrBpc(fix) == 7)
+  }
+
+  test("POC round-trips losslessly; volumes drive the walk; ranged reduced rejects typed") {
+    import Jp2Codec.PocEntry
+    val (w, h) = (130, 97)
+    val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))
+    // two real-corpus shapes: a rate-allocation change (layer-bounded
+    // first volume) and a resolution handoff RLCP -> LRCP
+    val pocs = Seq(
+      Seq(PocEntry(0, 0, 1, 4, 3, Jp2Codec.RLCP), PocEntry(0, 0, 2, 4, 3, Jp2Codec.LRCP)),
+      Seq(PocEntry(0, 0, 2, 2, 3, Jp2Codec.RLCP), PocEntry(2, 0, 2, 4, 3, Jp2Codec.LRCP)))
+    for (poc <- pocs; tile <- Seq(0, 64)) {
+      val cs = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = tile,
+        layers = 2, poc = poc)
+      val hdr = Jp2Codec.header(cs)
+      assert(hdr.poc == poc, "POC must survive the marker round-trip")
+      val img = Jp2Codec.decode(cs)
+      for (c <- 0 until 3) assert(img.comps(c).sameElements(comps(c)), s"comp $c")
+      // byte-prefix walkers: typed POC rejection, whole-file fine
+      val e = intercept[IllegalArgumentException](Jp2Codec.tilePartsReduced(cs, 1))
+      assert(e.getMessage.contains("POC"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException](Jp2Codec.decodeReduced(cs, 1))
+      assert(e2.getMessage.contains("POC"), e2.getMessage)
+    }
+    // the quality-ranged walk keeps packets by PLT ranges from the same
+    // POC-aware packetOrder, so it admits POC: keep=layers is exact
+    val cs = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64, layers = 2,
+      poc = pocs.head)
+    val hdr = Jp2Codec.header(cs)
+    for (keep <- Seq(1, 2)) {
+      val (h2, parts) = Jp2Codec.tilePartsQuality(new Jp2Codec.BytesInput(cs), keep)
+      val planes = Array.fill(3)(new Array[Int](w * h))
+      for (part <- parts) {
+        val slice = new java.io.ByteArrayOutputStream()
+        for ((from, until) <- part.ranges) slice.write(cs, from.toInt, (until - from).toInt)
+        val t = Jp2Codec.decodeTilePartQuality(slice.toByteArray, h2, keep)
+        for (c <- 0 until 3; y <- 0 until t.height; x <- 0 until t.width)
+          planes(c)((t.y0 + y) * w + (t.x0 + x)) = t.comps(c)(y * t.width + x)
+      }
+      if (keep == 2) // reversible + all layers = exact
+        for (c <- 0 until 3) assert(planes(c).sameElements(comps(c)), s"quality comp $c")
+    }
+    assert(hdr.layers == 2)
+    // an incomplete POC dies typed at ENCODE (the emission order is the
+    // same POC-aware generator the decoder walks)
+    val e3 = intercept[IllegalArgumentException](Jp2Codec.encode(w, h, comps,
+      levels = 3, layers = 2, poc = Seq(PocEntry(0, 0, 1, 4, 3, Jp2Codec.RLCP))))
+    assert(e3.getMessage.contains("incomplete POC"), e3.getMessage)
+  }
+
   test("multi-layer encode round-trips losslessly, tiled and untiled") {
     for (layers <- Seq(2, 3, 5); (w, h, tile) <- Seq((113, 89, 0), (130, 97, 64))) {
       val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))

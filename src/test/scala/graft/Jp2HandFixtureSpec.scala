@@ -858,6 +858,40 @@ class Jp2HandFixtureSpec extends AnyFunSuite {
     assertFlipFails(cs, cs.length - 6, expected) // c0 r0 codeword byte
   }
 
+  // A tile COD clears every main COC (A.6 precedence, fixture T's
+  // shape), so a main-COC'd component reverts to the COD's deeper
+  // pyramid — and a main QCC sized for the old shallower pyramid must
+  // be re-validated, not indexed past (r18 ADVICE): the stream is
+  // spec-legal only if the tile part re-signals quantization for the
+  // reverted depth.
+  test("tile COD clearing a main COC re-validates quant sizing (typed, never IOOBE)") {
+    val coc1 = bytes(0xFF, 0x53, 0, 9, 1, 0, 0, 4, 4, 0, 1) // c1 levels 0
+    val qcc1 = bytes(0xFF, 0x5D, 0, 5, 1, 2 << 5, 13 << 3)  // sized for 0 levels (1 band)
+    def tilePartOv(isot: Int, ov: Array[Byte], packets: Array[Byte]*): Array[Byte] = {
+      val lens = packets.map(_.length)
+      val plt = bytes(Seq(0xFF, 0x58, 0, 3 + lens.length, 0) ++ lens: _*)
+      val body = packets.flatten.toArray
+      val psot = 12 + ov.length + plt.length + 2 + body.length
+      bytes(0xFF, 0x90, 0, 10, isot >>> 8, isot & 0xFF,
+        psot >>> 24, (psot >>> 16) & 0xFF, (psot >>> 8) & 0xFF, psot & 0xFF,
+        0, 1) ++ ov ++ plt ++ bytes(0xFF, 0x93) ++ body
+    }
+    val main = SOC ++ siz(2, 2, 2, 2, 3) ++ cod(0, 1, 1, 1, 1) ++ qcdRev(1) ++ coc1 ++ qcc1
+    // with the COC cleared all three components carry levels 1: LRCP is
+    // r0: c0 c1 c2, r1: c0 c1 c2 — c0's LL holds +1 (fixture T's plane),
+    // the chroma and high bands are zero
+    val packets = Seq(bytes(0xC0, 0x01, 0x08, 0x03),
+      bytes(0x00), bytes(0x00), bytes(0x00), bytes(0x00), bytes(0x00))
+    val bad = main ++ tilePartOv(0, cod(0, 1, 1, 1, 1), packets: _*) ++ EOC
+    val e = intercept[IllegalArgumentException](Jp2Codec.decode(bad))
+    assert(e.getMessage.contains("re-signaled QCC"), e.getMessage)
+    // a tile QCC re-signaled for the reverted depth fixes exactly that —
+    // the same stream then decodes to fixture T's constant plane
+    val tileQcc1 = bytes(0xFF, 0x5D, 0, 8, 1, 2 << 5, 13 << 3, 14 << 3, 14 << 3, 15 << 3)
+    val good = main ++ tilePartOv(0, cod(0, 1, 1, 1, 1) ++ tileQcc1, packets: _*) ++ EOC
+    assert(pixels(Jp2Codec.decode(good)) == Seq.fill(3)(Seq.fill(4)(129)))
+  }
+
   // ------------------------------------------------------------------
   // Fixture U — FOREIGN predictable-termination streams (r17 verdict's
   // noted blind spot: the 0x10 tolerance was exercised on exactly one
@@ -959,6 +993,105 @@ class Jp2HandFixtureSpec extends AnyFunSuite {
     assert(enc.sameElements(cs), "16-bit encoder diverges from the hand-assembled stream")
     assertFlipFails(cs, cs.length - 3, expected) // codeword byte
     assertFlipFails(cs, cs.length - 5, expected) // zbp-tree header byte
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture X — POC, progression order change (r19, A.6.6/B.12.1.7).
+  // 2x2 gray, levels 1, reversible, constant plane 129: the DC shift
+  // makes a +1 plane, whose 5/3 forward is LL = [+1] with three zero
+  // 1x1 high bands (fixture T's derivation). Packets:
+  //   r0 = [C0 01 08 03] (zbp 13 under mb 14, codeword 03),
+  //   r1 = [00] (empty).
+  // The POC carries TWO volumes, derived on paper from B.12.1.7's
+  // "not previously included" rule:
+  //   entry 1: RSpoc 1, REpoc 2, LYEpoc 1, RLCP -> claims r1l0 only;
+  //   entry 2: RSpoc 0, REpoc 2, LYEpoc 1, RLCP -> r0l0 (r1l0 claimed).
+  // Packet sequence [r1l0, r0l0] — the HIGH resolution FIRST, a
+  // sequence NO single A.6.1 order can produce (all five emit r0's
+  // packet before r1's here), so the fixture discriminates POC-driven
+  // walks from every COD-progression walk: a POC-ignoring LRCP decoder
+  // reads the empty r1 packet as r0, never decodes the LL, and lands
+  // on the all-128 plane.
+  // ------------------------------------------------------------------
+  private def pocSeg(entries: (Int, Int, Int, Int, Int, Int)*): Array[Byte] =
+    bytes(Seq(0xFF, 0x5F, 0, 2 + 7 * entries.length) ++ entries.flatMap {
+      case (rs, cs, lye, re, ce, pr) => Seq(rs, cs, lye >>> 8, lye & 0xFF, re, ce, pr)
+    }: _*)
+
+  test("hand fixture X: POC reorders the packet walk (resolution inverted, paper-derived)") {
+    val pktR0 = bytes(0xC0, 0x01, 0x08, 0x03)
+    val pktEmpty = bytes(0x00)
+    val poc = pocSeg((1, 0, 1, 2, 1, 1), (0, 0, 1, 2, 1, 1))
+    val cs = SOC ++ siz(2, 2, 2, 2, 1) ++ cod(0, 1, 0, 1, 1) ++ qcdRev(1) ++
+      poc ++ tilePart(0, 0, 1, pktEmpty, pktR0) ++ EOC
+    val expected = Seq(Seq(129, 129, 129, 129))
+    assert(pixels(Jp2Codec.decode(cs)) == expected)
+    val hdr = Jp2Codec.header(cs)
+    assert(hdr.poc == Seq(Jp2Codec.PocEntry(1, 0, 1, 2, 1, 1),
+      Jp2Codec.PocEntry(0, 0, 1, 2, 1, 1)))
+    // the POC-less control: the same INVERTED body under the COD's LRCP
+    // must NOT decode to the fixture plane (the empty packet lands on
+    // r0 and the LL is never read) — POC is load-bearing, not advisory
+    val noPoc = SOC ++ siz(2, 2, 2, 2, 1) ++ cod(0, 1, 0, 1, 1) ++ qcdRev(1) ++
+      tilePart(0, 0, 1, pktEmpty, pktR0) ++ EOC
+    val ctl = try Some(pixels(Jp2Codec.decode(noPoc))) catch {
+      case _: IllegalArgumentException => None
+    }
+    ctl.foreach(p => assert(p != expected, "POC-ignoring walk went unnoticed"))
+    // incomplete POC (only the r1 volume): every packet must be claimed
+    val shortPoc = SOC ++ siz(2, 2, 2, 2, 1) ++ cod(0, 1, 0, 1, 1) ++ qcdRev(1) ++
+      pocSeg((1, 0, 1, 2, 1, 1)) ++ tilePart(0, 0, 1, pktEmpty) ++ EOC
+    val e = intercept[IllegalArgumentException](Jp2Codec.decode(shortPoc))
+    assert(e.getMessage.contains("incomplete POC"), e.getMessage)
+    // the ranged REDUCED walk is a typed POC rejection (no byte prefix)
+    val e2 = intercept[IllegalArgumentException](Jp2Codec.tilePartsReduced(cs, 1))
+    assert(e2.getMessage.contains("POC"), e2.getMessage)
+    // teeth: corrupting entry 1's RSpoc makes the volumes invalid or
+    // reorders the walk — loud either way
+    val rsAt = (0 until cs.length - 1).indexWhere(i =>
+      (cs(i) & 0xFF) == 0xFF && (cs(i + 1) & 0xFF) == 0x5F) + 4
+    assert((cs(rsAt) & 0xFF) == 1, f"offset aim ${cs(rsAt)}%02x")
+    assertFlipFails(cs, rsAt, expected)
+    // and the sharper corruption: RSpoc 1 -> 0 silently re-sorts the
+    // volumes to [r0l0, r1l0] — the decoder then reads the EMPTY packet
+    // as r0 and must not reproduce the fixture plane
+    val bad = cs.clone(); bad(rsAt) = 0
+    val r = try Some(pixels(Jp2Codec.decode(bad))) catch {
+      case _: IllegalArgumentException => None
+    }
+    r.foreach(p => assert(p != expected, "RSpoc corruption went unnoticed"))
+  }
+
+  test("hand fixture X2: POC layer-bounded volumes and a tile-part POC override") {
+    // 2 layers: entry 1 claims layer 0 of r1; entry 2 (LYEpoc 2, RLCP)
+    // claims the rest sorted (r, l): r0l0, r0l1, r1l1 — packet sequence
+    // [r1l0, r0l0, r0l1, r1l1], the mid-stream layer-allocation change
+    // shape rate-allocating encoders emit POC for. Layer-1 packets are
+    // empty (all passes in layer 0).
+    val pktR0 = bytes(0xC0, 0x01, 0x08, 0x03)
+    val pktEmpty = bytes(0x00)
+    val expected = Seq(Seq(129, 129, 129, 129))
+    val cs2 = SOC ++ siz(2, 2, 2, 2, 1) ++ cod(0, 2, 0, 1, 1) ++ qcdRev(1) ++
+      pocSeg((1, 0, 1, 2, 1, 1), (0, 0, 2, 2, 1, 1)) ++
+      tilePart(0, 0, 1, pktEmpty, pktR0, pktEmpty, pktEmpty) ++ EOC
+    assert(pixels(Jp2Codec.decode(cs2)) == expected)
+    // tile-part POC: the main header carries a PLAIN one-volume POC
+    // (packet sequence [r0l0, r1l0]) and the tile's own POC inverts it
+    // — A.6.6 precedence: the tile POC REPLACES the main POC, so the
+    // body below is only parseable under the TILE's sequence
+    def tilePartOv(isot: Int, ov: Array[Byte], packets: Array[Byte]*): Array[Byte] = {
+      val lens = packets.map(_.length)
+      val plt = bytes(Seq(0xFF, 0x58, 0, 3 + lens.length, 0) ++ lens: _*)
+      val body = packets.flatten.toArray
+      val psot = 12 + ov.length + plt.length + 2 + body.length
+      bytes(0xFF, 0x90, 0, 10, isot >>> 8, isot & 0xFF,
+        psot >>> 24, (psot >>> 16) & 0xFF, (psot >>> 8) & 0xFF, psot & 0xFF,
+        0, 1) ++ ov ++ plt ++ bytes(0xFF, 0x93) ++ body
+    }
+    val cs3 = SOC ++ siz(2, 2, 2, 2, 1) ++ cod(0, 1, 0, 1, 1) ++ qcdRev(1) ++
+      pocSeg((0, 0, 1, 2, 1, 1)) ++
+      tilePartOv(0, pocSeg((1, 0, 1, 2, 1, 1), (0, 0, 1, 2, 1, 1)), pktEmpty, pktR0) ++ EOC
+    assert(pixels(Jp2Codec.decode(cs3)) == expected)
   }
 
   test("hand fixture I: hand-built JP2 container walks to jp2c") {
