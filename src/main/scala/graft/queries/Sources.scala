@@ -1813,17 +1813,23 @@ object Sources {
     * a main-header POC (A.6.6) on a tiled 2-layer master — layer 0
     * delivered RLCP, then the refinement layer LRCP — the progression
     * handoff rate-allocating encoders (Kakadu masters) signal POC for;
-    * the packet walk follows the POC volumes, not the COD order. */
+    * the packet walk follows the POC volumes, not the COD order. r19
+    * also appends file 10: a TNsot = 0 stream (A.4.2 "count not
+    * specified" — the streaming-writer shape): a 2-tile-part scan
+    * whose SOT count bytes are erased post-encode, so the per-tile
+    * part count resolves by observation off the EOC-terminated Psot
+    * chain and completeness rides Tier-2's exact packet accounting
+    * (hand fixture Y pins the missing-tail boundary). */
   private[graft] def stageLossyJp2s(): (String, Map[String, Long]) =
     lossyJp2Staged.computeIfAbsent("lossy", { _ =>
       val dir = tmp("l5m_jp2")
-      val sizes = (0 until 10).map { i =>
+      val sizes = (0 until 11).map { i =>
         val (w, h) = (64 + (17 * i) % 97, 48 + (23 * i) % 89)
         val comps = lossyJp2Comps(w, h, i)
-        val cs = graft.sources.jp2.Jp2Codec.encode(w, h, comps,
+        val cs0 = graft.sources.jp2.Jp2Codec.encode(w, h, comps,
           tileSize = if (i % 2 == 1) 64 else 0,
           layers = if (i == 2 || i == 9) 2 else 1,
-          partsPerTile = if (i == 3) 2 else 1,
+          partsPerTile = if (i == 3 || i == 10) 2 else 1,
           irreversible = true, qShift = if (i == 5) 0 else -2,
           quantMode = i match { case 4 => "norms"; case 5 => "derived"; case _ => "uniform" },
           chromaQShift = if (i == 6) -3 else 99,
@@ -1833,6 +1839,9 @@ object Sources {
             graft.sources.jp2.Jp2Codec.PocEntry(0, 0, 1, 4, 3, graft.sources.jp2.Jp2Codec.RLCP),
             graft.sources.jp2.Jp2Codec.PocEntry(0, 0, 2, 4, 3, graft.sources.jp2.Jp2Codec.LRCP))
           else Nil)
+        // file 10: author the foreign streaming-writer shape — every
+        // SOT's TNsot byte erased to 0 (pixels and lengths unchanged)
+        val cs = if (i == 10) graft.sources.jp2.Jp2Codec.eraseTnsot(cs0) else cs0
         val name = s"lossy_$i.jp2"
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$dir/$name"),
@@ -1900,6 +1909,15 @@ object Sources {
                 graft.sources.jp2.Jp2Codec.PocEntry(0, 0, 1, 4, 3, graft.sources.jp2.Jp2Codec.RLCP),
                 graft.sources.jp2.Jp2Codec.PocEntry(0, 0, 2, 4, 3, graft.sources.jp2.Jp2Codec.LRCP)),
               s"$name: expected the 2-volume POC master, got $hdr")
+            case 10 =>
+              // the raw SOT bytes must really carry TNsot = 0 (the
+              // foreign streaming-writer shape), and the walk must have
+              // resolved the observed count to 2
+              val spans = graft.sources.jp2.Jp2Codec.tileParts(bytes)
+              require(hdr.qShift == -2 && spans.length == 2 &&
+                spans.forall(s => bytes(s.pos.toInt + 11) == 0) &&
+                spans.forall(_.nparts == 2),
+                s"$name: expected a TNsot=0 2-part stream resolved by observation")
             case _ => require(hdr.qShift == -2, s"$name: expected qShift -2, got $hdr")
           }
           val img = graft.sources.jp2.Jp2Codec.decode(bytes)
@@ -2788,7 +2806,9 @@ object Sources {
         |('lossy_8.jp2', CAST(103 AS BIGINT), CAST(54 AS BIGINT),
         |  CAST(14 AS BIGINT), CAST(2610511 AS BIGINT), true),
         |('lossy_9.jp2', CAST(120 AS BIGINT), CAST(77 AS BIGINT),
-        |  CAST(20 AS BIGINT), CAST(3238239 AS BIGINT), true)
+        |  CAST(20 AS BIGINT), CAST(3238239 AS BIGINT), true),
+        |('lossy_10.jp2', CAST(137 AS BIGINT), CAST(100 AS BIGINT),
+        |  CAST(20 AS BIGINT), CAST(3189805 AS BIGINT), true)
         |) AS t(file_name, width, height, max_err, mean_err_ppm,
         |       smaller_than_lossless)""".stripMargin,
     "l5_multimodal_decode" ->

@@ -837,17 +837,51 @@ object Jp2Codec {
       require(isot < hdr.ntx * hdr.nty, s"tile index $isot out of grid")
       val tpsot = sot(10) & 0xFF
       val tnsot = sot(11) & 0xFF
-      // TNsot = 0 is spec-legal ("count not specified here") but removes
-      // the completeness check a distributed group-by-tile decode stands
-      // on — reject rather than guess how many parts a tile has
-      require(tnsot >= 1, s"TNsot = 0 (unspecified tile-part count) not supported at $pos")
-      require(tpsot < tnsot, s"TPsot $tpsot >= TNsot $tnsot at $pos")
+      // TNsot = 0 is spec-legal ("number of tile-parts not specified in
+      // this header", A.4.2 — streaming writers emit it because the
+      // count is unknown when the SOT goes out). Admitted since r19:
+      // this walk runs the Psot chain to EOC anyway, so the unknown
+      // resolves to the OBSERVED per-tile count below, and a full
+      // decode's completeness is additionally backed by Tier-2's exact
+      // packet accounting (decodeTileCore consumes the body to the last
+      // byte) — a spliced-away tail part cannot pass silently.
+      require(tpsot <= 254, s"TPsot $tpsot out of 0..254 at $pos")
+      require(tnsot == 0 || tpsot < tnsot, s"TPsot $tpsot >= TNsot $tnsot at $pos")
       spans += TilePartSpan(isot, pos, psot, tpsot, tnsot)
       pos += psot
       marker = readU16(in, pos)
     }
     require(marker == 0xFFD9, "missing EOC after tile data")
-    (hdr, spans.toSeq)
+    // resolve TNsot = 0 to each tile's effective part count, so every
+    // downstream completeness check works off ONE authoritative number;
+    // a tile mixing zero and non-zero signals must agree on one value
+    val resolved =
+      if (spans.forall(_.nparts >= 1)) spans.toSeq
+      else {
+        val byTile = spans.groupBy(_.index)
+        spans.toSeq.map { s =>
+          if (s.nparts >= 1) s
+          else {
+            val sibs = byTile(s.index)
+            val signaled = sibs.map(_.nparts).filter(_ >= 1).distinct
+            require(signaled.size <= 1,
+              s"tile ${s.index}: inconsistent TNsot values ${signaled.sorted.mkString(",")}")
+            s.copy(nparts = signaled.headOption.getOrElse(sibs.length))
+          }
+        }
+      }
+    (hdr, resolved)
+  }
+
+  /** Author a FOREIGN "streaming writer" stream: rewrite every SOT's
+    * TNsot byte to 0 ("number of tile-parts not specified", A.4.2).
+    * Fixture/staging utility — this encoder always signals the count;
+    * real incremental writers cannot. Accepts raw codestreams and JP2
+    * containers (span positions are input-absolute). */
+  def eraseTnsot(cs: Array[Byte]): Array[Byte] = {
+    val out = cs.clone()
+    for (s <- tileParts(out)) out((s.pos + 11).toInt) = 0
+    out
   }
 
   /** Like [[tileParts]], but each span is TRUNCATED to the bytes a
@@ -972,8 +1006,16 @@ object Jp2Codec {
     val isot = sots.head.isot
     require(sots.forall(_.isot == isot),
       s"slices from different tiles: ${sots.map(_.isot).distinct.mkString(",")}")
-    val nparts = sots.head.nparts
-    require(sots.forall(_.nparts == nparts), s"tile $isot: inconsistent TNsot")
+    val signaled = sots.map(_.nparts).filter(_ >= 1).distinct
+    require(signaled.size <= 1,
+      s"tile $isot: inconsistent TNsot values ${signaled.sorted.mkString(",")}")
+    // all-TNsot=0 slices leave the count unsignaled: the slice SET is
+    // then the count (the walk that grouped the slices ran the Psot
+    // chain to EOC), and Tier-2's exact body accounting in
+    // decodeTileCore catches a missing tail part — the completeness
+    // check this profile used to reject TNsot = 0 to keep is preserved,
+    // carried by packets instead of the header field
+    val nparts = signaled.headOption.getOrElse(sots.length)
     require(sots.map(_.part) == (0 until sots.length),
       s"tile $isot: slices must be tile-parts 0..k in TPsot order, got ${sots.map(_.part).mkString(",")}")
     if (discard == 0)
@@ -1036,9 +1078,8 @@ object Jp2Codec {
     require(slice.length >= 14, "tile-part slice shorter than its SOT")
     require(u16(0) == 0xFF90, "expected SOT")
     require(u16(2) == 10, s"Lsot ${u16(2)} != 10")
-    val nparts = u8(11)
-    require(nparts >= 1, "TNsot = 0 (unspecified tile-part count) not supported")
-    require(u8(10) < nparts, s"TPsot ${u8(10)} >= TNsot $nparts")
+    val nparts = u8(11) // 0 = "count not specified" (resolved by the caller)
+    require(nparts == 0 || u8(10) < nparts, s"TPsot ${u8(10)} >= TNsot $nparts")
     val th = tilePartHeader(new BytesInput(slice), 0L)
     SliceSot(u16(4), beU32(slice, 6), u8(10), nparts, th.bodyStart.toInt, th)
   }

@@ -1094,6 +1094,56 @@ class Jp2HandFixtureSpec extends AnyFunSuite {
     assert(pixels(Jp2Codec.decode(cs3)) == expected)
   }
 
+  // ------------------------------------------------------------------
+  // Fixture Y — TNsot = 0 (r19, A.4.2): "number of tile-parts not
+  // specified in this header", the shape streaming writers emit
+  // because the count is unknown when each SOT goes out. The Psot walk
+  // reaches EOC regardless, so the unknown count resolves to the
+  // OBSERVED per-tile count; the interesting boundary is completeness:
+  // with no header field left to check, a missing TAIL part must die
+  // on Tier-2's exact packet accounting (the body ends before the
+  // packet walk does), not pass silently. Geometry and packets are
+  // fixture X's 2x2 levels-1 constant plane: r0 = [C0 01 08 03],
+  // r1 = [00], LRCP order r0 then r1, all pixels 129.
+  // ------------------------------------------------------------------
+  test("hand fixture Y: TNsot = 0 resolves by observation; missing tails die on packet accounting") {
+    val pktR0 = bytes(0xC0, 0x01, 0x08, 0x03)
+    val pktEmpty = bytes(0x00)
+    val expected = Seq(Seq(129, 129, 129, 129))
+    val main = SOC ++ siz(2, 2, 2, 2, 1) ++ cod(0, 1, 0, 1, 1) ++ qcdRev(1)
+    // single part, TNsot = 0
+    val one = main ++ tilePart(0, 0, 0, pktR0, pktEmpty) ++ EOC
+    assert(pixels(Jp2Codec.decode(one)) == expected)
+    // TWO parts, both TNsot = 0 — the real streaming-writer shape
+    val two = main ++ tilePart(0, 0, 0, pktR0) ++ tilePart(0, 1, 0, pktEmpty) ++ EOC
+    assert(pixels(Jp2Codec.decode(two)) == expected)
+    // and the ranged reduced walk still works off the resolved count
+    assert(Jp2Codec.decodeReduced(two, 1).comps(0).toSeq == Seq(129))
+    // mixed signaling: a later part may carry the true count
+    val mixed = main ++ tilePart(0, 0, 0, pktR0) ++ tilePart(0, 1, 2, pktEmpty) ++ EOC
+    assert(pixels(Jp2Codec.decode(mixed)) == expected)
+    // BOUNDARY TOOTH: drop the tail part. The chain still reaches EOC
+    // and no header field knows a part is missing — the completeness
+    // burden falls on the exact packet walk, which must fail typed
+    val truncated = main ++ tilePart(0, 0, 0, pktR0) ++ EOC
+    val e = intercept[IllegalArgumentException](Jp2Codec.decode(truncated))
+    assert(e.getMessage.contains("body"), e.getMessage)
+    // a SIGNALED count still binds: TNsot = 3 with 2 parts present
+    val short = main ++ tilePart(0, 0, 0, pktR0) ++ tilePart(0, 1, 3, pktEmpty) ++ EOC
+    val e2 = intercept[IllegalArgumentException](Jp2Codec.decode(short))
+    assert(e2.getMessage.contains("tile-part"), e2.getMessage)
+    // inconsistent non-zero signals are typed
+    val inc = main ++ tilePart(0, 0, 2, pktR0) ++ tilePart(0, 1, 3, pktEmpty) ++ EOC
+    val e3 = intercept[IllegalArgumentException](Jp2Codec.decode(inc))
+    assert(e3.getMessage.contains("TNsot"), e3.getMessage)
+    // eraseTnsot authors the foreign shape from any encoder stream
+    val enc = Jp2Codec.encode(4, 4, Array(Array.tabulate(16)(j => (j * 7) % 256)),
+      levels = 1, tileSize = 4, partsPerTile = 2)
+    val foreign = Jp2Codec.eraseTnsot(enc)
+    assert(foreign.length == enc.length && !foreign.sameElements(enc))
+    assert(Jp2Codec.decode(foreign).comps(0).sameElements(Jp2Codec.decode(enc).comps(0)))
+  }
+
   test("hand fixture I: hand-built JP2 container walks to jp2c") {
     val sig = bytes(0x00, 0x00, 0x00, 0x0C, 0x6A, 0x50, 0x20, 0x20, 0x0D, 0x0A, 0x87, 0x0A)
     val ftypLen = 8 + 4 + 4 + 4 // brand jp2\040, minor 0, compat jp2\040
