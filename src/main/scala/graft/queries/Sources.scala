@@ -1077,7 +1077,7 @@ object Sources {
 
   private val jp2Staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Synthesize 8 REAL JPEG 2000 files (staged once per JVM): RGB planes
+  /** Synthesize 10 REAL JPEG 2000 files (staged once per JVM): RGB planes
     * with index-determined per-channel patterns, compressed by the engine's
     * own spec-complete encoder ([[graft.sources.jp2.Jp2Codec]]: 5/3 DWT +
     * RCT + EBCOT + MQ + Tier-2 packets) and wrapped in a real JP2
@@ -1089,7 +1089,7 @@ object Sources {
   private[graft] def stageJp2s(): String =
     jp2Staged.computeIfAbsent("jp2s", { _ =>
       val dir = tmp("l5g_jp2")
-      (0 until 9).foreach { i =>
+      (0 until 10).foreach { i =>
         val w = 40 + (17 * i) % 113
         val h = 30 + (23 * i) % 89
         // file 7 (r18c) is a 16-BIT RGB master (Ssiz 15) — the deep
@@ -1119,7 +1119,13 @@ object Sources {
         // 32-px tile grid (63x36 -> 2x2 tiles), 32-px precincts and 2
         // layers: the B.12.1.3 position-major packet walk runs
         // distributed under the closed-form oracle, and the byte-prefix
-        // REDUCED walk's typed rejection for it is pinned through l5i
+        // REDUCED walk's typed rejection for it is pinned through l5i.
+        // File 9 (r19): PPT — packed packet headers (A.7.5, the
+        // error-resilience / streaming-delivery shape) on a tiled scan:
+        // the headers ride the tile-part header, the bitstream carries
+        // only code-block bodies, and every ranged walk typed-rejects
+        // it (pinned through l5i like PCRL) while whole-file decode
+        // hash-matches the same closed-form sums
         val cs = graft.sources.jp2.Jp2Codec.encode(
           w, h, comps,
           tileSize = if (i == 8) 32 else if (i % 2 == 1 || i == 6) 64 else 0,
@@ -1131,7 +1137,8 @@ object Sources {
             case 8 => graft.sources.jp2.Jp2Codec.PCRL
             case _ => -1
           },
-          bitDepth = if (i == 7) 16 else 8)
+          bitDepth = if (i == 7) 16 else 8,
+          packedHeaders = i == 9)
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$dir/scan_$i.jp2"),
           graft.sources.Jp2Box.buildContainer(w, h, cs))
@@ -1204,17 +1211,19 @@ object Sources {
             (0 until full.comps.length).forall(c =>
               java.util.Arrays.equals(d0.comps(c), full.comps(c))),
             s"$name: discard=0 reduced decode diverged from the full decode")
-          // position-major streams (scan_8 is PCRL) have no low-res byte
-          // prefix: the reduced walk rejects them TYPED, and this query
-          // pins that contract through the oracle as (-1, -1) thumb dims
-          // — only the specific rejection is caught, anything else
-          // still fails the task loudly
+          // streams with no low-res byte prefix — scan_8 (PCRL,
+          // position-major order) and scan_9 (PPT, headers packed out
+          // of the bitstream) — make the reduced walk reject TYPED, and
+          // this query pins that contract through the oracle as
+          // (-1, -1) thumb dims; only the two specific rejections are
+          // caught, anything else still fails the task loudly
           val (tw, th) = try {
             val thumb = graft.sources.jp2.Jp2Codec.decodeReduced(bytes, 2)
             (thumb.width.toLong, thumb.height.toLong)
           } catch {
             case e: IllegalArgumentException
-                if e.getMessage.contains("not resolution-major") => (-1L, -1L)
+                if e.getMessage.contains("not resolution-major") ||
+                  e.getMessage.contains("PPT") => (-1L, -1L)
           }
           (name, full.width.toLong, full.height.toLong, tw, th)
         }
@@ -2686,7 +2695,7 @@ object Sources {
     "l5g_jp2_decode" ->
       """WITH dims AS (
         |  SELECT i, 40 + (17*i) % 113 AS w, 30 + (23*i) % 89 AS h
-        |  FROM (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 8]) AS i)),
+        |  FROM (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 8, 9]) AS i)),
         |px AS (
         |  SELECT i, w, h, unnest(generate_series(0, w*h - 1)) AS j FROM dims),
         |px16 AS (SELECT unnest(generate_series(0, 46*102 - 1)) AS j)
@@ -2711,17 +2720,18 @@ object Sources {
         |  CAST(SUM(((j % 384) * 9 + (j // 384) * 11 + 29) % 256) AS BIGINT) AS sum_c1,
         |  CAST(SUM(((j % 384) * 11 + (j // 384) * 11 + 58) % 256) AS BIGINT) AS sum_c2
         |FROM px""".stripMargin,
-    // scan_8 (PCRL) carries (-1, -1) thumb dims: the byte-prefix reduced
-    // walk is a TYPED rejection for position-major orders, and the
-    // oracle pins the rejection (not just the happy path)
+    // scan_8 (PCRL) and scan_9 (PPT) carry (-1, -1) thumb dims: the
+    // byte-prefix reduced walk is a TYPED rejection for position-major
+    // orders and for packed packet headers, and the oracle pins both
+    // rejections (not just the happy path)
     "l5i_jp2_thumbnail" ->
       """WITH dims AS (
         |  SELECT i, 40 + (17*i) % 113 AS w, 30 + (23*i) % 89 AS h
-        |  FROM (SELECT unnest(generate_series(0, 8)) AS i))
+        |  FROM (SELECT unnest(generate_series(0, 9)) AS i))
         |SELECT 'scan_' || i || '.jp2' AS file_name,
         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-        |  CAST(CASE WHEN i = 8 THEN -1 ELSE (w + 3) // 4 END AS BIGINT) AS thumb_w,
-        |  CAST(CASE WHEN i = 8 THEN -1 ELSE (h + 3) // 4 END AS BIGINT) AS thumb_h
+        |  CAST(CASE WHEN i IN (8, 9) THEN -1 ELSE (w + 3) // 4 END AS BIGINT) AS thumb_w,
+        |  CAST(CASE WHEN i IN (8, 9) THEN -1 ELSE (h + 3) // 4 END AS BIGINT) AS thumb_h
         |FROM dims""".stripMargin,
     // the sum_c* columns are PIXEL-dependent: the d=2 thumbnail of a 5/3
     // lossless stream is deterministic integer arithmetic (not SQL-

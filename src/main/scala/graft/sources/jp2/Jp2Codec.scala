@@ -266,7 +266,8 @@ object Jp2Codec {
       quantMode: String = "uniform", blockStyle: Int = 0,
       chromaQShift: Int = NoChromaOverride, prog: Int = -1,
       chromaLevels: Int = -1, tileQShifts: Seq[Int] = null,
-      bitDepth: Int = 8, poc: Seq[PocEntry] = Nil): Array[Byte] = {
+      bitDepth: Int = 8, poc: Seq[PocEntry] = Nil,
+      packedHeaders: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0, "empty image")
     require(bitDepth >= 8 && bitDepth <= 16, s"bitDepth $bitDepth out of 8..16")
     require(comps.length == 1 || comps.length == 3, "1 or 3 components")
@@ -321,6 +322,14 @@ object Jp2Codec {
     // cover every packet, so an incomplete spec dies typed at encode.
     require(poc.isEmpty || partsPerTile == 1,
       "POC with partsPerTile > 1 not supported (the resolution-boundary split needs one global resolution-major order)")
+    // packedHeaders (r19, A.7.5): pack every packet header into PPT
+    // segments in the tile-part header, bodies alone in the bitstream —
+    // the error-resilience / streaming delivery shape. One tile-part
+    // per tile and no SOP (SOP would ride the body stream; keep the
+    // authored shape minimal), no PLT (the ranged walkers typed-reject
+    // PPT anyway — whole-file decode only).
+    require(!packedHeaders || (!sop && partsPerTile == 1),
+      "packedHeaders (PPT) needs partsPerTile = 1 and no SOP markers")
     for ((e, i) <- poc.zipWithIndex) {
       require(e.prog >= LRCP && e.prog <= CPRL, s"poc entry $i: progression ${e.prog} not in 0..4")
       require(e.rs >= 0 && e.rs < e.re && e.re <= 33, s"poc entry $i: resolutions [${e.rs}, ${e.re}) invalid")
@@ -552,6 +561,33 @@ object Jp2Codec {
         new ResEncoder(planes(c), tw, th, levelsOfC(c), r, layers,
           qspecForTile(t, c), x0, y0, precinctExp, blockStyle)))
       val order = packetOrder(progV, layers, nc, levelsOfC _, tw, th, x0, y0, precinctExp, poc)
+      if (packedHeaders) {
+        // PPT (A.7.5): one tile-part per tile — packet headers (incl.
+        // EPH) concatenated into PPT segments riding the tile-part
+        // header (Zppt-chunked at the 16-bit Lppt bound), bodies alone
+        // after SOD. The decoder walks the two streams on separate
+        // cursors ([[ResDecoder.readPacketFrom]]).
+        val split = order.map(k => encs(k.c)(k.r).encodeLayerSplit(k.l, k.p, eph))
+        val pptPayload = split.toArray.flatMap(_._1)
+        val bodyBytes = split.toArray.flatMap(_._2)
+        val pptSegs = pptPayload.grouped(65532).toSeq
+        require(pptSegs.length <= 256, "PPT payload overflows the 8-bit Zppt index space")
+        val pptLen = pptSegs.map(5L + _.length).sum
+        val tq = tileSpec(t)
+        val tqLen = if (tq == null) 0L else 5L + 2L * (3 * levels + 1)
+        u16(0xFF90); u16(10); u16(t)
+        u32(12L + tqLen + pptLen + 2L + bodyBytes.length) // Psot
+        u8(0); u8(1) // TPsot, TNsot
+        if (tq != null) {
+          u16(0xFF5C); u16(3 + 2 * (3 * levels + 1)); u8((tq.guard << 5) | 2)
+          for (i <- 0 until 3 * levels + 1) u16((tq.eps(i) << 11) | tq.mu(i))
+        }
+        for ((seg, z) <- pptSegs.zipWithIndex) {
+          u16(0xFF61); u16(3 + seg.length); u8(z); out.write(seg)
+        }
+        u16(0xFF93)
+        out.write(bodyBytes)
+      } else {
       var nsop = 0
       val emitted: IndexedSeq[Array[Byte]] = order.map { k =>
         val pkt = encs(k.c)(k.r).encodeLayer(k.l, k.p, eph)
@@ -617,6 +653,7 @@ object Jp2Codec {
         out.write(pltBytes)
         u16(0xFF93)
         out.write(bodyBytes)
+      }
       }
     }
     u16(0xFFD9)
@@ -942,6 +979,8 @@ object Jp2Codec {
         s"tile ${s.index}: tile-part ${s.part} out of TPsot order (expected ${partSeen(s.index)})")
       partSeen(s.index) += 1
       val th = tilePartHeader(in, s.pos)
+      require(th.ppt.isEmpty,
+        s"tile ${s.index}: PPT (packed packet headers) — ranged reduced walk unsupported; whole-file decode admits this stream")
       if (s.part == 0) {
         val eff = applyTileOverrides(hdr, th)
         require(resMajor(eff.prog, eff.layers),
@@ -1038,9 +1077,22 @@ object Jp2Codec {
     // per-tile COD/COC/QCD/QCC (r18b): first tile-part only (A.6)
     for (i <- sots.drop(1)) require(!i.head.hasOverrides,
       s"tile $isot: COD/COC/QCD/QCC outside the first tile-part not allowed (A.6)")
+    // PPT (r19, A.7.5): the tile's packed packet headers are the
+    // concatenation of its PPT payloads in Zppt order (they may ride
+    // any of the tile's parts); duplicates are typed
+    val ppts = sots.flatMap(_.head.ppt)
+    val packed: Array[Byte] =
+      if (ppts.isEmpty) null
+      else {
+        require(ppts.map(_._1).distinct.size == ppts.size,
+          s"tile $isot: duplicate Zppt index")
+        require(discard == 0 && !truncated,
+          "PPT (packed packet headers): truncated/reduced decode unsupported — whole-file decode admits this stream")
+        ppts.sortBy(_._1).toArray.flatMap(_._2)
+      }
     val eff = applyTileOverrides(hdr, sots.head.head)
     decodeTileCore(isot, body, eff, discard, eff.layers,
-      exact = discard == 0 && !truncated)
+      exact = discard == 0 && !truncated, packedHdrs = packed)
   }
 
   /** Decode ONE tile from a COMPACTED quality slice — the concatenated
@@ -1059,6 +1111,8 @@ object Jp2Codec {
       s"keepLayers $keepLayers out of 1..${hdr.layers}")
     val sot = parseSliceSot(slice)
     require(sot.part == 0, "compacted quality slice must start at tile-part 0")
+    require(sot.head.ppt.isEmpty,
+      "PPT (packed packet headers): quality truncation unsupported — whole-file decode admits this stream")
     val body = java.util.Arrays.copyOfRange(slice, sot.bodyStart, slice.length)
     // the compacted layout contains EXACTLY the kept packets (or, for the
     // single-part no-PLT fallback with keepLayers == layers, the full
@@ -1122,6 +1176,8 @@ object Jp2Codec {
       val headers = parts.map(s => tilePartHeader(in, s.pos))
       for (th <- headers.drop(1)) require(!th.hasOverrides,
         s"tile $isot: COD/COC/QCD/QCC outside the first tile-part not allowed (A.6)")
+      require(headers.forall(_.ppt.isEmpty),
+        s"tile $isot: PPT (packed packet headers) — ranged quality walk unsupported; whole-file decode admits this stream")
       val eff = applyTileOverrides(hdr, headers.head)
       if (headers.exists(_.plt == null)) {
         // a full span IS the compacted layout only when nothing is
@@ -1235,6 +1291,8 @@ object Jp2Codec {
         val headers = parts.map(s => tilePartHeader(in, s.pos))
         for (h2 <- headers.drop(1)) require(!h2.hasOverrides,
           s"tile $isot: COD/COC/QCD/QCC outside the first tile-part not allowed (A.6)")
+        require(headers.forall(_.ppt.isEmpty),
+          s"tile $isot: PPT (packed packet headers) — ranged region walk unsupported; whole-file decode admits this stream")
         val eff = applyTileOverrides(hdr, headers.head)
         require(headers.forall(_.plt != null),
           s"tile $isot: no PLT — cannot region-truncate to precinct ranges")
@@ -1303,7 +1361,10 @@ object Jp2Codec {
   private[jp2] final case class TileHead(bodyStart: Long, plt: Array[Int],
       cod: Option[Array[Byte]], coc: Seq[Array[Byte]],
       qcd: Option[Array[Byte]], qcc: Seq[Array[Byte]],
-      poc: Option[Array[Byte]] = None) {
+      poc: Option[Array[Byte]] = None,
+      ppt: Seq[(Int, Array[Byte])] = Nil) {
+    // ppt (r19, A.7.5) is NOT an A.6 override — it may legally ride any
+    // tile-part of the tile — so it stays outside hasOverrides
     def hasOverrides: Boolean =
       cod.nonEmpty || coc.nonEmpty || qcd.nonEmpty || qcc.nonEmpty || poc.nonEmpty
   }
@@ -1319,6 +1380,7 @@ object Jp2Codec {
     var codB: Option[Array[Byte]] = None
     var qcdB: Option[Array[Byte]] = None
     var pocB: Option[Array[Byte]] = None
+    val pptB = ArrayBuffer.empty[(Int, Array[Byte])]
     val cocB = ArrayBuffer.empty[Array[Byte]]
     val qccB = ArrayBuffer.empty[Array[Byte]]
     var marker = readU16(in, p)
@@ -1356,6 +1418,9 @@ object Jp2Codec {
         case 0xFF5F => // POC (r19): tile progression override, stashed
           require(pocB.isEmpty, "duplicate tile-part POC")
           pocB = Some(seg(7))
+        case 0xFF61 => // PPT (r19): packed packet headers, Zppt + payload
+          val b = seg(1)
+          pptB += ((b(0) & 0xFF, java.util.Arrays.copyOfRange(b, 1, b.length)))
         case 0xFF64 => () // COM: informational, skip
         case m => throw new IllegalArgumentException(
           f"tile-part header marker $m%04x not supported")
@@ -1363,7 +1428,7 @@ object Jp2Codec {
       p += 2 + lseg
       marker = readU16(in, p)
     }
-    TileHead(p + 2, lens, codB, cocB.toSeq, qcdB, qccB.toSeq, pocB)
+    TileHead(p + 2, lens, codB, cocB.toSeq, qcdB, qccB.toSeq, pocB, pptB.toSeq)
   }
 
   /** Resolve one tile's EFFECTIVE header from the main header and its
@@ -1651,6 +1716,10 @@ object Jp2Codec {
             case 0xFF5F => // POC (r19) — progression order change, stashed
               require(pocBody == null, "duplicate POC in main header (A.6.6)")
               pocBody = body(7)
+            case 0xFF60 => throw new IllegalArgumentException(
+              "PPM (packed packet headers in the MAIN header) not supported — " +
+                "it makes every tile-part non-self-describing and collapses the " +
+                "ranged split's byte contract (see COVERAGE; tile-local PPT is admitted)")
             case mm if SkippableMainMarkers(mm) => () // informational, skip by length
             case mm => throw new IllegalArgumentException(
               f"main header marker $mm%04x not supported")
@@ -1852,7 +1921,16 @@ object Jp2Codec {
     * quality slices); prefix decodes assert it stayed inside. */
   private def decodeTileCore(isot: Int, body: Array[Byte], hdr: Header, discard: Int,
       keepLayers: Int, exact: Boolean,
-      keepPrec: (Int, Int, Int) => Boolean = null): Tile = {
+      keepPrec: (Int, Int, Int) => Boolean = null,
+      packedHdrs: Array[Byte] = null): Tile = {
+    // PPT (r19): header bits come from the packed stream, bodies from
+    // the bitstream. Skipping packets is UNSOUND under PPT (the packed
+    // stream still carries the skipped packets' headers and the parse
+    // is stateful), so every truncating walk is a typed rejection —
+    // whole-file decode only.
+    require(packedHdrs == null ||
+      (discard == 0 && keepLayers >= hdr.layers && keepPrec == null),
+      "PPT (packed packet headers): reduced/quality/region truncation unsupported — whole-file decode admits this stream")
     require(discard >= 0 && discard <= hdr.minLevels,
       s"discard $discard out of 0..${hdr.minLevels}")
     // a discard-truncated body drops each component's own finest
@@ -1908,18 +1986,28 @@ object Jp2Codec {
       new ResDecoder(rw, rh, rlOf(c), r,
         hdr.qFor(c), rx0, ry0, hdr.pp, hdr.sop, hdr.eph, hdr.tier1StyleFor(c))))
     var p = 0
+    var hp = 0 // packed-header cursor (PPT streams only)
     for (pkt <- packetOrder(hdr.prog, hdr.layers, hdr.nc, rlOf _, rw, rh, rx0, ry0, hdr.pp, hdr.poc)) {
       if (pkt.l < keep && (keepPrec == null || keepPrec(pkt.r, pkt.c, pkt.p))) {
-        require(p < body.length,
-          s"tile $isot body exhausted at packet (r=${pkt.r},l=${pkt.l},c=${pkt.c},p=${pkt.p}) — missing tile-part slices?")
-        p = decs(pkt.c)(pkt.r).readPacket(body, p, pkt.l, pkt.p)
+        if (packedHdrs == null) {
+          require(p < body.length,
+            s"tile $isot body exhausted at packet (r=${pkt.r},l=${pkt.l},c=${pkt.c},p=${pkt.p}) — missing tile-part slices?")
+          p = decs(pkt.c)(pkt.r).readPacket(body, p, pkt.l, pkt.p)
+        } else {
+          require(hp < packedHdrs.length,
+            s"tile $isot packed headers exhausted at packet (r=${pkt.r},l=${pkt.l},c=${pkt.c},p=${pkt.p})")
+          val (nh, nb) = decs(pkt.c)(pkt.r).readPacketFrom(packedHdrs, hp, body, p, pkt.l, pkt.p)
+          hp = nh; p = nb
+        }
       }
     }
     for (c <- 0 until hdr.nc; r <- 0 to rlOf(c))
       decs(c)(r).finishInto(tile(c), if (quantDepth == null) null else quantDepth(c))
-    if (exact)
+    if (exact) {
       require(p == body.length, s"tile $isot body ended at $p of ${body.length}")
-    else
+      require(packedHdrs == null || hp == packedHdrs.length,
+        s"tile $isot packed headers ended at $hp of ${packedHdrs.length}")
+    } else
       require(p <= body.length, s"tile $isot truncated walk overran its slices")
     if (hdr.irreversible) {
       // E.1 mid-point dequantization (r = 1/2) at each band's own step
@@ -2332,15 +2420,30 @@ object Jp2Codec {
       * band of this (component, resolution). `eph` appends the
       * end-of-packet-header marker after the header bits (A.8.2). */
     def encodeLayer(l: Int, p: Int, eph: Boolean): Array[Byte] = {
+      val (h, b) = encodeLayerSplit(l, p, eph)
+      if (b.isEmpty) h
+      else {
+        val o = new Array[Byte](h.length + b.length)
+        System.arraycopy(h, 0, o, 0, h.length)
+        System.arraycopy(b, 0, o, h.length, b.length)
+        o
+      }
+    }
+
+    /** [[encodeLayer]] with the packet HEADER (incl. EPH) and the
+      * code-block BODIES returned separately — the PPT emission shape
+      * (r19, A.7.5): headers packed into the tile-part header, bodies
+      * alone in the bitstream. Inline emission concatenates the two. */
+    def encodeLayerSplit(l: Int, p: Int, eph: Boolean): (Array[Byte], Array[Byte]) = {
       val bio = new BioWriter
       val anyContrib = perBand.exists(_._2(p)._3.exists(_.npAt(l) > 0))
       if (!anyContrib) {
         bio.bit(0) // empty packet
         val header = bio.flush()
-        if (!eph) return header
+        if (!eph) return (header, Array.emptyByteArray)
         val out = new java.io.ByteArrayOutputStream(header.length + 2)
         out.write(header); out.write(0xFF); out.write(0x92)
-        return out.toByteArray
+        return (out.toByteArray, Array.emptyByteArray)
       }
       bio.bit(1)
       val chunks = ArrayBuffer.empty[(Array[Byte], Int, Int)] // (data, from, until)
@@ -2400,11 +2503,12 @@ object Jp2Codec {
         }
       }
       val header = bio.flush()
-      val out = new java.io.ByteArrayOutputStream(header.length + 256)
-      out.write(header)
-      if (eph) { out.write(0xFF); out.write(0x92) }
-      for ((d, from, until) <- chunks) out.write(d, from, until - from)
-      out.toByteArray
+      val hOut = new java.io.ByteArrayOutputStream(header.length + 2)
+      hOut.write(header)
+      if (eph) { hOut.write(0xFF); hOut.write(0x92) }
+      val bOut = new java.io.ByteArrayOutputStream(256)
+      for ((d, from, until) <- chunks) bOut.write(d, from, until - from)
+      (hOut.toByteArray, bOut.toByteArray)
     }
   }
 
@@ -2472,15 +2576,33 @@ object Jp2Codec {
       * checked; Nsop continuity is NOT — compacted quality slices and
       * reduced prefixes legitimately skip packets). EPH after the header
       * is REQUIRED when flagged (A.8.2 "shall"). */
-    def readPacket(cs: Array[Byte], pos: Int, l: Int, p: Int): Int = {
-      var at = pos
-      if (sop && at + 6 <= cs.length &&
-          (cs(at) & 0xFF) == 0xFF && (cs(at + 1) & 0xFF) == 0x91) {
-        // SOP is optional per packet even when flagged (A.8.1 "may")
-        require(((cs(at + 2) & 0xFF) << 8 | (cs(at + 3) & 0xFF)) == 4,
-          s"SOP marker at $at with Lsop != 4")
-        at += 6
-      }
+    def readPacket(cs: Array[Byte], pos: Int, l: Int, p: Int): Int =
+      readPacketFrom(cs, pos, cs, -1, l, p)._2
+
+    /** One packet, with the header bits and the code-block bodies read
+      * from SEPARATE cursors — the PPT shape (r19, A.7.5): packed
+      * packet headers live in the tile-part header, the bitstream
+      * carries only the bodies. `bPos < 0` selects the inline layout
+      * (bodies follow the header in `hdrCs`; `bodyCs` is then ignored).
+      * Returns (header cursor after this packet, body cursor after
+      * this packet); inline callers use the second. SOP markers ride
+      * the BITSTREAM (body side when packed), EPH ends the packet
+      * header (packed side). */
+    def readPacketFrom(hdrCs: Array[Byte], hPos: Int, bodyCs: Array[Byte],
+        bPos: Int, l: Int, p: Int): (Int, Int) = {
+      val packed = bPos >= 0
+      var at = hPos
+      var bAt = bPos
+      def skipSop(arr: Array[Byte], i: Int): Int =
+        if (sop && i + 6 <= arr.length && (arr(i) & 0xFF) == 0xFF &&
+            (arr(i + 1) & 0xFF) == 0x91) {
+          // SOP is optional per packet even when flagged (A.8.1 "may")
+          require(((arr(i + 2) & 0xFF) << 8 | (arr(i + 3) & 0xFF)) == 4,
+            s"SOP marker at $i with Lsop != 4")
+          i + 6
+        } else i
+      if (packed) bAt = skipSop(bodyCs, bAt) else at = skipSop(hdrCs, at)
+      val cs = hdrCs
       val bio = new BioReader(cs, at)
       var end = -1
       if (bio.bit() == 0) { // empty packet
@@ -2490,7 +2612,7 @@ object Jp2Codec {
             (cs(end + 1) & 0xFF) == 0x92, s"missing EPH after empty packet header at $end")
           end += 2
         }
-        return end
+        return if (packed) (end, bAt) else (end, end)
       }
       val pending = ArrayBuffer.empty[(BlkState, Int)] // (state, len)
       for ((_, mb, perPrec) <- perBand) {
@@ -2551,11 +2673,14 @@ object Jp2Codec {
           (cs(q + 1) & 0xFF) == 0x92, s"missing EPH after packet header at $q")
         q += 2
       }
+      var b = if (packed) bAt else q
       for ((s, len) <- pending) {
-        s.chunks += java.util.Arrays.copyOfRange(cs, q, q + len)
-        q += len
+        require(b + len <= bodyCs.length,
+          s"packet bodies at $b overrun the bitstream (${bodyCs.length} B)")
+        s.chunks += java.util.Arrays.copyOfRange(bodyCs, b, b + len)
+        b += len
       }
-      q
+      if (packed) (q, b) else (b, b)
     }
 
     /** Tier-1 decode every included block (all layers' chunks

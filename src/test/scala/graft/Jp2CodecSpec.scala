@@ -749,6 +749,38 @@ class Jp2CodecSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("incomplete POC"), e3.getMessage)
   }
 
+  test("PPT (packed headers) round-trips losslessly; bitstream carries only bodies") {
+    val (w, h) = (130, 97)
+    val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))
+    for (tile <- Seq(0, 64); eph <- Seq(false, true); layers <- Seq(1, 2)) {
+      val cs = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = tile,
+        layers = layers, eph = eph, packedHeaders = true)
+      val img = Jp2Codec.decode(cs)
+      for (c <- 0 until 3)
+        assert(img.comps(c).sameElements(comps(c)), s"comp $c tile=$tile eph=$eph l=$layers")
+      // the packed stream and the inline stream decode identically
+      val inline = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = tile,
+        layers = layers, eph = eph)
+      val ref = Jp2Codec.decode(inline)
+      for (c <- 0 until 3) assert(img.comps(c).sameElements(ref.comps(c)))
+      // ranged walks: typed PPT rejections; container walk unaffected
+      val e = intercept[IllegalArgumentException](Jp2Codec.tilePartsReduced(cs, 1))
+      assert(e.getMessage.contains("PPT"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException](Jp2Codec.decodeReduced(cs, 1))
+      assert(e2.getMessage.contains("PPT"), e2.getMessage)
+      val boxed = Jp2Box.buildContainer(w, h, cs)
+      assert(Jp2Codec.decode(boxed).comps(0).sameElements(comps(0)))
+    }
+    // lossy path through the packed layout
+    val lossy = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64,
+      irreversible = true, qShift = -2, packedHeaders = true)
+    val lref = Jp2Codec.decode(Jp2Codec.encode(w, h, comps, levels = 3,
+      tileSize = 64, irreversible = true, qShift = -2))
+    val limg = Jp2Codec.decode(lossy)
+    for (c <- 0 until 3) assert(limg.comps(c).sameElements(lref.comps(c)),
+      s"lossy PPT decode diverges from the inline twin (comp $c)")
+  }
+
   test("multi-layer encode round-trips losslessly, tiled and untiled") {
     for (layers <- Seq(2, 3, 5); (w, h, tile) <- Seq((113, 89, 0), (130, 97, 64))) {
       val comps = Array(pattern(w, h, 0), pattern(w, h, 29), pattern(w, h, 58))

@@ -1144,6 +1144,53 @@ class Jp2HandFixtureSpec extends AnyFunSuite {
     assert(Jp2Codec.decode(foreign).comps(0).sameElements(Jp2Codec.decode(enc).comps(0)))
   }
 
+  // ------------------------------------------------------------------
+  // Fixture Z — PPT, packed packet headers (r19, A.7.5): the packet
+  // HEADERS leave the bitstream and ride the tile-part header as PPT
+  // segments; the bitstream carries only code-block bodies. Geometry
+  // and bits are fixture X's 2x2 levels-1 constant plane, re-packed:
+  //   r0: header C0 01 08, body 03;  r1: header 00, body (empty)
+  //   -> PPT payload = C0 01 08 00 (4 B), bitstream = 03 (1 B).
+  // Derived by hand: the header/body boundary of each packet is the
+  // byte-aligned end of its header bits (B.10), so the packed stream
+  // is parseable sequentially on its own cursor.
+  // ------------------------------------------------------------------
+  test("hand fixture Z: PPT packs headers out of the bitstream; ranged walks reject typed") {
+    val expected = Seq(Seq(129, 129, 129, 129))
+    val pptSeg = bytes(0xFF, 0x61, 0, 7, 0, 0xC0, 0x01, 0x08, 0x00)
+    val body = bytes(0x03)
+    val psot = 12 + pptSeg.length + 2 + body.length
+    val sot = bytes(0xFF, 0x90, 0, 10, 0, 0,
+      psot >>> 24, (psot >>> 16) & 0xFF, (psot >>> 8) & 0xFF, psot & 0xFF, 0, 1)
+    val cs = SOC ++ siz(2, 2, 2, 2, 1) ++ cod(0, 1, 0, 1, 1) ++ qcdRev(1) ++
+      sot ++ pptSeg ++ bytes(0xFF, 0x93) ++ body ++ EOC
+    assert(pixels(Jp2Codec.decode(cs)) == expected)
+    // the INLINE twin carries the same bits contiguously — both layouts
+    // must land on the same plane
+    val inline = SOC ++ siz(2, 2, 2, 2, 1) ++ cod(0, 1, 0, 1, 1) ++ qcdRev(1) ++
+      tilePart(0, 0, 1, bytes(0xC0, 0x01, 0x08, 0x03), bytes(0x00)) ++ EOC
+    assert(pixels(Jp2Codec.decode(inline)) == expected)
+    // every truncating walk is a typed PPT rejection (skipping packets
+    // would desync the stateful packed-header parse)
+    val e1 = intercept[IllegalArgumentException](Jp2Codec.tilePartsReduced(cs, 1))
+    assert(e1.getMessage.contains("PPT"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Jp2Codec.tilePartsQuality(new Jp2Codec.BytesInput(cs), 1))
+    assert(e2.getMessage.contains("PPT"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](Jp2Codec.decodeReduced(cs, 1))
+    assert(e3.getMessage.contains("PPT"), e3.getMessage)
+    // PPM stays rejected with its own named error
+    val ppm = bytes(0xFF, 0x60, 0, 3, 0)
+    val withPpm = SOC ++ siz(2, 2, 2, 2, 1) ++ cod(0, 1, 0, 1, 1) ++ qcdRev(1) ++
+      ppm ++ tilePart(0, 0, 1, bytes(0xC0, 0x01, 0x08, 0x03), bytes(0x00)) ++ EOC
+    val e4 = intercept[IllegalArgumentException](Jp2Codec.decode(withPpm))
+    assert(e4.getMessage.contains("PPM"), e4.getMessage)
+    // teeth: flip the packed zbp byte — the header parse diverges, so
+    // pixels move or the walk dies typed; flip the body byte likewise
+    assertFlipFails(cs, cs.length - EOC.length - body.length - 2 - 4, expected) // 0xC0 in PPT
+    assertFlipFails(cs, cs.length - EOC.length - 1, expected) // body codeword
+  }
+
   test("hand fixture I: hand-built JP2 container walks to jp2c") {
     val sig = bytes(0x00, 0x00, 0x00, 0x0C, 0x6A, 0x50, 0x20, 0x20, 0x0D, 0x0A, 0x87, 0x0A)
     val ftypLen = 8 + 4 + 4 + 4 // brand jp2\040, minor 0, compat jp2\040
