@@ -1800,7 +1800,7 @@ object Sources {
 
   private val lossyJp2Staged = new java.util.concurrent.ConcurrentHashMap[String, (String, Map[String, Long])]()
 
-  /** Synthesize 9 LOSSY (9/7 + ICT + scalar quantization) JPEG 2000
+  /** Synthesize 11 LOSSY (9/7 + ICT + scalar quantization) JPEG 2000
     * scans (staged once per JVM) — the dominant profile of real archival
     * masters (visually-lossless derivatives) — mixing untiled/tiled,
     * 1/2 quality layers, 1/2 tile-parts AND (r17) the three spec QCD
