@@ -1089,7 +1089,7 @@ object Sources {
   private[graft] def stageJp2s(): String =
     jp2Staged.computeIfAbsent("jp2s", { _ =>
       val dir = tmp("l5g_jp2")
-      (0 until 10).foreach { i =>
+      (0 until 11).foreach { i =>
         val w = 40 + (17 * i) % 113
         val h = 30 + (23 * i) % 89
         // file 7 (r18c) is a 16-BIT RGB master (Ssiz 15) — the deep
@@ -1125,16 +1125,24 @@ object Sources {
         // the headers ride the tile-part header, the bitstream carries
         // only code-block bodies, and every ranged walk typed-rejects
         // it (pinned through l5i like PCRL) while whole-file decode
-        // hash-matches the same closed-form sums
+        // hash-matches the same closed-form sums.
+        // File 10 (r20): CPRL — the component-major position order
+        // (B.12.1.4), the last of the five A.6.1 progressions without a
+        // staged oracle arm — crossed with the same 32-px tile grid,
+        // 32-px precincts and 2 layers as the PCRL file so the
+        // component-major walk runs distributed; position-major like
+        // PCRL, so the byte-prefix reduced walk's typed rejection is
+        // pinned through l5i as another (-1, -1) row
         val cs = graft.sources.jp2.Jp2Codec.encode(
           w, h, comps,
-          tileSize = if (i == 8) 32 else if (i % 2 == 1 || i == 6) 64 else 0,
-          layers = if (i % 3 == 2 || i == 6) 2 else 1,
+          tileSize = if (i == 8 || i == 10) 32 else if (i % 2 == 1 || i == 6) 64 else 0,
+          layers = if (i % 3 == 2 || i == 6 || i == 10) 2 else 1,
           blockStyle = i match { case 4 => 0x20; case 5 => 0x2F; case _ => 0 },
-          precinctExp = if (i == 6 || i == 8) 5 else 15,
+          precinctExp = if (i == 6 || i == 8 || i == 10) 5 else 15,
           prog = i match {
             case 6 => graft.sources.jp2.Jp2Codec.RPCL
             case 8 => graft.sources.jp2.Jp2Codec.PCRL
+            case 10 => graft.sources.jp2.Jp2Codec.CPRL
             case _ => -1
           },
           bitDepth = if (i == 7) 16 else 8,
@@ -1211,12 +1219,13 @@ object Sources {
             (0 until full.comps.length).forall(c =>
               java.util.Arrays.equals(d0.comps(c), full.comps(c))),
             s"$name: discard=0 reduced decode diverged from the full decode")
-          // streams with no low-res byte prefix — scan_8 (PCRL,
-          // position-major order) and scan_9 (PPT, headers packed out
-          // of the bitstream) — make the reduced walk reject TYPED, and
-          // this query pins that contract through the oracle as
-          // (-1, -1) thumb dims; only the two specific rejections are
-          // caught, anything else still fails the task loudly
+          // streams with no low-res byte prefix — scan_8 (PCRL) and
+          // scan_10 (CPRL), the position-major orders, and scan_9
+          // (PPT, headers packed out of the bitstream) — make the
+          // reduced walk reject TYPED, and this query pins that
+          // contract through the oracle as (-1, -1) thumb dims; only
+          // the two specific rejection classes are caught, anything
+          // else still fails the task loudly
           val (tw, th) = try {
             val thumb = graft.sources.jp2.Jp2Codec.decodeReduced(bytes, 2)
             (thumb.width.toLong, thumb.height.toLong)
@@ -1258,6 +1267,40 @@ object Sources {
         partsPerTile = 2)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/page_0.jp2"),
+        graft.sources.Jp2Box.buildContainer(w, h, cs))
+      dir
+    })
+
+  /** Synthesize the POC variant of the big tiled scan (staged once per
+    * JVM, r20): same 384x192 / 64-px-tile / 2-layer shape as
+    * [[stageBigJp2]] (one part per tile — the encoder's resolution-
+    * boundary split is incompatible with POC) but with its own pixel
+    * formula AND a
+    * progression-order-change marker whose FIRST volume is exactly the
+    * layer-0 front in LRCP — the rate-allocation shape real encoders
+    * emit when the allocator reorders the head of the stream for
+    * quality-progressive delivery. l5k's quality walk must then follow
+    * the POC-aware packet order end to end (walker ranges AND
+    * compacted-slice decode), with the volumes threaded through the
+    * query's header carrier instead of guarded away. */
+  private[graft] def stagePocBigJp2(): String =
+    bigJp2Staged.computeIfAbsent("poc", { _ =>
+      val dir = tmp("l5k_poc_jp2")
+      val (w, h) = (384, 192)
+      val comps = Array.tabulate(3) { c =>
+        Array.tabulate(w * h)(j => ((j % w) * (9 + 4 * c) + (j / w) * 17 + c * 37) % 256)
+      }
+      import graft.sources.jp2.Jp2Codec.{PocEntry, LRCP, RLCP}
+      // one part per tile: the encoder's resolution-boundary tile-part
+      // split requires a global resolution-major order, which a POC by
+      // definition breaks — the axis under test here is the packet
+      // ORDER, which is part-count-independent
+      val cs = graft.sources.jp2.Jp2Codec.encode(w, h, comps, tileSize = 64, layers = 2,
+        poc = Seq(
+          PocEntry(0, 0, 1, 4, 3, LRCP), // the whole layer-0 front, quality-first
+          PocEntry(0, 0, 2, 4, 3, RLCP))) // the refinement layer, resolution-major
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/page_poc.jp2"),
         graft.sources.Jp2Box.buildContainer(w, h, cs))
       dir
     })
@@ -1532,26 +1575,30 @@ object Sources {
     * keep=layers) is pinned by Jp2CodecSpec, and the emitted full-res
     * extents / tile count are closed-form for the DuckDB oracle. */
   def l5kJp2QualityRanged(spark: SparkSession, dir: String): DataFrame = {
-    // two arms, one per keepLayers value: keep=1 is the scalability story
-    // (first-layer fraction of the bytes, full-res reduced-fidelity
-    // pixels whose sums the oracle pins as constants), keep=2 (= layers)
-    // is the DEGENERATE arm whose pixels must equal the full decode —
-    // its sums hash-match the same closed-form arithmetic as l5h, so a
-    // quality-machinery corruption cannot hide behind a weak oracle
-    l5kArm(spark, keepLayers = 1).unionAll(l5kArm(spark, keepLayers = 2))
+    // two arms per staged scan, one per keepLayers value: keep=1 is the
+    // scalability story (first-layer fraction of the bytes, full-res
+    // reduced-fidelity pixels whose sums the oracle pins as constants),
+    // keep=2 (= layers) is the DEGENERATE arm whose pixels must equal
+    // the full decode — its sums hash-match the same closed-form
+    // arithmetic as l5h, so a quality-machinery corruption cannot hide
+    // behind a weak oracle. The second scan (r20) carries a POC whose
+    // first volume is exactly the layer-0 front (a rate-allocation
+    // marker), threaded through the query's header carrier — the
+    // quality walk and the compacted-slice decode both follow the
+    // POC-aware packet order end to end through the oracle.
+    l5kArm(spark, stageBigJp2(), keepLayers = 1)
+      .unionAll(l5kArm(spark, stageBigJp2(), keepLayers = 2))
+      .unionAll(l5kArm(spark, stagePocBigJp2(), keepLayers = 1))
+      .unionAll(l5kArm(spark, stagePocBigJp2(), keepLayers = 2))
   }
 
-  private def l5kArm(spark: SparkSession, keepLayers: Int): DataFrame = {
+  private def l5kArm(spark: SparkSession, staged: String, keepLayers: Int): DataFrame = {
     import spark.implicits._
-    val staged = stageBigJp2()
     val tiles = jp2RangedSplit(
       spark.read.format("binaryFile").load(staged)
         .select($"path", $"length").as[(String, Long)] // listing only: content never read
     ) { (p, fileLen, in) =>
         val (hdr, parts) = graft.sources.jp2.Jp2Codec.tilePartsQuality(in, keepLayers)
-        // same scalar-header caveat as l5n: the walker admits POC, the
-        // tuple below cannot carry it — typed guard over a wrong decode
-        require(hdr.poc.isEmpty, s"$p: POC stream in a scalar-header query path")
         val fetch = parts.map(_.fetchBytes).sum
         // the byte contract: header walk + first-layer ranges together
         // stay a fraction of the scan (the dropped refinement layers
@@ -1566,20 +1613,26 @@ object Sources {
             s"$p: walk ${in.bytesRead} B + ranges $fetch B exceed the scan")
         parts.map(t => (p, t.index, t.ranges.flatMap(r => Seq(r._1, r._2)),
           hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
-          hdr.layers, hdr.irreversible, hdr.qShift))
+          hdr.layers, hdr.irreversible, hdr.qShift,
+          // POC volumes travel WITH the header (r20): 6 ints per entry,
+          // so the compacted-slice decode follows the stream's actual
+          // POC-aware packet order instead of guarding it away
+          hdr.poc.flatMap(e => Seq(e.rs, e.cs, e.lye, e.re, e.ce, e.prog))))
       }
       .toDF("path", "tile", "ranges", "w", "h", "nc", "xt", "yt", "rct", "levels",
-        "nlayers", "irrev", "qshift")
+        "nlayers", "irrev", "qshift", "poc")
       .repartition(spark.sparkContext.defaultParallelism, col("path"), col("tile"))
-      .as[(String, Int, Seq[Long], Int, Int, Int, Int, Int, Boolean, Int, Int, Boolean, Int)]
+      .as[(String, Int, Seq[Long], Int, Int, Int, Int, Int, Boolean, Int, Int, Boolean, Int, Seq[Int])]
     val perTile = tiles.mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
-      it.map { case (p, _, ranges, w, h, nc, xt, yt, rct, levels, nlayers, irrev, qshift) =>
+      it.map { case (p, _, ranges, w, h, nc, xt, yt, rct, levels, nlayers, irrev, qshift, pocFlat) =>
         // flattened (from, until) pairs -> one compacted slice
         val slice = jp2FetchRanges(conf, p,
           ranges.grouped(2).map(r => (r(0), r(1))).toSeq)
+        val poc = pocFlat.grouped(6).map(e =>
+          graft.sources.jp2.Jp2Codec.PocEntry(e(0), e(1), e(2), e(3), e(4), e(5))).toSeq
         val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels, nlayers,
-          irrev, qshift)
+          irrev, qshift, poc = poc)
         val t = graft.sources.jp2.Jp2Codec.decodeTilePartQuality(slice, hdr, keepLayers)
         (p, (t.x0 + t.width).toLong, (t.y0 + t.height).toLong,
           sumChannel(t.comps(0)), sumChannel(t.comps(1)), sumChannel(t.comps(2)))
@@ -1682,12 +1735,13 @@ object Sources {
 
   private val precinctJp2Staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Synthesize two PRECINCT-PARTITIONED scans (staged once per JVM):
+  /** Synthesize three PRECINCT-PARTITIONED scans (staged once per JVM):
     * 768x384 RGB, two 384-tiles each split in 2 tile-parts, 2 quality
     * layers, 32x32 precincts on every resolution (Scod bit 0, the
     * Kakadu-style random-access profile real archival masters carry) —
     * page_0 in the auto RLCP order, page_1 (r18) in RPCL, the
-    * resolution-major position order that profile actually ships in.
+    * resolution-major position order that profile actually ships in,
+    * page_2 (r20) under a POC resolution handoff (RPCL -> RLCP).
     * Pixel formulas are the l5h/l5j family so the oracle is closed-form. */
   private[graft] def stagePrecinctJp2(): String =
     precinctJp2Staged.computeIfAbsent("prec", { _ =>
@@ -1699,15 +1753,28 @@ object Sources {
       // region walker's packet arithmetic is hash-covered on both
       // orders. Distinct per-page pixel formulas keep the closed-form
       // oracle rows discriminating.
-      for ((prog, idx) <- Seq(-1 -> 0, graft.sources.jp2.Jp2Codec.RPCL -> 1)) {
+      // page_2 (r20): the same random-access shape under a POC — a
+      // resolution handoff RPCL -> RLCP (the allocator re-ordered the
+      // high resolutions), so the precinct-region walk's packet
+      // arithmetic is hash-covered under progression-order CHANGES too,
+      // with the volumes threaded through the query's header carrier
+      import graft.sources.jp2.Jp2Codec.{PocEntry, RPCL, RLCP}
+      for ((prog, idx) <- Seq(-1 -> 0, RPCL -> 1, -1 -> 2)) {
         val comps = Array.tabulate(3) { c =>
           Array.tabulate(w * h)(j =>
             if (idx == 0) ((j % w) * (7 + 2 * c) + (j / w) * 11 + c * 29) % 256
-            else ((j % w) * (8 + 3 * c) + (j / w) * 13 + c * 31) % 256)
+            else if (idx == 1) ((j % w) * (8 + 3 * c) + (j / w) * 13 + c * 31) % 256
+            else ((j % w) * (10 + 5 * c) + (j / w) * 19 + c * 41) % 256)
         }
         val cs = graft.sources.jp2.Jp2Codec.encode(w, h, comps, levels = 3,
-          tileSize = 384, layers = 2, partsPerTile = 2, precinctExp = 5,
-          prog = prog)
+          tileSize = 384, layers = 2,
+          // page_2 is one part per tile: the encoder's resolution-
+          // boundary split needs a global resolution-major order, which
+          // its POC breaks — the region walk under test is unaffected
+          partsPerTile = if (idx == 2) 1 else 2, precinctExp = 5,
+          prog = prog,
+          poc = if (idx == 2) Seq(
+            PocEntry(0, 0, 2, 2, 3, RPCL), PocEntry(2, 0, 2, 4, 3, RLCP)) else Nil)
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$dir/page_$idx.jp2"),
           graft.sources.Jp2Box.buildContainer(w, h, cs))
@@ -1742,11 +1809,6 @@ object Sources {
         .select($"path", $"length").as[(String, Long)] // listing only: content never read
     ) { (p, fileLen, in) =>
         val (hdr, parts) = graft.sources.jp2.Jp2Codec.tilePartsRegion(in, cx0, cy0, cx1, cy1)
-        // the codec-level walkers admit POC, but THIS query ships the
-        // header as scalar columns (below) and a rebuilt Header would
-        // silently drop the POC volumes — reject loudly if a POC file
-        // ever lands in this corpus instead of decoding it wrong
-        require(hdr.poc.isEmpty, s"$p: POC stream in a scalar-header query path")
         val fetch = parts.map(_.fetchBytes).sum
         // precinct-granularity contract: header walk + kept packet ranges
         // stay under half the scan even though EVERY tile intersects the
@@ -1755,21 +1817,28 @@ object Sources {
           s"$p: walk ${in.bytesRead} B + region ranges $fetch B not a fraction of $fileLen B")
         parts.map(t => (p, t.index, t.ranges.flatMap(r => Seq(r._1, r._2)),
           hdr.width, hdr.height, hdr.nc, hdr.xt, hdr.yt, hdr.useRct, hdr.levels,
-          hdr.layers, hdr.pp, hdr.prog))
+          hdr.layers, hdr.pp, hdr.prog,
+          // POC volumes travel WITH the header (r20): 6 ints per entry —
+          // page_2's resolution handoff must drive the compacted-slice
+          // walk, not be silently dropped by a scalar-only carrier
+          hdr.poc.flatMap(e => Seq(e.rs, e.cs, e.lye, e.re, e.ce, e.prog))))
       }
       .toDF("path", "tile", "ranges", "w", "h", "nc", "xt", "yt", "rct", "levels",
-        "nlayers", "pp", "prog")
+        "nlayers", "pp", "prog", "poc")
       .repartition(spark.sparkContext.defaultParallelism, col("path"), col("tile"))
-      .as[(String, Int, Seq[Long], Int, Int, Int, Int, Int, Boolean, Int, Int, Int, Int)]
+      .as[(String, Int, Seq[Long], Int, Int, Int, Int, Int, Boolean, Int, Int, Int, Int, Seq[Int])]
     val perTile = tiles.mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
-      it.map { case (p, _, ranges, w, h, nc, xt, yt, rct, levels, nlayers, pp, prog) =>
+      it.map { case (p, _, ranges, w, h, nc, xt, yt, rct, levels, nlayers, pp, prog, pocFlat) =>
         val slice = jp2FetchRanges(conf, p,
           ranges.grouped(2).map(r => (r(0), r(1))).toSeq)
-        // prog travels with the header fields: the compacted-slice walk
-        // must follow the STREAM's packet order (page_1 is RPCL)
+        // prog and poc travel with the header fields: the compacted-slice
+        // walk must follow the STREAM's packet order (page_1 is RPCL,
+        // page_2 a POC resolution handoff)
+        val poc = pocFlat.grouped(6).map(e =>
+          graft.sources.jp2.Jp2Codec.PocEntry(e(0), e(1), e(2), e(3), e(4), e(5))).toSeq
         val hdr = graft.sources.jp2.Jp2Codec.Header(w, h, nc, xt, yt, rct, levels,
-          nlayers, pp = pp, prog = prog)
+          nlayers, pp = pp, prog = prog, poc = poc)
         val t = graft.sources.jp2.Jp2Codec.decodeTileRegion(slice, hdr, cx0, cy0, cx1, cy1)
         val ix0 = math.max(cx0, t.x0); val ix1 = math.min(cx1, t.x0 + t.width)
         val iy0 = math.max(cy0, t.y0); val iy1 = math.min(cy1, t.y0 + t.height)
@@ -2695,7 +2764,7 @@ object Sources {
     "l5g_jp2_decode" ->
       """WITH dims AS (
         |  SELECT i, 40 + (17*i) % 113 AS w, 30 + (23*i) % 89 AS h
-        |  FROM (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 8, 9]) AS i)),
+        |  FROM (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 8, 9, 10]) AS i)),
         |px AS (
         |  SELECT i, w, h, unnest(generate_series(0, w*h - 1)) AS j FROM dims),
         |px16 AS (SELECT unnest(generate_series(0, 46*102 - 1)) AS j)
@@ -2720,18 +2789,18 @@ object Sources {
         |  CAST(SUM(((j % 384) * 9 + (j // 384) * 11 + 29) % 256) AS BIGINT) AS sum_c1,
         |  CAST(SUM(((j % 384) * 11 + (j // 384) * 11 + 58) % 256) AS BIGINT) AS sum_c2
         |FROM px""".stripMargin,
-    // scan_8 (PCRL) and scan_9 (PPT) carry (-1, -1) thumb dims: the
-    // byte-prefix reduced walk is a TYPED rejection for position-major
-    // orders and for packed packet headers, and the oracle pins both
-    // rejections (not just the happy path)
+    // scan_8 (PCRL), scan_9 (PPT) and scan_10 (CPRL, r20) carry (-1, -1)
+    // thumb dims: the byte-prefix reduced walk is a TYPED rejection for
+    // position-major orders and for packed packet headers, and the
+    // oracle pins all three rejections (not just the happy path)
     "l5i_jp2_thumbnail" ->
       """WITH dims AS (
         |  SELECT i, 40 + (17*i) % 113 AS w, 30 + (23*i) % 89 AS h
-        |  FROM (SELECT unnest(generate_series(0, 9)) AS i))
+        |  FROM (SELECT unnest(generate_series(0, 10)) AS i))
         |SELECT 'scan_' || i || '.jp2' AS file_name,
         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-        |  CAST(CASE WHEN i IN (8, 9) THEN -1 ELSE (w + 3) // 4 END AS BIGINT) AS thumb_w,
-        |  CAST(CASE WHEN i IN (8, 9) THEN -1 ELSE (h + 3) // 4 END AS BIGINT) AS thumb_h
+        |  CAST(CASE WHEN i IN (8, 9, 10) THEN -1 ELSE (w + 3) // 4 END AS BIGINT) AS thumb_w,
+        |  CAST(CASE WHEN i IN (8, 9, 10) THEN -1 ELSE (h + 3) // 4 END AS BIGINT) AS thumb_h
         |FROM dims""".stripMargin,
     // the sum_c* columns are PIXEL-dependent: the d=2 thumbnail of a 5/3
     // lossless stream is deterministic integer arithmetic (not SQL-
@@ -2744,11 +2813,13 @@ object Sources {
         |  CAST(96 AS BIGINT) AS thumb_w, CAST(48 AS BIGINT) AS thumb_h,
         |  CAST(589197 AS BIGINT) AS sum_c0, CAST(588388 AS BIGINT) AS sum_c1,
         |  CAST(591042 AS BIGINT) AS sum_c2""".stripMargin,
-    // two arms: keep_layers=2 (degenerate, = all layers) must reproduce
-    // the EXACT full-image pixel sums — the same closed-form arithmetic
-    // l5h hash-matches — while keep_layers=1's reduced-fidelity sums are
-    // frozen deterministic values (every code-block truncated at its
-    // verified layer-0 boundary)
+    // two arms per staged scan: keep_layers=2 (degenerate, = all layers)
+    // must reproduce the EXACT full-image pixel sums — the same
+    // closed-form arithmetic l5h hash-matches — while keep_layers=1's
+    // reduced-fidelity sums are frozen deterministic values (every
+    // code-block truncated at its verified layer-0 boundary). page_poc
+    // (r20) carries a POC whose first volume is the layer-0 front; its
+    // keep=1 fetch follows the POC-aware packet order end to end.
     "l5k_jp2_quality_ranged" ->
       """WITH px AS (SELECT unnest(generate_series(0, 384*192 - 1)) AS j)
         |SELECT 'page_0.jp2' AS file_name, CAST(1 AS BIGINT) AS keep_layers,
@@ -2762,6 +2833,17 @@ object Sources {
         |  CAST(SUM(((j % 384) * 7 + (j // 384) * 11) % 256) AS BIGINT),
         |  CAST(SUM(((j % 384) * 9 + (j // 384) * 11 + 29) % 256) AS BIGINT),
         |  CAST(SUM(((j % 384) * 11 + (j // 384) * 11 + 58) % 256) AS BIGINT)
+        |FROM px
+        |UNION ALL
+        |SELECT 'page_poc.jp2', CAST(1 AS BIGINT), CAST(18 AS BIGINT),
+        |  CAST(384 AS BIGINT), CAST(192 AS BIGINT),
+        |  CAST(9423268 AS BIGINT), CAST(9454547 AS BIGINT), CAST(9467830 AS BIGINT)
+        |UNION ALL
+        |SELECT 'page_poc.jp2', CAST(2 AS BIGINT), CAST(18 AS BIGINT),
+        |  CAST(384 AS BIGINT), CAST(192 AS BIGINT),
+        |  CAST(SUM(((j % 384) * 9 + (j // 384) * 17) % 256) AS BIGINT),
+        |  CAST(SUM(((j % 384) * 13 + (j // 384) * 17 + 37) % 256) AS BIGINT),
+        |  CAST(SUM(((j % 384) * 17 + (j // 384) * 17 + 74) % 256) AS BIGINT)
         |FROM px""".stripMargin,
     "l5l_jp2_region_ranged" ->
       """WITH px AS (
@@ -2789,6 +2871,12 @@ object Sources {
         |  CAST(SUM((x * 8 + y * 13) % 256) AS BIGINT),
         |  CAST(SUM((x * 11 + y * 13 + 31) % 256) AS BIGINT),
         |  CAST(SUM((x * 14 + y * 13 + 62) % 256) AS BIGINT)
+        |FROM px
+        |UNION ALL
+        |SELECT 'page_2.jp2', CAST(2 AS BIGINT),
+        |  CAST(SUM((x * 10 + y * 19) % 256) AS BIGINT),
+        |  CAST(SUM((x * 15 + y * 19 + 41) % 256) AS BIGINT),
+        |  CAST(SUM((x * 20 + y * 19 + 82) % 256) AS BIGINT)
         |FROM px""".stripMargin,
     // pixel-dependent lossy-reconstruction stats: deterministic integers
     // (strictfp double lifting + deterministic deadzone quantization),

@@ -991,7 +991,7 @@ object Jp2Codec {
           s"tile ${s.index}: per-component COC levels — ranged reduced walk unsupported")
         keepTarget(s.index) = packetsPerRes(eff, s.index).take(eff.levels - discard + 1).sum
       } else require(!th.hasOverrides,
-        s"tile ${s.index}: COD/COC/QCD/QCC outside the first tile-part not allowed (A.6)")
+        s"tile ${s.index}: COD/COC/QCD/QCC/POC outside the first tile-part not allowed (A.6)")
       val bodyStart = th.bodyStart; val lens = th.plt
       if (lens == null) {
         require(s.nparts == 1,
@@ -1076,7 +1076,7 @@ object Jp2Codec {
     }
     // per-tile COD/COC/QCD/QCC (r18b): first tile-part only (A.6)
     for (i <- sots.drop(1)) require(!i.head.hasOverrides,
-      s"tile $isot: COD/COC/QCD/QCC outside the first tile-part not allowed (A.6)")
+      s"tile $isot: COD/COC/QCD/QCC/POC outside the first tile-part not allowed (A.6)")
     // PPT (r19, A.7.5): the tile's packed packet headers are the
     // concatenation of its PPT payloads in Zppt order (they may ride
     // any of the tile's parts); duplicates are typed
@@ -1175,7 +1175,7 @@ object Jp2Codec {
       val fullLen = parts.map(_.len).sum
       val headers = parts.map(s => tilePartHeader(in, s.pos))
       for (th <- headers.drop(1)) require(!th.hasOverrides,
-        s"tile $isot: COD/COC/QCD/QCC outside the first tile-part not allowed (A.6)")
+        s"tile $isot: COD/COC/QCD/QCC/POC outside the first tile-part not allowed (A.6)")
       require(headers.forall(_.ppt.isEmpty),
         s"tile $isot: PPT (packed packet headers) — ranged quality walk unsupported; whole-file decode admits this stream")
       val eff = applyTileOverrides(hdr, headers.head)
@@ -1290,7 +1290,7 @@ object Jp2Codec {
         val fullLen = parts.map(_.len).sum
         val headers = parts.map(s => tilePartHeader(in, s.pos))
         for (h2 <- headers.drop(1)) require(!h2.hasOverrides,
-          s"tile $isot: COD/COC/QCD/QCC outside the first tile-part not allowed (A.6)")
+          s"tile $isot: COD/COC/QCD/QCC/POC outside the first tile-part not allowed (A.6)")
         require(headers.forall(_.ppt.isEmpty),
           s"tile $isot: PPT (packed packet headers) — ranged region walk unsupported; whole-file decode admits this stream")
         val eff = applyTileOverrides(hdr, headers.head)
@@ -1822,8 +1822,10 @@ object Jp2Codec {
     * iterations clamp REpoc/CEpoc to what exists (so an REpoc of 33
     * over a 5-level stream is legal and means "all"), but an EMPTY
     * volume or a backwards range is an authoring error — rejected.
-    * CEpoc = 0 means 256 in the 1-byte form; with Csiz <= 3 here it is
-    * out of range either way. */
+    * CEpoc = 0 is rejected outright: Table A-32 gives the 1-byte form a
+    * 1..255 range (the "0 means 256" reading is an encoder-convention
+    * leniency this profile does not extend — with Csiz <= 3 such a
+    * stream would be out of range either way). */
   private def parsePocBody(b: Array[Byte], nc: Int, what: String): Seq[PocEntry] = {
     require(b.length % 7 == 0 && b.length >= 7,
       s"$what POC payload ${b.length} B is not a positive multiple of 7 (one-byte component form)")
@@ -1833,8 +1835,8 @@ object Jp2Codec {
       val cs = b(o + 1) & 0xFF
       val lye = beU16(b, o + 2)
       val re = b(o + 4) & 0xFF
-      val ce0 = b(o + 5) & 0xFF
-      val ce = if (ce0 == 0) 256 else ce0
+      val ce = b(o + 5) & 0xFF
+      require(ce >= 1, s"$what POC entry $i: CEpoc 0 outside Table A-32's 1..255 range")
       val pr = b(o + 6) & 0xFF
       require(pr >= LRCP && pr <= CPRL, s"$what POC entry $i progression $pr not supported")
       require(rs < re && re <= 33, s"$what POC entry $i resolutions [$rs, $re) invalid")

@@ -701,6 +701,40 @@ class Jp2CodecSpec extends AnyFunSuite {
     assert(ihdrBpc(fix) == 7)
   }
 
+  test("buildContainer non-uniform depths: ihdr BPC = 0xFF with a bpcc box (I.5.3.1)") {
+    // the engine's own encoder applies ONE bitDepth to every component,
+    // so this branch can only be reached by a foreign codestream — a
+    // hand-built SIZ with mixed Ssiz (depths 8/12/16), derived on paper:
+    // SOC, then SIZ with Lsiz = 38 + 3*nc = 47
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    def u32(v: Int): Unit = { u16(v >> 16); u16(v & 0xFFFF) }
+    u16(0xFF4F); u16(0xFF51); u16(47); u16(0) // SOC, SIZ, Lsiz, Rsiz
+    u32(40); u32(30); u32(0); u32(0) // Xsiz Ysiz XOsiz YOsiz
+    u32(40); u32(30); u32(0); u32(0) // XTsiz YTsiz XTOsiz YTOsiz
+    u16(3) // Csiz
+    for (ss <- Seq(7, 11, 15)) { out.write(ss); out.write(1); out.write(1) }
+    val payload = out.toByteArray
+    val c = Jp2Box.buildContainer(40, 30, payload)
+    def be(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+        ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+    def typ(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, "US-ASCII")
+    // jp2h at 32 (sig 12 + ftyp 20): length must cover ihdr + bpcc
+    assert(be(c, 32) == 30L + 8 + 3 && typ(c, 36) == "jp2h")
+    // ihdr: nc 3, BPC 0xFF = "components differ, see bpcc"
+    assert(be(c, 40) == 22L && typ(c, 44) == "ihdr")
+    assert((((c(56) & 0xFF) << 8) | (c(57) & 0xFF)) == 3)
+    assert((c(58) & 0xFF) == 0xFF)
+    // bpcc child right after ihdr: one Ssiz passthrough byte per component
+    assert(be(c, 62) == 8L + 3 && typ(c, 66) == "bpcc")
+    assert((c(70) & 0xFF) == 7 && (c(71) & 0xFF) == 11 && (c(72) & 0xFF) == 15)
+    // jp2c follows the grown jp2h; the container still parses
+    assert(be(c, 73) == 8L + payload.length && typ(c, 77) == "jp2c")
+    assert(Jp2Box.parseDims(c).contains((40, 30)))
+  }
+
   test("POC round-trips losslessly; volumes drive the walk; ranged reduced rejects typed") {
     import Jp2Codec.PocEntry
     val (w, h) = (130, 97)
@@ -742,6 +776,29 @@ class Jp2CodecSpec extends AnyFunSuite {
         for (c <- 0 until 3) assert(planes(c).sameElements(comps(c)), s"quality comp $c")
     }
     assert(hdr.layers == 2)
+    // the region-ranged walk keeps precinct packets off the same
+    // POC-aware packetOrder, so it admits POC too: crop pixels must be
+    // bit-exact (precincted so the walk actually drops packets)
+    val pcs = Jp2Codec.encode(w, h, comps, levels = 3, tileSize = 64,
+      layers = 2, precinctExp = 5, poc = pocs.head)
+    val (cx0, cy0, cx1, cy1) = (40, 30, 100, 80)
+    val (rh, rparts) = Jp2Codec.tilePartsRegion(new Jp2Codec.BytesInput(pcs),
+      cx0, cy0, cx1, cy1)
+    assert(rh.poc == pocs.head)
+    var covered = 0
+    for (part <- rparts) {
+      val slice = new java.io.ByteArrayOutputStream()
+      for ((from, until) <- part.ranges) slice.write(pcs, from.toInt, (until - from).toInt)
+      val t = Jp2Codec.decodeTileRegion(slice.toByteArray, rh, cx0, cy0, cx1, cy1)
+      val ix0 = math.max(cx0, t.x0); val ix1 = math.min(cx1, t.x0 + t.width)
+      val iy0 = math.max(cy0, t.y0); val iy1 = math.min(cy1, t.y0 + t.height)
+      for (c <- 0 until 3; y <- iy0 until iy1; x <- ix0 until ix1) {
+        assert(t.comps(c)((y - t.y0) * t.width + (x - t.x0)) == comps(c)(y * w + x),
+          s"region comp $c at ($x,$y)")
+        if (c == 0) covered += 1
+      }
+    }
+    assert(covered == (cx1 - cx0) * (cy1 - cy0), "crop fully covered")
     // an incomplete POC dies typed at ENCODE (the emission order is the
     // same POC-aware generator the decoder walks)
     val e3 = intercept[IllegalArgumentException](Jp2Codec.encode(w, h, comps,
