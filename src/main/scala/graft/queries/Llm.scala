@@ -1070,19 +1070,37 @@ object Llm {
     * the oracle (float centroid math has no exact SQL twin); bounded by a
     * KMeansSpec test: assignment is total, cluster count = k, and inertia
     * is non-increasing across iterations. */
+  /** Squared distance `v` ↔ literal centroid, as the SAME index-ordered
+    * zip_with/aggregate fold the pre-r20 crossJoin form evaluated — the
+    * double result is bit-identical, only the plan shape changed. */
+  private def d2To(v: Column, c: Seq[Double]): Column =
+    aggregate(
+      zip_with(v, typedlit(c), (x, y) => (x - y) * (x - y)),
+      lit(0d), (acc, e) => acc + e)
+
+  /** Argmin over a bounded centroid set as ONE map-side expression:
+    * an array of (d2, cid) structs reduced by array_min — struct ordering
+    * compares d2 first, then cid, exactly the old window's
+    * `orderBy(d2, cid)` tie-break. r20 (guide §2.4): the previous shape
+    * crossJoined each vector against the k-row broadcast set and picked
+    * the minimum with a row_number window — i.e. a k× row explosion
+    * pushed through a full exchange on vec_id plus a per-vector sort,
+    * PER LLOYD ITERATION. The centroid set is already bounded
+    * driver-side state (k·|dims| scalars — k-means' documented contract),
+    * so the assignment needs no join and no shuffle at ANY corpus size:
+    * map-only over the vectors, which is the 100 TB-correct shape. */
+  private def argminCentroid(v: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    array_min(array(centroids.map { case (cid, c) =>
+      struct(d2To(v, c).as("d2"), lit(cid).as("cid"))
+    }: _*))
+
   /** Nearest-centroid assignment: (vec_id, v, cid, d2) — one row per
-    * vector. The crossJoin is against the k-row broadcast centroid set
-    * (the IVF-assignment shape, l3_ivf_topk), never point×point. */
+    * vector, map-only (see [[argminCentroid]]). */
   private def kmeansAssign(
       emb: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
     import emb.sparkSession.implicits._
-    emb.crossJoin(broadcast(centroids.toDF("cid", "c")))
-      .withColumn("d2", expr(
-        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, e) -> acc + e)"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"d2", $"cid")))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"v", $"cid", $"d2")
+    emb.withColumn("best", argminCentroid($"v", centroids))
+      .select($"vec_id", $"v", $"best.cid".as("cid"), $"best.d2".as("d2"))
   }
 
   /** Run `iters` Lloyd's rounds from the deterministic seed (the k lowest
@@ -1120,14 +1138,23 @@ object Llm {
         struct(lit(s).as("sub"), slice($"v", s * sd + 1, sd).as("sv"))): _*)))
       .select($"vec_id", $"col.sub".as("sub"), $"col.sv".as("sv"))
 
-    def assign(code: Seq[(Int, Int, Seq[Double])]): DataFrame =
-      subs.join(broadcast(code.toDF("sub", "cid", "c")), Seq("sub"))
-        .withColumn("d2", expr(
-          "aggregate(zip_with(sv, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, e) -> acc + e)"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"vec_id", $"sub").orderBy($"d2", $"cid")))
-        .filter($"rn" === 1)
-        .select($"vec_id", $"sub", $"sv", $"cid", $"d2")
+    // r20 (guide §2.4): per-subspace argmin as one map-side CASE over the
+    // m bounded codebook slices instead of a k× join explosion + window
+    // exchange per iteration — same [[argminCentroid]] rationale, keyed by
+    // the `sub` column (m is a compile-time constant, so the CASE is m
+    // branches of k struct expressions)
+    def assign(code: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+      val bySub = code.groupBy(_._1).map { case (s, cs) =>
+        s -> cs.map(c => (c._2, c._3)).sortBy(_._1)
+      }
+      val best = bySub.toSeq.sortBy(_._1).map { case (s, cs) =>
+        (s, argminCentroid($"sv", cs))
+      }.foldLeft(lit(null).cast("struct<d2:double,cid:int>")) {
+        case (acc, (s, am)) => when($"sub" === s, am).otherwise(acc)
+      }
+      subs.withColumn("best", best)
+        .select($"vec_id", $"sub", $"sv", $"best.cid".as("cid"), $"best.d2".as("d2"))
+    }
 
     var code: Seq[(Int, Int, Seq[Double])] = subs.filter($"vec_id" < k)
       .orderBy($"sub", $"vec_id").collect().toSeq

@@ -296,7 +296,7 @@ object StreamingQ {
     // retunes partitions to real key cardinality (the store-commit vs
     // addBatch-parallelism tradeoff flips once batches carry real data —
     // st19's measured optimum is 4 for exactly that reason).
-    Streams.withShufflePartitions(spark, 2) {
+    Streams.withShufflePartitions(spark, Streams.stateParts(2)) {
       val q = purchases.join(clicks,
           $"user_id" === $"c_user" &&
             $"c_ts" >= $"p_ts" - expr("interval 1 hour") && $"c_ts" <= $"p_ts")
@@ -683,7 +683,7 @@ object StreamingQ {
     import spark.implicits._
     val staged = stageSt21(spark, dir)
     val sink = java.nio.file.Files.createTempDirectory("st21_sink").toString
-    Streams.withShufflePartitions(spark, 8) {
+    Streams.withShufflePartitions(spark, Streams.stateParts(8)) {
       val q = spark.readStream
         .schema(spark.read.parquet(staged).schema)
         .option("maxFilesPerTrigger", 1)
@@ -1018,7 +1018,7 @@ object StreamingQ {
     // Measured both directions in r9: 2 partitions is SLOWER (3.8 s vs
     // 2.4 s best-of — commit savings lose to halved addBatch parallelism),
     // so 4 is the measured optimum, not just a guess.
-    Streams.withShufflePartitions(spark, 4) {
+    Streams.withShufflePartitions(spark, Streams.stateParts(4)) {
       val q = purchases.join(clicks,
           $"user_id" === $"c_user" &&
             $"c_ts" >= $"p_ts" - expr("interval 1 hour") && $"c_ts" <= $"p_ts",
@@ -1066,7 +1066,7 @@ object StreamingQ {
     val out = java.nio.file.Files.createTempDirectory("st22_out").toString
     // 4 state partitions — the st19 sizing rationale (four store commits
     // per partition per micro-batch on an interval join)
-    Streams.withShufflePartitions(spark, 4) {
+    Streams.withShufflePartitions(spark, Streams.stateParts(4)) {
       val q = purchases.join(clicks,
           $"user_id" === $"c_user" &&
             $"c_ts" >= $"p_ts" - expr("interval 1 hour") && $"c_ts" <= $"p_ts",

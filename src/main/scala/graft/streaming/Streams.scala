@@ -137,6 +137,16 @@ object Streams {
     * this to key cardinality/data volume rather than inherit the batch
     * default (tiny fixtures → fewer, a 100 TB deployment → more; either
     * way an explicit choice, which is the point). */
+  /** State-partition count for a stateful streaming query: `default` is
+    * the committed fixture-scale MEASURED optimum (each query documents its
+    * own sweep), `SPARK_GRAFT_STATE_PARTS` overrides it for sweeps and for
+    * production-sized key spaces where the commit-cost/parallelism tradeoff
+    * flips — the r20 optimization-round knob that keeps the scale-dependent
+    * setting parameterised instead of hard-coded to either environment. */
+  def stateParts(default: Int): Int =
+    sys.env.get("SPARK_GRAFT_STATE_PARTS").map(_.trim).filter(_.nonEmpty)
+      .map(_.toInt).filter(_ > 0).getOrElse(default)
+
   def withShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
     val old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
