@@ -408,7 +408,13 @@ object Llm {
     * any scale. Oracle: DuckDB recursive CTE over the same pairs. */
   def l17DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = l2MinhashNearDup(spark, dir).select($"a_id", $"b_id")
+    // r20 (guide §4.1): consume the pairs through the FUSED native
+    // signature path — MinhashExprSpec pins l2c's signatures byte-identical
+    // to l2's, so the pair set (and thus the clustering) is unchanged while
+    // the corpus-sized shingle explode + groupBy shuffle drops out of this
+    // query's plan. l2_minhash_neardup itself stays on the SQL-derivable
+    // shape (that is the operator it demonstrates).
+    val pairs = l2cMinhashNative(spark, dir).select($"a_id", $"b_id")
     val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
       .unionByName(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
       .localCheckpoint(true)
@@ -2125,7 +2131,8 @@ object Llm {
     val cand = dupCandidates(spark, dir)
     val per = cand.groupBy($"source").agg(count(lit(1)).as("n_docs"),
       countDistinct(md5($"text".cast("binary"))).as("n_unique"))
-    val np = l2MinhashNearDup(spark, dir)
+    // r20: fused signature path, pairs byte-identical to l2's (see l17)
+    val np = l2cMinhashNative(spark, dir)
       .join(cand.select($"doc_id".as("a_id"), $"source"), "a_id")
       .groupBy($"source").agg(count(lit(1)).as("n_near_pairs"))
     per.join(np, Seq("source"), "left")

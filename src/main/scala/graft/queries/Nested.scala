@@ -369,7 +369,10 @@ object Nested {
     * convention), so both hash-match the same recursive-CTE oracle. */
   def g8ConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = Llm.l2MinhashNearDup(spark, dir)
+    // r20 (guide §4.1): pairs via the fused native signature path —
+    // byte-identical to l2's (MinhashExprSpec), minus the shingle
+    // explode + groupBy shuffle (see l17's note)
+    val pairs = Llm.l2cMinhashNative(spark, dir)
       .select($"a_id".as("u"), $"b_id".as("v"))
     starContract(pairs, maxRounds = 20)._1
   }
