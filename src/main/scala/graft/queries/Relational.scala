@@ -770,21 +770,28 @@ object Relational {
       expr(s"((${nibble(1)} * 16 + ${nibble(2)}) % 64)")
     }
     val ev = events(spark, dir)
-    val cells = ev
-      .select($"event_type", explode(array((0 until 4).map(lit(_)): _*)).as("row"))
+    // r20 (guide §2.3 "aggregate before you shuffle/explode"): the cell a
+    // row lands in depends only on event_type, so the per-KEY counts are
+    // aggregated FIRST (one partial+final count agg — the only corpus-sized
+    // pass) and the sketch increments by `true_n` per (type, row) on the
+    // |event_types|-sized frame. Identical cells, identical estimates —
+    // cell addition is exactly the sketch's merge algebra — but the 4×
+    // explode and the 4-per-row md5s now run on the tiny aggregate instead
+    // of every event (sf0.1: 4 md5s × ~5 types, was × 100k rows; at 100 TB
+    // the difference is a second corpus-sized pass). The three references
+    // to `typeCounts` below dedupe to one exchange via ReuseExchange.
+    val typeCounts = ev.groupBy($"event_type").agg(count(lit(1)).as("true_n"))
+    val typed = typeCounts
+      .select($"event_type", $"true_n",
+        explode(array((0 until 4).map(lit(_)): _*)).as("row"))
       .withColumn("col",
         when($"row" === 0, colExpr(0)).when($"row" === 1, colExpr(1))
           .when($"row" === 2, colExpr(2)).otherwise(colExpr(3)))
-      .groupBy($"row", $"col").agg(count(lit(1)).as("cell_n"))
-    val probes = ev.select($"event_type").distinct()
-      .select($"event_type", explode(array((0 until 4).map(lit(_)): _*)).as("row"))
-      .withColumn("col",
-        when($"row" === 0, colExpr(0)).when($"row" === 1, colExpr(1))
-          .when($"row" === 2, colExpr(2)).otherwise(colExpr(3)))
-    val est = probes.join(cells, Seq("row", "col"))
+    val cells = typed.groupBy($"row", $"col").agg(sum($"true_n").as("cell_n"))
+    val est = typed.select($"event_type", $"row", $"col")
+      .join(cells, Seq("row", "col"))
       .groupBy($"event_type").agg(min($"cell_n").as("est_n"))
-    val exact = ev.groupBy($"event_type").agg(count(lit(1)).as("true_n"))
-    est.join(exact, Seq("event_type"))
+    est.join(typeCounts, Seq("event_type"))
       .select($"event_type", $"est_n", $"true_n")
   }
 

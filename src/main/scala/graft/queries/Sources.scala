@@ -2335,10 +2335,21 @@ object Sources {
     val src = lineitem(spark, dir)
       .select($"l_orderkey", $"l_partkey", $"l_quantity", $"l_shipdate")
     val root = tmp("s34_codec")
-    codecs.foreach { codec =>
-      src.write.mode(SaveMode.Overwrite)
-        .option("compression", codec).parquet(s"$root/$codec")
+    // r20 (guide §2.6 "overlap independent jobs"): the per-codec writes are
+    // independent single-pass jobs over the same projection writing to
+    // disjoint directories — submitted from one thread each so the second
+    // write back-fills executors the first leaves idle (the scan is few
+    // tasks at fixture scale). Failures propagate: join() then rethrow.
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val writers = codecs.map { codec =>
+      val t = new Thread(() =>
+        try src.write.mode(SaveMode.Overwrite)
+          .option("compression", codec).parquet(s"$root/$codec")
+        catch { case e: Throwable => failed.compareAndSet(null, e): Unit })
+      t.setName(s"s34-write-$codec"); t.start(); t
     }
+    writers.foreach(_.join())
+    if (failed.get() != null) throw failed.get()
     root
   }
 
