@@ -1622,12 +1622,24 @@ object Llm {
   def l52PerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val scores = l35ScoreCore(documents(spark, dir).select($"doc_id", $"text"))
-    val nDf = scores.agg(count(lit(1)).as("n_total"))
     val wDesc = Window.orderBy($"lm_score".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // r20 (guide §1.2 "don't compute things twice"): n_total used to be a
+    // separate count() branch over `scores`, whose expensive map-only
+    // scoring subtree shares no exchange with the histogram branch — so
+    // the corpus was SCORED a third time just to count it. The total is
+    // already in the histogram: the same single-partition window extended
+    // to unbounded-following sums every cnt (same sort, no extra
+    // exchange), so the scoring now runs exactly twice (histogram pass +
+    // the final bucket projection), the 2-pass floor of the no-cache
+    // shape — pinning the corpus-sized score frame instead would be the
+    // wrong default at 100 TB (the l63 lesson).
+    val wAll = Window.orderBy($"lm_score".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val hist = scores.groupBy($"lm_score").agg(count(lit(1)).as("cnt"))
       .withColumn("ge", sum($"cnt").over(wDesc))
-    val bounds = hist.crossJoin(broadcast(nDf))
+      .withColumn("n_total", sum($"cnt").over(wAll))
+    val bounds = hist
       .agg(
         max(when($"ge" * 3 >= $"n_total", $"lm_score")).as("b_head"),
         max(when($"ge" * 3 >= $"n_total" * 2, $"lm_score")).as("b_mid"))
